@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans, projection, filters, scalar
+  * conditionals, aggregation, sort/limit/top-k, distinct.
+  *
+  * Inventory keys from SURVEY.md §2B. Every query is deterministic
+  * (total ORDER BY with unique tie-break keys) and every floating
+  * aggregate is rounded so the DuckDB oracle hash-matches despite
+  * summation-order differences between engines.
+  *
+  * Scale notes (100 TB): all queries are single-pass scans with
+  * partial aggregation (HashAggregateExec partial/final) or
+  * TakeOrderedAndProject for top-k — no driver-side loops, no
+  * collect, filters/projections push into the parquet scan.
+  */
+object QueriesCore {
+  type Q = (SparkSession, String) => DataFrame
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, d) =>
+      li(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity").limit(100)),
+
+    "scan_table" -> ((s, d) => {
+      // named-table scan through the session catalog, the Spark analog
+      // of the reference's FROM '<hash>' (pandasqlite.py:247)
+      Tables.t(s, d, "region").createOrReplaceTempView("region")
+      s.table("region").orderBy("r_regionkey")
+    }),
+
+    "sink_table" -> ((s, d) => {
+      // replace-mode materialization (pandasqlite.py:115 if_exists='replace')
+      Tables.t(s, d, "region").createOrReplaceTempView("graft_sink_t")
+      // second registration replaces the first (if_exists='replace')
+      Tables.t(s, d, "nation").createOrReplaceTempView("graft_sink_t")
+      s.table("graft_sink_t").orderBy("n_nationkey")
+    }),
+
+    // NOTE: no round() on per-row computed doubles — both engines do the
+    // same IEEE ops on identical inputs, so raw doubles match bitwise,
+    // while round() at half-boundaries is NOT portable across engines.
+    "project" -> ((s, d) =>
+      li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+        .orderBy("l_orderkey", "l_linenumber", "disc_price").limit(1000)),
+
+    "project_star" -> ((s, d) =>
+      Tables.t(s, d, "nation").select(col("*")).orderBy("n_nationkey")),
+
+    "filter_eq" -> ((s, d) =>
+      li(s, d).filter(col("l_returnflag") === lit("R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber").limit(500)),
+
+    "filter_range" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate").limit(500)),
+
+    "filter_in" -> ((s, d) =>
+      ord(s, d).filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey").limit(500)),
+
+    "filter_like" -> ((s, d) =>
+      Tables.t(s, d, "part").filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    "filter_null" -> ((s, d) =>
+      li(s, d).select(expr("nullif(l_returnflag, 'N')").as("x"))
+        .agg(
+          sum(when(col("x").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          sum(when(col("x").isNotNull, 1).otherwise(0)).cast("long").as("n_notnull"))),
+
+    "filter_bool" -> ((s, d) =>
+      li(s, d)
+        .filter((col("l_discount") > 0.05 && col("l_tax") < 0.04) ||
+          !(col("l_returnflag") === "A"))
+        .agg(count(lit(1)).as("n"))),
+
+    "case_when" -> ((s, d) =>
+      ord(s, d).select(
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 10000, "mid")
+          .otherwise("high").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    "cast" -> ((s, d) =>
+      li(s, d).select(
+        col("l_orderkey").cast("string").as("ok_str"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_linenumber").cast("double").as("ln_dbl"),
+        col("l_shipdate").cast("date").as("ship_day"))
+        .orderBy("ok_str", "qty_int", "ln_dbl", "ship_day").limit(500)),
+
+    "agg_count" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), count(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")),
+
+    "agg_sum_avg_min_max" -> ((s, d) =>
+      // TPC-H Q1 shape: partial aggregation map-side, tiny shuffle.
+      li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_having" -> ((s, d) =>
+      li(s, d).groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+        .where(col("total_qty") > 300)
+        .orderBy("l_partkey")),
+
+    "agg_groupby_multi" -> ((s, d) =>
+      ord(s, d).groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    "sort" -> ((s, d) =>
+      Tables.t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))),
+
+    "sort_nulls" -> ((s, d) =>
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("bal"))
+        .orderBy(asc_nulls_last("bal"), asc("c_custkey"))
+        .limit(200)),
+
+    "limit" -> ((s, d) =>
+      ord(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(100).limit(50)),
+
+    "topk" -> ((s, d) =>
+      // top 10 customers by turnover (README.md:44 flagship shape) —
+      // TakeOrderedAndProject after partial agg: no full sort at scale.
+      ord(s, d).groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("turnover"))
+        .orderBy(desc("turnover"), asc("o_custkey")).limit(10)),
+
+    "distinct" -> ((s, d) =>
+      li(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
+    "scan_table" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "sink_table" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price LIMIT 1000",
+    "project_star" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "filter_eq" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber LIMIT 500",
+    "filter_range" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate LIMIT 500",
+    "filter_in" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey LIMIT 500",
+    "filter_like" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%gear%' ORDER BY p_partkey",
+    "filter_null" ->
+      "SELECT CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notnull FROM (SELECT NULLIF(l_returnflag,'N') AS x FROM lineitem)",
+    "filter_bool" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE (l_discount > 0.05 AND l_tax < 0.04) OR NOT (l_returnflag = 'A')",
+    "case_when" ->
+      "SELECT CASE WHEN o_totalprice < 1000 THEN 'low' WHEN o_totalprice < 10000 THEN 'mid' ELSE 'high' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY bucket",
+    "cast" ->
+      "SELECT CAST(l_orderkey AS VARCHAR) AS ok_str, CAST(l_quantity AS INTEGER) AS qty_int, CAST(l_linenumber AS DOUBLE) AS ln_dbl, CAST(l_shipdate AS DATE) AS ship_day FROM lineitem ORDER BY ok_str, qty_int, ln_dbl, ship_day LIMIT 500",
+    "agg_count" ->
+      "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(l_partkey) AS BIGINT) AS n_part FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+    "agg_sum_avg_min_max" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price, ROUND(AVG(l_quantity), 6) AS avg_qty, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
+    "agg_having" ->
+      "SELECT l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300 ORDER BY l_partkey",
+    "agg_groupby_multi" ->
+      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority",
+    "agg_count_distinct" ->
+      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+    "sort" ->
+      "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC",
+    "sort_nulls" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal FROM customer ORDER BY bal ASC NULLS LAST, c_custkey ASC LIMIT 200",
+    "limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+    "topk" ->
+      "SELECT o_custkey, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS turnover FROM orders GROUP BY 1 ORDER BY turnover DESC, o_custkey ASC LIMIT 10",
+    "distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+  )
+}

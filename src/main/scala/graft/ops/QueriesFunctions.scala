@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function packs (SQLite core/date/math/json1 → Spark SQL,
+  * SURVEY.md §2B "Scalar functions") plus the remaining aggregate
+  * keys (group_concat, Σ-formula correlation, cube/rollup).
+  *
+  * The Σ-formula correlation mirrors the reference's prompt directive
+  * "When computing a correlation, avoid using CORR or AVG"
+  * (reference pandasqlite/pandasqlite.py:225): generated SQL computes
+  * correlation from raw sums, so the engine must evaluate that exact
+  * shape efficiently (one scan, partial aggregation — it does).
+  */
+object QueriesFunctions {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      t("part")(s, d).select(
+        col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 3).as("pre"),
+        regexp_replace(col("p_name"), " ", "_").as("und"),
+        instr(col("p_name"), "e").as("e_pos"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        format_string("%s#%d", col("p_type"), col("p_size")).as("fmt"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_code"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      t("events")(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        // date_trunc always yields TimestampType; restore the input's
+        // wall-clock (NTZ) semantics for oracle parity
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day_start"),
+        (col("ts") + expr("INTERVAL 1 DAY")).cast("timestamp_ntz").as("next_day"),
+        last_day(col("ts").cast("date")).as("month_end"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_in"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        to_date(lit("06/02/2018"), "dd/MM/yyyy").as("go_date"))
+        .orderBy("event_id")),
+
+    "fn_math" -> ((s, d) =>
+      t("lineitem")(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"),
+        expr("l_orderkey % 7").as("mod7"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        pow(col("l_quantity"), 2).as("q_sq"),
+        round(log(col("l_quantity") + 1), 6).as("ln_q"))
+        .orderBy("l_orderkey", "l_linenumber", "abs_d", "mod7", "sqrt_q")
+        .limit(2000)),
+
+    "fn_cond" -> ((s, d) =>
+      t("customer")(s, d).select(
+        col("c_custkey"),
+        expr("coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')").as("seg2"),
+        expr("ifnull(nullif(c_mktsegment, 'MACHINERY'), 'MACH')").as("seg3"),
+        expr("if(c_acctbal < 0, 'neg', 'pos')").as("bal_sign"),
+        expr("nvl(nullif(c_name, ''), 'unnamed')").as("nm"))
+        .orderBy("c_custkey")),
+
+    "fn_json" -> ((s, d) =>
+      t("events")(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("et")))
+          .as("obj"))
+        .orderBy("event_id")),
+
+    "agg_group_concat" -> ((s, d) =>
+      t("lineitem")(s, d).groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"))
+        .orderBy("l_returnflag")),
+
+    "agg_corr" -> ((s, d) => {
+      // Σ-formula correlation (no CORR/AVG), one scan + partial agg
+      val base = t("lineitem")(s, d).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity")).as("sx"),
+        sum(col("l_extendedprice")).as("sy"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      base.select(round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("corr_qty_price"))
+    }),
+
+    "agg_cube" -> ((s, d) =>
+      t("lineitem")(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "agg_rollup" -> ((s, d) =>
+      t("orders")(s, d).rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+           SUBSTR(p_name, 1, 3) AS pre,
+           REPLACE(p_name, ' ', '_') AS und,
+           CAST(INSTR(p_name, 'e') AS INTEGER) AS e_pos,
+           TRIM('  ' || p_name || '  ') AS trimmed,
+           CONCAT_WS('|', p_brand, p_type) AS joined,
+           PRINTF('%s#%d', p_type, p_size) AS fmt,
+           CAST(ASCII(SUBSTR(p_name, 1, 1)) AS INTEGER) AS first_code
+         FROM part ORDER BY p_partkey""",
+    "fn_date" ->
+      """SELECT event_id,
+           CAST(YEAR(ts) AS INTEGER) AS y,
+           CAST(MONTH(ts) AS INTEGER) AS m,
+           CAST(DAY(ts) AS INTEGER) AS dom,
+           CAST(HOUR(ts) AS INTEGER) AS h,
+           DATE_TRUNC('day', ts) AS day_start,
+           ts + INTERVAL '1 day' AS next_day,
+           LAST_DAY(CAST(ts AS DATE)) AS month_end,
+           CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_in,
+           CAST(DATE_DIFF('second', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS epoch_s,
+           CAST(STRPTIME('06/02/2018', '%d/%m/%Y') AS DATE) AS go_date
+         FROM events ORDER BY event_id""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_d,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p,
+           CAST(SIGN(l_discount - 0.05) AS INTEGER) AS sgn,
+           l_orderkey % 7 AS mod7,
+           SQRT(l_quantity) AS sqrt_q,
+           POW(l_quantity, 2) AS q_sq,
+           ROUND(LN(l_quantity + 1), 6) AS ln_q
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, abs_d, mod7, sqrt_q LIMIT 2000""",
+    "fn_cond" ->
+      """SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+           IFNULL(NULLIF(c_mktsegment, 'MACHINERY'), 'MACH') AS seg3,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+           COALESCE(NULLIF(c_name, ''), 'unnamed') AS nm
+         FROM customer ORDER BY c_custkey""",
+    "fn_json" ->
+      """SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
+           CAST(TO_JSON(STRUCT_PACK(id := event_id, et := event_type)) AS VARCHAR) AS obj
+         FROM events ORDER BY event_id""",
+    "agg_group_concat" ->
+      """SELECT l_returnflag,
+           STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "agg_corr" ->
+      """SELECT ROUND(
+           (n * sxy - sx * sy) /
+             SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+         FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+             CAST(SUM(l_extendedprice) AS DOUBLE) AS sy,
+             CAST(SUM(l_quantity * l_extendedprice) AS DOUBLE) AS sxy,
+             CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+             CAST(SUM(l_extendedprice * l_extendedprice) AS DOUBLE) AS syy
+           FROM lineitem)""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2B "Joins"): all SQLite-reachable join
+  * shapes re-expressed with the Dataset join API so Catalyst picks the
+  * physical strategy (broadcast-hash for the dimension sides here;
+  * sort-merge on the fact⋈fact shapes at scale; AQE re-plans at
+  * runtime).
+  *
+  * Scale notes: `customer`/`supplier`/`nation`/`region` are dimensions —
+  * explicitly `broadcast()` where the optimizer's size estimate might
+  * not see it (e.g. after a filter). The theta join is bounded
+  * (dim × dim) — a fact-side theta join would need a range-bucketing
+  * rewrite instead of broadcast-nested-loop.
+  */
+object QueriesJoins {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    "join_inner" -> ((s, d) => {
+      val o = t("orders")(s, d); val c = t("customer")(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "join_left" -> ((s, d) => {
+      val c = t("customer")(s, d); val o = t("orders")(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_right" -> ((s, d) => {
+      val o = t("orders")(s, d); val c = t("customer")(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_full" -> ((s, d) => {
+      // aggregate per nation on both sides, restricted to disjoint-ish
+      // key ranges so FULL OUTER actually produces null sides
+      val c = t("customer")(s, d).filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = t("supplier")(s, d).filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+        .select(col("c_nationkey"), col("n_cust"), col("s_nationkey"), col("n_supp"))
+        .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("s_nationkey"))
+    }),
+
+    "join_cross" -> ((s, d) =>
+      t("region")(s, d).crossJoin(t("nation")(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    "join_theta" -> ((s, d) => {
+      // non-equi predicate join (dim × dim, broadcast-nested-loop);
+      // at fact scale this shape needs banding/bucketing instead
+      val su = t("supplier")(s, d); val c = t("customer")(s, d)
+      su.join(broadcast(c),
+          su("s_nationkey") === c("c_nationkey") &&
+            su("s_acctbal") < c("c_acctbal"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_richer_cust"))
+        .orderBy("s_suppkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val c = t("customer")(s, d)
+      val big = t("orders")(s, d).filter(col("o_totalprice") > 30000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val c = t("customer")(s, d); val o = t("orders")(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_self" -> ((s, d) => {
+      val a = t("supplier")(s, d).as("a")
+      val b = t("supplier")(s, d).as("b")
+      a.join(b, col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(col("a.s_suppkey").as("k1"), col("b.s_suppkey").as("k2"),
+          col("a.s_nationkey").as("nk"))
+        .orderBy("k1", "k2")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "join_left" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_custkey""",
+    "join_right" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_custkey""",
+    "join_full" ->
+      """SELECT c_nationkey, n_cust, s_nationkey, n_supp FROM
+         (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+         FULL JOIN
+         (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s
+         ON c_nationkey = s_nationkey
+         ORDER BY c_nationkey ASC NULLS FIRST, s_nationkey ASC NULLS FIRST""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""",
+    "join_theta" ->
+      """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_richer_cust
+         FROM supplier JOIN customer
+           ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+         GROUP BY 1 ORDER BY s_suppkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 30000)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_self" ->
+      """SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_nationkey AS nk
+         FROM supplier a JOIN supplier b
+           ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+         ORDER BY k1, k2""",
+  )
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Set operations, subqueries and CTEs (SURVEY.md §2B). These run
+  * through `spark.sql` over temp views — the exact execution path the
+  * engine's text2sql layer uses (generated SQL → spark.sql), so these
+  * keys double as end-to-end coverage of that path. Catalyst rewrites
+  * IN/EXISTS subqueries to semi-joins and decorrelates scalar
+  * subqueries; nothing here is driver-side.
+  */
+object QueriesSql {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sql(q: String): Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(q)
+  }
+
+  /** Queries whose text is valid in BOTH Spark SQL and DuckDB — the
+    * oracle is the same string, which is itself a demonstration that
+    * the engine executes the delegated SQL dialect surface verbatim.
+    */
+  private val common: Map[String, String] = Map(
+    "set_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+    "set_union_all" ->
+      """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION ALL SELECT s_nationkey AS nk FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+    "subq_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+         ORDER BY o_orderkey, o_totalprice""",
+    "subq_in" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 30000)
+         ORDER BY c_custkey""",
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY c_custkey""",
+    "subq_derived" ->
+      """SELECT nk, n_cust FROM (
+           SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+           FROM customer GROUP BY c_nationkey) t
+         WHERE n_cust > 50 ORDER BY nk""",
+    "cte" ->
+      """WITH seg AS (
+           SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_cust
+           FROM customer GROUP BY c_mktsegment),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer)
+         SELECT seg, n_cust, total FROM seg CROSS JOIN tot
+         ORDER BY seg""",
+    "cte_recursive" ->
+      """WITH RECURSIVE seq(x) AS (
+           SELECT 1 UNION ALL SELECT x + 1 FROM seq WHERE x < 10)
+         SELECT x, x * x AS sq FROM seq ORDER BY x""",
+  )
+
+  val queries: Map[String, Q] = common.map { case (k, q) => k -> sql(q) }
+  val oracle: Map[String, String] = common
+}

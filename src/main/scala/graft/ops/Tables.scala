@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+    // type for: read the raw int64 nanos and truncate to micros (UTC
+    // session) — same truncation DuckDB applies internally.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The source annotation is isAdjustedToUTC=false → the column is a
+    // wall-clock (NTZ) timestamp; keep it NTZ so derived timestamps
+    // round-trip with the same semantics.
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df
+  }
 
   /** Register every test table as a temp view so `spark.sql` queries
     * (subqueries, CTEs, SQL-dialect keys) can refer to them by name —

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora.
+  *
+  * Two families:
+  *  - MinHash + LSH banding: shingle → k min-hashes (one scan, k
+  *    partial-min aggregates) → band keys → bucket equi-join for
+  *    candidates → exact Jaccard verification on candidates only.
+  *    No cross join anywhere; every shuffle is on a content key, so
+  *    the plan survives a 1000-executor corpus.
+  *  - SimHash: token-hash bit-majority signature (64 aggregates, one
+  *    scan), near-dups = small Hamming distance; banding on 16-bit
+  *    sub-keys bounds the pair search the same way.
+  *
+  * All hash seeds are fixed constants → results are deterministic.
+  */
+object Dedup {
+
+  /** Distinct character shingles per document: (id, s). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               shingleLen: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t) - ${shingleLen - 1}, 1)), i -> substring(t, i, $shingleLen))")))
+        .as("s"))
+
+  /** MinHash signature per document: k columns sig_0..sig_{k-1},
+    * sig_i = min over shingles of xxhash64(i, shingle). Single scan,
+    * partial aggregation — the canonical distributed minhash.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs via LSH banding: signature split into `bands`
+    * bands of `numHashes / bands` rows; docs sharing any band bucket
+    * become candidates. Shuffle key = (band index, band hash).
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
+    }
+    val buckets = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a given pair set only (candidate verification). */
+  def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(pairs.as("p"), col("x.id") === col("p.id1"))
+      .select(col("p.id1"), col("p.id2"), col("x.s").as("s1"))
+      .join(sh.as("y"), col("y.id") === col("id2") && col("y.s") === col("s1"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("c1"), col("id1") === col("c1.id"))
+      .join(cnt.as("c2"), col("id2") === col("c2.id"))
+      .select(col("id1"), col("id2"),
+        (col("i").cast("double") / (col("c1.n") + col("c2.n") - col("i")))
+          .as("jaccard"))
+  }
+
+  /** End-to-end MinHash LSH near-dup pairs at a Jaccard threshold. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 8, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen).cache()
+    val sigs = minHashSignatures(sh, numHashes)
+    val cand = lshCandidates(sigs, numHashes, bands)
+    exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document from whitespace tokens: bit i of the
+    * signature is the majority vote of token-hash bit i. One scan,
+    * 64 sum aggregates, all codegen'd.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(expr(s"split(lower(trim($textCol)), '\\\\s+')")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+        when(col(s"b_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist.
+    * Banding: split the 64-bit signature into 4 16-bit keys — any pair
+    * within Hamming distance 3 shares at least one key (pigeonhole),
+    * so the join is bucketed, never all-pairs.
+    */
+  def simHashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * 16}) & 65535").as("key"))): _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,318 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension operators [X] (SURVEY.md §2C): the LLM-training-data
+  * pipeline surface — dedup, similarity search, text analysis,
+  * multimodal binary plumbing — each expressed as a declarative plan
+  * that scales (shingle-join instead of cross-join for near-dup;
+  * broadcast query vector for ANN; single-scan token analytics via
+  * codegen'd higher-order array functions).
+  *
+  * Non-SQL-expressible variants (MinHash LSH banding, SimHash,
+  * IVF-style ANN) live in graft.ops.{Dedup,Similarity} with ScalaTest
+  * specs; the keys here are the DuckDB-verifiable core.
+  */
+object QueriesExt {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: duplicates synthesized (every 10th doc re-appended),
+    // then hash-groupBy on content — the 100 TB pattern (shuffle on a
+    // content key, min-id as canonical representative)
+    "ext_dedup_exact" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val withDups = docs.unionAll(docs.filter(col("doc_id") % 10 === 0))
+      withDups.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup: char-8-gram shingles, pairs via
+    // shingle equi-join (shuffle on shingle — no cross join), Jaccard
+    // from intersection and per-doc distinct counts
+    "ext_dedup_ngram" -> ((s, d) => {
+      val docs = t("documents")(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      val sh = docs
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")))
+            .as("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(col("i").cast("double") /
+            (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.09)
+        .orderBy("d1", "d2")
+    }),
+
+    // brute-force cosine top-k against a query vector (vec_id 0).
+    // The query embedding is a driver-side constant (a genuine query
+    // parameter, not a collect-of-the-data) folded into the plan, so
+    // the scan side streams once with no shuffle: score → TakeOrdered.
+    "ext_sim_search" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val qArr = array(q.map(v => lit(v)): _*)
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .withColumn("qe", qArr)
+        .withColumn("sim",
+          expr("""aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+                  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))
+                   * sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)))"""))
+      scored.select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+    }),
+
+    // embedding-cosine near-dup pairs. Bounded self-join here; the
+    // 100 TB path is the LSH-bucketed variant in graft.ops.Similarity.
+    "ext_dedup_embed" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+        .withColumn("nrm",
+          expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"))
+      val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("sim",
+          expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") /
+            (col("n1") * col("n2")))
+        .filter(col("sim") >= 0.45)
+        .select(col("v1"), col("v2"), round(col("sim"), 6).as("sim"))
+        .orderBy("v1", "v2")
+    }),
+
+    // text quality scoring: single scan, all metrics codegen'd
+    "ext_text_quality" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(col("toks")).as("n_tokens"),
+          round(length(col("text")).cast("double") / size(col("toks")), 6)
+            .as("avg_tok_len"),
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))")
+            .as("n_stop"),
+          round(expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) / CAST(size(toks) AS DOUBLE)"), 6)
+            .as("stop_ratio"))
+        .orderBy("doc_id")),
+
+    // n-gram-marker language ID heuristic (deterministic argmax)
+    "ext_lang_id" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
+        .withColumn("c_en", expr("size(filter(toks, x -> x IN ('the', 'and', 'of', 'is')))"))
+        .withColumn("c_de", expr("size(filter(toks, x -> x IN ('der', 'die', 'und', 'ist')))"))
+        .withColumn("c_fr", expr("size(filter(toks, x -> x IN ('le', 'la', 'et', 'est')))"))
+        .withColumn("c_es", expr("size(filter(toks, x -> x IN ('el', 'los', 'y', 'es')))"))
+        .select(col("doc_id"), col("c_en"), col("c_de"), col("c_fr"), col("c_es"),
+          expr("""CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                       WHEN c_fr >= c_es THEN 'fr'
+                       ELSE 'es' END""").as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // token counting: whitespace + BPE-ish estimate (chars/4)
+    "ext_token_count" -> ((s, d) =>
+      t("documents")(s, d).select(col("doc_id"),
+        expr("size(split(trim(text), '\\\\s+'))").as("n_ws_tokens"),
+        length(col("text")).as("n_chars_m"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("int").as("n_bpe_est"))
+        .orderBy("doc_id")),
+
+    // document fingerprinting: md5 over whitespace-normalized text
+    "ext_fingerprint" -> ((s, d) =>
+      t("documents")(s, d).select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_full"),
+        md5(substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 100))
+          .as("fp_head"))
+        .orderBy("doc_id")),
+
+    // MinHash LSH near-dup dedup (graft.ops.Dedup): corpus = documents
+    // plus a mutated copy of every 4th doc (planted near-dups at
+    // Jaccard ≈ 0.9+). LSH banding finds candidates, exact Jaccard
+    // verifies — with the corpus's wide gap (planted ≈ 0.9 vs background
+    // ≤ 0.15) the LSH output equals the exact-threshold oracle.
+    "ext_dedup_minhash" -> ((s, d) => {
+      val docs = t("documents")(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.minHashPairs(corpus, "doc_id", "text")
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash signatures + near-dup pairs (rows-only: xxhash64 has no
+    // DuckDB equivalent; determinism covered by DedupSpec)
+    "ext_dedup_simhash" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      val sigs = Dedup.simHash(corpus, "doc_id", "text")
+      Dedup.simHashPairs(sigs, maxDist = 3).orderBy("id1", "id2")
+    }),
+
+    // LSH-bucketed approximate top-k (rows-only: seeded hyperplanes;
+    // recall vs brute force covered by SimilaritySpec)
+    "ext_sim_search_lsh" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, k = 10, nBits = 8, probes = 2)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    // multimodal decode stub over mapPartitions (rows-only)
+    "ext_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(
+        t("documents")(s, d).withColumnRenamed("doc_id", "media_id")
+          .withColumnRenamed("text", "payload"), "media_id", "payload")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    // multimodal binary-column plumbing: opaque bytes + typed metadata;
+    // decode/feature-extract stubs live in graft.ops.Multimodal
+    "ext_multimodal_bin" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("bin", expr("encode(text, 'UTF-8')"))
+        .select(col("doc_id"),
+          expr("octet_length(bin)").as("n_bytes"),
+          substring(hex(col("bin")), 1, 8).as("head_hex"),
+          lit("text/plain").as("media_type"))
+        .orderBy("doc_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ext_dedup_exact" ->
+      """SELECT doc_id, n_copies FROM (
+           SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+           FROM (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+           GROUP BY text)
+         ORDER BY doc_id""",
+    "ext_dedup_ngram" ->
+      """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id < 100),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = d1
+         JOIN cnt cb ON cb.doc_id = d2
+         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.09
+         ORDER BY d1, d2""",
+    "ext_dedup_minhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         corpus AS (SELECT doc_id, text FROM base
+                    UNION ALL
+                    SELECT doc_id + 10000, text || ' zzz' FROM base WHERE doc_id % 4 = 0),
+         docs AS (SELECT doc_id, LOWER(text) AS t FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 2000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id1, id2, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = id1
+         JOIN cnt cb ON cb.doc_id = id2
+         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+         ORDER BY id1, id2""",
+    "ext_sim_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, ROUND(
+           list_aggregate(list_apply(list_zip(embedding, qe),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+           (SQRT(list_aggregate(list_apply(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+            SQRT(list_aggregate(list_apply(qe,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+         FROM embeddings, q WHERE vec_id != 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ext_dedup_embed" ->
+      """WITH n AS (SELECT vec_id, embedding,
+             SQRT(list_aggregate(list_apply(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND(
+           list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+           / (a.nrm * b.nrm), 6) AS sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+           / (a.nrm * b.nrm) >= 0.45
+         ORDER BY v1, v2""",
+    "ext_text_quality" ->
+      """SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_split_to_array(TRIM(text), '\s+')), 6) AS avg_tok_len,
+           CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS INTEGER) AS n_stop,
+           ROUND(CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+             / LEN(regexp_split_to_array(TRIM(text), '\s+')), 6) AS stop_ratio
+         FROM documents ORDER BY doc_id""",
+    "ext_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(LEN(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS INTEGER) AS c_en,
+             CAST(LEN(list_filter(toks, x -> x IN ('der', 'die', 'und', 'ist'))) AS INTEGER) AS c_de,
+             CAST(LEN(list_filter(toks, x -> x IN ('le', 'la', 'et', 'est'))) AS INTEGER) AS c_fr,
+             CAST(LEN(list_filter(toks, x -> x IN ('el', 'los', 'y', 'es'))) AS INTEGER) AS c_es
+           FROM t)
+         SELECT doc_id, c_en, c_de, c_fr, c_es,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM c ORDER BY doc_id""",
+    "ext_token_count" ->
+      """SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+           CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS INTEGER) AS n_bpe_est
+         FROM documents ORDER BY doc_id""",
+    "ext_fingerprint" ->
+      """SELECT doc_id,
+           MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS fp_full,
+           MD5(SUBSTR(regexp_replace(LOWER(text), '\s+', ' ', 'g'), 1, 100)) AS fp_head
+         FROM documents ORDER BY doc_id""",
+    "ext_multimodal_bin" ->
+      """SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+           SUBSTR(HEX(ENCODE(text)), 1, 8) AS head_hex,
+           'text/plain' AS media_type
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -83,19 +83,22 @@ object QueriesJoins {
     }),
 
     "join_anti" -> ((s, d) => {
-      val c = t("customer")(s, d); val o = t("orders")(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      // customers with no high-value order (non-empty at every sf)
+      val c = t("customer")(s, d)
+      val big = t("orders")(s, d).filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
 
     "join_self" -> ((s, d) => {
-      val a = t("supplier")(s, d).as("a")
-      val b = t("supplier")(s, d).as("b")
-      a.join(b, col("a.s_nationkey") === col("b.s_nationkey") &&
-          col("a.s_suppkey") < col("b.s_suppkey"))
-        .select(col("a.s_suppkey").as("k1"), col("b.s_suppkey").as("k2"),
-          col("a.s_nationkey").as("nk"))
+      // same-nation customer pairs, bounded to keep output small
+      val base = t("customer")(s, d).filter(col("c_custkey") <= 100)
+      val a = base.as("a"); val b = base.as("b")
+      a.join(b, col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("k1"), col("b.c_custkey").as("k2"),
+          col("a.c_nationkey").as("nk"))
         .orderBy("k1", "k2")
     }),
   )
@@ -138,12 +141,14 @@ object QueriesJoins {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
          ORDER BY c_custkey""",
     "join_self" ->
-      """SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_nationkey AS nk
-         FROM supplier a JOIN supplier b
-           ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      """SELECT a.c_custkey AS k1, b.c_custkey AS k2, a.c_nationkey AS nk
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE a.c_custkey <= 100 AND b.c_custkey <= 100
          ORDER BY k1, k2""",
   )
 }

@@ -57,7 +57,7 @@ object QueriesSql {
       """SELECT nk, n_cust FROM (
            SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
            FROM customer GROUP BY c_nationkey) t
-         WHERE n_cust > 50 ORDER BY nk""",
+         WHERE n_cust > 3 ORDER BY nk""",
     "cte" ->
       """WITH seg AS (
            SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_cust

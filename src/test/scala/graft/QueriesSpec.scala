@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query key must execute at sf0.001 and produce a
+  * stable, non-degenerate result. The DuckDB value oracle runs in the
+  * driver (and in tools/check.py); this spec guards execution, schema
+  * sanity, and the queries/oracle contract itself.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry (flagship) returns exactly one top product with positive qty") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("total_qty") > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001 with a sane schema") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      assert(df.columns.distinct.length == df.columns.length,
+        s"duplicate column names in $name: ${df.columns.mkString(",")}")
+      assert(n >= 0)
+      // keys that must be non-empty even at the smallest sf
+      val mustHaveRows = !Set("agg_having").contains(name)
+      if (mustHaveRows) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("queries are deterministic across two executions") {
+    val twice = Seq("topk", "ext_sim_search", "win_rank", "ext_dedup_minhash")
+    twice.foreach { k =>
+      val a = SparkEntry.queries(k)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(k)(spark, sfDir).collect().toSeq
+      assert(a == b, s"$k not deterministic")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "unrelated text mentioning partitions shuffles and broadcast joins"),
+  ).toDF("doc_id", "text")
+
+  test("minHashPairs finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard estimate is close to exact jaccard") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text")
+    val exact = Dedup.exactJaccard(sh,
+        Seq((1L, 2L)).toDF("id1", "id2"))
+      .select("jaccard").as[Double].head()
+    assert(exact > 0.8, s"planted pair exact jaccard $exact")
+  }
+
+  test("simHash is deterministic and separates dups from others") {
+    val sigs1 = Dedup.simHash(corpus, "doc_id", "text").collect().toSet
+    val sigs2 = Dedup.simHash(corpus, "doc_id", "text").collect().toSet
+    assert(sigs1 == sigs2)
+    // exact duplicate text → identical signature → Hamming distance 0;
+    // a one-token edit (1↔2) stays far closer than unrelated docs
+    val dup = corpus.unionAll(
+      Seq((5L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.simHashPairs(Dedup.simHash(dup, "doc_id", "text"), maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.contains((3L, 4L)))
+    val sigMap = Dedup.simHash(dup, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b))
+    assert(dist(1L, 2L) < dist(3L, 4L), s"${dist(1L, 2L)} vs ${dist(3L, 4L)}")
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
+    val deduped = withDups.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n"))
+    assert(deduped.count() == 4)
+    assert(deduped.filter($"n" === 2).select("doc_id").as[Long].head() == 1L)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ingest
+
+import com.fasterxml.jackson.core.JsonFactory
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal compact JSON layer over Jackson (already on the Spark
+  * classpath). Rendering matches python json.dumps(separators=(',', ':'))
+  * — no whitespace, insertion order preserved — so prompt payloads are
+  * byte-comparable with the reference's.
+  */
+object Json {
+  private val mapper = new ObjectMapper(new JsonFactory())
+
+  /** Render strings/numbers/booleans/null, Seq and ordered Map. */
+  def write(v: Any): String = v match {
+    case null            => "null"
+    case s: String       => mapper.writeValueAsString(s)
+    case d: Double       => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 &&
+                                d.toString.endsWith(".0")) d.toString else mapper.writeValueAsString(d)
+    case f: Float        => write(f.toDouble)
+    case n: Number       => n.toString
+    case b: Boolean      => b.toString
+    case m: collection.Map[_, _] =>
+      m.map { case (k, vv) => s"${write(k.toString)}:${write(vv)}" }
+        .mkString("{", ",", "}")
+    case s: Iterable[_]  => s.map(write).mkString("[", ",", "]")
+    case other           => mapper.writeValueAsString(other.toString)
+  }
+
+  private def toScala(n: JsonNode): Any = {
+    if (n.isObject)
+      n.properties().asScala.foldLeft(
+        scala.collection.mutable.LinkedHashMap.empty[String, Any]) {
+        (acc, e) => acc += (e.getKey -> toScala(e.getValue)); acc
+      }
+    else if (n.isArray) n.elements().asScala.map(toScala).toVector
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+  }
+
+  /** Parse a JSON object into an insertion-ordered Map. */
+  def parseObject(s: String): collection.Map[String, Any] =
+    toScala(mapper.readTree(s)).asInstanceOf[collection.Map[String, Any]]
+
+  /** Parse a JSON array of objects. */
+  def parseArray(s: String): Seq[collection.Map[String, Any]] =
+    toScala(mapper.readTree(s)).asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[collection.Map[String, Any]])
+}

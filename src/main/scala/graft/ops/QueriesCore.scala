@@ -44,6 +44,24 @@ object QueriesCore {
     // NOTE: no round() on per-row computed doubles — both engines do the
     // same IEEE ops on identical inputs, so raw doubles match bitwise,
     // while round() at half-boundaries is NOT portable across engines.
+    // header-CSV scan with schema inference (reference test.py:35):
+    // round-trip nation through CSV, then read it back inferring types
+    "scan_csv" -> ((s, d) => {
+      val csvDir = s"/root/repo/target/graft_tmp/scan_csv_${new java.io.File(d).getName}"
+      Tables.t(s, d, "nation").orderBy("n_nationkey")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+        .orderBy("n_nationkey")
+    }),
+
+    // result rows → JSON strings (reference test.py:53-55 to_json path)
+    "sink_json" -> ((s, d) =>
+      Tables.t(s, d, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+            .as("json_row"))
+        .orderBy("n_nationkey")),
+
     "project" -> ((s, d) =>
       li(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -171,6 +189,10 @@ object QueriesCore {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_table" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_csv" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "sink_json" ->
+      "SELECT n_nationkey, CAST(TO_JSON(STRUCT_PACK(n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS VARCHAR) AS json_row FROM nation ORDER BY n_nationkey",
     "project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price LIMIT 1000",
     "project_star" ->

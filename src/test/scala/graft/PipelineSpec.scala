@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.exec.Runner
+import graft.ingest.Ingestor
+import graft.llm.StubLlm
+import graft.text2sql.Text2Sql
+
+/** End-to-end pipeline test mirroring the reference's demo script
+  * (reference test.py) on the reference's own GO-sales sample data —
+  * with real assertions (the reference has none): ingest all four
+  * CSVs, generate SQL for the flagship question through a
+  * deterministic stub model, execute, and check actual values.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val goDir = "/root/reference/sample_data"
+  private lazy val cacheDir =
+    Files.createTempDirectory("graft_cache_").toString
+
+  private def readCsv(name: String) =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$goDir/$name")
+
+  test("ingest all GO-sales CSVs and answer the flagship question") {
+    assume(new java.io.File(goDir).isDirectory)
+    val sales = readCsv("go_1k.csv")
+    val products = readCsv("go_products.csv")
+
+    val stub = new StubLlm(Map(
+      "What is the most popular product?" ->
+        ("SELECT p.`Product`, SUM(s.`Quantity`) AS total_qty " +
+          "FROM {SALES} s JOIN {PRODUCTS} p ON s.`Product_number` = p.`Product_number` " +
+          "GROUP BY p.`Product` ORDER BY total_qty DESC, p.`Product` LIMIT 1")))
+
+    val (results, dfsHash) = Ingestor.ingest(spark, Seq(sales, products),
+      llm = stub, cacheDir = cacheDir)
+    assert(results.size == 2)
+    assert(dfsHash.matches("[0-9a-f]{32}"))
+    val Seq(salesR, productsR) = results
+
+    // metadata populated for every table
+    results.foreach { r =>
+      assert(r.columnTypes.nonEmpty)
+      assert(r.columnDescriptions.nonEmpty)
+      assert(r.valueFormat.nonEmpty)
+      assert(r.ddl.contains(s"CREATE TABLE `${r.hash}`"))
+      assert(r.sqlCurriculum.nonEmpty)
+      // curriculum SQL is bound to the hash, not the generic `table`
+      r.sqlCurriculum.foreach { case (_, sql) =>
+        assert(sql.contains(s"`${r.hash}`"), sql)
+      }
+    }
+
+    // generated-prompt assembly contains all reference sections
+    val prompt = Text2Sql.buildPrompt("What is the most popular product?", results)
+    Seq("[SCHEMA]", "[VALUE_FORMAT]", "[ENUMS]", "[DOCUMENTATION]",
+      "[INSTRUCTION]", "[QUESTION]", "```sql").foreach(sec =>
+      assert(prompt.contains(sec), s"missing $sec"))
+    assert(prompt.contains("No documentation provided."))
+    assert(prompt.contains("compliant to Spark SQL"))
+
+    // execute the flagship question end-to-end via the stub model
+    val stub2 = new StubLlm(Map(
+      "What is the most popular product?" ->
+        ("SELECT p.`Product`, SUM(s.`Quantity`) AS total_qty " +
+          s"FROM `${salesR.hash}` s JOIN `${productsR.hash}` p " +
+          "ON s.`Product_number` = p.`Product_number` " +
+          "GROUP BY p.`Product` ORDER BY total_qty DESC, p.`Product` LIMIT 1")))
+    val answer = Runner.ask(spark, "What is the most popular product?",
+      results, stub2).collect()
+    assert(answer.length == 1)
+    assert(answer.head.getAs[Long]("total_qty") > 0)
+
+    // cache hit: re-ingest returns identical metadata without LLM calls
+    val failingLlm = new StubLlm() {
+      override def apply(p: String): String =
+        if (p.contains("write 'YES'")) "YES"
+        else fail("cache hit must not call the LLM")
+    }
+    val (cached, hash2) = Ingestor.ingest(spark, Seq(sales, products),
+      llm = failingLlm, cacheDir = cacheDir)
+    assert(hash2 == dfsHash)
+    assert(cached.map(_.hash) == results.map(_.hash))
+    assert(cached.head.columnTypes == results.head.columnTypes)
+
+    // lookup-by-hash re-entry (reference ingest("<hash>") path)
+    val (byHash, _) = Ingestor.ingestByHash(spark, dfsHash, cacheDir)
+    assert(byHash.map(_.hash) == results.map(_.hash))
+
+    // unknown hash raises a real exception (reference raises a string)
+    intercept[Ingestor.HashNotFoundException] {
+      Ingestor.ingestByHash(spark, "deadbeef" * 4, cacheDir)
+    }
+  }
+
+  test("sanitized GO column names match the reference scheme") {
+    assume(new java.io.File(goDir).isDirectory)
+    val sales = readCsv("go_1k.csv")
+    val sanitized = graft.ingest.Sanitize.sanitizeColumns(sales)
+    assert(sanitized.columns.forall(_.matches("[0-9a-zA-Z_]+")))
+    assert(sanitized.columns.contains("Retailer_code"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SanitizeSpec extends AnyFunSuite {
+  test("sanitize replaces non-alnum runs with single underscore") {
+    assert(Sanitize.sanitize("Retailer code") == "Retailer_code")
+    assert(Sanitize.sanitize("a  b--c") == "a_b_c")
+    assert(Sanitize.sanitize("clean_name") == "clean_name")
+    assert(Sanitize.sanitize("Üni-code!x") == "_ni_code_x")
+  }
+
+  test("sanitize is idempotent (property)") {
+    val prop = Prop.forAll(Gen.asciiStr) { s =>
+      val once = Sanitize.sanitize(s)
+      Sanitize.sanitize(once) == once
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("reverseLookup maps lowercase back to real case") {
+    val m = Sanitize.reverseLookup(Seq("Retailer_code", "Quantity"))
+    assert(m("retailer_code") == "Retailer_code")
+    assert(m("quantity") == "Quantity")
+  }
+}
+
+class DdlSpec extends AnyFunSuite {
+  test("createTable renders backticked hash and mapped types") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType), StructField("day", DateType)))
+    val ddl = Ddl.createTable("abc123", schema)
+    assert(ddl.contains("CREATE TABLE `abc123`"))
+    assert(ddl.contains("`id` BIGINT"))
+    assert(ddl.contains("`name` TEXT"))
+    assert(ddl.contains("`price` DOUBLE"))
+    assert(ddl.contains("`day` DATE"))
+  }
+}
+
+class JsonSpec extends AnyFunSuite {
+  test("write matches python json.dumps compact separators") {
+    val m = scala.collection.mutable.LinkedHashMap[String, Any](
+      "sex" -> Seq("m", "m", "f"), "n" -> Seq(1L, 2L))
+    assert(Json.write(m) == """{"sex":["m","m","f"],"n":[1,2]}""")
+    assert(Json.write(scala.collection.mutable.LinkedHashMap("x" -> 1.5)) == """{"x":1.5}""")
+    assert(Json.write(Seq(9.64)) == "[9.64]")
+    assert(Json.write(Seq(1.0)) == "[1.0]")
+    assert(Json.write("a\"b") == "\"a\\\"b\"")
+  }
+
+  test("parse round-trips objects preserving insertion order") {
+    val parsed = Json.parseObject("""{"b":1,"a":"x","c":[1,2]}""")
+    assert(parsed.keys.toSeq == Seq("b", "a", "c"))
+    assert(parsed("b") == 1L)
+    assert(parsed("c") == Vector(1L, 2L))
+  }
+}
+
+class Text2SqlSubstSpec extends AnyFunSuite {
+  test("binds standalone `table` only, never substrings or qualified names") {
+    assert(Text2SqlSubst.bindTable("SELECT * FROM table", "h1") ==
+      "SELECT * FROM `h1`")
+    assert(Text2SqlSubst.bindTable("SELECT COUNT(*) FROM table WHERE x=1", "h1") ==
+      "SELECT COUNT(*) FROM `h1` WHERE x=1")
+    // the reference's substring replace would corrupt all of these
+    assert(Text2SqlSubst.bindTable("SELECT tables FROM metatable", "h1") ==
+      "SELECT tables FROM metatable")
+    assert(Text2SqlSubst.bindTable("SELECT stable_col FROM table", "h1") ==
+      "SELECT stable_col FROM `h1`")
+    assert(Text2SqlSubst.bindTable("SELECT t.table_id FROM table t", "h1") ==
+      "SELECT t.table_id FROM `h1` t")
+  }
+}
+
+class HashingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tableHash is stable and partition-order independent") {
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i")).toDF("id", "name")
+    val h1 = Hashing.tableHash(df)
+    val h2 = Hashing.tableHash(df.repartition(7))
+    val h3 = Hashing.tableHash(df.repartition(2))
+    assert(h1 == h2 && h2 == h3)
+    assert(h1.matches("[0-9a-f]{32}"))
+  }
+
+  test("tableHash distinguishes content and schema changes") {
+    val df = (1 to 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val dfOther = (1 to 10).map(i => (i.toLong, s"m$i")).toDF("id", "name")
+    val dfRenamed = df.withColumnRenamed("name", "label")
+    assert(Hashing.tableHash(df) != Hashing.tableHash(dfOther))
+    assert(Hashing.tableHash(df) != Hashing.tableHash(dfRenamed))
+  }
+
+  test("ingestionHash depends on table order (reference concatenation)") {
+    assert(Hashing.ingestionHash(Seq("a", "b")) != Hashing.ingestionHash(Seq("b", "a")))
+  }
+}
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot is deterministic, lowercased keys, 5 samples") {
+    val df = (1 to 50).map(i => (i.toLong, s"V$i")).toDF("Id", "Name")
+    val s1 = Snapshot.snapshot(df)
+    val s2 = Snapshot.snapshot(df)
+    assert(s1 == s2)
+    assert(s1.keys.toSeq == Seq("id", "name"))
+    assert(s1("id").size == 5)
+  }
+
+  test("snapshot tolerates tables smaller than the sample size") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Snapshot.snapshot(df)("id").size == 2) // reference :298 throws here
+  }
+
+  test("distinctValues returns sorted distincts with lowercased keys") {
+    val df = Seq("b", "a", "b", "c").toDF("Flag")
+    val dv = Snapshot.distinctValues(df, Seq("Flag"))
+    assert(dv("flag") == Seq("a", "b", "c"))
+  }
+}

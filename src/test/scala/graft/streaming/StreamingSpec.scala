@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the window transforms through an actual streaming query
+  * (MemoryStream source → complete-mode memory sink) to prove the
+  * plans are streaming-executable, and cross-checks the result against
+  * the identical batch transform.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts runs incrementally and matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+
+    val q = StreamingOps.tumblingCounts(events, "1 hour")
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), 1.0),
+        (ts("2024-01-01 00:50:00"), 2.0),
+        (ts("2024-01-01 01:10:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:40:00"), 8.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("tumble_test")
+        .orderBy("win_start")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      val batch = StreamingOps.tumblingCounts(
+          Seq((ts("2024-01-01 00:10:00"), 1.0), (ts("2024-01-01 00:50:00"), 2.0),
+            (ts("2024-01-01 01:10:00"), 4.0), (ts("2024-01-01 01:40:00"), 8.0))
+            .toDF("ts", "value"), "1 hour")
+        .orderBy("win_start")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._3) == Seq(3.0, 12.0))
+    } finally q.stop()
+  }
+
+  test("sessionCounts assigns gap-separated sessions in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+
+    val q = StreamingOps.sessionCounts(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L), // same session (gap < 30m)
+        (ts("2024-01-01 02:00:00"), 1L), // new session
+        (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .orderBy("user_id", "sess_start")
+        .as[(Long, Timestamp, Long)].collect().toSeq
+      assert(rows.map(r => (r._1, r._3)) == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+}

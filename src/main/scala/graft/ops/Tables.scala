@@ -29,11 +29,18 @@ object Tables {
     else df
   }
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
   /** Register every test table as a temp view so `spark.sql` queries
     * (subqueries, CTEs, SQL-dialect keys) can refer to them by name —
     * the Spark analog of the reference materializing every DataFrame
-    * into one SQLite database (pandasqlite.py:77,115).
+    * into one SQLite database (pandasqlite.py:77,115). Idempotent per
+    * (session, dir): repeat calls don't re-list or re-read footers.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = (System.identityHashCode(spark), dir)
+    if (registered.add(key))
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

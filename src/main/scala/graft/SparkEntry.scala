@@ -33,11 +33,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesJoins.queries ++ QueriesWindows.queries ++
-      QueriesSql.queries ++ QueriesFunctions.queries ++ QueriesExt.queries
+      QueriesSql.queries ++ QueriesFunctions.queries ++ QueriesExt.queries ++
+      QueriesOpt.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesJoins.oracle ++ QueriesWindows.oracle ++
-      QueriesSql.oracle ++ QueriesFunctions.oracle ++ QueriesExt.oracle
+      QueriesSql.oracle ++ QueriesFunctions.oracle ++ QueriesExt.oracle ++
+      QueriesOpt.oracle
 }

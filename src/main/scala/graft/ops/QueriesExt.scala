@@ -76,6 +76,21 @@ object QueriesExt {
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
 
+    // same top-k via the native codegen Expression (graft.functions.
+    // CosineSimilarity) — one fused loop per row instead of three
+    // higher-order array allocations; identical results, same oracle
+    "ext_sim_search_native" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val qArr = array(q.map(v => lit(v)): _*).cast("array<float>")
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(col("embedding"), qArr), 6)
+            .as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+    }),
+
     // embedding-cosine near-dup pairs. Bounded self-join here; the
     // 100 TB path is the LSH-bucketed variant in graft.ops.Similarity.
     "ext_dedup_embed" -> ((s, d) => {
@@ -248,6 +263,17 @@ object QueriesExt {
          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
          ORDER BY id1, id2""",
     "ext_sim_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, ROUND(
+           list_aggregate(list_apply(list_zip(embedding, qe),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+           (SQRT(list_aggregate(list_apply(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+            SQRT(list_aggregate(list_apply(qe,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+         FROM embeddings, q WHERE vec_id != 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ext_sim_search_native" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, ROUND(
            list_aggregate(list_apply(list_zip(embedding, qe),

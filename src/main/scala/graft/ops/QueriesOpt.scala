@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: the shuffle-elimination and skew-handling
+  * techniques a 100 TB deployment leans on, expressed as verifiable
+  * queries (each produces the same result as its naive formulation,
+  * so the DuckDB oracle checks them like any other key).
+  */
+object QueriesOpt {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Bucketed co-located join: both sides written bucketed+sorted on
+    // the join key → SortMergeJoin with NO shuffle exchange on either
+    // side (bucket pruning + local sort reuse). At 100 TB this is the
+    // difference between re-shuffling two fact tables per query and
+    // reading co-located buckets.
+    "opt_bucketed_join" -> ((s, d) => {
+      val tag = TableIds.idFor(d)
+      val path = s"/root/repo/target/warehouse/$tag"
+      val liT = s"graft_li_bkt_$tag"; val ordT = s"graft_ord_bkt_$tag"
+      if (!s.catalog.tableExists(liT)) {
+        Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite")
+          .option("path", s"$path/$liT")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite")
+          .option("path", s"$path/$ordT")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordT)
+      }
+      // merge hint: at test scale AQE would broadcast the small side;
+      // the 100 TB shape is the bucketed sort-merge join, which reads
+      // co-located buckets with no Exchange on either input
+      val li = s.table(liT).hint("merge"); val o = s.table(ordT)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Salted two-phase aggregation: pre-aggregate on (key, salt) to
+    // spread a hot key across partitions, then combine per key.
+    // Identical result to the direct groupBy; the oracle proves it.
+    "opt_salted_agg" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      val salted = li
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("partial_qty")).as("sum_qty"),
+          sum(col("partial_n")).cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "opt_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "opt_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+  )
+}
+
+/** Stable short id per sf dir for table naming. */
+private object TableIds {
+  def idFor(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^0-9a-zA-Z]", "_")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the private[sql] Column↔Expression converters so custom
+  * Catalyst expressions (graft.functions) can expose a Column API.
+  * Lives in the org.apache.spark.sql package solely for access scope —
+  * the standard pattern for Spark-native extension libraries.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -81,6 +81,26 @@ object QueriesFunctions {
           .as("obj"))
         .orderBy("event_id")),
 
+    // SQLite julianday (noon-based continuous Julian Date): the one
+    // dialect function with no Spark builtin — explicit arithmetic,
+    // identical expression on the oracle side (DuckDB's julian() uses
+    // midnight-based day numbers, so neither engine's builtin matches
+    // SQLite; the formula is the contract)
+    "fn_julianday" -> ((s, d) =>
+      t("events")(s, d).select(
+        col("event_id"),
+        (lit(2440587.5) +
+          (unix_micros(col("ts").cast("timestamp")) / 1000000.0) / 86400.0)
+          .as("jd"))
+        .orderBy("event_id")),
+
+    // GLOB pattern filtering via translation to an anchored regex
+    "filter_glob" -> ((s, d) =>
+      t("part")(s, d)
+        .filter(col("p_name").rlike(graft.functions.Glob.toRegex("*ge?r*")))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
     "agg_group_concat" -> ((s, d) =>
       t("lineitem")(s, d).groupBy("l_returnflag")
         .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
@@ -164,6 +184,13 @@ object QueriesFunctions {
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
            CAST(TO_JSON(STRUCT_PACK(id := event_id, et := event_type)) AS VARCHAR) AS obj
          FROM events ORDER BY event_id""",
+    "fn_julianday" ->
+      """SELECT event_id,
+           2440587.5 + (CAST(DATE_DIFF('microsecond', TIMESTAMP '1970-01-01', ts) AS DOUBLE) / 1000000.0) / 86400.0 AS jd
+         FROM events ORDER BY event_id""",
+    "filter_glob" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name GLOB '*ge?r*' ORDER BY p_partkey""",
     "agg_group_concat" ->
       """SELECT l_returnflag,
            STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming wiring for the engine's time-window operators.
   *
@@ -36,6 +37,30 @@ object StreamingOps {
     src.groupBy(window(col("ts"), windowLen, slide))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("n_events"))
+  }
+
+  /** Streaming exact dedup with custom state: per key, emit each
+    * event id once across all micro-batches
+    * (flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
+    * surface). At scale, state lives in the state store partitioned by
+    * key; a production variant would add a timeout to bound state.
+    */
+  def streamingDedup(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
+          val seen = scala.collection.mutable.LinkedHashSet(
+            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+          val out = rows.filter { case (_, eid) => seen.add(eid) }.toVector
+          state.update(seen.toArray)
+          out.iterator
+      }
+      .toDF("user_id", "event_id")
   }
 
   /** Session windows per key with a gap timeout. */

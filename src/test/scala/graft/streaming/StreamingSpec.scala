@@ -47,6 +47,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup emits each (user, event) once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id")
+
+    val q = StreamingOps.streamingDedup(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 100L), (1L, 101L), (1L, 100L), (2L, 100L))
+      q.processAllAvailable()
+      input.addData((1L, 100L), (1L, 102L), (2L, 100L)) // repeats span batches
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test")
+        .orderBy("user_id", "event_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L)))
+    } finally q.stop()
+  }
+
   test("sessionCounts assigns gap-separated sessions in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

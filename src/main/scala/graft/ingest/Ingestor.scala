@@ -17,7 +17,14 @@ case class IngestResult(
     enumDescriptions: Map[String, Map[String, String]],
     sqlCurriculum: Seq[(String, String)], // (question, sql)
     hash: String,
-    ddl: String)
+    ddl: String,
+    /** Modality kind per column (SURVEY.md §2C ext_multimodal_col):
+      * the typed side-channel that extends the reference's three
+      * LLM-estimated logical types. Derived from the physical schema,
+      * not the LLM: MEDIA (binary), EMBEDDING (array<float/double>),
+      * DATETIME, NUMBER, TEXT.
+      */
+    columnKinds: Map[String, String] = Map.empty)
 
 /** Spark-native ingestion pipeline (reference ingest(), :57-180):
   * sanitize → content-hash → register table under its hash → DDL from
@@ -31,9 +38,23 @@ case class IngestResult(
   * SQL runs directly via spark.sql against `hash`-quoted views.
   */
 object Ingestor {
+  import org.apache.spark.sql.types._
 
   class HashNotFoundException(hash: String)
     extends RuntimeException(s"Hash not found: $hash")
+
+  /** Schema-derived modality kind per column. */
+  def columnKinds(schema: StructType): Map[String, String] =
+    schema.fields.map { f =>
+      val kind = f.dataType match {
+        case BinaryType => "MEDIA"
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "EMBEDDING"
+        case DateType | TimestampType | TimestampNTZType => "DATETIME"
+        case _: NumericType => "NUMBER"
+        case _ => "TEXT"
+      }
+      f.name.toLowerCase -> kind
+    }.toMap
 
   def defaultCacheDir: String =
     sys.env.getOrElse("GRAFT_CACHE_DIR", "cache")
@@ -117,7 +138,8 @@ object Ingestor {
       catch { case _: Exception => Seq.empty }
 
     IngestResult(context, columnTypes, snap, columnDescriptions,
-      enumDescriptions, curriculum, tableHash, ddl)
+      enumDescriptions, curriculum, tableHash, ddl,
+      columnKinds = columnKinds(df.schema))
   }
 
   // ---- cache: JSON metadata + parquet table payloads, keyed by hash ----
@@ -150,7 +172,8 @@ object Ingestor {
             (em("question").toString, em("sql").toString)
           },
         hash = h,
-        ddl = m("ddl").toString)
+        ddl = m("ddl").toString,
+        columnKinds = m.get("column_kinds").map(asStrMap).getOrElse(Map.empty))
     })
   }
 
@@ -177,7 +200,8 @@ object Ingestor {
           scala.collection.mutable.LinkedHashMap[String, Any](
             "question" -> qs._1, "sql" -> qs._2)),
         "hash" -> r.hash,
-        "ddl" -> r.ddl))
+        "ddl" -> r.ddl,
+        "column_kinds" -> r.columnKinds))
     }.mkString("[", ",", "]")
     Files.writeString(metaPath, metaJson)
   }

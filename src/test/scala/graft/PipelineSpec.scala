@@ -40,6 +40,11 @@ class PipelineSpec extends SparkSpec {
     assert(dfsHash.matches("[0-9a-f]{32}"))
     val Seq(salesR, productsR) = results
 
+    // modality kinds derived from the physical schema
+    assert(salesR.columnKinds("quantity") == "NUMBER")
+    assert(salesR.columnKinds("date") == "TEXT") // dd/MM/yyyy TEXT dates
+    assert(productsR.columnKinds("product") == "TEXT")
+
     // metadata populated for every table
     results.foreach { r =>
       assert(r.columnTypes.nonEmpty)
@@ -84,6 +89,7 @@ class PipelineSpec extends SparkSpec {
     assert(hash2 == dfsHash)
     assert(cached.map(_.hash) == results.map(_.hash))
     assert(cached.head.columnTypes == results.head.columnTypes)
+    assert(cached.head.columnKinds == results.head.columnKinds)
 
     // lookup-by-hash re-entry (reference ingest("<hash>") path)
     val (byHash, _) = Ingestor.ingestByHash(spark, dfsHash, cacheDir)

@@ -23,7 +23,8 @@ object Bench {
     "cte",                 // multi-CTE plan
     "ext_dedup_exact",     // content-hash dedup over documents
     "ext_dedup_minhash",   // MinHash LSH near-dup pipeline
-    "ext_sim_search",      // brute-force cosine top-k
+    "ext_sim_search",      // brute-force cosine top-k (higher-order fns)
+    "ext_sim_search_native", // same via native codegen expression
     "ext_text_quality",    // token analytics single scan
     "ext_fingerprint",     // md5 fingerprinting scan
   )

@@ -81,6 +81,17 @@ object QueriesFunctions {
           .as("obj"))
         .orderBy("event_id")),
 
+    // json_each analog (SURVEY §2B fn_json): explode a JSON object
+    // into (key, value) rows via from_json to a map type
+    "fn_json_each" -> ((s, d) =>
+      t("events")(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+        .withColumnRenamed("key", "k").withColumnRenamed("value", "v")
+        .orderBy("event_id", "k")),
+
     // SQLite julianday (noon-based continuous Julian Date): the one
     // dialect function with no Spark builtin — explicit arithmetic,
     // identical expression on the oracle side (DuckDB's julian() uses
@@ -100,6 +111,23 @@ object QueriesFunctions {
         .filter(col("p_name").rlike(graft.functions.Glob.toRegex("*ge?r*")))
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
+
+    // approximate aggregates — the perf options a 100 TB deployment
+    // substitutes for exact distinct/percentile (HLL / KLL sketches,
+    // one pass, mergeable partials). Rows-only keys: approximation is
+    // engine-specific by design; AggApproxSpec bounds the error vs
+    // the exact answers.
+    "agg_approx_count_distinct" -> ((s, d) =>
+      Tables.t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")),
+
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.t(s, d, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))),
 
     "agg_group_concat" -> ((s, d) =>
       t("lineitem")(s, d).groupBy("l_returnflag")
@@ -184,6 +212,11 @@ object QueriesFunctions {
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
            CAST(TO_JSON(STRUCT_PACK(id := event_id, et := event_type)) AS VARCHAR) AS obj
          FROM events ORDER BY event_id""",
+    "fn_json_each" ->
+      """SELECT event_id, k.key AS k,
+           JSON_EXTRACT_STRING(props, '$.' || k.key) AS v
+         FROM events, UNNEST(JSON_KEYS(props)) AS k(key)
+         ORDER BY event_id, k""",
     "fn_julianday" ->
       """SELECT event_id,
            2440587.5 + (CAST(DATE_DIFF('microsecond', TIMESTAMP '1970-01-01', ts) AS DOUBLE) / 1000000.0) / 86400.0 AS jd

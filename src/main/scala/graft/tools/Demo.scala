@@ -23,17 +23,14 @@ object Demo {
 
     val goDir = args.headOption.getOrElse("/root/reference/sample_data")
     val cacheDir = java.nio.file.Files.createTempDirectory("graft_demo_cache_").toString
-    def csv(n: String) = spark.read
-      .option("header", "true").option("inferSchema", "true").csv(s"$goDir/$n")
 
-    val sales = csv("go_1k.csv")
-    val products = csv("go_products.csv")
-
-    // ingest: metadata enrichment + hash-named temp views
+    // the reference demo flow, call for call (reference test.py):
+    // load every CSV in the directory, ingest, ask, execute
+    val dfs = graft.Graft.readCsvDir(spark, goDir)
     val probe = new StubLlm()
-    val (pre, _) = Ingestor.ingest(spark, Seq(sales, products),
-      llm = probe, cacheDir = cacheDir)
-    val Seq(salesR, productsR) = pre
+    val (pre, _) = graft.Graft.ingest(spark, dfs, llm = probe, cacheDir = cacheDir)
+    // files sort as go_1k, go_methods, go_products, go_retailers
+    val salesR = pre(0); val productsR = pre(2)
 
     // the flagship question (reference test.py:24), answered through
     // the full prompt→SQL→execute path with a deterministic model
@@ -44,7 +41,7 @@ object Demo {
         "ON s.`Product_number` = p.`Product_number` " +
         "GROUP BY p.`Product` ORDER BY total_qty DESC, p.`Product` LIMIT 1")))
 
-    val result = Runner.ask(spark, question, pre, llm)
+    val result = graft.Graft.ask(spark, question, pre, llm)
     println(s"QUESTION: $question")
     Runner.resultJson(result).foreach(r => println(s"ANSWER: $r"))
     println(s"INGESTED_TABLES=${pre.size}")

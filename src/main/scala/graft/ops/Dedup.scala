@@ -27,55 +27,56 @@ object Dedup {
         s"transform(sequence(1, greatest(length(t) - ${shingleLen - 1}, 1)), i -> substring(t, i, $shingleLen))")))
         .as("s"))
 
-  /** MinHash signature per document: k columns sig_0..sig_{k-1},
-    * sig_i = min over shingles of xxhash64(i, shingle). Single scan,
-    * partial aggregation — the canonical distributed minhash.
+  /** MinHash signature per document as one array<bigint> column,
+    * computed by the imperative MinHashAgg aggregate
+    * (graft.functions.MinHashAgg): one buffer, k seeded XXH64 hashes
+    * per shingle, mergeable element-wise-min partials. Single scan,
+    * partial aggregation — the canonical distributed minhash without
+    * k separate aggregate columns.
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame =
+    sh.groupBy("id")
+      .agg(graft.functions.MinHashAgg.minhash(col("s"), numHashes).as("sig"))
 
-  /** Candidate pairs via LSH banding: signature split into `bands`
-    * bands of `numHashes / bands` rows; docs sharing any band bucket
-    * become candidates. Shuffle key = (band index, band hash).
+  /** Candidate pairs via LSH banding: the signature array is sliced
+    * into `bands` bands; docs sharing any band bucket become
+    * candidates. Shuffle key = (band index, hash of band slice).
     */
   def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }
     val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk"))
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
   }
 
-  /** Exact Jaccard for a given pair set only (candidate verification). */
+  /** Exact Jaccard for a given pair set only (candidate verification):
+    * per-doc shingle sets as arrays, one join per side, intersection
+    * via array_intersect — no shingle-level join explosion.
+    */
   def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(pairs.as("p"), col("x.id") === col("p.id1"))
-      .select(col("p.id1"), col("p.id2"), col("x.s").as("s1"))
-      .join(sh.as("y"), col("y.id") === col("id2") && col("y.s") === col("s1"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.as("c1"), col("id1") === col("c1.id"))
-      .join(cnt.as("c2"), col("id2") === col("c2.id"))
+    val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset"))
+    pairs
+      .join(sets.as("c1"), col("id1") === col("c1.id"))
+      .withColumnRenamed("sset", "set1").drop("id")
+      .join(sets.as("c2"), col("id2") === col("c2.id"))
+      .withColumnRenamed("sset", "set2").drop("id")
       .select(col("id1"), col("id2"),
-        (col("i").cast("double") / (col("c1.n") + col("c2.n") - col("i")))
-          .as("jaccard"))
+        (size(array_intersect(col("set1"), col("set2"))).cast("double") /
+          size(array_union(col("set1"), col("set2")))).as("jaccard"))
   }
 
   /** End-to-end MinHash LSH near-dup pairs at a Jaccard threshold. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 8, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleLen).cache()
+    val sh = shingles(docs, idCol, textCol, shingleLen)
     val sigs = minHashSignatures(sh, numHashes)
     val cand = lshCandidates(sigs, numHashes, bands)
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)

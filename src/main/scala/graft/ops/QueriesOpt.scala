@@ -45,6 +45,26 @@ object QueriesOpt {
         .orderBy("o_orderstatus")
     }),
 
+    // Salted skew join: the fact side's hot key (l_returnflag has 3
+    // values — extreme skew) is spread over 8 salts; the small side is
+    // replicated once per salt so the shuffle key (flag, salt) is
+    // uniform. Identical result to the plain join; oracle proves it.
+    // (At test scale AQE broadcasts the 24-row dim and no shuffle
+    // materializes; the salted key engages exactly when the build side
+    // is too large to broadcast — which is when skew matters.)
+    "opt_salted_join" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
+      val dim = Tables.t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("rf_label", concat(lit("flag_"), col("rf")))
+        .withColumn("salt", explode(array((0 until 8).map(lit(_)): _*)))
+      li.join(dim, li("l_returnflag") === dim("rf") && li("salt") === dim("salt"))
+        .groupBy("rf_label")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("rf_label")
+    }),
+
     // Salted two-phase aggregation: pre-aggregate on (key, salt) to
     // spread a hot key across partitions, then combine per key.
     // Identical result to the direct groupBy; the oracle proves it.
@@ -67,6 +87,11 @@ object QueriesOpt {
            CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY o_orderstatus""",
+    "opt_salted_join" ->
+      """SELECT 'flag_' || l_returnflag AS rf_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY rf_label""",
     "opt_salted_agg" ->
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n

@@ -77,6 +77,19 @@ object QueriesWindows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE frame: value-based window — running sum over the last 30
+    // days of orders per customer (order key = integer day offset)
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("day_off"))
+        .rangeBetween(-30, Window.currentRow)
+      t("orders")(s, d)
+        .withColumn("day_off",
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_off"),
+          round(sum(col("o_totalprice")).over(w), 2).as("sum_30d"))
+        .orderBy("o_custkey", "day_off", "o_orderkey")
+    }),
+
     // --- streaming analogs (same expressions run under readStream) ---
 
     "win_tumbling" -> ((s, d) =>
@@ -145,6 +158,15 @@ object QueriesWindows {
              (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_off,
+           ROUND(SUM(o_totalprice) OVER
+             (PARTITION BY o_custkey
+              ORDER BY DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+         FROM orders
+         ORDER BY o_custkey, day_off, o_orderkey""",
     "win_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,

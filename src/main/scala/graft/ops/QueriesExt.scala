@@ -25,7 +25,10 @@ object QueriesExt {
     "ext_dedup_exact" -> ((s, d) => {
       val docs = t("documents")(s, d)
       val withDups = docs.unionAll(docs.filter(col("doc_id") % 10 === 0))
-      withDups.groupBy(col("text"))
+      // group by the content digest, not the content: the shuffle
+      // moves 16-byte keys instead of full documents — the difference
+      // between shuffling 100 TB of text and ~2% of it
+      withDups.groupBy(md5(col("text")))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")

@@ -63,16 +63,18 @@ object Ingestor {
   def ingest(spark: SparkSession, dfs: Seq[DataFrame], llm: LlmCallback,
              cacheDir: String = defaultCacheDir,
              context: Option[String] = None): (Seq[IngestResult], String) = {
-    require(LlmCallback.sanityCheck(llm),
-      "LLM sanity check failed — provide a working callback")
-
     val sanitized = dfs.map(Sanitize.sanitizeColumns)
     val tableHashes = sanitized.map(Hashing.tableHash)
     val dfsHash = Hashing.ingestionHash(tableHashes)
 
-    // cache hit: reload metadata, re-register cached tables
+    // cache hit: reload metadata, re-register cached tables — no LLM
+    // involved (and none required: sanity is only probed before the
+    // calls that actually hit the model)
     val cached = loadCache(spark, dfsHash, cacheDir)
     if (cached.isDefined) return (cached.get, dfsHash)
+
+    require(LlmCallback.sanityCheck(llm),
+      "LLM sanity check failed — provide a working callback")
 
     val results = sanitized.zip(tableHashes).map { case (df, h) =>
       ingestOne(spark, df, h, llm, context)
@@ -215,7 +217,13 @@ object Ingestor {
   * quotes with backticks (Spark SQL) instead of single quotes (SQLite).
   */
 object Text2SqlSubst {
+  private val quoted = "(?i)`table`".r
   private val bare = "(?i)(?<![A-Za-z0-9_`'\\.])table(?![A-Za-z0-9_`'])".r
-  def bindTable(sql: String, tableHash: String): String =
-    bare.replaceAllIn(sql, s"`$tableHash`").trim
+  def bindTable(sql: String, tableHash: String): String = {
+    // backtick-quoted placeholder first (`table` → `hash`), then the
+    // bare identifier; hex hashes can never contain the word "table",
+    // so the two passes cannot interfere
+    val q = quoted.replaceAllIn(sql, s"`$tableHash`")
+    bare.replaceAllIn(q, s"`$tableHash`").trim
+  }
 }

@@ -17,8 +17,11 @@ object Json {
   def write(v: Any): String = v match {
     case null            => "null"
     case s: String       => mapper.writeValueAsString(s)
-    case d: Double       => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 &&
-                                d.toString.endsWith(".0")) d.toString else mapper.writeValueAsString(d)
+    // python json.dumps prints whole doubles as "10000000.0" while
+    // Double.toString switches to scientific notation at 1e7 — format
+    // whole doubles explicitly for prompt byte-parity
+    case d: Double       => if (d.isWhole && math.abs(d) < 1e15) s"${d.toLong}.0"
+                            else mapper.writeValueAsString(d)
     case f: Float        => write(f.toDouble)
     case n: Number       => n.toString
     case b: Boolean      => b.toString

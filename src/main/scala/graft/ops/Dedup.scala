@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct character shingles per document: (id, s). */
+  /** Distinct character shingles per document: (id, s). Documents
+    * shorter than the shingle length produce NO shingles (and thus no
+    * signature / no pairs) — consistent with the exact-Jaccard oracle
+    * semantics.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                shingleLen: Int = 8): DataFrame =
     docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= shingleLen)
       .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(length(t) - ${shingleLen - 1}, 1)), i -> substring(t, i, $shingleLen))")))
+        s"transform(sequence(1, length(t) - ${shingleLen - 1}), i -> substring(t, i, $shingleLen))")))
         .as("s"))
 
   /** MinHash signature per document as one array<bigint> column,

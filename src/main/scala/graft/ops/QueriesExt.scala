@@ -40,6 +40,9 @@ object QueriesExt {
     "ext_dedup_ngram" -> ((s, d) => {
       val docs = t("documents")(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id"), lower(col("text")).as("t"))
+        // shorter-than-shingle docs yield no shingles (as in the oracle;
+        // unguarded sequence(1, len-7) would go DESCENDING for them)
+        .filter(length(col("t")) >= 8)
       val sh = docs
         .select(col("doc_id"),
           explode(array_distinct(expr(

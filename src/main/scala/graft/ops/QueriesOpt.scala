@@ -21,7 +21,7 @@ object QueriesOpt {
       val tag = TableIds.idFor(d)
       val path = s"/root/repo/target/warehouse/$tag"
       val liT = s"graft_li_bkt_$tag"; val ordT = s"graft_ord_bkt_$tag"
-      if (!s.catalog.tableExists(liT)) {
+      if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
         Tables.t(s, d, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.mode("overwrite")

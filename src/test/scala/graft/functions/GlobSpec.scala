@@ -21,6 +21,12 @@ class GlobSpec extends AnyFunSuite {
     assert(m("a+b", "a+b"))
   }
 
+  test("malformed patterns still compile instead of throwing") {
+    assert(m("*[ab", "x[ab"))        // unterminated class → literal '['
+    assert(!m("*[ab", "xa"))
+    assert(m("a\\b", "a\\b"))        // backslash is literal in GLOB
+  }
+
   test("character classes pass through") {
     assert(m("[bh]ot*", "hot gear"))
     assert(m("[bh]ot*", "bottle"))

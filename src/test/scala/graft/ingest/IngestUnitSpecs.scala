@@ -51,6 +51,8 @@ class JsonSpec extends AnyFunSuite {
     assert(Json.write(scala.collection.mutable.LinkedHashMap("x" -> 1.5)) == """{"x":1.5}""")
     assert(Json.write(Seq(9.64)) == "[9.64]")
     assert(Json.write(Seq(1.0)) == "[1.0]")
+    assert(Json.write(Seq(1.0e7)) == "[10000000.0]") // not "1.0E7"
+    assert(Json.write(Seq(-3.0)) == "[-3.0]")
     assert(Json.write("a\"b") == "\"a\\\"b\"")
   }
 
@@ -75,6 +77,13 @@ class Text2SqlSubstSpec extends AnyFunSuite {
       "SELECT stable_col FROM `h1`")
     assert(Text2SqlSubst.bindTable("SELECT t.table_id FROM table t", "h1") ==
       "SELECT t.table_id FROM `h1` t")
+  }
+
+  test("binds the backtick-quoted placeholder without doubling backticks") {
+    assert(Text2SqlSubst.bindTable("SELECT * FROM `table`", "h1") ==
+      "SELECT * FROM `h1`")
+    assert(Text2SqlSubst.bindTable("SELECT * FROM `table` JOIN table", "h1") ==
+      "SELECT * FROM `h1` JOIN `h1`")
   }
 }
 

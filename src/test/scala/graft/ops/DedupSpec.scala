@@ -46,6 +46,13 @@ class DedupSpec extends SparkSpec {
     assert(dist(1L, 2L) < dist(3L, 4L), s"${dist(1L, 2L)} vs ${dist(3L, 4L)}")
   }
 
+  test("documents shorter than the shingle length produce no shingles") {
+    val tiny = Seq((1L, "abc"), (2L, "long enough text here")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny, "doc_id", "text", shingleLen = 8)
+    assert(sh.filter($"id" === 1L).count() == 0)
+    assert(sh.filter($"id" === 2L).count() > 0)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
     val deduped = withDups.groupBy($"text")

@@ -203,6 +203,18 @@ object QueriesExt {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // IVF-bucketed approximate top-k (rows-only: centroid assignment
+    // has no DuckDB analog; recall bounded by SimilaritySpec)
+    "ext_sim_search_ivf" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 6)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // multimodal decode stub over mapPartitions (rows-only)
     "ext_multimodal_features" -> ((s, d) => {
       val media = Multimodal.asMedia(

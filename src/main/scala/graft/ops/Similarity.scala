@@ -56,6 +56,50 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) cell assignment: each vector goes to its
+    * most-cosine-similar coarse centroid. Centroids are index
+    * metadata (driver-side, like a query vector); here they are the
+    * first `nCentroids` corpus vectors — a production build would
+    * k-means them, the plumbing is identical. At scale the assigned
+    * table is written partitioned by `cell`, so probing is partition
+    * pruning.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
+                centroids: Seq[Seq[Float]]): DataFrame = {
+    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.GraftFunctions
+        .cosine_sim(col(embCol), array(c.map(lit(_)): _*).cast("array<float>"))
+        .as("sim"), lit(i).as("cid"))
+    }
+    // array_max on (sim, cid) structs picks the best cell per row
+    emb.withColumn("cell", array_max(array(cellStructs: _*)).getField("cid"))
+  }
+
+  /** Approximate top-k via IVF: score the query against the
+    * centroids, scan only the `nProbe` best cells brute-force.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              q: Seq[Float], k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val centroids: Seq[Seq[Float]] = emb
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(embCol).collect().toIndexedSeq
+      .map(_.getSeq[Float](0))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, q), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2).toSet
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+    bruteForceTopK(
+      assigned.filter(col("cell").isin(probeCells.toSeq: _*)),
+      idCol, embCol, q, k)
+  }
+
   /** Approximate top-k: probe the buckets whose keys are within
     * Hamming distance `probes` of the query's key (multi-probe LSH).
     * At corpus scale the bucketed table would be written partitioned

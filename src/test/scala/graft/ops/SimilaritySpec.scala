@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF top-k recall vs brute force is reasonable and deterministic") {
+    val exact = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def run() = Similarity.ivfTopK(
+      emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
+      k = 10, nCentroids = 16, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    val approx = run()
+    assert(approx == run()) // deterministic
+    val recall = exact.intersect(approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("ivfAssign puts a centroid vector in its own cell") {
+    val centroids = emb.orderBy($"vec_id").limit(4)
+      .select("embedding").collect().toIndexedSeq.map(_.getSeq[Float](0))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val cellOfC2 = assigned.filter($"vec_id" === 2).select("cell").head().getInt(0)
+    assert(cellOfC2 == 2) // vec 2 IS centroid 2 → self-similarity 1 wins
+  }
+
   test("LSH is deterministic across runs (seeded hyperplanes)") {
     def run() = Similarity.lshTopK(
       emb.filter($"vec_id" =!= 0), "vec_id", "embedding", q,

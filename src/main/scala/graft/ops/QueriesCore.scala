@@ -129,7 +129,7 @@ object QueriesCore {
     "agg_sum_avg_min_max" -> ((s, d) =>
       // TPC-H Q1 shape: partial aggregation map-side, tiny shuffle.
       li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         min(col("l_quantity")).as("min_qty"),
@@ -138,8 +138,10 @@ object QueriesCore {
         .orderBy("l_returnflag", "l_linestatus")),
 
     "agg_having" -> ((s, d) =>
+      // round before filtering/reporting so fractional-quantity input
+      // can't flip the HAVING boundary via summation-order ULPs
       li(s, d).groupBy("l_partkey")
-        .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+        .agg(round(sum(col("l_quantity")), 4).as("total_qty"), count(lit(1)).as("n"))
         .where(col("total_qty") > 300)
         .orderBy("l_partkey")),
 
@@ -210,21 +212,23 @@ object QueriesCore {
     "filter_bool" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE (l_discount > 0.05 AND l_tax < 0.04) OR NOT (l_returnflag = 'A')",
     "case_when" ->
-      "SELECT CASE WHEN o_totalprice < 1000 THEN 'low' WHEN o_totalprice < 10000 THEN 'mid' ELSE 'high' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY bucket",
+      "SELECT CASE WHEN o_totalprice < 1000 THEN 'low' WHEN o_totalprice < 10000 THEN 'mid' ELSE 'high' END AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY bucket ASC NULLS FIRST",
     "cast" ->
-      "SELECT CAST(l_orderkey AS VARCHAR) AS ok_str, CAST(l_quantity AS INTEGER) AS qty_int, CAST(l_linenumber AS DOUBLE) AS ln_dbl, CAST(l_shipdate AS DATE) AS ship_day FROM lineitem ORDER BY ok_str, qty_int, ln_dbl, ship_day LIMIT 500",
+      // TRUNC mirrors Spark's truncate-toward-zero double→int cast
+      // (DuckDB's bare CAST rounds to nearest instead)
+      "SELECT CAST(l_orderkey AS VARCHAR) AS ok_str, CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int, CAST(l_linenumber AS DOUBLE) AS ln_dbl, CAST(l_shipdate AS DATE) AS ship_day FROM lineitem ORDER BY ok_str, qty_int, ln_dbl, ship_day LIMIT 500",
     "agg_count" ->
-      "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(l_partkey) AS BIGINT) AS n_part FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+      "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(l_partkey) AS BIGINT) AS n_part FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST",
     "agg_sum_avg_min_max" ->
-      "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price, ROUND(AVG(l_quantity), 6) AS avg_qty, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty, ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price, ROUND(AVG(l_quantity), 6) AS avg_qty, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
     "agg_having" ->
-      "SELECT l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300 ORDER BY l_partkey",
+      "SELECT l_partkey, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS total_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 HAVING ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) > 300 ORDER BY l_partkey",
     "agg_groupby_multi" ->
-      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority",
+      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "agg_count_distinct" ->
-      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+      "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST",
     "sort" ->
-      "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC",
+      "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey ASC",
     "sort_nulls" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal FROM customer ORDER BY bal ASC NULLS LAST, c_custkey ASC LIMIT 200",
     "limit" ->
@@ -232,6 +236,6 @@ object QueriesCore {
     "topk" ->
       "SELECT o_custkey, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS turnover FROM orders GROUP BY 1 ORDER BY turnover DESC, o_custkey ASC LIMIT 10",
     "distinct" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
   )
 }

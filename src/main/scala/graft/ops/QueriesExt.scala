@@ -57,9 +57,12 @@ object QueriesExt {
         .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
         .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
         .select(col("d1"), col("d2"),
-          round(col("i").cast("double") /
-            (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.09)
+          (col("i").cast("double") /
+            (col("ca.n") + col("cb.n") - col("i"))).as("raw_j"))
+        // threshold on the RAW ratio (as the oracle's WHERE does),
+        // round only the reported value
+        .filter(col("raw_j") >= 0.09)
+        .select(col("d1"), col("d2"), round(col("raw_j"), 6).as("jaccard"))
         .orderBy("d1", "d2")
     }),
 
@@ -249,7 +252,7 @@ object QueriesExt {
     "ext_dedup_ngram" ->
       """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id < 100),
          sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
-                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS g) g
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
                 WHERE g.g <= LENGTH(t) - 7),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
@@ -268,7 +271,7 @@ object QueriesExt {
                     SELECT doc_id + 10000, text || ' zzz' FROM base WHERE doc_id % 4 = 0),
          docs AS (SELECT doc_id, LOWER(text) AS t FROM corpus),
          sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
-                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 2000)) AS g) g
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
                 WHERE g.g <= LENGTH(t) - 7),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i

@@ -76,7 +76,10 @@ object QueriesFunctions {
     "fn_json" -> ((s, d) =>
       t("events")(s, d).select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        // extract as DOUBLE: decimal-string parsing is identical in
+        // both engines, while int casts diverge (Spark ANSI throws on
+        // '1.9', DuckDB rounds it)
+        get_json_object(col("props"), "$.k").cast("double").as("k_val"),
         to_json(struct(col("event_id").as("id"), col("event_type").as("et")))
           .as("obj"))
         .orderBy("event_id")),
@@ -131,9 +134,11 @@ object QueriesFunctions {
 
     "agg_group_concat" -> ((s, d) =>
       t("lineitem")(s, d).groupBy("l_returnflag")
-        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+        // all-NULL group → NULL (as STRING_AGG does), not ""
+        .agg(when(size(collect_set(col("l_linestatus"))) === 0, lit(null))
+          .otherwise(array_join(array_sort(collect_set(col("l_linestatus"))), ","))
           .as("statuses"))
-        .orderBy("l_returnflag")),
+        .orderBy(asc_nulls_first("l_returnflag"))),
 
     "agg_corr" -> ((s, d) => {
       // Σ-formula correlation (no CORR/AVG), one scan + partial agg
@@ -153,7 +158,7 @@ object QueriesFunctions {
 
     "agg_cube" -> ((s, d) =>
       t("lineitem")(s, d).cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "agg_rollup" -> ((s, d) =>
@@ -209,12 +214,12 @@ object QueriesFunctions {
          FROM customer ORDER BY c_custkey""",
     "fn_json" ->
       """SELECT event_id,
-           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE) AS k_val,
            CAST(TO_JSON(STRUCT_PACK(id := event_id, et := event_type)) AS VARCHAR) AS obj
          FROM events ORDER BY event_id""",
     "fn_json_each" ->
       """SELECT event_id, k.key AS k,
-           JSON_EXTRACT_STRING(props, '$.' || k.key) AS v
+           JSON_EXTRACT_STRING(props, '$."' || k.key || '"') AS v
          FROM events, UNNEST(JSON_KEYS(props)) AS k(key)
          ORDER BY event_id, k""",
     "fn_julianday" ->
@@ -227,7 +232,7 @@ object QueriesFunctions {
     "agg_group_concat" ->
       """SELECT l_returnflag,
            STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
-         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_corr" ->
       """SELECT ROUND(
            (n * sxy - sx * sy) /
@@ -241,7 +246,7 @@ object QueriesFunctions {
            FROM lineitem)""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_rollup" ->

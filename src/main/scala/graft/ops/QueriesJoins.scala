@@ -108,7 +108,7 @@ object QueriesJoins {
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
          ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
+         GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST""",
     "join_left" ->
       """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey

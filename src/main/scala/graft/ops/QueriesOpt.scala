@@ -41,7 +41,7 @@ object QueriesOpt {
       val li = s.table(liT).hint("merge"); val o = s.table(ordT)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy("o_orderstatus")
     }),
 
@@ -59,10 +59,12 @@ object QueriesOpt {
         .select(col("l_returnflag").as("rf")).distinct()
         .withColumn("rf_label", concat(lit("flag_"), col("rf")))
         .withColumn("salt", explode(array((0 until 8).map(lit(_)): _*)))
-      li.join(dim, li("l_returnflag") === dim("rf") && li("salt") === dim("salt"))
+      // null-safe key equality: a NULL flag must reach the NULL-label
+      // group (as the oracle's GROUP BY does), not vanish from the join
+      li.join(dim, (li("l_returnflag") <=> dim("rf")) && li("salt") === dim("salt"))
         .groupBy("rf_label")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy("rf_label")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("rf_label"))
     }),
 
     // Salted two-phase aggregation: pre-aggregate on (key, salt) to
@@ -75,7 +77,7 @@ object QueriesOpt {
         .groupBy(col("l_returnflag"), col("salt"))
         .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
       salted.groupBy("l_returnflag")
-        .agg(sum(col("partial_qty")).as("sum_qty"),
+        .agg(round(sum(col("partial_qty")), 4).as("sum_qty"),
           sum(col("partial_n")).cast("long").as("n"))
         .orderBy("l_returnflag")
     }),
@@ -84,16 +86,16 @@ object QueriesOpt {
   val oracle: Map[String, String] = Map(
     "opt_bucketed_join" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY o_orderstatus""",
     "opt_salted_join" ->
       """SELECT 'flag_' || l_returnflag AS rf_label,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY 1 ORDER BY rf_label""",
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY rf_label ASC NULLS FIRST""",
     "opt_salted_agg" ->
-      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      """SELECT l_returnflag, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
   )

@@ -85,7 +85,7 @@ object Text2Sql {
   def text2sql(question: String, ingestions: Seq[IngestResult],
                llm: LlmCallback): String = {
     val raw = llm(buildPrompt(question, ingestions))
-    val sql = extractSql(LlmCallback.truncateAtStop(raw))
+    val sql = SqlDialect.translate(extractSql(LlmCallback.truncateAtStop(raw)))
     if (ingestions.size == 1) Text2SqlSubst.bindTable(sql, ingestions.head.hash)
     else sql
   }

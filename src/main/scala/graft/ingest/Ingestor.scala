@@ -69,9 +69,16 @@ object Ingestor {
 
     // cache hit: reload metadata, re-register cached tables — no LLM
     // involved (and none required: sanity is only probed before the
-    // calls that actually hit the model)
+    // calls that actually hit the model). The cache key is the DATA
+    // content; a caller-supplied context overrides the cached one so
+    // new documentation is never silently dropped.
     val cached = loadCache(spark, dfsHash, cacheDir)
-    if (cached.isDefined) return (cached.get, dfsHash)
+    if (cached.isDefined) {
+      val results =
+        if (context.isDefined) cached.get.map(_.copy(context = context))
+        else cached.get
+      return (results, dfsHash)
+    }
 
     require(LlmCallback.sanityCheck(llm),
       "LLM sanity check failed — provide a working callback")
@@ -219,11 +226,43 @@ object Ingestor {
 object Text2SqlSubst {
   private val quoted = "(?i)`table`".r
   private val bare = "(?i)(?<![A-Za-z0-9_`'\\.])table(?![A-Za-z0-9_`'])".r
-  def bindTable(sql: String, tableHash: String): String = {
+
+  private def bindSegment(seg: String, tableHash: String): String = {
     // backtick-quoted placeholder first (`table` → `hash`), then the
     // bare identifier; hex hashes can never contain the word "table",
     // so the two passes cannot interfere
-    val q = quoted.replaceAllIn(sql, s"`$tableHash`")
-    bare.replaceAllIn(q, s"`$tableHash`").trim
+    val q = quoted.replaceAllIn(seg, s"`$tableHash`")
+    bare.replaceAllIn(q, s"`$tableHash`")
+  }
+
+  /** Rewrite only OUTSIDE single-quoted string literals — a literal
+    * like '%table%' must survive untouched.
+    */
+  def bindTable(sql: String, tableHash: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        out ++= bindSegment(sql.substring(segStart, i), tableHash)
+        // consume the literal verbatim, honoring '' escapes
+        val lit = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          val c = sql.charAt(i)
+          lit += c
+          if (c == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { lit += '\''; i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+        out ++= lit.result()
+        segStart = i
+      } else i += 1
+    }
+    out ++= bindSegment(sql.substring(segStart), tableHash)
+    out.result().trim
   }
 }

@@ -13,10 +13,33 @@ import scala.jdk.CollectionConverters._
 object Json {
   private val mapper = new ObjectMapper(new JsonFactory())
 
+  /** python-json.dumps-compatible string escaping (default
+    * ensure_ascii=True): shortcuts for the common escapes, lowercase
+    * \uXXXX for other control chars AND all non-ASCII.
+    */
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case c if c < ' ' || c > '~' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').result()
+  }
+
   /** Render strings/numbers/booleans/null, Seq and ordered Map. */
   def write(v: Any): String = v match {
     case null            => "null"
-    case s: String       => mapper.writeValueAsString(s)
+    case s: String       => quote(s)
+    // binary payloads render as deterministic base64, never JVM
+    // identity strings
+    case b: Array[Byte]  => quote(java.util.Base64.getEncoder.encodeToString(b))
     // python json.dumps prints whole doubles as "10000000.0" while
     // Double.toString switches to scientific notation at 1e7 — format
     // whole doubles explicitly for prompt byte-parity
@@ -29,7 +52,7 @@ object Json {
       m.map { case (k, vv) => s"${write(k.toString)}:${write(vv)}" }
         .mkString("{", ",", "}")
     case s: Iterable[_]  => s.map(write).mkString("[", ",", "]")
-    case other           => mapper.writeValueAsString(other.toString)
+    case other           => quote(other.toString)
   }
 
   private def toScala(n: JsonNode): Any = {

@@ -23,7 +23,11 @@ object Snapshot {
   def snapshot(df: DataFrame, seed: Long = 42L): collection.Map[String, Seq[Any]] = {
     val result = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Any]]
     df.columns.foreach { c =>
-      val vals = df.select(col(c))
+      // DISTINCT before the seeded-hash order: hashing the value alone
+      // would make all equal-valued rows tie and collapse the sample to
+      // copies of one value on low-cardinality columns; distinct values
+      // are also more informative to the LLM
+      val vals = df.select(col(c)).distinct()
         .orderBy(xxhash64(lit(seed), col(c).cast("string")))
         .limit(sampleSize)
         .collect()

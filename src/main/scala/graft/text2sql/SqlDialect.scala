@@ -21,11 +21,9 @@ import scala.util.matching.Regex
   */
 object SqlDialect {
 
+  // the pattern literal honors SQL '' escaping ((?:[^']|'')*)
   private val globRe: Regex =
-    """(?i)(\S+)\s+GLOB\s+'([^']*)'""".r
-
-  private val julianRe: Regex =
-    """(?i)julianday\s*\(([^()]*)\)""".r
+    """(?i)(\S+)\s+GLOB\s+'((?:[^']|'')*)'""".r
 
   private val randomRe: Regex =
     """(?i)\brandom\s*\(\s*\)""".r
@@ -34,17 +32,44 @@ object SqlDialect {
     var out = sql
     out = globRe.replaceAllIn(out, m => {
       val col = Regex.quoteReplacement(m.group(1))
+      val pattern = m.group(2).replace("''", "'") // un-escape SQL quotes
       val regex = Regex.quoteReplacement(
-        graft.functions.Glob.toRegex(m.group(2)).replace("\\", "\\\\"))
+        graft.functions.Glob.toRegex(pattern)
+          .replace("\\", "\\\\").replace("'", "''"))
       s"$col RLIKE '$regex'"
     })
-    out = julianRe.replaceAllIn(out, m => {
-      val arg = Regex.quoteReplacement(m.group(1).trim)
-      // decimal literal would make the whole expression DECIMAL; the
-      // SQLite function returns a float → force DOUBLE
-      s"(CAST(2440587.5 AS DOUBLE) + (unix_micros(CAST($arg AS TIMESTAMP)) / 1000000.0) / 86400.0)"
-    })
+    out = rewriteJulianday(out)
     out = randomRe.replaceAllIn(out, "rand()")
     out
+  }
+
+  /** Rewrite every julianday(...) call, scanning to the BALANCED
+    * closing paren so nested calls like julianday(max(ts)) work
+    * (a regex cannot match arbitrary nesting).
+    */
+  private def rewriteJulianday(sql: String): String = {
+    val lower = sql.toLowerCase
+    val idx = lower.indexOf("julianday")
+    if (idx < 0) return sql
+    var i = idx + "julianday".length
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i >= sql.length || sql.charAt(i) != '(') return sql
+    var depth = 0
+    var j = i
+    var end = -1
+    while (j < sql.length && end < 0) {
+      sql.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (end < 0) return sql
+    val arg = sql.substring(i + 1, end).trim
+    // decimal literal would make the whole expression DECIMAL; the
+    // SQLite function returns a float → force DOUBLE
+    val repl = s"(CAST(2440587.5 AS DOUBLE) + (unix_micros(CAST($arg AS TIMESTAMP)) / 1000000.0) / 86400.0)"
+    sql.substring(0, idx) + repl + rewriteJulianday(sql.substring(end + 1))
   }
 }

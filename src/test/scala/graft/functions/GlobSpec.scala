@@ -32,4 +32,18 @@ class GlobSpec extends AnyFunSuite {
     assert(m("[bh]ot*", "bottle"))
     assert(!m("[bh]ot*", "dot"))
   }
+
+  test("']' as first class member is a literal (SQLite/fnmatch rule)") {
+    assert(m("[]]", "]"))
+    assert(!m("[]]", "x"))
+    assert(m("[^]]", "a"))
+    assert(!m("[^]]", "]"))
+  }
+
+  test("unterminated class falls back to literal '[' with glob semantics intact") {
+    assert(m("[*", "[anything"))
+    assert(!m("[*", "x"))
+    assert(m("[.", "[."))
+    assert(!m("[.", "[x"))
+  }
 }

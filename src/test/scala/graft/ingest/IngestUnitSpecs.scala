@@ -54,6 +54,9 @@ class JsonSpec extends AnyFunSuite {
     assert(Json.write(Seq(1.0e7)) == "[10000000.0]") // not "1.0E7"
     assert(Json.write(Seq(-3.0)) == "[-3.0]")
     assert(Json.write("a\"b") == "\"a\\\"b\"")
+    assert(Json.write("café") == "\"caf\\u00e9\"") // python ensure_ascii
+    assert(Json.write("a\nb") == "\"a\\nb\"")
+    assert(Json.write("ab".getBytes("UTF-8")) == "\"YWI=\"") // base64, not [B@
   }
 
   test("parse round-trips objects preserving insertion order") {
@@ -84,6 +87,15 @@ class Text2SqlSubstSpec extends AnyFunSuite {
       "SELECT * FROM `h1`")
     assert(Text2SqlSubst.bindTable("SELECT * FROM `table` JOIN table", "h1") ==
       "SELECT * FROM `h1` JOIN `h1`")
+  }
+
+  test("never rewrites inside single-quoted literals") {
+    assert(Text2SqlSubst.bindTable(
+      "SELECT * FROM table WHERE note LIKE '%table%'", "h1") ==
+      "SELECT * FROM `h1` WHERE note LIKE '%table%'")
+    assert(Text2SqlSubst.bindTable(
+      "SELECT * FROM table WHERE x = 'it''s a table'", "h1") ==
+      "SELECT * FROM `h1` WHERE x = 'it''s a table'")
   }
 }
 
@@ -122,6 +134,13 @@ class SnapshotSpec extends SparkSpec {
     assert(s1 == s2)
     assert(s1.keys.toSeq == Seq("id", "name"))
     assert(s1("id").size == 5)
+  }
+
+  test("snapshot shows distinct values on low-cardinality columns") {
+    val df = ((1 to 500).map(_ => "0") ++ (1 to 500).map(_ => "1"))
+      .toDF("survived")
+    val s = Snapshot.snapshot(df)
+    assert(s("survived").toSet == Set("0", "1")) // not 5 copies of one value
   }
 
   test("snapshot tolerates tables smaller than the sample size") {

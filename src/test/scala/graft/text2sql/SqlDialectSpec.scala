@@ -25,6 +25,23 @@ class SqlDialectSpec extends SparkSpec {
     assert(jd > 2460000 && jd < 2470000) // 2024 is ~JD 2460311
   }
 
+  test("GLOB patterns with SQL-escaped quotes survive translation") {
+    val sql = SqlDialect.translate("SELECT x FROM t WHERE x GLOB 'it''s*'")
+    assert(sql.contains("RLIKE"))
+    assert(!sql.toUpperCase.contains("GLOB"))
+    // the translated predicate is lexable: one quoted literal
+    assert(sql.count(_ == '\'') % 2 == 0)
+  }
+
+  test("julianday with nested calls rewrites via balanced-paren scan") {
+    val sql = SqlDialect.translate(
+      "SELECT julianday(max(ts)) - julianday(min(ts)) AS span FROM events")
+    assert(!sql.toLowerCase.contains("julianday"))
+    Tables.t(spark, sfDir, "events").createOrReplaceTempView("events")
+    val span = spark.sql(sql).head().getDouble(0)
+    assert(span > 0 && span < 60) // events span ~30 days
+  }
+
   test("random() becomes rand(); Spark-valid functions untouched") {
     assert(SqlDialect.translate("SELECT random()") == "SELECT rand()")
     val passthrough = "SELECT ifnull(x, 0), instr(s, 'a'), substr(s, 1, 3) FROM t"

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.text2sql.SqlDialect
+
+/** SQLite-dialect queries executed through `SqlDialect.translate` →
+  * `spark.sql` — the exact path LLM-generated SQL takes in the engine
+  * (reference pandasqlite/pandasqlite.py:245-247 executes generated SQL
+  * verbatim against SQLite; here the same text is translated once and
+  * handed to Catalyst).
+  *
+  * Each key's LEFT side below is SQLite SQL as a model emits it
+  * (strftime / date modifiers / iif / group_concat / unicode / char /
+  * printf); the oracle is hand-written DuckDB SQL for the same answer.
+  * A green CORRECTNESS row therefore proves the translation, not just
+  * the plan.
+  */
+object QueriesDialect {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SQLite-dialect text, translated at execution time. */
+  val sqlite: Map[String, String] = Map(
+    // the reference's #1 real-user surface: date questions over TEXT /
+    // timestamp values via SQLite strftime + date-modifier chains
+    "fn_date_sqlite" ->
+      """SELECT event_id,
+           strftime('%Y', ts) AS y,
+           strftime('%Y-%m', ts) AS ym,
+           strftime('%H:%M:%S', ts) AS hms,
+           strftime('%j', ts) AS doy,
+           strftime('%w', ts) AS dow,
+           strftime('%s', ts) AS epoch_s,
+           date(ts) AS d,
+           date(ts, 'start of month') AS som,
+           date(ts, '+7 days') AS plus7,
+           date(ts, '-1 months') AS minus1m,
+           date(ts, 'weekday 1') AS next_mon,
+           time(ts) AS tm,
+           datetime(ts, '+1 days', '+2 hours') AS shifted
+         FROM events ORDER BY event_id""",
+
+    "fn_cond_iif" ->
+      """SELECT c_custkey,
+           iif(c_acctbal < 0, 'neg', 'pos') AS sgn,
+           iif(c_acctbal < 0, iif(c_custkey % 2 = 0, 'ne', 'no'), 'p') AS nested,
+           unicode(substr(c_name, 1, 1)) AS first_cp,
+           char(71, 79) AS go_str,
+           printf('%s:%d', c_mktsegment, c_custkey) AS tagged
+         FROM customer ORDER BY c_custkey""",
+
+    "agg_group_concat_fn" ->
+      """SELECT l_returnflag,
+           group_concat(DISTINCT l_linestatus) AS statuses,
+           group_concat(l_linestatus, '|') AS all_statuses
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+  )
+
+  val queries: Map[String, Q] = sqlite.map { case (k, q) =>
+    val fn: Q = (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(SqlDialect.translate(q))
+    }
+    k -> fn
+  }
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB strftime takes (value, fmt) — argument order is swapped vs
+    // SQLite. dayofweek() is Sunday=0 in both DuckDB and the translated
+    // Spark expression. Month shifts clamp in BOTH Spark and DuckDB
+    // (SQLite normalizes — documented delta in SqlDialect).
+    "fn_date_sqlite" ->
+      """SELECT event_id,
+           strftime(ts, '%Y') AS y,
+           strftime(ts, '%Y-%m') AS ym,
+           strftime(ts, '%H:%M:%S') AS hms,
+           strftime(ts, '%j') AS doy,
+           CAST(dayofweek(ts) AS VARCHAR) AS dow,
+           CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch_s,
+           strftime(ts, '%Y-%m-%d') AS d,
+           strftime(date_trunc('month', ts), '%Y-%m-%d') AS som,
+           strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+           strftime(ts - INTERVAL 1 MONTH, '%Y-%m-%d') AS minus1m,
+           strftime(ts + to_days(CAST((1 - dayofweek(ts) + 7) % 7 AS INTEGER)), '%Y-%m-%d') AS next_mon,
+           strftime(ts, '%H:%M:%S') AS tm,
+           strftime(ts + INTERVAL 1 DAY + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS shifted
+         FROM events ORDER BY event_id""",
+
+    "fn_cond_iif" ->
+      """SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sgn,
+           CASE WHEN c_acctbal < 0
+                THEN (CASE WHEN c_custkey % 2 = 0 THEN 'ne' ELSE 'no' END)
+                ELSE 'p' END AS nested,
+           CAST(UNICODE(SUBSTR(c_name, 1, 1)) AS INTEGER) AS first_cp,
+           CHR(71) || CHR(79) AS go_str,
+           PRINTF('%s:%d', c_mktsegment, c_custkey) AS tagged
+         FROM customer ORDER BY c_custkey""",
+
+    "agg_group_concat_fn" ->
+      """SELECT l_returnflag,
+           STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           STRING_AGG(l_linestatus, '|' ORDER BY l_linestatus) AS all_statuses
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+  )
+}

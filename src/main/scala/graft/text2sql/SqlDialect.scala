@@ -10,10 +10,31 @@ import scala.util.matching.Regex
   * SQLite-isms. This post-processor rewrites the mechanical ones so a
   * reference user's existing prompts and cached curricula keep working:
   *
-  *  - `x GLOB 'pat'`        → `x RLIKE '<anchored regex>'`
-  *  - `julianday(x)`        → explicit noon-based Julian Date formula
-  *  - `random()`            → `rand()` (seeded variants left alone)
-  *  - `ifnull/instr/substr` → already valid Spark SQL (no-op)
+  *  - `strftime(fmt, x, mods…)`   → `date_format` (+ `%s`/`%w` specials)
+  *  - `date/time/datetime(x, mods…)` → modifier chain + `date_format`
+  *    (modifiers: `±N days/hours/…/months/years`, `start of day/month/
+  *    year`, `weekday N`, `localtime`/`utc` no-ops under the UTC session)
+  *  - `julianday(x, mods…)`       → explicit noon-based Julian formula
+  *  - `iif(a,b,c)`                → `if(a,b,c)`
+  *  - `group_concat([DISTINCT] x[, sep])` → sorted `array_join(collect_*)`
+  *  - `unicode(x)` / `char(n…)`   → `ascii(x)` / `chr`-concat
+  *  - `printf(...)`               → `format_string(...)`
+  *  - `x GLOB 'pat'`              → `x RLIKE '<anchored regex>'`
+  *  - `random()`                  → `rand()` (seeded variants left alone)
+  *  - `ifnull/instr/substr`       → already valid Spark SQL (no-op)
+  *
+  * Scanning is quote-aware (text inside `'…'` literals is never
+  * rewritten, `''` escaping honored) and balanced-paren (nested calls
+  * work); arguments are translated recursively before substitution. A
+  * call the translator does not understand is left verbatim — a visible
+  * analysis error beats a silently changed answer.
+  *
+  * Two deliberate semantic deltas from SQLite, documented here because
+  * they are contracts, not bugs:
+  *  - month/year shifts CLAMP at month end (Spark/DuckDB `Mar 31 - 1
+  *    month = Feb 28`) where SQLite NORMALIZES (`= Mar 3`);
+  *  - `group_concat` output is sorted (SQLite's order is explicitly
+  *    "arbitrary" — sorting makes the distributed result deterministic).
   *
   * Double-quoted string literals (`WHERE survived="1"`, reference
   * curriculum example :161) already parse as literals under Spark's
@@ -29,7 +50,7 @@ object SqlDialect {
     """(?i)\brandom\s*\(\s*\)""".r
 
   def translate(sql: String): String = {
-    var out = sql
+    var out = rewriteCalls(sql)
     out = globRe.replaceAllIn(out, m => {
       val col = Regex.quoteReplacement(m.group(1))
       val pattern = m.group(2).replace("''", "'") // un-escape SQL quotes
@@ -38,38 +59,288 @@ object SqlDialect {
           .replace("\\", "\\\\").replace("'", "''"))
       s"$col RLIKE '$regex'"
     })
-    out = rewriteJulianday(out)
     out = randomRe.replaceAllIn(out, "rand()")
     out
   }
 
-  /** Rewrite every julianday(...) call, scanning to the BALANCED
-    * closing paren so nested calls like julianday(max(ts)) work
-    * (a regex cannot match arbitrary nesting).
+  // ---------------------------------------------------------------- lexer
+
+  /** Rewritable call names, matched with word boundaries. `datetime`
+    * never collides with `date`/`time` because the boundary check
+    * rejects a word character on either side of the candidate name.
     */
-  private def rewriteJulianday(sql: String): String = {
-    val lower = sql.toLowerCase
-    val idx = lower.indexOf("julianday")
-    if (idx < 0) return sql
-    var i = idx + "julianday".length
-    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
-    if (i >= sql.length || sql.charAt(i) != '(') return sql
+  private val names = Seq(
+    "group_concat", "julianday", "datetime", "strftime",
+    "unicode", "printf", "date", "time", "char", "iif")
+
+  private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+  /** Index just past the closing quote of the literal starting at
+    * `start` (which must be a `'`), honoring `''` escapes. */
+  private def endOfQuote(sql: String, start: Int): Int = {
+    var i = start + 1
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    sql.length
+  }
+
+  /** Index of the `)` balancing the `(` at `open`, quote-aware; -1 if
+    * unbalanced. */
+  private def closeParen(sql: String, open: Int): Int = {
     var depth = 0
-    var j = i
-    var end = -1
-    while (j < sql.length && end < 0) {
-      sql.charAt(j) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) end = j
+    var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => i = endOfQuote(sql, i) - 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) return i
+        case _    =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split an argument list on top-level commas (quote- and
+    * paren-aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    val args = Seq.newBuilder[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfQuote(s, i) - 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case ',' if depth == 0 =>
+          args += s.substring(last, i); last = i + 1
         case _ =>
       }
-      j += 1
+      i += 1
     }
-    if (end < 0) return sql
-    val arg = sql.substring(i + 1, end).trim
-    // decimal literal would make the whole expression DECIMAL; the
-    // SQLite function returns a float → force DOUBLE
-    val repl = s"(CAST(2440587.5 AS DOUBLE) + (unix_micros(CAST($arg AS TIMESTAMP)) / 1000000.0) / 86400.0)"
-    sql.substring(0, idx) + repl + rewriteJulianday(sql.substring(end + 1))
+    args += s.substring(last)
+    args.result()
+  }
+
+  /** If a rewritable call starts at `i`, return (name, openParenIdx,
+    * closeParenIdx). The boundary check requires a non-word char before
+    * `i`; `char(` preceded by `AS` is a cast type, not a call. */
+  private def matchCall(sql: String, i: Int): Option[(String, Int, Int)] = {
+    if (i > 0 && (isWordChar(sql.charAt(i - 1)) || sql.charAt(i - 1) == '.'))
+      return None
+    val it = names.iterator
+    while (it.hasNext) {
+      val name = it.next()
+      if (sql.regionMatches(true, i, name, 0, name.length) &&
+          (i + name.length >= sql.length || !isWordChar(sql.charAt(i + name.length)))) {
+        var j = i + name.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = closeParen(sql, j)
+          val castType = name == "char" && precedingWord(sql, i).equalsIgnoreCase("as")
+          if (close >= 0 && !castType) return Some((name, j, close))
+        }
+      }
+    }
+    None
+  }
+
+  private def precedingWord(sql: String, i: Int): String = {
+    var e = i - 1
+    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    var s = e
+    while (s >= 0 && isWordChar(sql.charAt(s))) s -= 1
+    if (e < 0) "" else sql.substring(s + 1, e + 1)
+  }
+
+  /** One left-to-right pass: rewrite the leftmost translatable call
+    * (arguments first, recursively), continue after it. Untranslatable
+    * calls keep their text but their arguments are still scanned. */
+  private def rewriteCalls(sql: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val end = endOfQuote(sql, i)
+        out.append(sql, i, end)
+        i = end
+      } else {
+        matchCall(sql, i) match {
+          case Some((name, open, close)) =>
+            val args = splitArgs(sql.substring(open + 1, close))
+              .map(a => rewriteCalls(a.trim))
+            build(name, args) match {
+              case Some(repl) => out.append(repl); i = close + 1
+              case None       => out.append(sql, i, open + 1); i = open + 1
+            }
+          case None =>
+            out.append(c); i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  // ----------------------------------------------------------- builders
+
+  private def build(name: String, args: Seq[String]): Option[String] =
+    name match {
+      case "iif" if args.length == 3 =>
+        Some(s"if(${args.mkString(", ")})")
+      case "printf" if args.nonEmpty =>
+        Some(s"format_string(${args.mkString(", ")})")
+      case "unicode" if args.length == 1 =>
+        Some(s"ascii(${args.head})")
+      case "char" if args.nonEmpty =>
+        Some(if (args.length == 1) s"chr(${args.head})"
+             else args.map(a => s"chr($a)").mkString("concat(", ", ", ")"))
+      case "group_concat" => buildGroupConcat(args)
+      case "strftime" if args.length >= 2 => buildStrftime(args)
+      case "date" if args.nonEmpty =>
+        applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd')")
+      case "time" if args.nonEmpty =>
+        applyModifiers(args).map(e => s"date_format($e, 'HH:mm:ss')")
+      case "datetime" if args.nonEmpty =>
+        applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd HH:mm:ss')")
+      case "julianday" if args.nonEmpty =>
+        // decimal literal would make the whole expression DECIMAL; the
+        // SQLite function returns a float → force DOUBLE
+        applyModifiers(args).map(e =>
+          s"(CAST(2440587.5 AS DOUBLE) + (unix_micros($e) / 1000000.0) / 86400.0)")
+      case _ => None
+    }
+
+  private def isStringLit(s: String): Boolean = {
+    val t = s.trim
+    t.length >= 2 && t.head == '\'' && endOfQuote(t, 0) == t.length
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    t.substring(1, t.length - 1).replace("''", "'")
+  }
+
+  private val distinctRe = "(?is)^DISTINCT\\s+(.*)$".r
+
+  /** `group_concat` → sorted array_join. NULL inputs are skipped by
+    * `collect_*` exactly as SQLite skips them; an all-NULL group yields
+    * SQL NULL (not "") via the size guard. Sorting replaces SQLite's
+    * documented-arbitrary order with a deterministic one. */
+  private def buildGroupConcat(args: Seq[String]): Option[String] = {
+    if (args.isEmpty || args.length > 2) return None
+    val (expr, collect) = args.head.trim match {
+      case distinctRe(e) => (e.trim, s"collect_set(${e.trim})")
+      case e             => (e, s"collect_list($e)")
+    }
+    val sep = if (args.length == 2) args(1) else "','"
+    Some(s"(CASE WHEN count($expr) = 0 THEN CAST(NULL AS STRING) ELSE " +
+      s"array_join(array_sort(transform($collect, v -> CAST(v AS STRING))), $sep) END)")
+  }
+
+  /** SQLite strftime directives → Java DateTimeFormatter pattern
+    * letters. Conservative: an unmapped directive declines the whole
+    * call (left verbatim → visible analysis error). */
+  private val directives = Map(
+    'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+    'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'f' -> "ss.SSS",
+    'e' -> "d", 'I' -> "hh", 'p' -> "a")
+
+  private def buildStrftime(args: Seq[String]): Option[String] = {
+    if (!isStringLit(args.head)) return None
+    val fmt = unquote(args.head)
+    applyModifiers(args.tail).flatMap { e =>
+      fmt match {
+        // whole-value directives with no formatter-pattern equivalent
+        case "%s" => Some(s"CAST(unix_timestamp($e) AS STRING)")
+        case "%w" => Some(s"CAST(dayofweek($e) - 1 AS STRING)")
+        case _ =>
+          toJavaPattern(fmt).map { p =>
+            s"date_format($e, '${p.replace("'", "''")}')"
+          }
+      }
+    }
+  }
+
+  private def toJavaPattern(fmt: String): Option[String] = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      // quote literal runs so letters aren't read as pattern directives
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length) return None
+        val d = fmt.charAt(i + 1)
+        if (d == '%') lit.append('%')
+        else directives.get(d) match {
+          case Some(p) => flushLit(); out.append(p)
+          case None    => return None
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    Some(out.toString)
+  }
+
+  // SQLite date-modifier grammar (subset; unknown → decline)
+  private val shiftRe =
+    """^([+-]?\d+(?:\.\d+)?)\s+(day|days|hour|hours|minute|minutes|second|seconds|month|months|year|years)$""".r
+  private val weekdayRe = """^weekday\s+([0-6])$""".r
+  private val startOfRe = """^start\s+of\s+(day|month|year)$""".r
+
+  /** Fold `(timeval, modifier…)` into one Spark timestamp expression.
+    * All modifiers must be string literals (as SQLite requires). */
+  private def applyModifiers(args: Seq[String]): Option[String] = {
+    val base = args.head.trim
+    var e =
+      if (isStringLit(base) && unquote(base).equalsIgnoreCase("now"))
+        "current_timestamp()"
+      else s"CAST($base AS TIMESTAMP)"
+    val it = args.tail.iterator
+    while (it.hasNext) {
+      val m = it.next()
+      if (!isStringLit(m)) return None
+      unquote(m).trim.toLowerCase match {
+        case shiftRe(n, unit) =>
+          val secondsPerUnit = unit.stripSuffix("s") match {
+            case "day" => Some(86400.0)
+            case "hour" => Some(3600.0)
+            case "minute" => Some(60.0)
+            case "second" => Some(1.0)
+            case _ => None
+          }
+          secondsPerUnit match {
+            case Some(mult) =>
+              val secs = BigDecimal(n) * BigDecimal(mult)
+              e = s"($e + make_dt_interval(0, 0, 0, CAST(${secs.bigDecimal.toPlainString} AS DOUBLE)))"
+            case None => // month/year shifts: integer only (clamping delta above)
+              if (n.contains('.')) return None
+              val k = n.toLong
+              e =
+                if (unit.startsWith("month")) s"($e + make_ym_interval(0, $k))"
+                else s"($e + make_ym_interval($k, 0))"
+          }
+        case startOfRe(unit) =>
+          // date_trunc yields TIMESTAMP; stays correct under the UTC session
+          e = s"CAST(date_trunc('${unit.toUpperCase}', $e) AS TIMESTAMP)"
+        case weekdayRe(n) =>
+          // forward to the next weekday n (Sunday=0), same day if already
+          e = s"($e + make_dt_interval(CAST(($n - (dayofweek($e) - 1) + 7) % 7 AS INT), 0, 0, 0))"
+        case "localtime" | "utc" | "subsec" | "subsecond" => // UTC session: no-op
+        case _ => return None
+      }
+    }
+    Some(e)
   }
 }

@@ -47,4 +47,110 @@ class SqlDialectSpec extends SparkSpec {
     val passthrough = "SELECT ifnull(x, 0), instr(s, 'a'), substr(s, 1, 3) FROM t"
     assert(SqlDialect.translate(passthrough) == passthrough)
   }
+
+  // ---- round-2 SQLite surface --------------------------------------
+
+  private def eventsView(): Unit =
+    Tables.t(spark, sfDir, "events").createOrReplaceTempView("events")
+
+  test("strftime maps %-directives to date_format and executes") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      "SELECT strftime('%Y-%m', ts) AS ym, strftime('%j', ts) AS doy FROM events ORDER BY event_id LIMIT 1")
+    assert(!sql.toLowerCase.contains("strftime"))
+    val row = spark.sql(sql).head()
+    assert(row.getString(0).matches("""\d{4}-\d{2}"""))
+    assert(row.getString(1).matches("""\d{3}"""))
+  }
+
+  test("strftime %s and %w whole-value specials") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      "SELECT strftime('%s', ts) AS es, strftime('%w', ts) AS dow, ts FROM events ORDER BY event_id LIMIT 1")
+    val row = spark.sql(sql).head()
+    assert(row.getString(0).toLong > 1500000000L)
+    assert((0 to 6).contains(row.getString(1).toInt))
+  }
+
+  test("date modifier chain: start of month, +N days, weekday N") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      """SELECT date(ts, 'start of month') AS som,
+                date(ts, 'start of month', '+7 days') AS plus7,
+                date(ts, 'weekday 1') AS mon, ts FROM events ORDER BY event_id LIMIT 1""")
+    assert(!sql.toLowerCase.contains("'start of"))
+    val row = spark.sql(sql).head()
+    assert(row.getString(0).endsWith("-01"))
+    assert(row.getString(1).endsWith("-08"))
+    // weekday 1 = next Monday (or same day): java DayOfWeek Monday == 1
+    assert(java.time.LocalDate.parse(row.getString(2)).getDayOfWeek.getValue == 1)
+    // weekday never moves backward and moves < 7 days
+    val d0 = row.getAs[java.time.LocalDateTime](3).toLocalDate
+    val dm = java.time.LocalDate.parse(row.getString(2))
+    assert(!dm.isBefore(d0) && dm.isBefore(d0.plusDays(7)))
+  }
+
+  test("datetime/time render full timestamp / clock strings") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      "SELECT datetime(ts, '+1 days', '+2 hours') AS dt, time(ts) AS tm FROM events ORDER BY event_id LIMIT 1")
+    val row = spark.sql(sql).head()
+    assert(row.getString(0).matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+    assert(row.getString(1).matches("""\d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("iif nests and executes as if()") {
+    val sql = SqlDialect.translate(
+      "SELECT iif(1 < 0, 'neg', iif(2 > 1, 'x', 'y')) AS v")
+    assert(!sql.toLowerCase.contains("iif"))
+    assert(spark.sql(sql).head().getString(0) == "x")
+  }
+
+  test("group_concat: distinct, separator, all-NULL group → NULL") {
+    val sql = SqlDialect.translate(
+      """SELECT g, group_concat(DISTINCT s) AS cs, group_concat(s, '|') AS ps
+         FROM VALUES ('a','x'),('a','y'),('a','x'),('b',NULL) AS t(g, s)
+         GROUP BY g ORDER BY g""")
+    assert(!sql.toLowerCase.contains("group_concat"))
+    val rows = spark.sql(sql).collect()
+    assert(rows(0).getString(1) == "x,y")
+    assert(rows(0).getString(2) == "x|x|y")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
+  test("unicode/char/printf map to ascii/chr/format_string") {
+    val sql = SqlDialect.translate(
+      "SELECT unicode('G') AS u, char(71, 79) AS c, printf('%s:%d', 'k', 7) AS p")
+    val row = spark.sql(sql).head()
+    assert(row.getInt(0) == 71)
+    assert(row.getString(1) == "GO")
+    assert(row.getString(2) == "k:7")
+  }
+
+  test("CAST(x AS CHAR(10)) is a type, not a char() call") {
+    val sql = SqlDialect.translate("SELECT CAST(65 AS CHAR(4)) AS c")
+    assert(sql.toUpperCase.contains("AS CHAR(4)"))
+  }
+
+  test("unknown modifiers and quoted literals are left verbatim") {
+    val bogus = "SELECT date(ts, 'bogus mod') FROM t"
+    assert(SqlDialect.translate(bogus) == bogus)
+    val lit = "SELECT 'date(x, ''start of month'')' AS s FROM t"
+    assert(SqlDialect.translate(lit) == lit)
+  }
+
+  test("nested calls inside untranslatable calls still translate") {
+    val sql = SqlDialect.translate(
+      "SELECT custom_fn(iif(a, 1, 2), date(ts, 'start of day')) FROM t")
+    assert(sql.contains("custom_fn("))
+    assert(!sql.toLowerCase.contains("iif"))
+    assert(sql.contains("date_trunc('DAY'"))
+  }
+
+  test("julianday with modifiers shifts the Julian value") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      "SELECT julianday(ts, '+1 days') - julianday(ts) AS shift FROM events LIMIT 1")
+    assert(math.abs(spark.sql(sql).head().getDouble(0) - 1.0) < 1e-9)
+  }
 }

@@ -100,19 +100,24 @@ object QueriesExt {
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
 
-    // embedding-cosine near-dup pairs. Bounded self-join here; the
-    // 100 TB path is the LSH-bucketed variant in graft.ops.Similarity.
+    // embedding-cosine near-dup pairs via sign-LSH banding
+    // (Similarity.lshNearDupPairs) — bucketed candidates + exact-cosine
+    // verification, no all-pairs join anywhere. Corpus = embeddings
+    // plus a rescaled copy of every 4th vector (×2 elementwise: exact
+    // in float, direction-preserving → planted near-dups at cosine 1.0,
+    // identical sign signatures → recall 1 by construction). The
+    // background max pairwise cosine is ≈0.51, so the 0.9 threshold
+    // isolates exactly the planted pairs — same answer as the oracle's
+    // exact all-pairs formulation.
     "ext_dedup_embed" -> ((s, d) => {
-      val emb = t("embeddings")(s, d)
-        .withColumn("nrm",
-          expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"))
-      val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
-      a.join(b, col("v1") < col("v2"))
-        .withColumn("sim",
-          expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") /
-            (col("n1") * col("n2")))
-        .filter(col("sim") >= 0.45)
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+              .as("embedding")))
+      Similarity.lshNearDupPairs(corpus, "vec_id", "embedding",
+          dim = 64, threshold = 0.9)
         .select(col("v1"), col("v2"), round(col("sim"), 6).as("sim"))
         .orderBy("v1", "v2")
     }),
@@ -218,6 +223,37 @@ object QueriesExt {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // materialized-index ANN (rows-only): build writes the corpus
+    // partitionBy(cell), probe reads ≤ nProbe partitions (pruning
+    // asserted in SimilaritySpec). The build is the one-time index
+    // cost a standing corpus amortizes; at 100 TB the probe is the
+    // only per-query scan.
+    "ext_sim_search_ivf_indexed" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val idx = Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        s"target/ann_index/ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        nCentroids = 16)
+      Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    "ext_sim_search_lsh_indexed" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val idx = Similarity.buildLshIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        s"target/ann_index/lsh_${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        dim = 64, nBits = 8)
+      Similarity.lshProbe(s, idx, "vec_id", "embedding", q, k = 10, probes = 2)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // multimodal decode stub over mapPartitions (rows-only)
     "ext_multimodal_features" -> ((s, d) => {
       val media = Multimodal.asMedia(
@@ -306,10 +342,16 @@ object QueriesExt {
          FROM embeddings, q WHERE vec_id != 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "ext_dedup_embed" ->
-      """WITH n AS (SELECT vec_id, embedding,
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             list_apply(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+           FROM embeddings WHERE vec_id % 4 = 0),
+         n AS (SELECT vec_id, embedding,
              SQRT(list_aggregate(list_apply(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-           FROM embeddings)
+           FROM corpus)
          SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND(
            list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
@@ -317,7 +359,7 @@ object QueriesExt {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
-           / (a.nrm * b.nrm) >= 0.45
+           / (a.nrm * b.nrm) >= 0.9
          ORDER BY v1, v2""",
     "ext_text_quality" ->
       """SELECT doc_id,

@@ -75,22 +75,129 @@ object Similarity {
     emb.withColumn("cell", array_max(array(cellStructs: _*)).getField("cid"))
   }
 
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  /** Spherical k-means coarse centroids from a BOUNDED deterministic
+    * sample — the standard way ANN coarse quantizers are trained
+    * (sample-train, never full-corpus): top-`sampleN` rows by content
+    * hash (deterministic pseudo-random order, TakeOrdered — no full
+    * sort), Lloyd iterations driver-side on the sample, centroids
+    * normalized so cosine assignment = dot product. Balanced on real
+    * data, unlike "first N vectors by id".
+    */
+  def kmeansCentroids(emb: DataFrame, embCol: String, k: Int,
+                      iters: Int = 8, sampleN: Int = 2000): Seq[Seq[Float]] = {
+    val sample: Array[Array[Double]] = emb.select(col(embCol))
+      .orderBy(xxhash64(col(embCol)))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    // init: evenly spaced picks from the hash-shuffled sample
+    var cents = Array.tabulate(k)(i => pts(i * pts.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += p(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+    }
+    cents.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** Materialized IVF index: parquet corpus written `partitionBy(cell)`
+    * plus driver-side centroid metadata. Probing a built index is a
+    * PARTITION-PRUNED scan — only the probed cells' files are read,
+    * which is the entire point of IVF at corpus scale.
+    */
+  final case class IvfIndex(path: String, centroids: Seq[Seq[Float]])
+
+  def buildIvfIndex(emb: DataFrame, idCol: String, embCol: String,
+                    path: String, nCentroids: Int = 16): IvfIndex = {
+    val centroids = kmeansCentroids(emb, embCol, nCentroids)
+    ivfAssign(emb, idCol, embCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    IvfIndex(path, centroids)
+  }
+
+  /** Probe a built IVF index: rank cells by centroid similarity
+    * driver-side (index metadata), scan only the best `nProbe`
+    * partitions, brute-force within them.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+               idCol: String, embCol: String,
+               q: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, q), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val corpus = spark.read.parquet(index.path)
+      .filter(col("cell").isin(probeCells: _*))
+    bruteForceTopK(corpus, idCol, embCol, q, k)
+  }
+
+  /** Materialized sign-LSH index: corpus written `partitionBy(cell)`
+    * on the nBits-bit bucket key; probing reads only the partitions
+    * within the multi-probe Hamming radius.
+    */
+  final case class LshIndex(path: String, planes: Seq[Seq[Float]], nBits: Int)
+
+  def buildLshIndex(emb: DataFrame, idCol: String, embCol: String,
+                    path: String, dim: Int, nBits: Int = 8,
+                    seed: Long = 42L): LshIndex = {
+    val planes = hyperplanes(dim, nBits, seed)
+    emb.withColumn("cell", lshKey(col(embCol), planes))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    LshIndex(path, planes, nBits)
+  }
+
+  def lshProbe(spark: org.apache.spark.sql.SparkSession, index: LshIndex,
+               idCol: String, embCol: String,
+               q: Seq[Float], k: Int, probes: Int = 1): DataFrame = {
+    val qKey: Long = index.planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    // enumerate keys within the Hamming radius (index metadata — tiny
+    // for the small nBits a partition layout wants) → IN-list on the
+    // partition column → pruned scan
+    val cells = (0L until (1L << index.nBits))
+      .filter(c => java.lang.Long.bitCount(c ^ qKey) <= probes)
+    val corpus = spark.read.parquet(index.path)
+      .filter(col("cell").isin(cells: _*))
+    bruteForceTopK(corpus, idCol, embCol, q, k)
+  }
+
   /** Approximate top-k via IVF: score the query against the
     * centroids, scan only the `nProbe` best cells brute-force.
+    * (Query-time assignment variant; a standing corpus uses
+    * [[buildIvfIndex]]/[[ivfProbe]] so the probe is partition-pruned.)
     */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               q: Seq[Float], k: Int, nCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
-    val centroids: Seq[Seq[Float]] = emb
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(embCol).collect().toIndexedSeq
-      .map(_.getSeq[Float](0))
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
+    val centroids = kmeansCentroids(emb, embCol, nCentroids)
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (cos(c, q), i) }
       .sortBy(-_._1).take(nProbe).map(_._2).toSet
@@ -98,6 +205,62 @@ object Similarity {
     bruteForceTopK(
       assigned.filter(col("cell").isin(probeCells.toSeq: _*)),
       idCol, embCol, q, k)
+  }
+
+  /** Near-duplicate embedding PAIRS via sign-LSH banding — the
+    * pairwise analog of [[Dedup.simHashPairs]], replacing the all-pairs
+    * `v1 < v2` cross join that can never run at corpus scale.
+    *
+    * Shape: nBits sign bits per vector (seeded hyperplanes) → `bands`
+    * band keys of nBits/bands bits → bucket equi-join on (band, key) →
+    * DISTINCT candidate pairs → exact cosine on candidates only. Every
+    * shuffle is on a band key or an id; no cartesian anywhere.
+    *
+    * Recall: a pair whose vectors lie in the same direction (true
+    * duplicates — e.g. re-encoded/rescaled embeddings) has IDENTICAL
+    * sign signatures, so it shares every band: recall 1 by
+    * construction. For non-identical near-dups at cosine ≥ 0.9 the
+    * per-band match probability is (1-θ/π)^r ≈ 0.857⁴ ≈ 0.54, so 16
+    * bands give 1-(1-0.54)¹⁶ ≈ 1-10⁻⁵ — and the exact verification
+    * keeps precision at 1 regardless.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                      dim: Int, threshold: Double, nBits: Int = 64,
+                      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val r = nBits / bands
+    val planes = hyperplanes(dim, nBits, seed)
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until r).map { j =>
+        val p = planes(b * r + j)
+        val pArr = array(p.map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val buckets = emb.select(col(idCol).as("id"),
+      explode(array(bandCols: _*)).as("bk"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("v1"), col("b.id").as("v2"))
+      .distinct()
+    // verification re-joins embeddings by id — candidates carry only
+    // ids through the band join, so the wide vectors are never
+    // replicated `bands` times through the shuffle
+    val withNorm = emb.select(col(idCol).as("id"), col(embCol).as("e"),
+      sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as("nrm"))
+    cand
+      .join(withNorm.as("x1"), col("v1") === col("x1.id"))
+      .join(withNorm.as("x2"), col("v2") === col("x2.id"))
+      .select(col("v1"), col("v2"),
+        (aggregate(
+          zip_with(col("x1.e"), col("x2.e"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / (col("x1.nrm") * col("x2.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Approximate top-k: probe the buckets whose keys are within

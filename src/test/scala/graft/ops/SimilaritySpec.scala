@@ -66,4 +66,79 @@ class SimilaritySpec extends SparkSpec {
       k = 5, nBits = 8, probes = 1).select("vec_id").as[Long].collect().toSeq
     assert(run() == run())
   }
+
+  test("materialized IVF index probe scans only the probed partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)
+    val idx = Similarity.buildIvfIndex(
+      base, "vec_id", "embedding", "target/test_idx/ivf", nCentroids = 16)
+    val probe = Similarity.ivfProbe(
+      spark, idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
+    val scan = probe.queryExecution.sparkPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    // partition pruning must reach the file index: ≤ nProbe of the 16
+    // cell directories are listed, and the filter is a PartitionFilter
+    val dirs = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(dirs.length <= 4, s"scanned ${dirs.length} partitions")
+    assert(scan.partitionFilters.nonEmpty)
+    // sanity: the probe actually returns a full top-k with decent recall
+    val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = probe.select("vec_id").as[Long].collect()
+    assert(got.length == 10)
+    assert(exact.intersect(got.toSet).size >= 3)
+  }
+
+  test("materialized LSH index probe prunes to the Hamming-radius cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)
+    val idx = Similarity.buildLshIndex(
+      base, "vec_id", "embedding", "target/test_idx/lsh", dim = 64, nBits = 8)
+    val probe = Similarity.lshProbe(
+      spark, idx, "vec_id", "embedding", q, k = 10, probes = 1)
+    val scan = probe.queryExecution.sparkPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val dirs = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    // radius-1 probe over 8 bits = ≤ 9 candidate cells (fewer exist)
+    assert(dirs.length <= 9, s"scanned ${dirs.length} partitions")
+    assert(scan.partitionFilters.nonEmpty)
+    assert(probe.count() > 0)
+  }
+
+  test("sampled k-means centroids are deterministic and balanced") {
+    val base = emb.select("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(base, "embedding", k = 16)
+    val c2 = Similarity.kmeansCentroids(base, "embedding", k = 16)
+    assert(c1 == c2)
+    val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", c1)
+      .groupBy("cell").count().select("count").as[Long].collect()
+    // 500 vectors / 16 cells: no cell empty, none hogging > half
+    assert(assigned.length == 16, s"only ${assigned.length} cells used")
+    assert(assigned.max <= 250, s"max cell ${assigned.max}")
+  }
+
+  test("lshNearDupPairs finds all planted duplicate pairs with no cartesian") {
+    val base = emb.select("vec_id", "embedding")
+    val corpus = base.unionAll(
+      base.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 10000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+    val pairs = Similarity.lshNearDupPairs(
+      corpus, "vec_id", "embedding", dim = 64, threshold = 0.9)
+    // plan shape: bucketed equi-joins only — the point of the operator
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+    assert(!physical.contains("CartesianProduct"), physical.take(2000))
+    val got = pairs.select("v1", "v2").as[(Long, Long)].collect().toSet
+    val planted = emb.filter($"vec_id" % 4 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(got == planted, s"got ${got.size}, planted ${planted.size}")
+    // precision: every reported sim clears the threshold
+    val sims = pairs.select("sim").as[Double].collect()
+    assert(sims.forall(_ >= 0.9))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Per-column data probes used to build LLM prompts.
@@ -10,41 +10,64 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §7.3): sampling is SEEDED (deterministic prompts — the
   * reference resamples unseeded on every call), taken ONCE per ingest
   * and reused, and tables with fewer than 5 rows don't throw.
+  *
+  * Both probes run ONE Spark job regardless of column count: a
+  * 200-column table is one bounded scan with 200 aggregate columns,
+  * not 200 scans — the difference between an O(1) and an O(columns)
+  * ingest cost at 100 TB.
   */
 object Snapshot {
   val sampleSize = 5
 
   /** Deterministic per-column samples: {lowercased col → 5 values}.
-    * One pass per column over a pre-sampled fraction would be the
-    * 100 TB path (sample pushdown); at driver-test scale we order by a
-    * seeded per-row hash and take the first 5 — deterministic and
-    * distributed (TakeOrdered, no full sort materialization).
+    *
+    * One aggregate over a bounded prefix of the table: per column,
+    * collect the distinct (seeded-hash, value) pairs and keep the 5
+    * hash-smallest — the same 5 values, in the same order, as sorting
+    * distinct values by seeded hash (the previous per-column
+    * formulation), as long as the table fits the bounded prefix.
+    * `maxSampleRows` bounds both the scan (LocalLimit early-exits:
+    * a 100 TB table reads ~one partition) and the aggregation state;
+    * prompt samples don't need corpus-uniform randomness.
     */
-  def snapshot(df: DataFrame, seed: Long = 42L): collection.Map[String, Seq[Any]] = {
+  def snapshot(df: DataFrame, seed: Long = 42L,
+               maxSampleRows: Int = 10000): collection.Map[String, Seq[Any]] = {
     val result = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Any]]
-    df.columns.foreach { c =>
-      // DISTINCT before the seeded-hash order: hashing the value alone
-      // would make all equal-valued rows tie and collapse the sample to
-      // copies of one value on low-cardinality columns; distinct values
-      // are also more informative to the LLM
-      val vals = df.select(col(c)).distinct()
-        .orderBy(xxhash64(lit(seed), col(c).cast("string")))
-        .limit(sampleSize)
-        .collect()
-        .map(r => if (r.isNullAt(0)) null else r.get(0))
-      result += c.toLowerCase -> vals.toSeq
+    if (df.columns.isEmpty) return result
+    // DISTINCT (via collect_set) before the seeded-hash order: hashing
+    // the value alone makes equal-valued rows tie and collapse the
+    // sample to copies of one value on low-cardinality columns;
+    // distinct values are also more informative to the LLM
+    val aggs = df.columns.map { c =>
+      slice(array_sort(collect_set(struct(
+        xxhash64(lit(seed), col(c).cast("string")).as("h"),
+        col(c).as("v")))), 1, sampleSize).as(c)
+    }
+    val row = df.limit(maxSampleRows).agg(aggs.head, aggs.tail: _*).head()
+    df.columns.zipWithIndex.foreach { case (c, i) =>
+      val picks = row.getSeq[Row](i)
+      result += c.toLowerCase ->
+        picks.map(p => if (p.isNullAt(1)) null else p.get(1))
     }
     result
   }
 
-  /** Distinct values for enum-typed columns (reference :283-287). */
+  /** Distinct values for enum-typed columns (reference :283-287), all
+    * columns in one aggregate. NULL renders as "NaN" first (the slot
+    * ascending NULLS FIRST ordering put it in before).
+    */
   def distinctValues(df: DataFrame, cols: Seq[String]): collection.Map[String, Seq[String]] = {
     val result = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
-    cols.foreach { c =>
-      val vals = df.select(col(c).cast("string")).distinct()
-        .orderBy(col(c)).collect()
-        .map(r => if (r.isNullAt(0)) "NaN" else r.getString(0))
-      result += c.toLowerCase -> vals.toSeq
+    if (cols.isEmpty) return result
+    val aggs = cols.flatMap(c => Seq(
+      array_sort(collect_set(col(c).cast("string"))).as(s"v_$c"),
+      max(col(c).isNull.cast("int")).as(s"n_$c")))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val vals: Seq[String] =
+        if (row.isNullAt(2 * i)) Seq.empty else row.getSeq[String](2 * i)
+      val hasNull = !row.isNullAt(2 * i + 1) && row.getInt(2 * i + 1) == 1
+      result += c.toLowerCase -> ((if (hasNull) Seq("NaN") else Nil) ++ vals)
     }
     result
   }

@@ -32,6 +32,23 @@ object Dedup {
         s"transform(sequence(1, length(t) - ${shingleLen - 1}), i -> substring(t, i, $shingleLen))")))
         .as("s"))
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * standard MinHash skew guard: one ultra-common shingle (site
+    * boilerplate, a hot 8-gram) shared by f% of docs would otherwise
+    * put f·N docs into one join bucket (an O((f·N)²) pair explosion).
+    * Ubiquitous shingles carry no near-dup signal, so dropping them
+    * from CANDIDATE GENERATION barely moves recall; verification stays
+    * exact on the full sets. The hot set is tiny by construction
+    * (df > maxDf) → broadcast anti-join, no skewed shuffle.
+    */
+  def dropHotShingles(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("s")
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+
   /** MinHash signature per document as one array<bigint> column,
     * computed by the imperative MinHashAgg aggregate
     * (graft.functions.MinHashAgg): one buffer, k seeded XXH64 hashes
@@ -47,14 +64,27 @@ object Dedup {
     * into `bands` bands; docs sharing any band bucket become
     * candidates. Shuffle key = (band index, hash of band slice).
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }
-    val buckets = sigs
+    val raw = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    // bucket-size cap (same skew argument as dropHotShingles at the
+    // band level): a bucket with b docs yields b² candidate pairs, so
+    // one boilerplate-heavy bucket can dominate the whole job. Buckets
+    // past the cap are dropped — their members still collide on their
+    // other, more selective bands.
+    val buckets =
+      if (maxBucket == Int.MaxValue) raw
+      else {
+        val big = raw.groupBy("bk").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("bk")
+        raw.join(broadcast(big), Seq("bk"), "left_anti")
+      }
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -77,13 +107,21 @@ object Dedup {
           size(array_union(col("set1"), col("set2")))).as("jaccard"))
   }
 
-  /** End-to-end MinHash LSH near-dup pairs at a Jaccard threshold. */
+  /** End-to-end MinHash LSH near-dup pairs at a Jaccard threshold.
+    * `maxShingleDf` / `maxBucket` bound candidate-side skew (hot
+    * shingles and oversized band buckets); the Jaccard VERIFICATION is
+    * always on the full uncapped shingle sets, so output values are
+    * unchanged — only recall of ubiquitous-content-only pairs (which
+    * carry no near-dup signal) is traded for the quadratic-bucket
+    * guard. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 8, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxShingleDf: Int = Int.MaxValue,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleLen)
-    val sigs = minHashSignatures(sh, numHashes)
-    val cand = lshCandidates(sigs, numHashes, bands)
+    val sigs = minHashSignatures(dropHotShingles(sh, maxShingleDf), numHashes)
+    val cand = lshCandidates(sigs, numHashes, bands, maxBucket)
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
   }
 

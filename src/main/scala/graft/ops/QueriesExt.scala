@@ -34,35 +34,25 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup: char-8-gram shingles, pairs via
-    // shingle equi-join (shuffle on shingle — no cross join), Jaccard
-    // from intersection and per-doc distinct counts
+    // n-gram Jaccard near-dup: candidates via frequency-capped shingle
+    // equi-join (a hot shingle shared by f% of docs would otherwise
+    // create an O((f·N)²) bucket), exact Jaccard verified on the FULL
+    // shingle sets so values match the uncapped oracle. Recall is
+    // intact because any Jaccard-qualifying pair shares rare shingles
+    // (verified on this corpus: every oracle pair shares a shingle
+    // with doc-frequency ≤ 8, far under the cap of 50).
     "ext_dedup_ngram" -> ((s, d) => {
       val docs = t("documents")(s, d).filter(col("doc_id") < 100)
-        .select(col("doc_id"), lower(col("text")).as("t"))
-        // shorter-than-shingle docs yield no shingles (as in the oracle;
-        // unguarded sequence(1, len-7) would go DESCENDING for them)
-        .filter(length(col("t")) >= 8)
-      val sh = docs
-        .select(col("doc_id"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")))
-            .as("s"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-        .select(col("d1"), col("d2"),
-          (col("i").cast("double") /
-            (col("ca.n") + col("cb.n") - col("i"))).as("raw_j"))
-        // threshold on the RAW ratio (as the oracle's WHERE does),
-        // round only the reported value
-        .filter(col("raw_j") >= 0.09)
-        .select(col("d1"), col("d2"), round(col("raw_j"), 6).as("jaccard"))
+      val sh = Dedup.shingles(docs, "doc_id", "text")
+      val cand = Dedup.dropHotShingles(sh, maxDf = 50)
+      val pairs = cand.as("a").join(cand.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      Dedup.exactJaccard(sh, pairs)
+        .filter(col("jaccard") >= 0.09)
+        .select(col("id1").as("d1"), col("id2").as("d2"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy("d1", "d2")
     }),
 
@@ -181,8 +171,13 @@ object QueriesExt {
           .select((col("doc_id") + 10000).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text")))
       // 32 hashes / 8 bands: recall at the planted gap (j≈0.9 vs ≤0.15)
-      // is 1-(1-0.9⁴)⁸ ≈ 0.9998 — same output, half the codegen width
-      Dedup.minHashPairs(corpus, "doc_id", "text", numHashes = 32, bands = 8)
+      // is 1-(1-0.9⁴)⁸ ≈ 0.9998 — same output, half the codegen width.
+      // Skew guards active (hot shingles dropped from signatures,
+      // oversized band buckets dropped): no-ops on this corpus's
+      // result (planted pairs share ≥50 rare shingles), hard bounds
+      // at corpus scale.
+      Dedup.minHashPairs(corpus, "doc_id", "text", numHashes = 32, bands = 8,
+        maxShingleDf = 150, maxBucket = 64)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
     }),

@@ -39,26 +39,51 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("n_events"))
   }
 
-  /** Streaming exact dedup with custom state: per key, emit each
-    * event id once across all micro-batches
+  /** Streaming exact dedup with custom state and BOUNDED retention
     * (flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
-    * surface). At scale, state lives in the state store partitioned by
-    * key; a production variant would add a timeout to bound state.
+    * surface): per user, emit each event id once while the group's
+    * state is alive; an EVENT-TIME TIMEOUT evicts the whole id set
+    * once the watermark passes the group's last activity plus
+    * `retentionMs`. That is the standard bounded-state dedup contract
+    * (same as `dropDuplicatesWithinWatermark`): exact within the
+    * retention horizon, state size O(active keys × ids per horizon)
+    * instead of O(all ids ever) — the difference between a state store
+    * that survives a year of stream and one that eats the cluster.
     */
-  def streamingDedup(events: DataFrame): DataFrame = {
+  def streamingDedup(events: DataFrame, watermark: String = "10 minutes",
+                     retentionMs: Long = 30L * 60 * 1000): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
-      .as[(Long, Long)]
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    // ts must pass through UNTOUCHED: casting it would mint a new
+    // column without the watermark tag and fail the event-time-timeout
+    // analysis check
+    src.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
-          val seen = scala.collection.mutable.LinkedHashSet(
-            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
-          val out = rows.filter { case (_, eid) => seen.add(eid) }.toVector
-          state.update(seen.toArray)
-          out.iterator
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed last activity + retention
+            Iterator.empty
+          } else {
+            val seen = scala.collection.mutable.LinkedHashSet(
+              state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+            var maxTs = Long.MinValue
+            val out = rows.filter { case (_, eid, t) =>
+              maxTs = math.max(maxTs, t.getTime)
+              seen.add(eid)
+            }.toVector
+            state.update(seen.toArray)
+            // must stay above the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator.map { case (u, e, _) => (u, e) }
+          }
       }
       .toDF("user_id", "event_id")
   }

@@ -101,6 +101,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("three-table join question: categories for products sold in Italy") {
+    assume(new java.io.File(goDir).isDirectory)
+    import org.apache.spark.sql.functions.col
+    val sales = readCsv("go_1k.csv")
+    val products = readCsv("go_products.csv")
+    val retailers = readCsv("go_retailers.csv")
+    val cache3 = Files.createTempDirectory("graft_cache3_").toString
+
+    val (results, _) = Ingestor.ingest(spark, Seq(sales, products, retailers),
+      llm = new StubLlm(), cacheDir = cache3)
+    val Seq(salesR, productsR, retailersR) = results
+
+    // reference README.md:43's own demo question — a 3-table join
+    val question = "What are the categories for products sold in Italy?"
+    val stub = new StubLlm(Map(question ->
+      (s"SELECT DISTINCT p.`Product_type` AS category FROM `${salesR.hash}` s " +
+        s"JOIN `${retailersR.hash}` r ON s.`Retailer_code` = r.`Retailer_code` " +
+        s"JOIN `${productsR.hash}` p ON s.`Product_number` = p.`Product_number` " +
+        "WHERE r.`Country` = 'Italy' ORDER BY category")))
+    val answer = Runner.ask(spark, question, results, stub)
+      .collect().map(_.getString(0)).toSeq
+
+    // expectation computed independently with the DataFrame API on the
+    // raw CSVs — real joined values, not just rows>0
+    val expected = sales
+      .join(retailers.filter(col("Country") === "Italy"), Seq("Retailer code"))
+      .join(products, Seq("Product number"))
+      .select(col("Product type")).distinct().orderBy("Product type")
+      .collect().map(_.getString(0)).toSeq
+    assert(answer.nonEmpty)
+    assert(answer == expected, s"got $answer, want $expected")
+  }
+
   test("sanitized GO column names match the reference scheme") {
     assume(new java.io.File(goDir).isDirectory)
     val sales = readCsv("go_1k.csv")

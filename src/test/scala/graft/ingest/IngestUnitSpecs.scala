@@ -153,4 +153,36 @@ class SnapshotSpec extends SparkSpec {
     val dv = Snapshot.distinctValues(df, Seq("Flag"))
     assert(dv("flag") == Seq("a", "b", "c"))
   }
+
+  test("distinctValues renders NULL as NaN, first") {
+    val df = Seq(Some("b"), None, Some("a")).toDF("Flag")
+    val dv = Snapshot.distinctValues(df, Seq("Flag"))
+    assert(dv("flag") == Seq("NaN", "a", "b"))
+  }
+
+  test("snapshot keeps NULL among the samples") {
+    val df = Seq(Some("x"), None, Some("y")).toDF("v")
+    assert(Snapshot.snapshot(df)("v").contains(null))
+  }
+
+  test("snapshot runs one job regardless of column count") {
+    val sc = spark.sparkContext
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"a$i", s"b$i", s"c$i", s"d$i", s"e$i", s"f$i", s"g$i"))
+      .toDF("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+    sc.setJobGroup("snap-jobs", "snapshot job-count probe")
+    Snapshot.snapshot(df)
+    val nSnap = sc.statusTracker.getJobIdsForGroup("snap-jobs").length
+    sc.clearJobGroup()
+    sc.setJobGroup("dv-jobs", "distinctValues job-count probe")
+    Snapshot.distinctValues(df, df.columns.toSeq.take(6))
+    val nDv = sc.statusTracker.getJobIdsForGroup("dv-jobs").length
+    sc.clearJobGroup()
+    // 8 columns, 6 enum columns: a constant number of jobs (the
+    // bounded-prefix limit materializes as its own job before the
+    // aggregate) — NOT one-plus per column, which was the regression
+    // this guards against (2 jobs × N columns)
+    assert(nSnap <= 2, s"snapshot ran $nSnap jobs for 8 columns")
+    assert(nDv <= 2, s"distinctValues ran $nDv jobs for 6 columns")
+  }
 }

@@ -53,6 +53,53 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter($"id" === 2L).count() > 0)
   }
 
+  test("dropHotShingles bounds the shingle join key frequency") {
+    // 30 docs all sharing one planted boilerplate suffix → its
+    // shingles have doc-frequency 30, each doc keeps its unique body
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"unique body number $i ... SHARED-BOILERPLATE-SUFFIX"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val rawMax = sh.groupBy("s").count().agg(max("count")).as[Long].head()
+    assert(rawMax == 30L, s"planted hot shingle df $rawMax")
+    val capped = Dedup.dropHotShingles(sh, maxDf = 10)
+    val capMax = capped.groupBy("s").count().agg(max("count")).as[Long].head()
+    assert(capMax <= 10L, s"post-cap max df $capMax")
+    // the capped join's worst bucket is now 10 docs, not 30 — and the
+    // unique bodies survive (recall material is intact)
+    assert(capped.count() > 0)
+  }
+
+  test("lshCandidates bucket cap drops oversized buckets only") {
+    // 40 identical docs: every band bucket holds all 40 → uncapped
+    // candidates are the full 40·39/2 quadratic blowup
+    val clones = (1 to 40).map(i =>
+      (i.toLong, "exactly the same text in every single clone document here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(
+      Dedup.shingles(clones, "doc_id", "text"), numHashes = 32)
+    val uncapped = Dedup.lshCandidates(sigs, 32, 8).count()
+    assert(uncapped == 40L * 39 / 2, s"uncapped $uncapped")
+    val capped = Dedup.lshCandidates(sigs, 32, 8, maxBucket = 8).count()
+    assert(capped == 0L, s"capped $capped")
+    // a small legit cluster under the cap is untouched
+    val small = (1 to 5).map(i =>
+      (i.toLong, "another identical cluster of documents for the cap test"))
+      .toDF("doc_id", "text")
+    val sigsSmall = Dedup.minHashSignatures(
+      Dedup.shingles(small, "doc_id", "text"), numHashes = 32)
+    assert(Dedup.lshCandidates(sigsSmall, 32, 8, maxBucket = 8).count() == 10L)
+  }
+
+  test("minHashPairs skew guards are output-neutral on normal corpora") {
+    val plain = Dedup.minHashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.minHashPairs(corpus, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = 3, maxBucket = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(plain == guarded)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
     val deduped = withDups.groupBy($"text")

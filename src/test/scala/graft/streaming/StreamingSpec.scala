@@ -49,21 +49,53 @@ class StreamingSpec extends SparkSpec {
 
   test("streamingDedup emits each (user, event) once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Long)]
-    val events = input.toDF().toDF("user_id", "event_id")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts")
 
     val q = StreamingOps.streamingDedup(events)
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode(OutputMode.Append()).start()
     try {
-      input.addData((1L, 100L), (1L, 101L), (1L, 100L), (2L, 100L))
+      val t0 = ts("2024-01-01 00:00:00")
+      input.addData((1L, 100L, t0), (1L, 101L, t0), (1L, 100L, t0), (2L, 100L, t0))
       q.processAllAvailable()
-      input.addData((1L, 100L), (1L, 102L), (2L, 100L)) // repeats span batches
+      val t1 = ts("2024-01-01 00:05:00")
+      input.addData((1L, 100L, t1), (1L, 102L, t1), (2L, 100L, t1)) // repeats span batches
       q.processAllAvailable()
       val rows = spark.table("dedup_test")
         .orderBy("user_id", "event_id")
         .as[(Long, Long)].collect().toSeq
       assert(rows == Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup state is evicted once the watermark passes retention") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts")
+
+    // 10-minute watermark delay, 30-minute retention: user 1's id set
+    // must be gone once the watermark clears 00:00 + 30min
+    val q = StreamingOps.streamingDedup(
+        events, watermark = "10 minutes", retentionMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_evict_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 100L, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past 00:30 via another user's traffic
+      input.addData((9L, 900L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // next batch processes user 1's timeout → state removed
+      input.addData((9L, 901L, ts("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+      // the same (user, event) arrives again → re-emitted, proving the
+      // id set did NOT live forever
+      input.addData((1L, 100L, ts("2024-01-01 03:02:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("dedup_evict_test")
+        .filter($"user_id" === 1L && $"event_id" === 100L).count()
+      assert(emitted == 2L, s"expected re-emit after eviction, got $emitted")
     } finally q.stop()
   }
 

@@ -45,13 +45,17 @@ object QueriesDialect {
            iif(c_acctbal < 0, iif(c_custkey % 2 = 0, 'ne', 'no'), 'p') AS nested,
            unicode(substr(c_name, 1, 1)) AS first_cp,
            char(71, 79) AS go_str,
-           printf('%s:%d', c_mktsegment, c_custkey) AS tagged
+           printf('%s:%d', c_mktsegment, c_custkey) AS tagged,
+           max(c_acctbal, 0.0) AS pos_bal,
+           min(c_custkey, 100) AS capped_id,
+           CAST(c_custkey AS TEXT) AS id_str
          FROM customer ORDER BY c_custkey""",
 
     "agg_group_concat_fn" ->
       """SELECT l_returnflag,
            group_concat(DISTINCT l_linestatus) AS statuses,
-           group_concat(l_linestatus, '|') AS all_statuses
+           group_concat(l_linestatus, '|') AS all_statuses,
+           total(l_quantity) AS tq
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
   )
@@ -94,13 +98,17 @@ object QueriesDialect {
                 ELSE 'p' END AS nested,
            CAST(UNICODE(SUBSTR(c_name, 1, 1)) AS INTEGER) AS first_cp,
            CHR(71) || CHR(79) AS go_str,
-           PRINTF('%s:%d', c_mktsegment, c_custkey) AS tagged
+           PRINTF('%s:%d', c_mktsegment, c_custkey) AS tagged,
+           GREATEST(c_acctbal, 0.0) AS pos_bal,
+           CAST(LEAST(c_custkey, 100) AS BIGINT) AS capped_id,
+           CAST(c_custkey AS VARCHAR) AS id_str
          FROM customer ORDER BY c_custkey""",
 
     "agg_group_concat_fn" ->
       """SELECT l_returnflag,
            STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
-           STRING_AGG(l_linestatus, '|' ORDER BY l_linestatus) AS all_statuses
+           STRING_AGG(l_linestatus, '|' ORDER BY l_linestatus) AS all_statuses,
+           COALESCE(SUM(l_quantity), 0.0) AS tq
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
   )

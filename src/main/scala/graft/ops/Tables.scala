@@ -17,8 +17,11 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
     // type for: read the raw int64 nanos and truncate to micros (UTC
-    // session) — same truncation DuckDB applies internally.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session) — same truncation DuckDB applies internally. Set once
+    // per session, not per call.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // The source annotation is isAdjustedToUTC=false → the column is a
     // wall-clock (NTZ) timestamp; keep it NTZ so derived timestamps

@@ -71,7 +71,8 @@ object SqlDialect {
     */
   private val names = Seq(
     "group_concat", "julianday", "datetime", "strftime",
-    "unicode", "printf", "date", "time", "char", "iif")
+    "unicode", "printf", "total", "date", "time", "char", "iif",
+    "cast", "min", "max")
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -202,6 +203,18 @@ object SqlDialect {
              else args.map(a => s"chr($a)").mkString("concat(", ", ", ")"))
       case "group_concat" => buildGroupConcat(args)
       case "strftime" if args.length >= 2 => buildStrftime(args)
+      // SQLite total(): like sum() but DOUBLE and 0.0 (not NULL) on
+      // empty/all-NULL input
+      case "total" if args.length == 1 =>
+        Some(s"coalesce(sum(CAST(${args.head} AS DOUBLE)), CAST(0.0 AS DOUBLE))")
+      // SQLite storage-class names in CAST targets
+      case "cast" if args.length == 1 => buildCastType(args.head)
+      // scalar (multi-argument) min/max: SQLite returns NULL if ANY
+      // argument is NULL; Spark's least/greatest skip NULLs, so guard
+      case "min" if args.length >= 2 =>
+        Some(buildScalarMinMax("least", args))
+      case "max" if args.length >= 2 =>
+        Some(buildScalarMinMax("greatest", args))
       case "date" if args.nonEmpty =>
         applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd')")
       case "time" if args.nonEmpty =>
@@ -215,6 +228,26 @@ object SqlDialect {
           s"(CAST(2440587.5 AS DOUBLE) + (unix_micros($e) / 1000000.0) / 86400.0)")
       case _ => None
     }
+
+  /** SQLite storage classes → Spark types inside `CAST(x AS T)`.
+    * Types Spark already accepts (INTEGER, BIGINT, VARCHAR, …) decline
+    * and pass through verbatim. */
+  private val castTypes = Map(
+    "text" -> "STRING", "clob" -> "STRING",
+    "real" -> "DOUBLE", "numeric" -> "DOUBLE", "blob" -> "BINARY")
+
+  private val castArgRe = """(?is)^(.*\sAS\s+)(\w+)\s*$""".r
+
+  private def buildCastType(arg: String): Option[String] = arg match {
+    case castArgRe(prefix, tpe) =>
+      castTypes.get(tpe.toLowerCase).map(t => s"CAST($prefix$t)")
+    case _ => None
+  }
+
+  private def buildScalarMinMax(fn: String, args: Seq[String]): String = {
+    val anyNull = args.map(a => s"($a) IS NULL").mkString(" OR ")
+    s"(CASE WHEN $anyNull THEN NULL ELSE $fn(${args.mkString(", ")}) END)"
+  }
 
   private def isStringLit(s: String): Boolean = {
     val t = s.trim

@@ -147,6 +147,38 @@ class SqlDialectSpec extends SparkSpec {
     assert(sql.contains("date_trunc('DAY'"))
   }
 
+  test("CAST storage classes TEXT/REAL/BLOB/NUMERIC map to Spark types") {
+    val sql = SqlDialect.translate(
+      "SELECT CAST(1 AS TEXT) AS t, CAST('2.5' AS REAL) AS r, CAST(7 AS NUMERIC) AS n")
+    assert(!sql.toUpperCase.contains("AS TEXT"))
+    val row = spark.sql(sql).head()
+    assert(row.getString(0) == "1")
+    assert(row.getDouble(1) == 2.5)
+    assert(row.getDouble(2) == 7.0)
+    // Spark-valid cast types pass through untouched
+    val ok = "SELECT CAST(x AS INTEGER), CAST(y AS DECIMAL(10,2)) FROM t"
+    assert(SqlDialect.translate(ok) == ok)
+  }
+
+  test("scalar min/max become least/greatest with SQLite NULL semantics") {
+    val sql = SqlDialect.translate(
+      "SELECT max(3, 7) AS m, min(3, 7, 5) AS n, max(1, NULL) AS mn")
+    assert(sql.contains("greatest") && sql.contains("least"))
+    val row = spark.sql(sql).head()
+    assert(row.getInt(0) == 7 && row.getInt(1) == 3)
+    assert(row.isNullAt(2)) // SQLite: NULL if any argument is NULL
+    // single-argument (aggregate) min/max are untouched
+    val agg = "SELECT min(x), max(x) FROM t GROUP BY g"
+    assert(SqlDialect.translate(agg) == agg)
+  }
+
+  test("total() sums as DOUBLE with 0.0 on empty input") {
+    val sql = SqlDialect.translate(
+      "SELECT total(x) AS t FROM VALUES (1), (2) AS v(x) WHERE x > 10")
+    assert(!sql.toLowerCase.contains("total("))
+    assert(spark.sql(sql).head().getDouble(0) == 0.0)
+  }
+
   test("julianday with modifiers shifts the Julian value") {
     eventsView()
     val sql = SqlDialect.translate(

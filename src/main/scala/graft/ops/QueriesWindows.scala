@@ -90,6 +90,48 @@ object QueriesWindows {
         .orderBy("o_custkey", "day_off", "o_orderkey")
     }),
 
+    // GROUPS frame rewrite — SQLite/DuckDB `GROUPS BETWEEN 1 PRECEDING
+    // AND 1 FOLLOWING` has no Spark frame type, but is exactly a RANGE
+    // frame over dense_rank(): peer groups collapse to consecutive
+    // dense-rank values, so rank distance = group distance. Summed
+    // measure is integer-valued l_quantity → exact, no rounding.
+    "win_groups_frame" -> ((s, d) => {
+      val wRank = Window.partitionBy("l_returnflag")
+        .orderBy(asc_nulls_first("l_quantity"))
+      val wFrame = Window.partitionBy("l_returnflag").orderBy("dr")
+        .rangeBetween(-1, 1)
+      t("lineitem")(s, d)
+        .withColumn("dr", dense_rank().over(wRank))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          sum(col("l_quantity")).over(wFrame).as("grp_sum"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "grp_sum")
+    }),
+
+    // EXCLUDE clause rewrite — SQLite/DuckDB window EXCLUDE CURRENT
+    // ROW / GROUP / TIES over a full-partition frame, as arithmetic on
+    // aggregates Spark does have: partition sum minus the excluded
+    // piece (current row / the peer group / peers-except-current).
+    "win_exclude" -> ((s, d) => {
+      val part = Window.partitionBy("l_returnflag")
+      val peers = Window.partitionBy("l_returnflag", "l_quantity")
+      t("lineitem")(s, d)
+        .withColumn("part_sum", sum(col("l_quantity")).over(part))
+        .withColumn("peer_sum", sum(col("l_quantity")).over(peers))
+        .withColumn("part_n", count(lit(1)).over(part))
+        .withColumn("peer_n", count(lit(1)).over(peers))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          // an excluded-to-empty frame sums to NULL, not 0
+          when(col("part_n") === 1, lit(null))
+            .otherwise(col("part_sum") - col("l_quantity")).as("excl_current"),
+          when(col("part_n") === col("peer_n"), lit(null))
+            .otherwise(col("part_sum") - col("peer_sum")).as("excl_group"),
+          (col("part_sum") - col("peer_sum") + col("l_quantity")).as("excl_ties"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }),
+
     // --- streaming analogs (same expressions run under readStream) ---
 
     "win_tumbling" -> ((s, d) =>
@@ -116,6 +158,38 @@ object QueriesWindows {
   )
 
   val oracle: Map[String, String] = Map(
+    // this DuckDB build lacks GROUPS frames too — the oracle states the
+    // same semantics an independent way: peer-group totals windowed with
+    // a ROWS frame over the DISTINCT groups, joined back to rows
+    "win_groups_frame" ->
+      """WITH g AS (
+           SELECT l_returnflag, l_quantity, SUM(l_quantity) AS gsum
+           FROM lineitem GROUP BY 1, 2),
+         w AS (
+           SELECT l_returnflag, l_quantity,
+             SUM(gsum) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum
+           FROM g)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+                w.grp_sum
+         FROM lineitem l
+         JOIN w ON l.l_returnflag = w.l_returnflag
+               AND l.l_quantity = w.l_quantity
+         ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+                  w.grp_sum""",
+    "win_exclude" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS excl_current,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE GROUP) AS excl_group,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS excl_ties
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
     "win_row_number" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
            SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER

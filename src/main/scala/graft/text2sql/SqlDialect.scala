@@ -70,7 +70,7 @@ object SqlDialect {
     * rejects a word character on either side of the candidate name.
     */
   private val names = Seq(
-    "group_concat", "julianday", "datetime", "strftime",
+    "group_concat", "unixepoch", "julianday", "datetime", "strftime",
     "unicode", "printf", "total", "date", "time", "char", "iif",
     "cast", "min", "max")
 
@@ -226,6 +226,9 @@ object SqlDialect {
         // SQLite function returns a float → force DOUBLE
         applyModifiers(args).map(e =>
           s"(CAST(2440587.5 AS DOUBLE) + (unix_micros($e) / 1000000.0) / 86400.0)")
+      case "unixepoch" if args.nonEmpty =>
+        // SQLite ≥3.38: integer Unix seconds (floor)
+        applyModifiers(args).map(e => s"unix_timestamp($e)")
       case _ => None
     }
 

@@ -179,6 +179,14 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql(sql).head().getDouble(0) == 0.0)
   }
 
+  test("unixepoch maps to unix_timestamp with modifier support") {
+    eventsView()
+    val sql = SqlDialect.translate(
+      "SELECT unixepoch(ts, '+1 days') - unixepoch(ts) AS d FROM events LIMIT 1")
+    assert(!sql.toLowerCase.contains("unixepoch"))
+    assert(spark.sql(sql).head().getLong(0) == 86400L)
+  }
+
   test("julianday with modifiers shifts the Julian value") {
     eventsView()
     val sql = SqlDialect.translate(

@@ -179,6 +179,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * step a dedup pipeline runs after pair generation, so each
+    * duplicate CLUSTER keeps one representative (its min id), not just
+    * each pair. Iterative min-label propagation: every node repeatedly
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint — the same driver-orchestrated loop of distributed joins
+    * GraphX/GraphFrames connected-components runs; iterations are
+    * bounded by the graph diameter (near-dup clusters are shallow).
+    * Each round persists its labels and unpersists the previous round
+    * to keep lineage flat.
+    */
+  def components(pairs: DataFrame, nodes: DataFrame,
+                 maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
+      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.comp") =!= col("l.comp")).count()
+      labels.unpersist(false)
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** 64-bit SimHash per document from whitespace tokens: bit i of the
     * signature is the majority vote of token-hash bit i. One scan,
     * 64 sum aggregates, all codegen'd.

@@ -182,6 +182,25 @@ object QueriesExt {
         .orderBy("id1", "id2")
     }),
 
+    // duplicate CLUSTERS: near-dup pairs → connected components → each
+    // doc labeled with its cluster representative (min id). The step a
+    // real dedup pipeline runs after pair generation; oracle computes
+    // the same reachability with a recursive CTE over the exact-Jaccard
+    // pair graph.
+    "ext_dedup_clusters" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+          numHashes = 32, bands = 8, maxShingleDf = 300, maxBucket = 64)
+        .select("id1", "id2")
+      Dedup.components(pairs, corpus.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id", "comp")
+    }),
+
     // SimHash signatures + near-dup pairs (rows-only: xxhash64 has no
     // DuckDB equivalent; determinism covered by DedupSpec)
     "ext_dedup_simhash" -> ((s, d) => {
@@ -314,6 +333,32 @@ object QueriesExt {
          JOIN cnt cb ON cb.doc_id = id2
          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
          ORDER BY id1, id2""",
+    "ext_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' zzz' FROM documents WHERE doc_id % 4 = 0),
+         docs AS (SELECT doc_id, LOWER(text) AS t FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN cnt ca ON ca.doc_id = id1
+                   JOIN cnt cb ON cb.doc_id = id2
+                   WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         r(id, l) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.a, r.l FROM edges e JOIN r ON r.id = e.b)
+         SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS comp
+         FROM r GROUP BY id ORDER BY doc_id, comp""",
+
     "ext_sim_search" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, ROUND(

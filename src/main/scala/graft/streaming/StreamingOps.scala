@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming wiring for the engine's time-window operators.
   *
@@ -86,6 +87,55 @@ object StreamingOps {
           }
       }
       .toDF("user_id", "event_id")
+  }
+
+  /** Per-user running statistics on the arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor`, Spark 4) — the
+    * successor surface to flatMapGroupsWithState: typed per-key
+    * `ValueState` in the state store, TTL-bounded (state for idle keys
+    * expires after `ttl`), emitting the updated (count, sum, mean) per
+    * key per micro-batch.
+    */
+  class UserStatsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf =
+        if (timeMode == TimeMode.ProcessingTime()) new TTLConfig(ttl)
+        else TTLConfig.NONE // TTL requires processing-time mode
+      state = getHandle.getValueState[(Long, Double)](
+        "stats", Encoders.product[(Long, Double)], ttlConf)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[(Long, Long, Double, Double)] = {
+      var (n, s) = Option(state.get()).getOrElse((0L, 0.0))
+      rows.foreach { case (_, v) => n += 1; s += v }
+      state.update((n, s))
+      Iterator.single((key, n, s, s / n))
+    }
+  }
+
+  /** Running (count, sum, mean) of `value` per `user_id` via
+    * transformWithState; with `TimeMode.ProcessingTime` the per-user
+    * state TTLs out after `ttl` idle. Default is `TimeMode.None`
+    * (no TTL): processing-time mode keeps scheduling timer micro-batches,
+    * which never quiesces under `processAllAvailable()` in a test
+    * harness — production queries with real triggers are unaffected. */
+  def runningUserStats(events: DataFrame,
+                       ttl: java.time.Duration = java.time.Duration.ofHours(1),
+                       timeMode: TimeMode = TimeMode.None())
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor(ttl),
+        timeMode, OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value", "mean_value")
   }
 
   /** Session windows per key with a gap timeout. */

@@ -100,6 +100,19 @@ class DedupSpec extends SparkSpec {
     assert(plain == guarded)
   }
 
+  test("components propagates labels transitively along chains") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) plus
+    // an isolated node 9 and a separate pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("id1", "id2")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("id")
+    val comp = Dedup.components(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L), comp)
+    assert(comp(7L) == 7L && comp(8L) == 7L)
+    assert(comp(9L) == 9L)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
     val deduped = withDups.groupBy($"text")

@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStats accumulates typed state via transformWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // the arbitrary-state v2 API requires the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val q = StreamingOps.runningUserStats(events)
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      q.processAllAvailable()
+      input.addData((1L, 30.0))
+      q.processAllAvailable()
+      // update-mode sink: take each user's LAST emitted row
+      val last = spark.table("tws_test")
+        .as[(Long, Long, Double, Double)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 60.0, 20.0)))
+      assert(last(2L) == ((2L, 1L, 5.0, 5.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionCounts assigns gap-separated sessions in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

@@ -36,9 +36,11 @@ import scala.util.matching.Regex
   *  - `group_concat` output is sorted (SQLite's order is explicitly
   *    "arbitrary" — sorting makes the distributed result deterministic).
   *
-  * Double-quoted string literals (`WHERE survived="1"`, reference
-  * curriculum example :161) already parse as literals under Spark's
-  * default `spark.sql.ansi.doubleQuotedIdentifiers=false` — no rewrite.
+  * Double-quoted tokens are ambiguous in SQLite (identifier if it
+  * resolves, string literal otherwise — `WHERE survived="1"` is a
+  * literal, `SELECT "Product"` an identifier): [[resolveDoubleQuoted]]
+  * applies that exact rule against the ingestion's known identifiers;
+  * `Text2Sql.text2sql` wires it in after [[translate]].
   */
 object SqlDialect {
 
@@ -61,6 +63,50 @@ object SqlDialect {
     })
     out = randomRe.replaceAllIn(out, "rand()")
     out
+  }
+
+  /** SQLite resolves a double-quoted token as an IDENTIFIER when it
+    * names a known column/table and as a string literal otherwise (a
+    * documented SQLite "misfeature" models learned from its training
+    * data); Spark under the default
+    * `spark.sql.ansi.doubleQuotedIdentifiers=false` always parses
+    * `"x"` as a literal — so `SELECT "Product" FROM t` would silently
+    * return a CONSTANT. This rewrites double-quoted tokens to
+    * backticks exactly when they resolve (case-insensitively) against
+    * the caller's identifier set — the same resolution rule SQLite
+    * applies, with unresolved tokens left as literals.
+    */
+  def resolveDoubleQuoted(sql: String, identifiers: Set[String]): String = {
+    val known = identifiers.map(_.toLowerCase)
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          val e = endOfQuote(sql, i); out.append(sql, i, e); i = e
+        case '"' =>
+          var j = i + 1
+          val tok = new StringBuilder
+          var closed = -1
+          while (j < sql.length && closed < 0) {
+            if (sql.charAt(j) == '"') {
+              if (j + 1 < sql.length && sql.charAt(j + 1) == '"') {
+                tok.append('"'); j += 2
+              } else closed = j
+            } else { tok.append(sql.charAt(j)); j += 1 }
+          }
+          if (closed < 0) { out.append(sql, i, sql.length); i = sql.length }
+          else {
+            val t = tok.toString
+            if (known.contains(t.toLowerCase))
+              out.append('`').append(t.replace("`", "``")).append('`')
+            else out.append(sql, i, closed + 1)
+            i = closed + 1
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   // ---------------------------------------------------------------- lexer

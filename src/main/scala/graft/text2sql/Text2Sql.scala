@@ -85,7 +85,14 @@ object Text2Sql {
   def text2sql(question: String, ingestions: Seq[IngestResult],
                llm: LlmCallback): String = {
     val raw = llm(buildPrompt(question, ingestions))
-    val sql = SqlDialect.translate(extractSql(LlmCallback.truncateAtStop(raw)))
+    // double-quoted tokens resolve as identifiers iff they name an
+    // ingested column or table hash (SQLite's own resolution rule —
+    // Spark would otherwise read them as string LITERALS, silently)
+    val identifiers: Set[String] = ingestions
+      .flatMap(i => i.columnTypes.keys ++ Seq(i.hash) ++ Seq("table")).toSet
+    val sql = SqlDialect.resolveDoubleQuoted(
+      SqlDialect.translate(extractSql(LlmCallback.truncateAtStop(raw))),
+      identifiers)
     if (ingestions.size == 1) Text2SqlSubst.bindTable(sql, ingestions.head.hash)
     else sql
   }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.ops.Tables
 
 class SqlDialectSpec extends SparkSpec {
+  import spark.implicits._
 
   test("GLOB rewrites to an anchored RLIKE that executes in Spark") {
     val sql = SqlDialect.translate(
@@ -185,6 +186,23 @@ class SqlDialectSpec extends SparkSpec {
       "SELECT unixepoch(ts, '+1 days') - unixepoch(ts) AS d FROM events LIMIT 1")
     assert(!sql.toLowerCase.contains("unixepoch"))
     assert(spark.sql(sql).head().getLong(0) == 86400L)
+  }
+
+  test("double-quoted tokens resolve as identifiers only when known") {
+    val ids = Set("product_number", "abc123")
+    val sql = SqlDialect.resolveDoubleQuoted(
+      """SELECT "Product_number" FROM "abc123" WHERE flag = "1" AND note = "it''s"""",
+      ids)
+    assert(sql.contains("`Product_number`"))
+    assert(sql.contains("FROM `abc123`"))
+    assert(sql.contains("""flag = "1""""))   // unresolved → stays a literal
+    // executes with real column semantics, not a constant projection
+    Seq((7L, "x"), (8L, "y")).toDF("Product_number", "v")
+      .createOrReplaceTempView("abc123")
+    val vals = spark.sql(SqlDialect.resolveDoubleQuoted(
+        """SELECT "Product_number" AS p FROM abc123 ORDER BY p""", ids))
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(7L, 8L))
   }
 
   test("julianday with modifiers shifts the Julian value") {

@@ -142,6 +142,25 @@ object QueriesExt {
                        ELSE 'es' END""").as("pred_lang"))
         .orderBy("doc_id")),
 
+    // character-level Shannon entropy per document — the classic cheap
+    // quality/compressibility signal (gibberish and boilerplate score
+    // low). Entirely row-local higher-order expressions: one scan, no
+    // shuffle. The fold runs over SORTED distinct characters so the
+    // floating-point summation order is identical in both engines.
+    "ext_text_entropy" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 1)
+        .withColumn("cs",
+          expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+        .select(col("doc_id"),
+          round(expr(
+            """aggregate(
+                 transform(array_sort(array_distinct(cs)),
+                   c -> size(filter(cs, x -> x = c)) / CAST(size(cs) AS DOUBLE)),
+                 0D, (acc, p) -> acc - p * log2(p))"""), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // token counting: whitespace + BPE-ish estimate (chars/4)
     "ext_token_count" -> ((s, d) =>
       t("documents")(s, d).select(col("doc_id"),
@@ -428,6 +447,20 @@ object QueriesExt {
                 WHEN c_fr >= c_es THEN 'fr'
                 ELSE 'es' END AS pred_lang
          FROM c ORDER BY doc_id""",
+    "ext_text_entropy" ->
+      """WITH t0 AS (SELECT doc_id, LOWER(text) AS t FROM documents
+                     WHERE LENGTH(text) >= 1),
+         t1 AS (SELECT doc_id,
+                  list_transform(generate_series(1, LENGTH(t)),
+                                 i -> SUBSTR(t, i, 1)) AS cs
+                FROM t0)
+         SELECT doc_id, ROUND(-list_aggregate(
+             list_transform(
+               list_transform(list_sort(list_distinct(cs)),
+                 c -> len(list_filter(cs, x -> x = c)) / CAST(len(cs) AS DOUBLE)),
+               p -> p * log2(p)), 'sum'), 6) AS entropy
+         FROM t1 ORDER BY doc_id""",
+
     "ext_token_count" ->
       """SELECT doc_id,
            CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_ws_tokens,

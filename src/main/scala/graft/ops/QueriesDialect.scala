@@ -58,6 +58,29 @@ object QueriesDialect {
            total(l_quantity) AS tq
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // SQLite log() is base-10 (Spark's is natural) and trunc() is
+    // numeric (Spark's is date-only) — both silently wrong without
+    // translation; round() wraps the transcendentals for cross-engine
+    // parity and itself exercises nested-call rewriting
+    "fn_math_sqlite" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(log(l_quantity + 1), 6) AS lg,
+           round(log(2, l_quantity + 1), 6) AS lg2,
+           trunc(l_extendedprice) AS tr,
+           trunc(-l_extendedprice) AS trn
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, lg, tr LIMIT 2000""",
+
+    // JSON1 aggregates over unique-keyed per-group rows
+    "fn_json_agg" ->
+      """WITH per AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+                      FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag,
+           json_group_array(l_linestatus) AS statuses,
+           json_group_object(l_linestatus, cnt) AS status_counts
+         FROM per GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
   )
 
   val queries: Map[String, Q] = sqlite.map { case (k, q) =>
@@ -110,6 +133,31 @@ object QueriesDialect {
            STRING_AGG(l_linestatus, '|' ORDER BY l_linestatus) AS all_statuses,
            COALESCE(SUM(l_quantity), 0.0) AS tq
          FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "fn_math_sqlite" ->
+      """SELECT l_orderkey, l_linenumber,
+           ROUND(LOG10(l_quantity + 1), 6) AS lg,
+           ROUND(LN(l_quantity + 1) / LN(2), 6) AS lg2,
+           TRUNC(l_extendedprice) AS tr,
+           TRUNC(-l_extendedprice) AS trn
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, lg, tr LIMIT 2000""",
+
+    // DuckDB's json_group_* are macros (no ORDER BY) — the oracle
+    // renders the same compact JSON by hand in sorted order; keys are
+    // single plain letters, values BIGINT, so no escaping applies
+    "fn_json_agg" ->
+      """WITH per AS (SELECT l_returnflag, l_linestatus,
+                        CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag,
+           '[' || STRING_AGG('"' || l_linestatus || '"', ',' ORDER BY l_linestatus)
+               || ']' AS statuses,
+           '{' || STRING_AGG('"' || l_linestatus || '":' || cnt,
+                             ',' ORDER BY l_linestatus, cnt)
+               || '}' AS status_counts
+         FROM per GROUP BY l_returnflag
          ORDER BY l_returnflag""",
   )
 }

@@ -116,9 +116,10 @@ object SqlDialect {
     * rejects a word character on either side of the candidate name.
     */
   private val names = Seq(
-    "group_concat", "unixepoch", "julianday", "datetime", "strftime",
-    "unicode", "printf", "total", "date", "time", "char", "iif",
-    "cast", "min", "max")
+    "json_group_array", "json_group_object", "group_concat",
+    "unixepoch", "julianday", "datetime", "strftime",
+    "unicode", "printf", "total", "trunc", "date", "time", "char", "iif",
+    "cast", "min", "max", "log")
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -275,6 +276,22 @@ object SqlDialect {
       case "unixepoch" if args.nonEmpty =>
         // SQLite ≥3.38: integer Unix seconds (floor)
         applyModifiers(args).map(e => s"unix_timestamp($e)")
+      // SQLite log(X) is BASE-10; Spark's log(x) is natural — a silent
+      // numeric divergence without this rewrite. 2-arg log(B, X) agrees.
+      case "log" if args.length == 1 =>
+        Some(s"log10(${args.head})")
+      // numeric truncation toward zero (Spark's trunc is date-only)
+      case "trunc" if args.length == 1 =>
+        val x = args.head
+        Some(s"(CASE WHEN ($x) >= 0 THEN CAST(FLOOR($x) AS DOUBLE) " +
+          s"ELSE CAST(CEIL($x) AS DOUBLE) END)")
+      // JSON1 aggregates; sorted for distributed determinism (SQLite
+      // order is arbitrary), same policy as group_concat
+      case "json_group_array" if args.length == 1 =>
+        Some(s"to_json(array_sort(collect_list(${args.head})))")
+      case "json_group_object" if args.length == 2 =>
+        Some(s"to_json(map_from_entries(array_sort(collect_list(" +
+          s"struct(${args(0)}, ${args(1)})))))")
       case _ => None
     }
 

@@ -173,6 +173,28 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate(agg) == agg)
   }
 
+  test("log is base-10, trunc is numeric toward zero") {
+    val sql = SqlDialect.translate(
+      "SELECT log(100), log(2, 8), trunc(2.9), trunc(-2.9)")
+    val row = spark.sql(sql).head()
+    assert(math.abs(row.getDouble(0) - 2.0) < 1e-12) // SQLite log = log10
+    assert(math.abs(row.getDouble(1) - 3.0) < 1e-12) // 2-arg unchanged
+    assert(row.getDouble(2) == 2.0 && row.getDouble(3) == -2.0)
+    // Spark's own date trunc (2 args) passes through untouched
+    val dt = "SELECT trunc(d, 'MM') FROM t"
+    assert(SqlDialect.translate(dt) == dt)
+  }
+
+  test("json_group_array/object aggregate to sorted compact JSON") {
+    val sql = SqlDialect.translate(
+      """SELECT g, json_group_array(s) AS a, json_group_object(s, n) AS o
+         FROM VALUES ('g','y',2L),('g','x',1L) AS t(g, s, n)
+         GROUP BY g""")
+    val row = spark.sql(sql).head()
+    assert(row.getString(1) == """["x","y"]""")
+    assert(row.getString(2) == """{"x":1,"y":2}""")
+  }
+
   test("total() sums as DOUBLE with 0.0 on empty input") {
     val sql = SqlDialect.translate(
       "SELECT total(x) AS t FROM VALUES (1), (2) AS v(x) WHERE x > 10")

@@ -73,26 +73,37 @@ object Dedup {
     }
     val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-    // ONE shuffle: gather each bucket's member ids, emit the i<j pairs
-    // row-locally (vs the classic bucket self-join: two shuffled sides
-    // plus a separate size census). The bucket-size cap becomes a plain
-    // filter — the skew guard: a bucket with b docs yields b² pairs, so
-    // one boilerplate-heavy bucket would otherwise dominate the whole
-    // job. Capped buckets are dropped; their members still collide on
-    // their other, more selective bands.
-    val sizeOk =
-      if (maxBucket == Int.MaxValue) size(col("ids")) >= 2
-      else size(col("ids")) >= 2 && size(col("ids")) <= maxBucket
-    buckets.groupBy("bk")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(sizeOk)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       y -> named_struct('id1', x, 'id2', y))))"""))
-        .as("p"))
-      .select(col("p.id1"), col("p.id2"))
-      .distinct()
+    if (maxBucket == Int.MaxValue) {
+      // uncapped: stream the bucket self-join — collecting a bucket's
+      // ids into one aggregation row would buffer an UNBOUNDED hot
+      // bucket in a single task
+      buckets.as("a").join(buckets.as("b"),
+          col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+    } else {
+      // capped: ONE shuffle — gather each bucket's member ids and emit
+      // the i<j pairs row-locally, with the size cap as a plain filter.
+      // An over-cap bucket IS materialized before being dropped, but
+      // that buffer is linear (8 B per id) where the join output it
+      // prevents is quadratic; buckets big enough for linear to hurt
+      // mean a hot shingle upstream — dropHotShingles removes the
+      // cause. The skew
+      // guard: a bucket with b docs yields b² pairs, so one
+      // boilerplate-heavy bucket would otherwise dominate the whole
+      // job. Capped buckets are dropped; their members still collide
+      // on their other, more selective bands.
+      buckets.groupBy("bk")
+        .agg(array_sort(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids)),
+                         y -> named_struct('id1', x, 'id2', y))))"""))
+          .as("p"))
+        .select(col("p.id1"), col("p.id2"))
+        .distinct()
+    }
   }
 
   /** Exact Jaccard for a given pair set only (candidate verification):
@@ -162,6 +173,12 @@ object Dedup {
           .filter(col("df") > maxShingleDf)
           .orderBy(desc("df"), asc("s")).limit(10000)
           .select("s").collect().map(_.getString(0))
+        if (hot.length == 10000)
+          // no silent caps: the metadata bound was hit, so shingles
+          // beyond the 10000 most frequent stay un-dropped
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"minHashPairs: hot-shingle census hit its 10000-entry bound; " +
+              s"shingles with df > $maxShingleDf beyond the top 10000 remain in signatures")
         if (hot.isEmpty) sh
         else sets.select(col("id"),
           explode(array_except(col("sset"), lit(hot))).as("s"))
@@ -215,6 +232,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    if (changed > 0)
+      // visible failure beats silently split components
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter for graphs " +
+          "with diameter > maxIter")
     labels
   }
 

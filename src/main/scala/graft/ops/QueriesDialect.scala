@@ -30,6 +30,7 @@ object QueriesDialect {
            strftime('%j', ts) AS doy,
            strftime('%w', ts) AS dow,
            strftime('%s', ts) AS epoch_s,
+           unixepoch(ts) AS epoch_i,
            date(ts) AS d,
            date(ts, 'start of month') AS som,
            date(ts, '+7 days') AS plus7,
@@ -59,13 +60,15 @@ object QueriesDialect {
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
 
-    // SQLite log() is base-10 (Spark's is natural) and trunc() is
-    // numeric (Spark's is date-only) — both silently wrong without
-    // translation; round() wraps the transcendentals for cross-engine
-    // parity and itself exercises nested-call rewriting
+    // SQLite trunc() is numeric where Spark's trunc() is date-only —
+    // silently invalid without translation. log10/2-arg log are valid
+    // in BOTH dialects and pass through; ambiguous 1-arg log (SQLite
+    // base-10 vs Spark natural) is deliberately NOT rewritten — see
+    // SqlDialect. round() wraps the transcendentals for cross-engine
+    // parity and itself exercises nested-call rewriting.
     "fn_math_sqlite" ->
       """SELECT l_orderkey, l_linenumber,
-           round(log(l_quantity + 1), 6) AS lg,
+           round(log10(l_quantity + 1), 6) AS lg,
            round(log(2, l_quantity + 1), 6) AS lg2,
            trunc(l_extendedprice) AS tr,
            trunc(-l_extendedprice) AS trn
@@ -104,6 +107,7 @@ object QueriesDialect {
            strftime(ts, '%j') AS doy,
            CAST(dayofweek(ts) AS VARCHAR) AS dow,
            CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch_s,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_i,
            strftime(ts, '%Y-%m-%d') AS d,
            strftime(date_trunc('month', ts), '%Y-%m-%d') AS som,
            strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,

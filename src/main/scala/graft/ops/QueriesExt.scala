@@ -454,7 +454,7 @@ object QueriesExt {
                   list_transform(generate_series(1, LENGTH(t)),
                                  i -> SUBSTR(t, i, 1)) AS cs
                 FROM t0)
-         SELECT doc_id, ROUND(-list_aggregate(
+         SELECT doc_id, ROUND(0.0 - list_aggregate(
              list_transform(
                list_transform(list_sort(list_distinct(cs)),
                  c -> len(list_filter(cs, x -> x = c)) / CAST(len(cs) AS DOUBLE)),

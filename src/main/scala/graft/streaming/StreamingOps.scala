@@ -55,7 +55,8 @@ object StreamingOps {
                      retentionMs: Long = 30L * 60 * 1000): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+    val isStreaming = events.isStreaming
+    val src = if (isStreaming) events.withWatermark("ts", watermark)
               else events
     // ts must pass through UNTOUCHED: casting it would mint a new
     // column without the watermark tag and fail the event-time-timeout
@@ -80,9 +81,12 @@ object StreamingOps {
               seen.add(eid)
             }.toVector
             state.update(seen.toArray)
-            // must stay above the current watermark or Spark rejects it
-            state.setTimeoutTimestamp(
-              math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            // batch execution has no watermark: getCurrentWatermarkMs
+            // throws there, and timeouts never fire anyway
+            if (isStreaming)
+              // must stay above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
             out.iterator.map { case (u, e, _) => (u, e) }
           }
       }

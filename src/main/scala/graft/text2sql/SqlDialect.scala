@@ -119,31 +119,36 @@ object SqlDialect {
     "json_group_array", "json_group_object", "group_concat",
     "unixepoch", "julianday", "datetime", "strftime",
     "unicode", "printf", "total", "trunc", "date", "time", "char", "iif",
-    "cast", "min", "max", "log")
+    "cast", "min", "max")
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
   /** Index just past the closing quote of the literal starting at
     * `start` (which must be a `'`), honoring `''` escapes. */
-  private def endOfQuote(sql: String, start: Int): Int = {
+  private def endOfQuote(sql: String, start: Int): Int =
+    endOfQuoted(sql, start, '\'')
+
+  /** Same for an arbitrary quote char (`'` or `"`), honoring doubling. */
+  private def endOfQuoted(sql: String, start: Int, q: Char): Int = {
     var i = start + 1
     while (i < sql.length) {
-      if (sql.charAt(i) == '\'') {
-        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+      if (sql.charAt(i) == q) {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == q) i += 2
         else return i + 1
       } else i += 1
     }
     sql.length
   }
 
-  /** Index of the `)` balancing the `(` at `open`, quote-aware; -1 if
-    * unbalanced. */
+  /** Index of the `)` balancing the `(` at `open`, quote-aware (both
+    * `'…'` and `"…"` are opaque); -1 if unbalanced. */
   private def closeParen(sql: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < sql.length) {
       sql.charAt(i) match {
-        case '\'' => i = endOfQuote(sql, i) - 1
+        case '\'' => i = endOfQuoted(sql, i, '\'') - 1
+        case '"'  => i = endOfQuoted(sql, i, '"') - 1
         case '('  => depth += 1
         case ')'  => depth -= 1; if (depth == 0) return i
         case _    =>
@@ -162,7 +167,8 @@ object SqlDialect {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '\'' => i = endOfQuote(s, i) - 1
+        case '\'' => i = endOfQuoted(s, i, '\'') - 1
+        case '"'  => i = endOfQuoted(s, i, '"') - 1
         case '('  => depth += 1
         case ')'  => depth -= 1
         case ',' if depth == 0 =>
@@ -214,15 +220,21 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') {
-        val end = endOfQuote(sql, i)
+      if (c == '\'' || c == '"') {
+        // both quote styles are opaque here: double-quoted tokens are
+        // resolved later by resolveDoubleQuoted, never call-rewritten
+        val end = endOfQuoted(sql, i, c)
         out.append(sql, i, end)
         i = end
       } else {
         matchCall(sql, i) match {
           case Some((name, open, close)) =>
-            val args = splitArgs(sql.substring(open + 1, close))
-              .map(a => rewriteCalls(a.trim))
+            val argRegion = sql.substring(open + 1, close)
+            // a blank arg list is zero args (SQLite date() = date('now')),
+            // not one empty-string arg
+            val args =
+              if (argRegion.trim.isEmpty) Seq.empty[String]
+              else splitArgs(argRegion).map(a => rewriteCalls(a.trim))
             build(name, args) match {
               case Some(repl) => out.append(repl); i = close + 1
               case None       => out.append(sql, i, open + 1); i = open + 1
@@ -249,7 +261,7 @@ object SqlDialect {
         Some(if (args.length == 1) s"chr(${args.head})"
              else args.map(a => s"chr($a)").mkString("concat(", ", ", ")"))
       case "group_concat" => buildGroupConcat(args)
-      case "strftime" if args.length >= 2 => buildStrftime(args)
+      case "strftime" if args.nonEmpty => buildStrftime(args)
       // SQLite total(): like sum() but DOUBLE and 0.0 (not NULL) on
       // empty/all-NULL input
       case "total" if args.length == 1 =>
@@ -262,24 +274,25 @@ object SqlDialect {
         Some(buildScalarMinMax("least", args))
       case "max" if args.length >= 2 =>
         Some(buildScalarMinMax("greatest", args))
-      case "date" if args.nonEmpty =>
+      case "date" =>
         applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd')")
-      case "time" if args.nonEmpty =>
+      case "time" =>
         applyModifiers(args).map(e => s"date_format($e, 'HH:mm:ss')")
-      case "datetime" if args.nonEmpty =>
+      case "datetime" =>
         applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd HH:mm:ss')")
-      case "julianday" if args.nonEmpty =>
+      case "julianday" =>
         // decimal literal would make the whole expression DECIMAL; the
         // SQLite function returns a float → force DOUBLE
         applyModifiers(args).map(e =>
           s"(CAST(2440587.5 AS DOUBLE) + (unix_micros($e) / 1000000.0) / 86400.0)")
-      case "unixepoch" if args.nonEmpty =>
+      case "unixepoch" =>
         // SQLite ≥3.38: integer Unix seconds (floor)
         applyModifiers(args).map(e => s"unix_timestamp($e)")
-      // SQLite log(X) is BASE-10; Spark's log(x) is natural — a silent
-      // numeric divergence without this rewrite. 2-arg log(B, X) agrees.
-      case "log" if args.length == 1 =>
-        Some(s"log10(${args.head})")
+      // NOT translated, deliberately: `log(x)` is VALID Spark SQL with
+      // a different meaning (natural log; SQLite's is base-10). The
+      // translator only rewrites tokens that cannot be Spark SQL —
+      // flipping an ambiguous one would corrupt Spark-compliant model
+      // output. A model wanting base-10 emits log10(), valid in both.
       // numeric truncation toward zero (Spark's trunc is date-only)
       case "trunc" if args.length == 1 =>
         val x = args.head
@@ -399,14 +412,17 @@ object SqlDialect {
   private val startOfRe = """^start\s+of\s+(day|month|year)$""".r
 
   /** Fold `(timeval, modifier…)` into one Spark timestamp expression.
-    * All modifiers must be string literals (as SQLite requires). */
+    * No args / `'now'` = the current instant (SQLite `date()` ≡
+    * `date('now')`). All modifiers must be string literals (as SQLite
+    * requires). */
   private def applyModifiers(args: Seq[String]): Option[String] = {
-    val base = args.head.trim
-    var e =
-      if (isStringLit(base) && unquote(base).equalsIgnoreCase("now"))
+    var e = args.headOption.map(_.trim) match {
+      case None => "current_timestamp()"
+      case Some(b) if isStringLit(b) && unquote(b).equalsIgnoreCase("now") =>
         "current_timestamp()"
-      else s"CAST($base AS TIMESTAMP)"
-    val it = args.tail.iterator
+      case Some(b) => s"CAST($b AS TIMESTAMP)"
+    }
+    val it = args.drop(1).iterator
     while (it.hasNext) {
       val m = it.next()
       if (!isStringLit(m)) return None

@@ -19,6 +19,7 @@ class MinHashPerfProbe extends SparkSpec {
   }
 
   test("phase timings") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

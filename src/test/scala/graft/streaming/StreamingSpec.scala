@@ -69,6 +69,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup also runs on a batch DataFrame (no watermark)") {
+    val batch = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 100L, ts("2024-01-01 00:01:00")),
+      (1L, 101L, ts("2024-01-01 00:02:00")))
+      .toDF("user_id", "event_id", "ts")
+    val rows = StreamingOps.streamingDedup(batch)
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 100L), (1L, 101L)))
+  }
+
   test("streamingDedup state is evicted once the watermark passes retention") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Timestamp)]

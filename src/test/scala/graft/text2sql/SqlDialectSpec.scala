@@ -173,16 +173,28 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate(agg) == agg)
   }
 
-  test("log is base-10, trunc is numeric toward zero") {
-    val sql = SqlDialect.translate(
-      "SELECT log(100), log(2, 8), trunc(2.9), trunc(-2.9)")
+  test("numeric trunc translates; ambiguous log passes through") {
+    val sql = SqlDialect.translate("SELECT trunc(2.9), trunc(-2.9)")
     val row = spark.sql(sql).head()
-    assert(math.abs(row.getDouble(0) - 2.0) < 1e-12) // SQLite log = log10
-    assert(math.abs(row.getDouble(1) - 3.0) < 1e-12) // 2-arg unchanged
-    assert(row.getDouble(2) == 2.0 && row.getDouble(3) == -2.0)
+    assert(row.getDouble(0) == 2.0 && row.getDouble(1) == -2.0)
     // Spark's own date trunc (2 args) passes through untouched
     val dt = "SELECT trunc(d, 'MM') FROM t"
     assert(SqlDialect.translate(dt) == dt)
+    // log(x) is valid Spark SQL (natural log) — ambiguous tokens are
+    // never rewritten, so it stays verbatim
+    val lg = "SELECT log(x), log(2, x) FROM t"
+    assert(SqlDialect.translate(lg) == lg)
+  }
+
+  test("zero-argument date functions mean 'now'; quoted text is opaque") {
+    val sql = SqlDialect.translate("SELECT date() AS today, unixepoch() AS now_s")
+    assert(sql.contains("current_timestamp()"))
+    val row = spark.sql(sql).head()
+    assert(row.getString(0).matches("""\d{4}-\d{2}-\d{2}"""))
+    assert(row.getLong(1) > 1500000000L)
+    // function-looking text inside double quotes is never rewritten
+    val dq = """SELECT x FROM t WHERE msg = "iif(1,2,3)" AND n = "O'Brien""""
+    assert(SqlDialect.translate(dq) == dq)
   }
 
   test("json_group_array/object aggregate to sorted compact JSON") {

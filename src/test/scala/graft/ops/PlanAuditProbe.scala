@@ -9,6 +9,19 @@ class PlanAuditProbe extends SparkSpec {
   private def plan(k: String): String =
     graft.SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("q5 shape broadcasts every dimension; only the fact join shuffles") {
+    val p = plan("q_shape_q5")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val shj = "ShuffledHashJoin".r.findAllIn(p).size
+    // customer, supplier, nation, region always broadcast; the
+    // lineitem⋈orders fact join may also broadcast at tiny SF (orders
+    // fits the threshold) but must never be a nested-loop/cartesian
+    assert(bhj >= 4, s"$bhj broadcast joins\n${p.take(1500)}")
+    assert(smj + shj <= 1, s"${smj + shj} shuffled joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("window rewrites share ONE partition exchange and prune columns") {
     for (k <- Seq("win_groups_frame", "win_exclude")) {
       val p = plan(k)

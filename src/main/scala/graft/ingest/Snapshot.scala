@@ -54,18 +54,27 @@ object Snapshot {
 
   /** Distinct values for enum-typed columns (reference :283-287), all
     * columns in one aggregate. NULL renders as "NaN" first (the slot
-    * ascending NULLS FIRST ordering put it in before).
+    * ascending NULLS FIRST ordering put it in before). Ordering is by
+    * the NATIVE column value, not its string rendering — a numeric
+    * enum column lists 2 before 10, matching what sorted native values
+    * (and any cached prompt built from them) look like; the struct is
+    * sorted on its leading native field, then projected to strings.
     */
   def distinctValues(df: DataFrame, cols: Seq[String]): collection.Map[String, Seq[String]] = {
     val result = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     if (cols.isEmpty) return result
+    // the when() guard turns NULL column values into NULL elements,
+    // which collect_set drops — NULL presence is carried by the n_
+    // flag alone, exactly as the string formulation behaved
     val aggs = cols.flatMap(c => Seq(
-      array_sort(collect_set(col(c).cast("string"))).as(s"v_$c"),
+      array_sort(collect_set(when(col(c).isNotNull, struct(
+        col(c).as("nv"), col(c).cast("string").as("sv"))))).as(s"v_$c"),
       max(col(c).isNull.cast("int")).as(s"n_$c")))
     val row = df.agg(aggs.head, aggs.drop(1): _*).head()
     cols.zipWithIndex.foreach { case (c, i) =>
       val vals: Seq[String] =
-        if (row.isNullAt(2 * i)) Seq.empty else row.getSeq[String](2 * i)
+        if (row.isNullAt(2 * i)) Seq.empty
+        else row.getSeq[Row](2 * i).map(_.getString(1))
       val hasNull = !row.isNullAt(2 * i + 1) && row.getInt(2 * i + 1) == 1
       result += c.toLowerCase -> ((if (hasNull) Seq("NaN") else Nil) ++ vals)
     }

@@ -73,6 +73,27 @@ object Dedup {
     }
     val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    bucketPairs(buckets, maxBucket)
+  }
+
+  /** Candidate (id1, id2) pairs from a (id, bk) bucket table — the
+    * shared pair generator for every LSH-banding family (MinHash,
+    * SimHash, sign-LSH embeddings). Uncapped: streaming bucket
+    * self-join. Capped: ONE shuffle — gather each bucket's member ids
+    * and emit the i<j pairs row-locally, with the size cap as a plain
+    * filter. An over-cap bucket IS materialized before being dropped,
+    * but that buffer is linear (8 B per id) where the join output it
+    * prevents is quadratic. The skew guard: a bucket with b docs
+    * yields b² pairs, so one boilerplate-heavy bucket (identical
+    * content ⇒ identical signature ⇒ the whole duplicate cluster in
+    * ONE bucket in EVERY band — web corpora have million-copy
+    * clusters) would otherwise dominate the whole job. Capped buckets
+    * are dropped; members of partially-similar buckets still collide
+    * on their other, more selective bands, and IDENTICAL-content
+    * clusters are the province of exact dedup, which a pipeline runs
+    * FIRST precisely so near-dup banding never sees them.
+    */
+  def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) {
       // uncapped: stream the bucket self-join — collecting a bucket's
       // ids into one aggregation row would buffer an UNBOUNDED hot
@@ -82,17 +103,6 @@ object Dedup {
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .distinct()
     } else {
-      // capped: ONE shuffle — gather each bucket's member ids and emit
-      // the i<j pairs row-locally, with the size cap as a plain filter.
-      // An over-cap bucket IS materialized before being dropped, but
-      // that buffer is linear (8 B per id) where the join output it
-      // prevents is quadratic; buckets big enough for linear to hurt
-      // mean a hot shingle upstream — dropHotShingles removes the
-      // cause. The skew
-      // guard: a bucket with b docs yields b² pairs, so one
-      // boilerplate-heavy bucket would otherwise dominate the whole
-      // job. Capped buckets are dropped; their members still collide
-      // on their other, more selective bands.
       buckets.groupBy("bk")
         .agg(array_sort(collect_list(col("id"))).as("ids"))
         .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
@@ -104,7 +114,6 @@ object Dedup {
         .select(col("p.id1"), col("p.id2"))
         .distinct()
     }
-  }
 
   /** Exact Jaccard for a given pair set only (candidate verification):
     * per-doc shingle sets as arrays, one join per side, intersection
@@ -165,12 +174,33 @@ object Dedup {
     val sh = sets.select(col("id"), explode(col("sset")).as("s"))
     // hot shingles are FEW by construction (df above a high cap):
     // collect them as bounded index metadata (like ANN centroids) and
-    // subtract row-locally — one census pass, no per-row join stage
+    // subtract row-locally — one census pass, no per-row join stage.
+    // The census runs on a DETERMINISTIC 1-in-5 document sample
+    // (hash-of-id, not sample() — stable across partitionings): the df
+    // threshold is an approximate skew guard, not a semantic filter,
+    // and binomial concentration puts a hot shingle's sample-df above
+    // the scaled threshold with overwhelming probability, while rare
+    // shingles (the near-dup signal, df ≪ cap) can never cross it.
+    // Verification below is exact on full sets regardless. Sampling is
+    // only used when the scaled threshold stays ≥ 5 (below that,
+    // binomial noise could drop the rare shingles that ARE the
+    // signal — small caps census exactly, which is cheap at the
+    // corpus sizes where small caps make sense). Measured: the full
+    // census was the entire r2 bench regression (+1.6 s at sf0.1);
+    // the sampled census shuffles 1/5 the rows.
     val sigInput =
       if (maxShingleDf == Int.MaxValue) sh
       else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf)
+        val censusRate = 5
+        val sampled = maxShingleDf >= 5 * censusRate
+        val censusSrc =
+          if (sampled) sets.filter(pmod(xxhash64(col("id")), lit(censusRate)) === 0)
+          else sets
+        val thresh = if (sampled) maxShingleDf / censusRate else maxShingleDf
+        val hot = censusSrc
+          .select(explode(col("sset")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > thresh)
           .orderBy(desc("df"), asc("s")).limit(10000)
           .select("s").collect().map(_.getString(0))
         if (hot.length == 10000)
@@ -199,34 +229,62 @@ object Dedup {
   /** Connected components over a near-dup pair graph — the clustering
     * step a dedup pipeline runs after pair generation, so each
     * duplicate CLUSTER keeps one representative (its min id), not just
-    * each pair. Iterative min-label propagation: every node repeatedly
-    * adopts the smallest label among itself and its neighbors until
-    * fixpoint — the same driver-orchestrated loop of distributed joins
-    * GraphX/GraphFrames connected-components runs; iterations are
-    * bounded by the graph diameter (near-dup clusters are shallow).
-    * Each round persists its labels and unpersists the previous round
-    * to keep lineage flat.
+    * each pair. Each round does min-label propagation (every node
+    * adopts the smallest label among itself and its neighbors — the
+    * same driver-orchestrated loop of distributed joins
+    * GraphX/GraphFrames connected-components runs) PLUS a
+    * pointer-doubling shortcut (every node also adopts its LABEL's
+    * label — labels are node ids, so this is a self-join on the label
+    * table). The shortcut halves each node's distance-to-representative
+    * per round, so convergence is O(log diameter) rounds instead of
+    * O(diameter): a 1000-long near-dup chain converges in ~12 rounds,
+    * not 1000, and the per-round driver `count()` action is paid
+    * log-many times. Each round persists its labels and unpersists the
+    * previous round to keep lineage flat.
     */
   def components(pairs: DataFrame, nodes: DataFrame,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20): DataFrame =
+    componentsWithIters(pairs, nodes, maxIter)._1
+
+  /** [[components]] plus the number of rounds it took — exposed so the
+    * convergence-rate claim is spec-assertable, not folklore. */
+  private[graft] def componentsWithIters(pairs: DataFrame, nodes: DataFrame,
+                                         maxIter: Int): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var labels = nodes.select(col("id"), col("id").as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
-      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
+      val propagated = labels.join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
+      // pointer doubling: comp := comp(comp). Labels are always node
+      // ids (mins over ids), so the self-join on the label table is
+      // total; "left" keeps isolated nodes. Monotone (least), so the
+      // fixpoint test below is unaffected. The self-join references
+      // `propagated` TWICE, so without lineage truncation the logical
+      // plan would DOUBLE every round — localCheckpoint materializes
+      // the round's labels and cuts the plan back to a leaf (the same
+      // reason GraphFrames checkpoints its CC iterations).
+      val byId = propagated
+        .select(col("id").as("pid"), col("comp").as("pcomp"))
+      val updated = propagated.as("u")
+        .join(byId.as("v"), col("u.comp") === col("v.pid"), "left")
+        .select(col("u.id").as("id"),
+          least(col("u.comp"), coalesce(col("v.pcomp"), col("u.comp"))).as("comp"))
+        .localCheckpoint(true)
       changed = updated.as("u")
         .join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.comp") =!= col("l.comp")).count()
+      propagated.unpersist(false)
       labels.unpersist(false)
       labels = updated
       iter += 1
@@ -236,9 +294,10 @@ object Dedup {
       // visible failure beats silently split components
       throw new IllegalStateException(
         s"components() did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — raise maxIter for graphs " +
-          "with diameter > maxIter")
-    labels
+          s"($changed labels still changing) — with pointer doubling " +
+          s"that covers graphs of diameter ~2^$maxIter; raise maxIter " +
+          "only for adversarially deep graphs")
+    (labels, iter)
   }
 
   /** 64-bit SimHash per document from whitespace tokens: bit i of the
@@ -263,19 +322,26 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxDist.
     * Banding: split the 64-bit signature into 4 16-bit keys — any pair
     * within Hamming distance 3 shares at least one key (pigeonhole),
-    * so the join is bucketed, never all-pairs.
+    * so the join is bucketed, never all-pairs. Band buckets above
+    * `maxBucket` are dropped by the shared [[bucketPairs]] guard:
+    * identical content has identical SimHash in EVERY band, so a
+    * b-copy boilerplate cluster would otherwise emit 4·b² candidate
+    * pairs — run exact dedup first; that is where identical clusters
+    * belong.
     */
-  def simHashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashPairs(sigs: DataFrame, maxDist: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
-    val banded = sigs.select(col("id"), col("simhash"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           expr(s"(simhash >> ${b * 16}) & 65535").as("key"))): _*)).as("bk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
-      .distinct()
+    bucketPairs(banded, maxBucket)
+      .join(sigs.select(col("id"), col("simhash").as("h1")), col("id1") === col("id"))
+      .drop("id")
+      .join(sigs.select(col("id"), col("simhash").as("h2")), col("id2") === col("id"))
+      .drop("id")
+      .select(col("id1"), col("id2"), expr("bit_count(h1 ^ h2)").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }

@@ -8,14 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The decode step is a STUB (no image/audio codecs in this
-  * environment): `fakeDecodeFeatures` derives a deterministic feature
-  * vector from the raw bytes. Everything around it — the schema
-  * contract, the per-partition batch processing, the partitioning
-  * behavior — is the real Spark plumbing a production decode UDF
-  * would drop into (swap `fakeFeatures` for an actual codec call;
-  * at 100 TB this is exactly the mapPartitions shape that amortizes
-  * model/codec initialization per partition, not per row).
+  * IMAGE decode is REAL: the JDK ships PNG/BMP/JPEG codecs in
+  * `javax.imageio`, so [[encodePng]]/[[decodeImageStats]] round-trip
+  * actual pixels through an actual codec inside the `mapPartitions`
+  * stage a production pipeline uses (codec/model handles initialized
+  * once per partition, not per row). Audio/video decode would drop
+  * into the same shape; [[fakeFeatures]] remains only as the
+  * byte-stripe stand-in for codecs the JDK does not ship.
   */
 object Multimodal {
 
@@ -57,6 +56,99 @@ object Multimodal {
         (s.toDouble / (until - from) / 255.0).toFloat
       }
     }.toArray
+  }
+
+  /** Render a byte payload as a tiny RGB image: pixel (x,y) takes its
+    * R/G/B from consecutive payload bytes, cycling. Deterministic by
+    * construction — the pixel content of the PNG depends only on the
+    * input bytes.
+    */
+  private[ops] def synthPixels(bytes: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = math.max(bytes.length, 1)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        def b(i: Int) = if (bytes.isEmpty) 0 else bytes(i % n) & 0xff
+        img.setRGB(x, y, (b(p) << 16) | (b(p + 1) << 8) | b(p + 2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real PNG encode via the JDK's built-in ImageIO codec. */
+  private[ops] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table of real PNG images synthesized from a text corpus:
+    * (media_id, bin = PNG bytes, meta). The encode runs distributed in
+    * `mapPartitions`; every downstream consumer sees genuine
+    * codec-encoded binary payloads.
+    */
+  def asPngMedia(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val png = encodePng(synthPixels(text.getBytes("UTF-8"), w, h))
+          (id, png, "image/png", png.length)
+        }
+      }
+      .toDF("media_id", "bin", "media_type", "n_bytes")
+  }
+
+  /** REAL image decode + feature extraction: `javax.imageio` parses
+    * the PNG/BMP/JPEG payload back to pixels and the stage emits
+    * (media_id, width, height, channels, mean_r, mean_g, mean_b,
+    * n_bytes, decoded). Payloads ImageIO cannot parse yield
+    * `decoded = false` with zeroed stats — a visible flag, not a
+    * dropped row. mapPartitions, same shape as [[decodeFeatures]]:
+    * at 100 TB the codec warm-up is per-partition, the pixel work is
+    * row-local, no shuffle anywhere.
+    */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            (id, 0, 0, 0, 0.0, 0.0, 0.0, bytes.length, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toDouble
+            (id, w, h, img.getRaster.getNumBands,
+              sr / n, sg / n, sb / n, bytes.length, true)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "n_bytes", "decoded")
   }
 
   /** Decode + feature-extract stage: mapPartitions so a real codec /

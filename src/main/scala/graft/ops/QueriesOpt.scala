@@ -67,6 +67,28 @@ object QueriesOpt {
         .orderBy(asc_nulls_first("rf_label"))
     }),
 
+    // AQE skew-join: the same 3-value hot-key join as opt_salted_join,
+    // UNSALTED — handling skew is delegated to the engine-native
+    // mechanism (spark.sql.adaptive.skewJoin splits oversized shuffle
+    // partitions at mapper granularity and replicates the matching
+    // build partitions). The initial repartition(16) simulates the
+    // many-mapper input a real corpus always has — AQE can only split
+    // a reduce partition along map-output boundaries, and one tiny
+    // parquet file yields a single map task. Result is oracle-proven
+    // identical to the plain aggregation; the skew split itself
+    // (skew=true in the final adaptive plan) is asserted in
+    // AqeSkewProbe under forced-SMJ thresholds.
+    "opt_skew_aqe_join" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem").repartition(16)
+      val dim = Tables.t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("rf_label", concat(lit("flag_"), col("rf")))
+      li.join(dim, li("l_returnflag") <=> dim("rf"))
+        .groupBy("rf_label")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("rf_label"))
+    }),
+
     // Salted two-phase aggregation: pre-aggregate on (key, salt) to
     // spread a hot key across partitions, then combine per key.
     // Identical result to the direct groupBy; the oracle proves it.
@@ -90,6 +112,11 @@ object QueriesOpt {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY o_orderstatus""",
     "opt_salted_join" ->
+      """SELECT 'flag_' || l_returnflag AS rf_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY rf_label ASC NULLS FIRST""",
+    "opt_skew_aqe_join" ->
       """SELECT 'flag_' || l_returnflag AS rf_label,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty

@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Composite analytical queries in the classic TPC-H shapes — the
   * multi-join + aggregate + top-k plans an LLM actually generates for
   * business questions, exercised end-to-end rather than one operator
-  * at a time. Plan hygiene at 100 TB: dimensions (`region`, `nation`,
-  * `supplier`, `customer` relative to the fact) broadcast; the fact
-  * table is scanned once with pushed date filters; aggregation is
-  * partial+final on the group keys; top-k is TakeOrderedAndProject.
+  * at a time. Plan hygiene at 100 TB: only the FIXED-cardinality
+  * dimensions (`region` 5 rows, `nation` 25 rows) carry an explicit
+  * `broadcast()` hint; `customer`/`supplier` grow with SF (tens of GB
+  * at the 100 TB design point, past the 8 GB broadcast hard limit),
+  * so their join strategy is left to the optimizer + AQE, which
+  * broadcasts them at small SF and falls back to a shuffled join at
+  * scale. The fact table is scanned once with pushed date filters;
+  * aggregation is partial+final on the group keys; top-k is
+  * TakeOrderedAndProject.
   */
 object QueriesTpch {
   type Q = (SparkSession, String) => DataFrame
@@ -23,7 +28,7 @@ object QueriesTpch {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t("lineitem")(s, d)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -45,8 +50,8 @@ object QueriesTpch {
       val nat = t("nation")(s, d)
       val reg = t("region")(s, d).filter(col("r_name") === "ASIA")
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
           cust("c_nationkey") === supp("s_nationkey"))
         .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -64,7 +69,7 @@ object QueriesTpch {
       val cust = t("customer")(s, d)
       val nat = t("nation")(s, d)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -163,9 +163,18 @@ object Similarity {
     */
   final case class LshIndex(path: String, planes: Seq[Seq[Float]], nBits: Int)
 
+  /** An LSH partition layout wants FEW buckets (each is a filesystem
+    * partition, and [[lshProbe]] enumerates the 2^nBits key space
+    * driver-side to find the Hamming ball) — 20 bits = 1M keys is the
+    * sane ceiling; beyond that the layout is wrong before the probe
+    * even starts. */
+  private val maxLshIndexBits = 20
+
   def buildLshIndex(emb: DataFrame, idCol: String, embCol: String,
                     path: String, dim: Int, nBits: Int = 8,
                     seed: Long = 42L): LshIndex = {
+    require(nBits >= 1 && nBits <= maxLshIndexBits,
+      s"nBits must be in [1, $maxLshIndexBits] for a partitioned LSH index, got $nBits")
     val planes = hyperplanes(dim, nBits, seed)
     emb.withColumn("cell", lshKey(col(embCol), planes))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -175,6 +184,8 @@ object Similarity {
   def lshProbe(spark: org.apache.spark.sql.SparkSession, index: LshIndex,
                idCol: String, embCol: String,
                q: Seq[Float], k: Int, probes: Int = 1): DataFrame = {
+    require(index.nBits >= 1 && index.nBits <= maxLshIndexBits,
+      s"index nBits ${index.nBits} outside [1, $maxLshIndexBits] — rebuild with buildLshIndex")
     val qKey: Long = index.planes.zipWithIndex.map { case (p, i) =>
       val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (dot >= 0) 1L << i else 0L
@@ -223,10 +234,20 @@ object Similarity {
     * per-band match probability is (1-θ/π)^r ≈ 0.857⁴ ≈ 0.54, so 16
     * bands give 1-(1-0.54)¹⁶ ≈ 1-10⁻⁵ — and the exact verification
     * keeps precision at 1 regardless.
+    *
+    * Skew guard: band buckets above `maxBucket` are dropped by the
+    * shared [[Dedup.bucketPairs]] capped generator — identical
+    * vectors share EVERY band bucket, so a b-copy duplicate cluster
+    * (web corpora: b can be 10⁶) would otherwise emit bands·b²
+    * candidate pairs from one task. Run exact dedup first (identical
+    * bytes ⇒ hash-groupBy) so banding only ever sees near-dups;
+    * the cap then bounds the residual worst case. Default 4096 ≫ any
+    * honest bucket for the default 4-bit band keys at survey scale.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       dim: Int, threshold: Double, nBits: Int = 64,
-                      bands: Int = 16, seed: Long = 42L): DataFrame = {
+                      bands: Int = 16, seed: Long = 42L,
+                      maxBucket: Int = 4096): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val r = nBits / bands
     val planes = hyperplanes(dim, nBits, seed)
@@ -243,10 +264,8 @@ object Similarity {
     }
     val buckets = emb.select(col(idCol).as("id"),
       explode(array(bandCols: _*)).as("bk"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("v1"), col("b.id").as("v2"))
-      .distinct()
+    val cand = Dedup.bucketPairs(buckets, maxBucket)
+      .select(col("id1").as("v1"), col("id2").as("v2"))
     // verification re-joins embeddings by id — candidates carry only
     // ids through the band join, so the wide vectors are never
     // replicated `bands` times through the shuffle

@@ -1,7 +1,5 @@
 package graft.text2sql
 
-import scala.util.matching.Regex
-
 /** SQLite → Spark SQL dialect translation for generated SQL.
   *
   * The reference instructs its model to emit "SQL compliant to SQLite"
@@ -20,7 +18,13 @@ import scala.util.matching.Regex
   *  - `unicode(x)` / `char(n…)`   → `ascii(x)` / `chr`-concat
   *  - `printf(...)`               → `format_string(...)`
   *  - `x GLOB 'pat'`              → `x RLIKE '<anchored regex>'`
-  *  - `random()`                  → `rand()` (seeded variants left alone)
+  *  - `random()`                  → `rand()`
+  *  - `a LIKE b`                  → `a ILIKE b` (SQLite LIKE folds case;
+  *    Spark's does not — same token, different semantics, silent wrong
+  *    rows without the rewrite; `NOT`/`ESCAPE` forms compose)
+  *  - `COLLATE NOCASE`            → `lower()` on both comparison sides
+  *    (or stripped next to `ILIKE`); `COLLATE BINARY` dropped (Spark
+  *    default); unknown collations left verbatim
   *  - `ifnull/instr/substr`       → already valid Spark SQL (no-op)
   *
   * Scanning is quote-aware (text inside `'…'` literals is never
@@ -44,25 +48,262 @@ import scala.util.matching.Regex
   */
 object SqlDialect {
 
-  // the pattern literal honors SQL '' escaping ((?:[^']|'')*)
-  private val globRe: Regex =
-    """(?i)(\S+)\s+GLOB\s+'((?:[^']|'')*)'""".r
-
-  private val randomRe: Regex =
-    """(?i)\brandom\s*\(\s*\)""".r
-
   def translate(sql: String): String = {
     var out = rewriteCalls(sql)
-    out = globRe.replaceAllIn(out, m => {
-      val col = Regex.quoteReplacement(m.group(1))
-      val pattern = m.group(2).replace("''", "'") // un-escape SQL quotes
-      val regex = Regex.quoteReplacement(
-        graft.functions.Glob.toRegex(pattern)
-          .replace("\\", "\\\\").replace("'", "''"))
-      s"$col RLIKE '$regex'"
-    })
-    out = randomRe.replaceAllIn(out, "rand()")
+    out = rewriteGlob(out)
+    out = rewriteLike(out)
+    out = rewriteCollate(out)
     out
+  }
+
+  /** `x GLOB 'pat'` → `x RLIKE '<anchored regex>'`, scanned
+    * quote-aware so GLOB-shaped TEXT inside a string literal is left
+    * alone. The left operand is the preceding non-whitespace token
+    * (column, dotted column, or literal), matching SQLite's
+    * binary-operator grammar for the forms a model emits.
+    */
+  private def rewriteGlob(sql: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var emitted = 0 // everything before this index is already appended
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, "glob")) {
+        // LHS: scan back over the preceding non-whitespace run
+        var lhsEnd = i
+        while (lhsEnd > emitted && sql.charAt(lhsEnd - 1).isWhitespace) lhsEnd -= 1
+        var lhsStart = lhsEnd
+        while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace) lhsStart -= 1
+        // RHS: must be a string literal
+        var j = i + 4
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (lhsStart < lhsEnd && j < sql.length && sql.charAt(j) == '\'') {
+          val e = endOfQuote(sql, j)
+          val colName = sql.substring(lhsStart, lhsEnd)
+          val pattern = sql.substring(j + 1, e - 1).replace("''", "'")
+          val regex = graft.functions.Glob.toRegex(pattern)
+            .replace("\\", "\\\\").replace("'", "''")
+          out.append(sql, emitted, lhsStart)
+          out.append(s"$colName RLIKE '$regex'")
+          emitted = e
+          i = e
+        } else i += 4
+      } else i += 1
+    }
+    out.append(sql, emitted, sql.length)
+    out.toString
+  }
+
+  /** SQLite `LIKE` is case-insensitive for ASCII (its documented
+    * default); Spark's is case-sensitive — the same token with
+    * different semantics, which would silently return DIFFERENT ROWS
+    * for e.g. `name LIKE 'a%'` against 'Apple'. Since the input to
+    * [[translate]] is declared-SQLite SQL, `LIKE` here always means
+    * the folding comparison, so it is rewritten to Spark's `ILIKE`
+    * (`NOT LIKE` and `… ESCAPE 'c'` forms compose untouched — both
+    * keywords survive around the operator). The one residual delta:
+    * SQLite folds ASCII only, ILIKE folds full Unicode — documented
+    * in README's divergence table.
+    */
+  private def rewriteLike(sql: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val e = endOfQuoted(sql, i, c)
+        out.append(sql, i, e); i = e
+      } else if (keywordAt(sql, i, "like")) {
+        out.append("ILIKE"); i += 4
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Case-insensitive keyword match at `i` with word boundaries on
+    * both sides. */
+  private def keywordAt(sql: String, i: Int, kw: String): Boolean =
+    sql.regionMatches(true, i, kw, 0, kw.length) &&
+      (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+      (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length)))
+
+  /** SQLite `COLLATE` clauses. `COLLATE BINARY` is Spark's default
+    * comparison — the clause is dropped. `COLLATE NOCASE` applies
+    * ASCII case-folding to the comparison it decorates:
+    *  - `A op B COLLATE NOCASE` / `A COLLATE NOCASE op B` (op a
+    *    comparison) → `lower(A) op lower(B)`;
+    *  - next to `ILIKE` (already folding after [[rewriteLike]]) → the
+    *    clause is simply stripped;
+    *  - bare operand (`ORDER BY x COLLATE NOCASE`) → `lower(x)`.
+    * Unknown collations (`RTRIM`, custom) are left verbatim — a
+    * visible analysis error beats a silently changed answer.
+    */
+  private def rewriteCollate(sql: String): String = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, "collate")) {
+        var j = i + 7
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        var k = j
+        while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
+        sql.substring(j, k).toLowerCase match {
+          case "binary" =>
+            var e = i
+            while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
+            return rewriteCollate(sql.substring(0, e) + sql.substring(k))
+          case "nocase" =>
+            applyNocase(sql, i, k) match {
+              case Some(rewritten) => return rewriteCollate(rewritten)
+              case None            => i = k // unparseable context: leave verbatim
+            }
+          case _ => i = k // unknown collation: leave verbatim
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  private def applyNocase(sql: String, collStart: Int, collEnd: Int): Option[String] = {
+    var xEnd = collStart
+    while (xEnd > 0 && sql.charAt(xEnd - 1).isWhitespace) xEnd -= 1
+    val xStart = primaryStartBackwards(sql, xEnd)
+    if (xStart < 0 || xStart >= xEnd) return None
+    val x = sql.substring(xStart, xEnd)
+
+    // X COLLATE NOCASE op Y
+    var a = collEnd
+    while (a < sql.length && sql.charAt(a).isWhitespace) a += 1
+    operatorAtForwards(sql, a) match {
+      case Some(("ilike", _)) | Some(("not", _)) =>
+        return Some(sql.substring(0, xEnd) + sql.substring(collEnd))
+      case Some((op, opEnd)) =>
+        var ys = opEnd
+        while (ys < sql.length && sql.charAt(ys).isWhitespace) ys += 1
+        val ye = primaryEndForwards(sql, ys)
+        if (ye < 0) return None
+        val y = sql.substring(ys, ye)
+        return Some(sql.substring(0, xStart) +
+          s"lower($x) $op lower($y)" + sql.substring(ye))
+      case None =>
+    }
+
+    // A op X COLLATE NOCASE
+    var b = xStart
+    while (b > 0 && sql.charAt(b - 1).isWhitespace) b -= 1
+    operatorAtBackwards(sql, b) match {
+      case Some(("ilike", _)) =>
+        Some(sql.substring(0, xEnd) + sql.substring(collEnd))
+      case Some((op, opStart)) =>
+        var ae = opStart
+        while (ae > 0 && sql.charAt(ae - 1).isWhitespace) ae -= 1
+        val aStart = primaryStartBackwards(sql, ae)
+        if (aStart < 0 || aStart >= ae) None
+        else {
+          val aExpr = sql.substring(aStart, ae)
+          Some(sql.substring(0, aStart) +
+            s"lower($aExpr) $op lower($x)" + sql.substring(collEnd))
+        }
+      case None =>
+        // bare operand (ORDER BY / GROUP BY position)
+        Some(sql.substring(0, xStart) + s"lower($x)" + sql.substring(collEnd))
+    }
+  }
+
+  private val cmpOps2 = Seq("==", "!=", "<>", "<=", ">=")
+  private val cmpOps1 = Seq("=", "<", ">")
+
+  /** Comparison operator (or the keywords ILIKE / NOT) starting at
+    * `i`; returns (token-lowercase, end index exclusive). */
+  private def operatorAtForwards(sql: String, i: Int): Option[(String, Int)] = {
+    if (keywordAt(sql, i, "ilike")) return Some(("ilike", i + 5))
+    if (keywordAt(sql, i, "not")) return Some(("not", i + 3))
+    cmpOps2.find(op => sql.regionMatches(i, op, 0, 2)) match {
+      case Some(op) => Some((op, i + 2))
+      case None =>
+        cmpOps1.find(op => sql.regionMatches(i, op, 0, 1)).map(op => (op, i + 1))
+    }
+  }
+
+  /** Comparison operator (or ILIKE) ENDING at `endExcl`; returns
+    * (token-lowercase, start index). */
+  private def operatorAtBackwards(sql: String, endExcl: Int): Option[(String, Int)] = {
+    if (endExcl >= 5 && keywordAt(sql, endExcl - 5, "ilike"))
+      return Some(("ilike", endExcl - 5))
+    if (endExcl >= 2) {
+      val two = sql.substring(endExcl - 2, endExcl)
+      if (cmpOps2.contains(two)) return Some((two, endExcl - 2))
+    }
+    if (endExcl >= 1) {
+      val one = sql.substring(endExcl - 1, endExcl)
+      if (cmpOps1.contains(one)) return Some((one, endExcl - 1))
+    }
+    None
+  }
+
+  /** Start index of the primary expression (string/quoted identifier,
+    * paren group with optional function name, or dotted word) ending
+    * just before `endExcl`; -1 if unrecognized. */
+  private def primaryStartBackwards(sql: String, endExcl: Int): Int = {
+    var e = endExcl - 1
+    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    if (e < 0) return -1
+    sql.charAt(e) match {
+      case q @ ('\'' | '"' | '`') =>
+        var s = e - 1
+        while (s >= 0) {
+          if (sql.charAt(s) == q) {
+            if (s - 1 >= 0 && sql.charAt(s - 1) == q) s -= 2
+            else return s
+          } else s -= 1
+        }
+        -1
+      case ')' =>
+        var depth = 0
+        var s = e
+        while (s >= 0) {
+          sql.charAt(s) match {
+            case ')' => depth += 1
+            case '(' =>
+              depth -= 1
+              if (depth == 0) {
+                var w = s - 1
+                while (w >= 0 && isWordChar(sql.charAt(w))) w -= 1
+                return w + 1
+              }
+            case _ =>
+          }
+          s -= 1
+        }
+        -1
+      case c if isWordChar(c) =>
+        var s = e
+        while (s >= 0 && (isWordChar(sql.charAt(s)) || sql.charAt(s) == '.')) s -= 1
+        s + 1
+      case _ => -1
+    }
+  }
+
+  /** End index (exclusive) of the primary expression starting at
+    * `start`; -1 if unrecognized. */
+  private def primaryEndForwards(sql: String, start: Int): Int = {
+    if (start >= sql.length) return -1
+    sql.charAt(start) match {
+      case q @ ('\'' | '"' | '`') => endOfQuoted(sql, start, q)
+      case '(' =>
+        val c = closeParen(sql, start); if (c < 0) -1 else c + 1
+      case c if isWordChar(c) =>
+        var e = start
+        while (e < sql.length && (isWordChar(sql.charAt(e)) || sql.charAt(e) == '.')) e += 1
+        var j = e
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val cl = closeParen(sql, j); if (cl < 0) -1 else cl + 1
+        } else e
+      case _ => -1
+    }
   }
 
   /** SQLite resolves a double-quoted token as an IDENTIFIER when it
@@ -117,7 +358,7 @@ object SqlDialect {
     */
   private val names = Seq(
     "json_group_array", "json_group_object", "group_concat",
-    "unixepoch", "julianday", "datetime", "strftime",
+    "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "total", "trunc", "date", "time", "char", "iif",
     "cast", "min", "max")
 
@@ -253,6 +494,8 @@ object SqlDialect {
     name match {
       case "iif" if args.length == 3 =>
         Some(s"if(${args.mkString(", ")})")
+      case "random" if args.isEmpty =>
+        Some("rand()")
       case "printf" if args.nonEmpty =>
         Some(s"format_string(${args.mkString(", ")})")
       case "unicode" if args.length == 1 =>

@@ -100,6 +100,48 @@ class DedupSpec extends SparkSpec {
     assert(plain == guarded)
   }
 
+  test("simHashPairs and lshNearDupPairs bound a 500-copy cluster's buckets") {
+    // identical content ⇒ identical signature in EVERY band: a 500-copy
+    // boilerplate cluster would emit 4·500²/2 SimHash candidate pairs
+    // and 16·500²/2 sign-LSH candidate pairs without the bucket cap.
+    // With the cap the oversized buckets are dropped entirely — such
+    // clusters are exact-dedup's job (hash-groupBy), run FIRST in a
+    // real pipeline, so near-dup banding never sees them.
+    val clones = (1 to 500).map(i =>
+      (i.toLong, "exactly the same boilerplate in every copy of this document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(clones, "doc_id", "text")
+    assert(Dedup.simHashPairs(sigs, maxDist = 3, maxBucket = 100).count() == 0L)
+    // a legit small cluster under the cap is untouched
+    val few = clones.filter($"doc_id" <= 5)
+    val fewSigs = Dedup.simHash(few, "doc_id", "text")
+    assert(Dedup.simHashPairs(fewSigs, maxDist = 3, maxBucket = 100).count() == 10L)
+
+    // embedding path: 500 identical vectors, all in one bucket per band
+    val vecs = (1 to 500).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, nBits = 16, bands = 4, maxBucket = 100)
+    assert(capped.count() == 0L)
+    val fewVecs = vecs.filter($"vec_id" <= 5)
+    val under = Similarity.lshNearDupPairs(fewVecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, nBits = 16, bands = 4, maxBucket = 100)
+    assert(under.count() == 10L)
+  }
+
+  test("components with pointer doubling converges in ≤ half the rounds") {
+    // a 17-node chain has diameter 16: pure min-label propagation
+    // needs 16 rounds for node 16 to learn label 0; pointer doubling
+    // shortcuts distance-to-representative every round
+    val n = 16
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val nodes = (0L to n.toLong).toDF("id")
+    val (labels, iters) = Dedup.componentsWithIters(pairs, nodes, maxIter = 20)
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert((0L to n.toLong).forall(comp(_) == 0L), comp)
+    assert(iters <= n / 2, s"took $iters rounds for diameter $n (plain propagation: $n)")
+  }
+
   test("components propagates labels transitively along chains") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) plus
     // an isolated node 9 and a separate pair 7-8

@@ -28,6 +28,31 @@ class MultimodalSpec extends SparkSpec {
       8L -> "a much longer payload with more bytes".getBytes("UTF-8").length))
   }
 
+  test("PNG round-trip through ImageIO recovers known dimensions and stats") {
+    // constant-byte payload → every channel of every pixel is that
+    // byte → channel means are exactly the byte value
+    val gray = Array.fill[Byte](192)(100.toByte)
+    val png = Multimodal.encodePng(Multimodal.synthPixels(gray, 8, 8))
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val docs = Seq((1L, "d" * 64), (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.asPngMedia(docs, "doc_id", "text", w = 8, h = 8)
+    val stats = Multimodal.decodeImageStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (r <- stats.values) {
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8, "decoded dimensions")
+      assert(r.getInt(3) == 3, "RGB channels")
+      assert(r.getBoolean(8), "decoded flag")
+    }
+    // doc 1 is all 'd' (0x64 = 100): every byte is 100 → means == 100.0
+    val d = stats(1L)
+    assert(d.getDouble(4) == 100.0 && d.getDouble(5) == 100.0 && d.getDouble(6) == 100.0)
+    // undecodable payload yields a visible false flag, not a crash
+    val bogus = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "bin")
+    val out = Multimodal.decodeImageStats(bogus).collect().head
+    assert(!out.getBoolean(8) && out.getInt(1) == 0)
+  }
+
   test("sampleFrames explodes one row per sampled frame") {
     val docs = Seq((1L, "x" * 256)).toDF("media_id", "payload")
     val media = Multimodal.asMedia(docs, "media_id", "payload")

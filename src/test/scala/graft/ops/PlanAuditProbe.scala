@@ -9,17 +9,27 @@ class PlanAuditProbe extends SparkSpec {
   private def plan(k: String): String =
     graft.SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("q5 shape broadcasts every dimension; only the fact join shuffles") {
+  test("q5 shape: fixed dims broadcast, no cartesian, bounded shuffled joins") {
     val p = plan("q_shape_q5")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     val smj = "SortMergeJoin".r.findAllIn(p).size
     val shj = "ShuffledHashJoin".r.findAllIn(p).size
-    // customer, supplier, nation, region always broadcast; the
-    // lineitem⋈orders fact join may also broadcast at tiny SF (orders
-    // fits the threshold) but must never be a nested-loop/cartesian
-    assert(bhj >= 4, s"$bhj broadcast joins\n${p.take(1500)}")
-    assert(smj + shj <= 1, s"${smj + shj} shuffled joins")
+    // region (5 rows) and nation (25 rows) carry explicit broadcast
+    // hints — they must always be broadcast-hash joins regardless of
+    // SF. customer/supplier are SF-proportional and deliberately
+    // UN-hinted: at sf0.01 the size-based planner/AQE still
+    // broadcasts them, at 100 TB it must be free to shuffle instead,
+    // so the plan may carry up to 3 shuffled joins
+    // (fact⋈orders, ⋈customer, ⋈supplier) and no more.
+    assert(bhj >= 2, s"$bhj broadcast joins (region/nation hints lost)\n${p.take(1500)}")
+    assert(smj + shj <= 3, s"${smj + shj} shuffled joins\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly two explicit hints in the logical plan — region and
+    // nation — so no forced broadcast of SF-proportional tables
+    val logical = graft.SparkEntry.queries("q_shape_q5")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(logical).size
+    assert(hints == 2, s"$hints broadcast hints (want region+nation only)")
   }
 
   test("window rewrites share ONE partition exchange and prune columns") {

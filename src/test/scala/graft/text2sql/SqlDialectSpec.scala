@@ -239,6 +239,73 @@ class SqlDialectSpec extends SparkSpec {
     assert(vals == Seq(7L, 8L))
   }
 
+  // ---- round-3 SQLite surface: LIKE case-folding + COLLATE ---------
+
+  test("LIKE folds ASCII case like SQLite; NOT/ESCAPE compose") {
+    val sql = SqlDialect.translate(
+      """SELECT 'Apple' LIKE 'a%' AS m,
+                'a_b' LIKE 'a!_b' ESCAPE '!' AS esc,
+                'axb' LIKE 'a!_b' ESCAPE '!' AS noesc,
+                'Apple' NOT LIKE 'b%' AS nl""")
+    assert(!sql.matches("(?is).*(?<![IR])LIKE.*"), sql) // every LIKE became ILIKE
+    val row = spark.sql(sql).head()
+    assert(row.getBoolean(0), "SQLite LIKE matches 'Apple' against 'a%'")
+    assert(row.getBoolean(1), "escaped _ matches the literal underscore")
+    assert(!row.getBoolean(2), "escaped _ must not act as a wildcard")
+    assert(row.getBoolean(3))
+  }
+
+  test("LIKE inside string literals is never rewritten") {
+    val lit = "SELECT 'I LIKE turtles' AS s FROM t"
+    assert(SqlDialect.translate(lit) == lit)
+    // Spark-native operators pass through untouched (no double rewrite)
+    val native = "SELECT a FROM t WHERE b RLIKE 'x' AND c ILIKE 'y%'"
+    assert(SqlDialect.translate(native) == native)
+  }
+
+  test("COLLATE NOCASE folds both sides of the comparison") {
+    val sql = SqlDialect.translate(
+      "SELECT 'Apple' = 'aPPle' COLLATE NOCASE AS a, 'x' = 'Y' COLLATE NOCASE AS b")
+    assert(!sql.toLowerCase.contains("collate"), sql)
+    val row = spark.sql(sql).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+    // prefix placement: X COLLATE NOCASE op Y
+    val pre = SqlDialect.translate("SELECT 'AbC' COLLATE NOCASE = 'abc' AS v")
+    assert(spark.sql(pre).head().getBoolean(0))
+  }
+
+  test("COLLATE NOCASE in ORDER BY sorts case-insensitively") {
+    val sql = SqlDialect.translate(
+      "SELECT s FROM VALUES ('b'), ('A'), ('C') AS t(s) ORDER BY s COLLATE NOCASE")
+    assert(!sql.toLowerCase.contains("collate"))
+    assert(spark.sql(sql).collect().map(_.getString(0)).toSeq == Seq("A", "b", "C"))
+  }
+
+  test("COLLATE NOCASE next to LIKE strips (ILIKE already folds)") {
+    val sql = SqlDialect.translate(
+      "SELECT 'Apple' LIKE 'a%' COLLATE NOCASE AS a, 'Apple' NOT LIKE 'b%' COLLATE NOCASE AS b")
+    assert(!sql.toLowerCase.contains("collate"), sql)
+    val row = spark.sql(sql).head()
+    assert(row.getBoolean(0) && row.getBoolean(1))
+  }
+
+  test("COLLATE BINARY drops; unknown collations stay verbatim") {
+    assert(SqlDialect.translate("SELECT x FROM t ORDER BY x COLLATE BINARY")
+      == "SELECT x FROM t ORDER BY x")
+    val rtrim = "SELECT x FROM t WHERE x = 'a' COLLATE RTRIM"
+    assert(SqlDialect.translate(rtrim) == rtrim)
+    // COLLATE-shaped text inside literals is opaque
+    val lit = "SELECT 'ORDER BY x COLLATE NOCASE' AS s FROM t"
+    assert(SqlDialect.translate(lit) == lit)
+  }
+
+  test("GLOB/random-shaped text inside literals is opaque") {
+    val lit1 = "SELECT 'call random() now' AS s FROM t"
+    assert(SqlDialect.translate(lit1) == lit1)
+    val lit2 = "SELECT 'a GLOB pattern: x GLOB y' AS s FROM t"
+    assert(SqlDialect.translate(lit2) == lit2)
+  }
+
   test("julianday with modifiers shifts the Julian value") {
     eventsView()
     val sql = SqlDialect.translate(

@@ -306,6 +306,77 @@ object QueriesExt {
         .orderBy("media_id")
     }),
 
+    // benchmark decontamination: drop/flag training docs that share any
+    // 8-gram shingle with the eval set (here: every 50th doc stands in
+    // for the benchmark). The 100 TB shape: eval benchmarks are TINY
+    // relative to the corpus, so their distinct shingles broadcast and
+    // the contamination check is a broadcast semi-join — one corpus
+    // scan, no shuffle of corpus shingles.
+    "ext_decontaminate" -> ((s, d) => {
+      val sh = Dedup.shingles(t("documents")(s, d), "doc_id", "text")
+      val evalSh = sh.filter(col("id") % 50 === 0).select("s").distinct()
+      sh.filter(col("id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("s"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: emails/phones replaced row-locally with typed
+    // placeholder tokens (deterministic synthetic PII planted on every
+    // 7th doc so the oracle sees identical input). Pure regex
+    // projection — codegen'd, no shuffle, embarrassingly parallel at
+    // any scale.
+    "ext_pii_redact" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      t("documents")(s, d)
+        .withColumn("txt", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-0142"))).otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(emailRe)).as("n_email"),
+          regexp_count(col("txt"), lit(phoneRe)).as("n_phone"),
+          regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("red_text"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic content-keyed train/val/test split: bucket by the
+    // first hex char of md5(text) — 12/2/2 of 16. Content hashing (not
+    // doc_id, not rand()) is what real pipelines use: the assignment
+    // survives re-sharding, re-ordering, and re-ingestion, and
+    // duplicate texts land in the SAME split (no eval leakage).
+    // Row-local projection; no shuffle.
+    "ext_split_hash" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("h", substring(md5(col("text")), 1, 1))
+        .select(col("doc_id"),
+          when(col("h").isin("c", "d"), "val")
+            .when(col("h").isin("e", "f"), "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")),
+
+    // sequence packing: assign docs to fixed token-budget bins (512)
+    // by running prefix sum of whitespace token counts. Packing is
+    // inherently sequential, so the 100 TB shape shards first (8
+    // hash shards here) and packs WITHIN each shard — the window's
+    // partition key — keeping every window state bounded and parallel
+    // instead of one global running sum.
+    "ext_seq_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          expr("size(split(trim(text), '\\\\s+'))").as("n_tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 512).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal binary-column plumbing: opaque bytes + typed metadata;
     // decode/feature-extract stubs live in graft.ops.Multimodal
     "ext_multimodal_bin" -> ((s, d) =>
@@ -479,6 +550,42 @@ object QueriesExt {
       """SELECT doc_id,
            MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS fp_full,
            MD5(SUBSTR(regexp_replace(LOWER(text), '\s+', ' ', 'g'), 1, 100)) AS fp_head
+         FROM documents ORDER BY doc_id""",
+    "ext_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         SELECT a.doc_id, CAST(COUNT(DISTINCT a.s) AS BIGINT) AS n_shared
+         FROM sh a JOIN ev ON a.s = ev.s
+         WHERE a.doc_id % 50 != 0
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "ext_pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || doc_id || '@example.com or 555-0142'
+                ELSE text END AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(LEN(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(LEN(regexp_extract_all(txt, '555-[0-9]{4}')) AS INTEGER) AS n_phone,
+           regexp_replace(
+             regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '555-[0-9]{4}', '[PHONE]', 'g') AS red_text
+         FROM w ORDER BY doc_id""",
+    "ext_split_hash" ->
+      """SELECT doc_id,
+           CASE WHEN SUBSTR(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                WHEN SUBSTR(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
+    "ext_seq_pack" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(LEN(regexp_split_to_array(TRIM(text), '\s+'))) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
          FROM documents ORDER BY doc_id""",
     "ext_multimodal_bin" ->
       """SELECT doc_id,

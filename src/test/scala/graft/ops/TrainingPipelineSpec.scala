@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-curation keys (decontamination, PII
+  * redaction, content-hash splits, sequence packing) on planted data —
+  * the DuckDB oracle proves engine parity; these prove the operators
+  * mean what they claim.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing eval shingles") {
+    val docs = Seq(
+      (0L, "the shared benchmark passage appears verbatim right here"),   // eval (id%50==0)
+      (1L, "a training document with the shared benchmark passage inside"), // contaminated
+      (2L, "entirely unrelated clean training content about something else"),
+      (50L, "another eval document with different wording altogether")    // eval
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val evalSh = sh.filter($"id" % 50 === 0).select("s").distinct()
+    val flagged = sh.filter($"id" % 50 =!= 0)
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy("id").agg(countDistinct($"s").as("n_shared"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged.contains(1L), "doc sharing the benchmark passage is flagged")
+    assert(!flagged.contains(2L), "clean doc is not flagged")
+  }
+
+  test("PII redaction removes planted emails and phones, counts them") {
+    val out = graft.SparkEntry.queries("ext_pii_redact")(spark, sfDir)
+    val planted = out.filter($"doc_id" % 7 === 0)
+    assert(planted.filter($"n_email" >= 1 && $"n_phone" >= 1).count() == planted.count())
+    assert(planted.filter($"red_text".contains("@")).count() == 0, "no emails survive")
+    assert(planted.filter($"red_text".contains("[EMAIL]")).count() == planted.count())
+    val clean = out.filter($"doc_id" % 7 =!= 0)
+    assert(clean.filter($"n_email" === 0).count() == clean.count())
+  }
+
+  test("hash split is content-keyed: stable across reorder, covers all docs") {
+    val s1 = graft.SparkEntry.queries("ext_split_hash")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // identical text in a different row order gets the identical split
+    val reordered = Tables.t(spark, sfDir, "documents").orderBy(desc("doc_id"))
+    val s2 = reordered
+      .withColumn("h", substring(md5($"text"), 1, 1))
+      .select($"doc_id",
+        when($"h".isin("c", "d"), "val")
+          .when($"h".isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    assert(Set("train", "val", "test").subsetOf(s1.values.toSet))
+    // expected proportions (12/2/2 of 16 hex chars), loose bounds
+    val n = s1.size.toDouble
+    assert(s1.values.count(_ == "train") / n > 0.5)
+  }
+
+  test("sequence packing fills shard-local bins in order under the budget") {
+    val out = graft.SparkEntry.queries("ext_seq_pack")(spark, sfDir)
+      .select("shard", "doc_id", "n_tokens", "bin")
+      .as[(Long, Long, Int, Long)].collect()
+    for ((_, docs) <- out.groupBy(_._1)) {
+      val sorted = docs.sortBy(_._2)
+      // bins are non-decreasing in doc order and start at 0
+      assert(sorted.head._4 == 0L)
+      assert(sorted.sliding(2).forall { case Array(a, b) => b._4 >= a._4; case _ => true })
+      // each doc's bin equals prefix-tokens-before-it / 512
+      var prefix = 0L
+      for ((_, _, nt, bin) <- sorted) {
+        assert(bin == prefix / 512, s"bin $bin vs prefix $prefix")
+        prefix += nt
+      }
+    }
+  }
+}

@@ -12,15 +12,19 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-pass MinHash signature aggregate: for each input string (a
-  * shingle), k seeded 64-bit hashes are computed and the buffer keeps
-  * the per-seed minimum. Output: array<bigint> of length k.
+/** One-pass MinHash signature aggregate: for each input shingle —
+  * a string, or a pre-hashed 64-bit shingle from
+  * [[ShingleHashes]] — k seeded 64-bit hashes are computed and the
+  * buffer keeps the per-seed minimum. Output: array<bigint> of
+  * length k.
   *
   * This replaces k separate `min(xxhash64(i, s))` aggregate columns —
   * one imperative buffer instead of k codegen'd aggregates, one hash
-  * of the input bytes per seed, and mergeable partials (the buffer is
+  * of the input per seed, and mergeable partials (the buffer is
   * an element-wise min semilattice), so partial aggregation works
-  * exactly like sum/min at 100 TB.
+  * exactly like sum/min at 100 TB. The long-input path re-mixes the
+  * shingle hash with each seed via `XXH64.hashLong` — 8 bytes hashed
+  * per seed instead of the whole shingle's bytes.
   */
 case class MinHashAgg(
     child: Expression,
@@ -37,18 +41,30 @@ case class MinHashAgg(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  private lazy val isLongInput: Boolean = child.dataType == LongType
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes()
-      var i = 0
-      while (i < numHashes) {
-        val h64 = XXH64.hashUnsafeBytes(base, off, len, i.toLong)
-        if (h64 < buf(i)) buf(i) = h64
-        i += 1
+      if (isLongInput) {
+        val x = v.asInstanceOf[Long]
+        var i = 0
+        while (i < numHashes) {
+          val h64 = XXH64.hashLong(x, i.toLong)
+          if (h64 < buf(i)) buf(i) = h64
+          i += 1
+        }
+      } else {
+        val s = v.asInstanceOf[UTF8String]
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var i = 0
+        while (i < numHashes) {
+          val h64 = XXH64.hashUnsafeBytes(base, off, len, i.toLong)
+          if (h64 < buf(i)) buf(i) = h64
+          i += 1
+        }
       }
     }
     buf

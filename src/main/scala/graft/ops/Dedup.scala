@@ -144,6 +144,21 @@ object Dedup {
         s"array_distinct(transform(sequence(1, length(t) - ${shingleLen - 1}), i -> substring(t, i, $shingleLen)))")
         .as("sset"))
 
+  /** [[shingleSets]] in the compact HASHED representation: one fused
+    * codegen loop ([[graft.functions.ShingleHashes]]) emits the
+    * distinct 64-bit shingle hashes per document — 8 bytes per shingle
+    * through every downstream cache, shuffle, and array op instead of
+    * a k-char string, with zero per-window string allocation. Equality
+    * (the only operation MinHash banding and Jaccard verification ever
+    * apply to a shingle) is preserved modulo ~n²/2⁶⁴ collisions.
+    */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.ShingleHashes
+          .shingle_hashes(lower(col(textCol)), shingleLen).as("sset"))
+      .filter(size(col("sset")) > 0)
+
   /** End-to-end MinHash LSH near-dup pairs at a Jaccard threshold.
     * `maxShingleDf` / `maxBucket` bound candidate-side skew (hot
     * shingles and oversized band buckets); the Jaccard VERIFICATION is
@@ -169,7 +184,7 @@ object Dedup {
                    threshold: Double = 0.5,
                    maxShingleDf: Int = Int.MaxValue,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleLen)
+    val sets = hashedShingleSets(docs, idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("id"), explode(col("sset")).as("s"))
     // hot shingles are FEW by construction (df above a high cap):
@@ -191,18 +206,26 @@ object Dedup {
     val sigInput =
       if (maxShingleDf == Int.MaxValue) sh
       else {
+        // provable no-op elimination: a shingle's df can never exceed
+        // the number of documents, so when nDocs <= cap the census
+        // must come back empty — skip its shuffle entirely. The
+        // count() doubles as the cache materialization the pipeline
+        // needs anyway.
+        val nDocs = sets.count()
         val censusRate = 5
         val sampled = maxShingleDf >= 5 * censusRate
         val censusSrc =
           if (sampled) sets.filter(pmod(xxhash64(col("id")), lit(censusRate)) === 0)
           else sets
         val thresh = if (sampled) maxShingleDf / censusRate else maxShingleDf
-        val hot = censusSrc
-          .select(explode(col("sset")).as("s"))
-          .groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > thresh)
-          .orderBy(desc("df"), asc("s")).limit(10000)
-          .select("s").collect().map(_.getString(0))
+        val hot =
+          if (nDocs <= maxShingleDf) Array.empty[Long]
+          else censusSrc
+            .select(explode(col("sset")).as("s"))
+            .groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") > thresh)
+            .orderBy(desc("df"), asc("s")).limit(10000)
+            .select("s").collect().map(_.getLong(0))
         if (hot.length == 10000)
           // no silent caps: the metadata bound was hit, so shingles
           // beyond the 10000 most frequent stay un-dropped

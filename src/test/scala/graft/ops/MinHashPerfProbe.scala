@@ -28,10 +28,13 @@ class MinHashPerfProbe extends SparkSpec {
     }
     // warm
     corpus.count()
-    t("sets build+persist") {
+    t("string sets build+persist") {
       Dedup.shingleSets(corpus, "doc_id", "text").persist().count()
     }
-    val sets = Dedup.shingleSets(corpus, "doc_id", "text").persist()
+    t("hashed sets build+persist") {
+      Dedup.hashedShingleSets(corpus, "doc_id", "text").persist().count()
+    }
+    val sets = Dedup.hashedShingleSets(corpus, "doc_id", "text").persist()
     sets.count()
     val sh = sets.select(col("id"), explode(col("sset")).as("s"))
     t("hot census") {

@@ -44,7 +44,14 @@ object QueriesExt {
     "ext_dedup_ngram" -> ((s, d) => {
       val docs = t("documents")(s, d).filter(col("doc_id") < 100)
       val sh = Dedup.shingles(docs, "doc_id", "text")
-      val cand = Dedup.dropHotShingles(sh, maxDf = 50)
+      // candidate generation joins on 8-byte shingle HASHES (the
+      // compact representation — equality is all a candidate join
+      // needs); Jaccard verification below stays on the full string
+      // shingle sets, so output values match the string-based oracle
+      // even in the (~n²/2⁶⁴) event of a hash collision
+      val hsh = Dedup.hashedShingleSets(docs, "doc_id", "text")
+        .select(col("id"), explode(col("sset")).as("s"))
+      val cand = Dedup.dropHotShingles(hsh, maxDf = 50)
       val pairs = cand.as("a").join(cand.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))

@@ -32,6 +32,28 @@ class PlanAuditProbe extends SparkSpec {
     assert(hints == 2, s"$hints broadcast hints (want region+nation only)")
   }
 
+  test("decontamination broadcasts the eval side; no shuffled join") {
+    val p = plan("ext_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle crept into the contamination check\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("row-local curation ops shuffle only for presentation order") {
+    // redaction and hash-split are pure projections: the ONLY exchange
+    // allowed is the final ORDER BY rangepartitioning
+    for (k <- Seq("ext_pii_redact", "ext_split_hash")) {
+      val p = plan(k)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      assert(exchanges == 1, s"$k: $exchanges exchanges (want the ORDER BY only)\n${p.take(1500)}")
+      assert(p.contains("Exchange rangepartitioning"), s"$k lost the sort exchange")
+    }
+    // packing adds exactly one hash exchange for the shard-local window
+    val p = plan("ext_seq_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("window rewrites share ONE partition exchange and prune columns") {
     for (k <- Seq("win_groups_frame", "win_exclude")) {
       val p = plan(k)

@@ -142,6 +142,36 @@ object StreamingOps {
       .toDF("user_id", "n_events", "sum_value", "mean_value")
   }
 
+  /** Streaming benchmark decontamination: flag incoming documents that
+    * share any character shingle with a STATIC eval/benchmark set —
+    * the ingest-time quarantine feed a training pipeline runs so
+    * contaminated docs never reach the corpus. Shape: row-local hashed
+    * shingling ([[graft.functions.ShingleHashes]]) → explode →
+    * stream-static broadcast SEMI join against the eval shingles
+    * (stateless — the static side is index-sized metadata, same as the
+    * batch `ext_decontaminate` key) → `dropDuplicatesWithinWatermark`
+    * so each contaminated doc is emitted ONCE with bounded state.
+    * The clean complement is the batch left-anti of this feed (a
+    * stream-side anti would need per-doc aggregation; quarantine
+    * emission is the streaming-native contract).
+    *
+    * `evalShingles` must be a static (batch) DataFrame with a single
+    * `s: bigint` column of hashed shingles — build it with
+    * [[graft.ops.Dedup.hashedShingleSets]] over the benchmark corpus.
+    */
+  def contaminatedStream(docs: DataFrame, evalShingles: DataFrame,
+                         shingleLen: Int = 8,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val src = if (docs.isStreaming) docs.withWatermark("ts", watermark)
+              else docs
+    src.select(col("doc_id"), col("ts"),
+        explode(graft.functions.ShingleHashes
+          .shingle_hashes(lower(col("text")), shingleLen)).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Session windows per key with a gap timeout. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "10 minutes"): DataFrame = {

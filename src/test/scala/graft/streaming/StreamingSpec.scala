@@ -142,6 +142,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("contaminatedStream flags benchmark-overlap docs once, stateless join") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (900L, "the held out benchmark passage that must never leak into training"))
+      .toDF("doc_id", "text")
+    val evalShingles = graft.ops.Dedup
+      .hashedShingleSets(evalDocs, "doc_id", "text").select(
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("sset")).as("s"))
+      .distinct()
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.contaminatedStream(docs, evalShingles)
+      .writeStream.format("memory").queryName("decontam_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = ts("2024-01-01 00:00:00")
+      input.addData(
+        (1L, "a training doc quoting the held out benchmark passage verbatim", t0),
+        (2L, "perfectly clean content with no overlap whatsoever to worry about", t0),
+        (1L, "a training doc quoting the held out benchmark passage verbatim", t0))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "more clean text arriving in a later micro batch entirely", t0))
+      q.processAllAvailable()
+      val flagged = spark.table("decontam_test")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(flagged == Seq(1L), s"flagged $flagged")
+    } finally q.stop()
+  }
+
   test("sessionCounts assigns gap-separated sessions in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

@@ -25,6 +25,9 @@ package graft.text2sql
   *  - `COLLATE NOCASE`            → `lower()` on both comparison sides
   *    (or stripped next to `ILIKE`); `COLLATE BINARY` dropped (Spark
   *    default); unknown collations left verbatim
+  *  - `a IS b` / `a IS NOT b`     → null-safe `<=>` (`IS NULL`,
+  *    `IS TRUE/FALSE`, `IS DISTINCT FROM` pass through)
+  *  - `LIMIT off, cnt`            → `LIMIT cnt OFFSET off`
   *  - `ifnull/instr/substr`       → already valid Spark SQL (no-op)
   *
   * Scanning is quote-aware (text inside `'…'` literals is never
@@ -53,7 +56,84 @@ object SqlDialect {
     out = rewriteGlob(out)
     out = rewriteLike(out)
     out = rewriteCollate(out)
+    out = rewriteIs(out)
+    out = rewriteLimitComma(out)
     out
+  }
+
+  /** SQLite `a IS b` / `a IS NOT b` is null-safe equality between ANY
+    * operands; Spark only parses `IS [NOT] NULL/TRUE/FALSE/UNKNOWN/
+    * DISTINCT FROM`, so `x IS 5` fails visibly. Rewrite the general
+    * form to Spark's null-safe `<=>` (negated for IS NOT), leaving the
+    * Spark-parseable forms untouched.
+    */
+  private def rewriteIs(sql: String): String = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, "is")) {
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        var negated = false
+        if (keywordAt(sql, j, "not")) {
+          negated = true
+          j += 3
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        }
+        val spark_ok = Seq("null", "true", "false", "unknown", "distinct")
+          .exists(k => keywordAt(sql, j, k))
+        if (spark_ok) i = j
+        else {
+          val ye = primaryEndForwards(sql, j)
+          var xEnd = i
+          while (xEnd > 0 && sql.charAt(xEnd - 1).isWhitespace) xEnd -= 1
+          val xStart = primaryStartBackwards(sql, xEnd)
+          if (ye < 0 || xStart < 0 || xStart >= xEnd) i = j
+          else {
+            val a = sql.substring(xStart, xEnd)
+            val b = sql.substring(j, ye)
+            val repl = if (negated) s"NOT ($a <=> $b)" else s"($a <=> $b)"
+            return rewriteIs(sql.substring(0, xStart) + repl + sql.substring(ye))
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  /** SQLite (and MySQL) `LIMIT offset, count` → Spark
+    * `LIMIT count OFFSET offset`. The single-expression form passes
+    * through untouched.
+    */
+  private def rewriteLimitComma(sql: String): String = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, "limit")) {
+        var j = i + 5
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val ae = primaryEndForwards(sql, j)
+        if (ae < 0) { i = j } else {
+          var k = ae
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == ',') {
+            var bs = k + 1
+            while (bs < sql.length && sql.charAt(bs).isWhitespace) bs += 1
+            val be = primaryEndForwards(sql, bs)
+            if (be < 0) i = k
+            else {
+              val off = sql.substring(j, ae)
+              val cnt = sql.substring(bs, be)
+              return rewriteLimitComma(sql.substring(0, i) +
+                s"LIMIT $cnt OFFSET $off" + sql.substring(be))
+            }
+          } else i = ae
+        }
+      } else i += 1
+    }
+    sql
   }
 
   /** `x GLOB 'pat'` → `x RLIKE '<anchored regex>'`, scanned

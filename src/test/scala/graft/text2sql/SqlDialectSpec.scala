@@ -306,6 +306,26 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate(lit2) == lit2)
   }
 
+  test("IS between operands becomes null-safe <=>; NULL/TRUE forms untouched") {
+    val sql = SqlDialect.translate(
+      "SELECT 5 IS 5 AS a, NULL IS NULL AS b, 5 IS NOT 4 AS c, CAST(NULL AS INT) IS 5 AS d")
+    val row = spark.sql(sql).head()
+    assert(row.getBoolean(0) && row.getBoolean(1) && row.getBoolean(2) && !row.getBoolean(3))
+    // Spark-parseable IS forms pass through verbatim
+    val ok = "SELECT x IS NULL, x IS NOT NULL, b IS TRUE, y IS DISTINCT FROM z FROM t"
+    assert(SqlDialect.translate(ok) == ok)
+  }
+
+  test("LIMIT offset, count becomes LIMIT count OFFSET offset") {
+    val sql = SqlDialect.translate(
+      "SELECT x FROM VALUES (1), (2), (3), (4) AS t(x) ORDER BY x LIMIT 1, 2")
+    assert(sql.toUpperCase.contains("LIMIT 2 OFFSET 1"), sql)
+    assert(spark.sql(sql).collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    // plain LIMIT untouched
+    val plain = "SELECT x FROM t ORDER BY x LIMIT 5"
+    assert(SqlDialect.translate(plain) == plain)
+  }
+
   test("julianday with modifiers shifts the Julian value") {
     eventsView()
     val sql = SqlDialect.translate(

@@ -16,14 +16,16 @@ object SparkEntry {
     *
     * The reference's own flagship question ("what's the most popular
     * product?", reference test.py:24) rendered on the driver testdata:
-    * lineitem ⋈ part, group by part, sum quantity, top 1. `part` is a
-    * dimension table → broadcast join; aggregation is partial+final.
+    * lineitem ⋈ part, group by part, sum quantity, top 1. `part` is
+    * SF-proportional (not a fixed-cardinality dim), so join strategy
+    * is left to the optimizer + AQE — broadcast at this SF, shuffled
+    * at the 100 TB design point; aggregation is partial+final.
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     val li = Tables.t(spark, d, "lineitem")
     val part = Tables.t(spark, d, "part")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .orderBy(desc("total_qty"), asc("p_partkey"))

@@ -313,6 +313,26 @@ object QueriesExt {
         .orderBy("media_id")
     }),
 
+    // embedding conditioning for ANN/index storage: L2-normalize (so
+    // cosine = dot product) and symmetric int8 quantization (so a 64-d
+    // float vector stores in 64 bytes + one scale). Row-local
+    // higher-order expressions, no shuffle; floor-based quantization
+    // avoids engine-specific round-half behavior. checksum = sum of
+    // quantized codes (deterministic integer arithmetic).
+    "ext_embed_normalize" -> ((s, d) =>
+      t("embeddings")(s, d)
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"))
+        .withColumn("maxabs", expr(
+          "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (acc, v) -> greatest(acc, v))"))
+        .select(col("vec_id"),
+          round(col("nrm"), 6).as("nrm"),
+          round(expr("CAST(element_at(embedding, 1) AS DOUBLE) / nrm"), 6).as("n0"),
+          expr("""aggregate(transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("q_checksum"))
+        .orderBy("vec_id")),
+
     // benchmark decontamination: drop/flag training docs that share any
     // 8-gram shingle with the eval set (here: every 50th doc stands in
     // for the benchmark). The 100 TB shape: eval benchmarks are TINY
@@ -558,6 +578,20 @@ object QueriesExt {
            MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS fp_full,
            MD5(SUBSTR(regexp_replace(LOWER(text), '\s+', ' ', 'g'), 1, 100)) AS fp_head
          FROM documents ORDER BY doc_id""",
+    "ext_embed_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           SQRT(list_aggregate(list_apply(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+           list_aggregate(list_apply(embedding,
+             x -> ABS(CAST(x AS DOUBLE))), 'max') AS maxabs
+           FROM embeddings)
+         SELECT vec_id,
+           ROUND(nrm, 6) AS nrm,
+           ROUND(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS n0,
+           CAST(list_aggregate(list_apply(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)),
+             'sum') AS BIGINT) AS q_checksum
+         FROM e ORDER BY vec_id""",
     "ext_decontaminate" ->
       """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
          sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s

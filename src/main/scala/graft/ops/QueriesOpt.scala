@@ -67,6 +67,29 @@ object QueriesOpt {
         .orderBy(asc_nulls_first("rf_label"))
     }),
 
+    // Date-partitioned sink + pruned scan: THE canonical 100 TB table
+    // layout — write `partitionBy(event_date)`, and any date-ranged
+    // query reads only the matching partition directories (partition
+    // pruning happens in the file index, before any I/O; asserted in
+    // PlanAuditProbe). The write is a one-time layout cost a standing
+    // table amortizes, guarded by an existence check like the bucketed
+    // table.
+    "opt_partition_prune" -> ((s, d) => {
+      val tag = TableIds.idFor(d)
+      val path = s"target/warehouse/events_bydate_$tag"
+      if (!new java.io.File(path).isDirectory) {
+        Tables.t(s, d, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("event_date") >= lit("2024-01-08").cast("date") &&
+          col("event_date") < lit("2024-01-15").cast("date"))
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_date")
+    }),
+
     // AQE skew-join: the same 3-value hot-key join as opt_salted_join,
     // UNSALTED — handling skew is delegated to the engine-native
     // mechanism (spark.sql.adaptive.skewJoin splits oversized shuffle
@@ -116,6 +139,14 @@ object QueriesOpt {
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY rf_label ASC NULLS FIRST""",
+    "opt_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+           AND CAST(ts AS DATE) < DATE '2024-01-15'
+         GROUP BY 1 ORDER BY event_date""",
     "opt_skew_aqe_join" ->
       """SELECT 'flag_' || l_returnflag AS rf_label,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -54,6 +54,17 @@ class PlanAuditProbe extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("date-partitioned sink is scanned with partition pruning") {
+    val df = graft.SparkEntry.queries("opt_partition_prune")(spark, sfDir)
+    df.collect() // materialize (also writes the layout on first run)
+    val p = df.queryExecution.executedPlan.toString
+    // the date range must land in PartitionFilters (file-index pruning,
+    // zero I/O on excluded dates), not in post-scan Filter
+    assert(p.contains("PartitionFilters: ["), p.take(1500))
+    val pf = p.substring(p.indexOf("PartitionFilters: ["))
+    assert(pf.take(300).contains("event_date"), pf.take(300))
+  }
+
   test("window rewrites share ONE partition exchange and prune columns") {
     for (k <- Seq("win_groups_frame", "win_exclude")) {
       val p = plan(k)

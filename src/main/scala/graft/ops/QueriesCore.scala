@@ -54,6 +54,23 @@ object QueriesCore {
         .orderBy("n_nationkey")
     }),
 
+    // JSONL (newline-delimited JSON) scan — the de-facto interchange
+    // format for web-scale text corpora: round-trip documents through
+    // a JSONL sink, read back with explicit schema (inference costs an
+    // extra full pass at 100 TB; a curated corpus declares its schema),
+    // and verify content. The write is splittable multi-file (no
+    // coalesce) — exactly the layout a distributed reader wants.
+    "scan_jsonl" -> ((s, d) => {
+      val dir = s"/root/repo/target/graft_tmp/scan_jsonl_${new java.io.File(d).getName}"
+      if (!new java.io.File(dir).isDirectory)
+        Tables.t(s, d, "documents").select("doc_id", "text")
+          .write.mode("overwrite").json(dir)
+      s.read.schema("doc_id BIGINT, text STRING").json(dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // result rows → JSON strings (reference test.py:53-55 to_json path)
     "sink_json" -> ((s, d) =>
       Tables.t(s, d, "nation")
@@ -193,6 +210,10 @@ object QueriesCore {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_csv" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_jsonl" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+           MD5(text) AS fp
+         FROM documents ORDER BY doc_id""",
     "sink_json" ->
       "SELECT n_nationkey, CAST(TO_JSON(STRUCT_PACK(n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS VARCHAR) AS json_row FROM nation ORDER BY n_nationkey",
     "project" ->

@@ -71,6 +71,21 @@ object QueriesCore {
         .orderBy("doc_id")
     }),
 
+    // ORC scan — the other columnar lake format Spark reads natively.
+    // Same round-trip shape as scan_jsonl: write documents as ORC
+    // (splittable, predicate-pushdown-capable like parquet), read back,
+    // and verify content against the oracle's view of the source table.
+    "scan_orc" -> ((s, d) => {
+      val dir = s"/root/repo/target/graft_tmp/scan_orc_${new java.io.File(d).getName}"
+      if (!new java.io.File(dir).isDirectory)
+        Tables.t(s, d, "documents").select("doc_id", "text", "n_chars")
+          .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("n_chars") >= 100) // pushed to the ORC reader
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // result rows → JSON strings (reference test.py:53-55 to_json path)
     "sink_json" -> ((s, d) =>
       Tables.t(s, d, "nation")
@@ -214,6 +229,9 @@ object QueriesCore {
       """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
            MD5(text) AS fp
          FROM documents ORDER BY doc_id""",
+    "scan_orc" ->
+      """SELECT doc_id, n_chars, MD5(text) AS fp
+         FROM documents WHERE n_chars >= 100 ORDER BY doc_id""",
     "sink_json" ->
       "SELECT n_nationkey, CAST(TO_JSON(STRUCT_PACK(n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS VARCHAR) AS json_row FROM nation ORDER BY n_nationkey",
     "project" ->

@@ -414,6 +414,63 @@ object QueriesExt {
           substring(hex(col("bin")), 1, 8).as("head_hex"),
           lit("text/plain").as("media_type"))
         .orderBy("doc_id")),
+
+    // Line-level boilerplate removal (the CCNet/RefinedWeb pattern):
+    // web pages repeat nav headers / cookie banners / footers across
+    // millions of documents; drop any line whose corpus frequency
+    // exceeds a threshold, keep each doc's unique content in order.
+    // Structure is planted deterministically (docs are single-line)
+    // so the oracle sees identical input: a global header on every
+    // page, a banner on every 3rd, one of 5 footer variants.
+    // Scale shape: the census shuffles 16-byte line DIGESTS (never
+    // line text), the above-threshold hot set is by construction
+    // small (boilerplate ≫ threshold, content ≪), so the removal
+    // join is a broadcast anti-join — the full text never shuffles.
+    "ext_dedup_lines" -> ((s, d) => {
+      val pages = t("documents")(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          lit("HEADER site navigation menu home about"),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("COOKIE consent banner accept decline")),
+          concat(lit("FOOTER copyright mirror "), (col("doc_id") % 5).cast("string"))
+        ).as("page"))
+      val lines = pages.select(col("doc_id"),
+          size(split(col("page"), "\n")).as("n_lines"),
+          posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
+        .withColumn("lfp", md5(col("line")))
+      val hot = lines.groupBy("lfp").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10).select("lfp")
+      lines.join(broadcast(hot), Seq("lfp"), "left_anti")
+        .groupBy("doc_id")
+        .agg(
+          concat_ws("\n", transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"),
+          count(lit(1)).cast("int").as("n_kept"),
+          (first(col("n_lines")) - count(lit(1))).cast("int").as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: ingest a new batch against the digest store
+    // of an existing corpus — the steady-state form of exact dedup (a
+    // growing corpus deduplicates each delivery, not the world from
+    // scratch). New batch = 50 re-crawled copies of corpus docs plus
+    // 100 genuinely new docs; survivors are exactly the new content.
+    // Scale shape: a shuffled (NOT broadcast) anti-join on 16-byte
+    // digests — the corpus side is the whole history and at 100 TB
+    // lives as a materialized digest table that each delivery joins
+    // against; the batch's text never shuffles, only its digests.
+    "ext_dedup_incremental" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val corpusFp = docs.filter(col("doc_id") < 400)
+        .select(md5(col("text")).as("fp")).distinct()
+      val newBatch = docs
+        .filter(col("doc_id") % 8 === 0 && col("doc_id") < 400)
+        .unionAll(docs.filter(col("doc_id") >= 400))
+        .select((col("doc_id") + 10000).as("doc_id"), md5(col("text")).as("fp"))
+      newBatch.join(corpusFp, Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -634,5 +691,37 @@ object QueriesExt {
            SUBSTR(HEX(ENCODE(text)), 1, 8) AS head_hex,
            'text/plain' AS media_type
          FROM documents ORDER BY doc_id""",
+    "ext_dedup_lines" ->
+      """WITH pages AS (
+           SELECT doc_id, CONCAT_WS(CHR(10),
+             'HEADER site navigation menu home about',
+             text,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'COOKIE consent banner accept decline' END,
+             'FOOTER copyright mirror ' || CAST(doc_id % 5 AS VARCHAR)) AS page
+           FROM documents),
+         lines AS (
+           SELECT p.doc_id, g.g - 1 AS pos,
+             STR_SPLIT(p.page, CHR(10))[g.g] AS line,
+             LEN(STR_SPLIT(p.page, CHR(10))) AS n_lines
+           FROM pages p, (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS g) g
+           WHERE g.g <= LEN(STR_SPLIT(p.page, CHR(10)))),
+         hot AS (SELECT MD5(line) AS lfp FROM lines
+                 GROUP BY MD5(line) HAVING COUNT(*) > 10)
+         SELECT doc_id,
+           STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS INTEGER) AS n_kept,
+           CAST(MAX(n_lines) - COUNT(*) AS INTEGER) AS n_removed
+         FROM lines WHERE MD5(line) NOT IN (SELECT lfp FROM hot)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "ext_dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id < 400),
+         nb AS (
+           SELECT doc_id + 10000 AS doc_id, MD5(text) AS fp FROM documents
+           WHERE (doc_id % 8 = 0 AND doc_id < 400) OR doc_id >= 400)
+         SELECT doc_id, fp FROM nb
+         WHERE fp NOT IN (SELECT fp FROM corpus)
+         ORDER BY doc_id""",
   )
 }

@@ -155,6 +155,29 @@ class DedupSpec extends SparkSpec {
     assert(comp(9L) == 9L)
   }
 
+  test("line dedup strips all planted boilerplate and keeps content intact") {
+    val out = graft.SparkEntry.queries("ext_dedup_lines")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == src.keySet)
+    out.foreach { case (id, (clean, kept, removed)) =>
+      // header + footer always removed; banner too on every 3rd doc —
+      // the unique content line is exactly what survives
+      assert(clean == src(id), s"doc $id content corrupted")
+      assert(kept == 1, s"doc $id kept $kept lines")
+      assert(removed == (if (id % 3 == 0) 3 else 2), s"doc $id removed $removed")
+    }
+  }
+
+  test("incremental dedup admits only genuinely new content") {
+    val ids = graft.SparkEntry.queries("ext_dedup_incremental")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == (10400L to 10499L).toSet,
+      s"expected exactly the 100 new docs, got ${ids.size}")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
     val deduped = withDups.groupBy($"text")

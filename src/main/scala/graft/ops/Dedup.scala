@@ -285,8 +285,12 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
+      // carry the incoming label through the round as `old` so the
+      // fixpoint test below is a local filter over this round's
+      // checkpointed output — NOT a shuffle join back against the
+      // previous label table (one fewer distributed join per round)
       val propagated = labels.join(nbrMin, col("id") === col("a"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
         .persist(lvl)
       // pointer doubling: comp := comp(comp). Labels are always node
@@ -301,15 +305,13 @@ object Dedup {
         .select(col("id").as("pid"), col("comp").as("pcomp"))
       val updated = propagated.as("u")
         .join(byId.as("v"), col("u.comp") === col("v.pid"), "left")
-        .select(col("u.id").as("id"),
+        .select(col("u.id").as("id"), col("u.old").as("old"),
           least(col("u.comp"), coalesce(col("v.pcomp"), col("u.comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.comp") =!= col("l.comp")).count()
+      changed = updated.filter(col("comp") =!= col("old")).count()
       propagated.unpersist(false)
       labels.unpersist(false)
-      labels = updated
+      labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
     edges.unpersist(false)

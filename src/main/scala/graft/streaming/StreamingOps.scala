@@ -172,6 +172,28 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Watermarked stream-stream interval join: enrich each `right`
+    * event with the `left` event it follows within `maxDelay` (the
+    * impression→click / request→response pattern). BOTH sides carry a
+    * watermark and the join predicate bounds event time on BOTH ends —
+    * that pair of constraints is what lets Spark evict matched state;
+    * an unbounded stream-stream join buffers both streams forever.
+    * Inner join: emission needs no watermark wait beyond the bound.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "10 minutes",
+                   maxDelay: String = "30 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"), col("l_value"))
+  }
+
   /** Session windows per key with a gap timeout. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "10 minutes"): DataFrame = {

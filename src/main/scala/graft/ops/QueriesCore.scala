@@ -188,6 +188,26 @@ object QueriesCore {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
+    // pivot with EXPLICIT values — letting Spark infer pivot values
+    // costs a full extra distinct pass over the fact table; declaring
+    // them keeps it one scan + one partial/final agg (same plan as
+    // the equivalent conditional-aggregation SQL)
+    "agg_pivot" -> ((s, d) =>
+      li(s, d).groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus")),
+
+    // unpivot (melt): wide metric columns → (metric, val) rows,
+    // row-local expansion, no shuffle
+    "agg_unpivot" -> ((s, d) =>
+      li(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
     "sort" -> ((s, d) =>
       Tables.t(s, d, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -266,6 +286,20 @@ object QueriesCore {
       "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "agg_count_distinct" ->
       "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST",
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS DOUBLE), 2) AS "A",
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS DOUBLE), 2) AS "N",
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS DOUBLE), 2) AS "R"
+         FROM lineitem GROUP BY 1 ORDER BY l_linestatus ASC NULLS FIRST""",
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, metric, val""",
     "sort" ->
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey ASC",
     "sort_nulls" ->

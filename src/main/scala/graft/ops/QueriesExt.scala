@@ -173,7 +173,12 @@ object QueriesExt {
       t("documents")(s, d).select(col("doc_id"),
         expr("size(split(trim(text), '\\\\s+'))").as("n_ws_tokens"),
         length(col("text")).as("n_chars_m"),
-        ceil(length(col("text")).cast("double") / 4.0).cast("int").as("n_bpe_est"))
+        ceil(length(col("text")).cast("double") / 4.0).cast("int").as("n_bpe_est"),
+        // GPT-2-style pre-tokenizer segments (the BPE-ish count): a
+        // codegen'd regexp_count, row-local, portable Unicode classes
+        regexp_count(col("text"),
+          lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"))
+          .cast("int").as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
     // document fingerprinting: md5 over whitespace-normalized text
@@ -628,7 +633,10 @@ object QueriesExt {
       """SELECT doc_id,
            CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_ws_tokens,
            CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
-           CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS INTEGER) AS n_bpe_est
+           CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS INTEGER) AS n_bpe_est,
+           CAST(LEN(regexp_extract_all(text,
+             ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INTEGER)
+             AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "ext_fingerprint" ->
       """SELECT doc_id,

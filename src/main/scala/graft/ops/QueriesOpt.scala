@@ -90,6 +90,27 @@ object QueriesOpt {
         .orderBy("event_date")
     }),
 
+    // Globally-ordered sink without a single-reducer sort: sample-based
+    // range partitioning (repartitionByRange = Spark's total-sort
+    // exchange) + per-partition sort → every output file covers a
+    // disjoint key range and is internally sorted, so a downstream
+    // consumer gets total order by reading files in range order —
+    // the 100 TB replacement for ORDER BY-into-one-file. File-range
+    // disjointness is asserted in RangeSinkProbe.
+    "opt_range_sorted_sink" -> ((s, d) => {
+      val tag = TableIds.idFor(d)
+      val path = s"target/warehouse/orders_ranged_$tag"
+      if (!new java.io.File(path).isDirectory) {
+        Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+          .sortWithinPartitions("o_orderdate", "o_orderkey")
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+        .orderBy("o_orderdate", "o_orderkey")
+    }),
+
     // AQE skew-join: the same 3-value hot-key join as opt_salted_join,
     // UNSALTED — handling skew is delegated to the engine-native
     // mechanism (spark.sql.adaptive.skewJoin splits oversized shuffle
@@ -147,6 +168,9 @@ object QueriesOpt {
          WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
            AND CAST(ts AS DATE) < DATE '2024-01-15'
          GROUP BY 1 ORDER BY event_date""",
+    "opt_range_sorted_sink" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         ORDER BY o_orderdate, o_orderkey""",
     "opt_skew_aqe_join" ->
       """SELECT 'flag_' || l_returnflag AS rf_label,
            CAST(COUNT(*) AS BIGINT) AS n,

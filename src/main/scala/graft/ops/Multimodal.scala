@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * `javax.imageio`, so [[encodePng]]/[[decodeImageStats]] round-trip
   * actual pixels through an actual codec inside the `mapPartitions`
   * stage a production pipeline uses (codec/model handles initialized
-  * once per partition, not per row). Audio/video decode would drop
-  * into the same shape; [[fakeFeatures]] remains only as the
-  * byte-stripe stand-in for codecs the JDK does not ship.
+  * once per partition, not per row). AUDIO decode is REAL too:
+  * [[asWavMedia]]/[[decodeAudioStats]] round-trip PCM frames through
+  * the JDK's `javax.sound.sampled` WAV codec in the same shape.
+  * Video decode would drop into the same stage; [[fakeFeatures]]
+  * remains only as the byte-stripe stand-in for codecs the JDK does
+  * not ship.
   */
 object Multimodal {
 
@@ -149,6 +152,94 @@ object Multimodal {
       }
       .toDF("media_id", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b", "n_bytes", "decoded")
+  }
+
+  /** Render a deterministic mono 16-bit PCM sine tone as REAL WAV
+    * container bytes (RIFF header via the JDK's own writer) — the
+    * frequency derives from the seed, the length from `nSamples`, so
+    * payload bytes depend only on the inputs.
+    */
+  private[ops] def synthWav(seed: Long, nSamples: Int,
+                            sampleRate: Int = 8000): Array[Byte] = {
+    val freq = 220.0 + (math.floorMod(seed, 16L)) * 55.0
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Media table of real WAV payloads synthesized from a corpus:
+    * (media_id, bin = WAV bytes, media_type, n_bytes). Distributed in
+    * `mapPartitions` like [[asPngMedia]].
+    */
+  def asWavMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val wav = synthWav(id, 400 + text.length % 400)
+          (id, wav, "audio/wav", wav.length)
+        }
+      }
+      .toDF("media_id", "bin", "media_type", "n_bytes")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the WAV container
+    * back to format + PCM frames and the stage emits per-clip stats
+    * (sample rate, channels, bit depth, frame count, duration, RMS
+    * amplitude). Unparseable payloads yield `decoded = false` with
+    * zeroed stats — visible, not dropped. Same 100 TB shape as
+    * [[decodeImageStats]]: row-local work, no shuffle.
+    */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            // RMS over little-endian 16-bit samples (the synth format);
+            // other depths still decode format metadata correctly
+            var sumSq = 0.0; var n = 0
+            if (f.getSampleSizeInBits == 16) {
+              var i = 0
+              while (i + 1 < pcm.length) {
+                val s = ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                sumSq += s.toDouble * s; n += 1; i += 2
+              }
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+            (id, f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+              nFrames, nFrames * 1000.0 / f.getSampleRate, rms, true)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              (id, 0, 0, 0, 0L, 0.0, 0.0, false)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "rms", "decoded")
   }
 
   /** Decode + feature-extract stage: mapPartitions so a real codec /

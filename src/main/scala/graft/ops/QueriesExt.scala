@@ -318,6 +318,22 @@ object QueriesExt {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode (rows-only): each document is rendered to a
+    // mono 16-bit PCM WAV through the JDK's javax.sound codec
+    // (mapPartitions), then DECODED BACK through the same codec —
+    // sample rate / frame count / RMS are genuine stats of a genuine
+    // audio binary column, deterministic because the tone derives
+    // only from (doc_id, text length)
+    "ext_multimodal_audio" -> ((s, d) => {
+      val media = Multimodal.asWavMedia(t("documents")(s, d), "doc_id", "text")
+      Multimodal.decodeAudioStats(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"),
+          round(col("duration_ms"), 3).as("duration_ms"),
+          round(col("rms"), 2).as("rms"), col("decoded"))
+        .orderBy("media_id")
+    }),
+
     // embedding conditioning for ANN/index storage: L2-normalize (so
     // cosine = dot product) and symmetric int8 quantization (so a 64-d
     // float vector stores in 64 bytes + one scale). Row-local

@@ -53,6 +53,29 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.getBoolean(8) && out.getInt(1) == 0)
   }
 
+  test("WAV round-trip through javax.sound recovers format, frames, and RMS") {
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 300)).toDF("doc_id", "text")
+    val media = Multimodal.asWavMedia(docs, "doc_id", "text")
+    // RIFF magic on the payload
+    val firstBin = media.orderBy("media_id").collect().head.getAs[Array[Byte]]("bin")
+    assert(new String(firstBin.take(4), "US-ASCII") == "RIFF")
+    val stats = Multimodal.decodeAudioStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, r) <- stats) {
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16,
+        s"clip $id format")
+      assert(r.getBoolean(7), s"clip $id decoded flag")
+      // a sine at amplitude 12000 has RMS ≈ 12000/√2 ≈ 8485
+      assert(math.abs(r.getDouble(6) - 8485.0) < 300.0, s"clip $id rms ${r.getDouble(6)}")
+    }
+    // frame counts follow 400 + len(text) % 400
+    assert(stats(1L).getLong(4) == 500L && stats(2L).getLong(4) == 700L)
+    // undecodable payload yields a visible false flag, not a crash
+    val bogus = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "bin")
+    val out = Multimodal.decodeAudioStats(bogus).collect().head
+    assert(!out.getBoolean(7) && out.getInt(1) == 0)
+  }
+
   test("sampleFrames explodes one row per sampled frame") {
     val docs = Seq((1L, "x" * 256)).toDF("media_id", "payload")
     val media = Multimodal.asMedia(docs, "media_id", "payload")

@@ -65,6 +65,31 @@ class PlanAuditProbe extends SparkSpec {
     assert(pf.take(300).contains("event_date"), pf.take(300))
   }
 
+  test("line dedup removes boilerplate via broadcast anti-join; text never shuffles") {
+    val df = graft.SparkEntry.queries("ext_dedup_lines")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the hot-set removal must be a broadcast LeftAnti — shuffling the
+    // exploded line table by line content would move the full corpus
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined
+      || (p.contains("BroadcastHashJoin") && p.contains("LeftAnti")), p.take(2000))
+    // the only hash exchanges: the digest census and the per-doc
+    // reassembly — both keyed on doc_id/digest, never on line text
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(k =>
+      k.startsWith("lfp") || k.startsWith("doc_id")),
+      s"unexpected shuffle keys $hashEx\n${p.take(2000)}")
+  }
+
+  test("ORC scan pushes the filter to the reader") {
+    val df = graft.SparkEntry.queries("scan_orc")(spark, sfDir)
+    df.collect() // first run also writes the layout
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+      p.substring(p.indexOf("PushedFilters: [")).take(200).contains("n_chars"),
+      p.take(1500))
+  }
+
   test("window rewrites share ONE partition exchange and prune columns") {
     for (k <- Seq("win_groups_frame", "win_exclude")) {
       val p = plan(k)

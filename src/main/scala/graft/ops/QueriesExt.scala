@@ -134,6 +134,34 @@ object QueriesExt {
             .as("stop_ratio"))
         .orderBy("doc_id")),
 
+    // C4-style quality GATE — the actionable form of ext_text_quality:
+    // apply token-count / token-shape / stopword-ratio thresholds
+    // row-locally and emit a keep flag plus the FIRST failing reason
+    // (ordered checks, deterministic). Pure projection: codegen'd,
+    // no shuffle, the 100 TB filter that runs ahead of every
+    // expensive dedup/embedding stage.
+    "ext_quality_filter" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("avg_tok_len",
+          length(col("text")).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))" +
+            " / CAST(size(toks) AS DOUBLE)"))
+        .withColumn("drop_reason",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("n_tokens") > 1000, "too_long")
+            .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 12.0,
+              "token_shape")
+            .when(col("stop_ratio") < 0.05, "low_stopword")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_tok_len"), 6).as("avg_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          (col("drop_reason") === "kept").as("keep"), col("drop_reason"))
+        .orderBy("doc_id")),
+
     // n-gram-marker language ID heuristic (deterministic argmax)
     "ext_lang_id" -> ((s, d) =>
       t("documents")(s, d)
@@ -615,6 +643,27 @@ object QueriesExt {
              x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
              / LEN(regexp_split_to_array(TRIM(text), '\s+')), 6) AS stop_ratio
          FROM documents ORDER BY doc_id""",
+    "ext_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(LENGTH(text) AS DOUBLE)
+             / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS avg_tok_len,
+           CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+             / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS stop_ratio
+         FROM documents),
+         r AS (SELECT doc_id, n_tokens, avg_tok_len, stop_ratio,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 1000 THEN 'too_long'
+                WHEN avg_tok_len < 3.0 OR avg_tok_len > 12.0 THEN 'token_shape'
+                WHEN stop_ratio < 0.05 THEN 'low_stopword'
+                ELSE 'kept' END AS drop_reason
+         FROM q)
+         SELECT doc_id, n_tokens,
+           ROUND(avg_tok_len, 6) AS avg_tok_len,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           drop_reason = 'kept' AS keep, drop_reason
+         FROM r ORDER BY doc_id""",
     "ext_lang_id" ->
       """WITH t AS (SELECT doc_id,
              regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks

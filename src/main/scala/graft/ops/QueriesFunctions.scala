@@ -165,6 +165,16 @@ object QueriesFunctions {
       t("orders")(s, d).rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // explicit grouping sets (the general form cube/rollup specialize):
+    // one Expand + one aggregate, same single-shuffle plan
+    "agg_grouping_sets" -> ((s, d) =>
+      t("orders")(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,6 +263,12 @@ object QueriesFunctions {
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
   )
 }

@@ -90,6 +90,24 @@ object QueriesOpt {
         .orderBy("event_date")
     }),
 
+    // Runtime bloom-filter join: a selective filter on the dimension
+    // side lets Spark inject a bloom filter into the FACT side's scan
+    // (InjectRuntimeFilter), discarding non-matching rows before the
+    // shuffle — at 100 TB this cuts shuffle volume by the join
+    // selectivity, the engine-native cousin of a semi-join reduction.
+    // The key itself runs under default confs (at test SF the dim
+    // side simply broadcasts); BloomJoinProbe asserts the
+    // might_contain injection under forced-shuffle-join confs.
+    "opt_bloom_join" -> ((s, d) => {
+      val hot = Tables.t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000).select("o_orderkey")
+      Tables.t(s, d, "lineitem")
+        .join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    }),
+
     // Globally-ordered sink without a single-reducer sort: sample-based
     // range partitioning (repartitionByRange = Spark's total-sort
     // exchange) + per-partition sort → every output file covers a
@@ -168,6 +186,12 @@ object QueriesOpt {
          WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
            AND CAST(ts AS DATE) < DATE '2024-01-15'
          GROUP BY 1 ORDER BY event_date""",
+    "opt_bloom_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST""",
     "opt_range_sorted_sink" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate, o_orderkey""",

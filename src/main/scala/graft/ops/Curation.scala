@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation as ONE declarative plan — the
+  * composition a training-data pipeline actually runs, built from the
+  * individually oracle-verified stages:
+  *
+  *   1. quality gate       (row-local thresholds — cheapest first)
+  *   2. exact dedup        (md5 digest groups, min-id representative)
+  *   3. decontamination    (shingle overlap with an external eval set)
+  *   4. PII redaction      (row-local regex)
+  *   5. split + token count (content-keyed, stable under re-sharding)
+  *
+  * Scale shape: stage 1 and 4-5 are pure projections fused into the
+  * scans around them; stage 2 shuffles (digest, id) pairs and
+  * semi-joins the keep-list back on the natural key (zero text
+  * shuffle when the corpus is bucketed by id — the layout
+  * `opt_bucketed_join` demonstrates); stage 3 is a broadcast
+  * semi-join against eval shingles (index-sized) feeding a broadcast
+  * anti-join of the (small) contaminated id set. Filter order is
+  * cost order: the quality gate cuts the corpus before any join.
+  */
+object Curation {
+
+  case class Config(
+      minTokens: Int = 20, maxTokens: Int = 1000,
+      minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 12.0,
+      minStopRatio: Double = 0.05,
+      shingleLen: Int = 8,
+      // docs sharing at least this many distinct shingles with the
+      // eval set are quarantined — an absolute-overlap threshold, the
+      // standard contamination rule (any-overlap is far too trigger-
+      // happy on a small shared vocabulary)
+      minSharedShingles: Int = 150,
+      emailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      phoneRe: String = "555-[0-9]{4}")
+
+  private val stopList = "('the', 'a', 'of', 'and', 'is')"
+
+  /** Corpus docs (id, text) that pass the quality gate, with stats. */
+  private def qualityPass(docs: DataFrame, cfg: Config): DataFrame =
+    docs
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("avg_tok_len",
+        length(col("text")).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, x -> x IN $stopList))" +
+          " / CAST(size(toks) AS DOUBLE)"))
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("avg_tok_len").between(cfg.minAvgTokLen, cfg.maxAvgTokLen) &&
+        col("stop_ratio") >= cfg.minStopRatio)
+      .drop("toks", "avg_tok_len", "stop_ratio")
+
+  /** Run the full pipeline. `docs` must have (doc_id, text); `evalDocs`
+    * is the EXTERNAL benchmark set to decontaminate against (only its
+    * text is read). Returns the curated corpus:
+    * (doc_id, split, n_tokens, red_text).
+    */
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+             cfg: Config = Config()): DataFrame = {
+    // 1. quality gate — before anything that shuffles
+    val ok = qualityPass(docs, cfg)
+
+    // 2. exact dedup: shuffle 16-byte digests + ids, keep min-id per
+    // digest, semi-join the keep-list back on the natural key
+    val reps = ok.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = ok.join(reps, Seq("doc_id"), "left_semi")
+
+    // 3. decontamination: corpus shingles ⋈ broadcast eval shingles
+    // (semi) → contaminated ids (small by construction) → broadcast
+    // anti-join. String shingles here for oracle parity; the hashed
+    // variant (ShingleHashes) is the 100 TB representation.
+    val evalSh = Dedup.shingles(evalDocs, "doc_id", "text", cfg.shingleLen)
+      .select("s").distinct()
+    val contaminated = Dedup.shingles(deduped, "doc_id", "text", cfg.shingleLen)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .filter(col("n_shared") >= cfg.minSharedShingles)
+      .select("doc_id")
+    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+
+    // 4-5. redact + split + emit: one fused projection
+    clean.select(
+      col("doc_id"),
+      when(substring(md5(col("text")), 1, 1).isin("c", "d"), "val")
+        .when(substring(md5(col("text")), 1, 1).isin("e", "f"), "test")
+        .otherwise("train").as("split"),
+      col("n_tokens"),
+      regexp_replace(regexp_replace(col("text"), cfg.emailRe, "[EMAIL]"),
+        cfg.phoneRe, "[PHONE]").as("red_text"))
+  }
+}

@@ -464,6 +464,31 @@ object QueriesExt {
           lit("text/plain").as("media_type"))
         .orderBy("doc_id")),
 
+    // The WHOLE curation pipeline as one declarative plan
+    // (graft.ops.Curation): quality gate → exact dedup →
+    // decontamination → PII redaction → content-keyed split, composed
+    // from the individually-verified stages. Corpus has planted PII
+    // (every 7th doc), planted re-crawled duplicates (every 10th,
+    // re-ingested under a new id), and the eval set is every 50th doc
+    // — so every stage provably removes/transforms something.
+    "ext_curation_pipeline" -> ((s, d) => {
+      val base = t("documents")(s, d)
+        .withColumn("txt", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-0142"))).otherwise(col("text")))
+      val corpus0 = base.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("txt").as("text"))
+      val corpus = corpus0.unionAll(
+        corpus0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val evalSet = base.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("txt").as("text"))
+      Curation.curate(corpus, evalSet)
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          md5(col("red_text")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Line-level boilerplate removal (the CCNet/RefinedWeb pattern):
     // web pages repeat nav headers / cookie banners / footers across
     // millions of documents; drop any line whose corpus frequency
@@ -764,6 +789,52 @@ object QueriesExt {
            SUBSTR(HEX(ENCODE(text)), 1, 8) AS head_hex,
            'text/plain' AS media_type
          FROM documents ORDER BY doc_id""",
+    "ext_curation_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-0142'
+               ELSE text END AS text
+           FROM documents),
+         corpus0 AS (SELECT doc_id, text FROM base WHERE doc_id % 50 != 0),
+         corpus AS (SELECT doc_id, text FROM corpus0
+                    UNION ALL
+                    SELECT doc_id + 10000, text FROM corpus0 WHERE doc_id % 10 = 0),
+         ev AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+         q AS (SELECT doc_id, text,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(LENGTH(text) AS DOUBLE)
+               / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS avg_tok_len,
+             CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS stop_ratio
+           FROM corpus),
+         ok AS (SELECT doc_id, text, n_tokens FROM q
+                WHERE n_tokens BETWEEN 20 AND 1000
+                  AND avg_tok_len BETWEEN 3.0 AND 12.0
+                  AND stop_ratio >= 0.05),
+         reps AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY MD5(text)),
+         dd AS (SELECT o.* FROM ok o JOIN reps r USING (doc_id)),
+         evsh AS (SELECT DISTINCT SUBSTR(LOWER(text), g.g, 8) AS s
+                  FROM ev, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                  WHERE g.g <= LENGTH(text) - 7),
+         csh AS (SELECT DISTINCT d.doc_id, SUBSTR(LOWER(d.text), g.g, 8) AS s
+                 FROM dd d, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                 WHERE g.g <= LENGTH(d.text) - 7),
+         contam AS (SELECT doc_id FROM csh JOIN evsh USING (s)
+                    GROUP BY doc_id HAVING COUNT(*) >= 150),
+         clean AS (SELECT * FROM dd
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         SELECT doc_id,
+           CASE WHEN SUBSTR(MD5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                WHEN SUBSTR(MD5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split,
+           n_tokens,
+           MD5(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '555-[0-9]{4}', '[PHONE]', 'g')) AS red_fp
+         FROM clean ORDER BY doc_id""",
     "ext_dedup_lines" ->
       """WITH pages AS (
            SELECT doc_id, CONCAT_WS(CHR(10),

@@ -28,6 +28,28 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!flagged.contains(2L), "clean doc is not flagged")
   }
 
+  test("curation pipeline composes the stages with the right semantics") {
+    val out = graft.SparkEntry.queries("ext_curation_pipeline")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(out.nonEmpty)
+    // eval docs (every 50th) are the benchmark, never corpus output
+    assert(out.keySet.forall(id => id % 50 != 0))
+    // re-crawled duplicates (+10000 ids) always lose to their original
+    // (min-id representative), so none can survive
+    assert(out.keySet.forall(_ < 10000), "a planted duplicate survived dedup")
+    // redaction: planted-PII survivors have a changed fingerprint,
+    // clean survivors pass through byte-identical
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "md5(text) fp").as[(Long, String)].collect().toMap
+    out.foreach { case (id, (_, redFp)) =>
+      if (id % 7 == 0) assert(redFp != src(id), s"doc $id PII not redacted")
+      else assert(redFp == src(id), s"doc $id text corrupted by pipeline")
+    }
+    // every stage bites: quality gate, contamination, and dedup each
+    // removed someone (312 quality survivors at this SF; output smaller)
+    assert(out.size < 312)
+  }
+
   test("PII redaction removes planted emails and phones, counts them") {
     val out = graft.SparkEntry.queries("ext_pii_redact")(spark, sfDir)
     val planted = out.filter($"doc_id" % 7 === 0)

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * semi-joins the keep-list back on the natural key (zero text
   * shuffle when the corpus is bucketed by id — the layout
   * `opt_bucketed_join` demonstrates); stage 3 is a broadcast
-  * semi-join against eval shingles (index-sized) feeding a broadcast
-  * anti-join of the (small) contaminated id set. Filter order is
-  * cost order: the quality gate cuts the corpus before any join.
+  * semi-join against eval shingles (index-sized) feeding an anti-join
+  * of the contaminated id set (strategy left to AQE — tiny in
+  * practice, corpus-proportional in the adversarial case). Filter
+  * order is cost order: the quality gate cuts the corpus before any
+  * join.
   */
 object Curation {
 
@@ -83,7 +85,10 @@ object Curation {
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
       .filter(col("n_shared") >= cfg.minSharedShingles)
       .select("doc_id")
-    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // no broadcast hint: the contaminated set is usually tiny (AQE will
+    // broadcast it), but it is corpus-proportional in the worst case —
+    // the planner must stay free to shuffle it
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 4-5. redact + split + emit: one fused projection
     clean.select(

@@ -36,13 +36,17 @@ object Curation {
       // standard contamination rule (any-overlap is far too trigger-
       // happy on a small shared vocabulary)
       minSharedShingles: Int = 150,
-      emailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      emailRe: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
       phoneRe: String = "555-[0-9]{4}")
 
   private val stopList = "('the', 'a', 'of', 'and', 'is')"
 
-  /** Corpus docs (id, text) that pass the quality gate, with stats. */
-  private def qualityPass(docs: DataFrame, cfg: Config): DataFrame =
+  /** Append the gate's input stats (n_tokens, avg_tok_len, stop_ratio)
+    * to (doc_id, text) — THE single definition shared by the
+    * `ext_quality_filter` key and the composed pipeline, so the two
+    * cannot drift.
+    */
+  def qualityStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .withColumn("n_tokens", size(col("toks")))
@@ -51,10 +55,24 @@ object Curation {
       .withColumn("stop_ratio",
         expr(s"size(filter(toks, x -> x IN $stopList))" +
           " / CAST(size(toks) AS DOUBLE)"))
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
-        col("avg_tok_len").between(cfg.minAvgTokLen, cfg.maxAvgTokLen) &&
-        col("stop_ratio") >= cfg.minStopRatio)
-      .drop("toks", "avg_tok_len", "stop_ratio")
+      .drop("toks")
+
+  /** First failing gate, as an ordered CASE over [[qualityStats]]
+    * columns; "kept" when every check passes.
+    */
+  def dropReason(cfg: Config): org.apache.spark.sql.Column =
+    when(col("n_tokens") < cfg.minTokens, "too_short")
+      .when(col("n_tokens") > cfg.maxTokens, "too_long")
+      .when(col("avg_tok_len") < cfg.minAvgTokLen ||
+        col("avg_tok_len") > cfg.maxAvgTokLen, "token_shape")
+      .when(col("stop_ratio") < cfg.minStopRatio, "low_stopword")
+      .otherwise("kept")
+
+  /** Corpus docs (id, text) that pass the quality gate, with stats. */
+  private def qualityPass(docs: DataFrame, cfg: Config): DataFrame =
+    qualityStats(docs)
+      .filter(dropReason(cfg) === "kept")
+      .drop("avg_tok_len", "stop_ratio")
 
   /** Run the full pipeline. `docs` must have (doc_id, text); `evalDocs`
     * is the EXTERNAL benchmark set to decontaminate against (only its

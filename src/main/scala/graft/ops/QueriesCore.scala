@@ -62,7 +62,7 @@ object QueriesCore {
     // coalesce) — exactly the layout a distributed reader wants.
     "scan_jsonl" -> ((s, d) => {
       val dir = s"/root/repo/target/graft_tmp/scan_jsonl_${new java.io.File(d).getName}"
-      if (!new java.io.File(dir).isDirectory)
+      if (!Tables.writeComplete(dir))
         Tables.t(s, d, "documents").select("doc_id", "text")
           .write.mode("overwrite").json(dir)
       s.read.schema("doc_id BIGINT, text STRING").json(dir)
@@ -77,7 +77,7 @@ object QueriesCore {
     // and verify content against the oracle's view of the source table.
     "scan_orc" -> ((s, d) => {
       val dir = s"/root/repo/target/graft_tmp/scan_orc_${new java.io.File(d).getName}"
-      if (!new java.io.File(dir).isDirectory)
+      if (!Tables.writeComplete(dir))
         Tables.t(s, d, "documents").select("doc_id", "text", "n_chars")
           .write.mode("overwrite").orc(dir)
       s.read.orc(dir)

@@ -123,14 +123,16 @@ object QueriesExt {
     "ext_text_quality" -> ((s, d) =>
       t("documents")(s, d)
         .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+        // raw per-row doubles: identical IEEE ops match bitwise across
+        // engines, while round() at half-boundaries does not
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           size(col("toks")).as("n_tokens"),
-          round(length(col("text")).cast("double") / size(col("toks")), 6)
+          (length(col("text")).cast("double") / size(col("toks")))
             .as("avg_tok_len"),
           expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))")
             .as("n_stop"),
-          round(expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) / CAST(size(toks) AS DOUBLE)"), 6)
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) / CAST(size(toks) AS DOUBLE)")
             .as("stop_ratio"))
         .orderBy("doc_id")),
 
@@ -141,24 +143,14 @@ object QueriesExt {
     // no shuffle, the 100 TB filter that runs ahead of every
     // expensive dedup/embedding stage.
     "ext_quality_filter" -> ((s, d) =>
-      t("documents")(s, d)
-        .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("avg_tok_len",
-          length(col("text")).cast("double") / col("n_tokens"))
-        .withColumn("stop_ratio",
-          expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is')))" +
-            " / CAST(size(toks) AS DOUBLE)"))
-        .withColumn("drop_reason",
-          when(col("n_tokens") < 20, "too_short")
-            .when(col("n_tokens") > 1000, "too_long")
-            .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 12.0,
-              "token_shape")
-            .when(col("stop_ratio") < 0.05, "low_stopword")
-            .otherwise("kept"))
+      // stats + gate come from Curation — the SAME definitions the
+      // composed ext_curation_pipeline runs, so key and pipeline
+      // cannot drift. Per-row computed doubles ship RAW (identical
+      // IEEE ops match bitwise; round() at half-boundaries does not).
+      Curation.qualityStats(t("documents")(s, d))
+        .withColumn("drop_reason", Curation.dropReason(Curation.Config()))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("avg_tok_len"), 6).as("avg_tok_len"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
+          col("avg_tok_len"), col("stop_ratio"),
           (col("drop_reason") === "kept").as("keep"), col("drop_reason"))
         .orderBy("doc_id")),
 
@@ -405,7 +397,7 @@ object QueriesExt {
     // projection — codegen'd, no shuffle, embarrassingly parallel at
     // any scale.
     "ext_pii_redact" -> ((s, d) => {
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phoneRe = "555-[0-9]{4}"
       t("documents")(s, d)
         .withColumn("txt", when(col("doc_id") % 7 === 0,
@@ -661,12 +653,12 @@ object QueriesExt {
       """SELECT doc_id,
            CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
            CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
-           ROUND(CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_split_to_array(TRIM(text), '\s+')), 6) AS avg_tok_len,
+           CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS avg_tok_len,
            CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
              x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS INTEGER) AS n_stop,
-           ROUND(CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+           CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
              x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-             / LEN(regexp_split_to_array(TRIM(text), '\s+')), 6) AS stop_ratio
+             / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS stop_ratio
          FROM documents ORDER BY doc_id""",
     "ext_quality_filter" ->
       """WITH q AS (SELECT doc_id,
@@ -684,9 +676,7 @@ object QueriesExt {
                 WHEN stop_ratio < 0.05 THEN 'low_stopword'
                 ELSE 'kept' END AS drop_reason
          FROM q)
-         SELECT doc_id, n_tokens,
-           ROUND(avg_tok_len, 6) AS avg_tok_len,
-           ROUND(stop_ratio, 6) AS stop_ratio,
+         SELECT doc_id, n_tokens, avg_tok_len, stop_ratio,
            drop_reason = 'kept' AS keep, drop_reason
          FROM r ORDER BY doc_id""",
     "ext_lang_id" ->
@@ -764,10 +754,10 @@ object QueriesExt {
                 ELSE text END AS txt
            FROM documents)
          SELECT doc_id,
-           CAST(LEN(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(LEN(regexp_extract_all(txt, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
            CAST(LEN(regexp_extract_all(txt, '555-[0-9]{4}')) AS INTEGER) AS n_phone,
            regexp_replace(
-             regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             regexp_replace(txt, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
              '555-[0-9]{4}', '[PHONE]', 'g') AS red_text
          FROM w ORDER BY doc_id""",
     "ext_split_hash" ->
@@ -832,7 +822,7 @@ object QueriesExt {
                 ELSE 'train' END AS split,
            n_tokens,
            MD5(regexp_replace(regexp_replace(text,
-             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
              '555-[0-9]{4}', '[PHONE]', 'g')) AS red_fp
          FROM clean ORDER BY doc_id""",
     "ext_dedup_lines" ->
@@ -848,7 +838,7 @@ object QueriesExt {
            SELECT p.doc_id, g.g - 1 AS pos,
              STR_SPLIT(p.page, CHR(10))[g.g] AS line,
              LEN(STR_SPLIT(p.page, CHR(10))) AS n_lines
-           FROM pages p, (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS g) g
+           FROM pages p, (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS g) g
            WHERE g.g <= LEN(STR_SPLIT(p.page, CHR(10)))),
          hot AS (SELECT MD5(line) AS lfp FROM lines
                  GROUP BY MD5(line) HAVING COUNT(*) > 10)

@@ -77,7 +77,7 @@ object QueriesOpt {
     "opt_partition_prune" -> ((s, d) => {
       val tag = TableIds.idFor(d)
       val path = s"target/warehouse/events_bydate_$tag"
-      if (!new java.io.File(path).isDirectory) {
+      if (!Tables.writeComplete(path)) {
         Tables.t(s, d, "events")
           .withColumn("event_date", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("event_date").parquet(path)
@@ -118,7 +118,7 @@ object QueriesOpt {
     "opt_range_sorted_sink" -> ((s, d) => {
       val tag = TableIds.idFor(d)
       val path = s"target/warehouse/orders_ranged_$tag"
-      if (!new java.io.File(path).isDirectory) {
+      if (!Tables.writeComplete(path)) {
         Tables.t(s, d, "orders")
           .select("o_orderkey", "o_orderdate", "o_totalprice")
           .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))

@@ -14,6 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True iff `dir` holds a COMPLETED Spark write — the `_SUCCESS`
+    * marker, not merely an existing directory. An interrupted first
+    * write leaves a directory containing `_temporary/` or partial part
+    * files; a bare isDirectory guard would then skip the rewrite and
+    * read the poisoned layout forever.
+    */
+  def writeComplete(dir: String): Boolean =
+    new java.io.File(dir, "_SUCCESS").isFile
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
     // type for: read the raw int64 nanos and truncate to micros (UTC

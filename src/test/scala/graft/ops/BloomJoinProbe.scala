@@ -21,6 +21,11 @@ class BloomJoinProbe extends SparkSpec {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
 
   test("forced-shuffle plan carries a bloom might_contain on the fact side") {
+    // baseline under DEFAULT confs (dim side broadcasts, no bloom) —
+    // this is the configuration the DuckDB oracle verifies
+    val expected = graft.SparkEntry.queries("opt_bloom_join")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.nonEmpty)
     val conf = spark.conf
     val saved = tuning.map { case (k, _) => k -> conf.getOption(k) }
     try {
@@ -29,9 +34,11 @@ class BloomJoinProbe extends SparkSpec {
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain"),
         s"no runtime bloom filter injected:\n${optimized.take(3000)}")
-      // and the result is still correct under the forced confs
-      val n = df.collect().map(_.getLong(1)).sum
-      assert(n > 0)
+      // the bloom-filtered shuffle path must return EXACTLY the
+      // broadcast path's rows — a false-negative filter would drop some
+      val actual = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(actual == expected, s"forced-shuffle result diverged:\n$actual\n$expected")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)

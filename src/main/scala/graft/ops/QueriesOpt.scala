@@ -129,6 +129,38 @@ object QueriesOpt {
         .orderBy("o_orderdate", "o_orderkey")
     }),
 
+    // Z-order clustered sink: interleave the bits of two bucketized
+    // key columns and range-partition + sort on the resulting z-value
+    // — every output file then covers a NARROW slab in BOTH
+    // dimensions, so min/max file skipping prunes 2-D box queries
+    // (the Delta/Iceberg Z-ORDER layout; a single-column sort gives
+    // narrow files in one dimension and full-range files in the
+    // other). ZorderSinkProbe measures exactly that from the file
+    // statistics. The two scalar max() values fetched to the driver
+    // are layout metadata (same class as IVF centroids), not data.
+    "opt_zorder_sink" -> ((s, d) => {
+      val tag = TableIds.idFor(d)
+      val path = s"target/warehouse/lineitem_zorder_$tag"
+      if (!Tables.writeComplete(path)) {
+        val li = Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()
+        val (maxP, maxS) = (mx.getLong(0), mx.getLong(1))
+        li.withColumn("xb", expr(s"CAST(l_partkey * 256 / ${maxP + 1} AS BIGINT)"))
+          .withColumn("yb", expr(s"CAST(l_suppkey * 256 / ${maxS + 1} AS BIGINT)"))
+          .withColumn("zval", expr(
+            """aggregate(sequence(0, 7), 0L, (acc, i) ->
+               acc + shiftleft(CAST(shiftright(xb, i) % 2 AS BIGINT), 2*i+1)
+                   + shiftleft(CAST(shiftright(yb, i) % 2 AS BIGINT), 2*i))"""))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions("zval")
+          .drop("xb", "yb", "zval")
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // AQE skew-join: the same 3-value hot-key join as opt_salted_join,
     // UNSALTED — handling skew is delegated to the engine-native
     // mechanism (spark.sql.adaptive.skewJoin splits oversized shuffle
@@ -195,6 +227,9 @@ object QueriesOpt {
     "opt_range_sorted_sink" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate, o_orderkey""",
+    "opt_zorder_sink" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
     "opt_skew_aqe_join" ->
       """SELECT 'flag_' || l_returnflag AS rf_label,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -178,11 +178,14 @@ object StreamingOps {
     * watermark and the join predicate bounds event time on BOTH ends —
     * that pair of constraints is what lets Spark evict matched state;
     * an unbounded stream-stream join buffers both streams forever.
-    * Inner join: emission needs no watermark wait beyond the bound.
+    * Inner join emits on match; `left_outer` additionally emits
+    * null-padded left rows once the watermark proves no match can
+    * arrive (the "impression with no click" feed).
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    watermark: String = "10 minutes",
-                   maxDelay: String = "30 minutes"): DataFrame = {
+                   maxDelay: String = "30 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
       .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
     val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
@@ -190,7 +193,8 @@ object StreamingOps {
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .select(col("user_id"), col("l_ts"), col("r_ts"), col("l_value"))
   }
 

@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer intervalJoin emits unmatched left rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Double)]
+    val rIn = MemoryStream[(Long, Timestamp)]
+    val left = lIn.toDF().toDF("user_id", "ts", "value")
+    val right = rIn.toDF().toDF("user_id", "ts")
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+
+    val q = StreamingOps.intervalJoin(left, right, "10 minutes", "30 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ij_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(
+        (1L, ts("2024-01-01 00:00:00"), 10.0),  // will match
+        (2L, ts("2024-01-01 00:00:00"), 20.0))  // never matches
+      rIn.addData((1L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      // push both watermarks far past 00:00 + 30m bound + 10m wm so the
+      // unmatched left row can be finalized as a null-padded emission
+      lIn.addData((8L, ts("2024-01-01 03:00:00"), 1.0))
+      rIn.addData((9L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      lIn.addData((8L, ts("2024-01-01 06:00:00"), 1.0))
+      rIn.addData((9L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("ij_outer_test").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).isDefined)).toSet
+      assert(rows.contains((1L, true)), s"matched row missing: ${rows.mkString(",")}")
+      assert(rows.contains((2L, false)),
+        s"unmatched left row not emitted with null right side: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("intervalJoin state is evicted once the watermark clears the bound") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(Long, Timestamp, Double)]

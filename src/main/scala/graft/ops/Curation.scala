@@ -118,4 +118,37 @@ object Curation {
       regexp_replace(regexp_replace(col("text"), cfg.emailRe, "[EMAIL]"),
         cfg.phoneRe, "[PHONE]").as("red_text"))
   }
+
+  /** Per-stage accounting for the same pipeline: every input doc with
+    * the single stage that removed it (`kept` if none) — the
+    * observability feed a production pipeline logs next to its output.
+    * Stages are attributed in pipeline order: a doc failing the gate
+    * reports the gate even if it is also a duplicate. Same plan
+    * shapes as [[curate]]; one extra aggregation turns this into
+    * stage counts.
+    */
+  def stageOutcome(docs: DataFrame, evalDocs: DataFrame,
+                   cfg: Config = Config()): DataFrame = {
+    val stats = qualityStats(docs).withColumn("gate", dropReason(cfg))
+    val ok = stats.filter(col("gate") === "kept").select("doc_id", "text")
+    val reps = ok.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .withColumn("is_rep", lit(true))
+    val evalSh = Dedup.shingles(evalDocs, "doc_id", "text", cfg.shingleLen)
+      .select("s").distinct()
+    val contaminated = Dedup.shingles(ok, "doc_id", "text", cfg.shingleLen)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= cfg.minSharedShingles)
+      .select("doc_id").withColumn("is_contam", lit(true))
+    stats.select("doc_id", "gate")
+      .join(reps, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("gate") =!= "kept", col("gate"))
+          .when(col("is_rep").isNull, "duplicate")
+          .when(col("is_contam").isNotNull, "contaminated")
+          .otherwise("kept").as("stage_outcome"))
+  }
 }

@@ -481,6 +481,28 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // Per-stage accounting for the same pipeline (Curation.
+    // stageOutcome): every input doc attributed to the single stage
+    // that removed it, aggregated to stage counts — the observability
+    // feed logged next to the curated output. Same planted corpus as
+    // ext_curation_pipeline.
+    "ext_curation_stats" -> ((s, d) => {
+      val base = t("documents")(s, d)
+        .withColumn("txt", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-0142"))).otherwise(col("text")))
+      val corpus0 = base.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("txt").as("text"))
+      val corpus = corpus0.unionAll(
+        corpus0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val evalSet = base.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("txt").as("text"))
+      Curation.stageOutcome(corpus, evalSet)
+        .groupBy("stage_outcome").agg(count(lit(1)).as("n"))
+        .orderBy("stage_outcome")
+    }),
+
     // Line-level boilerplate removal (the CCNet/RefinedWeb pattern):
     // web pages repeat nav headers / cookie banners / footers across
     // millions of documents; drop any line whose corpus frequency
@@ -825,6 +847,52 @@ object QueriesExt {
              '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
              '555-[0-9]{4}', '[PHONE]', 'g')) AS red_fp
          FROM clean ORDER BY doc_id""",
+    "ext_curation_stats" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-0142'
+               ELSE text END AS text
+           FROM documents),
+         corpus0 AS (SELECT doc_id, text FROM base WHERE doc_id % 50 != 0),
+         corpus AS (SELECT doc_id, text FROM corpus0
+                    UNION ALL
+                    SELECT doc_id + 10000, text FROM corpus0 WHERE doc_id % 10 = 0),
+         ev AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+         q AS (SELECT doc_id, text,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(LENGTH(text) AS DOUBLE)
+               / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS avg_tok_len,
+             CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS stop_ratio
+           FROM corpus),
+         g AS (SELECT doc_id, text,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 1000 THEN 'too_long'
+                  WHEN avg_tok_len < 3.0 OR avg_tok_len > 12.0 THEN 'token_shape'
+                  WHEN stop_ratio < 0.05 THEN 'low_stopword'
+                  ELSE 'kept' END AS gate
+           FROM q),
+         ok AS (SELECT doc_id, text FROM g WHERE gate = 'kept'),
+         reps AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY MD5(text)),
+         evsh AS (SELECT DISTINCT SUBSTR(LOWER(text), gg.g, 8) AS s
+                  FROM ev, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) gg
+                  WHERE gg.g <= LENGTH(text) - 7),
+         csh AS (SELECT DISTINCT o.doc_id, SUBSTR(LOWER(o.text), gg.g, 8) AS s
+                 FROM ok o, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) gg
+                 WHERE gg.g <= LENGTH(o.text) - 7),
+         contam AS (SELECT doc_id FROM csh JOIN evsh USING (s)
+                    GROUP BY doc_id HAVING COUNT(*) >= 150),
+         outcome AS (SELECT doc_id,
+             CASE WHEN gate != 'kept' THEN gate
+                  WHEN doc_id NOT IN (SELECT doc_id FROM reps) THEN 'duplicate'
+                  WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                  ELSE 'kept' END AS stage_outcome
+           FROM g)
+         SELECT stage_outcome, CAST(COUNT(*) AS BIGINT) AS n
+         FROM outcome GROUP BY 1 ORDER BY stage_outcome""",
     "ext_dedup_lines" ->
       """WITH pages AS (
            SELECT doc_id, CONCAT_WS(CHR(10),

@@ -50,6 +50,18 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out.size < 312)
   }
 
+  test("stage accounting reconciles exactly with the pipeline's survivors") {
+    val survivors = graft.SparkEntry.queries("ext_curation_pipeline")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val outcomes = graft.SparkEntry.queries("ext_curation_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outcomes("kept") == survivors.size,
+      s"stats kept=${outcomes.get("kept")} vs pipeline ${survivors.size}")
+    assert(outcomes.contains("duplicate") && outcomes("duplicate") > 0)
+    assert(outcomes.keySet.subsetOf(Set("kept", "duplicate", "contaminated",
+      "too_short", "too_long", "token_shape", "low_stopword")))
+  }
+
   test("PII redaction removes planted emails and phones, counts them") {
     val out = graft.SparkEntry.queries("ext_pii_redact")(spark, sfDir)
     val planted = out.filter($"doc_id" % 7 === 0)

@@ -46,6 +46,19 @@ class JsonlSpec extends SparkSpec {
     assert(mparts == 4, s"expected 4 part files, got $mparts")
   }
 
+  test("an interrupted first write (no _SUCCESS) is rewritten, not read") {
+    val dir = new java.io.File(
+      s"target/graft_tmp/scan_jsonl_${new java.io.File(sfDir).getName}")
+    // simulate a killed first write: directory exists, marker doesn't
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    assert(dir.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-00000-partial.json").toPath, "{\"doc_id\":1}\n")
+    val out = SparkEntry.queries("scan_jsonl")(spark, sfDir)
+    assert(out.count() == 500, "poisoned layout was read instead of rewritten")
+    assert(new java.io.File(dir, "_SUCCESS").isFile)
+  }
+
   test("jsonl scan with explicit schema plans a single relation, no inference scan") {
     // With an explicit schema the DataFrameReader never touches the files
     // at plan time; a wrong column name would surface as an all-null

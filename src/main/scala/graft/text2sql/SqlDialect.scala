@@ -217,7 +217,9 @@ object SqlDialect {
     *    clause is simply stripped;
     *  - bare operand (`ORDER BY x COLLATE NOCASE`) → `lower(x)`.
     * Unknown collations (`RTRIM`, custom) are left verbatim — a
-    * visible analysis error beats a silently changed answer.
+    * visible analysis error beats a silently changed answer. The same
+    * decline applies to IN / BETWEEN / NOT-IN contexts, whose operand
+    * lists the two-sided fold does not model.
     */
   private def rewriteCollate(sql: String): String = {
     var i = 0
@@ -256,6 +258,17 @@ object SqlDialect {
     // X COLLATE NOCASE op Y
     var a = collEnd
     while (a < sql.length && sql.charAt(a).isWhitespace) a += 1
+    // contexts the two-sided fold does not model: IN / BETWEEN (every
+    // list/range operand would need its own fold) and NOT followed by
+    // anything but ILIKE (NOT IN, NOT BETWEEN). Declining leaves the
+    // clause verbatim → visible Spark analysis error, never silently
+    // case-sensitive (or half-folded) rows.
+    if (keywordAt(sql, a, "in") || keywordAt(sql, a, "between")) return None
+    if (keywordAt(sql, a, "not")) {
+      var n = a + 3
+      while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
+      if (!keywordAt(sql, n, "ilike")) return None
+    }
     operatorAtForwards(sql, a) match {
       case Some(("ilike", _)) | Some(("not", _)) =>
         return Some(sql.substring(0, xEnd) + sql.substring(collEnd))

@@ -178,6 +178,29 @@ class DedupSpec extends SparkSpec {
       s"expected exactly the 100 new docs, got ${ids.size}")
   }
 
+  test("hashed shingles align with string shingles on supplementary characters") {
+    // an emoji is ONE code point but TWO UTF-16 chars: hashed windows
+    // must advance by code points (Spark substring semantics), never
+    // split a surrogate pair, and cover the same window count
+    val txt = "😀abcdefg hi 🚀xyzw"
+    val docs = Seq((1L, txt)).toDF("doc_id", "text")
+    // exact parity: every string shingle's XXH64 must appear in the
+    // hashed set, and nothing else (a char-indexed window would hash
+    // different byte spans and break set equality)
+    val expected = Dedup.shingles(docs, "doc_id", "text")
+      .select("s").distinct().as[String].collect().map { w =>
+        val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L)
+      }.toSet
+    val hashed = Dedup.hashedShingleSets(docs, "doc_id", "text")
+      .select(explode($"sset")).distinct().as[Long].collect().toSet
+    assert(hashed == expected,
+      s"hashed windows diverge from code-point string windows: " +
+        s"${(hashed -- expected).size} extra, ${(expected -- hashed).size} missing")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val withDups = corpus.unionAll(corpus.filter($"doc_id" === 1L))
     val deduped = withDups.groupBy($"text")

@@ -289,6 +289,20 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getBoolean(0) && row.getBoolean(1))
   }
 
+  test("COLLATE NOCASE next to IN / BETWEEN / NOT IN declines (stays verbatim)") {
+    // folding only the left side (lower(x) IN ('Apple')) would return
+    // silently wrong rows; declining leaves a visible analysis error
+    for (q <- Seq(
+      "SELECT * FROM t WHERE x COLLATE NOCASE IN ('Apple', 'Pear')",
+      "SELECT * FROM t WHERE x COLLATE NOCASE NOT IN ('Apple')",
+      "SELECT * FROM t WHERE x COLLATE NOCASE BETWEEN 'a' AND 'b'"))
+      assert(SqlDialect.translate(q) == q, q)
+    // NOT LIKE still composes: the clause strips next to NOT ILIKE
+    val ok = SqlDialect.translate("SELECT 'Ab' NOT LIKE 'c%' COLLATE NOCASE AS v")
+    assert(!ok.toLowerCase.contains("collate"), ok)
+    assert(spark.sql(ok).head().getBoolean(0))
+  }
+
   test("COLLATE BINARY drops; unknown collations stay verbatim") {
     assert(SqlDialect.translate("SELECT x FROM t ORDER BY x COLLATE BINARY")
       == "SELECT x FROM t ORDER BY x")

@@ -101,6 +101,45 @@ object QueriesJoins {
           col("a.c_nationkey").as("nk"))
         .orderBy("k1", "k2")
     }),
+
+    // AS-OF join: each probe matched to the latest state update at or
+    // before its timestamp (per key) — the canonical time-series
+    // enrichment. Spark has no native ASOF, and the equi+range join
+    // formulation materializes O(|L_k|·|R_k|) pairs per key before
+    // picking the latest. This composes it from existing ops instead:
+    // UNION both sides with a tag, ONE window pass in (ts, tag) order
+    // carries the last state forward (`last(_, ignoreNulls)` — LOCF),
+    // and probes read it. One hash shuffle total, no join node in the
+    // plan at all (asserted in PlanAuditProbe), linear in |L|+|R|.
+    // Ties are resolved INSIDE the window sort instead of by a
+    // pre-aggregation (which would cost a second shuffle): updates at
+    // the same (user, ts) sort ascending by value, so LOCF's "last"
+    // equals MAX(value) at the tie — matching the oracle's collapsed
+    // right side. Ties between a probe and an update at the SAME ts
+    // sort the update first (tag 0 < 1), matching ASOF's inclusive
+    // `l.ts >= r.ts`.
+    "join_asof" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val stateT = "struct<asof_ts:timestamp_ntz,asof_value:double>"
+      val updates = ev
+        .select(col("user_id"), col("ts"),
+          struct(col("ts").as("asof_ts"), col("value").as("asof_value")).as("_r"),
+          lit(null).cast("bigint").as("event_id"), lit(0).as("_tag"))
+      val probes = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts"),
+          lit(null).cast(stateT).as("_r"), col("event_id"), lit(1).as("_tag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("_tag"), col("_r.asof_value"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      updates.unionAll(probes)
+        .withColumn("_state", last(col("_r"), ignoreNulls = true).over(w))
+        .filter(col("_tag") === 1 && col("_state").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("l_ts"),
+          col("_state.asof_ts").as("asof_ts"),
+          col("_state.asof_value").as("asof_value"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,5 +189,15 @@ object QueriesJoins {
            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
          WHERE a.c_custkey <= 100 AND b.c_custkey <= 100
          ORDER BY k1, k2""",
+    "join_asof" ->
+      """WITH r AS (SELECT user_id, ts, MAX(value) AS asof_value
+                    FROM events GROUP BY 1, 2),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_id % 5 = 0)
+         SELECT l.event_id, l.user_id, l.ts AS l_ts,
+                r.ts AS asof_ts, r.asof_value
+         FROM l ASOF JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
   )
 }

@@ -90,6 +90,15 @@ class PlanAuditProbe extends SparkSpec {
       p.take(1500))
   }
 
+  test("as-of join plans with NO join node and one hash exchange") {
+    val p = plan("join_asof")
+    // the union+window composition replaces the equi+range join — the
+    // O(|L|·|R|) pairwise intermediate must not exist in any form
+    assert(!p.contains("Join"), s"join node crept into the as-of plan\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange\n${p.take(2000)}")
+  }
+
   test("window rewrites share ONE partition exchange and prune columns") {
     for (k <- Seq("win_groups_frame", "win_exclude")) {
       val p = plan(k)

@@ -111,6 +111,28 @@ object QueriesJoins {
     // carries the last state forward (`last(_, ignoreNulls)` — LOCF),
     // and probes read it. One hash shuffle total, no join node in the
     // plan at all (asserted in PlanAuditProbe), linear in |L|+|R|.
+    // RANGE join (pairs within a time bound) — the naive theta join
+    // `b.ts > a.ts AND b.ts <= a.ts + 5min` plans as a nested-loop
+    // over each user's events. Bucketize instead: floor both sides to
+    // range-width buckets, expand each PROBE to its own + the next
+    // bucket (bounded 2× — any in-range match must land there), join
+    // on (user, bucket) EQUALITY, then apply the exact predicate.
+    // Shuffle-equi-join shape, no nested loop (plan-audited); each
+    // true pair matches exactly once (the partner's bucket is unique).
+    "join_range" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .withColumn("bkt", expr("floor(unix_micros(cast(ts as timestamp)) / 300000000)"))
+      val probes = ev.select(col("user_id"), col("event_id").as("id1"),
+          col("ts").as("ts1"), explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
+      val cands = ev.select(col("user_id"), col("event_id").as("id2"),
+        col("ts").as("ts2"), col("bkt"))
+      probes.join(cands, Seq("user_id", "bkt"))
+        .filter(col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("id1"), col("id2"))
+        .orderBy("user_id", "id1", "id2")
+    }),
+
     // Ties are resolved INSIDE the window sort instead of by a
     // pre-aggregation (which would cost a second shuffle): updates at
     // the same (user, ts) sort ascending by value, so LOCF's "last"
@@ -189,6 +211,11 @@ object QueriesJoins {
            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
          WHERE a.c_custkey <= 100 AND b.c_custkey <= 100
          ORDER BY k1, k2""",
+    "join_range" ->
+      """SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+         ORDER BY a.user_id, id1, id2""",
     "join_asof" ->
       """WITH r AS (SELECT user_id, ts, MAX(value) AS asof_value
                     FROM events GROUP BY 1, 2),

@@ -171,13 +171,12 @@ object Dedup {
     * (three consumers — signatures, the hot-shingle census, and the
     * verification join; MLlib's LSH similarity join persists its
     * transformed input the same way, and the block is LRU-evicted when
-    * cold). Signatures use the imperative [[graft.functions.MinHashAgg]]
-    * — measured 3-5× faster than the equivalent 32-64 higher-order
-    * `aggregate()` lambdas, which exceed the codegen method budget and
-    * fall back to interpreted evaluation. The groupBy(id) shuffle
-    * carries only compact partial signatures (map-side partial
-    * aggregation), never raw shingles; verification joins the tiny
-    * candidate set against the cached arrays (broadcast-able side).
+    * cold). Signatures are a row-local projection
+    * ([[graft.functions.MinHashArray]] over the in-row shingle array)
+    * — zero shuffle; the first exchange in the pipeline is the banding
+    * groupBy, which carries compact signatures, never raw shingles.
+    * Verification joins the tiny candidate set against the cached
+    * arrays (broadcast-able side).
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 8, numHashes: Int = 64, bands: Int = 16,
@@ -186,7 +185,6 @@ object Dedup {
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val sets = hashedShingleSets(docs, idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = sets.select(col("id"), explode(col("sset")).as("s"))
     // hot shingles are FEW by construction (df above a high cap):
     // collect them as bounded index metadata (like ANN centroids) and
     // subtract row-locally — one census pass, no per-row join stage.
@@ -203,15 +201,9 @@ object Dedup {
     // corpus sizes where small caps make sense). Measured: the full
     // census was the entire r2 bench regression (+1.6 s at sf0.1);
     // the sampled census shuffles 1/5 the rows.
-    val sigInput =
-      if (maxShingleDf == Int.MaxValue) sh
+    val hot: Array[Long] =
+      if (maxShingleDf == Int.MaxValue) Array.emptyLongArray
       else {
-        // provable no-op elimination: a shingle's df can never exceed
-        // the number of documents, so when nDocs <= cap the census
-        // must come back empty — skip its shuffle entirely. The
-        // count() doubles as the cache materialization the pipeline
-        // needs anyway.
-        val nDocs = sets.count()
         val censusRate = 5
         val sampled = maxShingleDf >= 5 * censusRate
         val censusSrc =
@@ -225,28 +217,42 @@ object Dedup {
         // (df ≫ cap, the guard's target) still clear it easily. The
         // cost is that df in (cap, ~2.5·cap] may be censused as cool —
         // a perf-only outcome, bounded by the band-bucket caps.
+        // (A former nDocs <= cap short-circuit — provably-empty census
+        // skip — was dropped: its count() action cost a whole extra
+        // job + plan compile per call, MORE than the census it skipped
+        // in exactly the small-corpus cases where it fired; the census
+        // scan doubles as the cache materialization pass instead.)
         val thresh =
           if (sampled) (2L * maxShingleDf / censusRate).toInt
           else maxShingleDf
-        val hot =
-          if (nDocs <= maxShingleDf) Array.empty[Long]
-          else censusSrc
+        val h =
+          censusSrc
             .select(explode(col("sset")).as("s"))
             .groupBy("s").agg(count(lit(1)).as("df"))
             .filter(col("df") > thresh)
             .orderBy(desc("df"), asc("s")).limit(10000)
             .select("s").collect().map(_.getLong(0))
-        if (hot.length == 10000)
+        if (h.length == 10000)
           // no silent caps: the metadata bound was hit, so shingles
           // beyond the 10000 most frequent stay un-dropped
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"minHashPairs: hot-shingle census hit its 10000-entry bound; " +
               s"shingles with df > $maxShingleDf beyond the top 10000 remain in signatures")
-        if (hot.isEmpty) sh
-        else sets.select(col("id"),
-          explode(array_except(col("sset"), lit(hot))).as("s"))
+        h
       }
-    val sigs = minHashSignatures(sigInput, numHashes)
+    // signatures are ROW-LOCAL ([[graft.functions.MinHashArray]] over
+    // the in-row shingle array): no explode, no groupBy(id) exchange —
+    // the one full-corpus shuffle the signature stage used to pay is
+    // gone, and the banding explode below is the first exchange of the
+    // whole pipeline. A doc whose shingles were all hot yields a NULL
+    // signature and drops out of banding, exactly as its zero exploded
+    // rows used to.
+    val sigSrc =
+      if (hot.isEmpty) sets
+      else sets.select(col("id"), array_except(col("sset"), lit(hot)).as("sset"))
+    val sigs = sigSrc.select(col("id"),
+        graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val cand = lshCandidates(sigs, numHashes, bands, maxBucket)
     cand
       .join(sets.as("c1"), col("id1") === col("c1.id"))

@@ -20,8 +20,24 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job-boundary tracer: prints each job's [start, end] offset within the
+    // run, so driver-side gaps (analysis / codegen compile) are visible as
+    // the space BETWEEN jobs
+    val base = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    if (args.contains("jobs"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(j.jobId) = System.nanoTime()
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t1 = System.nanoTime()
+          val t0 = starts.getOrElse(j.jobId, t1)
+          println(f"  job ${j.jobId}%3d: start ${(t0 - base.get) / 1e9}%6.3f end ${(t1 - base.get) / 1e9}%6.3f (${(t1 - t0) / 1e9}%5.3f s)")
+        }
+      })
     val fn = graft.SparkEntry.queries(key)
     (1 to n).foreach { i =>
+      base.set(System.nanoTime())
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()
       println(f"PROF $key run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")

@@ -47,4 +47,25 @@ class MinHashAggSpec extends SparkSpec {
     val est = sigs("a").zip(sigs("c")).count { case (x, y) => x == y } / 128.0
     assert(est > 0.15 && est < 0.55, s"estimate $est for true jaccard 1/3")
   }
+
+  test("row-local MinHashArray is bit-identical to aggregating the exploded stream") {
+    val hashes = (1 to 300).map(i => XXH64.hashLong(i.toLong, 7L))
+    val arrDf = Seq(("d1", hashes)).toDF("id", "sset")
+    val rowLocal = arrDf
+      .select(MinHashArray.minhash_array(col("sset"), 32).as("sig"))
+      .as[Seq[Long]].head()
+    val aggregated = arrDf.select(col("id"), explode(col("sset")).as("s"))
+      .repartition(5)
+      .groupBy("id").agg(MinHashAgg.minhash(col("s"), 32).as("sig"))
+      .select("sig").as[Seq[Long]].head()
+    assert(rowLocal == aggregated)
+  }
+
+  test("MinHashArray yields NULL on an empty array (doc drops out of banding)") {
+    val df = Seq(("d1", Seq.empty[Long]), ("d2", Seq(1L, 2L, 3L)))
+      .toDF("id", "sset")
+      .select(col("id"), MinHashArray.minhash_array(col("sset"), 8).as("sig"))
+    assert(df.filter(col("sig").isNull).select("id").as[String].collect().toSeq == Seq("d1"))
+    assert(df.filter(col("sig").isNotNull).select("id").as[String].collect().toSeq == Seq("d2"))
+  }
 }

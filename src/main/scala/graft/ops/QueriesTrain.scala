@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the dedup/similarity core
+  * (SURVEY.md §2C): within-document repetition filtering (Gopher-style
+  * quality gates), deterministic stratified sampling, per-source corpus
+  * stats, vocabulary construction, TF-over-DF term salience, and the
+  * global training-order shuffle. Every key has a DuckDB oracle; every
+  * per-row computation is a row-local projection (no shuffle except
+  * where aggregation semantics demand one).
+  *
+  * Portability notes baked into the SQL/plans:
+  *  - all fractional scores are a SINGLE double division (IEEE-exact in
+  *    both engines) on integer inputs — no libm calls, no half-even
+  *    rounding exposure;
+  *  - deterministic "randomness" comes from md5 (available in both
+  *    engines) — content-keyed, so assignments survive re-sharding and
+  *    re-ingestion.
+  */
+object QueriesTrain {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // Gopher-style within-document repetition gate: fraction of
+    // duplicate words and duplicate word-bigrams, each 1 - distinct/n.
+    // Everything is computed INSIDE the row (split + array ops over
+    // the token array): zero shuffle at any corpus size, which is why
+    // repetition filters are the cheapest quality gate a pipeline runs.
+    "ext_repetition_filter" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("dup_word_frac"),
+          expr("""CASE WHEN size(toks) < 2 THEN array()
+                  ELSE transform(sequence(1, size(toks) - 1),
+                                 i -> concat(toks[i - 1], ' ', toks[i])) END""")
+            .as("bg"))
+        .select(col("doc_id"), col("n_toks"), col("dup_word_frac"),
+          when(size(col("bg")) === 0, lit(0.0))
+            .otherwise(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+              size(col("bg"))).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.5 && col("dup_bigram_frac") <= 0.1)
+        .orderBy("doc_id")),
+
+    // deterministic per-language stratified sampling: a 0..255 bucket
+    // from the first two hex chars of md5(text), kept when under the
+    // language's rate (en 64/256, zh 128/256, rest 256/256). Content
+    // hashing (not rand()) makes the sample reproducible and
+    // duplicate-consistent; the rate table is a row-local CASE here —
+    // at scale, an external rates dim joins in as a broadcast.
+    "ext_stratified_sample" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("bucket",
+          expr("""(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1"""))
+        .withColumn("rate",
+          when(col("lang") === "en", 64)
+            .when(col("lang") === "zh", 128)
+            .otherwise(256))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // per-source (domain) corpus census: the by-container view a
+    // curator reads before setting sampling weights. One hash
+    // aggregation (partial map-side combine) + one unpartitioned
+    // window for the corpus share — the window input is ONE ROW PER
+    // SOURCE (already aggregated), so the single-task exchange it
+    // implies is metadata-sized at any corpus scale.
+    "ext_domain_stats" -> ((s, d) =>
+      t("documents")(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          avg("n_chars").as("avg_chars"),
+          countDistinct("lang").as("n_langs"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum("n_docs").over(Window.partitionBy()))
+        .orderBy("source")),
+
+    // vocabulary construction: token -> corpus frequency, min-count 5,
+    // top 100. The canonical two-phase pattern: explode is row-local,
+    // the groupBy combines map-side (shuffle carries (token, partial
+    // count), never raw text), TakeOrderedAndProject bounds the
+    // driver-side result.
+    "ext_vocab_topk" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .orderBy(desc("freq"), asc("tok"))
+        .limit(100)),
+
+    // TF-over-DF term salience, top-3 terms per document. tf and df
+    // are two aggregations over the same exploded token stream; the
+    // df side collapses to ONE ROW PER VOCAB TERM before the join, so
+    // at corpus scale it is the broadcast side (AQE picks that here).
+    // salience = tf/df is one integer-input double division —
+    // bit-identical across engines, no log() portability exposure.
+    "ext_tfidf" -> ((s, d) => {
+      val tf = t("documents")(s, d)
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("salience").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("salience", col("tf").cast("double") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("salience"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // global training-order shuffle: a deterministic pseudorandom
+    // permutation by md5 of the doc key. The ORDER BY is the point:
+    // it plans as a sampled RANGE exchange + per-partition sort — the
+    // scalable global shuffle (no single-task sort, no rand()
+    // non-reproducibility); writing the result with
+    // repartitionByRange(...).sortWithinPartitions(...) (see
+    // opt_range_sorted_sink) ships the same order to disk.
+    "ext_global_shuffle" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"))
+        .orderBy("shuffle_key"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ext_repetition_filter" ->
+      """WITH w AS (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+          g AS (SELECT doc_id, len(toks) AS n_toks,
+              1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+              CASE WHEN len(toks) < 2 THEN []
+                   ELSE list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1]) END AS bg
+            FROM w)
+        SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks, dup_word_frac,
+          CASE WHEN len(bg) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+            AS dup_bigram_frac,
+          (dup_word_frac <= 0.5 AND
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END <= 0.1)
+            AS keep
+        FROM g ORDER BY doc_id""",
+
+    "ext_stratified_sample" ->
+      """WITH w AS (SELECT doc_id, lang,
+              (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS bucket
+            FROM documents)
+        SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+        FROM w
+        WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 256 END
+        ORDER BY doc_id""",
+
+    "ext_domain_stats" ->
+      """WITH g AS (SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              avg(n_chars) AS avg_chars,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source)
+        SELECT source, n_docs, total_chars, avg_chars, n_langs,
+          CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS BIGINT) AS share
+        FROM g ORDER BY source""",
+
+    "ext_vocab_topk" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents)
+        GROUP BY tok HAVING count(*) >= 5
+        ORDER BY freq DESC, tok LIMIT 100""",
+
+    "ext_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term),
+          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+          s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf AS DOUBLE) / df.df AS salience,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                              tf.term) AS rk
+            FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, salience FROM s WHERE rk <= 3
+        ORDER BY doc_id, term""",
+
+    "ext_global_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents ORDER BY shuffle_key"""
+  )
+}

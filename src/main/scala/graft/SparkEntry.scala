@@ -36,12 +36,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesJoins.queries ++ QueriesWindows.queries ++
       QueriesSql.queries ++ QueriesFunctions.queries ++ QueriesExt.queries ++
-      QueriesOpt.queries ++ QueriesDialect.queries ++ QueriesTpch.queries
+      QueriesOpt.queries ++ QueriesDialect.queries ++ QueriesTpch.queries ++
+      QueriesTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesJoins.oracle ++ QueriesWindows.oracle ++
       QueriesSql.oracle ++ QueriesFunctions.oracle ++ QueriesExt.oracle ++
-      QueriesOpt.oracle ++ QueriesDialect.oracle ++ QueriesTpch.oracle
+      QueriesOpt.oracle ++ QueriesDialect.oracle ++ QueriesTpch.oracle ++
+      QueriesTrain.oracle
 }

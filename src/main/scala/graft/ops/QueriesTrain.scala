@@ -66,7 +66,7 @@ object QueriesTrain {
             .when(col("lang") === "zh", 128)
             .otherwise(256))
         .filter(col("bucket") < col("rate"))
-        .select(col("doc_id"), col("lang"), col("bucket"))
+        .select(col("doc_id"), col("lang"), col("bucket").cast("bigint").as("bucket"))
         .orderBy("doc_id")),
 
     // per-source (domain) corpus census: the by-container view a
@@ -80,7 +80,10 @@ object QueriesTrain {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("total_chars"),
-          avg("n_chars").as("avg_chars"),
+          // exact integer sum, then ONE double division — Spark's avg()
+          // over longs accumulates the sum as double, which diverges from
+          // DuckDB's exact bigint sum once total chars pass 2^53
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
           countDistinct("lang").as("n_langs"))
         .withColumn("share",
           col("n_docs").cast("double") / sum("n_docs").over(Window.partitionBy()))
@@ -170,7 +173,7 @@ object QueriesTrain {
       """WITH g AS (SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-              avg(n_chars) AS avg_chars,
+              CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM documents GROUP BY source)
         SELECT source, n_docs, total_chars, avg_chars, n_langs,

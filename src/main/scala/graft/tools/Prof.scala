@@ -24,19 +24,23 @@ object Prof {
     // run, so driver-side gaps (analysis / codegen compile) are visible as
     // the space BETWEEN jobs
     val base = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val run = new java.util.concurrent.atomic.AtomicInteger(0)
     if (args.contains("jobs"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        private val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        // capture (start, epoch, run) at job START so a late job-end event
+        // from a prior run prints against ITS OWN epoch, not the next run's
+        private val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, Int)]
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          starts(j.jobId) = System.nanoTime()
+          starts(j.jobId) = (System.nanoTime(), base.get, run.get)
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t1 = System.nanoTime()
-          val t0 = starts.getOrElse(j.jobId, t1)
-          println(f"  job ${j.jobId}%3d: start ${(t0 - base.get) / 1e9}%6.3f end ${(t1 - base.get) / 1e9}%6.3f (${(t1 - t0) / 1e9}%5.3f s)")
+          val (t0, epoch, r) = starts.getOrElse(j.jobId, (t1, base.get, run.get))
+          println(f"  run$r job ${j.jobId}%3d: start ${(t0 - epoch) / 1e9}%6.3f end ${(t1 - epoch) / 1e9}%6.3f (${(t1 - t0) / 1e9}%5.3f s)")
         }
       })
     val fn = graft.SparkEntry.queries(key)
     (1 to n).foreach { i =>
+      run.set(i)
       base.set(System.nanoTime())
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()

@@ -175,6 +175,33 @@ object QueriesFunctions {
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // regexp scalar pack (SQLite exposes REGEXP via the operator; the
+    // reference's LLM-generated SQL can emit it freely). Patterns stay in
+    // the RE2 ∩ java.util.regex common subset (classes, anchors, groups,
+    // greedy quantifiers — no lookaround/backrefs) so Spark and the
+    // oracle agree byte-for-byte. All row-local, codegen'd, zero shuffle.
+    "fn_regexp" -> ((s, d) =>
+      t("part")(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
+        regexp_count(col("p_name"), lit("[aeiou]+")).cast("int").as("n_vowel_runs"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        col("p_type").rlike("COPPER$").as("is_copper"))
+        .orderBy("p_partkey")),
+
+    // exact interpolated median / quartiles: one partial+final sort-based
+    // aggregate per group — at scale the per-group value multiset must fit
+    // an executor (exact percentile is inherently a gather); the bounded
+    // alternative is agg_approx_percentile (KLL-sketch, mergeable).
+    "agg_median" -> ((s, d) =>
+      t("lineitem")(s, d).groupBy("l_returnflag")
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+          percentile(col("l_linenumber"), lit(0.5)).as("med_line"))
+        .orderBy("l_returnflag")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,5 +297,19 @@ object QueriesFunctions {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "fn_regexp" ->
+      """SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '[a-z]+') AS first_word,
+           CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]+')) AS INTEGER) AS n_vowel_runs,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           REGEXP_MATCHES(p_type, 'COPPER$') AS is_copper
+         FROM part ORDER BY p_partkey""",
+    "agg_median" ->
+      """SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+           QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+           QUANTILE_CONT(l_linenumber, 0.5) AS med_line
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

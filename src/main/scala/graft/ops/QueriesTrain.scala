@@ -135,7 +135,41 @@ object QueriesTrain {
       t("documents")(s, d)
         .select(col("doc_id"),
           md5(col("doc_id").cast("string")).as("shuffle_key"))
-        .orderBy("shuffle_key"))
+        .orderBy("shuffle_key")),
+
+    // per-language document-length distribution: the histogram a curator
+    // reads before setting length cutoffs. Exact interpolated quantiles —
+    // one sort-based aggregate per language group; languages are a
+    // bounded set, so per-group gather is safe at any corpus size.
+    "ext_length_quantiles" -> ((s, d) =>
+      t("documents")(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")),
+
+    // token-rarity score: mean corpus frequency of a document's tokens
+    // (low = rare vocabulary — gibberish, code, or genuinely novel text;
+    // high = boilerplate). Same two-aggregation shape as ext_tfidf: the
+    // frequency side collapses to one row per vocab term before the join
+    // (broadcast side under AQE at corpus scale), and the per-doc score
+    // is an exact bigint sum followed by ONE double division — no
+    // summation-order or libm exposure on either engine.
+    "ext_rarity_score" -> ((s, d) => {
+      val toks = t("documents")(s, d)
+        .select(col("doc_id"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("freq").as("sum_freq"))
+        .withColumn("avg_tok_freq",
+          col("sum_freq").cast("double") / col("n_toks"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +239,27 @@ object QueriesTrain {
 
     "ext_global_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
-        FROM documents ORDER BY shuffle_key"""
+        FROM documents ORDER BY shuffle_key""",
+
+    "ext_length_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(min(n_chars) AS BIGINT) AS min_chars,
+          QUANTILE_CONT(n_chars, 0.25) AS p25,
+          QUANTILE_CONT(n_chars, 0.5) AS p50,
+          QUANTILE_CONT(n_chars, 0.9) AS p90,
+          CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang""",
+
+    "ext_rarity_score" ->
+      """WITH toks AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents),
+          freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY tok)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(sum(freq) AS BIGINT) AS sum_freq,
+          CAST(sum(freq) AS DOUBLE) / count(*) AS avg_tok_freq
+        FROM toks JOIN freq USING (tok)
+        GROUP BY doc_id ORDER BY doc_id"""
   )
 }

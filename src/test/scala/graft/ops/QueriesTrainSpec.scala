@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the training-curation statistics keys (QueriesTrain)
+  * and the regexp/median function packs — the DuckDB oracle proves
+  * engine parity; these prove the operators mean what they claim.
+  */
+class QueriesTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(key: String) = graft.SparkEntry.queries(key)(spark, sfDir)
+
+  test("repetition filter: all-duplicate text scores 1-1/n, unique text 0") {
+    val rows = q("ext_repetition_filter")
+      .select("doc_id", "n_toks", "dup_word_frac", "dup_bigram_frac", "keep")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dw, db) = (r.getInt(1), r.getDouble(2), r.getDouble(3))
+      assert(dw >= 0.0 && dw < 1.0, s"dup_word_frac $dw out of range")
+      assert(db >= 0.0 && db < 1.0)
+      assert(r.getBoolean(4) == (dw <= 0.5 && db <= 0.1))
+      assert(n > 0)
+    }
+  }
+
+  test("stratified sample: content-keyed, per-language rates hold exactly") {
+    val out = q("ext_stratified_sample").collect()
+    // kept iff bucket < rate — re-derive the rate and check the bound
+    out.foreach { r =>
+      val rate = r.getString(1) match {
+        case "en" => 64L; case "zh" => 128L; case _ => 256L
+      }
+      assert(r.getLong(2) >= 0 && r.getLong(2) < rate)
+    }
+    // determinism: a second run is identical
+    assert(q("ext_stratified_sample").collect().sameElements(out))
+  }
+
+  test("domain stats: shares sum to 1, totals reconcile with the source") {
+    val rows = q("ext_domain_stats").collect()
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    val nDocs = rows.map(_.getLong(1)).sum
+    val src = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(nDocs == src)
+    rows.foreach { r =>
+      // avg_chars is exactly sum/count (single double division)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("vocab top-k is ordered by freq desc and respects min-count") {
+    val rows = q("ext_vocab_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getLong(1) >= 5))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getLong(1) >= b.getLong(1); case _ => true
+    })
+  }
+
+  test("tfidf keeps at most 3 terms per doc, salience = tf/df exactly") {
+    val rows = q("ext_tfidf").collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length <= 3))
+    rows.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3))
+    }
+  }
+
+  test("global shuffle is a deterministic permutation of all docs") {
+    val a = q("ext_global_shuffle").select("doc_id").as[Long].collect()
+    val b = q("ext_global_shuffle").select("doc_id").as[Long].collect()
+    assert(a.sameElements(b), "order is deterministic")
+    val src = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(a.toSet.size == src, "every doc appears exactly once")
+    assert(!a.sameElements(a.sorted), "order differs from insertion order")
+  }
+
+  test("length quantiles are monotone within each language") {
+    q("ext_length_quantiles").collect().foreach { r =>
+      val (mn, p25, p50, p90, mx) = (r.getLong(2).toDouble, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6).toDouble)
+      assert(mn <= p25 && p25 <= p50 && p50 <= p90 && p90 <= mx,
+        s"quantiles not monotone for ${r.getString(0)}")
+    }
+  }
+
+  test("rarity score: singleton-vocab doc scores 1.0, common text higher") {
+    val out = q("ext_rarity_score").collect()
+    out.foreach { r =>
+      val (n, sf, avg) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(sf >= n, "every token occurs at least once corpus-wide")
+      assert(avg == sf.toDouble / n)
+      assert(avg >= 1.0)
+    }
+  }
+
+  test("regexp pack agrees with reference implementations on real rows") {
+    q("fn_regexp").limit(200).collect().foreach { r =>
+      assert(!r.getString(3).exists("aeiou".contains(_)), "vowels survive")
+      assert(r.getString(1).forall(c => c >= 'a' && c <= 'z'),
+        "first_word is a lowercase run")
+    }
+    // cross-check is_copper against a plain endsWith on the source
+    val bad = graft.ops.Tables.t(spark, sfDir, "part")
+      .select($"p_type", $"p_type".rlike("COPPER$").as("re"),
+        $"p_type".endsWith("COPPER").as("lit"))
+      .filter($"re" =!= $"lit").count()
+    assert(bad == 0)
+  }
+
+  test("median/quartiles bracket correctly and match a manual median") {
+    val rows = q("agg_median").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "p25 <= p75")
+    }
+    // manual check for one group: sort and interpolate
+    val vals = graft.ops.Tables.t(spark, sfDir, "lineitem")
+      .filter($"l_returnflag" === "A").select("l_quantity")
+      .as[Double].collect().sorted
+    val n = vals.length
+    val expect =
+      if (n % 2 == 1) vals(n / 2) else (vals(n / 2 - 1) + vals(n / 2)) / 2.0
+    val got = rows.find(_.getString(0) == "A").get.getDouble(1)
+    assert(got == expect, s"median $got vs manual $expect")
+  }
+}

@@ -190,6 +190,34 @@ object QueriesFunctions {
         col("p_type").rlike("COPPER$").as("is_copper"))
         .orderBy("p_partkey")),
 
+    // SQLite bitwise operator surface (& | << >> ~): row-local, codegen'd.
+    // DuckDB's ^ is exponentiation, so the oracle spells xor() — the Spark
+    // side uses the Column API, no dialect ambiguity.
+    "fn_bit" -> ((s, d) =>
+      t("lineitem")(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("and_255"),
+        (col("l_orderkey").bitwiseOR(lit(4096L))).as("or_4096"),
+        (col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("bigint"))).as("xor_ln"),
+        shiftleft(col("l_linenumber"), 3).as("shl3"),
+        shiftright(col("l_orderkey"), 2).as("shr2"),
+        bitwise_not(col("l_linenumber")).as("not_ln"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // boolean + bitwise aggregates (SQLite reaches these via min/max over
+    // 0/1 and no native bit aggs; both engines here support them
+    // natively): all partial+final — one shuffle of tiny per-group state.
+    "agg_bool_bit" -> ((s, d) =>
+      t("lineitem")(s, d).groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_discount") <= 0.1).as("all_low_disc"),
+          bool_or(col("l_quantity") >= 49).as("any_big_qty"),
+          count_if(col("l_tax") > 0.05).as("n_taxed"),
+          bit_and(col("l_linenumber")).as("band_ln"),
+          bit_or(col("l_linenumber")).as("bor_ln"),
+          bit_xor(col("l_linenumber")).as("bxor_ln"))
+        .orderBy("l_returnflag")),
+
     // exact interpolated median / quartiles: one partial+final sort-based
     // aggregate per group — at scale the per-group value multiset must fit
     // an executor (exact percentile is inherently a gather); the bounded
@@ -304,6 +332,24 @@ object QueriesFunctions {
            REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
            REGEXP_MATCHES(p_type, 'COPPER$') AS is_copper
          FROM part ORDER BY p_partkey""",
+    "fn_bit" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS and_255,
+           l_orderkey | 4096 AS or_4096,
+           XOR(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_ln,
+           CAST(l_linenumber << 3 AS INTEGER) AS shl3,
+           l_orderkey >> 2 AS shr2,
+           CAST(~l_linenumber AS INTEGER) AS not_ln
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "agg_bool_bit" ->
+      """SELECT l_returnflag,
+           BOOL_AND(l_discount <= 0.1) AS all_low_disc,
+           BOOL_OR(l_quantity >= 49) AS any_big_qty,
+           CAST(COUNT_IF(l_tax > 0.05) AS BIGINT) AS n_taxed,
+           CAST(BIT_AND(l_linenumber) AS INTEGER) AS band_ln,
+           CAST(BIT_OR(l_linenumber) AS INTEGER) AS bor_ln,
+           CAST(BIT_XOR(l_linenumber) AS INTEGER) AS bxor_ln
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_median" ->
       """SELECT l_returnflag,
            MEDIAN(l_quantity) AS med_qty,

@@ -23,6 +23,8 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // SQLite-dialect native functions + regex-prefix pushdown rule
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -197,9 +197,29 @@ object QueriesOpt {
           sum(col("partial_n")).cast("long").as("n"))
         .orderBy("l_returnflag")
     }),
+
+    // Anchored-regex scan with the RegexPrefixPushdown rule active:
+    // the GLOB→RLIKE translation shape, made pushable again. The rule
+    // adds a redundant StartsWith conjunct that reaches the parquet
+    // reader (PushedFilters: [StringStartsWith] — asserted in
+    // RegexPushdownSpec); without it an anchored regex is a full scan
+    // at any corpus size. Result is rule-independent (the conjunct
+    // only prunes), which is exactly what the oracle checks.
+    "opt_regex_prefix_scan" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RegexPrefixPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RegexPrefixPushdown
+      Tables.t(s, d, "part")
+        .filter(col("p_name").rlike("^bl"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "opt_regex_prefix_scan" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, '^bl') ORDER BY p_partkey""",
     "opt_bucketed_join" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty

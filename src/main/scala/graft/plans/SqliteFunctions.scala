@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, Sum}
+import org.apache.spark.sql.types._
+
+/** SQLite-dialect functions registered as NATIVE Catalyst expression
+  * builders — the `SparkSessionExtensions.injectFunction` counterpart
+  * to the lexical `text2sql.SqlDialect` translator.
+  *
+  * The translator rewrites generated SQL strings before parsing; this
+  * module instead teaches the parser/analyzer the SQLite names
+  * directly, so ad-hoc `spark.sql` with SQLite-isms (reference
+  * delegation: generated SQL is "compliant to SQLite", reference
+  * pandasqlite/pandasqlite.py:220-225) resolves without any string
+  * rewriting — scoping, nesting, and quoting all handled by the real
+  * parser rather than a scanner. Every builder expands to existing
+  * codegen'd Catalyst expressions (no UDFs, whole-stage codegen
+  * preserved; the aggregates are partial+final mergeable).
+  *
+  * Names that Spark already defines with identical semantics
+  * (`printf`, `ifnull`, `instr`, `substr`, `char`) are NOT overridden.
+  *
+  * Deployment: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (cluster), `GraftSession.create` (library), or
+  * [[registerRuntime]] on a live session (tests / notebooks).
+  */
+object SqliteFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def ts(e: Expression): Expression = e.dataType match {
+    case TimestampType => e
+    case _ => Cast(e, TimestampType)
+  }
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+
+  /** (name, usage, builder) for each registered SQLite function. */
+  private val fns: Seq[(String, String, Builder)] = Seq(
+    ("iif", "iif(cond, a, b) - SQLite conditional", { args =>
+      arity("iif", args, 3); If(args(0), args(1), args(2))
+    }),
+
+    // noon-based Julian Day number, same formula the dialect translator
+    // and the fn_julianday oracle pin: 2440587.5 + epoch_micros/86.4e9
+    ("julianday", "julianday(ts) - fractional Julian Day number", { args =>
+      arity("julianday", args, 1)
+      Add(Literal(2440587.5),
+        Divide(Cast(UnixMicros(ts(args.head)), DoubleType), Literal(8.64e10)))
+    }),
+
+    ("unixepoch", "unixepoch(ts) - whole seconds since 1970-01-01", { args =>
+      arity("unixepoch", args, 1); UnixSeconds(ts(args.head))
+    }),
+
+    // SQLite total(): like sum() over doubles but 0.0 (never NULL) on
+    // empty/all-null input
+    ("total", "total(x) - sum as double, 0.0 when empty", { args =>
+      arity("total", args, 1)
+      Coalesce(Seq(
+        Sum(Cast(args.head, DoubleType)).toAggregateExpression(),
+        Literal(0.0)))
+    }),
+
+    // sorted deterministic rendering of SQLite's "arbitrary order"
+    // group_concat — same documented delta as the translator's rewrite
+    ("group_concat", "group_concat(x[, sep]) - sorted, ',' default", { args =>
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"group_concat expects 1 or 2 arguments, got ${args.length}")
+      val sep = if (args.length == 2) args(1) else Literal(",")
+      ArrayJoin(
+        new SortArray(
+          CollectList(Cast(args.head, StringType)).toAggregateExpression()),
+        sep, None)
+    }),
+
+    ("unicode", "unicode(s) - code point of the first character", { args =>
+      arity("unicode", args, 1); Ascii(args.head)
+    }),
+
+    // function form of the GLOB operator; the pattern must be a literal
+    // (as in every generated-SQL use) so the regex compiles once
+    ("glob", "glob(pattern, str) - SQLite glob match", { args =>
+      arity("glob", args, 2)
+      args.head match {
+        case Literal(p, StringType) if p != null =>
+          RLike(args(1), Literal(graft.functions.Glob.toRegex(p.toString)))
+        case _ => throw new IllegalArgumentException(
+          "glob(pattern, str) requires a literal pattern")
+      }
+    })
+  )
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",
+      "misc_funcs", "4.0.0", "", "built-in")
+
+  /** Builder-time wiring (`SparkSession.builder.withExtensions`). */
+  def register(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+
+  /** Live-session wiring (tests, notebooks, existing sessions). */
+  def registerRuntime(spark: SparkSession): Unit =
+    fns.foreach { case (name, usage, b) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` entry point:
+  * SQLite-dialect functions + the regex-prefix pushdown rule.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    SqliteFunctions.register(ext)
+    ext.injectOptimizerRule(_ => RegexPrefixPushdown)
+  }
+}

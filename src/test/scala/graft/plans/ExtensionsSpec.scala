@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: SQLite-dialect functions as
+  * native Catalyst builders, and the regex-prefix pushdown rule.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  SqliteFunctions.registerRuntime(spark)
+
+  test("sqlite functions resolve natively through spark.sql") {
+    val r = spark.sql(
+      """SELECT iif(1 < 2, 'yes', 'no') AS a,
+                julianday(timestamp '1970-01-01 12:00:00') AS jd,
+                unixepoch(timestamp '2024-01-01 00:00:00') AS ep,
+                unicode('Apple') AS u,
+                glob('gre*n', 'green') AS g1,
+                glob('gre*n', 'grape') AS g2
+      """).collect()(0)
+    assert(r.getString(0) == "yes")
+    assert(r.getDouble(1) == 2440588.0) // noon Jan 1 1970 = JD 2440588
+    assert(r.getLong(2) == 1704067200L)
+    assert(r.getInt(3) == 'A'.toInt)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("total() is 0.0 on empty input, sum elsewhere; group_concat sorted") {
+    Seq((1, 5.0), (1, 2.5), (2, -2.5)).toDF("k", "v")
+      .createOrReplaceTempView("tot_t")
+    val rows = spark.sql(
+      "SELECT k, total(v) AS t FROM tot_t GROUP BY k ORDER BY k").collect()
+    assert(rows(0).getDouble(1) == 7.5 && rows(1).getDouble(1) == -2.5)
+    val empty = spark.sql(
+      "SELECT total(v) AS t FROM tot_t WHERE k = 99").collect()(0)
+    assert(empty.getDouble(0) == 0.0, "total() never returns NULL")
+    val gc = spark.sql(
+      "SELECT group_concat(v, '|') AS g FROM tot_t WHERE k = 1").collect()(0)
+    assert(gc.getString(0) == "2.5|5.0", "sorted deterministic order")
+  }
+
+  test("safePrefix extracts only guaranteed anchored literal prefixes") {
+    assert(RegexPrefixPushdown.safePrefix("^green").contains("green"))
+    assert(RegexPrefixPushdown.safePrefix("^gre.*n$").contains("gre"))
+    assert(RegexPrefixPushdown.safePrefix("^gren?").contains("gre"),
+      "char before a quantifier is optional")
+    assert(RegexPrefixPushdown.safePrefix("green").isEmpty, "unanchored")
+    assert(RegexPrefixPushdown.safePrefix("^(gr|bl)ue").isEmpty,
+      "alternation unanchors the prefix")
+    assert(RegexPrefixPushdown.safePrefix("^g*").isEmpty,
+      "single optional char leaves nothing")
+  }
+
+  test("rule pushes StringStartsWith to the parquet scan, rows unchanged") {
+    val df = () => spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_name".rlike("^bl"))
+      .select("p_partkey", "p_name")
+    val before = df().collect().map(_.getLong(0)).sorted
+    assert(before.nonEmpty, "test pattern must match some rows")
+
+    val had = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = had :+ RegexPrefixPushdown
+      val q = df()
+      val scan = q.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      assert(scan.metadata("PushedFilters").contains("StringStartsWith(p_name,bl)"),
+        s"not pushed: ${scan.metadata("PushedFilters")}")
+      assert(q.collect().map(_.getLong(0)).sorted.sameElements(before),
+        "conjunct must not change results")
+    } finally spark.experimental.extraOptimizations = had
+  }
+
+  test("rule is idempotent and skips unanchored patterns") {
+    val had = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = had :+ RegexPrefixPushdown
+      val anchored = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter($"p_name".rlike("^bl"))
+      val plan = anchored.queryExecution.optimizedPlan.toString
+      assert("StartsWith".r.findAllIn(plan).length == 1,
+        s"guard added exactly once:\n$plan")
+      val unanchored = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter($"p_name".rlike("gre"))
+      assert(!unanchored.queryExecution.optimizedPlan.toString.contains("StartsWith"))
+    } finally spark.experimental.extraOptimizations = had
+  }
+}

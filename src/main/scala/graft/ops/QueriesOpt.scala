@@ -205,6 +205,24 @@ object QueriesOpt {
     // RegexPushdownSpec); without it an anchored regex is a full scan
     // at any corpus size. Result is rule-independent (the conjunct
     // only prunes), which is exactly what the oracle checks.
+    // Group-wise top-k through the custom GroupTopK operator
+    // (plans/GroupTopK.scala): partial bounded heaps map-side, hash
+    // exchange carrying <= k rows per group per mapper, final heaps
+    // reduce-side — vs the window formulation's full-partition sort
+    // and full-volume shuffle. Plan shape asserted in GroupTopKSpec;
+    // the oracle proves row-for-row ROW_NUMBER equivalence.
+    "opt_group_topk" -> ((s, d) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
+      graft.plans.GroupTopKOps.topK(
+        Tables.t(s, d, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     "opt_regex_prefix_scan" -> ((s, d) => {
       if (!s.experimental.extraOptimizations.contains(graft.plans.RegexPrefixPushdown))
         s.experimental.extraOptimizations =
@@ -217,6 +235,13 @@ object QueriesOpt {
   )
 
   val oracle: Map[String, String] = Map(
+    "opt_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
     "opt_regex_prefix_scan" ->
       """SELECT p_partkey, p_name FROM part
          WHERE regexp_matches(p_name, '^bl') ORDER BY p_partkey""",

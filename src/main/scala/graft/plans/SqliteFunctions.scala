@@ -123,5 +123,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     SqliteFunctions.register(ext)
     ext.injectOptimizerRule(_ => RegexPrefixPushdown)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

@@ -190,6 +190,26 @@ object QueriesFunctions {
         col("p_type").rlike("COPPER$").as("is_copper"))
         .orderBy("p_partkey")),
 
+    // array/list function surface over the tokenized documents column —
+    // the column shape every curation operator works on. All row-local
+    // HOF/array expressions (codegen'd, zero shuffle); outputs are
+    // scalars so the oracle compare stays type-exact (array columns
+    // round-trip differently through pandas on the two sides).
+    "fn_array" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          array_contains(col("toks"), "the").as("has_the"),
+          array_position(col("toks"), "the").as("the_pos"),
+          array_min(col("toks")).as("alpha_first"),
+          array_max(col("toks")).as("alpha_last"))
+        .orderBy("doc_id")),
+
     // SQLite bitwise operator surface (& | << >> ~): row-local, codegen'd.
     // DuckDB's ^ is exponentiation, so the oracle spells xor() — the Spark
     // side uses the Column API, no dialect ambiguity.
@@ -332,6 +352,20 @@ object QueriesFunctions {
            REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
            REGEXP_MATCHES(p_type, 'COPPER$') AS is_copper
          FROM part ORDER BY p_partkey""",
+    "fn_array" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+           list_contains(toks, 'the') AS has_the,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+           list_aggregate(toks, 'min') AS alpha_first,
+           list_aggregate(toks, 'max') AS alpha_last
+         FROM w ORDER BY doc_id""",
     "fn_bit" ->
       """SELECT l_orderkey, l_linenumber,
            l_orderkey & 255 AS and_255,

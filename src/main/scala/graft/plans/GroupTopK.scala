@@ -27,8 +27,13 @@ import scala.jdk.CollectionConverters._
   * k-bounded heap per group (O(n log k), no sort), so shuffle volume
   * drops from n to ≤ k·groups·mappers — at 100 TB the difference
   * between shuffling the corpus and shuffling a sample. State is
-  * bounded (groups/partition × k rows), the same envelope as a hash
-  * aggregate. Selection order is total (caller's sort key + any
+  * groups-per-partition × k rows and does NOT spill (unlike Spark's
+  * hash aggregate): the operator targets top-k over bounded-to-
+  * moderate group cardinality (per-language, per-source, per-customer
+  * slices); for billions of distinct groups size partitions so
+  * groups/partition × k × rowSize fits the executor, or fall back to
+  * the window formulation, which sorts but spills.
+  * Selection order is total (caller's sort key + any
   * unique tiebreaker), so results are deterministic and match the
   * ROW_NUMBER formulation row-for-row — the DuckDB oracle checks
   * exactly that.

@@ -238,6 +238,22 @@ object QueriesFunctions {
           bit_xor(col("l_linenumber")).as("bxor_ln"))
         .orderBy("l_returnflag")),
 
+    // SQLite ≥ 3.30 FILTER clause on aggregates (SELECT agg(x) FILTER
+    // (WHERE p) ...): identical syntax in Spark SQL — one hash
+    // aggregate, each filtered aggregate a conditional update, NOT one
+    // scan per condition (the hand-rolled CASE WHEN equivalent plans
+    // the same; the syntax is the surface being covered).
+    "agg_filter_clause" -> ((s, d) => {
+      Tables.t(s, d, "lineitem").createOrReplaceTempView("li_fc")
+      s.sql("""SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+                 ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                   AS disc_rev,
+                 MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_f_qty
+               FROM li_fc GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // exact interpolated median / quartiles: one partial+final sort-based
     // aggregate per group — at scale the per-group value multiset must fit
     // an executor (exact percentile is inherently a gather); the bounded
@@ -383,6 +399,14 @@ object QueriesFunctions {
            CAST(BIT_AND(l_linenumber) AS INTEGER) AS band_ln,
            CAST(BIT_OR(l_linenumber) AS INTEGER) AS bor_ln,
            CAST(BIT_XOR(l_linenumber) AS INTEGER) AS bxor_ln
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_filter_clause" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+           ROUND(CAST(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05)
+             AS DOUBLE), 2) AS disc_rev,
+           MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_f_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_median" ->
       """SELECT l_returnflag,

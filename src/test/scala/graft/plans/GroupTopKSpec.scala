@@ -61,6 +61,30 @@ class GroupTopKSpec extends SparkSpec {
     }
   }
 
+  test("partial pass bounds shuffle volume to k rows per group per mapper") {
+    withStrategy {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderstatus", "o_orderkey", "o_totalprice")
+          .repartition(4)
+        val nInput = o.count()
+        val df = GroupTopKOps.topK(o, Seq("o_orderstatus"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        df.collect()
+        val written = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics("shuffleRecordsWritten").value
+        }
+        // two exchanges: repartition(4) carries the full input; the topk
+        // exchange carries <= k * groups * mappers rows (3 statuses)
+        assert(written.contains(nInput), s"repartition volume: $written")
+        assert(written.exists(_ <= 3L * 3 * 4),
+          s"topk exchange not bounded: $written (input $nInput)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("groups smaller than k pass through whole; nulls group together") {
     withStrategy {
       val df = Seq((Some(1), 1.0), (None, 2.0), (None, 3.0), (None, 4.0))

@@ -132,6 +132,23 @@ object QueriesWindows {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     }),
 
+    // SQLite ≥ 3.28 named-window clause (WINDOW w AS ...), executed
+    // through Spark's OWN SQL parser — every window function shares
+    // the one named spec, so the plan has a single sort+window pass
+    // (same dedup the Column API keys get from identical WindowSpecs).
+    "win_named" -> ((s, d) => {
+      t("customer")(s, d).createOrReplaceTempView("cust_wn")
+      s.sql("""SELECT c_custkey, c_mktsegment,
+                 ROW_NUMBER() OVER w AS rn,
+                 COUNT(*) OVER w AS n_seen,
+                 MIN(c_acctbal) OVER w AS min_seen,
+                 ROUND(SUM(c_acctbal) OVER w, 2) AS run_bal
+               FROM cust_wn
+               WINDOW w AS (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey)
+               ORDER BY c_custkey""")
+    }),
+
     // --- streaming analogs (same expressions run under readStream) ---
 
     "win_tumbling" -> ((s, d) =>
@@ -158,6 +175,16 @@ object QueriesWindows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_named" ->
+      """SELECT c_custkey, c_mktsegment,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_seen,
+           MIN(c_acctbal) OVER w AS min_seen,
+           ROUND(CAST(SUM(c_acctbal) OVER w AS DOUBLE), 2) AS run_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_custkey""",
     // this DuckDB build lacks GROUPS frames too — the oracle states the
     // same semantics an independent way: peer-group totals windowed with
     // a ROWS frame over the DISTINCT groups, joined back to rows

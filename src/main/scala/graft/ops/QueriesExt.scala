@@ -465,6 +465,17 @@ object QueriesExt {
           lit("text/plain").as("media_type"))
         .orderBy("doc_id")),
 
+    // frame-sampling plumbing over the binary column (every stride-th
+    // 16-byte block as a "frame"): the explode-to-(media, frame_idx)
+    // shape real video frame extraction uses, with the block slice
+    // standing in for the codec (none in this environment). The
+    // arithmetic is deterministic, so unlike the codec stages this one
+    // is fully oracle-verified.
+    "ext_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(t("documents")(s, d), "doc_id", "text"))
+        .orderBy("media_id", "frame_idx")),
+
     // The WHOLE curation pipeline as one declarative plan
     // (graft.ops.Curation): quality gate → exact dedup →
     // decontamination → PII redaction → content-keyed split, composed
@@ -810,6 +821,17 @@ object QueriesExt {
            SUBSTR(HEX(ENCODE(text)), 1, 8) AS head_hex,
            'text/plain' AS media_type
          FROM documents ORDER BY doc_id""",
+    "ext_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, ENCODE(text) AS bin
+             FROM documents),
+          f AS (SELECT media_id, bin,
+             UNNEST(RANGE(0, GREATEST(CAST(FLOOR(OCTET_LENGTH(bin) / 16.0 / 4)
+               AS INTEGER) - 1, 0) + 1)) AS frame_idx
+             FROM m)
+        SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          SUBSTR(HEX(bin), CAST(frame_idx * 4 * 32 + 1 AS INTEGER), 32)
+            AS frame_hex
+        FROM f ORDER BY media_id, frame_idx""",
     "ext_curation_pipeline" ->
       """WITH base AS (
            SELECT doc_id,

@@ -86,6 +86,28 @@ object QueriesCore {
         .orderBy("doc_id")
     }),
 
+    // upsert sink — SQLite `INSERT OR REPLACE` semantics (last write
+    // wins by primary key) expressed as updates ∪ (base ⟕anti updates),
+    // materialized and read back. At 100 TB this is the copy-on-write
+    // MERGE shape: the anti-join shuffles on the key (or broadcasts the
+    // update set when it is small — AQE decides), and only rewritten
+    // files are produced; no driver-side row handling anywhere.
+    "sink_upsert" -> ((s, d) => {
+      val base = Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val upd = base.filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey"),
+          concat(lit("UPD_"), col("n_name")).as("n_name"), col("n_regionkey"))
+        .unionAll(base.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).as("n_nationkey"),
+            col("n_name"), col("n_regionkey")))
+      val merged = upd.unionAll(
+        base.join(upd.select("n_nationkey"), Seq("n_nationkey"), "left_anti"))
+      val dir = s"/root/repo/target/graft_tmp/sink_upsert_${new java.io.File(d).getName}"
+      merged.write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).orderBy("n_nationkey")
+    }),
+
     // result rows → JSON strings (reference test.py:53-55 to_json path)
     "sink_json" -> ((s, d) =>
       Tables.t(s, d, "nation")
@@ -252,6 +274,19 @@ object QueriesCore {
     "scan_orc" ->
       """SELECT doc_id, n_chars, MD5(text) AS fp
          FROM documents WHERE n_chars >= 100 ORDER BY doc_id""",
+    "sink_upsert" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         upd AS (
+           SELECT n_nationkey, 'UPD_' || n_name AS n_name, n_regionkey
+           FROM base WHERE n_nationkey % 2 = 0
+           UNION ALL
+           SELECT n_nationkey + 100, n_name, n_regionkey
+           FROM base WHERE n_nationkey < 5)
+         SELECT n_nationkey, n_name, n_regionkey FROM upd
+         UNION ALL
+         SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
+         WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM upd)
+         ORDER BY n_nationkey""",
     "sink_json" ->
       "SELECT n_nationkey, CAST(TO_JSON(STRUCT_PACK(n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS VARCHAR) AS json_row FROM nation ORDER BY n_nationkey",
     "project" ->

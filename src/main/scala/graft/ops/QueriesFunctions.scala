@@ -190,6 +190,24 @@ object QueriesFunctions {
         col("p_type").rlike("COPPER$").as("is_copper"))
         .orderBy("p_partkey")),
 
+    // edit-distance fuzzy matching — the short-string near-match
+    // primitive (titles, entity names) complementing the set-based
+    // dedup family. Row-local codegen'd levenshtein, zero shuffle; the
+    // similarity ratio is one double division on integer inputs
+    // (IEEE-exact on both engines). At scale a fuzzy JOIN would first
+    // block candidates (prefix/LSH — see ops/Dedup) and only then pay
+    // O(len²) per surviving pair, exactly like the exact-verify stages.
+    "fn_fuzzy" -> ((s, d) => {
+      val stripped = regexp_replace(col("p_name"), "[aeiou]", "")
+      t("part")(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), stripped).as("lev_vowels"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        (lit(1.0) - levenshtein(col("p_name"), stripped).cast("double") /
+          greatest(length(col("p_name")), length(stripped))).as("sim_ratio"))
+        .orderBy("p_partkey")
+    }),
+
     // array/list function surface over the tokenized documents column —
     // the column shape every curation operator works on. All row-local
     // HOF/array expressions (codegen'd, zero shuffle); outputs are
@@ -368,6 +386,16 @@ object QueriesFunctions {
            REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
            REGEXP_MATCHES(p_type, 'COPPER$') AS is_copper
          FROM part ORDER BY p_partkey""",
+    "fn_fuzzy" ->
+      """WITH w AS (SELECT p_partkey, p_name, p_brand, p_type,
+             REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS stripped
+           FROM part)
+         SELECT p_partkey,
+           CAST(LEVENSHTEIN(p_name, stripped) AS INTEGER) AS lev_vowels,
+           CAST(LEVENSHTEIN(p_brand, p_type) AS INTEGER) AS lev_bt,
+           1.0 - CAST(LEVENSHTEIN(p_name, stripped) AS DOUBLE)
+               / GREATEST(LENGTH(p_name), LENGTH(stripped)) AS sim_ratio
+         FROM w ORDER BY p_partkey""",
     "fn_array" ->
       """WITH w AS (SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -69,6 +69,36 @@ object QueriesSql {
       """WITH RECURSIVE seq(x) AS (
            SELECT 1 UNION ALL SELECT x + 1 FROM seq WHERE x < 10)
          SELECT x, x * x AS sq FROM seq ORDER BY x""",
+    // correlated scalar subquery in the SELECT list — Catalyst
+    // decorrelates it to ONE left-outer aggregate join (no per-row
+    // re-execution; `.explain` shows a single Aggregate + Join), the
+    // rewrite that makes this shape viable at 100 TB fact sizes
+    "subq_scalar_corr" ->
+      """SELECT c_custkey,
+           (SELECT MAX(o_totalprice) FROM orders
+             WHERE o_custkey = c_custkey) AS max_order
+         FROM customer ORDER BY c_custkey""",
+    // LATERAL correlated derived table (per-row subquery over another
+    // table) — same decorrelation story: Spark plans the aggregate once
+    // and joins, it does not loop. Aggregate-only lateral ⇒ exactly one
+    // row per outer row in both engines (COUNT over empty group = 0).
+    "subq_lateral" ->
+      """SELECT n_name, t.n_cust, t.max_bal
+         FROM nation, LATERAL (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_cust, MAX(c_acctbal) AS max_bal
+           FROM customer WHERE c_nationkey = n_nationkey) t
+         ORDER BY n_name""",
+    // inline VALUES table joined as a dimension — the canonical "tiny
+    // literal lookup" pattern (label maps, rate tables). Planned as a
+    // LocalRelation: broadcast side for free, never a shuffle.
+    "values_inline" ->
+      """SELECT m.label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS sum_price
+         FROM orders o
+         JOIN (VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'),
+                      ('3-MEDIUM', 'medium')) AS m(pri, label)
+           ON o.o_orderpriority = m.pri
+         GROUP BY m.label ORDER BY label""",
   )
 
   val queries: Map[String, Q] = common.map { case (k, q) => k -> sql(q) }

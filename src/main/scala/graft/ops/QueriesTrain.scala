@@ -137,6 +137,28 @@ object QueriesTrain {
           md5(col("doc_id").cast("string")).as("shuffle_key"))
         .orderBy("shuffle_key")),
 
+    // corpus bigram counts — the n-gram LM statistic (and the raw input
+    // to contamination n-gram overlap checks). Same two-phase shape as
+    // ext_vocab_topk one order up: the bigram expansion is row-local
+    // (HOF over the token array, no join), the groupBy combines
+    // map-side so the shuffle carries (bigram, partial count), and
+    // TakeOrderedAndProject bounds the result. At 100 TB the min-count
+    // filter is what keeps the long tail from dominating the shuffle —
+    // it runs AFTER the combine, where the tail is already one row per
+    // distinct bigram per partition.
+    "ext_ngram_counts" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .select(explode(
+          expr("""CASE WHEN size(toks) < 2 THEN array()
+                  ELSE transform(sequence(1, size(toks) - 1),
+                                 i -> concat(toks[i - 1], ' ', toks[i])) END"""))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 3)
+        .orderBy(desc("freq"), asc("bigram"))
+        .limit(100)),
+
     // per-language document-length distribution: the histogram a curator
     // reads before setting length cutoffs. Exact interpolated quantiles —
     // one sort-based aggregate per language group; languages are a
@@ -240,6 +262,17 @@ object QueriesTrain {
     "ext_global_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
         FROM documents ORDER BY shuffle_key""",
+
+    "ext_ngram_counts" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+          b AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+            FROM w)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+        FROM b GROUP BY bigram HAVING count(*) >= 3
+        ORDER BY freq DESC, bigram LIMIT 100""",
 
     "ext_length_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -90,6 +90,54 @@ class PlanAuditProbe extends SparkSpec {
       p.take(1500))
   }
 
+  test("correlated subqueries decorrelate: aggregate once, join once — never per-row") {
+    // the scalar subquery must become ONE left-outer join against a
+    // partially-aggregated orders side; the lateral must become joins
+    // against a once-computed aggregate — no nested-loop of any kind
+    for (k <- Seq("subq_scalar_corr", "subq_lateral")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k: per-row subquery execution survived decorrelation\n${p.take(2000)}")
+      assert(p.contains("partial_"), s"$k: aggregate lost map-side combine\n${p.take(2000)}")
+    }
+    val joins = "HashJoin|SortMergeJoin".r
+    assert(joins.findAllIn(plan("subq_scalar_corr")).size == 1,
+      "scalar subquery should plan exactly one join")
+  }
+
+  test("inline VALUES plans as a LocalTableScan broadcast, never a shuffled join") {
+    val p = plan("values_inline")
+    assert(p.contains("LocalTableScan"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"literal lookup table got shuffled\n${p.take(1500)}")
+  }
+
+  test("fuzzy-match projection is row-local: the only exchange is presentation order") {
+    val p = plan("fn_fuzzy")
+    assert("Exchange ".r.findAllIn(p).size == 1 && p.contains("Exchange rangepartitioning"),
+      s"levenshtein projection should not shuffle\n${p.take(1500)}")
+  }
+
+  test("bigram counts: map-side combine then bounded TakeOrdered") {
+    val p = plan("ext_ngram_counts")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("partial_count"), "bigram count lost map-side combine")
+  }
+
+  test("upsert sink: key-unique result, updates win, inserts land") {
+    val df = graft.SparkEntry.queries("sink_upsert")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 30) // 25 base (evens replaced in place) + 5 inserts
+    assert(rows.map(_.getAs[Any]("n_nationkey")).distinct.length == rows.length,
+      "INSERT OR REPLACE must keep the key unique")
+    val byKey = rows.map(r => r.getAs[Number]("n_nationkey").longValue() ->
+      r.getAs[String]("n_name")).toMap
+    assert(byKey(0L).startsWith("UPD_") && !byKey(1L).startsWith("UPD_"))
+    assert(byKey.contains(100L) && !byKey(100L).startsWith("UPD_"))
+  }
+
   test("as-of join plans with NO join node and one hash exchange") {
     val p = plan("join_asof")
     // the union+window composition replaces the equi+range join — the

@@ -67,6 +67,33 @@ object Bench {
         Window.partitionBy("k").orderBy("id")).as("rn")).count()
       w.select(col("id"), explode(split(col("s"), "a")).as("t"))
         .groupBy("t").count().orderBy(desc("count")).limit(5).count()
+      // the custom dedup/similarity kernels: ShingleHashes/MinHashArray/
+      // SignBands/CosineSimilarity `compute` loops are plain JVM methods
+      // shared by every plan that uses them — one tiny pass gets C2 to
+      // compile the hot loops (and the HOF zip_with/aggregate dot-product
+      // path) before the measured keys run their own cold plans.
+      val docs = spark.range(2000).select(col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(30)),
+          i => conv(pmod(col("id") * i, lit(97)), 10, 16))).as("txt"))
+      docs.select(col("id"), graft.functions.MinHashArray.minhash_array(
+          array_distinct(
+            graft.functions.ShingleHashes.shingle_hashes(col("txt"), 8)), 64)
+          .as("sig"))
+        .select(col("id"), explode(col("sig")).as("h"))
+        .groupBy("h").count().count()
+      val emb = spark.range(2000).select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          i => cos(col("id") * i)).cast("array<float>").as("emb"))
+      val planes = Array.tabulate(32)(b => Array.tabulate(16)(j =>
+        math.cos(b * 16 + j.toDouble)))
+      emb.select(explode(graft.functions.SignBands.sign_bands(
+          col("emb"), planes, 4)).as("bk")).groupBy("bk").count().count()
+      val q = (0 until 16).map(i => lit(math.sin(i.toDouble)))
+      emb.select(col("id"), graft.functions.GraftFunctions.cosine_sim(
+          col("emb"), array(q: _*).cast("array<float>")).as("c1"),
+        aggregate(zip_with(col("emb"), array(q: _*).cast("array<float>"),
+          (a, b) => a * b), lit(0.0d), (acc, x) => acc + x).as("c2"))
+        .orderBy(desc("c1")).limit(5).count()
     }
 
     val results = headline.map { name =>

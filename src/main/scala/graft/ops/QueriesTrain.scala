@@ -159,6 +159,32 @@ object QueriesTrain {
         .orderBy(desc("freq"), asc("bigram"))
         .limit(100)),
 
+    // hashed linear quality classifier — the fastText-style scoring
+    // mechanism (hashed token → weight lookup, linear sum, threshold)
+    // with a content-derived integer weight table standing in for
+    // learned weights (md5 byte → [-128,127]; a trained model ships
+    // its weights as a broadcast map, same plan shape). Everything is
+    // ONE row-local HOF chain: transform looks the weight up per
+    // token, aggregate folds an exact bigint sum — zero shuffle, zero
+    // UDFs, and the score is one double division at the end, so the
+    // oracle matches bitwise at any corpus size.
+    "ext_quality_classifier" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_toks"),
+          expr("""aggregate(
+                    transform(toks, t -> CAST(
+                      (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1 - 128
+                      AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("score_raw"))
+        .withColumn("score",
+          col("score_raw").cast("double") / col("n_toks"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy("doc_id")),
+
     // per-language document-length distribution: the histogram a curator
     // reads before setting length cutoffs. Exact interpolated quantiles —
     // one sort-based aggregate per language group; languages are a
@@ -273,6 +299,22 @@ object QueriesTrain {
         SELECT bigram, CAST(count(*) AS BIGINT) AS freq
         FROM b GROUP BY bigram HAVING count(*) >= 3
         ORDER BY freq DESC, bigram LIMIT 100""",
+
+    "ext_quality_classifier" ->
+      """WITH w AS (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+          g AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_toks,
+              CAST(list_sum(list_transform(toks, t ->
+                (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1 - 128))
+                AS BIGINT) AS score_raw
+            FROM w)
+        SELECT doc_id, n_toks, score_raw,
+          CAST(score_raw AS DOUBLE) / n_toks AS score,
+          (CAST(score_raw AS DOUBLE) / n_toks) > 0 AS keep
+        FROM g ORDER BY doc_id""",
 
     "ext_length_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

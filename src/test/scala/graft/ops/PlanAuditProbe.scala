@@ -43,7 +43,7 @@ class PlanAuditProbe extends SparkSpec {
   test("row-local curation ops shuffle only for presentation order") {
     // redaction and hash-split are pure projections: the ONLY exchange
     // allowed is the final ORDER BY rangepartitioning
-    for (k <- Seq("ext_pii_redact", "ext_split_hash")) {
+    for (k <- Seq("ext_pii_redact", "ext_split_hash", "ext_quality_classifier")) {
       val p = plan(k)
       val exchanges = "Exchange ".r.findAllIn(p).size
       assert(exchanges == 1, s"$k: $exchanges exchanges (want the ORDER BY only)\n${p.take(1500)}")

@@ -86,6 +86,34 @@ object QueriesCore {
         .orderBy("doc_id")
     }),
 
+    // raw-file binary scan — Spark's `binaryFile` source, the ingest
+    // path for media directories (images/audio/video as opaque bytes +
+    // file metadata) feeding the multimodal decode stages. The fixture
+    // models an EXTERNAL media landing zone: 20 files written once
+    // driver-side (bounded by construction); production reads the
+    // directory in place, splittable across executors, with
+    // pathGlobFilter pruning non-media files at listing time.
+    "scan_binary" -> ((s, d) => {
+      val dir = new java.io.File(
+        s"/root/repo/target/graft_tmp/scan_binary_${new java.io.File(d).getName}")
+      if (!new java.io.File(dir, "_SUCCESS").isFile) {
+        dir.mkdirs()
+        Tables.t(s, d, "documents").filter(col("doc_id") < 20)
+          .select("doc_id", "text").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(dir, s"doc_${r.getLong(0)}.bin").toPath,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        new java.io.File(dir, "_SUCCESS").createNewFile()
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir.toString)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length").as("n_bytes"), md5(col("content")).as("fp"))
+        .orderBy("fname")
+    }),
+
     // upsert sink — SQLite `INSERT OR REPLACE` semantics (last write
     // wins by primary key) expressed as updates ∪ (base ⟕anti updates),
     // materialized and read back. At 100 TB this is the copy-on-write
@@ -274,6 +302,11 @@ object QueriesCore {
     "scan_orc" ->
       """SELECT doc_id, n_chars, MD5(text) AS fp
          FROM documents WHERE n_chars >= 100 ORDER BY doc_id""",
+    "scan_binary" ->
+      """SELECT 'doc_' || doc_id || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           MD5(text) AS fp
+         FROM documents WHERE doc_id < 20 ORDER BY fname""",
     "sink_upsert" ->
       """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
          upd AS (

@@ -77,6 +77,209 @@ object QueriesTpch {
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
     }),
+    // Q18 shape: large-volume customers. The literal SQL scans lineitem
+    // twice (HAVING subquery + outer re-aggregation); this plan scans
+    // it ONCE — the pre-aggregation already carries the per-order
+    // quantity the report needs, so the filtered aggregate joins
+    // directly to orders/customer. At 100 TB that halves fact I/O and
+    // the filter drops ~all groups before any join shuffles.
+    "q_shape_q18" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val ord = t("orders")(s, d)
+      val cust = t("customer")(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q7 shape: volume shipping between two nations — the same
+    // dimension (nation) joins BOTH sides of the fact under different
+    // roles; each side is an independent broadcast, and the
+    // either-direction predicate evaluates after both names are in
+    // row scope (one fact scan, no union of two plans).
+    "q_shape_q7" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val ord = t("orders")(s, d)
+      val cust = t("customer")(s, d)
+      val supp = t("supplier")(s, d)
+      val n1 = t("nation")(s, d).select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t("nation")(s, d).select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), supp("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q1 shape: pricing summary report — the canonical full-scan
+    // aggregate. One pass, partial+final HashAggregate on a
+    // 6-group key space; every metric folds map-side, so the shuffle
+    // moves 6 rows × 8 accumulators regardless of fact size. This is
+    // the plan whose cost at 100 TB is pure scan bandwidth.
+    "q_shape_q1" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q4 shape (adapted: no commit/receipt dates in the testdata):
+    // priority distribution of orders with a LATE line (shipped >90
+    // days after order date). The EXISTS decorrelates to a left-semi
+    // join — the fact side is pre-filtered by the date window BEFORE
+    // the shuffle, and the semi join carries no lineitem payload
+    // columns, so shuffle width is one bigint key + one timestamp.
+    "q_shape_q4" -> ((s, d) => {
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = t("lineitem")(s, d)
+      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q6 shape: forecast-revenue-change — scan-only filter + global
+    // agg. Every predicate pushes to the parquet reader (shipdate
+    // range, discount band, quantity cap); the aggregate is one
+    // double. At scale this is the min-I/O plan: row-group pruning on
+    // shipdate does most of the work before a single row decodes.
+    "q_shape_q6" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // Q14 shape: promo revenue share — conditional aggregation over a
+    // single join, one pass. The month filter prunes the fact scan;
+    // the CASE folds into the partial aggregate so the join output
+    // never materializes a wider intermediate.
+    "q_shape_q14" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val part = t("part")(s, d)
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .agg(round(lit(100) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
+          sum(disc), 4).as("promo_revenue"))
+    }),
+
+    // Q15 shape: top supplier by quarterly revenue — the scalar-
+    // subquery-max pattern. Revenue aggregates once (partial+final on
+    // l_suppkey); the 1-row global max is genuinely bounded, so the
+    // equality filter is a broadcast of ONE row, never a re-scan of
+    // the fact. Ties surface deterministically via the final sort.
+    "q_shape_q15" -> ((s, d) => {
+      val rev = t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      t("supplier")(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q17 shape: small-quantity-order revenue — correlated AVG per
+    // part. Instead of the literal correlated subquery (second fact
+    // scan), the per-part mean computes as a window over the SAME
+    // join output: one fact scan, one shuffle (by l_partkey), and the
+    // brand filter shrinks the window input before it shuffles. The
+    // window mean equals the correlated mean because the correlation
+    // key (l_partkey) determines the subquery's row set.
+    "q_shape_q17" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t("lineitem")(s, d)
+      val bparts = t("part")(s, d).filter(col("p_brand") === "Brand#1")
+      val w = Window.partitionBy(col("l_partkey"))
+      li.join(bparts, li("l_partkey") === bparts("p_partkey"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // Q19 shape: disjunctive predicate join — three brand/size/qty
+    // bands OR'd together. The per-band part predicates and the
+    // overall quantity envelope (derivable from the OR) both push
+    // down; the join itself stays a plain equi-join on partkey, so
+    // the disjunction never degrades to a nested-loop.
+    "q_shape_q19" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val part = t("part")(s, d)
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // Q22 shape (adapted: nationkey bands instead of phone prefixes,
+    // "no URGENT order" instead of "no order" — this testdata gives
+    // every customer at least one order): well-funded customers with
+    // no urgent orders. Scalar-subquery average → 1-row broadcast;
+    // NOT EXISTS → left-anti join on the orders key with the
+    // priority filter applied to the orders side BEFORE the shuffle.
+    // The anti join shuffles only (custkey, nationkey, acctbal) —
+    // payload stays narrow — and the customer-side filters apply
+    // before the shuffle.
+    "q_shape_q22" -> ((s, d) => {
+      val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+      val cust = t("customer")(s, d)
+        .filter(col("c_nationkey").isin(nations: _*))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val urgent = t("orders")(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,5 +318,116 @@ object QueriesTpch {
          WHERE l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_shape_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) > 150)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_shape_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_shape_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS sum_disc_price,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+           ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+           ROUND(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_shape_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_shape_q6" ->
+      """SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2)
+             AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_shape_q14" ->
+      """SELECT ROUND(CAST(100 *
+             SUM(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+             SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
+             AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'""",
+    "q_shape_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q_shape_q17" ->
+      """SELECT ROUND(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 4)
+             AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1'
+           AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = part.p_partkey)""",
+    "q_shape_q19" ->
+      """SELECT ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q_shape_q22" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+           AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                            WHERE c2.c_acctbal > 0
+                              AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
   )
 }

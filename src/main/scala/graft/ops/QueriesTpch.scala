@@ -199,10 +199,13 @@ object QueriesTpch {
     }),
 
     // Q15 shape: top supplier by quarterly revenue — the scalar-
-    // subquery-max pattern. Revenue aggregates once (partial+final on
-    // l_suppkey); the 1-row global max is genuinely bounded, so the
-    // equality filter is a broadcast of ONE row, never a re-scan of
-    // the fact. Ties surface deterministically via the final sort.
+    // subquery-max pattern. The supplier-level aggregate feeds BOTH
+    // the join and the global max; without materialization each
+    // branch re-scans the fact (verified: AQE plans two independent
+    // shuffle stages — exchange reuse does not fire across the agg),
+    // so the bounded per-supplier aggregate (one row per supplier,
+    // tens of MB at 100 TB) is persisted and the fact scans ONCE.
+    // The 1-row max then broadcasts; ties surface via the final sort.
     "q_shape_q15" -> ((s, d) => {
       val rev = t("lineitem")(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -210,6 +213,7 @@ object QueriesTpch {
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_revenue"))
+        .persist()
       val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
       t("supplier")(s, d)
         .join(rev, col("s_suppkey") === col("l_suppkey"))

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan audits for the round-5 TPC-H shape keys: each key's
+  * header comment claims a scale property (single fact scan, pushed
+  * predicates, bounded broadcasts); these tests pin those claims to
+  * the actual plan so a regression is a test failure, not a surprise
+  * at the design scale.
+  */
+class TpchPlanAuditSpec extends SparkSpec {
+  private def plan(k: String): String =
+    graft.SparkEntry.queries(k)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def factScans(p: String): Int =
+    "lineitem\\.parquet".r.findAllIn(p).size
+
+  test("q1: pushed shipdate filter, pruned scan, map-side combine, one hash exchange") {
+    val p = plan("q_shape_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(1500))
+    // 7 of lineitem's 11 columns referenced — the scan must read only
+    // those (plan toString truncates the struct, so match the prefix)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double"), "column pruning lost")
+    assert(!p.contains("l_orderkey"), "unreferenced key column survived pruning")
+    assert(p.contains("partial_sum") && p.contains("partial_avg"),
+      "aggregate lost map-side combine")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"want exactly one agg exchange\n${p.take(1500)}")
+  }
+
+  test("q6: all three predicates reach the parquet reader; no join, no hash exchange") {
+    val p = plan("q_shape_q6")
+    val pushed = p.substring(p.indexOf("PushedFilters: ["))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.take(400).contains(c), s"$c not pushed\n${pushed.take(400)}")
+    assert(!p.contains("Join"), "scan-only query grew a join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "global agg needs only the SinglePartition exchange")
+  }
+
+  test("q18: lineitem scans ONCE — pre-aggregation replaces the HAVING re-scan") {
+    val p = plan("q_shape_q18")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans\n${p.take(2000)}")
+    // the quantity filter must apply to the aggregate BEFORE any join
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && p.indexOf("sum_qty") < joinIdx,
+      "per-order aggregate did not precede the joins")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 lost the bounded sort")
+  }
+
+  test("q4: EXISTS decorrelates to left-semi with the date filter below the join") {
+    val p = plan("q_shape_q4")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "orders date window not pushed to the scan")
+  }
+
+  test("q15: both consumers read the persisted aggregate — the fact never scans twice") {
+    val p = plan("q_shape_q15")
+    // both branches must read the cache (the plan prints the cached
+    // relation's child under each consumer, so the textual scan count
+    // stays 2 — the RUNTIME scan count is 1, which is what the
+    // InMemoryTableScan nodes guarantee)
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"join and max branches must both read the cached per-supplier aggregate\n${p.take(2000)}")
+    assert(p.contains("InMemoryRelation"), "per-supplier aggregate lost its persist")
+  }
+
+  test("q17: correlated AVG computes as a window — one fact scan, one partkey exchange") {
+    val p = plan("q_shape_q17")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans\n${p.take(2000)}")
+    assert(p.contains("Window ["), "per-part mean lost the window formulation")
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size == 1,
+      s"want exactly one partkey exchange\n${p.take(2000)}")
+  }
+
+  test("q19: the disjunction factors into pushed per-side predicates; join stays equi") {
+    val p = plan("q_shape_q19")
+    // Catalyst must derive the quantity envelope for the fact scan and
+    // the brand/size envelope for the part scan out of the OR
+    val liScan = p.substring(p.indexOf("FileScan parquet [l_partkey"))
+    assert(liScan.take(900).contains("l_quantity"), "quantity bands not pushed to lineitem")
+    val partScan = p.substring(p.indexOf("FileScan parquet [p_partkey"))
+    assert(partScan.take(900).contains("p_brand"), "brand bands not pushed to part")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "join degraded from equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q22: anti join on filtered orders; the only nested-loop is the 1-row threshold") {
+    val p = plan("q_shape_q22")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    // priority filter must sit on the orders side below the anti join
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "priority filter not pushed to the orders scan")
+    // the scalar-average comparison is a broadcast of exactly one row —
+    // the single permissible nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("In(c_nationkey"), "nation band not pushed to the customer scan")
+  }
+
+  test("q7: exactly two broadcast hints (the two nation roles); no cartesian") {
+    val logical = graft.SparkEntry.queries("q_shape_q7")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(logical).size == 2,
+      "only the fixed-cardinality nation copies may carry forced broadcasts")
+    val p = plan("q_shape_q7")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")
+  }
+}

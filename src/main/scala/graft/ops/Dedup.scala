@@ -60,21 +60,26 @@ object Dedup {
     sh.groupBy("id")
       .agg(graft.functions.MinHashAgg.minhash(col("s"), numHashes).as("sig"))
 
-  /** Candidate pairs via LSH banding: the signature array is sliced
-    * into `bands` bands; docs sharing any band bucket become
-    * candidates. Shuffle key = (band index, hash of band slice).
+  /** (id, bk struct(band, h)) band-bucket keys for a signature table —
+    * the banding step shared by pair generation and the materialized
+    * index: the signature array is sliced into `bands` bands and each
+    * slice hashed to one 64-bit key.
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }
-    val buckets = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-    bucketPairs(buckets, maxBucket)
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
   }
+
+  /** Candidate pairs via LSH banding: docs sharing any band bucket
+    * become candidates. Shuffle key = (band index, hash of band slice).
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(bandKeys(sigs, numHashes, bands), maxBucket)
 
   /** Candidate (id1, id2) pairs from a (id, bk) bucket table — the
     * shared pair generator for every LSH-banding family (MinHash,
@@ -260,6 +265,77 @@ object Dedup {
       .join(sets.as("c2"), col("id2") === col("c2.id"))
       .withColumnRenamed("sset", "set2").drop("id")
       .select(col("id1"), col("id2"),
+        (size(array_intersect(col("set1"), col("set2"))).cast("double") /
+          size(array_union(col("set1"), col("set2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Materialized MinHash band index of a corpus, for INCREMENTAL
+    * near-dup checks: signatures and band-bucket keys are computed
+    * ONCE per corpus and written as a flat (id, band, h) parquet
+    * table, so each arriving batch pays only its own shingling plus a
+    * join against the index — never a re-shingle or re-shuffle of the
+    * corpus. The index is ~`bands` rows of 20 B per document — three
+    * orders of magnitude smaller than corpus text at 100 TB.
+    * Over-cap band buckets (identical-content clusters — the province
+    * of exact dedup, which runs first) are dropped at BUILD time, so
+    * no probe can ever fan out quadratically against them.
+    */
+  def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleLen: Int = 8,
+                        numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Int = Int.MaxValue): String = {
+    val sets = hashedShingleSets(corpus, idCol, textCol, shingleLen)
+    val sigs = sets.select(col("id"),
+        graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val keys = bandKeys(sigs, numHashes, bands)
+      .select(col("id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val bounded =
+      if (maxBucket == Int.MaxValue) keys
+      else {
+        val hot = keys.groupBy("band", "h")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select("band", "h")
+        keys.join(hot, Seq("band", "h"), "left_anti")
+      }
+    bounded.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Probe a built MinHash index with a new batch: every batch doc's
+    * band keys are joined against the index (batch ≪ corpus by the
+    * incremental-ingest premise, so AQE broadcasts the batch side and
+    * the index never shuffles), then candidates are verified with
+    * EXACT Jaccard — corpus shingle sets are recomputed only for the
+    * candidate ids (a semi-join-pruned sliver of the corpus), batch
+    * sets are computed once and reused for signatures and
+    * verification. Output: (corpus_id, batch_id, jaccard >= threshold).
+    */
+  def minHashProbe(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, corpus: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val bsets = hashedShingleSets(batch, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsigs = bsets.select(col("id"),
+        graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bkeys = bandKeys(bsigs, numHashes, bands)
+      .select(col("id").as("batch_id"), col("bk.band").as("band"),
+        col("bk.h").as("h"))
+    val cand = idx.join(bkeys, Seq("band", "h"))
+      .select(col("id").as("corpus_id"), col("batch_id")).distinct()
+    val cids = cand.select("corpus_id").distinct()
+    val csets = hashedShingleSets(
+        corpus.join(cids, corpus(idCol) === cids("corpus_id"), "left_semi"),
+        idCol, textCol, shingleLen)
+      .select(col("id").as("corpus_id"), col("sset").as("set1"))
+    val bsetsv = bsets.select(col("id").as("batch_id"), col("sset").as("set2"))
+    cand.join(csets, "corpus_id").join(bsetsv, "batch_id")
+      .select(col("corpus_id"), col("batch_id"),
         (size(array_intersect(col("set1"), col("set2"))).cast("double") /
           size(array_union(col("set1"), col("set2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -579,6 +579,36 @@ object QueriesExt {
         .select("doc_id", "fp")
         .orderBy("doc_id")
     }),
+
+    // incremental FUZZY dedup: near-dups of a NEW batch against a
+    // corpus whose MinHash band index was built ONCE and materialized
+    // (Dedup.buildMinHashIndex). The corpus is never re-shingled or
+    // re-shuffled per batch — the batch's band keys join the flat
+    // (id, band, h) index, and exact-Jaccard verification touches only
+    // the candidate sliver of the corpus. Batch = mutated copies of
+    // every 5th corpus doc (planted near-dups, j ≈ 0.95) plus fresh
+    // docs (planted non-matches). Oracle recomputes exact cross
+    // Jaccard; LSH recall at the planted gap is ≈ 1 (32 hashes /
+    // 8 bands, same envelope as ext_dedup_minhash).
+    "ext_dedup_incr_fuzzy" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val corpus = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" qqq")).as("text"))
+        .unionAll(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val path = annIndex.computeIfAbsent(s"mh_${TableIds.idFor(d)}",
+        key => Dedup.buildMinHashIndex(corpus, "doc_id", "text",
+          s"target/ann_index/$key", numHashes = 32, bands = 8))
+        .asInstanceOf[String]
+      Dedup.minHashProbe(s, path, corpus, batch, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("corpus_id"), col("batch_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("corpus_id", "batch_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -956,5 +986,33 @@ object QueriesExt {
          SELECT doc_id, fp FROM nb
          WHERE fp NOT IN (SELECT fp FROM corpus)
          ORDER BY doc_id""",
+    "ext_dedup_incr_fuzzy" ->
+      """WITH corpus AS (
+           SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id < 300),
+         batch AS (
+           SELECT doc_id + 20000 AS doc_id, LOWER(text || ' qqq') AS t
+           FROM documents WHERE doc_id % 5 = 0 AND doc_id < 300
+           UNION ALL
+           SELECT doc_id + 20000, LOWER(text) FROM documents
+           WHERE doc_id >= 300 AND doc_id < 350),
+         csh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                 FROM corpus, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                 WHERE g.g <= LENGTH(t) - 7),
+         bsh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                 FROM batch, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                 WHERE g.g <= LENGTH(t) - 7),
+         ccnt AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+         bcnt AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+                     COUNT(*) AS i
+                   FROM csh c JOIN bsh b ON c.s = b.s
+                   GROUP BY 1, 2)
+         SELECT corpus_id, batch_id,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN ccnt ca ON ca.doc_id = corpus_id
+         JOIN bcnt cb ON cb.doc_id = batch_id
+         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+         ORDER BY corpus_id, batch_id""",
   )
 }

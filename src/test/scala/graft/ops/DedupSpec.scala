@@ -178,6 +178,39 @@ class DedupSpec extends SparkSpec {
       s"expected exactly the 100 new docs, got ${ids.size}")
   }
 
+  test("minhash index probe finds planted mutations, rejects fresh docs, and drops hot buckets at build") {
+    // distinct per-doc content (hex-expanded doc hash), so cross-doc
+    // jaccard is ~0 and only the planted mutation is a true near-dup
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 to 11).map(j => java.lang.Long.toHexString(i * 2654435761L + j * 40503L))
+      (i, s"doc $i " + words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.buildMinHashIndex(corpus, "doc_id", "text", s"$dir/idx")
+    val src3 = (0 to 11).map(j => java.lang.Long.toHexString(3 * 2654435761L + j * 40503L))
+    val batch = Seq(
+      (101L, s"doc 3 " + src3.mkString(" ") + " x"), // near-dup of 3
+      (102L, "entirely novel prose with no counterpart in the corpus at all"),
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minHashProbe(spark, s"$dir/idx", corpus, batch,
+        "doc_id", "text", threshold = 0.5)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((3L, 101L)), s"got $hits")
+
+    // a 50-copy identical cluster exceeds maxBucket → its band rows are
+    // dropped at BUILD time, so a probe against the cluster's content
+    // generates ZERO candidates (exact dedup owns identical content)
+    val boiler = (1L to 50L).map(i => (1000L + i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinHashIndex(boiler, "doc_id", "text", s"$dir/hot", maxBucket = 10)
+    assert(spark.read.parquet(s"$dir/hot").isEmpty,
+      "over-cap buckets must not survive the index build")
+    val probe = Dedup.minHashProbe(spark, s"$dir/hot", boiler,
+      Seq((2000L, "same boilerplate text repeated everywhere")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    assert(probe.isEmpty)
+  }
+
   test("hashed shingles align with string shingles on supplementary characters") {
     // an emoji is ONE code point but TWO UTF-16 chars: hashed windows
     // must advance by code points (Spark substring semantics), never

@@ -217,6 +217,46 @@ object QueriesTrain {
         .withColumn("avg_tok_freq",
           col("sum_freq").cast("double") / col("n_toks"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 relevance against a fixed query (k1=1.2, b=0.75) — the
+    // retrieval-style stage that targets a corpus slice at a topic
+    // (query-relevant curation, eval-set mining). The corpus text is
+    // scanned and tokenized ONCE into a persisted narrow projection
+    // (doc_id, length, query-term hits — no text, no full token
+    // array); the tf, document-frequency, and global-length-stats
+    // branches all read that cache, so none of them re-reads or
+    // re-splits the corpus. df (≤ |query| rows) and the stats (1 row)
+    // join back as broadcasts. Every factor is ordered identically in
+    // both engines: exact integer products, then one double division
+    // per factor, so the only cross-engine exposure is the per-doc
+    // 3-term sum, absorbed by round(..., 6).
+    "ext_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val slim = t("documents")(s, d)
+        .select(col("doc_id"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          expr(s"filter(toks, t -> t IN ($termList))").as("hits"))
+        .persist()
+      val tf = slim
+        .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val stats = slim.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              ((col("dl") * col("n_docs")).cast("double") / col("sum_dl")))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("score_t")), 6).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(50)
     })
   )
 
@@ -335,6 +375,29 @@ object QueriesTrain {
           CAST(sum(freq) AS BIGINT) AS sum_freq,
           CAST(sum(freq) AS DOUBLE) / count(*) AS avg_tok_freq
         FROM toks JOIN freq USING (tok)
-        GROUP BY doc_id ORDER BY doc_id"""
+        GROUP BY doc_id ORDER BY doc_id""",
+    "ext_bm25" ->
+      """WITH d2 AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         d3 AS (SELECT doc_id, len(toks) AS dl, toks FROM d2),
+         hits AS (
+           SELECT doc_id, dl,
+             UNNEST(list_filter(toks,
+               t -> t IN ('spark', 'join', 'window'))) AS tok
+           FROM d3),
+         tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+                FROM hits GROUP BY 1, 2, 3),
+         stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d3),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+         SELECT doc_id,
+           ROUND(CAST(SUM(
+             LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+               (tf + 1.2 * (0.25 + 0.75 *
+                 (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS DOUBLE), 6)
+             AS bm25
+         FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 50"""
   )
 }

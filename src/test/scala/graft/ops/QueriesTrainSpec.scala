@@ -127,4 +127,20 @@ class QueriesTrainSpec extends SparkSpec {
     val got = rows.find(_.getString(0) == "A").get.getDouble(1)
     assert(got == expect, s"median $got vs manual $expect")
   }
+
+  test("bm25: scores positive and ranked; corpus tokenized once via the cache") {
+    val df = q("ext_bm25")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0), "BM25 of present terms must be positive")
+    assert(scores.sameElements(scores.sortWith(_ > _)), "not ranked desc")
+    // all three consumers (tf, df, stats) must read the persisted slim
+    // projection — the corpus text is scanned and split exactly once
+    // (a FRESH plan, pre-execution: the post-AQE plan reprints cached
+    // subtrees once per materialized stage)
+    val p = q("ext_bm25").queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size == 3,
+      s"expected 3 cache readers\n${p.take(1500)}")
+  }
 }

@@ -284,6 +284,38 @@ object QueriesTpch {
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+
+    // Q21 shape (adapted: "late" = shipped >60 days after order date —
+    // this testdata has no commit/receipt dates): suppliers who were
+    // the ONLY late shipper on a multi-supplier finalized order. The
+    // literal SQL reads the fact THREE times (l1 + EXISTS l2 +
+    // NOT EXISTS l3); this plan reads it ONCE — a per-(order,
+    // supplier) rollup is persisted, the per-order census
+    // (supplier count, late-supplier count) carries both existence
+    // tests as plain filters, and the late pairs join that census.
+    // numwait counts the distinct orders each supplier kept waiting.
+    "q_shape_q21" -> ((s, d) => {
+      val ord = t("orders")(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t("lineitem")(s, d)
+      val perOS = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .withColumn("late",
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1).otherwise(0))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+        .persist()
+      val census = perOS.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOS.filter(col("late") === 1)
+        .join(census, "l_orderkey")
+        .join(t("supplier")(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +465,23 @@ object QueriesTpch {
                              AND o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "q_shape_q21" ->
+      """WITH li AS (
+           SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F')
+         SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+         FROM li l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM li l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM li l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
   )
 }

@@ -102,6 +102,16 @@ class TpchPlanAuditSpec extends SparkSpec {
     assert(p.contains("In(c_nationkey"), "nation band not pushed to the customer scan")
   }
 
+  test("q21: one fact pass — both existence tests read the persisted rollup") {
+    val p = plan("q_shape_q21")
+    // the census filter and the late-pair side must BOTH consume the
+    // cached per-(order, supplier) rollup, never re-scan lineitem
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"census and late-pair branches must read the cache\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "rollup lost map-side combine")
+  }
+
   test("q7: exactly two broadcast hints (the two nation roles); no cartesian") {
     val logical = graft.SparkEntry.queries("q_shape_q7")(spark, sfDir)
       .queryExecution.analyzed.toString

@@ -162,6 +162,38 @@ object QueriesJoins {
           col("_state.asof_value").as("asof_value"))
         .orderBy("event_id")
     }),
+
+    // FORWARD as-of: each probe takes the EARLIEST update at-or-after
+    // its timestamp (the "next known state" enrichment — lead-time
+    // joins, next-price lookups). Same single-shuffle union+window
+    // composition as join_asof, mirrored: frame [current row,
+    // unbounded following] with first_value. Tie discipline inverted —
+    // probes (tag 0) sort BEFORE same-ts updates (tag 1) so the
+    // inclusive `l.ts <= r.ts` match stays in frame; same-(user, ts)
+    // updates order by value so `first` deterministically takes the
+    // minimum, matching the oracle's MIN(value) collapse.
+    "join_asof_fwd" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val stateT = "struct<asof_ts:timestamp_ntz,asof_value:double>"
+      val updates = ev
+        .select(col("user_id"), col("ts"),
+          struct(col("ts").as("asof_ts"), col("value").as("asof_value")).as("_r"),
+          lit(null).cast("bigint").as("event_id"), lit(1).as("_tag"))
+      val probes = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts"),
+          lit(null).cast(stateT).as("_r"), col("event_id"), lit(0).as("_tag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("_tag"), col("_r.asof_value"))
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      updates.unionAll(probes)
+        .withColumn("_state", first(col("_r"), ignoreNulls = true).over(w))
+        .filter(col("_tag") === 0 && col("_state").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("l_ts"),
+          col("_state.asof_ts").as("asof_ts"),
+          col("_state.asof_value").as("asof_value"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +257,16 @@ object QueriesJoins {
                 r.ts AS asof_ts, r.asof_value
          FROM l ASOF JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
+    "join_asof_fwd" ->
+      """WITH r AS (SELECT user_id, ts, MIN(value) AS asof_value
+                    FROM events GROUP BY 1, 2),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_id % 5 = 0)
+         SELECT l.event_id, l.user_id, l.ts AS l_ts,
+                r.ts AS asof_ts, r.asof_value
+         FROM l ASOF JOIN r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY event_id""",
   )
 }

@@ -138,13 +138,15 @@ class PlanAuditProbe extends SparkSpec {
     assert(byKey.contains(100L) && !byKey(100L).startsWith("UPD_"))
   }
 
-  test("as-of join plans with NO join node and one hash exchange") {
-    val p = plan("join_asof")
-    // the union+window composition replaces the equi+range join — the
-    // O(|L|·|R|) pairwise intermediate must not exist in any form
-    assert(!p.contains("Join"), s"join node crept into the as-of plan\n${p.take(2000)}")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly one hash exchange\n${p.take(2000)}")
+  test("as-of joins (backward and forward) plan with NO join node and one hash exchange") {
+    for (k <- Seq("join_asof", "join_asof_fwd")) {
+      val p = plan(k)
+      // the union+window composition replaces the equi+range join — the
+      // O(|L|·|R|) pairwise intermediate must not exist in any form
+      assert(!p.contains("Join"), s"$k: join node crept into the as-of plan\n${p.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$k: expected exactly one hash exchange\n${p.take(2000)}")
+    }
   }
 
   test("window rewrites share ONE partition exchange and prune columns") {

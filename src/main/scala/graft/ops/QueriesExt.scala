@@ -347,6 +347,24 @@ object QueriesExt {
         .orderBy("media_id")
     }),
 
+    // REAL image resize (rows-only): decode → box-filter area average
+    // (exact integer block sums — no Graphics2D hint variance) →
+    // PNG re-encode, all row-local in mapPartitions. The stage a
+    // pipeline runs to normalize resolution BEFORE expensive
+    // embedding/captioning; output payloads shrink quadratically.
+    "ext_multimodal_resize" -> ((s, d) => {
+      val media = Multimodal.asPngMedia(
+        t("documents")(s, d), "doc_id", "text")
+      Multimodal.resizeImages(media, 4, 4)
+        .select(col("media_id"), col("width_in"), col("height_in"),
+          col("width_out"), col("height_out"), col("n_bytes_out"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("decoded"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode (rows-only): each document is rendered to a
     // mono 16-bit PCM WAV through the JDK's javax.sound codec
     // (mapPartitions), then DECODED BACK through the same codec —

@@ -76,6 +76,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.getBoolean(7) && out.getInt(1) == 0)
   }
 
+  test("resizeImages: box-filter averages exact 2x2 blocks and re-encodes a real PNG") {
+    import spark.implicits._
+    // hand-built 4x4: left half pure red, right half pure blue →
+    // resized 2x2 must be exactly (255,0,0) left column, (0,0,255) right
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val png = Multimodal.encodePng(img)
+    val media = Seq((1L, png)).toDF("media_id", "bin")
+    val r = Multimodal.resizeImages(media, 2, 2).collect().head
+    assert(r.getAs[Int]("width_in") == 4 && r.getAs[Int]("width_out") == 2)
+    assert(r.getAs[Boolean]("decoded"))
+    assert(r.getAs[Double]("mean_r") == 127.5 && r.getAs[Double]("mean_b") == 127.5,
+      s"means ${r.getAs[Double]("mean_r")}/${r.getAs[Double]("mean_b")}")
+    // the output payload is a genuine PNG: decode it back and check pixels
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bin")))
+    assert(out.getWidth == 2 && out.getHeight == 2)
+    assert((out.getRGB(0, 0) & 0xffffff) == 0xff0000 &&
+      (out.getRGB(1, 1) & 0xffffff) == 0x0000ff)
+    // undecodable payload: visible flag, empty output
+    val bogus = Seq((9L, Array[Byte](9, 9, 9))).toDF("media_id", "bin")
+    val b = Multimodal.resizeImages(bogus, 2, 2).collect().head
+    assert(!b.getAs[Boolean]("decoded") && b.getAs[Array[Byte]]("bin").isEmpty)
+  }
+
   test("sampleFrames explodes one row per sampled frame") {
     val docs = Seq((1L, "x" * 256)).toDF("media_id", "payload")
     val media = Multimodal.asMedia(docs, "media_id", "payload")

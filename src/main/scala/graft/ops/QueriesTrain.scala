@@ -69,6 +69,41 @@ object QueriesTrain {
         .select(col("doc_id"), col("lang"), col("bucket").cast("bigint").as("bucket"))
         .orderBy("doc_id")),
 
+    // availability-aware dataset mixing: target class shares (50/30/20
+    // across three source classes) become per-class acceptance rates by
+    // integer water-filling — scale = min_c(cnt_c·10/w_c) caps the
+    // output at what the scarcest class can supply, take_c =
+    // scale·w_c/10 — then the rate is enforced ROW-LOCALLY by
+    // content-hash bucket (accept iff bucket·cnt_c < take_c·256, i.e.
+    // take_c/cnt_c quantized to 256ths). The only aggregation is the
+    // 3-row class census, broadcast back; the sampling decision never
+    // shuffles the corpus. Hash acceptance carries binomial ±2%
+    // share quantization — the documented price of a shuffle-free
+    // deterministic sample (an exact-count roster would need a global
+    // per-class sort).
+    "ext_dataset_mix" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .withColumn("cls",
+          pmod(substring(col("source"), 4, 10).cast("int"), lit(3)))
+        .withColumn("w", when(col("cls") === 0, 5)
+          .when(col("cls") === 1, 3).otherwise(2))
+      val census = docs.groupBy("cls", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("scale10", floor(col("cnt") * 10 / col("w")))
+      val minScale = census.agg(min("scale10").as("min10"))
+      val mixPlan = census.crossJoin(broadcast(minScale))
+        .withColumn("take", floor(col("min10") * col("w") / 10))
+        .select(col("cls"), col("cnt"), col("take"))
+      docs
+        .withColumn("bucket",
+          expr("""(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1"""))
+        .join(broadcast(mixPlan), "cls")
+        .filter(col("bucket") * col("cnt") < col("take") * 256)
+        .select(col("doc_id"), col("cls").cast("bigint").as("cls"),
+          col("bucket").cast("bigint").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // per-source (domain) corpus census: the by-container view a
     // curator reads before setting sampling weights. One hash
     // aggregation (partial map-side combine) + one unpartitioned
@@ -290,6 +325,31 @@ object QueriesTrain {
         FROM w
         WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 256 END
         ORDER BY doc_id""",
+
+    "ext_dataset_mix" ->
+      """WITH dw AS (
+           SELECT doc_id, text,
+             CAST(SUBSTR(source, 4) AS INTEGER) % 3 AS cls,
+             CASE CAST(SUBSTR(source, 4) AS INTEGER) % 3
+               WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END AS w
+           FROM documents),
+         census AS (
+           SELECT cls, w, COUNT(*) AS cnt, FLOOR(COUNT(*) * 10 / w) AS scale10
+           FROM dw GROUP BY 1, 2),
+         m AS (SELECT MIN(scale10) AS min10 FROM census),
+         plan AS (
+           SELECT cls, cnt, FLOOR(min10 * w / 10) AS take
+           FROM census CROSS JOIN m),
+         b AS (
+           SELECT doc_id, cls,
+             (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS bucket
+           FROM dw)
+         SELECT b.doc_id, CAST(b.cls AS BIGINT) AS cls,
+           CAST(b.bucket AS BIGINT) AS bucket
+         FROM b JOIN plan ON b.cls = plan.cls
+         WHERE b.bucket * plan.cnt < plan.take * 256
+         ORDER BY doc_id""",
 
     "ext_domain_stats" ->
       """WITH g AS (SELECT source,

@@ -128,6 +128,17 @@ class QueriesTrainSpec extends SparkSpec {
     assert(got == expect, s"median $got vs manual $expect")
   }
 
+  test("dataset mix: realized shares track the 50/30/20 water-filled targets") {
+    val rows = q("ext_dataset_mix").groupBy("cls").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum.toDouble
+    assert(total > 0)
+    // hash-bucket acceptance quantizes to 256ths (±~4% at these counts)
+    assert(math.abs(rows(0L) / total - 0.5) < 0.06, s"class0 ${rows(0L) / total}")
+    assert(math.abs(rows(1L) / total - 0.3) < 0.06, s"class1 ${rows(1L) / total}")
+    assert(math.abs(rows(2L) / total - 0.2) < 0.06, s"class2 ${rows(2L) / total}")
+  }
+
   test("bm25: scores positive and ranked; corpus tokenized once via the cache") {
     val df = q("ext_bm25")
     val rows = df.collect()

@@ -93,6 +93,92 @@ object StreamingOps {
       .toDF("user_id", "event_id")
   }
 
+  /** Streaming NEAR-dup detection with bounded state — the ingest-time
+    * variant of [[graft.ops.Dedup.minHashPairs]]: each arriving doc's
+    * MinHash signature computes ROW-LOCALLY (the same codegen
+    * expressions as the batch path), explodes to `bands` band-bucket
+    * keys, and each bucket keeps its member signatures in keyed state
+    * (flatMapGroupsWithState). A new doc emits (doc_id, dup_of,
+    * sim_est) against every state member whose signature agrees on
+    * ≥ `simThreshold` of the hash slots — the standard MinHash
+    * Jaccard estimate; exact verification belongs to a downstream
+    * batch join, exactly as banding precedes verification offline.
+    * State is DOUBLY bounded: per-bucket membership caps at
+    * `maxBucket` (identical content floods one bucket in every band —
+    * the province of exact dedup upstream) and an event-time timeout
+    * evicts buckets idle past `retentionMs` behind the watermark, so
+    * the store is O(active buckets × cap), never O(stream history).
+    * The same pair can surface from up to `bands` buckets; consumers
+    * take DISTINCT (doc_id, dup_of) — kept out of this operator so the
+    * emission stays append-only and stateless beyond the buckets.
+    */
+  def streamingNearDup(docs: DataFrame, watermark: String = "10 minutes",
+                       retentionMs: Long = 30L * 60 * 1000,
+                       shingleLen: Int = 8, numHashes: Int = 32,
+                       bands: Int = 8, simThreshold: Double = 0.7,
+                       maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Array[Long]]] =
+      Encoders.kryo[Array[Array[Long]]]
+    val isStreaming = docs.isStreaming
+    val src = if (isStreaming) docs.withWatermark("ts", watermark) else docs
+    val rowsPerBand = numHashes / bands
+    val sigs = src.select(col("doc_id").cast("long"), col("ts"),
+        graft.functions.MinHashArray.minhash_array(
+          array_distinct(graft.functions.ShingleHashes
+            .shingle_hashes(lower(col("text")), shingleLen)), numHashes)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    sigs
+      .select(explode(array(bandCols: _*)).as("bk"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[(Long, Long, java.sql.Timestamp, Array[Long])]
+      .groupByKey(_._1)
+      // state member layout: Array(id, sig...) per member — flat
+      // arrays keep the per-member layout primitive; the nested-array
+      // state itself rides a kryo encoder (state is an opaque blob to
+      // the store either way)
+      .flatMapGroupsWithState[Array[Array[Long]], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Array[Long])],
+         state: GroupState[Array[Array[Long]]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Array.empty[Array[Long]])
+            val out = Vector.newBuilder[(Long, Long, Double)]
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, id, t, sig) =>
+              maxTs = math.max(maxTs, t.getTime)
+              members.foreach { m =>
+                if (m(0) != id) {
+                  var eq = 0; var i = 0
+                  while (i < numHashes) {
+                    if (m(i + 1) == sig(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / numHashes
+                  if (est >= simThreshold) out += ((id, m(0), est))
+                }
+              }
+              if (members.length < maxBucket && !members.exists(_(0) == id))
+                members = members :+ (id +: sig)
+            }
+            state.update(members)
+            if (isStreaming)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("doc_id", "dup_of", "sim_est")
+  }
+
   /** Per-user running statistics on the arbitrary-state v2 API
     * (`transformWithState` + `StatefulProcessor`, Spark 4) — the
     * successor surface to flatMapGroupsWithState: typed per-key

@@ -290,4 +290,78 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(r => (r._1, r._3)) == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
     } finally q.stop()
   }
+
+  private val nearDupBase =
+    "the quick brown fox jumps over the lazy dog while the band plays on"
+  private val nearDupFresh =
+    "completely unrelated prose about distributed query execution engines"
+
+  test("streamingNearDup matches a later near-dup against an earlier batch's doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.streamingNearDup(docs)
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, nearDupBase, ts("2024-01-01 00:00:00")),
+        (2L, nearDupFresh, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // a mutated copy arrives in a LATER micro-batch: the match must
+      // come from keyed state, not from within-batch comparison
+      input.addData((3L, nearDupBase + "!", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_test")
+        .select("doc_id", "dup_of").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((3L, 1L)), s"got $pairs")
+      // the estimate is a real MinHash agreement fraction
+      val est = spark.table("neardup_test")
+        .select("sim_est").as[Double].collect()
+      assert(est.forall(e => e >= 0.7 && e <= 1.0))
+    } finally q.stop()
+  }
+
+  test("streamingNearDup on a batch frame agrees with the offline banding pairs") {
+    val batch = Seq(
+      (1L, nearDupBase, ts("2024-01-01 00:00:00")),
+      (2L, nearDupFresh, ts("2024-01-01 00:00:10")),
+      (3L, nearDupBase + "!", ts("2024-01-01 00:01:00")))
+      .toDF("doc_id", "text", "ts")
+    val streamed = StreamingOps.streamingNearDup(batch)
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+      .map { p: (Long, Long) => (math.min(p._1, p._2), math.max(p._1, p._2)) }
+    val offline = graft.ops.Dedup.minHashPairs(
+        batch.select("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(streamed == offline, s"streamed $streamed vs offline $offline")
+  }
+
+  test("streamingNearDup evicts idle buckets behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.streamingNearDup(docs,
+        watermark = "10 minutes", retentionMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("neardup_evict_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, nearDupBase, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // push the watermark far past 00:00 + 30min, then let the
+      // timeout fire on the following batch
+      input.addData((8L, nearDupFresh, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      input.addData((9L, nearDupFresh + " x", ts("2024-01-01 03:00:30")))
+      q.processAllAvailable()
+      // doc 1's buckets are gone: an identical copy finds NO match
+      input.addData((10L, nearDupBase, ts("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+      val vs1 = spark.table("neardup_evict_test")
+        .filter($"dup_of" === 1L).count()
+      assert(vs1 == 0L, s"state for doc 1 should have been evicted, got $vs1 matches")
+    } finally q.stop()
+  }
 }

@@ -285,6 +285,57 @@ object QueriesTpch {
         .orderBy("c_nationkey")
     }),
 
+    // Q8 shape: national market share — the share of one supplier
+    // nation's revenue within a region's customer market, by year.
+    // The share is a conditional aggregation over ONE joined stream
+    // (sum(case)/sum), never two plans unioned; nation/region carry
+    // the only broadcast hints (fixed cardinality), and the customer-
+    // region filter prunes before the share divides.
+    "q_shape_q8" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = t("customer")(s, d)
+      val supp = t("supplier")(s, d)
+      val n1 = t("nation")(s, d).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t("nation")(s, d).select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val reg = t("region")(s, d).filter(col("r_name") === "ASIA")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(n1), supp("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), cust("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) /
+            sum(vol), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q13 shape: customer order-count distribution INCLUDING the
+    // zero-order customers — the left join is what makes the shape
+    // (an inner join silently drops the zero bucket). Two
+    // aggregations: per-customer counts (fact-sized shuffle), then
+    // the count-of-counts histogram (tiny). The orders-side filter
+    // applies below the join.
+    "q_shape_q13" -> ((s, d) => {
+      val cust = t("customer")(s, d)
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = cust.join(ord,
+          cust("c_custkey") === ord("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // Q21 shape (adapted: "late" = shipped >60 days after order date —
     // this testdata has no commit/receipt dates): suppliers who were
     // the ONLY late shipper on a multi-supplier finalized order. The
@@ -465,6 +516,35 @@ object QueriesTpch {
                              AND o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "q_shape_q8" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(
+             SUM(CASE WHEN n1.n_name = 'NATION_5'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+             SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6)
+             AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY o_year""",
+    "q_shape_q13" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           FROM customer
+           LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM per_cust
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
     "q_shape_q21" ->
       """WITH li AS (
            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate

@@ -102,6 +102,28 @@ class TpchPlanAuditSpec extends SparkSpec {
     assert(p.contains("In(c_nationkey"), "nation band not pushed to the customer scan")
   }
 
+  test("q8: share is one conditional aggregate over one fact scan; hints on dims only") {
+    val p = plan("q_shape_q8")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")
+    val logical = graft.SparkEntry.queries("q_shape_q8")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(logical).size == 3,
+      "only nation (twice) and region may carry forced broadcasts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q13: zero-order customers survive via the left join; priority filter below it") {
+    val p = plan("q_shape_q13")
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      p.contains("Not(EqualTo(o_orderpriority,1-URGENT))") ||
+      p.contains("o_orderpriority"), "priority filter lost")
+    // the histogram rows actually include the zero bucket at this SF?
+    // not guaranteed — what IS structural: count(o_orderkey), not
+    // count(*), so unmatched customers aggregate to zero
+    assert(p.contains("count(o_orderkey"), "must count the nullable join side")
+  }
+
   test("q21: one fact pass — both existence tests read the persisted rollup") {
     val p = plan("q_shape_q21")
     // the census filter and the late-pair side must BOTH consume the

@@ -94,6 +94,26 @@ object Bench {
         aggregate(zip_with(col("emb"), array(q: _*).cast("array<float>"),
           (a, b) => a * b), lit(0.0d), (acc, x) => acc + x).as("c2"))
         .orderBy(desc("c1")).limit(5).count()
+      // ...and the banding pair-generation + exact-verify layers the
+      // dedup pipeline runs downstream of the signatures: bounded
+      // collect_list buckets, the nested-transform pair emitter, and
+      // the array_intersect/union Jaccard — all shared (non-plan-
+      // specific) codegen/JIT surfaces of Dedup.bucketPairs and the
+      // verification join.
+      val sets = docs.select(col("id"), array_distinct(
+        graft.functions.ShingleHashes.shingle_hashes(col("txt"), 8)).as("ss"))
+      sets.select(col("id"), pmod(col("id"), lit(64)).as("bk"))
+        .groupBy("bk").agg(array_sort(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= 64)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids)),
+                         y -> named_struct('id1', x, 'id2', y))))""")).as("p"))
+        .select(col("p.id1"), col("p.id2")).distinct().count()
+      sets.as("a").join(sets.as("b"), col("a.id") === col("b.id") + 1)
+        .select((size(array_intersect(col("a.ss"), col("b.ss"))).cast("double") /
+          size(array_union(col("a.ss"), col("b.ss")))).as("j"))
+        .filter(col("j") >= 0.0).count()
     }
 
     val results = headline.map { name =>

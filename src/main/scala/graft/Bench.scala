@@ -114,6 +114,12 @@ object Bench {
         .select((size(array_intersect(col("a.ss"), col("b.ss"))).cast("double") /
           size(array_union(col("a.ss"), col("b.ss")))).as("j"))
         .filter(col("j") >= 0.0).count()
+      // session-window aggregation runs on its own merging-sessions
+      // operator, a surface none of the ordinary aggregates above touch
+      w.select(col("k"),
+          timestamp_seconds(lit(1700000000L) + col("id") % 1000).as("wts"))
+        .groupBy(col("k"), session_window(col("wts"), "30 seconds"))
+        .count().count()
     }
 
     val results = headline.map { name =>

@@ -264,9 +264,13 @@ object Dedup {
       .withColumnRenamed("sset", "set1").drop("id")
       .join(sets.as("c2"), col("id2") === col("c2.id"))
       .withColumnRenamed("sset", "set2").drop("id")
+      // shingle-hash sets are sorted distinct by construction → the
+      // fused merge-pass expression (one loop, zero allocation) replaces
+      // the two-hash-table intersect/union composition in the post-
+      // banding hot path
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("set1"), col("set2"))).cast("double") /
-          size(array_union(col("set1"), col("set2")))).as("jaccard"))
+        graft.functions.JaccardSim.jaccard_sim(col("set1"), col("set2"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -336,8 +340,8 @@ object Dedup {
     val bsetsv = bsets.select(col("id").as("batch_id"), col("sset").as("set2"))
     cand.join(csets, "corpus_id").join(bsetsv, "batch_id")
       .select(col("corpus_id"), col("batch_id"),
-        (size(array_intersect(col("set1"), col("set2"))).cast("double") /
-          size(array_union(col("set1"), col("set2")))).as("jaccard"))
+        graft.functions.JaccardSim.jaccard_sim(col("set1"), col("set2"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

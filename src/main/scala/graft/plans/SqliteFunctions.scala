@@ -117,12 +117,55 @@ object SqliteFunctions {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` entry point:
-  * SQLite-dialect functions + the regex-prefix pushdown rule.
+  * SQLite-dialect functions, the engine's native dedup/similarity
+  * expressions as SQL functions, the regex-prefix pushdown rule, and
+  * the GroupTopK strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     SqliteFunctions.register(ext)
+    GraftNativeFunctions.register(ext)
     ext.injectOptimizerRule(_ => RegexPrefixPushdown)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
+}
+
+/** The engine's native codegen expressions exposed as SQL functions —
+  * a notebook with only `spark.sql` still reaches the fused kernels.
+  */
+object GraftNativeFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral}
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case IntegerLiteral(k) => k
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal integer argument, got ${e.sql}")
+  }
+
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two float arrays",
+      es => graft.functions.CosineSimilarity(es(0), es(1))),
+    ("jaccard_sim", "jaccard_sim(a, b) - merge-pass Jaccard of two sorted bigint arrays",
+      es => graft.functions.JaccardSim(es(0), es(1))),
+    ("shingle_hashes", "shingle_hashes(str, k) - distinct sorted XXH64 of every k-char window",
+      es => graft.functions.ShingleHashes(es(0), litInt(es(1), "shingle_hashes"))),
+    ("minhash_array", "minhash_array(arr, k) - k seeded min-hashes of a bigint array",
+      es => graft.functions.MinHashArray(es(0), litInt(es(1), "minhash_array"))))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",
+      "misc_funcs", "4.0.0", "", "built-in")
+
+  /** Builder-time wiring (`spark.sql.extensions`). */
+  def register(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+
+  /** Live-session wiring (tests, notebooks, existing sessions). */
+  def registerRuntime(spark: SparkSession): Unit =
+    fns.foreach { case (name, usage, b) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
 }

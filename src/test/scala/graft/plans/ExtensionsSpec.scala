@@ -11,6 +11,26 @@ class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
   SqliteFunctions.registerRuntime(spark)
+  GraftNativeFunctions.registerRuntime(spark)
+
+  test("native dedup/similarity kernels resolve through pure SQL") {
+    val r = spark.sql(
+      """SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+                cosine_sim(CAST(array(1.0, 0.0) AS array<float>),
+                           CAST(array(1.0, 0.0) AS array<float>)) AS c,
+                size(shingle_hashes('abcdefghij', 8)) AS ns,
+                size(minhash_array(array(7L, 8L, 9L), 16)) AS nm
+      """).collect()(0)
+    assert(r.getDouble(0) == 0.5)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 3) // 10-char string → 3 8-char windows
+    assert(r.getInt(3) == 16)
+    // non-literal width must fail loudly, not silently misplan
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('abc', length('xy'))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 
   test("sqlite functions resolve natively through spark.sql") {
     val r = spark.sql(

@@ -125,7 +125,9 @@ object Dedup {
     * via array_intersect — no shingle-level join explosion.
     */
   def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset"))
+    // both join sides read the same aggregated set table — persist so
+    // the shingle scan+aggregate runs once, not once per side
+    val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset")).persist()
     pairs
       .join(sets.as("c1"), col("id1") === col("c1.id"))
       .withColumnRenamed("sset", "set1").drop("id")
@@ -465,14 +467,17 @@ object Dedup {
   def simHashPairs(sigs: DataFrame, maxDist: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
-    val banded = sigs.select(col("id"),
+    // the signature table feeds banding plus both verification joins:
+    // persist it so the (full-corpus aggregation) upstream runs once
+    val sg = sigs.persist()
+    val banded = sg.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           expr(s"(simhash >> ${b * 16}) & 65535").as("key"))): _*)).as("bk"))
     bucketPairs(banded, maxBucket)
-      .join(sigs.select(col("id"), col("simhash").as("h1")), col("id1") === col("id"))
+      .join(sg.select(col("id"), col("simhash").as("h1")), col("id1") === col("id"))
       .drop("id")
-      .join(sigs.select(col("id"), col("simhash").as("h2")), col("id2") === col("id"))
+      .join(sg.select(col("id"), col("simhash").as("h2")), col("id2") === col("id"))
       .drop("id")
       .select(col("id1"), col("id2"), expr("bit_count(h1 ^ h2)").as("dist"))
       .filter(col("dist") <= maxDist)

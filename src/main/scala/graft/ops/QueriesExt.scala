@@ -56,7 +56,9 @@ object QueriesExt {
       // even in the (~n²/2⁶⁴) event of a hash collision
       val hsh = Dedup.hashedShingleSets(docs, "doc_id", "text")
         .select(col("id"), explode(col("sset")).as("s"))
-      val cand = Dedup.dropHotShingles(hsh, maxDf = 50)
+      // persisted: the candidate self-join reads the df-capped shingle
+      // table on both sides — one shingling pass, not two
+      val cand = Dedup.dropHotShingles(hsh, maxDf = 50).persist()
       val pairs = cand.as("a").join(cand.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))

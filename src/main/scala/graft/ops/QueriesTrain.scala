@@ -144,10 +144,14 @@ object QueriesTrain {
     // salience = tf/df is one integer-input double division —
     // bit-identical across engines, no log() portability exposure.
     "ext_tfidf" -> ((s, d) => {
+      // tf is persisted: the df branch and the salience join both read
+      // it, so the corpus tokenizes ONCE and the cached intermediate
+      // is the compact per-(doc, term) aggregate, not raw tokens
       val tf = t("documents")(s, d)
         .select(col("doc_id"),
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("salience").desc, col("term").asc)
@@ -242,13 +246,20 @@ object QueriesTrain {
     // is an exact bigint sum followed by ONE double division — no
     // summation-order or libm exposure on either engine.
     "ext_rarity_score" -> ((s, d) => {
-      val toks = t("documents")(s, d)
+      // one tokenize pass: the per-(doc, token) counts are the compact
+      // persisted intermediate; corpus frequency is their sum by token
+      // and the per-doc sums weight each token's frequency by its
+      // in-doc count — identical to summing over raw occurrences
+      val tf = t("documents")(s, d)
         .select(col("doc_id"),
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-      toks.join(freq, "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val freq = tf.groupBy("tok").agg(sum("cnt").as("freq"))
+      tf.join(freq, "tok")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"), sum("freq").as("sum_freq"))
+        .agg(sum("cnt").as("n_toks"),
+          sum(col("cnt") * col("freq")).as("sum_freq"))
         .withColumn("avg_tok_freq",
           col("sum_freq").cast("double") / col("n_toks"))
         .orderBy("doc_id")

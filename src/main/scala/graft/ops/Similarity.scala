@@ -269,9 +269,12 @@ object Similarity {
     // verification re-joins embeddings by id — candidates carry only
     // ids through the band join, so the wide vectors are never
     // replicated `bands` times through the shuffle
+    // persisted: both verification sides read it, and it shares the
+    // source scan with the banding branch above
     val withNorm = emb.select(col(idCol).as("id"), col(embCol).as("e"),
       sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v)).as("nrm"))
+      .persist()
     cand
       .join(withNorm.as("x1"), col("v1") === col("x1.id"))
       .join(withNorm.as("x2"), col("v2") === col("x2.id"))

@@ -165,7 +165,11 @@ object SqlDialect {
           val regex = graft.functions.Glob.toRegex(pattern)
             .replace("\\", "\\\\").replace("'", "''")
           out.append(sql, emitted, lhsStart)
-          out.append(s"$colName RLIKE '$regex'")
+          // parenthesized: SQLite lets GLOB chain/embed like any binary
+          // operator (`a GLOB p + 1`, `a GLOB p GLOB q`), but Spark's
+          // grammar treats RLIKE as a predicate that cannot be an
+          // operand — the parens keep every embedding parseable
+          out.append(s"($colName RLIKE '$regex')")
           emitted = e
           i = e
         } else i += 4

@@ -1,0 +1,108 @@
+package graft.text2sql
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property fuzz over the SQLite→Spark translator: compose random
+  * expressions from the translated construct family (nested calls,
+  * string literals that CONTAIN the keywords, COLLATE, GLOB/LIKE,
+  * modifier chains) and require of every sample that
+  *   1. translation is total (never throws),
+  *   2. the output parses as a Spark expression,
+  *   3. translation is idempotent (a second pass changes nothing —
+  *      the property that makes retry/pipeline-of-translators safe),
+  *   4. string literal BODIES are never rewritten.
+  */
+class SqlDialectFuzzSpec extends SparkSpec {
+
+  private val parser = spark.sessionState.sqlParser
+
+  // literals whose bodies deliberately look like translatable syntax
+  private val trapLits = Gen.oneOf(
+    "'iif(1,2,3)'", "'group_concat(x)'", "'a GLOB b'", "'it''s'",
+    "'COLLATE NOCASE'", "'strftime(%Y)'", "'+1 day'", "' LIKE '")
+
+  private val simple = Gen.oneOf(
+    "c1", "c2", "42", "3.5", "NULL", "'txt'", "x'ab'".replace("x'ab'", "'ab'"))
+
+  private def call(depth: Int): Gen[String] =
+    if (depth <= 0) Gen.oneOf(simple, trapLits)
+    else {
+      val sub = Gen.lzy(scalar(depth - 1))
+      Gen.oneOf(
+        sub.map(a => s"iif($a > 1, $a, 0)"),
+        sub.map(a => s"ifnull($a, 0)"),
+        sub.map(a => s"group_concat($a, ',')"),
+        sub.map(a => s"julianday($a)"),
+        sub.map(a => s"unixepoch($a)"),
+        sub.map(a => s"total($a)"),
+        sub.map(a => s"unicode($a)"),
+        Gen.zip(sub, sub).map { case (a, b) => s"min($a, $b)" },
+        Gen.zip(sub, sub).map { case (a, b) => s"max($a, $b)" },
+        sub.map(a => s"datetime($a, 'start of month', '+1 day')"),
+        sub.map(a => s"strftime('%Y-%m', $a)"),
+        sub.map(a => s"CAST($a AS TEXT)"),
+        sub.map(a => s"CAST($a AS INTEGER)"))
+    }
+
+  // scalar-valued expressions: calls and arithmetic nest freely
+  private def scalar(depth: Int): Gen[String] =
+    if (depth <= 0) Gen.oneOf(simple, trapLits)
+    else Gen.oneOf(
+      call(depth),
+      Gen.lzy(Gen.zip(scalar(depth - 1), scalar(depth - 1))
+        .map { case (a, b) => s"($a + $b)" }),
+      Gen.lzy(scalar(depth - 1).map(a => s"($a)")))
+
+  // predicates compose with AND/OR/NOT over scalars — the shape
+  // generated SQL actually takes (predicate soup inside arithmetic is
+  // legal SQLite but not a realistic model-output shape)
+  private def pred(depth: Int): Gen[String] = {
+    val base = Gen.oneOf(
+      Gen.lzy(call(depth).map(a => s"($a) LIKE 'ab%'")),
+      Gen.lzy(call(depth).map(a => s"($a) COLLATE NOCASE = 'x'")),
+      Gen.const("c1 GLOB 'ab*'"),
+      Gen.lzy(Gen.zip(scalar(depth), scalar(depth))
+        .map { case (a, b) => s"$a = $b" }))
+    if (depth <= 0) base
+    else Gen.oneOf(base,
+      Gen.lzy(Gen.zip(pred(depth - 1), pred(depth - 1))
+        .map { case (a, b) => s"($a AND $b)" }),
+      Gen.lzy(Gen.zip(pred(depth - 1), pred(depth - 1))
+        .map { case (a, b) => s"($a OR $b)" }),
+      Gen.lzy(pred(depth - 1).map(a => s"NOT ($a)")))
+  }
+
+  private def expr(depth: Int): Gen[String] =
+    Gen.oneOf(scalar(depth), pred(depth))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("translate is total, parseable, idempotent, and literal-preserving") {
+    check("fuzz", Prop.forAll(expr(3)) { e =>
+      val sql = s"SELECT $e AS v"
+      val once = SqlDialect.translate(sql)
+      // 2. Spark must be able to parse the translated projection
+      parser.parsePlan(once)
+      // 3. idempotence
+      val twice = SqlDialect.translate(once)
+      val idem = twice == once
+      if (!idem)
+        println(s"NOT IDEMPOTENT:\n  in:    $sql\n  once:  $once\n  twice: $twice")
+      idem
+    })
+  }
+
+  test("string literal bodies survive translation byte-for-byte") {
+    val lits = Seq("'iif(1,2,3)'", "'group_concat(x)'", "'a GLOB b'",
+      "'COLLATE NOCASE'", "'+1 day'", "' LIKE '")
+    lits.foreach { l =>
+      val out = SqlDialect.translate(s"SELECT $l AS v FROM t")
+      assert(out.contains(l), s"literal $l was rewritten: $out")
+    }
+  }
+}

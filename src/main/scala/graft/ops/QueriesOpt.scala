@@ -161,6 +161,30 @@ object QueriesOpt {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // small-file compaction: the maintenance rewrite every streaming /
+    // append table needs — a fragmented layout (64 splinter files
+    // here, simulating micro-batch accumulation) consolidates into
+    // size-targeted files. Sizing reads the FileSystem listing
+    // (driver-side metadata, one listing per directory at any scale);
+    // the rewrite is ONE round-robin repartition — no sort, no join,
+    // content unchanged (the oracle is a plain SELECT). At 100 TB this
+    // runs per-partition-directory, each a bounded listing + rewrite.
+    "opt_compact_sink" -> ((s, d) => {
+      val tag = TableIds.idFor(d)
+      val fragPath = s"target/warehouse/docs_fragmented_$tag"
+      val compPath = s"target/warehouse/docs_compacted_$tag"
+      if (!Tables.writeComplete(fragPath)) {
+        Tables.t(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(fragPath)
+      }
+      if (!Tables.writeComplete(compPath)) {
+        s.read.parquet(fragPath)
+          .repartition(compactTargetPartitions(s, fragPath, 4L * 1024 * 1024))
+          .write.mode("overwrite").parquet(compPath)
+      }
+      s.read.parquet(compPath).orderBy("doc_id")
+    }),
+
     // AQE skew-join: the same 3-value hot-key join as opt_salted_join,
     // UNSALTED — handling skew is delegated to the engine-native
     // mechanism (spark.sql.adaptive.skewJoin splits oversized shuffle
@@ -284,7 +308,23 @@ object QueriesOpt {
       """SELECT l_returnflag, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "opt_compact_sink" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
   )
+
+  /** Partition count for a size-targeted compaction of `path`: total
+    * parquet bytes from the FileSystem listing (driver-side metadata),
+    * divided by the target file size, at least one.
+    */
+  private[ops] def compactTargetPartitions(s: SparkSession, path: String,
+                                           targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+  }
 }
 
 /** Stable short id per sf dir for table naming. */

@@ -420,6 +420,25 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // decontamination ATTRIBUTION report: not just "doc is
+    // contaminated" but WHICH eval doc it overlaps and by how many
+    // distinct shingles — the audit trail a real decontamination run
+    // files next to its drop list. Same broadcast shape as
+    // ext_decontaminate (the eval side is bounded by construction);
+    // the per-pair aggregate keys on (corpus doc, eval doc), so the
+    // shuffle carries only matched shingle hits.
+    "ext_decontaminate_report" -> ((s, d) => {
+      val sh = Dedup.shingles(t("documents")(s, d), "doc_id", "text")
+      val evalSh = sh.filter(col("id") % 50 === 0)
+        .select(col("id").as("eval_id"), col("s")).distinct()
+      sh.filter(col("id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("s"))
+        .groupBy(col("id").as("doc_id"), col("eval_id"))
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // PII redaction: emails/phones replaced row-locally with typed
     // placeholder tokens (deterministic synthetic PII planted on every
     // 7th doc so the oracle sees identical input). Pure regex
@@ -839,6 +858,20 @@ object QueriesExt {
          FROM sh a JOIN ev ON a.s = ev.s
          WHERE a.doc_id % 50 != 0
          GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "ext_decontaminate_report" ->
+      """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         ev AS (SELECT DISTINCT doc_id AS eval_id, s FROM sh
+                WHERE doc_id % 50 = 0)
+         SELECT a.doc_id, ev.eval_id,
+           CAST(COUNT(DISTINCT a.s) AS BIGINT) AS n_shared
+         FROM sh a JOIN ev ON a.s = ev.s
+         WHERE a.doc_id % 50 != 0
+         GROUP BY a.doc_id, ev.eval_id
+         HAVING COUNT(DISTINCT a.s) >= 20
+         ORDER BY a.doc_id, ev.eval_id""",
     "ext_pii_redact" ->
       """WITH w AS (SELECT doc_id,
            CASE WHEN doc_id % 7 = 0

@@ -102,6 +102,18 @@ class TpchPlanAuditSpec extends SparkSpec {
     assert(p.contains("In(c_nationkey"), "nation band not pushed to the customer scan")
   }
 
+  test("q3/q10: single fact scan, pushed dimension filters, bounded top-k") {
+    for (k <- Seq("q_shape_q3", "q_shape_q10")) {
+      val p = plan(k)
+      assert(factScans(p) == 1, s"$k: ${factScans(p)} lineitem scans")
+      assert(p.contains("TakeOrderedAndProject"), s"$k lost the bounded top-k")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+    // q3's segment filter and q10's returnflag filter must reach the scans
+    assert(plan("q_shape_q3").contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan("q_shape_q10").contains("EqualTo(l_returnflag,R)"))
+  }
+
   test("q8: share is one conditional aggregate over one fact scan; hints on dims only") {
     val p = plan("q_shape_q8")
     assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")

@@ -291,6 +291,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the curation gate and PII redaction run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{functions => F}
+    val cfg = graft.ops.Curation.Config()
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.qualityStats(df)
+        .withColumn("gate", graft.ops.Curation.dropReason(cfg))
+        .withColumn("red_text", F.regexp_replace(
+          F.regexp_replace($"text", cfg.emailRe, "[EMAIL]"),
+          cfg.phoneRe, "[PHONE]"))
+        .select("doc_id", "gate", "n_tokens", "red_text")
+    val rows = Seq(
+      (1L, ("the a of and is good prose here today " * 4).trim),
+      (2L, "too short"),
+      (3L, "mail me at someone@example.org or 555-0000 " +
+        "the a of and is plus enough words to pass the gate " * 2))
+      .map { case (id, t) => (id, t, ts("2024-01-01 00:00:00")) }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = gated(docs)
+      .writeStream.format("memory").queryName("curate_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream_test")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val batch = gated(rows.toDF("doc_id", "text", "ts"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+      assert(streamed.exists(_.contains("[EMAIL]")) &&
+        streamed.exists(_.contains("[PHONE]")))
+      assert(streamed.exists(_.contains("too_short")))
+    } finally q.stop()
+  }
+
   private val nearDupBase =
     "the quick brown fox jumps over the lazy dog while the band plays on"
   private val nearDupFresh =

@@ -142,6 +142,22 @@ object Similarity {
     IvfIndex(path, centroids)
   }
 
+  /** INCREMENTAL index maintenance: assign a batch of new vectors to
+    * the EXISTING centroids and append them into their cell
+    * partitions (`append` + `partitionBy` touches only the cells the
+    * batch lands in). The centroids deliberately do not move — probes
+    * against old and new vectors stay consistent, and the periodic
+    * full rebuild (when drift accumulates) is [[buildIvfIndex]]
+    * again. This is the standard serving-index contract: cheap adds,
+    * occasional retrain.
+    */
+  def ivfAdd(index: IvfIndex, emb: DataFrame,
+             idCol: String, embCol: String): IvfIndex = {
+    ivfAssign(emb, idCol, embCol, index.centroids)
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+    index
+  }
+
   /** Probe a built IVF index: rank cells by centroid similarity
     * driver-side (index metadata), scan only the best `nProbe`
     * partitions, brute-force within them.

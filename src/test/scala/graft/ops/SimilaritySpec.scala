@@ -90,6 +90,26 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(got.toSet).size >= 3)
   }
 
+  test("ivfAdd appends a batch into the existing cells; probes see old and new") {
+    val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadd").toString
+    val idx = Similarity.buildIvfIndex(
+      base, "vec_id", "embedding", s"$dir/ivf", nCentroids = 16)
+    val before = spark.read.parquet(idx.path).count()
+    // the batch: the query vector itself under a fresh id — after the
+    // add, probing with q must surface it as the TOP hit (sim = 1)
+    val batch = Seq((900001L, q)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Similarity.ivfAdd(idx, batch, "vec_id", "embedding")
+    assert(spark.read.parquet(idx.path).count() == before + 1)
+    val top = Similarity.ivfProbe(
+        spark, idx, "vec_id", "embedding", q, k = 3, nProbe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 900001L, s"added vector not the top hit: ${top.toSeq}")
+    // centroids unchanged: old vectors still probeable
+    assert(top.length == 3 && top.tail.forall(_ != 900001L))
+  }
+
   test("materialized LSH index probe prunes to the Hamming-radius cells") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)

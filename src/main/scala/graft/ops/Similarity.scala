@@ -197,6 +197,20 @@ object Similarity {
     LshIndex(path, planes, nBits)
   }
 
+  /** Incremental add for the LSH index: bucket keys are pure functions
+    * of content (the seeded hyperplanes travel in the index metadata),
+    * so appended vectors land in exactly the cells a fresh rebuild
+    * would give them — unlike IVF there is no drift and no retrain;
+    * the layout only ever needs compaction (the opt_compact_sink pattern)
+    * of its busiest cells.
+    */
+  def lshAdd(index: LshIndex, emb: DataFrame,
+             idCol: String, embCol: String): LshIndex = {
+    emb.withColumn("cell", lshKey(col(embCol), index.planes))
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+    index
+  }
+
   def lshProbe(spark: org.apache.spark.sql.SparkSession, index: LshIndex,
                idCol: String, embCol: String,
                q: Seq[Float], k: Int, probes: Int = 1): DataFrame = {

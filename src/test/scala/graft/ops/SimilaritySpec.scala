@@ -110,6 +110,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 3 && top.tail.forall(_ != 900001L))
   }
 
+  test("lshAdd buckets an appended vector exactly where a rebuild would") {
+    val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("lshadd").toString
+    val dim = q.length
+    val idx = Similarity.buildLshIndex(
+      base, "vec_id", "embedding", s"$dir/lsh", dim, nBits = 8)
+    val batch = Seq((900002L, q)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Similarity.lshAdd(idx, batch, "vec_id", "embedding")
+    // content-determined key: the appended vector sits in the same cell
+    // as a fresh assignment says, and the zero-radius probe finds it
+    val top = Similarity.lshProbe(
+        spark, idx, "vec_id", "embedding", q, k = 1, probes = 0)
+      .select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(900002L), s"got ${top.toSeq}")
+  }
+
   test("materialized LSH index probe prunes to the Hamming-radius cells") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = emb.select("vec_id", "embedding").filter($"vec_id" =!= 0)

@@ -2,13 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Accepted footprint note: several keys persist a narrow intermediate
+  * (the single-scan-per-source discipline MultiScanAuditSpec enforces);
+  * those blocks live until session end. Across the full dump at the
+  * oracle scale factor that is a few MB of aggregates — bounded, and
+  * memory-pressure blocks are LRU-evicted.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: restrict the dump to these keys (dev loop
-    // only — the driver always invokes with exactly two args).
+    // only — the driver always invokes with exactly two args). Unknown
+    // names fail LOUDLY: a typo'd key would otherwise filter the dump
+    // to nothing and exit 0 as a silent false-green.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown key(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

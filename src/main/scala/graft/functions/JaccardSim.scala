@@ -27,13 +27,18 @@ case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are REJECTED, not mis-summed: the merge loop
+    // would read a null slot as 0L and count phantom matches. A caller
+    // with a nullable-element column must filter/construct nulls away
+    // first — an analysis error here beats a silently wrong similarity.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sim expects (array<bigint>, array<bigint>), got " +
+      s"jaccard_sim expects (array<bigint>, array<bigint>) with " +
+        s"non-nullable elements (sorted distinct), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
   }
   override def dataType: DataType = DoubleType

@@ -287,10 +287,18 @@ object Dedup {
     * of exact dedup, which runs first) are dropped at BUILD time, so
     * no probe can ever fan out quadratically against them.
     */
+  /** Typed index handle: the banding parameters RIDE WITH the path so
+    * a probe can never run with mismatched shingle/hash/band widths
+    * (which would silently produce empty candidates) — same contract
+    * as [[Similarity.IvfIndex]]/[[Similarity.LshIndex]].
+    */
+  final case class MinHashIndex(path: String, shingleLen: Int,
+                                numHashes: Int, bands: Int)
+
   def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, shingleLen: Int = 8,
                         numHashes: Int = 32, bands: Int = 8,
-                        maxBucket: Int = Int.MaxValue): String = {
+                        maxBucket: Int = Int.MaxValue): MinHashIndex = {
     val sets = hashedShingleSets(corpus, idCol, textCol, shingleLen)
     val sigs = sets.select(col("id"),
         graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
@@ -306,7 +314,7 @@ object Dedup {
         keys.join(hot, Seq("band", "h"), "left_anti")
       }
     bounded.write.mode("overwrite").parquet(path)
-    path
+    MinHashIndex(path, shingleLen, numHashes, bands)
   }
 
   /** Probe a built MinHash index with a new batch: every batch doc's
@@ -319,11 +327,13 @@ object Dedup {
     * verification. Output: (corpus_id, batch_id, jaccard >= threshold).
     */
   def minHashProbe(spark: org.apache.spark.sql.SparkSession,
-                   indexPath: String, corpus: DataFrame, batch: DataFrame,
+                   index: MinHashIndex, corpus: DataFrame, batch: DataFrame,
                    idCol: String, textCol: String,
-                   shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val shingleLen = index.shingleLen
+    val numHashes = index.numHashes
+    val bands = index.bands
+    val idx = spark.read.parquet(index.path)
     val bsets = hashedShingleSets(batch, idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsigs = bsets.select(col("id"),

@@ -638,12 +638,12 @@ object QueriesExt {
           concat(col("text"), lit(" qqq")).as("text"))
         .unionAll(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
           .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-      val path = annIndex.computeIfAbsent(s"mh_${TableIds.idFor(d)}",
+      val idx = annIndex.computeIfAbsent(s"mh_${TableIds.idFor(d)}",
         key => Dedup.buildMinHashIndex(corpus, "doc_id", "text",
           s"target/ann_index/$key", numHashes = 32, bands = 8))
-        .asInstanceOf[String]
-      Dedup.minHashProbe(s, path, corpus, batch, "doc_id", "text",
-          numHashes = 32, bands = 8, threshold = 0.5)
+        .asInstanceOf[Dedup.MinHashIndex]
+      Dedup.minHashProbe(s, idx, corpus, batch, "doc_id", "text",
+          threshold = 0.5)
         .select(col("corpus_id"), col("batch_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("corpus_id", "batch_id")

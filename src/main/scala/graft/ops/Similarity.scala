@@ -153,7 +153,9 @@ object Similarity {
     */
   def ivfAdd(index: IvfIndex, emb: DataFrame,
              idCol: String, embCol: String): IvfIndex = {
-    ivfAssign(emb, idCol, embCol, index.centroids)
+    // project to exactly the index columns: a batch carrying extra or
+    // renamed columns must not append a divergent file schema
+    ivfAssign(emb.select(col(idCol), col(embCol)), idCol, embCol, index.centroids)
       .write.mode("append").partitionBy("cell").parquet(index.path)
     index
   }
@@ -206,7 +208,10 @@ object Similarity {
     */
   def lshAdd(index: LshIndex, emb: DataFrame,
              idCol: String, embCol: String): LshIndex = {
-    emb.withColumn("cell", lshKey(col(embCol), index.planes))
+    // same projection discipline as [[ivfAdd]]: only the index schema
+    // may reach the appended files
+    emb.select(col(idCol), col(embCol))
+      .withColumn("cell", lshKey(col(embCol), index.planes))
       .write.mode("append").partitionBy("cell").parquet(index.path)
     index
   }

@@ -142,15 +142,26 @@ object GraftNativeFunctions {
       s"$fn requires a literal integer argument, got ${e.sql}")
   }
 
+  private def arity(fn: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    // a clear analysis-time message instead of IndexOutOfBounds from
+    // the builder indexing es(1) on a 1-arg call
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${es.length}")
+    b(es)
+  }
+
   private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two float arrays",
-      es => graft.functions.CosineSimilarity(es(0), es(1))),
+      arity("cosine_sim", 2)(es => graft.functions.CosineSimilarity(es(0), es(1)))),
     ("jaccard_sim", "jaccard_sim(a, b) - merge-pass Jaccard of two sorted bigint arrays",
-      es => graft.functions.JaccardSim(es(0), es(1))),
+      arity("jaccard_sim", 2)(es => graft.functions.JaccardSim(es(0), es(1)))),
     ("shingle_hashes", "shingle_hashes(str, k) - distinct sorted XXH64 of every k-char window",
-      es => graft.functions.ShingleHashes(es(0), litInt(es(1), "shingle_hashes"))),
+      arity("shingle_hashes", 2)(es =>
+        graft.functions.ShingleHashes(es(0), litInt(es(1), "shingle_hashes")))),
     ("minhash_array", "minhash_array(arr, k) - k seeded min-hashes of a bigint array",
-      es => graft.functions.MinHashArray(es(0), litInt(es(1), "minhash_array"))))
+      arity("minhash_array", 2)(es =>
+        graft.functions.MinHashArray(es(0), litInt(es(1), "minhash_array")))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",

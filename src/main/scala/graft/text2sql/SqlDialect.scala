@@ -150,11 +150,40 @@ object SqlDialect {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
       else if (keywordAt(sql, i, "glob")) {
-        // LHS: scan back over the preceding non-whitespace run
+        // LHS: scan back over the preceding operand. A bare token is a
+        // non-whitespace run; a `)`-terminated operand walks back to
+        // its balanced `(` and then over any call-name token — so
+        // `trim( c1 ) GLOB 'p'` captures `trim( c1 )`, not `)` (the
+        // parenthesized rewrite would otherwise split the call).
         var lhsEnd = i
         while (lhsEnd > emitted && sql.charAt(lhsEnd - 1).isWhitespace) lhsEnd -= 1
         var lhsStart = lhsEnd
-        while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace) lhsStart -= 1
+        if (lhsStart > emitted && sql.charAt(lhsStart - 1) == ')') {
+          var depth = 0
+          var k = lhsStart - 1
+          var stop = false
+          while (k >= emitted && !stop) {
+            val ch = sql.charAt(k)
+            if (ch == '\'' || ch == '"') {
+              // walk back over a quoted run: find its opening quote
+              var m = k - 1
+              while (m >= emitted && sql.charAt(m) != ch) m -= 1
+              k = m - 1
+            } else {
+              if (ch == ')') depth += 1
+              else if (ch == '(') { depth -= 1; if (depth == 0) stop = true }
+              k -= 1
+            }
+          }
+          lhsStart = math.max(k + 1, emitted)
+          // include a directly-attached call name (`trim(...)`)
+          while (lhsStart > emitted &&
+            (sql.charAt(lhsStart - 1).isLetterOrDigit ||
+              sql.charAt(lhsStart - 1) == '_')) lhsStart -= 1
+        } else {
+          while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace)
+            lhsStart -= 1
+        }
         // RHS: must be a string literal
         var j = i + 4
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1

@@ -55,4 +55,15 @@ class JaccardSimSpec extends SparkSpec {
       .select(JaccardSim.jaccard_sim(col("a"), col("b"))).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("nullable array ELEMENTS are rejected at analysis, not mis-summed") {
+    // a null slot would read as 0L in the merge loop and count phantom
+    // matches — the type check must refuse containsNull inputs
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaccard_sim(array(1L, CAST(NULL AS BIGINT)), array(0L, 1L))")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-nullable") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
+  }
 }

@@ -186,13 +186,13 @@ class DedupSpec extends SparkSpec {
       (i, s"doc $i " + words.mkString(" "))
     }.toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
-    Dedup.buildMinHashIndex(corpus, "doc_id", "text", s"$dir/idx")
+    val idx = Dedup.buildMinHashIndex(corpus, "doc_id", "text", s"$dir/idx")
     val src3 = (0 to 11).map(j => java.lang.Long.toHexString(3 * 2654435761L + j * 40503L))
     val batch = Seq(
       (101L, s"doc 3 " + src3.mkString(" ") + " x"), // near-dup of 3
       (102L, "entirely novel prose with no counterpart in the corpus at all"),
     ).toDF("doc_id", "text")
-    val hits = Dedup.minHashProbe(spark, s"$dir/idx", corpus, batch,
+    val hits = Dedup.minHashProbe(spark, idx, corpus, batch,
         "doc_id", "text", threshold = 0.5)
       .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
     assert(hits == Set((3L, 101L)), s"got $hits")
@@ -202,10 +202,10 @@ class DedupSpec extends SparkSpec {
     // generates ZERO candidates (exact dedup owns identical content)
     val boiler = (1L to 50L).map(i => (1000L + i, "same boilerplate text repeated everywhere"))
       .toDF("doc_id", "text")
-    Dedup.buildMinHashIndex(boiler, "doc_id", "text", s"$dir/hot", maxBucket = 10)
+    val hot = Dedup.buildMinHashIndex(boiler, "doc_id", "text", s"$dir/hot", maxBucket = 10)
     assert(spark.read.parquet(s"$dir/hot").isEmpty,
       "over-cap buckets must not survive the index build")
-    val probe = Dedup.minHashProbe(spark, s"$dir/hot", boiler,
+    val probe = Dedup.minHashProbe(spark, hot, boiler,
       Seq((2000L, "same boilerplate text repeated everywhere")).toDF("doc_id", "text"),
       "doc_id", "text", threshold = 0.5)
     assert(probe.isEmpty)

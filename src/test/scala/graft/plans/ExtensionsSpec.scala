@@ -30,6 +30,11 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT shingle_hashes('abc', length('xy'))").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // wrong arity: a named analysis error, not IndexOutOfBounds
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT jaccard_sim(array(1L))").collect()
+    }
+    assert(e2.getMessage.contains("expects 2 arguments"), e2.getMessage)
   }
 
   test("sqlite functions resolve natively through spark.sql") {

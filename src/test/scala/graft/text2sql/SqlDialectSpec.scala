@@ -26,6 +26,21 @@ class SqlDialectSpec extends SparkSpec {
     assert(jd > 2460000 && jd < 2470000) // 2024 is ~JD 2460311
   }
 
+  test("GLOB on a call or parenthesized operand keeps the whole operand") {
+    // regression: the parenthesized RLIKE rewrite must capture a
+    // `)`-terminated LHS back to its balanced `(` plus call name —
+    // grabbing only the last token would split the call
+    val s1 = SqlDialect.translate("SELECT x FROM t WHERE trim( c1 ) GLOB 'a*'")
+    assert(s1.contains("(trim( c1 ) RLIKE"), s1)
+    val s2 = SqlDialect.translate("SELECT x FROM t WHERE ( c1 ) GLOB 'a*'")
+    assert(s2.contains("(( c1 ) RLIKE"), s2)
+    val s3 = SqlDialect.translate("SELECT (c1 GLOB 'a*' + 1) AS v FROM t")
+    spark.sessionState.sqlParser.parsePlan(s3) // embedding stays parseable
+    // and a bare-column LHS is unchanged in shape
+    val s4 = SqlDialect.translate("SELECT x FROM t WHERE c1 GLOB 'a*'")
+    assert(s4.contains("(c1 RLIKE"), s4)
+  }
+
   test("GLOB patterns with SQL-escaped quotes survive translation") {
     val sql = SqlDialect.translate("SELECT x FROM t WHERE x GLOB 'it''s*'")
     assert(sql.contains("RLIKE"))

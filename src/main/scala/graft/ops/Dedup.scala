@@ -287,6 +287,39 @@ object Dedup {
     * of exact dedup, which runs first) are dropped at BUILD time, so
     * no probe can ever fan out quadratically against them.
     */
+  /** Materialized content-digest store for EXACT incremental dedup:
+    * the corpus hashes once into a flat (fp) parquet table, each new
+    * batch anti-joins its digests against the store, and admitted
+    * batches [[digestStoreAdd]] their digests back — so corpus text is
+    * never re-read per batch and the store is 16 bytes per document.
+    * The exact-dedup counterpart of [[buildMinHashIndex]].
+    */
+  def buildDigestStore(corpus: DataFrame, textCol: String,
+                       path: String): String = {
+    corpus.select(md5(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** New-content filter: batch rows whose text digest is absent from
+    * the store (and unique within the batch, keeping the min id —
+    * a batch can carry its own duplicates).
+    */
+  def digestStoreFilter(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val store = spark.read.parquet(path)
+    batch.select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .join(store, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
+  /** Append admitted digests so the next batch dedups against them. */
+  def digestStoreAdd(spark: org.apache.spark.sql.SparkSession,
+                     path: String, admitted: DataFrame): Unit =
+    admitted.select("fp").write.mode("append").parquet(path)
+
   /** Typed index handle: the banding parameters RIDE WITH the path so
     * a probe can never run with mismatched shingle/hash/band widths
     * (which would silently produce empty candidates) — same contract

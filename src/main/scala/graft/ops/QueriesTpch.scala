@@ -336,6 +336,27 @@ object QueriesTpch {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // Q12 shape (adapted: l_linestatus stands in for the absent
+    // shipmode; "late" = shipped >30 days after order date): per line
+    // status, how many HIGH-priority vs other orders had a late line
+    // in 1997. Both counts come from ONE conditional aggregation over
+    // one joined stream — the classic two-CASE-count report — with the
+    // date window pushed to both scans.
+    "q_shape_q12" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ord = t("orders")(s, d)
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // Q21 shape (adapted: "late" = shipped >60 days after order date —
     // this testdata has no commit/receipt dates): suppliers who were
     // the ONLY late shipper on a multi-supplier finalized order. The
@@ -545,6 +566,18 @@ object QueriesTpch {
          FROM per_cust
          GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+    "q_shape_q12" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
     "q_shape_q21" ->
       """WITH li AS (
            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate

@@ -211,6 +211,27 @@ class DedupSpec extends SparkSpec {
     assert(probe.isEmpty)
   }
 
+  test("digest store: batches dedup against materialized history, adds accumulate") {
+    val dir = java.nio.file.Files.createTempDirectory("digests").toString
+    Dedup.buildDigestStore(corpus, "text", s"$dir/fp")
+    // batch 1: one known text, one new (duplicated in-batch: min id wins)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // in corpus
+      (11L, "genuinely new content the corpus has never seen"),
+      (12L, "genuinely new content the corpus has never seen"))
+      .toDF("doc_id", "text")
+    val a1 = Dedup.digestStoreFilter(spark, s"$dir/fp", b1, "doc_id", "text")
+    assert(a1.select("doc_id").as[Long].collect().toSet == Set(11L))
+    Dedup.digestStoreAdd(spark, s"$dir/fp", a1)
+    // batch 2: the batch-1 admission is now history too
+    val b2 = Seq(
+      (20L, "genuinely new content the corpus has never seen"),
+      (21L, "and one more fresh document for the second batch"))
+      .toDF("doc_id", "text")
+    val a2 = Dedup.digestStoreFilter(spark, s"$dir/fp", b2, "doc_id", "text")
+    assert(a2.select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
   test("hashed shingles align with string shingles on supplementary characters") {
     // an emoji is ONE code point but TWO UTF-16 chars: hashed windows
     // must advance by code points (Spark substring semantics), never

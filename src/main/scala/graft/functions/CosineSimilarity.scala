@@ -80,8 +80,15 @@ object GraftFunctions {
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** SQL registration: SELECT cosine_sim(a, b) — session-scoped. */
+  /** SQL registration: SELECT cosine_sim(a, b) — session-scoped.
+    * Arity-guarded like the GraftNativeFunctions path (this temp
+    * registration SHADOWS it session-wide, so it must not be weaker).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }, "scala_udf")
 }

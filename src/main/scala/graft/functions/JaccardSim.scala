@@ -89,8 +89,15 @@ object JaccardSim {
     GraftColumnBridge.column(JaccardSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** SQL registration: SELECT jaccard_sim(a, b) — session-scoped. */
+  /** SQL registration: SELECT jaccard_sim(a, b) — session-scoped.
+    * Arity-guarded like the GraftNativeFunctions path (this temp
+    * registration SHADOWS it session-wide, so it must not be weaker).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+      "jaccard_sim", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"jaccard_sim expects 2 arguments, got ${exprs.length}")
+        JaccardSim(exprs(0), exprs(1))
+      }, "scala_udf")
 }

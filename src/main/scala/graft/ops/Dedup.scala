@@ -296,20 +296,28 @@ object Dedup {
     */
   def buildDigestStore(corpus: DataFrame, textCol: String,
                        path: String): String = {
-    corpus.select(md5(col(textCol)).as("fp")).distinct()
+    // unhex → an actual 16-byte binary digest (md5() alone returns the
+    // 32-char hex STRING — double the storage and shuffle width)
+    corpus.filter(col(textCol).isNotNull)
+      .select(unhex(md5(col(textCol))).as("fp")).distinct()
       .write.mode("overwrite").parquet(path)
     path
   }
 
   /** New-content filter: batch rows whose text digest is absent from
     * the store (and unique within the batch, keeping the min id —
-    * a batch can carry its own duplicates).
+    * a batch can carry its own duplicates). Null-text rows are
+    * DROPPED, not admitted: md5(null) is null, null join keys never
+    * match, and without the guard every null-text duplicate would
+    * sail through on every batch while null digests pile up in the
+    * store.
     */
   def digestStoreFilter(spark: org.apache.spark.sql.SparkSession,
                         path: String, batch: DataFrame,
                         idCol: String, textCol: String): DataFrame = {
     val store = spark.read.parquet(path)
-    batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), unhex(md5(col(textCol))).as("fp"))
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
       .join(store, Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))

@@ -341,7 +341,8 @@ object QueriesTpch {
     // status, how many HIGH-priority vs other orders had a late line
     // in 1997. Both counts come from ONE conditional aggregation over
     // one joined stream — the classic two-CASE-count report — with the
-    // date window pushed to both scans.
+    // shipdate window pushed to the lineitem scan (the lateness
+    // predicate spans both tables, so it evaluates at the join).
     "q_shape_q12" -> ((s, d) => {
       val li = t("lineitem")(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&

@@ -151,11 +151,22 @@ object Similarity {
     * again. This is the standard serving-index contract: cheap adds,
     * occasional retrain.
     */
+  /** The stored (id, emb) column names of a built index — appends must
+    * write EXACTLY this schema or parquet accumulates divergent files
+    * that resolve to nulls on read. */
+  private def indexColumns(emb: DataFrame, path: String): (String, String) = {
+    val stored = emb.sparkSession.read.parquet(path)
+      .schema.fieldNames.filterNot(_ == "cell")
+    (stored(0), stored(1))
+  }
+
   def ivfAdd(index: IvfIndex, emb: DataFrame,
              idCol: String, embCol: String): IvfIndex = {
-    // project to exactly the index columns: a batch carrying extra or
-    // renamed columns must not append a divergent file schema
-    ivfAssign(emb.select(col(idCol), col(embCol)), idCol, embCol, index.centroids)
+    // project AND rename to the stored index schema: a batch with
+    // extra columns or different names must not append divergent files
+    val (sid, semb) = indexColumns(emb, index.path)
+    ivfAssign(emb.select(col(idCol).as(sid), col(embCol).as(semb)),
+        sid, semb, index.centroids)
       .write.mode("append").partitionBy("cell").parquet(index.path)
     index
   }
@@ -208,10 +219,11 @@ object Similarity {
     */
   def lshAdd(index: LshIndex, emb: DataFrame,
              idCol: String, embCol: String): LshIndex = {
-    // same projection discipline as [[ivfAdd]]: only the index schema
-    // may reach the appended files
-    emb.select(col(idCol), col(embCol))
-      .withColumn("cell", lshKey(col(embCol), index.planes))
+    // same projection + rename discipline as [[ivfAdd]]: only the
+    // stored index schema may reach the appended files
+    val (sid, semb) = indexColumns(emb, index.path)
+    emb.select(col(idCol).as(sid), col(embCol).as(semb))
+      .withColumn("cell", lshKey(col(semb), index.planes))
       .write.mode("append").partitionBy("cell").parquet(index.path)
     index
   }

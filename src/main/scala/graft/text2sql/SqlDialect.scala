@@ -176,10 +176,18 @@ object SqlDialect {
             }
           }
           lhsStart = math.max(k + 1, emitted)
-          // include a directly-attached call name (`trim(...)`)
-          while (lhsStart > emitted &&
-            (sql.charAt(lhsStart - 1).isLetterOrDigit ||
-              sql.charAt(lhsStart - 1) == '_')) lhsStart -= 1
+          // include a directly-attached call name (`trim(...)`) — but
+          // NOT a glued keyword (`AND(c1) GLOB`), which is a
+          // conjunction, not a function name
+          var nameStart = lhsStart
+          while (nameStart > emitted &&
+            (sql.charAt(nameStart - 1).isLetterOrDigit ||
+              sql.charAt(nameStart - 1) == '_')) nameStart -= 1
+          val name = sql.substring(nameStart, lhsStart).toLowerCase
+          if (name.nonEmpty && !Set("and", "or", "not", "where", "on",
+              "when", "then", "else", "in", "by", "select", "from",
+              "having").contains(name))
+            lhsStart = nameStart
         } else {
           while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace)
             lhsStart -= 1

@@ -9,10 +9,8 @@ import org.apache.spark.sql.functions._
   */
 class QueriesSpec extends SparkSpec {
 
-  test("every oracle key has a query implementation") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle without query: $missing")
-  }
+  // (orphan-oracle and module-disjointness contract checks live in
+  // EntryContractSpec)
 
   test("entry (flagship) returns exactly one top product with positive qty") {
     val rows = SparkEntry.entry(spark).collect()

@@ -125,6 +125,15 @@ class SimilaritySpec extends SparkSpec {
         spark, idx, "vec_id", "embedding", q, k = 1, probes = 0)
       .select("vec_id").as[Long].collect()
     assert(top.headOption.contains(900002L), s"got ${top.toSeq}")
+    // a batch with DIFFERENT column names and an extra column must
+    // still append the stored schema, not a divergent one
+    val odd = Seq((900003L, q, "noise")).toDF("other_id", "vec", "extra")
+      .select($"other_id", $"vec".cast("array<float>").as("vec"), $"extra")
+    Similarity.lshAdd(idx, odd, "other_id", "vec")
+    val again = Similarity.lshProbe(
+        spark, idx, "vec_id", "embedding", q, k = 2, probes = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == Set(900002L, 900003L), s"got $again")
   }
 
   test("materialized LSH index probe prunes to the Hamming-radius cells") {

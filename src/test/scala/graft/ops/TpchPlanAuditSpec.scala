@@ -124,6 +124,16 @@ class TpchPlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q12: one conditional aggregation, shipdate window pushed to the fact scan") {
+    val p = plan("q_shape_q12")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")
+    assert("HashAggregate".r.findAllIn(p).size == 2, // partial + final, ONE aggregate
+      "both priority counts must come from a single conditional aggregation")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "shipdate window not pushed to the lineitem scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q13: zero-order customers survive via the left join; priority filter below it") {
     val p = plan("q_shape_q13")
     assert(p.contains("LeftOuter"), p.take(1500))

@@ -36,6 +36,10 @@ class SqlDialectSpec extends SparkSpec {
     assert(s2.contains("(( c1 ) RLIKE"), s2)
     val s3 = SqlDialect.translate("SELECT (c1 GLOB 'a*' + 1) AS v FROM t")
     spark.sessionState.sqlParser.parsePlan(s3) // embedding stays parseable
+    // a keyword glued to the paren is a conjunction, NOT a call name
+    val s5 = SqlDialect.translate("SELECT x FROM t WHERE a > 0 AND(c1) GLOB 'p*'")
+    assert(s5.contains("AND((c1) RLIKE"), s5)
+    spark.sessionState.sqlParser.parsePlan(s5)
     // and a bare-column LHS is unchanged in shape
     val s4 = SqlDialect.translate("SELECT x FROM t WHERE c1 GLOB 'a*'")
     assert(s4.contains("(c1 RLIKE"), s4)

@@ -59,12 +59,20 @@ object Bench {
       val w = spark.range(100000)
         .select(col("id"), (col("id") % 100).as("k"),
           concat(lit("warm"), col("id") % 7).as("s"))
-      w.groupBy("k").agg(sum("id"), avg("id"), min("s"), max("s"),
-        countDistinct("s")).count()
-      w.as("a").join(w.as("b").groupBy("k").count(), "k").count()
+      // every warm statement must REFERENCE its computed columns in a
+      // downstream filter — a bare .count() lets column pruning /
+      // RemoveRedundantAggregates delete the very operators being
+      // warmed (the window and aggregate functions would never compile)
+      w.groupBy("k").agg(sum("id").as("w1"), avg("id").as("w2"),
+          min("s").as("w3"), max("s").as("w4"), countDistinct("s").as("w5"))
+        .where(col("w1") >= 0 && col("w2") >= 0 && col("w3").isNotNull &&
+          col("w4").isNotNull && col("w5") >= 0).count()
+      w.as("a").join(w.as("b").groupBy("k").count(), "k")
+        .where(col("count") >= 0).count()
       w.as("a").join(w.as("b").hint("merge"), Seq("k"), "left").count()
       w.select(col("k"), row_number().over(
-        Window.partitionBy("k").orderBy("id")).as("rn")).count()
+          Window.partitionBy("k").orderBy("id")).as("rn"))
+        .where(col("rn") >= 1).count()
       w.select(col("id"), explode(split(col("s"), "a")).as("t"))
         .groupBy("t").count().orderBy(desc("count")).limit(5).count()
       // the custom dedup/similarity kernels: ShingleHashes/MinHashArray/
@@ -93,6 +101,7 @@ object Bench {
           col("emb"), array(q: _*).cast("array<float>")).as("c1"),
         aggregate(zip_with(col("emb"), array(q: _*).cast("array<float>"),
           (a, b) => a * b), lit(0.0d), (acc, x) => acc + x).as("c2"))
+        .where(col("c2").isNotNull) // keep the HOF dot product un-pruned
         .orderBy(desc("c1")).limit(5).count()
       // ...and the banding pair-generation + exact-verify layers the
       // dedup pipeline runs downstream of the signatures: bounded

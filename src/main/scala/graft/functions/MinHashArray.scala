@@ -26,14 +26,16 @@ import org.apache.spark.sql.types._
   * it simply had no rows to aggregate.
   */
 case class MinHashArray(child: Expression, numHashes: Int)
+    // (containsNull inputs are rejected in checkInputDataTypes below —
+    // compute() reads raw longs and a null slot would hash as 0)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) if numHashes >= 1 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(LongType, _) =>
+    case ArrayType(LongType, false) if numHashes >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) =>
       TypeCheckResult.TypeCheckFailure(s"numHashes must be >= 1, got $numHashes")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_array expects array<bigint>, got ${other.sql}")
+      s"minhash_array expects array<bigint> with non-nullable elements, got ${other.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

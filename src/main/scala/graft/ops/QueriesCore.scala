@@ -96,7 +96,7 @@ object QueriesCore {
     "scan_binary" -> ((s, d) => {
       val dir = new java.io.File(
         s"/root/repo/target/graft_tmp/scan_binary_${new java.io.File(d).getName}")
-      if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      if (!Tables.writeComplete(dir.toString)) {
         dir.mkdirs()
         Tables.t(s, d, "documents").filter(col("doc_id") < 20)
           .select("doc_id", "text").collect()

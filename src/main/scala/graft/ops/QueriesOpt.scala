@@ -222,13 +222,6 @@ object QueriesOpt {
         .orderBy("l_returnflag")
     }),
 
-    // Anchored-regex scan with the RegexPrefixPushdown rule active:
-    // the GLOB→RLIKE translation shape, made pushable again. The rule
-    // adds a redundant StartsWith conjunct that reaches the parquet
-    // reader (PushedFilters: [StringStartsWith] — asserted in
-    // RegexPushdownSpec); without it an anchored regex is a full scan
-    // at any corpus size. Result is rule-independent (the conjunct
-    // only prunes), which is exactly what the oracle checks.
     // Group-wise top-k through the custom GroupTopK operator
     // (plans/GroupTopK.scala): partial bounded heaps map-side, hash
     // exchange carrying <= k rows per group per mapper, final heaps
@@ -236,9 +229,13 @@ object QueriesOpt {
     // and full-volume shuffle. Plan shape asserted in GroupTopKSpec;
     // the oracle proves row-for-row ROW_NUMBER equivalence.
     "opt_group_topk" -> ((s, d) => {
-      if (!s.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
+      QueriesOpt.synchronized {
+        // check-then-append under a lock: two threads racing here would
+        // last-writer-win and silently drop one registration
+        if (!s.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
+      }
       graft.plans.GroupTopKOps.topK(
         Tables.t(s, d, "orders")
           .select("o_custkey", "o_orderkey", "o_totalprice"),
@@ -247,10 +244,19 @@ object QueriesOpt {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // Anchored-regex scan with the RegexPrefixPushdown rule active:
+    // the GLOB→RLIKE translation shape, made pushable again. The rule
+    // adds a redundant StartsWith conjunct that reaches the parquet
+    // reader (PushedFilters: [StringStartsWith] — spec-asserted);
+    // without it an anchored regex is a full scan at any corpus size.
+    // Result is rule-independent (the conjunct only prunes), which is
+    // exactly what the oracle checks.
     "opt_regex_prefix_scan" -> ((s, d) => {
-      if (!s.experimental.extraOptimizations.contains(graft.plans.RegexPrefixPushdown))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RegexPrefixPushdown
+      QueriesOpt.synchronized {
+        if (!s.experimental.extraOptimizations.contains(graft.plans.RegexPrefixPushdown))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.RegexPrefixPushdown
+      }
       Tables.t(s, d, "part")
         .filter(col("p_name").rlike("^bl"))
         .select("p_partkey", "p_name")

@@ -69,16 +69,21 @@ object SqliteFunctions {
     }),
 
     // sorted deterministic rendering of SQLite's "arbitrary order"
-    // group_concat — same documented delta as the translator's rewrite
-    ("group_concat", "group_concat(x[, sep]) - sorted, ',' default", { args =>
+    // group_concat — same documented delta as the translator's
+    // rewrite, INCLUDING its empty-group contract: SQLite returns
+    // NULL (not '') when a group has no non-null values, so the empty
+    // collected array maps to NULL, exactly as SqlDialect's
+    // buildGroupConcat CASE does. (DISTINCT is not expressible
+    // through an injectFunction builder — use the translator path.)
+    ("group_concat", "group_concat(x[, sep]) - sorted, ',' default, NULL on empty", { args =>
       if (args.isEmpty || args.length > 2)
         throw new IllegalArgumentException(
           s"group_concat expects 1 or 2 arguments, got ${args.length}")
       val sep = if (args.length == 2) args(1) else Literal(",")
-      ArrayJoin(
-        new SortArray(
-          CollectList(Cast(args.head, StringType)).toAggregateExpression()),
-        sep, None)
+      val arr = new SortArray(
+        CollectList(Cast(args.head, StringType)).toAggregateExpression())
+      If(EqualTo(Size(arr), Literal(0)),
+        Literal.create(null, StringType), ArrayJoin(arr, sep, None))
     }),
 
     ("unicode", "unicode(s) - code point of the first character", { args =>

@@ -65,6 +65,10 @@ class ExtensionsSpec extends SparkSpec {
     val gc = spark.sql(
       "SELECT group_concat(v, '|') AS g FROM tot_t WHERE k = 1").collect()(0)
     assert(gc.getString(0) == "2.5|5.0", "sorted deterministic order")
+    // empty group: SQLite (and the translator path) return NULL, not ''
+    val gcEmpty = spark.sql(
+      "SELECT group_concat(v) AS g FROM tot_t WHERE k = 99").collect()(0)
+    assert(gcEmpty.isNullAt(0), "group_concat of an empty group must be NULL")
   }
 
   test("safePrefix extracts only guaranteed anchored literal prefixes") {

@@ -28,9 +28,19 @@ case class SignBands(child: Expression, planes: Array[Array[Double]], bands: Int
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) =>
-      if (planes.nonEmpty && planes.length % bands == 0) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"bands ($bands) must divide the plane count (${planes.length})")
+      if (bands < 1) TypeCheckResult.TypeCheckFailure(
+        s"bands must be >= 1, got $bands")
+      else if (planes.isEmpty || planes.length % bands != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"bands ($bands) must divide the plane count (${planes.length})")
+      else if (planes.length / bands > 64)
+        // a band key is ONE long: more than 64 bits per band would
+        // silently alias through the 6-bit shift mask (1L << 65 ==
+        // 1L << 1), merging buckets and losing recall with no error
+        TypeCheckResult.TypeCheckFailure(
+          s"bits per band (${planes.length / bands}) exceeds 64 — " +
+            "raise bands or lower nBits")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"sign_bands expects array<float>, got ${other.sql}")
   }

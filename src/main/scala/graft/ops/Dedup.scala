@@ -436,8 +436,7 @@ object Dedup {
     // each round's newly-persisted RDD ids and release the previous
     // round's explicitly (otherwise O(rounds) full label copies sit in
     // block storage until the driver happens to GC the references)
-    val sc = pairs.sparkSession.sparkContext
-    var prevCkptIds: Set[Int] = Set.empty
+    var prevCkptRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr"))
@@ -459,19 +458,25 @@ object Dedup {
       // reason GraphFrames checkpoints its CC iterations).
       val byId = propagated
         .select(col("id").as("pid"), col("comp").as("pcomp"))
-      val beforeCkpt = sc.getPersistentRDDs.keySet
       val updated = propagated.as("u")
         .join(byId.as("v"), col("u.comp") === col("v.pid"), "left")
         .select(col("u.id").as("id"), col("u.old").as("old"),
           least(col("u.comp"), coalesce(col("v.pcomp"), col("u.comp"))).as("comp"))
         .localCheckpoint(true)
-      val ckptIds = (sc.getPersistentRDDs.keySet -- beforeCkpt).toSet
+      // identify THIS round's checkpoint RDD from the dataframe's own
+      // plan (localCheckpoint leaves a LogicalRDD leaf) — never by
+      // diffing the global persistent-RDD registry, which captures
+      // (and would later force-unpersist) RDDs cached concurrently by
+      // OTHER queries on a shared context
+      val ckptRdd = updated.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
       changed = updated.filter(col("comp") =!= col("old")).count()
       propagated.unpersist(false)
       labels.unpersist(false)
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevCkptIds = ckptIds
+      prevCkptRdd.foreach(_.unpersist(false))
+      prevCkptRdd = ckptRdd
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }

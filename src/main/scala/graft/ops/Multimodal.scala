@@ -283,15 +283,27 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val f = ais.getFormat
-            val nFrames = ais.getFrameLength
             val pcm = ais.readAllBytes()
-            // RMS over little-endian 16-bit samples (the synth format);
-            // other depths still decode format metadata correctly
+            // getFrameLength can be NOT_SPECIFIED (-1) for some
+            // containers (AU streams) — derive from the decoded bytes
+            val nFrames =
+              if (ais.getFrameLength >= 0) ais.getFrameLength
+              else if (f.getFrameSize > 0) pcm.length.toLong / f.getFrameSize
+              else 0L
+            // RMS over 16-bit PCM, honoring the container's byte order
+            // (AudioSystem also parses AIFF/AU, whose PCM is
+            // big-endian — assuming little would yield garbage stats
+            // with decoded=true); other depths/encodings decode format
+            // metadata only and report rms = 0
             var sumSq = 0.0; var n = 0
-            if (f.getSampleSizeInBits == 16) {
+            val isPcm =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (isPcm && f.getSampleSizeInBits == 16) {
+              val big = f.isBigEndian
               var i = 0
               while (i + 1 < pcm.length) {
-                val s = ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                val s = if (big) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+                        else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
                 sumSq += s.toDouble * s; n += 1; i += 2
               }
             }

@@ -18,6 +18,27 @@ object QueriesExt {
   type Q = (SparkSession, String) => DataFrame
   private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
 
+  /** ONE definition of the planted curation corpus (synthetic PII on
+    * every 7th doc, a duplicate block, an eval holdout) shared by the
+    * pipeline and stats keys — their reconciliation invariant (`kept`
+    * counts match pipeline survivors) only means something if both
+    * read the identical corpus.
+    */
+  private def curationFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = t("documents")(s, d)
+      .withColumn("txt", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-0142"))).otherwise(col("text")))
+    val corpus0 = base.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("txt").as("text"))
+    val corpus = corpus0.unionAll(
+      corpus0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val evalSet = base.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("txt").as("text"))
+    (corpus, evalSet)
+  }
+
   /** Per-(dataset, params) ANN index memo — one build per JVM, stable
     * on-disk path, concurrent same-key invocations serialized. */
   private val annIndex =
@@ -445,8 +466,10 @@ object QueriesExt {
     // projection — codegen'd, no shuffle, embarrassingly parallel at
     // any scale.
     "ext_pii_redact" -> ((s, d) => {
-      val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phoneRe = "555-[0-9]{4}"
+      // THE redaction rules — shared with Curation.Config so the
+      // standalone key and the composed pipeline cannot drift
+      val emailRe = Curation.Config().emailRe
+      val phoneRe = Curation.Config().phoneRe
       t("documents")(s, d)
         .withColumn("txt", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -523,17 +546,7 @@ object QueriesExt {
     // re-ingested under a new id), and the eval set is every 50th doc
     // — so every stage provably removes/transforms something.
     "ext_curation_pipeline" -> ((s, d) => {
-      val base = t("documents")(s, d)
-        .withColumn("txt", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com or 555-0142"))).otherwise(col("text")))
-      val corpus0 = base.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("txt").as("text"))
-      val corpus = corpus0.unionAll(
-        corpus0.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val evalSet = base.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), col("txt").as("text"))
+      val (corpus, evalSet) = curationFixture(s, d)
       Curation.curate(corpus, evalSet)
         .select(col("doc_id"), col("split"), col("n_tokens"),
           md5(col("red_text")).as("red_fp"))
@@ -546,17 +559,7 @@ object QueriesExt {
     // feed logged next to the curated output. Same planted corpus as
     // ext_curation_pipeline.
     "ext_curation_stats" -> ((s, d) => {
-      val base = t("documents")(s, d)
-        .withColumn("txt", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com or 555-0142"))).otherwise(col("text")))
-      val corpus0 = base.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("txt").as("text"))
-      val corpus = corpus0.unionAll(
-        corpus0.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val evalSet = base.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), col("txt").as("text"))
+      val (corpus, evalSet) = curationFixture(s, d)
       Curation.stageOutcome(corpus, evalSet)
         .groupBy("stage_outcome").agg(count(lit(1)).as("n"))
         .orderBy("stage_outcome")

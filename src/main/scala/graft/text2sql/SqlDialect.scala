@@ -71,7 +71,7 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
       else if (keywordAt(sql, i, "is")) {
         var j = i + 2
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -110,7 +110,7 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
       else if (keywordAt(sql, i, "limit")) {
         var j = i + 5
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -148,7 +148,7 @@ object SqlDialect {
     var emitted = 0 // everything before this index is already appended
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
       else if (keywordAt(sql, i, "glob")) {
         // LHS: scan back over the preceding operand. A bare token is a
         // non-whitespace run; a `)`-terminated operand walks back to
@@ -164,7 +164,7 @@ object SqlDialect {
           var stop = false
           while (k >= emitted && !stop) {
             val ch = sql.charAt(k)
-            if (ch == '\'' || ch == '"') {
+            if (ch == '\'' || ch == '"' || ch == '`') {
               // walk back over a quoted run: find its opening quote
               var m = k - 1
               while (m >= emitted && sql.charAt(m) != ch) m -= 1
@@ -232,7 +232,7 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         val e = endOfQuoted(sql, i, c)
         out.append(sql, i, e); i = e
       } else if (keywordAt(sql, i, "like")) {
@@ -266,7 +266,7 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') i = endOfQuoted(sql, i, c)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
       else if (keywordAt(sql, i, "collate")) {
         var j = i + 7
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -327,6 +327,11 @@ object SqlDialect {
     // A op X COLLATE NOCASE
     var b = xStart
     while (b > 0 && sql.charAt(b - 1).isWhitespace) b -= 1
+    // X is the ESCAPE literal of an ILIKE (`y ILIKE p ESCAPE '!'
+    // COLLATE NOCASE`): the fold is already the ILIKE's job — strip
+    // the collation instead of wrapping the escape char in lower()
+    if (b >= 6 && keywordAt(sql, b - 6, "escape"))
+      return Some(sql.substring(0, xEnd) + sql.substring(collEnd))
     operatorAtBackwards(sql, b) match {
       case Some(("ilike", _)) =>
         Some(sql.substring(0, xEnd) + sql.substring(collEnd))
@@ -425,6 +430,12 @@ object SqlDialect {
   private def primaryEndForwards(sql: String, start: Int): Int = {
     if (start >= sql.length) return -1
     sql.charAt(start) match {
+      // unary sign before a primary (`x IS -1`): consume it and scan
+      // the signed operand as one unit
+      case '-' | '+' =>
+        var j = start + 1
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        primaryEndForwards(sql, j)
       case q @ ('\'' | '"' | '`') => endOfQuoted(sql, start, q)
       case '(' =>
         val c = closeParen(sql, start); if (c < 0) -1 else c + 1
@@ -595,7 +606,7 @@ object SqlDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         // both quote styles are opaque here: double-quoted tokens are
         // resolved later by resolveDoubleQuoted, never call-rewritten
         val end = endOfQuoted(sql, i, c)

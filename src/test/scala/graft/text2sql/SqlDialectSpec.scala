@@ -26,6 +26,21 @@ class SqlDialectSpec extends SparkSpec {
     assert(jd > 2460000 && jd < 2470000) // 2024 is ~JD 2460311
   }
 
+  test("backtick identifiers, signed IS operands, and ESCAPE+NOCASE translate safely") {
+    // keyword text inside a backtick-quoted identifier is opaque
+    val s1 = SqlDialect.translate("SELECT `like` FROM t WHERE `is` IS 5")
+    assert(s1.contains("`like`") && s1.contains("`is`"), s1)
+    // signed right operand of IS rewrites to null-safe equality
+    val s2 = SqlDialect.translate("SELECT * FROM t WHERE x IS -1")
+    assert(s2.contains("<=> -1"), s2)
+    spark.sessionState.sqlParser.parsePlan(s2)
+    // ESCAPE literal must NOT be wrapped in lower(); the ILIKE already folds
+    val s3 = SqlDialect.translate(
+      "SELECT * FROM t WHERE c LIKE 'a!_%' ESCAPE '!' COLLATE NOCASE")
+    assert(s3.contains("ILIKE 'a!_%' ESCAPE '!'") && !s3.contains("lower('!')"), s3)
+    spark.sessionState.sqlParser.parsePlan(s3)
+  }
+
   test("GLOB on a call or parenthesized operand keeps the whole operand") {
     // regression: the parenthesized RLIKE rewrite must capture a
     // `)`-terminated LHS back to its balanced `(` plus call name —

@@ -188,6 +188,13 @@ object SqlDialect {
               "when", "then", "else", "in", "by", "select", "from",
               "having").contains(name))
             lhsStart = nameStart
+        } else if (lhsStart > emitted && sql.charAt(lhsStart - 1) == '`') {
+          // backtick identifier operand — walk to its OPENING backtick
+          // (identifiers may contain spaces; a whitespace walk would
+          // split the token and emit an unbalanced quote)
+          var m = lhsStart - 2
+          while (m >= emitted && sql.charAt(m) != '`') m -= 1
+          lhsStart = math.max(m, emitted)
         } else {
           while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace)
             lhsStart -= 1
@@ -346,8 +353,14 @@ object SqlDialect {
             s"lower($aExpr) $op lower($x)" + sql.substring(collEnd))
         }
       case None =>
+        // `A BETWEEN lo AND hi COLLATE NOCASE`: operatorAtBackwards
+        // sees no operator (AND is not one) and the bare fallback
+        // would fold ONLY the upper bound — half-folded silent wrong
+        // rows. Decline instead (visible error), matching the
+        // documented BETWEEN policy on the forward side.
+        if (b >= 3 && keywordAt(sql, b - 3, "and")) None
         // bare operand (ORDER BY / GROUP BY position)
-        Some(sql.substring(0, xStart) + s"lower($x)" + sql.substring(collEnd))
+        else Some(sql.substring(0, xStart) + s"lower($x)" + sql.substring(collEnd))
     }
   }
 
@@ -470,6 +483,8 @@ object SqlDialect {
       sql.charAt(i) match {
         case '\'' =>
           val e = endOfQuote(sql, i); out.append(sql, i, e); i = e
+        case '`' =>
+          val e = endOfQuoted(sql, i, '`'); out.append(sql, i, e); i = e
         case '"' =>
           var j = i + 1
           val tok = new StringBuilder
@@ -535,6 +550,7 @@ object SqlDialect {
       sql.charAt(i) match {
         case '\'' => i = endOfQuoted(sql, i, '\'') - 1
         case '"'  => i = endOfQuoted(sql, i, '"') - 1
+        case '`'  => i = endOfQuoted(sql, i, '`') - 1
         case '('  => depth += 1
         case ')'  => depth -= 1; if (depth == 0) return i
         case _    =>
@@ -555,6 +571,7 @@ object SqlDialect {
       s.charAt(i) match {
         case '\'' => i = endOfQuoted(s, i, '\'') - 1
         case '"'  => i = endOfQuoted(s, i, '"') - 1
+        case '`'  => i = endOfQuoted(s, i, '`') - 1
         case '('  => depth += 1
         case ')'  => depth -= 1
         case ',' if depth == 0 =>

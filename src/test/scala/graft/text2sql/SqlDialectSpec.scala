@@ -26,6 +26,23 @@ class SqlDialectSpec extends SparkSpec {
     assert(jd > 2460000 && jd < 2470000) // 2024 is ~JD 2460311
   }
 
+  test("BETWEEN..COLLATE declines; spaced backtick identifiers survive GLOB and calls") {
+    // postfix BETWEEN collation must decline (visible error), never
+    // half-fold only the upper bound
+    val s1 = SqlDialect.translate(
+      "SELECT * FROM t WHERE name BETWEEN 'a' AND 'm' COLLATE NOCASE")
+    assert(s1.contains("AND 'm' COLLATE NOCASE") && !s1.contains("lower('m')"), s1)
+    // backtick identifier with an interior space as a GLOB operand
+    val s2 = SqlDialect.translate(
+      "SELECT * FROM t WHERE `Country Name` GLOB 'U*'")
+    assert(s2.contains("(`Country Name` RLIKE"), s2)
+    spark.sessionState.sqlParser.parsePlan(s2)
+    // a comma inside a backtick identifier is not an argument separator
+    val s3 = SqlDialect.translate("SELECT group_concat(`name, alias`) FROM t")
+    assert(s3.contains("`name, alias`"), s3)
+    spark.sessionState.sqlParser.parsePlan(s3)
+  }
+
   test("backtick identifiers, signed IS operands, and ESCAPE+NOCASE translate safely") {
     // keyword text inside a backtick-quoted identifier is opaque
     val s1 = SqlDialect.translate("SELECT `like` FROM t WHERE `is` IS 5")

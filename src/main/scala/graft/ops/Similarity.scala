@@ -22,6 +22,7 @@ object Similarity {
     */
   def cosineToQuery(embCol: Column, q: Seq[Float]): Column = {
     val qNorm = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
+    if (qNorm == 0.0) return lit(0.0) // zero query → sim 0 everywhere
     val qArr = array(q.map(lit(_)): _*)
     val dot = aggregate(
       zip_with(embCol, qArr, (x, y) => x.cast("double") * y.cast("double")),
@@ -29,13 +30,20 @@ object Similarity {
     val nrm = sqrt(aggregate(
       transform(embCol, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    dot / (nrm * lit(qNorm))
+    // zero-norm rows score 0.0 (matching cos() and the fused
+    // CosineSimilarity), never null / ANSI divide-by-zero
+    when(nrm === 0.0, lit(0.0)).otherwise(dot / (nrm * lit(qNorm)))
   }
 
-  /** Exact top-k by cosine: score scan → TakeOrderedAndProject. */
+  /** Exact top-k by cosine: score scan → TakeOrderedAndProject. The
+    * scoring uses the FUSED codegen kernel (cosine_sim) — this backs
+    * every ANN probe's candidate scan; the deliberately-HOF baseline
+    * lives inline in the ext_sim_search key, not here.
+    */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
                      q: Seq[Float], k: Int): DataFrame =
-    emb.withColumn("sim", cosineToQuery(col(embCol), q))
+    emb.withColumn("sim", graft.functions.GraftFunctions.cosine_sim(
+        col(embCol).cast("array<float>"), array(q.map(lit(_)): _*).cast("array<float>")))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
@@ -75,6 +83,21 @@ object Similarity {
     emb.withColumn("cell", array_max(array(cellStructs: _*)).getField("cid"))
   }
 
+  /** Driver-side sign-bit key for a query vector (the exact mirror of
+    * the corpus-side [[lshKey]]). */
+  private def signKey(planes: Seq[Seq[Float]], q: Seq[Float]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+
+  /** Driver-side centroid ranking: indexes of the `nProbe` most
+    * query-similar cells. */
+  private def rankCells(centroids: Seq[Seq[Float]], q: Seq[Float],
+                        nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+
   private def cos(a: Seq[Float], b: Seq[Float]): Double = {
     val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
     val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
@@ -93,9 +116,19 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, embCol: String, k: Int,
                       iters: Int = 8, sampleN: Int = 2000): Seq[Seq[Float]] = {
     val sample: Array[Array[Double]] = emb.select(col(embCol))
+      .filter(col(embCol).isNotNull)
       .orderBy(xxhash64(col(embCol)))
       .limit(sampleN)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // ragged vectors would AIOOBE the dot loops below — train on the
+      // majority dimension only
+      match { case arr =>
+        if (arr.isEmpty) arr
+        else {
+          val dim0 = arr.groupBy(_.length).maxBy(_._2.length)._1
+          arr.filter(_.length == dim0)
+        }
+      }
     require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
     val dim = sample.head.length
     def normalize(v: Array[Double]): Array[Double] = {
@@ -137,7 +170,10 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, idCol: String, embCol: String,
                     path: String, nCentroids: Int = 16): IvfIndex = {
     val centroids = kmeansCentroids(emb, embCol, nCentroids)
-    ivfAssign(emb, idCol, embCol, centroids)
+    // canonical 2-column layout: indexColumns (used by the append
+    // path) reads the stored schema positionally, so the build must
+    // never write extra or reordered columns
+    ivfAssign(emb.select(col(idCol), col(embCol)), idCol, embCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     IvfIndex(path, centroids)
   }
@@ -178,9 +214,9 @@ object Similarity {
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
                idCol: String, embCol: String,
                q: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val probeCells = index.centroids.zipWithIndex
-      .map { case (c, i) => (cos(c, q), i) }
-      .sortBy(-_._1).take(nProbe).map(_._2)
+    require(index.centroids.head.length == q.length,
+      s"query dim ${q.length} != index dim ${index.centroids.head.length}")
+    val probeCells = rankCells(index.centroids, q, nProbe)
     val corpus = spark.read.parquet(index.path)
       .filter(col("cell").isin(probeCells: _*))
     bruteForceTopK(corpus, idCol, embCol, q, k)
@@ -205,7 +241,9 @@ object Similarity {
     require(nBits >= 1 && nBits <= maxLshIndexBits,
       s"nBits must be in [1, $maxLshIndexBits] for a partitioned LSH index, got $nBits")
     val planes = hyperplanes(dim, nBits, seed)
-    emb.withColumn("cell", lshKey(col(embCol), planes))
+    // canonical 2-column layout — see buildIvfIndex
+    emb.select(col(idCol), col(embCol))
+      .withColumn("cell", lshKey(col(embCol), planes))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     LshIndex(path, planes, nBits)
   }
@@ -233,10 +271,10 @@ object Similarity {
                q: Seq[Float], k: Int, probes: Int = 1): DataFrame = {
     require(index.nBits >= 1 && index.nBits <= maxLshIndexBits,
       s"index nBits ${index.nBits} outside [1, $maxLshIndexBits] — rebuild with buildLshIndex")
-    val qKey: Long = index.planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (dot >= 0) 1L << i else 0L
-    }.sum
+    require(index.planes.head.length == q.length,
+      s"query dim ${q.length} != index dim ${index.planes.head.length} — " +
+        "a mismatch would silently probe the wrong cells")
+    val qKey: Long = signKey(index.planes, q)
     // enumerate keys within the Hamming radius (index metadata — tiny
     // for the small nBits a partition layout wants) → IN-list on the
     // partition column → pruned scan
@@ -256,9 +294,7 @@ object Similarity {
               q: Seq[Float], k: Int, nCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val centroids = kmeansCentroids(emb, embCol, nCentroids)
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (cos(c, q), i) }
-      .sortBy(-_._1).take(nProbe).map(_._2).toSet
+    val probeCells = rankCells(centroids, q, nProbe).toSet
     val assigned = ivfAssign(emb, idCol, embCol, centroids)
     bruteForceTopK(
       assigned.filter(col("cell").isin(probeCells.toSeq: _*)),
@@ -316,8 +352,10 @@ object Similarity {
     // verification re-joins embeddings by id — candidates carry only
     // ids through the band join, so the wide vectors are never
     // replicated `bands` times through the shuffle
-    // persisted: both verification sides read it, and it shares the
-    // source scan with the banding branch above
+    // persisted: both verification sides (x1/x2) read it — ONE norm
+    // computation instead of two. The banding branch above still reads
+    // the source separately (two source scans total; the banding
+    // projection is narrow band keys, the verify side needs vectors)
     val withNorm = emb.select(col(idCol).as("id"), col(embCol).as("e"),
       sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v)).as("nrm"))
@@ -340,11 +378,11 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,
               q: Seq[Float], k: Int, nBits: Int = 12,
               probes: Int = 1, seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits <= 64,
+      s"nBits must be in [1, 64] (a single sign-bit key), got $nBits — " +
+        "shifts past 63 would silently alias bucket bits")
     val planes = hyperplanes(q.size, nBits, seed)
-    val qKey: Long = planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (dot >= 0) 1L << i else 0L
-    }.sum
+    val qKey: Long = signKey(planes, q)
     val keyed = emb.withColumn("lsh_key", lshKey(col(embCol), planes))
     val candidates = keyed.filter(
       expr(s"bit_count(lsh_key ^ ${qKey}L)") <= probes)

@@ -3,14 +3,32 @@ package graft.exec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.IngestResult
 import graft.llm.LlmCallback
-import graft.text2sql.Text2Sql
+import graft.text2sql.{SqlDml, Text2Sql}
 
 /** Execution + result sampling (reference README.md:49, test.py:50-55):
   * generated SQL runs verbatim through spark.sql against the
   * hash-named temp views, and results sample to JSON rows.
+  *
+  * DML routing: the reference hands ANY generated statement to SQLite
+  * (pandasqlite.py:245-247), including DML. Here `INSERT OR REPLACE
+  * INTO` rewrites onto the copy-on-write upsert ([[Upsert]]); the
+  * remaining verbs raise a targeted read-only-engine error instead of
+  * a generic analysis failure.
   */
 object Runner {
-  def runSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+  def runSql(spark: SparkSession, sql: String): DataFrame =
+    SqlDml.detect(sql) match {
+      case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
+      case Some(SqlDml.Unsupported(verb)) =>
+        throw new UnsupportedOperationException(
+          s"graft is a read-only analytics engine over immutable lake " +
+            s"storage; got DML verb $verb. Supported: INSERT OR REPLACE " +
+            s"INTO <table> [(cols)] (SELECT …|VALUES …), executed as a " +
+            s"copy-on-write upsert keyed on the table's leading column. " +
+            s"Express updates/deletes as a SELECT materializing a new " +
+            s"table, or re-ingest the source.")
+      case None => spark.sql(sql)
+    }
 
   /** ≤5 sample rows as JSON (reference test.py:51-55). */
   def resultJson(df: DataFrame, n: Int = 5): Seq[String] =

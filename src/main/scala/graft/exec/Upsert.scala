@@ -1,0 +1,95 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import graft.text2sql.SqlDml
+
+/** SQLite `INSERT OR REPLACE` semantics over immutable lake storage:
+  * a copy-on-write merge. The update set replaces base rows that share
+  * its key and appends the rest:
+  *
+  *   merged = updates ∪ (base ⟕anti updates on key)
+  *
+  * then the merged result is MATERIALIZED (parquet) and the temp view
+  * re-bound to it — the statement's observable effect is the same
+  * table-state transition SQLite performs in place. At 100 TB this is
+  * the standard MERGE shape: the anti-join shuffles on the key (or
+  * broadcasts the update set when small — AQE decides), only rewritten
+  * files are produced, and no row ever crosses the driver.
+  *
+  * Key: the target's LEADING column. SQLite resolves OR REPLACE
+  * against the table's PRIMARY KEY, but ingested tables (pandas
+  * `to_sql`, reference pandasqlite.py:115) declare none — SQLite would
+  * then degrade OR REPLACE to a plain append, which is almost never
+  * what the question meant. Graft instead keys on the first column
+  * (the id-like convention of every ingested CSV); documented
+  * divergence, visible in the README table.
+  */
+object Upsert {
+
+  /** Pure merge (no materialization) — updates win on key collision.
+    * Update batches must not carry INTERNAL key conflicts: SQLite
+    * resolves those by rowid order, which a distributed batch does not
+    * have, so both rows survive here (same as its UNION ALL shape).
+    */
+  def merge(base: DataFrame, updates: DataFrame,
+            keyCols: Seq[String]): DataFrame = {
+    val aligned = updates.select(base.columns.map(col): _*)
+    aligned.unionAll(
+      base.join(aligned.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti"))
+  }
+
+  /** Execute a parsed upsert statement against the session catalog. */
+  def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
+    val base =
+      try spark.table(stmt.table)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"INSERT OR REPLACE target '${stmt.table}' is not a registered " +
+            s"table/view: ${e.getMessage}", e)
+      }
+    val src = spark.sql(stmt.sourceSql)
+    // bind source columns: the declared column list if present, else
+    // positional against the full target schema (SQLite's rule)
+    val named =
+      if (stmt.cols.nonEmpty) {
+        if (stmt.cols.length != src.columns.length)
+          throw new IllegalArgumentException(
+            s"INSERT OR REPLACE INTO ${stmt.table}: ${stmt.cols.length} " +
+              s"target columns but the source produces ${src.columns.length}")
+        src.toDF(stmt.cols: _*)
+      } else {
+        if (base.columns.length != src.columns.length)
+          throw new IllegalArgumentException(
+            s"INSERT OR REPLACE INTO ${stmt.table}: table has " +
+              s"${base.columns.length} columns but the source produces " +
+              s"${src.columns.length}")
+        src.toDF(base.columns.toIndexedSeq: _*)
+      }
+    val unknown = named.columns.map(_.toLowerCase).toSet --
+      base.columns.map(_.toLowerCase).toSet
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"INSERT OR REPLACE INTO ${stmt.table}: no such column(s) " +
+          unknown.mkString(", "))
+    // full-width row per SQLite: unlisted columns become NULL (the
+    // replaced row's old values do NOT survive — OR REPLACE deletes
+    // and re-inserts), every column cast to the lake schema's type
+    val present = named.columns.map(_.toLowerCase).toSet
+    val aligned = named.select(base.schema.fields.map { f =>
+      if (present.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val merged = merge(base, aligned, Seq(base.columns.head))
+    // copy-on-write: materialize BEFORE re-binding the view (the merge
+    // plan reads the old binding; a lazy re-registration would recurse)
+    val dir = "target/graft_tmp/upsert_" +
+      stmt.table.replaceAll("[^A-Za-z0-9_]", "_")
+    merged.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+    out.createOrReplaceTempView(stmt.table)
+    out
+  }
+}

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   * loop after banding. On sorted inputs one merge pass with zero
   * allocation computes the same value: |∩| counts equal heads,
   * |∪| = n₁ + n₂ − |∩|. Interpreted eval and codegen share the
-  * algorithm; both sides MUST be sorted distinct or results are
-  * undefined (enforced by construction at the call sites, asserted in
-  * the spec against the built-in formulation).
+  * algorithm; both sides MUST be sorted distinct. Internal call sites
+  * satisfy that by construction (ShingleHashes output), but the
+  * function is also exposed to ad-hoc SQL where e.g. collect_list()
+  * output passes the type check while violating the invariant — so a
+  * runtime guard validates monotonicity over BOTH full arrays and
+  * throws on violation (one extra compare per element; a silently
+  * undercounted similarity is the alternative).
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,11 +53,35 @@ case class JaccardSim(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
+    // runtime sortedness guard: the function is exposed to ad-hoc SQL
+    // (register/GraftNativeFunctions) where the type check alone can't
+    // see ordering — e.g. collect_list output type-checks but is
+    // unsorted and would silently undercount the intersection. One
+    // compare per consumed element catches that instead.
+    var px = 0L; var py = 0L
     while (i < nx && j < ny) {
       val xi = x.getLong(i); val yj = y.getLong(j)
-      if (xi == yj) { inter += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      if (i > 0 && xi <= px) JaccardSim.failUnsorted(xi, px, i)
+      if (j > 0 && yj <= py) JaccardSim.failUnsorted(yj, py, j)
+      if (xi == yj) { inter += 1; px = xi; py = yj; i += 1; j += 1 }
+      else if (xi < yj) { px = xi; i += 1 }
+      else { py = yj; j += 1 }
+    }
+    // validate the unconsumed tails too: an inversion there proves the
+    // input unsorted, which invalidates the prefix the value was
+    // computed from (e.g. [3,1,2] vs [1,2,3] exits after matching 3
+    // without ever reading the descending tail)
+    var k = math.max(i, 1)
+    while (k < nx) {
+      if (x.getLong(k) <= x.getLong(k - 1))
+        JaccardSim.failUnsorted(x.getLong(k), x.getLong(k - 1), k)
+      k += 1
+    }
+    k = math.max(j, 1)
+    while (k < ny) {
+      if (y.getLong(k) <= y.getLong(k - 1))
+        JaccardSim.failUnsorted(y.getLong(k), y.getLong(k - 1), k)
+      k += 1
     }
     val union = nx + ny - inter
     if (union == 0) 0.0 else inter.toDouble / union
@@ -65,13 +93,25 @@ case class JaccardSim(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val px = ctx.freshName("px"); val py = ctx.freshName("py")
       s"""
          |int $nx = $x.numElements(); int $ny = $y.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
+         |long $px = 0L; long $py = 0L;
          |while ($i < $nx && $j < $ny) {
          |  long $xi = $x.getLong($i); long $yj = $y.getLong($j);
-         |  if ($xi == $yj) { $inter++; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |  if ($i > 0 && $xi <= $px) graft.functions.JaccardSim.failUnsorted($xi, $px, $i);
+         |  if ($j > 0 && $yj <= $py) graft.functions.JaccardSim.failUnsorted($yj, $py, $j);
+         |  if ($xi == $yj) { $inter++; $px = $xi; $py = $yj; $i++; $j++; }
+         |  else if ($xi < $yj) { $px = $xi; $i++; } else { $py = $yj; $j++; }
+         |}
+         |for (int k = Math.max($i, 1); k < $nx; k++) {
+         |  if ($x.getLong(k) <= $x.getLong(k - 1))
+         |    graft.functions.JaccardSim.failUnsorted($x.getLong(k), $x.getLong(k - 1), k);
+         |}
+         |for (int k = Math.max($j, 1); k < $ny; k++) {
+         |  if ($y.getLong(k) <= $y.getLong(k - 1))
+         |    graft.functions.JaccardSim.failUnsorted($y.getLong(k), $y.getLong(k - 1), k);
          |}
          |int $union = $nx + $ny - $inter;
          |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
@@ -84,6 +124,17 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 object JaccardSim {
+  /** Runtime sortedness violation — shared by interpreted eval and the
+    * generated code. A merge-pass Jaccard on unsorted input undercounts
+    * silently; a visible error here is the whole point of the guard.
+    */
+  def failUnsorted(cur: Long, prev: Long, pos: Int): Unit =
+    throw new IllegalArgumentException(
+      s"jaccard_sim requires sorted-distinct array<bigint> inputs " +
+        s"(ascending, no duplicates): saw $cur after $prev at position $pos. " +
+        s"Wrap the argument in array_sort(array_distinct(...)) or use " +
+        s"shingle_hashes(), whose output is sorted distinct by construction.")
+
   /** Column-API entry point. */
   def jaccard_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSim(

@@ -87,7 +87,12 @@ object Curation {
     // — without materialization each consumer re-reads and re-gates
     // the raw corpus (measured: 20 source scans in the un-cached
     // plan). Real pipelines checkpoint exactly this intermediate.
-    val ok = qualityPass(docs, cfg).persist()
+    // MEMORY_ONLY: blocks evict under pressure and recompute from the
+    // gate projection — MEMORY_AND_DISK blocks spilled to disk are
+    // never evicted, so repeated curate() calls in a long-lived shared
+    // session would grow block storage without bound.
+    val ok = qualityPass(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     // 2. exact dedup: shuffle 16-byte digests + ids, keep min-id per
     // digest, semi-join the keep-list back on the natural key
@@ -138,7 +143,8 @@ object Curation {
     // feeds the keep-list, the contamination shingling, and the final
     // attribution join
     val stats = qualityStats(docs).withColumn("gate", dropReason(cfg))
-      .select("doc_id", "text", "gate").persist()
+      .select("doc_id", "text", "gate") // MEMORY_ONLY: see curate()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ok = stats.filter(col("gate") === "kept").select("doc_id", "text")
     val reps = ok.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

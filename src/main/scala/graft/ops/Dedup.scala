@@ -126,8 +126,15 @@ object Dedup {
     */
   def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     // both join sides read the same aggregated set table — persist so
-    // the shingle scan+aggregate runs once, not once per side
-    val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset")).persist()
+    // the shingle scan+aggregate runs once, not once per side.
+    // MEMORY_ONLY (here and in every library entry point that persists
+    // an intermediate into a caller-consumed result): memory-tier
+    // blocks are LRU-evicted when cold and recomputed from lineage if
+    // needed again, whereas MEMORY_AND_DISK blocks spilled to disk are
+    // NEVER evicted — repeated calls in a long-lived shared session
+    // would grow block storage unboundedly until session end.
+    val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     pairs
       .join(sets.as("c1"), col("id1") === col("c1.id"))
       .withColumnRenamed("sset", "set1").drop("id")
@@ -191,7 +198,9 @@ object Dedup {
                    maxShingleDf: Int = Int.MaxValue,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val sets = hashedShingleSets(docs, idCol, textCol, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // MEMORY_ONLY: evictable (see exactJaccard) — a dropped block
+      // re-runs the row-local shingle projection, never a shuffle
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // hot shingles are FEW by construction (df above a high cap):
     // collect them as bounded index metadata (like ANN centroids) and
     // subtract row-locally — one census pass, no per-row join stage.
@@ -339,7 +348,14 @@ object Dedup {
   def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, shingleLen: Int = 8,
                         numHashes: Int = 32, bands: Int = 8,
-                        maxBucket: Int = Int.MaxValue): MinHashIndex = {
+                        maxBucket: Int = 1000): MinHashIndex = {
+    // finite DEFAULT bucket cap: the build-time drop below is the only
+    // thing standing between an identical-content cluster in the corpus
+    // and a quadratic probe-join fan-out — with Int.MaxValue as the
+    // default, every caller that didn't think about skew (including the
+    // declared incremental-fuzzy key) would build an unbounded index.
+    // 1000 matches simHashPairs; pass Int.MaxValue explicitly to opt
+    // out on a corpus known to be exact-deduped already.
     val sets = hashedShingleSets(corpus, idCol, textCol, shingleLen)
     val sigs = sets.select(col("id"),
         graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
@@ -376,7 +392,8 @@ object Dedup {
     val bands = index.bands
     val idx = spark.read.parquet(index.path)
     val bsets = hashedShingleSets(batch, idCol, textCol, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // MEMORY_ONLY: evictable (see exactJaccard), row-local recompute
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val bsigs = bsets.select(col("id"),
         graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -524,8 +541,9 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
     // the signature table feeds banding plus both verification joins:
-    // persist it so the (full-corpus aggregation) upstream runs once
-    val sg = sigs.persist()
+    // persist it so the (full-corpus aggregation) upstream runs once.
+    // MEMORY_ONLY: evictable (see exactJaccard)
+    val sg = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val banded = sg.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

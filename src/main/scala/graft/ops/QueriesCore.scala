@@ -21,6 +21,13 @@ object QueriesCore {
   private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
   private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
 
+  /** CWD-relative scratch dir for round-trip fixture keys (matches the
+    * opt_compact_sink convention) — never an absolute checkout path,
+    * so the keys run from any working directory.
+    */
+  private def tmpDir(key: String, d: String): String =
+    s"target/graft_tmp/${key}_${new java.io.File(d).getName}"
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, d) =>
       li(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
@@ -47,7 +54,7 @@ object QueriesCore {
     // header-CSV scan with schema inference (reference test.py:35):
     // round-trip nation through CSV, then read it back inferring types
     "scan_csv" -> ((s, d) => {
-      val csvDir = s"/root/repo/target/graft_tmp/scan_csv_${new java.io.File(d).getName}"
+      val csvDir = tmpDir("scan_csv", d)
       Tables.t(s, d, "nation").orderBy("n_nationkey")
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
       s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
@@ -61,7 +68,7 @@ object QueriesCore {
     // and verify content. The write is splittable multi-file (no
     // coalesce) — exactly the layout a distributed reader wants.
     "scan_jsonl" -> ((s, d) => {
-      val dir = s"/root/repo/target/graft_tmp/scan_jsonl_${new java.io.File(d).getName}"
+      val dir = tmpDir("scan_jsonl", d)
       if (!Tables.writeComplete(dir))
         Tables.t(s, d, "documents").select("doc_id", "text")
           .write.mode("overwrite").json(dir)
@@ -76,7 +83,7 @@ object QueriesCore {
     // (splittable, predicate-pushdown-capable like parquet), read back,
     // and verify content against the oracle's view of the source table.
     "scan_orc" -> ((s, d) => {
-      val dir = s"/root/repo/target/graft_tmp/scan_orc_${new java.io.File(d).getName}"
+      val dir = tmpDir("scan_orc", d)
       if (!Tables.writeComplete(dir))
         Tables.t(s, d, "documents").select("doc_id", "text", "n_chars")
           .write.mode("overwrite").orc(dir)
@@ -94,8 +101,7 @@ object QueriesCore {
     // directory in place, splittable across executors, with
     // pathGlobFilter pruning non-media files at listing time.
     "scan_binary" -> ((s, d) => {
-      val dir = new java.io.File(
-        s"/root/repo/target/graft_tmp/scan_binary_${new java.io.File(d).getName}")
+      val dir = new java.io.File(tmpDir("scan_binary", d))
       if (!Tables.writeComplete(dir.toString)) {
         dir.mkdirs()
         Tables.t(s, d, "documents").filter(col("doc_id") < 20)
@@ -131,7 +137,7 @@ object QueriesCore {
             col("n_name"), col("n_regionkey")))
       val merged = upd.unionAll(
         base.join(upd.select("n_nationkey"), Seq("n_nationkey"), "left_anti"))
-      val dir = s"/root/repo/target/graft_tmp/sink_upsert_${new java.io.File(d).getName}"
+      val dir = tmpDir("sink_upsert", d)
       merged.write.mode("overwrite").parquet(dir)
       s.read.parquet(dir).orderBy("n_nationkey")
     }),

@@ -29,6 +29,9 @@ object QueriesDialect {
            strftime('%H:%M:%S', ts) AS hms,
            strftime('%j', ts) AS doy,
            strftime('%w', ts) AS dow,
+           strftime('%U', ts) AS wk_sun,
+           strftime('%W', ts) AS wk_mon,
+           strftime('%Y-W%W', ts) AS yw,
            strftime('%s', ts) AS epoch_s,
            unixepoch(ts) AS epoch_i,
            date(ts) AS d,
@@ -108,7 +111,30 @@ object QueriesDialect {
       s.sql(SqlDialect.translate(q))
     }
     k -> fn
-  }
+  } ++ Map[String, Q](
+    // SQLite DML as a model emits it, driven end-to-end through the
+    // translator + Runner routing: INSERT OR REPLACE rewrites onto the
+    // copy-on-write upsert (graft.exec.Upsert) — one statement that
+    // both REPLACES existing keys (every even nation, renamed) and
+    // APPENDS new ones (keys+100), then the post-statement table state
+    // is read back. A dedicated working view is used so the mutation
+    // never re-binds the shared `nation` view other keys read.
+    "sink_upsert_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_upsert_sql_t")
+      val dml =
+        """INSERT OR REPLACE INTO graft_upsert_sql_t
+             (n_nationkey, n_name, n_regionkey)
+           SELECT n_nationkey, 'UPD_' || n_name, n_regionkey
+             FROM graft_upsert_sql_t WHERE n_nationkey % 2 = 0
+           UNION ALL
+           SELECT n_nationkey + 100, n_name, n_regionkey
+             FROM graft_upsert_sql_t WHERE n_nationkey < 5"""
+      graft.exec.Runner.runSql(s, SqlDialect.translate(dml))
+        .orderBy("n_nationkey")
+    })
+  )
 
   val oracle: Map[String, String] = Map(
     // DuckDB strftime takes (value, fmt) — argument order is swapped vs
@@ -122,6 +148,9 @@ object QueriesDialect {
            strftime(ts, '%H:%M:%S') AS hms,
            strftime(ts, '%j') AS doy,
            CAST(dayofweek(ts) AS VARCHAR) AS dow,
+           strftime(ts, '%U') AS wk_sun,
+           strftime(ts, '%W') AS wk_mon,
+           strftime(ts, '%Y-W%W') AS yw,
            CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch_s,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_i,
            strftime(ts, '%Y-%m-%d') AS d,
@@ -174,6 +203,23 @@ object QueriesDialect {
            AND c_name NOT ILIKE '%0001'
            AND c_name ILIKE 'customer#%' ESCAPE '!'
          ORDER BY c_custkey""",
+
+    // the upsert statement's post-state as a plain SELECT: updates win
+    // on key, untouched base rows survive, appends land — the same
+    // merge SQL shape as the sink_upsert oracle
+    "sink_upsert_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         upd AS (
+           SELECT n_nationkey, 'UPD_' || n_name AS n_name, n_regionkey
+           FROM base WHERE n_nationkey % 2 = 0
+           UNION ALL
+           SELECT n_nationkey + 100, n_name, n_regionkey
+           FROM base WHERE n_nationkey < 5)
+         SELECT n_nationkey, n_name, n_regionkey FROM upd
+         UNION ALL
+         SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
+         WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM upd)
+         ORDER BY n_nationkey""",
 
     // DuckDB's json_group_* are macros (no ORDER BY) — the oracle
     // renders the same compact JSON by hand in sorted order; keys are

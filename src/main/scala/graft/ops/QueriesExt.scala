@@ -79,7 +79,9 @@ object QueriesExt {
         .select(col("id"), explode(col("sset")).as("s"))
       // persisted: the candidate self-join reads the df-capped shingle
       // table on both sides — one shingling pass, not two
-      val cand = Dedup.dropHotShingles(hsh, maxDf = 50).persist()
+      // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+      val cand = Dedup.dropHotShingles(hsh, maxDf = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val pairs = cand.as("a").join(cand.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -257,6 +259,27 @@ object QueriesExt {
       // at corpus scale.
       Dedup.minHashPairs(corpus, "doc_id", "text", numHashes = 32, bands = 8,
         maxShingleDf = 150, maxBucket = 64)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // BENCH-scale variant of ext_dedup_minhash: the FULL documents
+    // table (5,000 rows at sf0.1) + a mutated copy of every 4th doc —
+    // no doc_id cap. The capped sibling key exists because its
+    // oracle (an O(n²) recursive exact-Jaccard) is only tractable on a
+    // sliver; this key is what the 100 TB plan actually runs, so the
+    // BENCH headline measures IT: census, banding, bucket caps, and
+    // candidate verification at full corpus scale, not plan overhead
+    // on 313 docs. Rows-only correctness (no oracle, by design);
+    // planted-pair recall is asserted in QueriesSpec/DedupSpec.
+    "ext_dedup_minhash_full" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.minHashPairs(corpus, "doc_id", "text", numHashes = 32, bands = 8,
+        maxShingleDf = 300, maxBucket = 64)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
     }),

@@ -19,7 +19,9 @@ object QueriesOpt {
     // reading co-located buckets.
     "opt_bucketed_join" -> ((s, d) => {
       val tag = TableIds.idFor(d)
-      val path = s"/root/repo/target/warehouse/$tag"
+      // absolute-from-CWD (catalog table locations must be absolute
+      // URIs, but never hardcode the checkout path)
+      val path = new java.io.File(s"target/warehouse/$tag").getAbsolutePath
       val liT = s"graft_li_bkt_$tag"; val ordT = s"graft_ord_bkt_$tag"
       if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
         Tables.t(s, d, "lineitem")

@@ -213,7 +213,8 @@ object QueriesTpch {
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_revenue"))
-        .persist()
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
       t("supplier")(s, d)
         .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -377,7 +378,8 @@ object QueriesTpch {
             1).otherwise(0))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("late"))
-        .persist()
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val census = perOS.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)

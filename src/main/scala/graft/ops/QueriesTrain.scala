@@ -151,7 +151,8 @@ object QueriesTrain {
         .select(col("doc_id"),
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("salience").desc, col("term").asc)
@@ -254,7 +255,8 @@ object QueriesTrain {
         .select(col("doc_id"),
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .persist()
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val freq = tf.groupBy("tok").agg(sum("cnt").as("freq"))
       tf.join(freq, "tok")
         .groupBy("doc_id")
@@ -285,7 +287,8 @@ object QueriesTrain {
           expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
         .select(col("doc_id"), size(col("toks")).as("dl"),
           expr(s"filter(toks, t -> t IN ($termList))").as("hits"))
-        .persist()
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val tf = slim
         .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
         .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))

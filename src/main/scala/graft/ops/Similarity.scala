@@ -343,23 +343,25 @@ object Similarity {
     require(nBits % bands == 0, "bands must divide nBits")
     val planes = hyperplanes(dim, nBits, seed)
       .map(_.map(_.toDouble).toArray).toArray
-    val buckets = emb.select(col(idCol).as("id"),
-        posexplode(graft.functions.SignBands.sign_bands(
-          col(embCol).cast("array<float>"), planes, bands)).as(Seq("band", "key")))
-      .select(col("id"), struct(col("band"), col("key")).as("bk"))
-    val cand = Dedup.bucketPairs(buckets, maxBucket)
-      .select(col("id1").as("v1"), col("id2").as("v2"))
-    // verification re-joins embeddings by id — candidates carry only
-    // ids through the band join, so the wide vectors are never
-    // replicated `bands` times through the shuffle
-    // persisted: both verification sides (x1/x2) read it — ONE norm
-    // computation instead of two. The banding branch above still reads
-    // the source separately (two source scans total; the banding
-    // projection is narrow band keys, the verify side needs vectors)
+    // persisted ONCE, read by banding AND both verification sides: the
+    // source scans once total. (Banding only needs band keys, but the
+    // vectors are already cached for verification — deriving the
+    // banding branch from the same cache costs nothing extra and
+    // removes a whole source scan.) MEMORY_ONLY: evictable, row-local
+    // recompute (see Dedup.exactJaccard).
     val withNorm = emb.select(col(idCol).as("id"), col(embCol).as("e"),
       sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v)).as("nrm"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val buckets = withNorm.select(col("id"),
+        posexplode(graft.functions.SignBands.sign_bands(
+          col("e").cast("array<float>"), planes, bands)).as(Seq("band", "key")))
+      .select(col("id"), struct(col("band"), col("key")).as("bk"))
+    val cand = Dedup.bucketPairs(buckets, maxBucket)
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    // verification re-joins vectors by id — candidates carry only ids
+    // through the band join, so the wide vectors are never replicated
+    // `bands` times through the shuffle
     cand
       .join(withNorm.as("x1"), col("v1") === col("x1.id"))
       .join(withNorm.as("x2"), col("v2") === col("x2.id"))

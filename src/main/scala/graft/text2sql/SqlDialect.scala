@@ -251,7 +251,7 @@ object SqlDialect {
 
   /** Case-insensitive keyword match at `i` with word boundaries on
     * both sides. */
-  private def keywordAt(sql: String, i: Int, kw: String): Boolean =
+  private[text2sql] def keywordAt(sql: String, i: Int, kw: String): Boolean =
     sql.regionMatches(true, i, kw, 0, kw.length) &&
       (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
       (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length)))
@@ -522,7 +522,7 @@ object SqlDialect {
     "unicode", "printf", "total", "trunc", "date", "time", "char", "iif",
     "cast", "min", "max")
 
-  private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+  private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
   /** Index just past the closing quote of the literal starting at
     * `start` (which must be a `'`), honoring `''` escapes. */
@@ -530,7 +530,7 @@ object SqlDialect {
     endOfQuoted(sql, start, '\'')
 
   /** Same for an arbitrary quote char (`'` or `"`), honoring doubling. */
-  private def endOfQuoted(sql: String, start: Int, q: Char): Int = {
+  private[text2sql] def endOfQuoted(sql: String, start: Int, q: Char): Int = {
     var i = start + 1
     while (i < sql.length) {
       if (sql.charAt(i) == q) {
@@ -543,7 +543,7 @@ object SqlDialect {
 
   /** Index of the `)` balancing the `(` at `open`, quote-aware (both
     * `'…'` and `"…"` are opaque); -1 if unbalanced. */
-  private def closeParen(sql: String, open: Int): Int = {
+  private[text2sql] def closeParen(sql: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < sql.length) {
@@ -771,25 +771,38 @@ object SqlDialect {
   private def buildStrftime(args: Seq[String]): Option[String] = {
     if (!isStringLit(args.head)) return None
     val fmt = unquote(args.head)
-    applyModifiers(args.tail).flatMap { e =>
-      fmt match {
-        // whole-value directives with no formatter-pattern equivalent
-        case "%s" => Some(s"CAST(unix_timestamp($e) AS STRING)")
-        case "%w" => Some(s"CAST(dayofweek($e) - 1 AS STRING)")
-        case _ =>
-          toJavaPattern(fmt).map { p =>
-            s"date_format($e, '${p.replace("'", "''")}')"
-          }
-      }
-    }
+    applyModifiers(args.tail).flatMap(e => strftimeExpr(fmt, e))
   }
 
-  private def toJavaPattern(fmt: String): Option[String] = {
-    val out = new StringBuilder
+  /** Compile one strftime format into a single Spark expression. Runs
+    * of pattern-mappable directives and literal text become
+    * `date_format` segments; COMPUTED directives with no
+    * DateTimeFormatter equivalent — `%s` (epoch), `%w` (weekday),
+    * `%U`/`%W` (C week numbers; Spark 3+ dropped week-based pattern
+    * letters entirely) — become standalone expressions; a mixed format
+    * concatenates the pieces in order. Any directive outside both maps
+    * declines the whole call (left verbatim → visible analysis error).
+    *
+    * Week-number semantics (SQLite == C strftime): weeks run
+    * Sunday-first for `%U`, Monday-first for `%W`; week 01 starts at
+    * the year's first such day and everything before it is week 00.
+    * With 1-based day-of-year j and week-start-based weekday w (0 =
+    * the week-start day), the number is `(j + 6 - w) div 7`, emitted
+    * zero-padded to 2 — pinned arithmetic, no locale-dependent
+    * WeekFields anywhere.
+    */
+  private def strftimeExpr(fmt: String, e: String): Option[String] = {
+    // pieces: Left(javaPatternFragment) | Right(sparkExprText); pattern
+    // fragments carry raw quote chars and are SQL-escaped at embed time
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
+    def addPat(p: String): Unit = pieces.lastOption match {
+      case Some(Left(prev)) => pieces(pieces.length - 1) = Left(prev + p)
+      case _                => pieces += Left(p)
+    }
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
       // quote literal runs so letters aren't read as pattern directives
-      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      addPat("'" + lit.toString.replace("'", "''") + "'")
       lit.clear()
     }
     var i = 0
@@ -797,17 +810,41 @@ object SqlDialect {
       val c = fmt.charAt(i)
       if (c == '%') {
         if (i + 1 >= fmt.length) return None
-        val d = fmt.charAt(i + 1)
-        if (d == '%') lit.append('%')
-        else directives.get(d) match {
-          case Some(p) => flushLit(); out.append(p)
-          case None    => return None
+        fmt.charAt(i + 1) match {
+          case '%' => lit.append('%')
+          case 's' =>
+            flushLit(); pieces += Right(s"CAST(unix_timestamp($e) AS STRING)")
+          case 'w' =>
+            flushLit(); pieces += Right(s"CAST(dayofweek($e) - 1 AS STRING)")
+          case 'U' => // dayofweek() is 1=Sunday → Sunday-based w = dayofweek-1
+            flushLit()
+            pieces += Right(s"lpad(CAST((dayofyear($e) + 6 - " +
+              s"(dayofweek($e) - 1)) div 7 AS STRING), 2, '0')")
+          case 'W' => // weekday() is 0=Monday — already Monday-based
+            flushLit()
+            pieces += Right(s"lpad(CAST((dayofyear($e) + 6 - " +
+              s"weekday($e)) div 7 AS STRING), 2, '0')")
+          case d =>
+            directives.get(d) match {
+              case Some(p) => flushLit(); addPat(p)
+              case None    => return None
+            }
         }
         i += 2
       } else { lit.append(c); i += 1 }
     }
     flushLit()
-    Some(out.toString)
+    def fmtPiece(p: String) = s"date_format($e, '${p.replace("'", "''")}')"
+    pieces.toSeq match {
+      case Seq()         => Some(fmtPiece("")) // empty format → empty string
+      case Seq(Left(p))  => Some(fmtPiece(p))
+      case Seq(Right(x)) => Some(x)
+      case many =>
+        Some(many.map {
+          case Left(p)  => fmtPiece(p)
+          case Right(x) => x
+        }.mkString("concat(", ", ", ")"))
+    }
   }
 
   // SQLite date-modifier grammar (subset; unknown → decline)

@@ -27,13 +27,40 @@ class MultiScanAuditSpec extends SparkSpec {
     "subq_scalar" -> "scalar subquery and outer query share the source by definition",
   )
 
+  /** Plan-string lines OUTSIDE any InMemoryRelation subtree. Each
+    * InMemoryTableScan re-prints its cached child plan (including the
+    * original parquet scan), so counting raw occurrences would charge
+    * a shared cached scan once per consumer; conversely, a scan only
+    * reachable under a cache IS shared by construction. Skipping the
+    * cached subtrees makes the per-table duplicate count exact.
+    */
+  private def visibleLines(plan: String): Seq[String] = {
+    def depth(ln: String): Int = ln.indexWhere(c => c.isLetter || c == '*')
+    val kept = Seq.newBuilder[String]
+    var skip = -1
+    for (ln <- plan.linesIterator) {
+      val d = depth(ln)
+      if (skip >= 0 && d >= 0 && d <= skip) skip = -1
+      if (skip < 0) {
+        if (ln.contains("InMemoryRelation")) skip = d
+        else kept += ln
+      }
+    }
+    kept.result()
+  }
+
   test("every key shares its source scans unless allowlisted (with reason)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
-      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-      val cached = "InMemoryTableScan".r.findAllIn(p).size
-      val multi = "(documents|lineitem|orders|events|embeddings)\\.parquet".r
-        .findAllIn(p).toSeq.groupBy(identity).exists(_._2.size > 1)
-      if (multi && cached == 0 && !allowed.contains(k)) Some(k) else None
+      val p = visibleLines(
+        fn(spark, sfDir).queryExecution.executedPlan.toString).mkString("\n")
+      // STRICT per-table rule on the visible (un-cached) plan: any
+      // source table scanned twice outside a cache is a genuine
+      // re-read — one cached trivial intermediate elsewhere in the
+      // plan no longer exempts it (the round-5 audit gap)
+      val extra = "(documents|lineitem|orders|events|embeddings)\\.parquet".r
+        .findAllIn(p).toSeq.groupBy(identity).values
+        .map(v => v.size - 1).sum
+      if (extra > 0 && !allowed.contains(k)) Some(k) else None
     }
     assert(offenders.isEmpty,
       s"uncached multi-scan keys (persist a narrow intermediate or allowlist " +

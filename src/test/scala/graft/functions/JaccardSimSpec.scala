@@ -56,6 +56,33 @@ class JaccardSimSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("unsorted or duplicated input fails loudly, never an undercounted similarity") {
+    JaccardSim.register(spark)
+    // collect_list-shaped input passes the TYPE check (containsNull =
+    // false) but violates the sorted-distinct invariant — the runtime
+    // guard must throw, not silently undercount the intersection
+    for (q <- Seq(
+      "SELECT jaccard_sim(array(3L, 1L, 2L), array(1L, 2L, 3L))", // unsorted left
+      "SELECT jaccard_sim(array(1L, 2L), array(2L, 1L))",         // unsorted right
+      "SELECT jaccard_sim(array(1L, 1L, 2L), array(1L, 2L))")) {  // duplicate
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("sorted-distinct"), s"$q → $msgs")
+    }
+    // the interpreted path guards identically
+    val expr = JaccardSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3L, 1L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+    val ei = intercept[IllegalArgumentException] { expr.eval(null) }
+    assert(ei.getMessage.contains("sorted-distinct"))
+    // sorted inputs still compute (guard is pass-through on the happy path)
+    assert(spark.sql("SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .head().getDouble(0) == 0.5)
+  }
+
   test("nullable array ELEMENTS are rejected at analysis, not mis-summed") {
     // a null slot would read as 0L in the merge loop and count phantom
     // matches — the type check must refuse containsNull inputs

@@ -129,6 +129,83 @@ class DedupSpec extends SparkSpec {
     assert(under.count() == 10L)
   }
 
+  test("a 2000-copy mega-cluster stays bounded across minhash/simhash/embed paths") {
+    // bench-scale skew stress: identical content lands the whole
+    // cluster in ONE bucket of EVERY band, so without the caps each
+    // path would emit ~bands·2000²/2 ≈ 32M candidate pairs. With the
+    // caps the clone buckets are dropped entirely (exact dedup's job —
+    // it runs first in a real pipeline) while organic near-dups in the
+    // background corpus are still found. Asserts candidate counts
+    // bounded by f(maxBucket) AND a generous wall-clock bound that the
+    // uncapped quadratic path would blow through.
+    val t0 = System.nanoTime()
+    val clones = (1 to 2000).map(i =>
+      (i.toLong, "exactly the same boilerplate in every copy of this mega cluster document"))
+    val distinct = (1 to 100).map(i =>
+      (10000L + i, s"distinct background document number $i discussing topic-$i in its own words"))
+    val nearDup = Seq(
+      (20001L, "an organic near duplicate pair planted in the background corpus here"),
+      (20002L, "an organic near duplicate pair planted in the background corpus here!"),
+      // identical twin pair: Hamming distance 0 by construction, so
+      // the simhash recall assertion is deterministic (a one-token
+      // edit's distance depends on the flipped token's hash bits)
+      (20003L, "a deterministic identical twin pair for the simhash recall check"),
+      (20004L, "a deterministic identical twin pair for the simhash recall check"))
+    val docs = (clones ++ distinct ++ nearDup).toDF("doc_id", "text")
+
+    // minhash: clone buckets (2000 > cap) are dropped at candidate
+    // generation; every surviving bucket holds ≤ maxBucket ids
+    val maxBucket = 100
+    val bands = 16
+    val sigs = Dedup.minHashSignatures(
+      Dedup.shingles(docs, "doc_id", "text"), numHashes = 64)
+    val cand = Dedup.lshCandidates(sigs, 64, bands, maxBucket)
+      .as[(Long, Long)].collect()
+    assert(!cand.exists(p => p._1 <= 2000 && p._2 <= 2000),
+      "clone-clone candidates must be dropped by the bucket cap")
+    assert(cand.length <= bands * maxBucket * (maxBucket - 1) / 2,
+      s"candidate count ${cand.length} exceeds the f(maxBucket) bound")
+    assert(cand.contains((20001L, 20002L)), "organic near-dup must survive the caps")
+    val verified = Dedup.minHashPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = 500, maxBucket = maxBucket)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified.contains((20001L, 20002L)))
+    assert(!verified.exists(p => p._1 <= 2000 && p._2 <= 2000))
+
+    // simhash: identical signatures in all 4 bands → dropped
+    val simPairs = Dedup.simHashPairs(
+      Dedup.simHash(docs, "doc_id", "text"), maxDist = 3, maxBucket = maxBucket)
+      .as[(Long, Long, Int)].collect()
+    assert(!simPairs.exists(p => p._1 <= 2000 && p._2 <= 2000))
+    assert(simPairs.exists(p => (p._1, p._2) == (20003L, 20004L)),
+      "the under-cap identical twin pair must survive the bucket cap")
+
+    // embeddings: 2000 identical vectors share every sign-LSH bucket
+    val vecs = ((1 to 2000).map(i => (i.toLong, Array.fill(8)(0.5f))) ++
+      (1 to 50).map(i => (30000L + i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))))
+      .toDF("vec_id", "embedding")
+    val embPairs = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, nBits = 16, bands = 4, maxBucket = maxBucket)
+    assert(!embPairs.select("v1", "v2").as[(Long, Long)].collect()
+      .exists(p => p._1 <= 2000 && p._2 <= 2000))
+
+    // incremental index path: the finite DEFAULT maxBucket (1000) must
+    // drop the clone band keys at BUILD time, so a clone batch probe
+    // fans out to zero candidates instead of 2000× per band
+    val idxPath = "target/graft_tmp/dedup_megacluster_idx"
+    val idx = Dedup.buildMinHashIndex(docs, "doc_id", "text", idxPath)
+    val probe = Dedup.minHashProbe(spark, idx, docs,
+      Seq((99999L, "exactly the same boilerplate in every copy of this mega cluster document"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe.count() == 0L,
+      "clone band keys must be absent from an index built with the default cap")
+
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // generous CI bound: the capped paths run in seconds; the uncapped
+    // quadratic path (32M-pair verify joins, four times over) would not
+    assert(elapsed < 300.0, s"mega-cluster stress took ${elapsed}s")
+  }
+
   test("components with pointer doubling converges in ≤ half the rounds") {
     // a 17-node chain has diameter 16: pure min-label propagation
     // needs 16 rounds for node 16 to learn label 0; pointer doubling

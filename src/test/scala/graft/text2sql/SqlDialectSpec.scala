@@ -397,4 +397,39 @@ class SqlDialectSpec extends SparkSpec {
       "SELECT julianday(ts, '+1 days') - julianday(ts) AS shift FROM events LIMIT 1")
     assert(math.abs(spark.sql(sql).head().getDouble(0) - 1.0) < 1e-9)
   }
+
+  // ---- round-6 SQLite surface: %U/%W week numbers + DML ------------
+
+  test("strftime %U/%W week numbers match C strftime at year boundaries") {
+    // expectations pinned from C strftime (verified against 2019-2030):
+    // week 01 starts at the year's first Sunday (%U) / Monday (%W);
+    // days before it are week 00
+    val cases = Seq(
+      ("2024-01-01", "00", "01"), // Monday: first Monday → W=01, pre-first-Sunday → U=00
+      ("2023-01-01", "01", "00"), // Sunday: mirror case
+      ("2024-01-07", "01", "01"), // first Sunday of 2024
+      ("2024-12-31", "52", "53"), // leap-year tail
+      ("2022-01-01", "00", "00")) // Saturday: before both week starts
+    for ((d, u, w) <- cases) {
+      val sql = SqlDialect.translate(
+        s"SELECT strftime('%U', ts) AS u, strftime('%W', ts) AS w " +
+          s"FROM VALUES (CAST('$d 12:00:00' AS TIMESTAMP)) AS t(ts)")
+      assert(!sql.toLowerCase.contains("strftime"), sql)
+      val row = spark.sql(sql).head()
+      assert(row.getString(0) == u && row.getString(1) == w,
+        s"$d: got (${row.getString(0)}, ${row.getString(1)}), want ($u, $w)")
+    }
+  }
+
+  test("strftime mixed formats concat date_format segments and computed pieces") {
+    val sql = SqlDialect.translate(
+      "SELECT strftime('%Y-W%W', ts) AS yw, strftime('week %U of %Y', ts) AS s " +
+        "FROM VALUES (CAST('2024-03-15 00:00:00' AS TIMESTAMP)) AS t(ts)")
+    val row = spark.sql(sql).head()
+    assert(row.getString(0) == "2024-W11", row.getString(0))
+    assert(row.getString(1) == "week 10 of 2024", row.getString(1))
+    // genuinely exotic directives still decline the whole call
+    val exotic = "SELECT strftime('%V', ts) FROM t"
+    assert(SqlDialect.translate(exotic) == exotic)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.text2sql
+
+import graft.SparkSpec
+import graft.exec.Runner
+
+/** DML routing (SqlDml + exec.Upsert + Runner): the reference executes
+  * arbitrary generated statements against SQLite (pandasqlite.py:
+  * 245-247), so the engine must either re-express a DML statement
+  * (INSERT OR REPLACE → copy-on-write upsert) or fail with a targeted
+  * read-only message — never a generic analysis error.
+  */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshView(name: String): Unit =
+    Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("id", "name", "v").createOrReplaceTempView(name)
+
+  test("detect classifies the four verbs; SELECT and scalar replace() are not DML") {
+    import SqlDml._
+    assert(detect("UPDATE t SET x = 1") == Some(Unsupported("UPDATE")))
+    assert(detect("  delete from 'abc' where x < 0") == Some(Unsupported("DELETE")))
+    assert(detect("INSERT INTO t VALUES (1)") == Some(Unsupported("INSERT")))
+    assert(detect("INSERT OR IGNORE INTO t VALUES (1)")
+      == Some(Unsupported("INSERT OR IGNORE")))
+    detect("INSERT OR REPLACE INTO t (a, b) VALUES (1, 2)") match {
+      case Some(Upsert("t", Seq("a", "b"), src)) =>
+        assert(src.contains("VALUES (1, 2)"))
+      case other => fail(s"expected Upsert, got $other")
+    }
+    detect("REPLACE INTO `my t` SELECT * FROM s") match {
+      case Some(Upsert("my t", Seq(), src)) => assert(src == "SELECT * FROM s")
+      case other => fail(s"expected Upsert, got $other")
+    }
+    // quoted-hash table names, as the reference's generated SQL writes them
+    detect("INSERT OR REPLACE INTO 'abc123' SELECT * FROM s") match {
+      case Some(Upsert("abc123", _, _)) =>
+      case other => fail(s"expected Upsert into abc123, got $other")
+    }
+    assert(detect("SELECT * FROM t").isEmpty)
+    assert(detect("SELECT replace(s, 'a', 'b') FROM t").isEmpty)
+    // WITH-prefixed DML classifies; the CTE rides into the source
+    detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
+      case Some(Upsert("t", _, src)) =>
+        assert(src.startsWith("WITH c AS"), src)
+      case other => fail(s"expected Upsert, got $other")
+    }
+    assert(detect("WITH c AS (SELECT 1) DELETE FROM t")
+      == Some(Unsupported("DELETE")))
+  }
+
+  test("UPDATE / DELETE / plain INSERT raise the targeted read-only error") {
+    freshView("dml_t")
+    for (stmt <- Seq(
+      "UPDATE dml_t SET name = 'x' WHERE id = 1",
+      "DELETE FROM dml_t WHERE id = 1",
+      "INSERT INTO dml_t VALUES (9, 'nine', 90)")) {
+      val e = intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, stmt)
+      }
+      assert(e.getMessage.contains("read-only analytics engine"), stmt)
+      assert(e.getMessage.contains("INSERT OR REPLACE"), stmt)
+    }
+  }
+
+  test("INSERT OR REPLACE with VALUES replaces on the leading-column key and appends") {
+    freshView("dml_v")
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO dml_v (id, name, v) VALUES (2, 'TWO', 22), (4, 'four', 40)")
+    val rows = spark.table("dml_v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO", 22L),
+      (3L, "three", 30L), (4L, "four", 40L)))
+  }
+
+  test("INSERT OR REPLACE with a SELECT source and partial column list NULLs the rest") {
+    freshView("dml_s")
+    // SQLite OR REPLACE deletes + re-inserts: unlisted columns become
+    // NULL, the replaced row's old values do not survive
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO dml_s (id, name) SELECT id, upper(name) FROM dml_s WHERE id >= 2")
+    val rows = spark.table("dml_s").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO", -1L), (3L, "THREE", -1L)))
+  }
+
+  test("upsert errors are targeted: unknown table, arity mismatch, unknown column") {
+    freshView("dml_e")
+    val e1 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "INSERT OR REPLACE INTO no_such_t VALUES (1, 'a', 2)")
+    }
+    assert(e1.getMessage.contains("not a registered"))
+    val e2 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "INSERT OR REPLACE INTO dml_e (id, name) VALUES (1, 'a', 2)")
+    }
+    assert(e2.getMessage.contains("2 target columns"))
+    val e3 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "INSERT OR REPLACE INTO dml_e (id, bogus, v) VALUES (1, 'a', 2)")
+    }
+    assert(e3.getMessage.contains("no such column"))
+  }
+}

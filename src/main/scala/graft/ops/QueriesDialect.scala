@@ -32,6 +32,9 @@ object QueriesDialect {
            strftime('%U', ts) AS wk_sun,
            strftime('%W', ts) AS wk_mon,
            strftime('%Y-W%W', ts) AS yw,
+           strftime('%V', ts) AS wk_iso,
+           strftime('%G', ts) AS yr_iso,
+           strftime('%u', ts) AS dow_iso,
            strftime('%s', ts) AS epoch_s,
            unixepoch(ts) AS epoch_i,
            date(ts) AS d,
@@ -151,6 +154,9 @@ object QueriesDialect {
            strftime(ts, '%U') AS wk_sun,
            strftime(ts, '%W') AS wk_mon,
            strftime(ts, '%Y-W%W') AS yw,
+           strftime(ts, '%V') AS wk_iso,
+           strftime(ts, '%G') AS yr_iso,
+           strftime(ts, '%u') AS dow_iso,
            CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch_s,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_i,
            strftime(ts, '%Y-%m-%d') AS d,

@@ -766,7 +766,9 @@ object SqlDialect {
   private val directives = Map(
     'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
     'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'f' -> "ss.SSS",
-    'e' -> "d", 'I' -> "hh", 'p' -> "a")
+    'e' -> "d", 'I' -> "hh", 'p' -> "a",
+    // C-composite shorthands (SQLite ≥3.44 supports these directly)
+    'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'R' -> "HH:mm")
 
   private def buildStrftime(args: Seq[String]): Option[String] = {
     if (!isStringLit(args.head)) return None
@@ -824,6 +826,24 @@ object SqlDialect {
             flushLit()
             pieces += Right(s"lpad(CAST((dayofyear($e) + 6 - " +
               s"weekday($e)) div 7 AS STRING), 2, '0')")
+          // ISO-8601 week directives (SQLite ≥3.44): Spark's
+          // weekofyear() IS the ISO week; the ISO YEAR comes from the
+          // Thursday rule (the week's Thursday determines its year —
+          // e + (4 - isoWeekday) days, i.e. 3 - weekday())
+          case 'V' =>
+            flushLit()
+            pieces += Right(s"lpad(CAST(weekofyear($e) AS STRING), 2, '0')")
+          case 'u' => // ISO weekday 1=Monday..7=Sunday
+            flushLit()
+            pieces += Right(s"CAST(weekday($e) + 1 AS STRING)")
+          case 'G' =>
+            flushLit()
+            pieces += Right(
+              s"CAST(year(date_add(CAST($e AS DATE), 3 - weekday($e))) AS STRING)")
+          case 'g' =>
+            flushLit()
+            pieces += Right(s"lpad(CAST(year(date_add(CAST($e AS DATE), " +
+              s"3 - weekday($e))) % 100 AS STRING), 2, '0')")
           case d =>
             directives.get(d) match {
               case Some(p) => flushLit(); addPat(p)

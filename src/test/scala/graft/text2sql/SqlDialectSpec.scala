@@ -429,7 +429,30 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getString(0) == "2024-W11", row.getString(0))
     assert(row.getString(1) == "week 10 of 2024", row.getString(1))
     // genuinely exotic directives still decline the whole call
-    val exotic = "SELECT strftime('%V', ts) FROM t"
+    val exotic = "SELECT strftime('%c', ts) FROM t"
     assert(SqlDialect.translate(exotic) == exotic)
+  }
+
+  test("strftime ISO directives %V/%G/%g/%u and C composites %F/%T/%R") {
+    // ISO-8601 edges: Jan 1 2021 (Friday) belongs to ISO week 53 of
+    // 2020; Dec 30 2024 (Monday) belongs to ISO week 1 of 2025
+    val cases = Seq(
+      ("2021-01-01", "53", "2020", "20", "5"),
+      ("2024-12-30", "01", "2025", "25", "1"),
+      ("2024-03-15", "11", "2024", "24", "5"))
+    for ((d, v, gy, g2, u) <- cases) {
+      val sql = SqlDialect.translate(
+        s"SELECT strftime('%V', ts), strftime('%G', ts), strftime('%g', ts), " +
+          s"strftime('%u', ts) FROM VALUES (CAST('$d 06:00:00' AS TIMESTAMP)) AS t(ts)")
+      assert(!sql.toLowerCase.contains("strftime"), sql)
+      val r = spark.sql(sql).head()
+      assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        == ((v, gy, g2, u)), s"$d")
+    }
+    val sql = SqlDialect.translate(
+      "SELECT strftime('%F %T', ts), strftime('%R', ts) " +
+        "FROM VALUES (CAST('2024-03-15 06:07:08' AS TIMESTAMP)) AS t(ts)")
+    val r = spark.sql(sql).head()
+    assert(r.getString(0) == "2024-03-15 06:07:08" && r.getString(1) == "06:07")
   }
 }

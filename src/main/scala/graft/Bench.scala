@@ -27,6 +27,8 @@ object Bench {
     "ext_sim_search",      // brute-force cosine top-k (higher-order fns)
     "ext_sim_search_native", // same via native codegen expression
     "ext_sim_search_ivf_indexed", // partition-pruned probe of the materialized ANN index — measured next to brute force
+    "ext_sim_search_full", // brute-force over the ~100k-vector expanded corpus
+    "ext_sim_search_ivf_indexed_full", // indexed probe over the same corpus — the measured pruning win
     "ext_text_quality",    // token analytics single scan
     "ext_fingerprint",     // md5 fingerprinting scan
   )

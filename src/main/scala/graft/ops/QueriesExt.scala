@@ -44,6 +44,32 @@ object QueriesExt {
   private val annIndex =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Bench-scale embedding corpus, materialized ONCE per dataset: the
+    * base embeddings × 20 deterministic perturbed copies (distinct
+    * directions — each copy scales AND shifts elementwise), written as
+    * parquet so the bench-scale similarity keys SCAN a stored corpus
+    * like any real serving path (never re-synthesize per query). At
+    * sf0.1 this is ~100k vectors — enough that partition-pruned ANN
+    * probes separate from a full brute-force scan, which at the raw
+    * 5k-vector table is job-overhead-bound for both.
+    */
+  private def expandedEmbDir(s: SparkSession, d: String): String = {
+    val dir = s"target/graft_tmp/emb_expanded_${TableIds.idFor(d)}"
+    if (!Tables.writeComplete(dir)) synchronized {
+      if (!Tables.writeComplete(dir)) {
+        val base = t("embeddings")(s, d).filter(col("vec_id") =!= 0)
+        (0 until 20).map { k =>
+          base.select((col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => x * lit((1.0 + 0.03 * k).toFloat) + lit((0.01 * k).toFloat))
+              .cast("array<float>").as("embedding"))
+        }.reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: duplicates synthesized (every 10th doc re-appended),
     // then hash-groupBy on content — the 100 TB pattern (shuffle on a
@@ -261,6 +287,42 @@ object QueriesExt {
         maxShingleDf = 150, maxBucket = 64)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
+    }),
+
+    // BENCH-scale brute-force cosine top-k over the materialized
+    // ~100k-vector expanded corpus (fused codegen kernel) — the exact
+    // baseline the indexed probe below is measured against. Rows-only
+    // (derived corpus, no DuckDB analog); recall of the indexed probe
+    // vs this exact scan is bounded in SimilaritySpec on the raw table.
+    "ext_sim_search_full" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(s.read.parquet(expandedEmbDir(s, d)),
+          "vec_id", "embedding", q, k = 10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    // BENCH-scale indexed ANN over the same expanded corpus: 64-cell
+    // IVF index built once (memoized), probe scans the 6 best cells —
+    // a partition-pruned read of ~9% of the corpus. THIS pair of keys
+    // is where "indexed probe beats brute force" becomes a measured
+    // number instead of an asymptotic claim; at the raw 5k-vector
+    // table both sides are Spark job overhead.
+    "ext_sim_search_ivf_indexed_full" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q: Seq[Float] = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val dir = expandedEmbDir(s, d)
+      val idx = annIndex.computeIfAbsent(s"ivf_full_${TableIds.idFor(d)}",
+        key => Similarity.buildIvfIndex(
+          s.read.parquet(dir), "vec_id", "embedding",
+          s"target/ann_index/$key", nCentroids = 64))
+        .asInstanceOf[Similarity.IvfIndex]
+      Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
     }),
 
     // BENCH-scale variant of ext_dedup_minhash: the FULL documents

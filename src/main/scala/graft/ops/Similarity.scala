@@ -167,14 +167,46 @@ object Similarity {
     */
   final case class IvfIndex(path: String, centroids: Seq[Seq[Float]])
 
+  /** OPEN index handles: the resolved parquet relation (schema +
+    * partition-directory listing) per (session, path), reused across
+    * probes. Without this every probe re-runs partition discovery —
+    * above `spark.sql.sources.parallelPartitionDiscovery.threshold`
+    * (default 32) that is a whole distributed listing JOB per query,
+    * which measured ~2× the probe's actual data scan. Every mutation
+    * of a path (rebuild, append) invalidates its handle, so a probe
+    * can never serve a stale file list. This is the contract real ANN
+    * serving uses: indexes are opened once, probed many times.
+    */
+  private val openIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def openIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    openIndexes.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$path",
+      _ => spark.read.parquet(path))
+
+  private def invalidateIndex(path: String): Unit = {
+    val it = openIndexes.keySet().iterator()
+    while (it.hasNext) if (it.next().endsWith(s"|$path")) it.remove()
+  }
+
   def buildIvfIndex(emb: DataFrame, idCol: String, embCol: String,
                     path: String, nCentroids: Int = 16): IvfIndex = {
     val centroids = kmeansCentroids(emb, embCol, nCentroids)
     // canonical 2-column layout: indexColumns (used by the append
     // path) reads the stored schema positionally, so the build must
-    // never write extra or reordered columns
+    // never write extra or reordered columns.
+    // repartition(cell) BEFORE partitionBy: without it every write
+    // task emits one file into every cell it holds rows for (tasks ×
+    // cells tiny files — measured 0.56 s probe vs 0.34 s brute force
+    // at 100k vectors, the probe drowned in open/list overhead);
+    // clustered, each cell is one compact file and the pruned probe
+    // reads exactly nProbe of them
     ivfAssign(emb.select(col(idCol), col(embCol)), idCol, embCol, centroids)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    invalidateIndex(path)
     IvfIndex(path, centroids)
   }
 
@@ -204,6 +236,7 @@ object Similarity {
     ivfAssign(emb.select(col(idCol).as(sid), col(embCol).as(semb)),
         sid, semb, index.centroids)
       .write.mode("append").partitionBy("cell").parquet(index.path)
+    invalidateIndex(index.path)
     index
   }
 
@@ -217,7 +250,7 @@ object Similarity {
     require(index.centroids.head.length == q.length,
       s"query dim ${q.length} != index dim ${index.centroids.head.length}")
     val probeCells = rankCells(index.centroids, q, nProbe)
-    val corpus = spark.read.parquet(index.path)
+    val corpus = openIndex(spark, index.path)
       .filter(col("cell").isin(probeCells: _*))
     bruteForceTopK(corpus, idCol, embCol, q, k)
   }
@@ -241,10 +274,12 @@ object Similarity {
     require(nBits >= 1 && nBits <= maxLshIndexBits,
       s"nBits must be in [1, $maxLshIndexBits] for a partitioned LSH index, got $nBits")
     val planes = hyperplanes(dim, nBits, seed)
-    // canonical 2-column layout — see buildIvfIndex
+    // canonical 2-column layout + cell clustering — see buildIvfIndex
     emb.select(col(idCol), col(embCol))
       .withColumn("cell", lshKey(col(embCol), planes))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    invalidateIndex(path)
     LshIndex(path, planes, nBits)
   }
 
@@ -263,6 +298,7 @@ object Similarity {
     emb.select(col(idCol).as(sid), col(embCol).as(semb))
       .withColumn("cell", lshKey(col(semb), index.planes))
       .write.mode("append").partitionBy("cell").parquet(index.path)
+    invalidateIndex(index.path)
     index
   }
 
@@ -280,7 +316,7 @@ object Similarity {
     // partition column → pruned scan
     val cells = (0L until (1L << index.nBits))
       .filter(c => java.lang.Long.bitCount(c ^ qKey) <= probes)
-    val corpus = spark.read.parquet(index.path)
+    val corpus = openIndex(spark, index.path)
       .filter(col("cell").isin(cells: _*))
     bruteForceTopK(corpus, idCol, embCol, q, k)
   }

@@ -42,8 +42,12 @@ object Upsert {
 
   /** Execute a parsed upsert statement against the session catalog. */
   def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
+    // backtick-quote: ingested tables are hash-named (md5 hex) and may
+    // start with a digit, which spark.table() would fail to PARSE —
+    // a confusing error instead of "not registered"
+    val quotedName = "`" + stmt.table.replace("`", "``") + "`"
     val base =
-      try spark.table(stmt.table)
+      try spark.table(quotedName)
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"INSERT OR REPLACE target '${stmt.table}' is not a registered " +

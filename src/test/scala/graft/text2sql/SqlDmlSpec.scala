@@ -85,6 +85,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, "one", 10L), (2L, "TWO", -1L), (3L, "THREE", -1L)))
   }
 
+  test("digit-leading hash table names upsert (the reference's quoted-hash convention)") {
+    // ingested tables are md5-hex-named and may start with a digit;
+    // the generated SQL quotes them ('9abc…') and spark.table() would
+    // fail to PARSE the bare name without backtick quoting
+    freshView("9abc12f")
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO '9abc12f' (id, name, v) VALUES (1, 'ONE', 11)")
+    val rows = spark.table("`9abc12f`").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "ONE", 11L), (2L, "two", 20L), (3L, "three", 30L)))
+  }
+
   test("upsert errors are targeted: unknown table, arity mismatch, unknown column") {
     freshView("dml_e")
     val e1 = intercept[IllegalArgumentException] {

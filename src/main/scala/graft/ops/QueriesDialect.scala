@@ -43,7 +43,9 @@ object QueriesDialect {
            date(ts, '-1 months') AS minus1m,
            date(ts, 'weekday 1') AS next_mon,
            time(ts) AS tm,
-           datetime(ts, '+1 days', '+2 hours') AS shifted
+           datetime(ts, '+1 days', '+2 hours') AS shifted,
+           datetime(1700000000 + event_id, 'unixepoch') AS from_epoch,
+           date(1700000000 + event_id, 'unixepoch', '+1 days') AS from_epoch_p1
          FROM events ORDER BY event_id""",
 
     "fn_cond_iif" ->
@@ -165,7 +167,11 @@ object QueriesDialect {
            strftime(ts - INTERVAL 1 MONTH, '%Y-%m-%d') AS minus1m,
            strftime(ts + to_days(CAST((1 - dayofweek(ts) + 7) % 7 AS INTEGER)), '%Y-%m-%d') AS next_mon,
            strftime(ts, '%H:%M:%S') AS tm,
-           strftime(ts + INTERVAL 1 DAY + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS shifted
+           strftime(ts + INTERVAL 1 DAY + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS shifted,
+           strftime(make_timestamp(CAST(1700000000 + event_id AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS from_epoch,
+           strftime(make_timestamp(CAST(1700000000 + event_id AS BIGINT) * 1000000)
+                      + INTERVAL 1 DAY, '%Y-%m-%d') AS from_epoch_p1
          FROM events ORDER BY event_id""",
 
     "fn_cond_iif" ->

@@ -11,7 +11,8 @@ package graft.text2sql
   *  - `strftime(fmt, x, mods…)`   → `date_format` (+ `%s`/`%w` specials)
   *  - `date/time/datetime(x, mods…)` → modifier chain + `date_format`
   *    (modifiers: `±N days/hours/…/months/years`, `start of day/month/
-  *    year`, `weekday N`, `localtime`/`utc` no-ops under the UTC session)
+  *    year`, `weekday N`, `unixepoch` first-position base
+  *    reinterpretation, `localtime`/`utc` no-ops under the UTC session)
   *  - `julianday(x, mods…)`       → explicit noon-based Julian formula
   *  - `iif(a,b,c)`                → `if(a,b,c)`
   *  - `group_concat([DISTINCT] x[, sep])` → sorted `array_join(collect_*)`
@@ -876,15 +877,24 @@ object SqlDialect {
   /** Fold `(timeval, modifier…)` into one Spark timestamp expression.
     * No args / `'now'` = the current instant (SQLite `date()` ≡
     * `date('now')`). All modifiers must be string literals (as SQLite
-    * requires). */
+    * requires). The `'unixepoch'` modifier (only valid FIRST, per
+    * SQLite) reinterprets the base value as Unix seconds instead of a
+    * date string — `date(1700000000, 'unixepoch')` is a stock model
+    * emission for epoch columns.
+    */
   private def applyModifiers(args: Seq[String]): Option[String] = {
+    val epochBase = args.length >= 2 && isStringLit(args(1)) &&
+      unquote(args(1)).trim.equalsIgnoreCase("unixepoch")
     var e = args.headOption.map(_.trim) match {
       case None => "current_timestamp()"
       case Some(b) if isStringLit(b) && unquote(b).equalsIgnoreCase("now") =>
         "current_timestamp()"
+      case Some(b) if epochBase =>
+        // fractional seconds honored (SQLite accepts them with subsec)
+        s"timestamp_seconds(CAST($b AS DOUBLE))"
       case Some(b) => s"CAST($b AS TIMESTAMP)"
     }
-    val it = args.drop(1).iterator
+    val it = args.drop(if (epochBase) 2 else 1).iterator
     while (it.hasNext) {
       val m = it.next()
       if (!isStringLit(m)) return None

@@ -455,4 +455,20 @@ class SqlDialectSpec extends SparkSpec {
     val r = spark.sql(sql).head()
     assert(r.getString(0) == "2024-03-15 06:07:08" && r.getString(1) == "06:07")
   }
+
+  test("'unixepoch' modifier reinterprets the base value as Unix seconds") {
+    val sql = SqlDialect.translate(
+      "SELECT datetime(1700000123, 'unixepoch') AS dt, " +
+        "date(1700000123, 'unixepoch', '+1 days') AS d1, " +
+        "strftime('%Y', 1700000123, 'unixepoch') AS y")
+    assert(!sql.toLowerCase.contains("unixepoch'"), sql)
+    val row = spark.sql(sql).head()
+    assert(row.getString(0) == "2023-11-14 22:15:23", row.getString(0))
+    assert(row.getString(1) == "2023-11-15")
+    assert(row.getString(2) == "2023")
+    // 'unixepoch' is only valid as the FIRST modifier (SQLite rule) —
+    // elsewhere it declines the whole call
+    val bad = "SELECT date(x, '+1 days', 'unixepoch') FROM t"
+    assert(SqlDialect.translate(bad) == bad)
+  }
 }

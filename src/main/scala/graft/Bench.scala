@@ -163,15 +163,20 @@ object Bench {
       name -> runs.sorted
     }
     def f3(v: Double) = f"$v%.3f"
+    // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
+    // the MINIMUM, so taking runs(1) as median would report the faster
+    // of the two successes and mask the failure as a healthy (fast!)
+    // number — the exact inversion of the sentinel's purpose
+    def med(r: Seq[Double]) = if (r.head < 0) -1.0 else r(1)
     // "queries" stays name → scalar (the median) for the driver's
     // parser; "spread" carries the full {median,min,max} per key
-    val qs = results.map { case (k, r) => "\"" + k + "\":" + f3(r(1)) }
+    val qs = results.map { case (k, r) => "\"" + k + "\":" + f3(med(r)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, r) =>
-      "\"" + k + "\":{\"median\":" + f3(r(1)) +
+      "\"" + k + "\":{\"median\":" + f3(med(r)) +
         ",\"min\":" + f3(r(0)) + ",\"max\":" + f3(r(2)) + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2(1)).filter(_ >= 0).sum
+    val total = results.map(r => med(r._2)).filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     println(json)

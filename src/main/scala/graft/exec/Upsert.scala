@@ -88,12 +88,21 @@ object Upsert {
     }.toIndexedSeq: _*)
     val merged = merge(base, aligned, Seq(base.columns.head))
     // copy-on-write: materialize BEFORE re-binding the view (the merge
-    // plan reads the old binding; a lazy re-registration would recurse)
+    // plan reads the old binding; a lazy re-registration would
+    // recurse). The dir carries a per-statement generation counter —
+    // a SECOND upsert into the same table reads the parquet the FIRST
+    // one wrote, and overwriting the path a plan is reading from is an
+    // analysis error (or worse). Superseded generations stay on disk
+    // (scratch space, bounded by statement count) because a caller may
+    // still hold a DataFrame over the previous binding.
     val dir = "target/graft_tmp/upsert_" +
-      stmt.table.replaceAll("[^A-Za-z0-9_]", "_")
+      stmt.table.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_g" + Upsert.generation.incrementAndGet()
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)
     out
   }
+
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
 }

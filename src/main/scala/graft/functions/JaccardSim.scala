@@ -94,6 +94,10 @@ case class JaccardSim(left: Expression, right: Expression)
       val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val px = ctx.freshName("px"); val py = ctx.freshName("py")
+      // hygiene: ALL locals via freshName — a raw `k` would shadow (or
+      // collide with) enclosing whole-stage-codegen locals and Janino
+      // would reject the fused method, silently dropping to interpreted
+      val kx = ctx.freshName("kx"); val ky = ctx.freshName("ky")
       s"""
          |int $nx = $x.numElements(); int $ny = $y.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
@@ -105,13 +109,13 @@ case class JaccardSim(left: Expression, right: Expression)
          |  if ($xi == $yj) { $inter++; $px = $xi; $py = $yj; $i++; $j++; }
          |  else if ($xi < $yj) { $px = $xi; $i++; } else { $py = $yj; $j++; }
          |}
-         |for (int k = Math.max($i, 1); k < $nx; k++) {
-         |  if ($x.getLong(k) <= $x.getLong(k - 1))
-         |    graft.functions.JaccardSim.failUnsorted($x.getLong(k), $x.getLong(k - 1), k);
+         |for (int $kx = Math.max($i, 1); $kx < $nx; $kx++) {
+         |  if ($x.getLong($kx) <= $x.getLong($kx - 1))
+         |    graft.functions.JaccardSim.failUnsorted($x.getLong($kx), $x.getLong($kx - 1), $kx);
          |}
-         |for (int k = Math.max($j, 1); k < $ny; k++) {
-         |  if ($y.getLong(k) <= $y.getLong(k - 1))
-         |    graft.functions.JaccardSim.failUnsorted($y.getLong(k), $y.getLong(k - 1), k);
+         |for (int $ky = Math.max($j, 1); $ky < $ny; $ky++) {
+         |  if ($y.getLong($ky) <= $y.getLong($ky - 1))
+         |    graft.functions.JaccardSim.failUnsorted($y.getLong($ky), $y.getLong($ky - 1), $ky);
          |}
          |int $union = $nx + $ny - $inter;
          |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;

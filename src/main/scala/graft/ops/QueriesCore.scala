@@ -135,8 +135,10 @@ object QueriesCore {
         .unionAll(base.filter(col("n_nationkey") < 5)
           .select((col("n_nationkey") + 100).as("n_nationkey"),
             col("n_name"), col("n_regionkey")))
-      val merged = upd.unionAll(
-        base.join(upd.select("n_nationkey"), Seq("n_nationkey"), "left_anti"))
+      // ONE merge implementation: the same updates ∪ anti-joined-base
+      // shape the DML route executes (no drift between the bench key
+      // and the statement path)
+      val merged = graft.exec.Upsert.merge(base, upd, Seq("n_nationkey"))
       val dir = tmpDir("sink_upsert", d)
       merged.write.mode("overwrite").parquet(dir)
       s.read.parquet(dir).orderBy("n_nationkey")

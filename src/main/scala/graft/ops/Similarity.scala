@@ -181,15 +181,23 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def openIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
-    openIndexes.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$path",
-      _ => spark.read.parquet(path))
-
-  private def invalidateIndex(path: String): Unit = {
-    val it = openIndexes.keySet().iterator()
-    while (it.hasNext) if (it.next().endsWith(s"|$path")) it.remove()
+                        path: String): DataFrame = {
+    // keyed by path alone, with the handle's owning SESSION checked by
+    // identity on every hit: a handle cached by a stopped (or merely
+    // different) session is replaced, never served — and the map can
+    // hold at most one entry per index path, so dead sessions cannot
+    // pin an unbounded set of relations for the JVM's lifetime
+    val cached = openIndexes.get(path)
+    if (cached != null && (cached.sparkSession eq spark)) cached
+    else {
+      val df = spark.read.parquet(path)
+      openIndexes.put(path, df)
+      df
+    }
   }
+
+  private def invalidateIndex(path: String): Unit =
+    openIndexes.remove(path)
 
   def buildIvfIndex(emb: DataFrame, idCol: String, embCol: String,
                     path: String, nCentroids: Int = 16): IvfIndex = {

@@ -97,6 +97,10 @@ object SqlDml {
       if (cols.isEmpty) return None
       j = skipWs(sql, close + 1)
     }
+    // truncated statement ("INSERT OR REPLACE INTO t" and nothing
+    // else): decline to the targeted Unsupported error, never an
+    // index-out-of-bounds from charAt below
+    if (j >= sql.length) return None
     val rest = sql.substring(j).trim
     val source =
       if (keywordAt(sql, j, "select") || sql.charAt(j) == '(')

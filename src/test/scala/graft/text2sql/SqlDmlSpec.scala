@@ -85,6 +85,32 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, "one", 10L), (2L, "TWO", -1L), (3L, "THREE", -1L)))
   }
 
+  test("repeated upserts into the same table compose (each reads the prior generation)") {
+    // regression: a fixed materialization dir made statement 2 write
+    // the very path its own merge plan was reading
+    freshView("dml_r")
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO dml_r (id, name, v) VALUES (2, 'TWO', 22)")
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO dml_r (id, name, v) VALUES (2, 'TWO2', 222), (4, 'four', 40)")
+    val rows = spark.table("dml_r").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO2", 222L),
+      (3L, "three", 30L), (4L, "four", 40L)))
+  }
+
+  test("truncated DML raises the targeted error, never an index error") {
+    for (stmt <- Seq(
+      "INSERT OR REPLACE INTO dml_t",
+      "REPLACE INTO dml_t",
+      "INSERT OR REPLACE INTO dml_t (id, name)")) {
+      val e = intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, stmt)
+      }
+      assert(e.getMessage.contains("read-only analytics engine"), stmt)
+    }
+  }
+
   test("digit-leading hash table names upsert (the reference's quoted-hash convention)") {
     // ingested tables are md5-hex-named and may start with a digit;
     // the generated SQL quotes them ('9abc…') and spark.table() would

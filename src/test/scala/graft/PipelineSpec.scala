@@ -101,6 +101,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("DML question end-to-end: generated INSERT OR REPLACE upserts the ingested table") {
+    assume(new java.io.File(goDir).isDirectory)
+    val products = readCsv("go_products.csv")
+    val cacheD = Files.createTempDirectory("graft_cache_dml_").toString
+    val (results, _) = Ingestor.ingest(spark, Seq(products),
+      llm = new StubLlm(), cacheDir = cacheD)
+    val pr = results.head
+    val before = spark.table(s"`${pr.hash}`").count()
+
+    // a mutation question answered with SQLite-style DML against the
+    // hash table — the reference would hand this straight to SQLite;
+    // here Runner routes it onto the copy-on-write upsert
+    val q = "Mark every product as UPDATED"
+    val stub = new StubLlm(Map(q ->
+      (s"INSERT OR REPLACE INTO `${pr.hash}` " +
+        s"SELECT `Product_number`, 'UPD_' || `Product_line`, `Product_type`, " +
+        s"`Product`, `Product_brand`, `Product_color`, `Unit_cost`, `Unit_price` " +
+        s"FROM `${pr.hash}` WHERE `Product_number` < 99999999")))
+    Runner.ask(spark, q, results, stub)
+    val after = spark.table(s"`${pr.hash}`")
+    assert(after.count() == before) // pure replace: no appends
+    import org.apache.spark.sql.functions.col
+    assert(after.filter(col("Product_line").startsWith("UPD_")).count() == before)
+
+    // a delete question fails with the targeted read-only error, not a
+    // generic analysis failure
+    val qd = "Remove all products"
+    val stubD = new StubLlm(Map(qd -> s"DELETE FROM `${pr.hash}`"))
+    val e = intercept[UnsupportedOperationException] {
+      Runner.ask(spark, qd, results, stubD)
+    }
+    assert(e.getMessage.contains("read-only analytics engine"))
+  }
+
   test("three-table join question: categories for products sold in Italy") {
     assume(new java.io.File(goDir).isDirectory)
     import org.apache.spark.sql.functions.col

@@ -105,4 +105,26 @@ class SqlDialectFuzzSpec extends SparkSpec {
       assert(out.contains(l), s"literal $l was rewritten: $out")
     }
   }
+
+  test("SqlDml.detect is total over truncated / mangled DML prefixes") {
+    // the detector's job is to turn DML into either a routed upsert or
+    // a TARGETED error — it must never itself throw on the garbage a
+    // truncated model response produces (regression: charAt past end)
+    val verbs = Gen.oneOf("INSERT OR REPLACE INTO", "REPLACE INTO",
+      "INSERT INTO", "INSERT OR IGNORE INTO", "UPDATE", "DELETE FROM",
+      "WITH c AS (SELECT 1) INSERT OR REPLACE INTO", "SELECT * FROM")
+    val tails = Gen.oneOf("", " t", " t (", " t (a,", " t (a, b)",
+      " t (a, b) VALUES", " t (a, b) VALUES (1", " t (a, b) VALUES (1, 'x')",
+      " t SELECT", " t SELECT * FROM s", " 'h' SELECT 1", " `q t` VALUES (1)",
+      " t (a) (SELECT 1", " t --", " t ''")
+    val prop = Prop.forAll(Gen.zip(verbs, tails)) { case (v, t) =>
+      val stmt = s"$v$t"
+      SqlDml.detect(stmt)       // must not throw
+      // truncation at every prefix length must also be safe
+      (1 to stmt.length).forall { n => SqlDml.detect(stmt.take(n)); true }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"detect totality: $res")
+  }
 }

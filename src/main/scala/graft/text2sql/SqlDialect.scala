@@ -520,8 +520,8 @@ object SqlDialect {
   private val names = Seq(
     "json_group_array", "json_group_object", "group_concat",
     "unixepoch", "julianday", "datetime", "strftime", "random",
-    "unicode", "printf", "total", "trunc", "date", "time", "char", "iif",
-    "cast", "min", "max")
+    "unicode", "printf", "format", "total", "trunc", "date", "time",
+    "char", "iif", "cast", "min", "max")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -657,9 +657,13 @@ object SqlDialect {
     name match {
       case "iif" if args.length == 3 =>
         Some(s"if(${args.mkString(", ")})")
+      // SQLite ≥3.48 two-argument iif: NULL when the condition is false
+      case "iif" if args.length == 2 =>
+        Some(s"(CASE WHEN ${args(0)} THEN ${args(1)} END)")
       case "random" if args.isEmpty =>
         Some("rand()")
-      case "printf" if args.nonEmpty =>
+      // format() is SQLite's printf alias (≥3.38); Spark has no format()
+      case "printf" | "format" if args.nonEmpty =>
         Some(s"format_string(${args.mkString(", ")})")
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
@@ -845,6 +849,14 @@ object SqlDialect {
             flushLit()
             pieces += Right(s"lpad(CAST(year(date_add(CAST($e AS DATE), " +
               s"3 - weekday($e))) % 100 AS STRING), 2, '0')")
+          // space-padded hours (no DateTimeFormatter equivalent)
+          case 'k' => // 24-hour, " 0".." 9" then "10".."23"
+            flushLit()
+            pieces += Right(s"lpad(CAST(hour($e) AS STRING), 2, ' ')")
+          case 'l' => // 12-hour, " 1".."12"
+            flushLit()
+            pieces += Right(
+              s"lpad(CAST(((hour($e) + 11) % 12) + 1 AS STRING), 2, ' ')")
           case d =>
             directives.get(d) match {
               case Some(p) => flushLit(); addPat(p)

@@ -456,6 +456,29 @@ class SqlDialectSpec extends SparkSpec {
     assert(r.getString(0) == "2024-03-15 06:07:08" && r.getString(1) == "06:07")
   }
 
+  test("format() aliases printf; 2-arg iif; %k/%l space-padded hours") {
+    val sql = SqlDialect.translate(
+      "SELECT format('%s-%d', 'a', 7) AS f, iif(1 > 2, 'x') AS n, " +
+        "iif(2 > 1, 'y') AS y, strftime('%k|%l', ts) AS hrs " +
+        "FROM VALUES (CAST('2024-03-15 06:07:08' AS TIMESTAMP)) AS t(ts)")
+    // bare format( must be gone (date_format( from %-directives stays)
+    assert(!sql.matches("(?is).*(?<![_a-z])format\\(.*") &&
+      sql.contains("format_string(") && !sql.toLowerCase.contains("iif"), sql)
+    val r = spark.sql(sql).head()
+    assert(r.getString(0) == "a-7")
+    assert(r.isNullAt(1) && r.getString(2) == "y")
+    assert(r.getString(3) == " 6| 6", r.getString(3))
+    val pm = SqlDialect.translate(
+      "SELECT strftime('%k|%l', ts) AS hrs " +
+        "FROM VALUES (CAST('2024-03-15 13:00:00' AS TIMESTAMP)) AS t(ts)")
+    assert(spark.sql(pm).head().getString(0) == "13| 1")
+    // midnight: %k = " 0", %l = "12"
+    val mid = SqlDialect.translate(
+      "SELECT strftime('%k|%l', ts) AS hrs " +
+        "FROM VALUES (CAST('2024-03-15 00:30:00' AS TIMESTAMP)) AS t(ts)")
+    assert(spark.sql(mid).head().getString(0) == " 0|12")
+  }
+
   test("'unixepoch' modifier reinterprets the base value as Unix seconds") {
     val sql = SqlDialect.translate(
       "SELECT datetime(1700000123, 'unixepoch') AS dt, " +

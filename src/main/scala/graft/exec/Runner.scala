@@ -19,14 +19,18 @@ object Runner {
   def runSql(spark: SparkSession, sql: String): DataFrame =
     SqlDml.detect(sql) match {
       case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
+      case Some(v: SqlDml.CreateView) => Ddl.createView(spark, v)
+      case Some(t: SqlDml.CreateTableAs) => Ddl.createTableAs(spark, t)
+      case Some(d: SqlDml.DropRelation) => Ddl.drop(spark, d)
       case Some(SqlDml.Unsupported(verb)) =>
         throw new UnsupportedOperationException(
           s"graft is a read-only analytics engine over immutable lake " +
-            s"storage; got DML verb $verb. Supported: INSERT OR REPLACE " +
-            s"INTO <table> [(cols)] (SELECT …|VALUES …), executed as a " +
-            s"copy-on-write upsert keyed on the table's leading column. " +
-            s"Express updates/deletes as a SELECT materializing a new " +
-            s"table, or re-ingest the source.")
+            s"storage; got DML verb $verb. Supported statements: " +
+            s"INSERT OR REPLACE INTO <table> [(cols)] (SELECT …|VALUES …) " +
+            s"(copy-on-write upsert keyed on the leading column), " +
+            s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, and " +
+            s"DROP TABLE/VIEW [IF EXISTS] <name>. Express updates/deletes " +
+            s"as a SELECT materializing a new table, or re-ingest.")
       case None => spark.sql(sql)
     }
 

@@ -105,4 +105,9 @@ object Upsert {
   }
 
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Shared generation counter for copy-on-write materializations
+    * (upserts and CTAS) — every statement gets a fresh dir, so no
+    * statement can overwrite a path an earlier binding still reads. */
+  private[exec] def nextGeneration(): Long = generation.incrementAndGet()
 }

@@ -39,6 +39,21 @@ object SqlDml {
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
 
+  /** `CREATE [TEMP] VIEW name AS select` — executed as a session
+    * (temporary) view; the reference's SQLite database is itself
+    * session-scoped, so the lifetime matches. */
+  final case class CreateView(name: String, ifNotExists: Boolean,
+                              sourceSql: String) extends Stmt
+
+  /** `CREATE [TEMP] TABLE name AS select` (CTAS) — materialized
+    * (parquet) and registered as a session table. */
+  final case class CreateTableAs(name: String, ifNotExists: Boolean,
+                                 sourceSql: String) extends Stmt
+
+  /** `DROP TABLE/VIEW [IF EXISTS] name` — unregisters the session
+    * relation (lake files are immutable; only the binding drops). */
+  final case class DropRelation(name: String, ifExists: Boolean) extends Stmt
+
   /** Classify a statement. None = not DML (run it as a query). */
   def detect(sql: String): Option[Stmt] = {
     var i = skipWs(sql, 0)
@@ -53,6 +68,24 @@ object SqlDml {
     }
     if (keywordAt(sql, i, "update")) return Some(Unsupported("UPDATE"))
     if (keywordAt(sql, i, "delete")) return Some(Unsupported("DELETE"))
+    if (keywordAt(sql, i, "create")) return parseCreate(sql, skipWs(sql, i + 6))
+    if (keywordAt(sql, i, "drop")) {
+      var j = skipWs(sql, i + 4)
+      if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view"))
+        return Some(Unsupported("DROP"))
+      j = skipWs(sql, j + (if (keywordAt(sql, j, "table")) 5 else 4))
+      var ifExists = false
+      if (keywordAt(sql, j, "if")) {
+        val k = skipWs(sql, j + 2)
+        if (!keywordAt(sql, k, "exists")) return Some(Unsupported("DROP"))
+        ifExists = true
+        j = skipWs(sql, k + 6)
+      }
+      return parseIdent(sql, j) match {
+        case Some((name, _)) => Some(DropRelation(name, ifExists))
+        case None            => Some(Unsupported("DROP"))
+      }
+    }
     if (keywordAt(sql, i, "replace")) {
       val j = skipWs(sql, i + 7)
       // `REPLACE INTO` is the statement; `replace(` is a scalar function
@@ -81,6 +114,53 @@ object SqlDml {
       return Some(Unsupported("INSERT"))
     }
     None
+  }
+
+  /** Parse `[TEMP|TEMPORARY] (VIEW|TABLE) [IF NOT EXISTS] name AS
+    * select` starting just after CREATE. Anything else under CREATE
+    * (INDEX, TRIGGER, column-def TABLE) declines with the verb named.
+    */
+  private def parseCreate(sql: String, start: Int): Option[Stmt] = {
+    var j = start
+    if (keywordAt(sql, j, "temp")) j = skipWs(sql, j + 4)
+    else if (keywordAt(sql, j, "temporary")) j = skipWs(sql, j + 9)
+    val isView = keywordAt(sql, j, "view")
+    val isTable = keywordAt(sql, j, "table")
+    if (!isView && !isTable) {
+      var k = j
+      while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
+      val kind = sql.substring(j, k).toUpperCase
+      return Some(Unsupported(if (kind.isEmpty) "CREATE" else s"CREATE $kind"))
+    }
+    j = skipWs(sql, j + (if (isView) 4 else 5))
+    var ifNotExists = false
+    if (keywordAt(sql, j, "if")) {
+      val k = skipWs(sql, j + 2)
+      if (!keywordAt(sql, k, "not")) return Some(Unsupported("CREATE"))
+      val m = skipWs(sql, k + 3)
+      if (!keywordAt(sql, m, "exists")) return Some(Unsupported("CREATE"))
+      ifNotExists = true
+      j = skipWs(sql, m + 6)
+    }
+    val verb = if (isView) "CREATE VIEW" else "CREATE TABLE"
+    val (name, afterName) = parseIdent(sql, j)
+      .getOrElse(return Some(Unsupported(verb)))
+    j = skipWs(sql, afterName)
+    // a paren after the name: column DEFINITIONS for TABLE (lake
+    // tables come from ingest, not DDL), a renaming column list for
+    // VIEW — both declined (a visible error beats mis-binding)
+    if (j < sql.length && sql.charAt(j) == '(')
+      return Some(Unsupported(
+        if (isTable) "CREATE TABLE with column definitions"
+        else s"$verb with a column list"))
+    if (!keywordAt(sql, j, "as"))
+      return Some(Unsupported(
+        if (isTable) "CREATE TABLE with column definitions" else verb))
+    j = skipWs(sql, j + 2)
+    if (j >= sql.length) return Some(Unsupported(verb))
+    val source = sql.substring(j).trim
+    Some(if (isView) CreateView(name, ifNotExists, source)
+         else CreateTableAs(name, ifNotExists, source))
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …)` starting at `i`. */

@@ -112,7 +112,10 @@ class SqlDialectFuzzSpec extends SparkSpec {
     // truncated model response produces (regression: charAt past end)
     val verbs = Gen.oneOf("INSERT OR REPLACE INTO", "REPLACE INTO",
       "INSERT INTO", "INSERT OR IGNORE INTO", "UPDATE", "DELETE FROM",
-      "WITH c AS (SELECT 1) INSERT OR REPLACE INTO", "SELECT * FROM")
+      "WITH c AS (SELECT 1) INSERT OR REPLACE INTO", "SELECT * FROM",
+      "CREATE VIEW", "CREATE TEMP VIEW", "CREATE TABLE",
+      "CREATE TABLE IF NOT EXISTS", "CREATE INDEX", "CREATE",
+      "DROP TABLE", "DROP VIEW IF EXISTS", "DROP")
     val tails = Gen.oneOf("", " t", " t (", " t (a,", " t (a, b)",
       " t (a, b) VALUES", " t (a, b) VALUES (1", " t (a, b) VALUES (1, 'x')",
       " t SELECT", " t SELECT * FROM s", " 'h' SELECT 1", " `q t` VALUES (1)",

@@ -123,6 +123,44 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, "ONE", 11L), (2L, "two", 20L), (3L, "three", 30L)))
   }
 
+  test("CREATE VIEW / CREATE TABLE AS / DROP route as session DDL") {
+    freshView("ddl_src")
+    // view: live plan over the session relation
+    Runner.runSql(spark,
+      "CREATE VIEW ddl_v AS SELECT id, upper(name) AS uname FROM ddl_src WHERE id >= 2")
+    assert(spark.table("ddl_v").orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("TWO", "THREE"))
+    // CTAS materializes: mutating nothing, rows persist as stored files
+    Runner.runSql(spark,
+      "CREATE TABLE ddl_t AS SELECT id, v * 2 AS v2 FROM ddl_src")
+    assert(spark.table("ddl_t").orderBy("id")
+      .collect().map(_.getLong(1)).toSeq == Seq(20L, 40L, 60L))
+    // SQLite conflict semantics: bare CREATE on an existing name fails
+    // with the targeted message; IF NOT EXISTS is a no-op
+    val e = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "CREATE VIEW ddl_v AS SELECT 1")
+    }
+    assert(e.getMessage.contains("already exists"))
+    Runner.runSql(spark, "CREATE VIEW IF NOT EXISTS ddl_v AS SELECT 1")
+    assert(spark.table("ddl_v").count() == 2) // unchanged
+    // DROP unregisters; bare DROP on a missing name is targeted
+    Runner.runSql(spark, "DROP VIEW ddl_v")
+    Runner.runSql(spark, "DROP TABLE IF EXISTS ddl_v") // no-op
+    val d = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "DROP TABLE ddl_v")
+    }
+    assert(d.getMessage.contains("no such session table"))
+    // column-def CREATE TABLE and CREATE INDEX decline with the verb named
+    for ((stmt, verb) <- Seq(
+      "CREATE TABLE plain_t (a INTEGER, b TEXT)" -> "column definitions",
+      "CREATE INDEX idx ON t (a)" -> "CREATE INDEX")) {
+      val u = intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, stmt)
+      }
+      assert(u.getMessage.contains(verb), stmt)
+    }
+  }
+
   test("upsert errors are targeted: unknown table, arity mismatch, unknown column") {
     freshView("dml_e")
     val e1 = intercept[IllegalArgumentException] {

@@ -55,7 +55,12 @@ object SqlDml {
   final case class DropRelation(name: String, ifExists: Boolean) extends Stmt
 
   /** Classify a statement. None = not DML (run it as a query). */
-  def detect(sql: String): Option[Stmt] = {
+  def detect(rawSql: String): Option[Stmt] = {
+    // strip trailing statement terminators: models habitually emit
+    // "…;" and a semicolon riding into a re-wrapped source (e.g.
+    // `SELECT * FROM (VALUES (1);)`) is a parse error. Quote-safe: a
+    // literal can't END the statement with a bare ';' outside quotes.
+    val sql = rawSql.replaceAll("[;\\s]+$", "")
     var i = skipWs(sql, 0)
     var withPrefix = ""
     if (keywordAt(sql, i, "with")) {

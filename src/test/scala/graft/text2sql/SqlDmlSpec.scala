@@ -39,6 +39,13 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(detect("SELECT * FROM t").isEmpty)
     assert(detect("SELECT replace(s, 'a', 'b') FROM t").isEmpty)
+    // trailing semicolons (the habitual model emission) never ride
+    // into a re-wrapped source
+    detect("INSERT OR REPLACE INTO t (a) VALUES (1);") match {
+      case Some(Upsert(_, _, src)) => assert(!src.contains(";"), src)
+      case other => fail(s"expected Upsert, got $other")
+    }
+    assert(detect("DROP TABLE t ; ") == Some(DropRelation("t", false)))
     // WITH-prefixed DML classifies; the CTE rides into the source
     detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
       case Some(Upsert("t", _, src)) =>

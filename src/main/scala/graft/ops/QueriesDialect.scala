@@ -108,6 +108,19 @@ object QueriesDialect {
            json_group_object(l_linestatus, cnt) AS status_counts
          FROM per GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // SQLite's built-in RTRIM collation: compare with trailing spaces
+    // ignored. The corpus has no padded columns, so padding is
+    // constructed inline — each predicate only matches if the fold
+    // really strips it (suffix placement, prefix placement, ORDER BY
+    // operand)
+    "filter_collate_rtrim" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE (c_mktsegment || '   ') = 'BUILDING' COLLATE RTRIM
+            OR c_mktsegment = 'FURNITURE  ' COLLATE RTRIM
+            OR (c_mktsegment || ' ') COLLATE RTRIM = 'MACHINERY'
+         ORDER BY (c_name || '  ') COLLATE RTRIM, c_custkey""",
   )
 
   val queries: Map[String, Q] = sqlite.map { case (k, q) =>
@@ -248,5 +261,16 @@ object QueriesDialect {
                || '}' AS status_counts
          FROM per GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // the RTRIM collation rendered explicitly: rtrim both sides
+    // (two-arg form pins the trimmed set to the 0x20 space, exactly
+    // SQLite's RTRIM collation and Spark's one-arg rtrim)
+    "filter_collate_rtrim" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE RTRIM(c_mktsegment || '   ', ' ') = RTRIM('BUILDING', ' ')
+            OR RTRIM(c_mktsegment, ' ') = RTRIM('FURNITURE  ', ' ')
+            OR RTRIM(c_mktsegment || ' ', ' ') = RTRIM('MACHINERY', ' ')
+         ORDER BY RTRIM(c_name || '  ', ' '), c_custkey""",
   )
 }

@@ -265,10 +265,17 @@ object SqlDialect {
     *  - next to `ILIKE` (already folding after [[rewriteLike]]) → the
     *    clause is simply stripped;
     *  - bare operand (`ORDER BY x COLLATE NOCASE`) → `lower(x)`.
-    * Unknown collations (`RTRIM`, custom) are left verbatim — a
-    * visible analysis error beats a silently changed answer. The same
-    * decline applies to IN / BETWEEN / NOT-IN contexts, whose operand
-    * lists the two-sided fold does not model.
+    * `COLLATE RTRIM` (compare with trailing spaces ignored — SQLite
+    * datatype3.html §7.1) folds the same three shapes through
+    * `rtrim()`: both SQLite's RTRIM collation and Spark's one-arg
+    * `rtrim` treat exactly the 0x20 space character, so
+    * rtrim-then-binary-compare IS the collation. Next to ILIKE it
+    * strips like NOCASE does: SQLite's LIKE does not honor collating
+    * sequences at all, so the clause is a no-op there.
+    * Custom collations are left verbatim — a visible analysis error
+    * beats a silently changed answer. The same decline applies to
+    * IN / BETWEEN / NOT-IN contexts, whose operand lists the
+    * two-sided fold does not model.
     */
   private def rewriteCollate(sql: String): String = {
     var i = 0
@@ -286,7 +293,12 @@ object SqlDialect {
             while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
             return rewriteCollate(sql.substring(0, e) + sql.substring(k))
           case "nocase" =>
-            applyNocase(sql, i, k) match {
+            applyCollationFold(sql, i, k, "lower") match {
+              case Some(rewritten) => return rewriteCollate(rewritten)
+              case None            => i = k // unparseable context: leave verbatim
+            }
+          case "rtrim" =>
+            applyCollationFold(sql, i, k, "rtrim") match {
               case Some(rewritten) => return rewriteCollate(rewritten)
               case None            => i = k // unparseable context: leave verbatim
             }
@@ -297,7 +309,8 @@ object SqlDialect {
     sql
   }
 
-  private def applyNocase(sql: String, collStart: Int, collEnd: Int): Option[String] = {
+  private def applyCollationFold(sql: String, collStart: Int, collEnd: Int,
+                                 fn: String): Option[String] = {
     var xEnd = collStart
     while (xEnd > 0 && sql.charAt(xEnd - 1).isWhitespace) xEnd -= 1
     val xStart = primaryStartBackwards(sql, xEnd)
@@ -328,7 +341,7 @@ object SqlDialect {
         if (ye < 0) return None
         val y = sql.substring(ys, ye)
         return Some(sql.substring(0, xStart) +
-          s"lower($x) $op lower($y)" + sql.substring(ye))
+          s"$fn($x) $op $fn($y)" + sql.substring(ye))
       case None =>
     }
 
@@ -351,7 +364,7 @@ object SqlDialect {
         else {
           val aExpr = sql.substring(aStart, ae)
           Some(sql.substring(0, aStart) +
-            s"lower($aExpr) $op lower($x)" + sql.substring(collEnd))
+            s"$fn($aExpr) $op $fn($x)" + sql.substring(collEnd))
         }
       case None =>
         // `A BETWEEN lo AND hi COLLATE NOCASE`: operatorAtBackwards
@@ -361,7 +374,7 @@ object SqlDialect {
         // documented BETWEEN policy on the forward side.
         if (b >= 3 && keywordAt(sql, b - 3, "and")) None
         // bare operand (ORDER BY / GROUP BY position)
-        else Some(sql.substring(0, xStart) + s"lower($x)" + sql.substring(collEnd))
+        else Some(sql.substring(0, xStart) + s"$fn($x)" + sql.substring(collEnd))
     }
   }
 

@@ -357,11 +357,51 @@ class SqlDialectSpec extends SparkSpec {
   test("COLLATE BINARY drops; unknown collations stay verbatim") {
     assert(SqlDialect.translate("SELECT x FROM t ORDER BY x COLLATE BINARY")
       == "SELECT x FROM t ORDER BY x")
-    val rtrim = "SELECT x FROM t WHERE x = 'a' COLLATE RTRIM"
-    assert(SqlDialect.translate(rtrim) == rtrim)
+    // user-defined collations have no Spark counterpart: verbatim
+    val custom = "SELECT x FROM t WHERE x = 'a' COLLATE MYCOLL"
+    assert(SqlDialect.translate(custom) == custom)
     // COLLATE-shaped text inside literals is opaque
     val lit = "SELECT 'ORDER BY x COLLATE NOCASE' AS s FROM t"
     assert(SqlDialect.translate(lit) == lit)
+  }
+
+  test("COLLATE RTRIM folds both sides through rtrim()") {
+    val sql = SqlDialect.translate(
+      "SELECT 'ab   ' = 'ab' COLLATE RTRIM AS a, 'ab x' = 'ab' COLLATE RTRIM AS b, " +
+        "' ab' = 'ab' COLLATE RTRIM AS c")
+    assert(!sql.toLowerCase.contains("collate"), sql)
+    val row = spark.sql(sql).head()
+    // trailing spaces ignored; interior/leading spaces still compare
+    assert(row.getBoolean(0) && !row.getBoolean(1) && !row.getBoolean(2))
+    // prefix placement: X COLLATE RTRIM op Y
+    val pre = SqlDialect.translate("SELECT 'ab ' COLLATE RTRIM = 'ab' AS v")
+    assert(spark.sql(pre).head().getBoolean(0))
+    // ordering: binary-compare says 'a  ' > 'a'; under RTRIM they tie,
+    // so <= flips to true ONLY if the fold really applied
+    val ord = SqlDialect.translate("SELECT 'a  ' <= 'a' COLLATE RTRIM AS v")
+    assert(spark.sql(ord).head().getBoolean(0))
+  }
+
+  test("COLLATE RTRIM in ORDER BY sorts with trailing spaces ignored") {
+    // under binary compare 'a' sorts BEFORE 'a   '; under the RTRIM
+    // fold they tie and the DESC tiebreak puts 'a   ' first — the
+    // order below is only reachable if the fold applied
+    val sql = SqlDialect.translate(
+      "SELECT s FROM VALUES ('a'), ('a   '), ('b') AS t(s) ORDER BY s COLLATE RTRIM, s DESC")
+    assert(!sql.toLowerCase.contains("collate") && sql.contains("rtrim(s)"), sql)
+    assert(spark.sql(sql).collect().map(_.getString(0)).toSeq == Seq("a   ", "a", "b"))
+  }
+
+  test("COLLATE RTRIM next to LIKE strips; IN/BETWEEN decline") {
+    // SQLite's LIKE does not honor collating sequences — the clause is
+    // a no-op there, so stripping preserves semantics
+    val like = SqlDialect.translate("SELECT 'Apple' LIKE 'a%' COLLATE RTRIM AS v")
+    assert(!like.toLowerCase.contains("collate"), like)
+    assert(spark.sql(like).head().getBoolean(0))
+    for (q <- Seq(
+      "SELECT * FROM t WHERE x COLLATE RTRIM IN ('a', 'b')",
+      "SELECT * FROM t WHERE x COLLATE RTRIM BETWEEN 'a' AND 'b'"))
+      assert(SqlDialect.translate(q) == q, q)
   }
 
   test("GLOB/random-shaped text inside literals is opaque") {

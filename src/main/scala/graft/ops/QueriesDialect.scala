@@ -27,6 +27,8 @@ object QueriesDialect {
            strftime('%Y', ts) AS y,
            strftime('%Y-%m', ts) AS ym,
            strftime('%H:%M:%S', ts) AS hms,
+           strftime('%I%p', ts) AS hr12,
+           strftime('%P', ts) AS ampm_lc,
            strftime('%j', ts) AS doy,
            strftime('%w', ts) AS dow,
            strftime('%U', ts) AS wk_sun,
@@ -164,6 +166,8 @@ object QueriesDialect {
            strftime(ts, '%Y') AS y,
            strftime(ts, '%Y-%m') AS ym,
            strftime(ts, '%H:%M:%S') AS hms,
+           strftime(ts, '%I%p') AS hr12,
+           lower(strftime(ts, '%p')) AS ampm_lc,
            strftime(ts, '%j') AS doy,
            CAST(dayofweek(ts) AS VARCHAR) AS dow,
            strftime(ts, '%U') AS wk_sun,

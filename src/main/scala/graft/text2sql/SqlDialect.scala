@@ -862,6 +862,9 @@ object SqlDialect {
             flushLit()
             pieces += Right(s"lpad(CAST(year(date_add(CAST($e AS DATE), " +
               s"3 - weekday($e))) % 100 AS STRING), 2, '0')")
+          case 'P' => // lowercase am/pm ('a' has no lowercase variant)
+            flushLit()
+            pieces += Right(s"lower(date_format($e, 'a'))")
           // space-padded hours (no DateTimeFormatter equivalent)
           case 'k' => // 24-hour, " 0".." 9" then "10".."23"
             flushLit()

@@ -519,6 +519,20 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql(mid).head().getString(0) == " 0|12")
   }
 
+  test("%p upper and %P lower am/pm markers") {
+    // SQLite (C strftime): %p = "AM"/"PM", %P = "am"/"pm"
+    for ((t, want) <- Seq("2024-03-15 06:07:08" -> "06AM|06am",
+                          "2024-03-15 13:00:00" -> "01PM|01pm",
+                          "2024-03-15 00:30:00" -> "12AM|12am",
+                          "2024-03-15 12:00:00" -> "12PM|12pm")) {
+      val sql = SqlDialect.translate(
+        s"SELECT strftime('%I%p|%I%P', ts) AS s " +
+          s"FROM VALUES (CAST('$t' AS TIMESTAMP)) AS t(ts)")
+      assert(!sql.toLowerCase.contains("strftime"), sql)
+      assert(spark.sql(sql).head().getString(0) == want, t)
+    }
+  }
+
   test("'unixepoch' modifier reinterprets the base value as Unix seconds") {
     val sql = SqlDialect.translate(
       "SELECT datetime(1700000123, 'unixepoch') AS dt, " +

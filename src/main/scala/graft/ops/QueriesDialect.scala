@@ -111,6 +111,26 @@ object QueriesDialect {
          FROM per GROUP BY l_returnflag
          ORDER BY l_returnflag""",
 
+    // JSON1 scalar surface as a model emits it: `->` / `->>` operators
+    // (bare-key and $-path forms), json_extract (single and multi
+    // path), constructors, validity, and lengths — all over the
+    // events.props JSON column plus inline-built JSON. Only ints,
+    // strings, and booleans appear in the JSON values (doubles would
+    // make the serialization engine-dependent).
+    "fn_json_sqlite" ->
+      """SELECT event_id,
+           props ->> 'k' AS k_txt,
+           json_extract(props, '$.k') AS k_ext,
+           props -> 'k' AS k_json,
+           ('{"s":"' || event_type || '"}') -> 's' AS s_json,
+           ('{"s":"' || event_type || '"}') ->> 's' AS s_txt,
+           json_valid(props) AS ok,
+           json_array(event_id, event_type) AS arr,
+           json_object('id', event_id, 'type', event_type) AS obj,
+           json_array_length(json_array(event_id, event_type)) AS alen,
+           json_extract(props, '$.k', '$.zz') AS multi
+         FROM events ORDER BY event_id LIMIT 2000""",
+
     // SQLite's built-in RTRIM collation: compare with trailing spaces
     // ignored. The corpus has no padded columns, so padding is
     // constructed inline — each predicate only matches if the fold
@@ -265,6 +285,27 @@ object QueriesDialect {
                || '}' AS status_counts
          FROM per GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // the JSON key rendered with DuckDB's JSON operators: a JSON
+    // number's text and JSON representations coincide, so k_txt /
+    // k_ext / k_json share one expression; `->` on a string field is
+    // rendered by quoting by hand (values are plain event types, no
+    // escapes apply). Constructor results cast to VARCHAR (DuckDB
+    // returns typed JSON), lengths to INTEGER (Spark's
+    // json_array_length is INT, DuckDB's UBIGINT).
+    "fn_json_sqlite" ->
+      """SELECT event_id,
+           props ->> 'k' AS k_txt,
+           props ->> 'k' AS k_ext,
+           props ->> 'k' AS k_json,
+           '"' || event_type || '"' AS s_json,
+           event_type AS s_txt,
+           json_valid(props) AS ok,
+           CAST(json_array(event_id, event_type) AS VARCHAR) AS arr,
+           CAST(json_object('id', event_id, 'type', event_type) AS VARCHAR) AS obj,
+           CAST(json_array_length(json_array(event_id, event_type)) AS INTEGER) AS alen,
+           '[' || (props ->> 'k') || ',null]' AS multi
+         FROM events ORDER BY event_id LIMIT 2000""",
 
     // the RTRIM collation rendered explicitly: rtrim both sides
     // (two-arg form pins the trimmed set to the 0x20 space, exactly

@@ -54,6 +54,7 @@ object SqlDialect {
 
   def translate(sql: String): String = {
     var out = rewriteCalls(sql)
+    out = rewriteJsonArrow(out)
     out = rewriteGlob(out)
     out = rewriteLike(out)
     out = rewriteCollate(out)
@@ -143,6 +144,134 @@ object SqlDialect {
     * (column, dotted column, or literal), matching SQLite's
     * binary-operator grammar for the forms a model emits.
     */
+  /** Start index of the operand ENDING just before `endExcl`, never
+    * crossing below `floor`. A bare token is a non-whitespace run; a
+    * `)`-terminated operand walks back to its balanced `(` and then
+    * over any directly-attached call name — so `trim( c1 )` is one
+    * operand, not `)`. A backtick identifier walks to its opening
+    * backtick (the identifier may contain spaces). Shared by the
+    * binary-operator rewrites (GLOB, `->`/`->>`), which all need the
+    * preceding operand per SQLite's expression grammar. */
+  private def operandStartBackwards(sql: String, endExcl: Int,
+                                    floor: Int): Int = {
+    var lhsStart = endExcl
+    if (lhsStart > floor && sql.charAt(lhsStart - 1) == ')') {
+      var depth = 0
+      var k = lhsStart - 1
+      var stop = false
+      while (k >= floor && !stop) {
+        val ch = sql.charAt(k)
+        if (ch == '\'' || ch == '"' || ch == '`') {
+          // walk back over a quoted run: find its opening quote
+          var m = k - 1
+          while (m >= floor && sql.charAt(m) != ch) m -= 1
+          k = m - 1
+        } else {
+          if (ch == ')') depth += 1
+          else if (ch == '(') { depth -= 1; if (depth == 0) stop = true }
+          k -= 1
+        }
+      }
+      lhsStart = math.max(k + 1, floor)
+      // include a directly-attached call name (`trim(...)`) — but
+      // NOT a glued keyword (`AND(c1) GLOB`), which is a
+      // conjunction, not a function name
+      var nameStart = lhsStart
+      while (nameStart > floor &&
+        (sql.charAt(nameStart - 1).isLetterOrDigit ||
+          sql.charAt(nameStart - 1) == '_')) nameStart -= 1
+      val name = sql.substring(nameStart, lhsStart).toLowerCase
+      if (name.nonEmpty && !Set("and", "or", "not", "where", "on",
+          "when", "then", "else", "in", "by", "select", "from",
+          "having").contains(name))
+        lhsStart = nameStart
+    } else if (lhsStart > floor && sql.charAt(lhsStart - 1) == '`') {
+      // backtick identifier operand — walk to its OPENING backtick
+      // (identifiers may contain spaces; a whitespace walk would
+      // split the token and emit an unbalanced quote)
+      var m = lhsStart - 2
+      while (m >= floor && sql.charAt(m) != '`') m -= 1
+      lhsStart = math.max(m, floor)
+    } else if (lhsStart > floor && sql.charAt(lhsStart - 1) == '\'') {
+      // string-literal operand (`'{"k": 69}' ->> 'k'`) — walk to its
+      // OPENING quote, honoring '' escapes backwards (a quote pair is
+      // an escape, a lone quote is the opener); the literal may
+      // contain spaces, so the bare-token walk below would split it
+      var m = lhsStart - 2
+      var open = -1
+      while (m >= floor && open < 0) {
+        if (sql.charAt(m) == '\'') {
+          if (m - 1 >= floor && sql.charAt(m - 1) == '\'') m -= 2
+          else open = m
+        } else m -= 1
+      }
+      lhsStart = math.max(if (open >= 0) open else floor, floor)
+    } else {
+      while (lhsStart > floor && !sql.charAt(lhsStart - 1).isWhitespace)
+        lhsStart -= 1
+    }
+    lhsStart
+  }
+
+  /** SQLite JSON operators `->` (extract as JSON text — strings stay
+    * quoted) and `->>` (extract as SQL value — strings unquoted).
+    * Spark has no infix JSON operator, so both rewrite to calls:
+    * `->>` to `get_json_object` (codegen'd, unquoting — the exact
+    * semantics), `->` to `to_json(variant_get(parse_json(…)))`
+    * (Spark 4 variant round-trip: objects/arrays serialize as JSON,
+    * scalar strings keep their quotes, exactly SQLite's `->`).
+    * The RHS must be a literal — a `'$.path'`, a bare `'key'`
+    * (normalized to `'$.key'`), or an integer index `n` (normalized
+    * to `'$[n]'`), SQLite's three documented forms; anything else
+    * declines and the operator is left verbatim → visible analysis
+    * error. Chains (`x -> 'a' ->> 'b'`) resolve by restart: each
+    * rewritten call becomes the next operator's `)`-terminated LHS
+    * operand. `-->` is a SQLite line comment, never an arrow. */
+  private def rewriteJsonArrow(sql: String): String = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '>' &&
+               (i == 0 || sql.charAt(i - 1) != '-')) {
+        val unquoting = i + 2 < sql.length && sql.charAt(i + 2) == '>'
+        val opEnd = i + (if (unquoting) 3 else 2)
+        var lhsEnd = i
+        while (lhsEnd > 0 && sql.charAt(lhsEnd - 1).isWhitespace) lhsEnd -= 1
+        val lhsStart = operandStartBackwards(sql, lhsEnd, 0)
+        var j = opEnd
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        // normalized '<path literal>' (including quotes) + end index
+        val path: Option[(String, Int)] =
+          if (j < sql.length && sql.charAt(j) == '\'') {
+            val e = endOfQuote(sql, j)
+            val body = sql.substring(j + 1, e - 1)
+            if (body.startsWith("$")) Some((sql.substring(j, e), e))
+            else if (body.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              Some((s"'$$.$body'", e))
+            else None
+          } else {
+            var e = j
+            while (e < sql.length && sql.charAt(e).isDigit) e += 1
+            if (e > j && (e == sql.length || !isWordChar(sql.charAt(e))))
+              Some((s"'$$[${sql.substring(j, e)}]'", e))
+            else None
+          }
+        path match {
+          case Some((p, e)) if lhsStart < lhsEnd =>
+            val lhs = sql.substring(lhsStart, lhsEnd)
+            val repl =
+              if (unquoting) s"get_json_object($lhs, $p)"
+              else s"to_json(variant_get(parse_json($lhs), $p))"
+            return rewriteJsonArrow(
+              sql.substring(0, lhsStart) + repl + sql.substring(e))
+          case _ => i = opEnd
+        }
+      } else i += 1
+    }
+    sql
+  }
+
   private def rewriteGlob(sql: String): String = {
     val out = new java.lang.StringBuilder
     var i = 0
@@ -158,48 +287,7 @@ object SqlDialect {
         // parenthesized rewrite would otherwise split the call).
         var lhsEnd = i
         while (lhsEnd > emitted && sql.charAt(lhsEnd - 1).isWhitespace) lhsEnd -= 1
-        var lhsStart = lhsEnd
-        if (lhsStart > emitted && sql.charAt(lhsStart - 1) == ')') {
-          var depth = 0
-          var k = lhsStart - 1
-          var stop = false
-          while (k >= emitted && !stop) {
-            val ch = sql.charAt(k)
-            if (ch == '\'' || ch == '"' || ch == '`') {
-              // walk back over a quoted run: find its opening quote
-              var m = k - 1
-              while (m >= emitted && sql.charAt(m) != ch) m -= 1
-              k = m - 1
-            } else {
-              if (ch == ')') depth += 1
-              else if (ch == '(') { depth -= 1; if (depth == 0) stop = true }
-              k -= 1
-            }
-          }
-          lhsStart = math.max(k + 1, emitted)
-          // include a directly-attached call name (`trim(...)`) — but
-          // NOT a glued keyword (`AND(c1) GLOB`), which is a
-          // conjunction, not a function name
-          var nameStart = lhsStart
-          while (nameStart > emitted &&
-            (sql.charAt(nameStart - 1).isLetterOrDigit ||
-              sql.charAt(nameStart - 1) == '_')) nameStart -= 1
-          val name = sql.substring(nameStart, lhsStart).toLowerCase
-          if (name.nonEmpty && !Set("and", "or", "not", "where", "on",
-              "when", "then", "else", "in", "by", "select", "from",
-              "having").contains(name))
-            lhsStart = nameStart
-        } else if (lhsStart > emitted && sql.charAt(lhsStart - 1) == '`') {
-          // backtick identifier operand — walk to its OPENING backtick
-          // (identifiers may contain spaces; a whitespace walk would
-          // split the token and emit an unbalanced quote)
-          var m = lhsStart - 2
-          while (m >= emitted && sql.charAt(m) != '`') m -= 1
-          lhsStart = math.max(m, emitted)
-        } else {
-          while (lhsStart > emitted && !sql.charAt(lhsStart - 1).isWhitespace)
-            lhsStart -= 1
-        }
+        val lhsStart = operandStartBackwards(sql, lhsEnd, emitted)
         // RHS: must be a string literal
         var j = i + 4
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -532,6 +620,8 @@ object SqlDialect {
     */
   private val names = Seq(
     "json_group_array", "json_group_object", "group_concat",
+    "json_array_length", "json_extract", "json_object", "json_array",
+    "json_valid", "json", "likelihood", "likely", "unlikely",
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max")
@@ -728,8 +818,82 @@ object SqlDialect {
       case "json_group_object" if args.length == 2 =>
         Some(s"to_json(map_from_entries(array_sort(collect_list(" +
           s"struct(${args(0)}, ${args(1)})))))")
+      // JSON1 scalar surface. json_extract's SQL-value semantics are
+      // get_json_object's (strings unquoted, objects/arrays as JSON
+      // text); residual delta: JSON numbers/booleans come back as
+      // STRING '7'/'true', not typed values — comparisons coerce,
+      // documented in README. Multi-path form returns a JSON array of
+      // the per-path values (missing paths → JSON null), per SQLite.
+      case "json_extract" if args.length == 2 =>
+        Some(s"get_json_object(${args(0)}, ${args(1)})")
+      case "json_extract" if args.length > 2 =>
+        val parts = args.tail.map(p =>
+          s"coalesce(to_json(variant_get(parse_json(${args(0)}), $p)), 'null')")
+        Some(s"concat('[', concat_ws(',', ${parts.mkString(", ")}), ']')")
+      // json(X): validate + minify. parse_json throws on malformed
+      // input — so does SQLite's json().
+      case "json" if args.length == 1 =>
+        Some(s"to_json(parse_json(${args.head}))")
+      // Boolean (not SQLite's 0/1 — WHERE is the common position and
+      // Spark filters need BOOLEAN); NULL input stays NULL per SQLite
+      case "json_valid" if args.length == 1 =>
+        Some(s"(CASE WHEN (${args.head}) IS NULL THEN NULL " +
+          s"ELSE try_parse_json(${args.head}) IS NOT NULL END)")
+      case "json_array" =>
+        if (args.isEmpty) Some("'[]'")
+        else Some(s"concat('[', concat_ws(',', " +
+          s"${args.map(jsonQuoteValue).mkString(", ")}), ']')")
+      // keys must be string literals (the form models emit; SQLite
+      // errors on non-text labels anyway) — else decline visibly
+      case "json_object"
+          if args.length % 2 == 0 &&
+            args.grouped(2).forall(p => isStringLit(p.head)) =>
+        if (args.isEmpty) Some("'{}'")
+        else {
+          val pairs = args.grouped(2).map { p =>
+            s"concat(${jsonQuoteValue(p(0))}, ':', ${jsonQuoteValue(p(1))})"
+          }
+          Some(s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')")
+        }
+      // 1-arg json_array_length is native Spark (same name) except it
+      // yields NULL (not SQLite's 0) on valid non-array JSON — patched
+      // with the try_parse_json guard; 2-arg (path) form composes
+      case "json_array_length" if args.length == 1 =>
+        Some(s"(CASE WHEN (${args.head}) IS NULL THEN NULL " +
+          s"WHEN try_parse_json(${args.head}) IS NULL THEN NULL " +
+          s"ELSE coalesce(json_array_length(${args.head}), 0) END)")
+      case "json_array_length" if args.length == 2 =>
+        Some(s"(CASE WHEN get_json_object(${args(0)}, ${args(1)}) IS NULL " +
+          s"THEN NULL ELSE coalesce(json_array_length(" +
+          s"get_json_object(${args(0)}, ${args(1)})), 0) END)")
+      // SQLite planner hints: identity on the value
+      case "likely" | "unlikely" if args.length == 1 =>
+        Some(s"(${args.head})")
+      case "likelihood" if args.length == 2 =>
+        Some(s"(${args.head})")
       case _ => None
     }
+
+  /** One json_array/json_object element: serialize the SQL value as
+    * JSON text (variant cast quotes strings, passes numbers/booleans
+    * through; SQL NULL → JSON `null`). A value that is itself already
+    * JSON text from a translated JSON call (`json(…)`, `->`, both
+    * rewritten to `to_json(…)` by the time this runs on rewritten
+    * args) is spliced verbatim — SQLite's JSON-subtype rule, so
+    * `json_array(json('[1]'))` nests as `[[1]]`, not a quoted string. */
+  private def jsonQuoteValue(e: String): String = {
+    val t = e.trim
+    // already-JSON shapes: anything this builder family itself emits —
+    // to_json(…) (json()/`->`/aggregates), a rewritten json_array/
+    // json_object (the exact concat prefix is ours), or their empty
+    // literals. Everything else is an SQL value to be serialized.
+    val alreadyJson = t.startsWith("to_json(") ||
+      t.startsWith("concat('[', concat_ws(',', ") ||
+      t.startsWith("concat('{', concat_ws(',', ") ||
+      t == "'[]'" || t == "'{}'"
+    if (alreadyJson) s"coalesce($t, 'null')"
+    else s"coalesce(to_json(CAST($t AS VARIANT)), 'null')"
+  }
 
   /** SQLite storage classes → Spark types inside `CAST(x AS T)`.
     * Types Spark already accepts (INTEGER, BIGINT, VARCHAR, …) decline

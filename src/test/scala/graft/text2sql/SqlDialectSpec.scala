@@ -519,6 +519,70 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql(mid).head().getString(0) == " 0|12")
   }
 
+  test("JSON1 scalar functions: json_extract, json, json_valid, lengths") {
+    def one(expr: String): Any = {
+      val sql = SqlDialect.translate("SELECT " + expr)
+      spark.sql(sql).head().get(0)
+    }
+    assert(one("""json_extract('{"a":{"b":7}}', '$.a.b')""") == "7")
+    // multi-path: JSON array with null placeholders for missing paths
+    assert(one("""json_extract('{"a":1,"c":"x"}', '$.a', '$.b', '$.c')""")
+      == """[1,null,"x"]""")
+    assert(one("""json('  {"a": 1, "b" : [1, 2]}  ')""") == """{"a":1,"b":[1,2]}""")
+    assert(one("""json_valid('{"a":1}')""") == true)
+    assert(one("""json_valid('{bad')""") == false)
+    assert(one("""json_valid(NULL)""") == null)
+    assert(one("""json_array_length('[1,2,3]')""") == 3)
+    // SQLite: 0 (not NULL) for valid non-array JSON, NULL for malformed
+    assert(one("""json_array_length('{"a":1}')""") == 0)
+    assert(one("""json_array_length('nonsense')""") == null)
+    assert(one("""json_array_length('{"a":[1,2]}', '$.a')""") == 2)
+    assert(one("""json_array_length('{"a":[1,2]}', '$.b')""") == null)
+    assert(one("""likely(7) + unlikely(3) + likelihood(5, 0.5)""") == 15)
+  }
+
+  test("JSON1 constructors: json_array / json_object, subtype nesting") {
+    def one(expr: String): Any =
+      spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
+    assert(one("""json_array(1, 'a"b', NULL, 2.5)""") == """[1,"a\"b",null,2.5]""")
+    assert(one("json_array()") == "[]")
+    assert(one("""json_object('a', 1, 'b', 'x', 'c', NULL)""")
+      == """{"a":1,"b":"x","c":null}""")
+    // JSON-subtype rule: a nested json_*/json() value splices as JSON,
+    // a plain string that LOOKS like JSON stays a quoted string
+    assert(one("""json_object('nested', json_array(1,2))""")
+      == """{"nested":[1,2]}""")
+    assert(one("""json_array(json('[1,2]'), '[3]')""") == """[[1,2],"[3]"]""")
+    // non-literal keys decline → left verbatim → visible analysis error
+    val declined = "SELECT json_object(k, v) FROM t"
+    assert(SqlDialect.translate(declined) == declined)
+  }
+
+  test("JSON -> and ->> operators: paths, bare keys, indexes, chains") {
+    def one(expr: String): Any =
+      spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
+    // ->> unquotes strings; -> keeps the JSON representation
+    assert(one("""'{"a":{"b":"s"}}' -> 'a' ->> 'b'""") == "s")
+    assert(one("""'{"a":{"b":"s"}}' -> 'a' -> 'b'""") == "\"s\"")
+    assert(one("""'{"a":{"b":2}}' -> 'a'""") == """{"b":2}""")
+    // bare key and integer-index RHS normalize to $-paths
+    assert(one("""'[10,20,30]' -> 1""") == "20")
+    assert(one("""'{"k": 69}' ->> '$.k'""") == "69")
+    // literal LHS with embedded spaces and '' escapes survives the scan
+    assert(one("""'{"it''s": 1}' ->> '$'""") == """{"it's":1}""")
+    // missing key → NULL
+    assert(one("""'{"a":1}' ->> 'zzz'""") == null)
+    // column LHS through a real plan
+    val df = spark.sql(SqlDialect.translate(
+      """SELECT props ->> 'k' AS k FROM VALUES ('{"k": 42}') AS t(props)"""))
+    assert(df.head().getString(0) == "42")
+    // non-literal RHS declines verbatim (visible failure, no rewrite)
+    val declined = "SELECT data -> other_col FROM t"
+    assert(SqlDialect.translate(declined) == declined)
+    // a SQLite line comment starting `-->` is not an arrow
+    assert(SqlDialect.translate("SELECT 1 --> 'x'\n") == "SELECT 1 --> 'x'\n")
+  }
+
   test("%p upper and %P lower am/pm markers") {
     // SQLite (C strftime): %p = "AM"/"PM", %P = "am"/"pm"
     for ((t, want) <- Seq("2024-03-15 06:07:08" -> "06AM|06am",

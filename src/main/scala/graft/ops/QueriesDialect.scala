@@ -66,9 +66,30 @@ object QueriesDialect {
       """SELECT l_returnflag,
            group_concat(DISTINCT l_linestatus) AS statuses,
            group_concat(l_linestatus, '|') AS all_statuses,
+           string_agg(l_linestatus, '/') AS sa,
            total(l_quantity) AS tq
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // string functions whose Spark twins silently differ: 2-arg
+    // ltrim/rtrim/trim take (trimStr, src) in Spark — swapped operands,
+    // wrong VALUES without translation, not an error; printf's Java
+    // Formatter throws on %f-with-DECIMAL and %i; concat propagates
+    // NULL where SQLite skips it; glob()'s function form and typeof's
+    // storage classes don't exist in Spark at all
+    "fn_text_sqlite" ->
+      """SELECT c_custkey,
+           ltrim(c_name, 'Customer#') AS id_digits,
+           rtrim(c_name, '0123456789') AS name_prefix,
+           trim(c_mktsegment, 'AEIOU') AS seg_trim,
+           printf('%s has %.2f', c_name, c_acctbal) AS msg,
+           printf('%08d|%x', c_custkey, c_custkey) AS padded,
+           concat(c_name, NULL, '!') AS bang,
+           typeof(c_acctbal) AS t_bal,
+           typeof(c_name) AS t_name,
+           typeof(c_custkey) AS t_key,
+           iif(glob('Customer#*', c_name), 1, 0) AS is_cust
+         FROM customer ORDER BY c_custkey""",
 
     // SQLite trunc() is numeric where Spark's trunc() is date-only —
     // silently invalid without translation. log10/2-arg log are valid
@@ -229,9 +250,29 @@ object QueriesDialect {
       """SELECT l_returnflag,
            STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
            STRING_AGG(l_linestatus, '|' ORDER BY l_linestatus) AS all_statuses,
+           STRING_AGG(l_linestatus, '/' ORDER BY l_linestatus) AS sa,
            COALESCE(SUM(l_quantity), 0.0) AS tq
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // DuckDB's 2-arg trims are (src, chars) like SQLite — direct; its
+    // printf is C-flavored so the int directives get explicit casts;
+    // DuckDB concat skips NULLs natively; typeof expectations are
+    // written as literals; glob's operator form replaces the function
+    "fn_text_sqlite" ->
+      """SELECT c_custkey,
+           LTRIM(c_name, 'Customer#') AS id_digits,
+           RTRIM(c_name, '0123456789') AS name_prefix,
+           TRIM(c_mktsegment, 'AEIOU') AS seg_trim,
+           PRINTF('%s has %.2f', c_name, c_acctbal) AS msg,
+           PRINTF('%08d|%x', CAST(c_custkey AS BIGINT),
+                  CAST(c_custkey AS BIGINT)) AS padded,
+           c_name || '!' AS bang,
+           'real' AS t_bal,
+           'text' AS t_name,
+           'integer' AS t_key,
+           CASE WHEN c_name GLOB 'Customer#*' THEN 1 ELSE 0 END AS is_cust
+         FROM customer ORDER BY c_custkey""",
 
     "fn_math_sqlite" ->
       """SELECT l_orderkey, l_linenumber,

@@ -624,7 +624,8 @@ object SqlDialect {
     "json_valid", "json", "likelihood", "likely", "unlikely",
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
-    "char", "iif", "cast", "min", "max")
+    "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
+    "glob", "string_agg", "concat", "typeof")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -767,7 +768,46 @@ object SqlDialect {
         Some("rand()")
       // format() is SQLite's printf alias (≥3.38); Spark has no format()
       case "printf" | "format" if args.nonEmpty =>
-        Some(s"format_string(${args.mkString(", ")})")
+        buildPrintf(args)
+      // SQLite 2-arg ltrim/rtrim/trim are (src, trimChars); Spark's
+      // legacy 2-arg forms are (trimStr, src) — SAME TOKEN, SWAPPED
+      // arguments, silently wrong values without the flip
+      case "ltrim" | "rtrim" if args.length == 2 =>
+        Some(s"$name(${args(1)}, ${args(0)})")
+      case "trim" if args.length == 2 =>
+        Some(s"TRIM(BOTH ${args(1)} FROM ${args(0)})")
+      // glob(PATTERN, STRING) — the function form of the GLOB operator
+      // (note the swapped operand order); literal patterns compile to
+      // the same anchored regex, non-literal patterns decline visibly
+      case "glob" if args.length == 2 && isStringLit(args.head) =>
+        val regex = graft.functions.Glob.toRegex(unquote(args.head))
+          .replace("\\", "\\\\").replace("'", "''")
+        Some(s"(${args(1)} RLIKE '$regex')")
+      // SQLite ≥3.44 string_agg(X, SEP) is an exact group_concat alias
+      // (arbitrary order) — rendered sorted like group_concat. Spark 4
+      // has a native string_agg, but its input order is partition-
+      // dependent: leaving it untranslated would make declared-SQLite
+      // queries nondeterministic across runs.
+      case "string_agg" if args.length == 2 => buildGroupConcat(args)
+      // SQLite concat()/concat_ws() skip NULL arguments; Spark's
+      // concat is NULL-propagating (same token, different algebra) —
+      // concat_ws with an empty separator is the exact semantics,
+      // including '' (never NULL) when every argument is NULL
+      case "concat" if args.nonEmpty =>
+        Some(s"concat_ws('', ${args.mkString(", ")})")
+      // SQLite typeof() returns storage classes; Spark's returns its
+      // own type names. Value-based 'null' needs the IS NULL guard
+      // (Spark typeof is static); booleans/dates map to how SQLite
+      // would store them (integer / text).
+      case "typeof" if args.length == 1 =>
+        val x = args.head
+        Some(s"(CASE WHEN ($x) IS NULL THEN 'null' " +
+          s"WHEN typeof($x) IN ('tinyint','smallint','int','bigint'," +
+          s"'boolean') THEN 'integer' " +
+          s"WHEN typeof($x) IN ('float','double') " +
+          s"OR typeof($x) LIKE 'decimal%' THEN 'real' " +
+          s"WHEN typeof($x) = 'binary' THEN 'blob' " +
+          s"ELSE 'text' END)")
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>
@@ -923,6 +963,65 @@ object SqlDialect {
   private def unquote(s: String): String = {
     val t = s.trim
     t.substring(1, t.length - 1).replace("''", "'")
+  }
+
+  /** SQLite printf → format_string. Java's Formatter is strict where
+    * SQLite's is lenient: %f on an INTEGER/DECIMAL argument throws at
+    * runtime (`f != Decimal`), %i doesn't exist, and SQLite's `!` flag
+    * is unknown — so for a LITERAL format string the conversions are
+    * scanned and each consuming argument gets the cast SQLite would
+    * apply (%d/%i/%x/%o → BIGINT, %e/%f/%g → DOUBLE), `%i` renders as
+    * `%d` and `!` is dropped. SQLite-only conversions (%q/%Q/%w/%u/%c)
+    * and `*` widths decline the whole call → visible error. A
+    * non-literal format string passes through to format_string as-is
+    * (no directive knowledge — the pre-existing behavior). */
+  private def buildPrintf(args: Seq[String]): Option[String] = {
+    if (!isStringLit(args.head))
+      return Some(s"format_string(${args.mkString(", ")})")
+    val fmt = unquote(args.head)
+    val fixed = new StringBuilder
+    val kinds = scala.collection.mutable.ArrayBuffer.empty[Char]
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { fixed.append(c); i += 1 }
+      else if (i + 1 < fmt.length && fmt.charAt(i + 1) == '%') {
+        fixed.append("%%"); i += 2
+      } else {
+        var j = i + 1
+        val spec = new StringBuilder("%")
+        while (j < fmt.length && "-+ 0#,!".indexOf(fmt.charAt(j)) >= 0) {
+          if (fmt.charAt(j) != '!') spec.append(fmt.charAt(j))
+          j += 1
+        }
+        while (j < fmt.length && fmt.charAt(j).isDigit) {
+          spec.append(fmt.charAt(j)); j += 1
+        }
+        if (j < fmt.length && fmt.charAt(j) == '.') {
+          spec.append('.'); j += 1
+          while (j < fmt.length && fmt.charAt(j).isDigit) {
+            spec.append(fmt.charAt(j)); j += 1
+          }
+        }
+        if (j >= fmt.length) return None
+        fmt.charAt(j) match {
+          case 'd' | 'i'                   => kinds += 'd'; spec.append('d')
+          case k @ ('x' | 'X' | 'o')       => kinds += 'd'; spec.append(k)
+          case k @ ('e' | 'E' | 'f' | 'g' | 'G') => kinds += 'f'; spec.append(k)
+          case 's'                         => kinds += 's'; spec.append('s')
+          case _                           => return None
+        }
+        fixed.append(spec); i = j + 1
+      }
+    }
+    if (kinds.length != args.length - 1) return None
+    val casted = kinds.toSeq.zip(args.tail).map {
+      case ('d', a) => s"CAST($a AS BIGINT)"
+      case ('f', a) => s"CAST($a AS DOUBLE)"
+      case (_, a)   => a
+    }
+    val lit = "'" + fixed.toString.replace("'", "''") + "'"
+    Some((lit +: casted).mkString("format_string(", ", ", ")"))
   }
 
   private val distinctRe = "(?is)^DISTINCT\\s+(.*)$".r

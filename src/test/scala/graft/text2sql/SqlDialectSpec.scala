@@ -583,6 +583,52 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate("SELECT 1 --> 'x'\n") == "SELECT 1 --> 'x'\n")
   }
 
+  test("2-arg ltrim/rtrim/trim swap to Spark's legacy (trimStr, src) order") {
+    def one(expr: String): Any =
+      spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
+    // SQLite is (src, trimChars); untranslated these return '' / 'x…'
+    assert(one("ltrim('xxay', 'x')") == "ay")
+    assert(one("rtrim('axyy', 'y')") == "ax")
+    assert(one("trim('xayx', 'x')") == "ay")
+    // 1-arg forms pass through untouched
+    assert(one("ltrim('  pad  ')") == "pad  ")
+    assert(one("trim('  s  ')") == "s")
+  }
+
+  test("printf casts args per conversion; %i, SQLite-only verbs decline") {
+    def one(expr: String): Any =
+      spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
+    // untranslated, Java's Formatter throws `f != Decimal` on these
+    assert(one("printf('%.2f', 3.14159)") == "3.14")
+    assert(one("printf('%d items', 42.7)") == "42 items")
+    assert(one("printf('[%5i]', 7)") == "[    7]")
+    assert(one("printf('%x|%o', 255, 8)") == "ff|10")
+    assert(one("printf('%,d', 1234567)") == "1,234,567")
+    // SQLite-only conversions decline the whole call (left verbatim)
+    val q = "SELECT printf('%q', x) FROM t"
+    assert(SqlDialect.translate(q) == q)
+    // arg-count mismatch declines rather than guessing
+    val m = "SELECT printf('%d%d', x) FROM t"
+    assert(SqlDialect.translate(m) == m)
+  }
+
+  test("glob() function form, concat NULL-skip, string_agg, typeof") {
+    def one(expr: String): Any =
+      spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
+    assert(one("glob('a*c', 'abc')") == true)   // (pattern, string) order
+    assert(one("glob('a?d', 'abc')") == false)
+    assert(one("concat('a', NULL, 'b')") == "ab") // Spark concat → NULL
+    assert(one("concat(NULL)") == "")
+    // string_agg = group_concat alias: sorted for determinism
+    assert(one("string_agg(x, '|') FROM VALUES ('b'),('a') AS t(x)") == "a|b")
+    assert(one("typeof(3)") == "integer")
+    assert(one("typeof(3.5)") == "real")
+    assert(one("typeof('s')") == "text")
+    assert(one("typeof(NULL)") == "null")
+    assert(one("typeof(X'01')") == "blob")
+    assert(one("typeof(CAST('2024-01-01' AS DATE))") == "text")
+  }
+
   test("%p upper and %P lower am/pm markers") {
     // SQLite (C strftime): %p = "AM"/"PM", %P = "am"/"pm"
     for ((t, want) <- Seq("2024-03-15 06:07:08" -> "06AM|06am",

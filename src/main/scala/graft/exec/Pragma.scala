@@ -1,0 +1,135 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SQLite introspection surface for generated SQL. In the reference the
+  * model's statements run against a real SQLite database, where `PRAGMA
+  * table_info` and the `sqlite_master` catalog always exist and models
+  * routinely lean on them for schema questions (reference
+  * pandasqlite/pandasqlite.py:245-247 delegates any statement). Spark
+  * has neither, so:
+  *
+  *  - `PRAGMA table_info(T)` / `PRAGMA table_list` statements render
+  *    the SQLite-shaped rows from the session catalog;
+  *  - the table-valued form `pragma_table_info('T')` inside a SELECT is
+  *    rewritten to an on-demand temp view of the same rows;
+  *  - a statement referencing `sqlite_master` gets a session view of
+  *    that name built from the catalog — `sql` column synthesized with
+  *    the same CREATE TABLE rendering the ingestion snapshot uses
+  *    ([[graft.ingest.Ddl.createTable]]), so the two introspection
+  *    surfaces always agree.
+  *
+  * Other pragmas raise a targeted error (visible-failure policy): they
+  * configure storage engines this library does not have.
+  */
+object Pragma {
+
+  private val tableInfoSchema = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("notnull", IntegerType, nullable = false),
+    StructField("dflt_value", StringType, nullable = true),
+    StructField("pk", IntegerType, nullable = false)))
+
+  private val tableListSchema = StructType(Seq(
+    StructField("schema", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("ncol", IntegerType, nullable = false),
+    StructField("wr", IntegerType, nullable = false),
+    StructField("strict", IntegerType, nullable = false)))
+
+  private val masterSchema = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("tbl_name", StringType, nullable = false),
+    StructField("rootpage", IntegerType, nullable = false),
+    StructField("sql", StringType, nullable = false)))
+
+  /** `PRAGMA table_info(T)` rows for one table. Types use the same
+    * rendering as the snapshot DDL (ingest/Ddl.sqlType); `notnull`
+    * reflects the catalog's nullability; `pk` is always 0 (ingested
+    * tables declare no PRIMARY KEY, exactly like the reference's
+    * pandas `to_sql` tables — README divergence table). */
+  def tableInfo(spark: SparkSession, table: String): DataFrame = {
+    val schema = spark.table(table).schema
+    val rows = schema.fields.zipWithIndex.map { case (f, i) =>
+      Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
+        if (f.nullable) 0 else 1, null, 0)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      tableInfoSchema)
+  }
+
+  private def tableList(spark: SparkSession): DataFrame = {
+    val rows = sessionTables(spark).map { case (name, schema) =>
+      Row("main", name, "table", schema.length, 0, 0)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      tableListSchema)
+  }
+
+  /** Catalog tables visible to generated SQL, sorted for determinism;
+    * this module's own helper views are filtered out. */
+  private def sessionTables(spark: SparkSession): Seq[(String, StructType)] =
+    spark.catalog.listTables().collect().toIndexedSeq
+      .map(_.name)
+      .filterNot(n => n == "sqlite_master" || n.startsWith("graft_pragma_ti_"))
+      .sorted
+      .map(n => (n, spark.table(n).schema))
+
+  /** (Re)build the `sqlite_master` session view from the catalog. */
+  def registerSqliteMaster(spark: SparkSession): Unit = {
+    val rows = sessionTables(spark).map { case (name, schema) =>
+      Row("table", name, name, 0, graft.ingest.Ddl.createTable(name, schema).trim)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      masterSchema).createOrReplaceTempView("sqlite_master")
+  }
+
+  private val pragmaTableInfoRe =
+    """(?is)^\s*pragma\s+table_info\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaTableListRe = """(?is)^\s*pragma\s+table_list\s*$""".r
+  private val pragmaOtherRe = """(?is)^\s*pragma\s+(\w+).*$""".r
+
+  /** Execute a bare `PRAGMA …` statement (caller strips trailing `;`). */
+  def run(spark: SparkSession, sql: String): DataFrame = sql match {
+    case pragmaTableInfoRe(q1, q2, q3, bare) =>
+      tableInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+    case pragmaTableListRe() => tableList(spark)
+    case pragmaOtherRe(name) =>
+      throw new UnsupportedOperationException(
+        s"PRAGMA $name is not supported: graft has no SQLite storage " +
+          s"engine to configure. Introspection pragmas ARE supported: " +
+          s"PRAGMA table_info(<table>), PRAGMA table_list, and the " +
+          s"sqlite_master catalog view.")
+    case _ =>
+      throw new UnsupportedOperationException(s"unparseable PRAGMA: $sql")
+  }
+
+  private val tvfRe =
+    """(?is)pragma_table_info\s*\(\s*'([^']+)'\s*\)""".r
+
+  /** Rewrite table-valued `pragma_table_info('T')` calls to on-demand
+    * temp views; returns the rewritten SQL. Non-literal arguments are
+    * left in place → visible analysis error (policy: never guess). */
+  def rewriteTvf(spark: SparkSession, sql: String): String =
+    tvfRe.replaceAllIn(sql, m => {
+      val table = m.group(1)
+      val view = "graft_pragma_ti_" +
+        table.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+      tableInfo(spark, table).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  private val masterRefRe = """(?i)(?<![\w.`'"])sqlite_master(?![\w`'"])""".r
+
+  /** True if the statement references the sqlite_master catalog. */
+  def referencesMaster(sql: String): Boolean =
+    masterRefRe.findFirstIn(sql).isDefined
+}

@@ -16,8 +16,17 @@ import graft.text2sql.{SqlDml, Text2Sql}
   * a generic analysis failure.
   */
 object Runner {
-  def runSql(spark: SparkSession, sql: String): DataFrame =
-    SqlDml.detect(sql) match {
+  def runSql(spark: SparkSession, sql: String): DataFrame = {
+    // SQLite introspection first: bare PRAGMA statements execute
+    // directly; pragma_table_info('t') table-valued calls rewrite to
+    // on-demand views; any sqlite_master reference (re)builds the
+    // catalog view so schema questions keep working ([[Pragma]])
+    val stmt = sql.trim.replaceAll(";\\s*$", "").trim
+    if (stmt.toLowerCase.startsWith("pragma"))
+      return Pragma.run(spark, stmt)
+    val prepared = Pragma.rewriteTvf(spark, sql)
+    if (Pragma.referencesMaster(prepared)) Pragma.registerSqliteMaster(spark)
+    SqlDml.detect(prepared) match {
       case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
       case Some(v: SqlDml.CreateView) => Ddl.createView(spark, v)
       case Some(t: SqlDml.CreateTableAs) => Ddl.createTableAs(spark, t)
@@ -31,8 +40,9 @@ object Runner {
             s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, and " +
             s"DROP TABLE/VIEW [IF EXISTS] <name>. Express updates/deletes " +
             s"as a SELECT materializing a new table, or re-ingest.")
-      case None => spark.sql(sql)
+      case None => spark.sql(prepared)
     }
+  }
 
   /** ≤5 sample rows as JSON (reference test.py:51-55). */
   def resultJson(df: DataFrame, n: Int = 5): Seq[String] =

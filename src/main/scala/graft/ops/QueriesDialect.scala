@@ -194,6 +194,27 @@ object QueriesDialect {
              FROM graft_upsert_sql_t WHERE n_nationkey < 5"""
       graft.exec.Runner.runSql(s, SqlDialect.translate(dml))
         .orderBy("n_nationkey")
+    }),
+
+    // SQLite introspection as a model emits it for schema questions —
+    // PRAGMA table_info through Runner (exec.Pragma renders catalog
+    // rows); oracle pins the exact SQLite-shaped contract
+    "meta_pragma_info" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.exec.Runner.runSql(s, "PRAGMA table_info(nation);").orderBy("cid")
+    }),
+
+    // the classic `SELECT … FROM sqlite_master` catalog probe; the IN
+    // list pins the scope to the registered corpus so stray session
+    // views from other keys can't perturb the row set
+    "meta_sqlite_master" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.exec.Runner.runSql(s,
+        """SELECT name, type, tbl_name, rootpage FROM sqlite_master
+           WHERE type = 'table' AND name IN
+             ('region','nation','customer','supplier','part','orders',
+              'lineitem','events','documents','embeddings')
+           ORDER BY name""")
     })
   )
 
@@ -347,6 +368,23 @@ object QueriesDialect {
            CAST(json_array_length(json_array(event_id, event_type)) AS INTEGER) AS alen,
            '[' || (props ->> 'k') || ',null]' AS multi
          FROM events ORDER BY event_id LIMIT 2000""",
+
+    // hand-pinned introspection contracts (DuckDB has no Spark catalog
+    // to reflect — the VALUES lists ARE the expected surface)
+    "meta_pragma_info" ->
+      """SELECT * FROM (VALUES
+           (0, 'n_nationkey', 'INTEGER', 0, CAST(NULL AS VARCHAR), 0),
+           (1, 'n_name',      'TEXT',    0, CAST(NULL AS VARCHAR), 0),
+           (2, 'n_regionkey', 'INTEGER', 0, CAST(NULL AS VARCHAR), 0))
+         AS t(cid, name, type, "notnull", dflt_value, pk)
+         ORDER BY cid""",
+
+    "meta_sqlite_master" ->
+      """SELECT name, 'table' AS type, name AS tbl_name, 0 AS rootpage
+         FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+                      ('part'),('orders'),('lineitem'),('events'),
+                      ('documents'),('embeddings')) AS t(name)
+         ORDER BY name""",
 
     // the RTRIM collation rendered explicitly: rtrim both sides
     // (two-arg form pins the trimmed set to the 0x20 space, exactly

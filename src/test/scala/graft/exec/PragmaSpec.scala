@@ -1,0 +1,83 @@
+package graft.exec
+
+import graft.SparkSpec
+
+/** SQLite introspection surface: PRAGMA statements, the
+  * pragma_table_info table-valued form, and the sqlite_master catalog
+  * view — all through Runner.runSql, the path generated SQL takes. */
+class PragmaSpec extends SparkSpec {
+
+  private def freshView(name: String): Unit = {
+    import spark.implicits._
+    Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "tag", "score")
+      .createOrReplaceTempView(name)
+  }
+
+  test("PRAGMA table_info renders SQLite-shaped rows from the catalog") {
+    freshView("pragma_t1")
+    val rows = Runner.runSql(spark, "PRAGMA table_info(pragma_t1);")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(5)))
+    // notnull mirrors catalog nullability: Scala primitive columns are
+    // non-nullable (1), boxed/String columns nullable (0)
+    assert(rows.toSeq == Seq(
+      (0, "id", "BIGINT", 1, 0),
+      (1, "tag", "TEXT", 0, 0),
+      (2, "score", "DOUBLE", 1, 0)))
+    // quoted name forms parse too
+    assert(Runner.runSql(spark, "PRAGMA table_info('pragma_t1')").count() == 3)
+    assert(Runner.runSql(spark, "PRAGMA table_info(\"pragma_t1\")").count() == 3)
+  }
+
+  test("pragma_table_info('t') works as a table-valued FROM source") {
+    freshView("pragma_t2")
+    val df = Runner.runSql(spark,
+      "SELECT name FROM pragma_table_info('pragma_t2') " +
+        "WHERE type = 'BIGINT' ORDER BY name")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("id"))
+    // composes inside a join against another introspection call
+    val both = Runner.runSql(spark,
+      "SELECT a.name FROM pragma_table_info('pragma_t2') a " +
+        "JOIN pragma_table_info('pragma_t2') b ON a.cid = b.cid " +
+        "ORDER BY a.cid")
+    assert(both.count() == 3)
+  }
+
+  test("sqlite_master lists session tables with synthesized DDL") {
+    freshView("pragma_t3")
+    val df = Runner.runSql(spark,
+      "SELECT type, name, tbl_name, sql FROM sqlite_master " +
+        "WHERE name = 'pragma_t3'")
+    val r = df.head()
+    assert(r.getString(0) == "table" && r.getString(1) == "pragma_t3" &&
+      r.getString(2) == "pragma_t3")
+    val ddl = r.getString(3)
+    assert(ddl.startsWith("CREATE TABLE `pragma_t3`"), ddl)
+    assert(ddl.contains("`id` BIGINT") && ddl.contains("`tag` TEXT") &&
+      ddl.contains("`score` DOUBLE"), ddl)
+    // the classic model emission answers correctly
+    val names = Runner.runSql(spark,
+      "SELECT name FROM sqlite_master WHERE type='table' " +
+        "AND name LIKE 'pragma_t%' ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names.contains("pragma_t3"))
+    // the view refreshes: a table created AFTER the first query appears
+    freshView("pragma_t9")
+    val again = Runner.runSql(spark,
+      "SELECT name FROM sqlite_master WHERE name = 'pragma_t9'")
+    assert(again.count() == 1)
+  }
+
+  test("PRAGMA table_list summarizes the catalog; other pragmas decline") {
+    freshView("pragma_t4")
+    val tl = Runner.runSql(spark, "PRAGMA table_list")
+    val row = tl.filter("name = 'pragma_t4'").head()
+    assert(row.getString(0) == "main" && row.getString(2) == "table" &&
+      row.getInt(3) == 3)
+    val e = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark, "PRAGMA journal_mode = WAL")
+    }
+    assert(e.getMessage.contains("PRAGMA journal_mode"), e.getMessage)
+    assert(e.getMessage.contains("table_info"), e.getMessage)
+  }
+}

@@ -75,8 +75,7 @@ object QueriesDialect {
     // ltrim/rtrim/trim take (trimStr, src) in Spark — swapped operands,
     // wrong VALUES without translation, not an error; printf's Java
     // Formatter throws on %f-with-DECIMAL and %i; concat propagates
-    // NULL where SQLite skips it; glob()'s function form and typeof's
-    // storage classes don't exist in Spark at all
+    // NULL where SQLite skips it; glob()'s function form doesn't exist in Spark at all
     "fn_text_sqlite" ->
       """SELECT c_custkey,
            ltrim(c_name, 'Customer#') AS id_digits,
@@ -85,9 +84,6 @@ object QueriesDialect {
            printf('%s has %.2f', c_name, c_acctbal) AS msg,
            printf('%08d|%x', c_custkey, c_custkey) AS padded,
            concat(c_name, NULL, '!') AS bang,
-           typeof(c_acctbal) AS t_bal,
-           typeof(c_name) AS t_name,
-           typeof(c_custkey) AS t_key,
            iif(glob('Customer#*', c_name), 1, 0) AS is_cust
          FROM customer ORDER BY c_custkey""",
 
@@ -289,9 +285,6 @@ object QueriesDialect {
            PRINTF('%08d|%x', CAST(c_custkey AS BIGINT),
                   CAST(c_custkey AS BIGINT)) AS padded,
            c_name || '!' AS bang,
-           'real' AS t_bal,
-           'text' AS t_name,
-           'integer' AS t_key,
            CASE WHEN c_name GLOB 'Customer#*' THEN 1 ELSE 0 END AS is_cust
          FROM customer ORDER BY c_custkey""",
 

@@ -625,7 +625,7 @@ object SqlDialect {
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
-    "glob", "string_agg", "concat", "typeof")
+    "glob", "string_agg", "concat")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -771,9 +771,15 @@ object SqlDialect {
         buildPrintf(args)
       // SQLite 2-arg ltrim/rtrim/trim are (src, trimChars); Spark's
       // legacy 2-arg forms are (trimStr, src) — SAME TOKEN, SWAPPED
-      // arguments, silently wrong values without the flip
-      case "ltrim" | "rtrim" if args.length == 2 =>
-        Some(s"$name(${args(1)}, ${args(0)})")
+      // arguments, silently wrong values without translation. The
+      // keyword TRIM forms are emitted (not the swapped 2-arg calls):
+      // they parse as a single argument, so a second translate pass
+      // leaves them alone — a plain swap would swap BACK (involution,
+      // not idempotent)
+      case "ltrim" if args.length == 2 =>
+        Some(s"TRIM(LEADING ${args(1)} FROM ${args(0)})")
+      case "rtrim" if args.length == 2 =>
+        Some(s"TRIM(TRAILING ${args(1)} FROM ${args(0)})")
       case "trim" if args.length == 2 =>
         Some(s"TRIM(BOTH ${args(1)} FROM ${args(0)})")
       // glob(PATTERN, STRING) — the function form of the GLOB operator
@@ -795,19 +801,14 @@ object SqlDialect {
       // including '' (never NULL) when every argument is NULL
       case "concat" if args.nonEmpty =>
         Some(s"concat_ws('', ${args.mkString(", ")})")
-      // SQLite typeof() returns storage classes; Spark's returns its
-      // own type names. Value-based 'null' needs the IS NULL guard
-      // (Spark typeof is static); booleans/dates map to how SQLite
-      // would store them (integer / text).
-      case "typeof" if args.length == 1 =>
-        val x = args.head
-        Some(s"(CASE WHEN ($x) IS NULL THEN 'null' " +
-          s"WHEN typeof($x) IN ('tinyint','smallint','int','bigint'," +
-          s"'boolean') THEN 'integer' " +
-          s"WHEN typeof($x) IN ('float','double') " +
-          s"OR typeof($x) LIKE 'decimal%' THEN 'real' " +
-          s"WHEN typeof($x) = 'binary' THEN 'blob' " +
-          s"ELSE 'text' END)")
+      // typeof() is deliberately NOT translated: any rewrite mapping
+      // Spark's type names onto SQLite storage classes must itself
+      // call typeof(), so a second translate pass would re-expand the
+      // inner call and corrupt the result — breaking the translator's
+      // idempotence property (fuzz-pinned), which keeps retry /
+      // pipeline-of-translators composition safe. Spark's typeof
+      // resolves natively with its own type names; README divergence
+      // table documents the delta.
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>
@@ -869,7 +870,7 @@ object SqlDialect {
       case "json_extract" if args.length > 2 =>
         val parts = args.tail.map(p =>
           s"coalesce(to_json(variant_get(parse_json(${args(0)}), $p)), 'null')")
-        Some(s"concat('[', concat_ws(',', ${parts.mkString(", ")}), ']')")
+        Some(s"concat_ws('', '[', concat_ws(',', ${parts.mkString(", ")}), ']')")
       // json(X): validate + minify. parse_json throws on malformed
       // input — so does SQLite's json().
       case "json" if args.length == 1 =>
@@ -881,7 +882,7 @@ object SqlDialect {
           s"ELSE try_parse_json(${args.head}) IS NOT NULL END)")
       case "json_array" =>
         if (args.isEmpty) Some("'[]'")
-        else Some(s"concat('[', concat_ws(',', " +
+        else Some(s"concat_ws('', '[', concat_ws(',', " +
           s"${args.map(jsonQuoteValue).mkString(", ")}), ']')")
       // keys must be string literals (the form models emit; SQLite
       // errors on non-text labels anyway) — else decline visibly
@@ -891,17 +892,18 @@ object SqlDialect {
         if (args.isEmpty) Some("'{}'")
         else {
           val pairs = args.grouped(2).map { p =>
-            s"concat(${jsonQuoteValue(p(0))}, ':', ${jsonQuoteValue(p(1))})"
+            s"concat_ws('', ${jsonQuoteValue(p(0))}, ':', ${jsonQuoteValue(p(1))})"
           }
-          Some(s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')")
+          Some(s"concat_ws('', '{', concat_ws(',', ${pairs.mkString(", ")}), '}')")
         }
-      // 1-arg json_array_length is native Spark (same name) except it
-      // yields NULL (not SQLite's 0) on valid non-array JSON — patched
-      // with the try_parse_json guard; 2-arg (path) form composes
-      case "json_array_length" if args.length == 1 =>
-        Some(s"(CASE WHEN (${args.head}) IS NULL THEN NULL " +
-          s"WHEN try_parse_json(${args.head}) IS NULL THEN NULL " +
-          s"ELSE coalesce(json_array_length(${args.head}), 0) END)")
+      // 1-arg json_array_length passes through to Spark's native
+      // function (same name): it yields NULL where SQLite yields 0 on
+      // valid non-array JSON — documented divergence. Patching it
+      // would emit a 1-arg json_array_length inside the patch, which a
+      // second translate pass re-expands (the idempotence property
+      // forbids self-referential rewrites; same reasoning as typeof).
+      // The 2-arg path form below is safe: its emission only contains
+      // the untranslated 1-arg shape.
       case "json_array_length" if args.length == 2 =>
         Some(s"(CASE WHEN get_json_object(${args(0)}, ${args(1)}) IS NULL " +
           s"THEN NULL ELSE coalesce(json_array_length(" +
@@ -928,8 +930,8 @@ object SqlDialect {
     // json_object (the exact concat prefix is ours), or their empty
     // literals. Everything else is an SQL value to be serialized.
     val alreadyJson = t.startsWith("to_json(") ||
-      t.startsWith("concat('[', concat_ws(',', ") ||
-      t.startsWith("concat('{', concat_ws(',', ") ||
+      t.startsWith("concat_ws('', '[', concat_ws(',', ") ||
+      t.startsWith("concat_ws('', '{', concat_ws(',', ") ||
       t == "'[]'" || t == "'{}'"
     if (alreadyJson) s"coalesce($t, 'null')"
     else s"coalesce(to_json(CAST($t AS VARIANT)), 'null')"

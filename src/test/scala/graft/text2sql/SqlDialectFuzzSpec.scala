@@ -20,7 +20,9 @@ class SqlDialectFuzzSpec extends SparkSpec {
   // literals whose bodies deliberately look like translatable syntax
   private val trapLits = Gen.oneOf(
     "'iif(1,2,3)'", "'group_concat(x)'", "'a GLOB b'", "'it''s'",
-    "'COLLATE NOCASE'", "'strftime(%Y)'", "'+1 day'", "' LIKE '")
+    "'COLLATE NOCASE'", "'strftime(%Y)'", "'+1 day'", "' LIKE '",
+    "'a -> b'", "'x ->> 1'", "'json_extract(p)'", "'{\"k\": 1}'",
+    "'%d of %s'", "'concat(a,b)'")
 
   private val simple = Gen.oneOf(
     "c1", "c2", "42", "3.5", "NULL", "'txt'", "x'ab'".replace("x'ab'", "'ab'"))
@@ -42,7 +44,26 @@ class SqlDialectFuzzSpec extends SparkSpec {
         sub.map(a => s"datetime($a, 'start of month', '+1 day')"),
         sub.map(a => s"strftime('%Y-%m', $a)"),
         sub.map(a => s"CAST($a AS TEXT)"),
-        sub.map(a => s"CAST($a AS INTEGER)"))
+        sub.map(a => s"CAST($a AS INTEGER)"),
+        // round-6 surface: JSON scalars/operators, printf casts,
+        // swapped trims, glob(), NULL-skipping concat, string_agg
+        sub.map(a => s"json_extract($a, '$$.k')"),
+        sub.map(a => s"json_array($a, 'x')"),
+        sub.map(a => s"json_object('k', $a)"),
+        sub.map(a => s"json_valid($a)"),
+        sub.map(a => s"json_array_length($a)"),
+        sub.map(a => s"($a) ->> 'k'"),
+        sub.map(a => s"($a) -> '$$.k'"),
+        Gen.const("'{\"k\": 7}' ->> 'k'"),
+        Gen.const("'[1,2,3]' -> 1"),
+        sub.map(a => s"printf('%d|%.1f', $a, $a)"),
+        sub.map(a => s"ltrim($a, 'x')"),
+        sub.map(a => s"rtrim($a, 'y')"),
+        sub.map(a => s"trim($a, 'z')"),
+        sub.map(a => s"glob('a*', $a)"),
+        Gen.zip(sub, sub).map { case (a, b) => s"concat($a, $b)" },
+        sub.map(a => s"string_agg($a, ',')"),
+        sub.map(a => s"likely($a)"))
     }
 
   // scalar-valued expressions: calls and arithmetic nest freely

@@ -533,8 +533,9 @@ class SqlDialectSpec extends SparkSpec {
     assert(one("""json_valid('{bad')""") == false)
     assert(one("""json_valid(NULL)""") == null)
     assert(one("""json_array_length('[1,2,3]')""") == 3)
-    // SQLite: 0 (not NULL) for valid non-array JSON, NULL for malformed
-    assert(one("""json_array_length('{"a":1}')""") == 0)
+    // 1-arg form is native Spark: NULL (not SQLite's 0) on non-array —
+    // documented divergence; rewriting it would break idempotence
+    assert(one("""json_array_length('{"a":1}')""") == null)
     assert(one("""json_array_length('nonsense')""") == null)
     assert(one("""json_array_length('{"a":[1,2]}', '$.a')""") == 2)
     assert(one("""json_array_length('{"a":[1,2]}', '$.b')""") == null)
@@ -612,7 +613,7 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate(m) == m)
   }
 
-  test("glob() function form, concat NULL-skip, string_agg, typeof") {
+  test("glob() function form, concat NULL-skip, string_agg") {
     def one(expr: String): Any =
       spark.sql(SqlDialect.translate("SELECT " + expr)).head().get(0)
     assert(one("glob('a*c', 'abc')") == true)   // (pattern, string) order
@@ -621,12 +622,11 @@ class SqlDialectSpec extends SparkSpec {
     assert(one("concat(NULL)") == "")
     // string_agg = group_concat alias: sorted for determinism
     assert(one("string_agg(x, '|') FROM VALUES ('b'),('a') AS t(x)") == "a|b")
-    assert(one("typeof(3)") == "integer")
-    assert(one("typeof(3.5)") == "real")
-    assert(one("typeof('s')") == "text")
-    assert(one("typeof(NULL)") == "null")
-    assert(one("typeof(X'01')") == "blob")
-    assert(one("typeof(CAST('2024-01-01' AS DATE))") == "text")
+    // typeof is deliberately untranslated (idempotence — see
+    // SqlDialect); Spark's own typeof resolves with Spark type names
+    val q = "SELECT typeof(x) FROM t"
+    assert(SqlDialect.translate(q) == q)
+    assert(one("typeof(3.5)") == "decimal(2,1)")
   }
 
   test("%p upper and %P lower am/pm markers") {

@@ -60,7 +60,39 @@ object SqlDialect {
     out = rewriteCollate(out)
     out = rewriteIs(out)
     out = rewriteLimitComma(out)
+    out = rewriteNegativeLimit(out)
     out
+  }
+
+  /** SQLite `LIMIT -N` means NO limit (documented: a negative LIMIT
+    * returns all rows); Spark rejects negative limits outright. The
+    * clause is removed — a following OFFSET survives (Spark supports
+    * standalone OFFSET), matching SQLite, where the offset still
+    * applies under a negative limit. Runs after [[rewriteLimitComma]]
+    * so `LIMIT off, -1` (comma form) normalizes first. Only a bare
+    * negative integer literal matches; arithmetic stays untouched. */
+  private def rewriteNegativeLimit(sql: String): String = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, "limit")) {
+        var j = i + 5
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '-') {
+          var e = j + 1
+          while (e < sql.length && sql.charAt(e).isDigit) e += 1
+          val bareNegInt = e > j + 1 &&
+            (e >= sql.length || !(isWordChar(sql.charAt(e)) ||
+              "+-*/%.".indexOf(sql.charAt(e)) >= 0))
+          if (bareNegInt)
+            return rewriteNegativeLimit(
+              sql.substring(0, i).stripSuffix(" ") + sql.substring(e))
+        }
+        i = j
+      } else i += 1
+    }
+    sql
   }
 
   /** SQLite `a IS b` / `a IS NOT b` is null-safe equality between ANY

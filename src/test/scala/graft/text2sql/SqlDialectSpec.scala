@@ -629,6 +629,26 @@ class SqlDialectSpec extends SparkSpec {
     assert(one("typeof(3.5)") == "decimal(2,1)")
   }
 
+  test("negative LIMIT (SQLite: no limit) is removed; OFFSET survives") {
+    val s1 = SqlDialect.translate(
+      "SELECT x FROM VALUES (1),(2),(3) AS t(x) ORDER BY x LIMIT -1")
+    assert(!s1.toUpperCase.contains("LIMIT"), s1)
+    assert(spark.sql(s1).count() == 3)
+    // offset still applies under a negative limit, as in SQLite
+    val s2 = SqlDialect.translate(
+      "SELECT x FROM VALUES (1),(2),(3) AS t(x) ORDER BY x LIMIT -1 OFFSET 1")
+    assert(spark.sql(s2).count() == 2, s2)
+    // comma form normalizes first: LIMIT off, -1 → unlimited from off
+    val s3 = SqlDialect.translate(
+      "SELECT x FROM VALUES (1),(2),(3) AS t(x) ORDER BY x LIMIT 1, -1")
+    assert(spark.sql(s3).count() == 2, s3)
+    // positive limits and arithmetic are untouched
+    val keep = "SELECT x FROM t LIMIT 5"
+    assert(SqlDialect.translate(keep) == keep)
+    val arith = "SELECT x FROM t LIMIT -1+2"
+    assert(SqlDialect.translate(arith) == arith)
+  }
+
   test("%p upper and %P lower am/pm markers") {
     // SQLite (C strftime): %p = "AM"/"PM", %P = "am"/"pm"
     for ((t, want) <- Seq("2024-03-15 06:07:08" -> "06AM|06am",

@@ -175,6 +175,28 @@ object QueriesExt {
         .orderBy("v1", "v2")
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semanticDedup):
+    // k-means cells → within-cell candidates → exact-cosine verify →
+    // connected components → min-id representative. Same planted
+    // corpus as ext_dedup_embed: rescaled copies share their source's
+    // direction, hence its nearest centroid — same-cell by
+    // construction, so recall on the planted pairs is 1 and the
+    // background (max pairwise cosine ≈0.51) contributes nothing at
+    // the 0.95 threshold. The semantic groups are therefore exactly
+    // the planted (source, source+10000) pairs, which the oracle
+    // states in closed form.
+    "ext_dedup_semantic" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+              .as("embedding")))
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          nClusters = 8, threshold = 0.95)
+        .orderBy("id")
+    }),
+
     // text quality scoring: single scan, all metrics codegen'd
     "ext_text_quality" -> ((s, d) =>
       t("documents")(s, d)
@@ -848,6 +870,21 @@ object QueriesExt {
              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
            / (a.nrm * b.nrm) >= 0.9
          ORDER BY v1, v2""",
+    // the semantic groups in closed form: every rescaled copy pairs
+    // with its source (rep = id - 10000, pruned), every original is
+    // its own kept representative — valid because the background max
+    // pairwise cosine (≈0.51) is far under the 0.95 threshold and
+    // planted copies share their source's cell by construction
+    "ext_dedup_semantic" ->
+      """WITH corpus AS (
+           SELECT vec_id FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 4 = 0)
+         SELECT vec_id AS id,
+           CASE WHEN vec_id >= 10000 THEN vec_id - 10000
+                ELSE vec_id END AS rep,
+           vec_id < 10000 AS kept
+         FROM corpus ORDER BY id""",
     "ext_text_quality" ->
       """SELECT doc_id,
            CAST(LENGTH(text) AS INTEGER) AS n_chars_m,

@@ -416,6 +416,65 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (the published k-means formulation:
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): spherical k-means partitions the
+    * embedding space, candidate pairs are generated only WITHIN a
+    * cluster, exact cosine verifies them, connected components group
+    * the verified pairs, and the minimum id of each group survives as
+    * its representative.
+    *
+    * Relation to [[lshNearDupPairs]]: one centroid assignment per
+    * vector (a single row-local projection — no `bands`-way key
+    * explosion), so the candidate stage shuffles each id ONCE, at the
+    * cost of missing pairs that straddle a cluster boundary — exactly
+    * the published recall trade-off. True duplicates (identical
+    * direction, e.g. re-encoded/rescaled embeddings) share their
+    * nearest centroid by construction, so dedup recall on them is 1.
+    *
+    * Scale shape: centroids are bounded driver metadata
+    * ([[kmeansCentroids]], ≤2000-vector deterministic sample);
+    * assignment is row-local; the only shuffles are the per-cell
+    * pair generation (capped at `maxCluster` by the shared
+    * [[Dedup.bucketPairs]] generator — an over-cap cell is dropped,
+    * never exploded) and the id-keyed verification joins, which carry
+    * ids only (vectors re-join by id, never replicated through the
+    * candidate shuffle).
+    *
+    * Returns (id, rep, kept): every input id, its semantic-group
+    * representative, and whether it survives the dedup.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+                    nClusters: Int = 16, threshold: Double = 0.95,
+                    maxCluster: Int = 4096): DataFrame = {
+    val centroids = kmeansCentroids(emb, embCol, nClusters)
+    // persisted ONCE, read by pair generation and both verify sides —
+    // MEMORY_ONLY per the library-entry-point persist policy
+    // (Dedup.exactJaccard): evictable, row-local recompute
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cand = Dedup.bucketPairs(
+      assigned.select(col("cell").as("bk"), col(idCol).as("id")), maxCluster)
+    val verified = cand
+      .join(assigned.as("x1"), col("id1") === col(s"x1.$idCol"))
+      .join(assigned.as("x2"), col("id2") === col(s"x2.$idCol"))
+      .select(col("id1"), col("id2"),
+        (aggregate(
+          zip_with(col(s"x1.$embCol"), col(s"x2.$embCol"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / (col("x1.nrm") * col("x2.nrm")))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    val nodes = assigned.select(col(idCol).as("id"))
+    val comps = Dedup.components(verified, nodes)
+    comps.groupBy("comp").agg(min(col("id")).as("rep"))
+      .join(comps, "comp")
+      .select(col("id"), col("rep"), (col("id") === col("rep")).as("kept"))
+  }
+
   /** Approximate top-k: probe the buckets whose keys are within
     * Hamming distance `probes` of the query's key (multi-probe LSH).
     * At corpus scale the bucketed table would be written partitioned

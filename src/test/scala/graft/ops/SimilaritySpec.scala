@@ -187,4 +187,42 @@ class SimilaritySpec extends SparkSpec {
     val sims = pairs.select("sim").as[Double].collect()
     assert(sims.forall(_ >= 0.9))
   }
+
+  test("semanticDedup groups planted duplicates and keeps one rep each") {
+    // corpus: originals + rescaled copies of every 4th vector (same
+    // direction ⇒ same nearest centroid ⇒ same cell by construction)
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(
+      emb.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 10000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(3.0 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.95).cache()
+    val n = emb.count()
+    val planted = emb.filter($"vec_id" % 4 === 0).count()
+    assert(out.count() == n + planted)
+    // recall 1 on planted copies: each maps to its source and is pruned
+    val copies = out.filter($"id" >= 10000)
+    assert(copies.count() == planted)
+    assert(copies.filter($"rep" =!= $"id" - 10000 || $"kept").count() == 0)
+    // every original survives as its own representative
+    val originals = out.filter($"id" < 10000)
+    assert(originals.filter(!$"kept" || $"rep" =!= $"id").count() == 0)
+  }
+
+  test("semanticDedup drops an over-cap cluster instead of exploding it") {
+    // one mega-cluster: many copies of one direction, above maxCluster
+    // — the capped bucketPairs generator must DROP the cell (bounded
+    // work, every member survives as its own rep), never emit its
+    // O(n²) pairs
+    val base = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0)
+    val mega = spark.range(0, 300).toDF("vec_id")
+      .withColumn("embedding",
+        expr(s"transform(array(${base.mkString(",")}), x -> CAST(x AS FLOAT))"))
+    val out = Similarity.semanticDedup(mega, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.95, maxCluster = 100)
+    assert(out.count() == 300)
+    assert(out.filter(!$"kept").count() == 0)
+  }
 }

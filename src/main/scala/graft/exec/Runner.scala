@@ -16,14 +16,37 @@ import graft.text2sql.{SqlDml, Text2Sql}
   * a generic analysis failure.
   */
 object Runner {
+  private val noopRe =
+    ("""(?s)(begin|commit|end|rollback(\s+to\s+\w+)?|savepoint\s+\w+|""" +
+      """release(\s+savepoint)?\s+\w+|vacuum|analyze(\s+[\w.`"']+)?|""" +
+      """reindex(\s+[\w.`"']+)?)(\s+(deferred|immediate|exclusive|transaction))*""").r
+
   def runSql(spark: SparkSession, sql: String): DataFrame = {
     // SQLite introspection first: bare PRAGMA statements execute
     // directly; pragma_table_info('t') table-valued calls rewrite to
     // on-demand views; any sqlite_master reference (re)builds the
     // catalog view so schema questions keep working ([[Pragma]])
     val stmt = sql.trim.replaceAll(";\\s*$", "").trim
-    if (stmt.toLowerCase.startsWith("pragma"))
+    val head = stmt.toLowerCase
+    if (head.startsWith("pragma"))
       return Pragma.run(spark, stmt)
+    // SQLite session statements a model wraps around reads: BEGIN /
+    // COMMIT / ROLLBACK / SAVEPOINT / RELEASE are semantic no-ops on a
+    // read-only engine (SQLite executes them as such around SELECTs),
+    // as are VACUUM / ANALYZE / REINDEX (storage maintenance with no
+    // lake counterpart — results are unaffected). ATTACH/DETACH would
+    // CHANGE the visible data surface, so they fail targeted.
+    if (noopRe.pattern.matcher(head).matches())
+      return spark.emptyDataFrame
+    if (head.startsWith("attach") || head.startsWith("detach"))
+      throw new UnsupportedOperationException(
+        "ATTACH/DETACH are not supported: graft's data surface comes " +
+          "from ingestion, not database files. Ingest the other " +
+          "dataset instead.")
+    // SQLite's EXPLAIN QUERY PLAN → Spark's EXPLAIN (different report
+    // format, same intent); bare EXPLAIN is already valid Spark
+    if (head.startsWith("explain query plan"))
+      return spark.sql("EXPLAIN " + stmt.drop("explain query plan".length))
     val prepared = Pragma.rewriteTvf(spark, sql)
     if (Pragma.referencesMaster(prepared)) Pragma.registerSqliteMaster(spark)
     SqlDml.detect(prepared) match {

@@ -68,6 +68,28 @@ class PragmaSpec extends SparkSpec {
     assert(again.count() == 1)
   }
 
+  test("transaction/maintenance statements are no-ops; ATTACH declines") {
+    // SQLite executes these around reads as semantic no-ops — a model
+    // wrapping its query in BEGIN/COMMIT must not hit a parse error
+    for (s <- Seq("BEGIN", "BEGIN TRANSACTION;", "BEGIN IMMEDIATE",
+        "COMMIT", "END TRANSACTION", "ROLLBACK", "ROLLBACK TO sp1",
+        "SAVEPOINT sp1", "RELEASE SAVEPOINT sp1", "VACUUM",
+        "ANALYZE", "ANALYZE pragma_t1", "REINDEX"))
+      assert(Runner.runSql(spark, s).count() == 0, s)
+    val e = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark, "ATTACH DATABASE 'x.db' AS other")
+    }
+    assert(e.getMessage.contains("ATTACH"), e.getMessage)
+    // EXPLAIN QUERY PLAN maps to Spark's EXPLAIN report
+    val plan = Runner.runSql(spark, "EXPLAIN QUERY PLAN SELECT 1 AS x")
+      .head().getString(0)
+    assert(plan.contains("Project") || plan.contains("Physical Plan"), plan)
+    // names beginning with a no-op verb are NOT swallowed
+    freshView("begin_like")
+    assert(Runner.runSql(spark,
+      "SELECT * FROM begin_like").count() == 2)
+  }
+
   test("PRAGMA table_list summarizes the catalog; other pragmas decline") {
     freshView("pragma_t4")
     val tl = Runner.runSql(spark, "PRAGMA table_list")

@@ -58,8 +58,8 @@ object Runner {
         throw new UnsupportedOperationException(
           s"graft is a read-only analytics engine over immutable lake " +
             s"storage; got DML verb $verb. Supported statements: " +
-            s"INSERT OR REPLACE INTO <table> [(cols)] (SELECT …|VALUES …) " +
-            s"(copy-on-write upsert keyed on the leading column), " +
+            s"INSERT [OR REPLACE] INTO <table> [(cols)] (SELECT …|VALUES …) " +
+            s"(copy-on-write append / upsert keyed on the leading column), " +
             s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, and " +
             s"DROP TABLE/VIEW [IF EXISTS] <name>. Express updates/deletes " +
             s"as a SELECT materializing a new table, or re-ingest.")

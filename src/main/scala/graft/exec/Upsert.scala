@@ -40,8 +40,12 @@ object Upsert {
         keyCols, "left_anti"))
   }
 
-  /** Execute a parsed upsert statement against the session catalog. */
+  /** Execute a parsed INSERT statement against the session catalog —
+    * `stmt.replace` selects OR REPLACE (merge: updates win on key) vs
+    * plain INSERT (pure append: duplicate keys SURVIVE, exactly
+    * SQLite's behavior on a table with no declared PRIMARY KEY). */
   def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
+    val verb = if (stmt.replace) "INSERT OR REPLACE" else "INSERT"
     // backtick-quote: ingested tables are hash-named (md5 hex) and may
     // start with a digit, which spark.table() would fail to PARSE —
     // a confusing error instead of "not registered"
@@ -50,7 +54,7 @@ object Upsert {
       try spark.table(quotedName)
       catch {
         case e: Exception => throw new IllegalArgumentException(
-          s"INSERT OR REPLACE target '${stmt.table}' is not a registered " +
+          s"$verb target '${stmt.table}' is not a registered " +
             s"table/view: ${e.getMessage}", e)
       }
     val src = spark.sql(stmt.sourceSql)
@@ -60,13 +64,13 @@ object Upsert {
       if (stmt.cols.nonEmpty) {
         if (stmt.cols.length != src.columns.length)
           throw new IllegalArgumentException(
-            s"INSERT OR REPLACE INTO ${stmt.table}: ${stmt.cols.length} " +
+            s"$verb INTO ${stmt.table}: ${stmt.cols.length} " +
               s"target columns but the source produces ${src.columns.length}")
         src.toDF(stmt.cols: _*)
       } else {
         if (base.columns.length != src.columns.length)
           throw new IllegalArgumentException(
-            s"INSERT OR REPLACE INTO ${stmt.table}: table has " +
+            s"$verb INTO ${stmt.table}: table has " +
               s"${base.columns.length} columns but the source produces " +
               s"${src.columns.length}")
         src.toDF(base.columns.toIndexedSeq: _*)
@@ -75,7 +79,7 @@ object Upsert {
       base.columns.map(_.toLowerCase).toSet
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
-        s"INSERT OR REPLACE INTO ${stmt.table}: no such column(s) " +
+        s"$verb INTO ${stmt.table}: no such column(s) " +
           unknown.mkString(", "))
     // full-width row per SQLite: unlisted columns become NULL (the
     // replaced row's old values do NOT survive — OR REPLACE deletes
@@ -86,7 +90,9 @@ object Upsert {
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val merged = merge(base, aligned, Seq(base.columns.head))
+    val merged =
+      if (stmt.replace) merge(base, aligned, Seq(base.columns.head))
+      else base.unionAll(aligned)
     // copy-on-write: materialize BEFORE re-binding the view (the merge
     // plan reads the old binding; a lazy re-registration would
     // recurse). The dir carries a per-statement generation counter —

@@ -192,6 +192,25 @@ object QueriesDialect {
         .orderBy("n_nationkey")
     }),
 
+    // plain INSERT INTO (no OR REPLACE) as SQLite executes it against
+    // a no-PRIMARY-KEY table: a pure APPEND — the inserted rows
+    // include an id that already exists, and BOTH rows must survive
+    // (the upsert path would have replaced it)
+    "sink_insert_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_insert_sql_t")
+      val dml =
+        """INSERT INTO graft_insert_sql_t (n_nationkey, n_name, n_regionkey)
+           SELECT n_nationkey + 200, 'NEW_' || n_name, n_regionkey
+             FROM graft_insert_sql_t WHERE n_nationkey < 3
+           UNION ALL
+           SELECT n_nationkey, 'DUP_' || n_name, n_regionkey
+             FROM graft_insert_sql_t WHERE n_nationkey = 0"""
+      graft.exec.Runner.runSql(s, SqlDialect.translate(dml))
+        .orderBy("n_nationkey", "n_name")
+    }),
+
     // SQLite introspection as a model emits it for schema questions —
     // PRAGMA table_info through Runner (exec.Pragma renders catalog
     // rows); oracle pins the exact SQLite-shaped contract
@@ -361,6 +380,19 @@ object QueriesDialect {
            CAST(json_array_length(json_array(event_id, event_type)) AS INTEGER) AS alen,
            '[' || (props ->> 'k') || ',null]' AS multi
          FROM events ORDER BY event_id LIMIT 2000""",
+
+    // append semantics in closed form: base rows all survive (incl.
+    // the duplicated key 0), inserted rows ride along
+    "sink_insert_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey FROM base
+         UNION ALL
+         SELECT n_nationkey + 200, 'NEW_' || n_name, n_regionkey
+         FROM base WHERE n_nationkey < 3
+         UNION ALL
+         SELECT n_nationkey, 'DUP_' || n_name, n_regionkey
+         FROM base WHERE n_nationkey = 0
+         ORDER BY n_nationkey, n_name""",
 
     // hand-pinned introspection contracts (DuckDB has no Spark catalog
     // to reflect — the VALUES lists ARE the expected surface)

@@ -34,7 +34,8 @@ object SqlDml {
     * the full target schema, as in SQLite.
     */
   final case class Upsert(table: String, cols: Seq[String],
-                          sourceSql: String) extends Stmt
+                          sourceSql: String,
+                          replace: Boolean = true) extends Stmt
 
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
@@ -115,8 +116,12 @@ object SqlDml {
         return parseUpsert(sql, skipWs(sql, j + 4), withPrefix)
           .orElse(Some(Unsupported("INSERT OR REPLACE")))
       }
-      // plain INSERT: SQLite appends; an immutable lake table cannot
-      return Some(Unsupported("INSERT"))
+      // plain INSERT INTO: SQLite appends — routed onto the same
+      // copy-on-write machinery with replacement (the key anti-join)
+      // disabled: merged = base ∪ inserted, materialized, re-bound
+      if (!keywordAt(sql, j, "into")) return Some(Unsupported("INSERT"))
+      return parseUpsert(sql, skipWs(sql, j + 4), withPrefix, replace = false)
+        .orElse(Some(Unsupported("INSERT")))
     }
     None
   }
@@ -169,8 +174,8 @@ object SqlDml {
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …)` starting at `i`. */
-  private def parseUpsert(sql: String, i: Int,
-                          withPrefix: String): Option[Upsert] = {
+  private def parseUpsert(sql: String, i: Int, withPrefix: String,
+                          replace: Boolean = true): Option[Upsert] = {
     val (table, afterTable) = parseIdent(sql, i).getOrElse(return None)
     var j = skipWs(sql, afterTable)
     var cols = Seq.empty[String]
@@ -194,7 +199,7 @@ object SqlDml {
         // VALUES can't reference CTEs, so the prefix is droppable
         s"SELECT * FROM ($rest)"
       else return None
-    Some(Upsert(table, cols, source))
+    Some(Upsert(table, cols, source, replace))
   }
 
   /** Identifier at `i`: bare word, or quoted with `` ` ``/`"`/`'`

@@ -20,21 +20,28 @@ class SqlDmlSpec extends SparkSpec {
     import SqlDml._
     assert(detect("UPDATE t SET x = 1") == Some(Unsupported("UPDATE")))
     assert(detect("  delete from 'abc' where x < 0") == Some(Unsupported("DELETE")))
-    assert(detect("INSERT INTO t VALUES (1)") == Some(Unsupported("INSERT")))
+    // plain INSERT INTO parses as an APPEND (replace = false)
+    detect("INSERT INTO t VALUES (1)") match {
+      case Some(Upsert("t", Seq(), src, false)) =>
+        assert(src.contains("VALUES (1)"))
+      case other => fail(s"expected append Upsert, got $other")
+    }
+    // INSERT without INTO is not SQLite grammar → targeted error
+    assert(detect("INSERT t VALUES (1)") == Some(Unsupported("INSERT")))
     assert(detect("INSERT OR IGNORE INTO t VALUES (1)")
       == Some(Unsupported("INSERT OR IGNORE")))
     detect("INSERT OR REPLACE INTO t (a, b) VALUES (1, 2)") match {
-      case Some(Upsert("t", Seq("a", "b"), src)) =>
+      case Some(Upsert("t", Seq("a", "b"), src, true)) =>
         assert(src.contains("VALUES (1, 2)"))
       case other => fail(s"expected Upsert, got $other")
     }
     detect("REPLACE INTO `my t` SELECT * FROM s") match {
-      case Some(Upsert("my t", Seq(), src)) => assert(src == "SELECT * FROM s")
+      case Some(Upsert("my t", Seq(), src, true)) => assert(src == "SELECT * FROM s")
       case other => fail(s"expected Upsert, got $other")
     }
     // quoted-hash table names, as the reference's generated SQL writes them
     detect("INSERT OR REPLACE INTO 'abc123' SELECT * FROM s") match {
-      case Some(Upsert("abc123", _, _)) =>
+      case Some(Upsert("abc123", _, _, true)) =>
       case other => fail(s"expected Upsert into abc123, got $other")
     }
     assert(detect("SELECT * FROM t").isEmpty)
@@ -42,13 +49,13 @@ class SqlDmlSpec extends SparkSpec {
     // trailing semicolons (the habitual model emission) never ride
     // into a re-wrapped source
     detect("INSERT OR REPLACE INTO t (a) VALUES (1);") match {
-      case Some(Upsert(_, _, src)) => assert(!src.contains(";"), src)
+      case Some(Upsert(_, _, src, _)) => assert(!src.contains(";"), src)
       case other => fail(s"expected Upsert, got $other")
     }
     assert(detect("DROP TABLE t ; ") == Some(DropRelation("t", false)))
     // WITH-prefixed DML classifies; the CTE rides into the source
     detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
-      case Some(Upsert("t", _, src)) =>
+      case Some(Upsert("t", _, src, true)) =>
         assert(src.startsWith("WITH c AS"), src)
       case other => fail(s"expected Upsert, got $other")
     }
@@ -56,18 +63,28 @@ class SqlDmlSpec extends SparkSpec {
       == Some(Unsupported("DELETE")))
   }
 
-  test("UPDATE / DELETE / plain INSERT raise the targeted read-only error") {
+  test("UPDATE / DELETE raise the targeted read-only error") {
     freshView("dml_t")
     for (stmt <- Seq(
       "UPDATE dml_t SET name = 'x' WHERE id = 1",
-      "DELETE FROM dml_t WHERE id = 1",
-      "INSERT INTO dml_t VALUES (9, 'nine', 90)")) {
+      "DELETE FROM dml_t WHERE id = 1")) {
       val e = intercept[UnsupportedOperationException] {
         Runner.runSql(spark, stmt)
       }
       assert(e.getMessage.contains("read-only analytics engine"), stmt)
-      assert(e.getMessage.contains("INSERT OR REPLACE"), stmt)
+      assert(e.getMessage.contains("INSERT [OR REPLACE]"), stmt)
     }
+  }
+
+  test("plain INSERT INTO appends; duplicate keys survive (no PK rule)") {
+    freshView("dml_a")
+    val out = Runner.runSql(spark,
+      "INSERT INTO dml_a (id, name, v) VALUES (2, 'TWO', 22), (9, 'nine', 90)")
+    assert(out.count() == 3 + 2)
+    // key 2 now has BOTH rows — plain INSERT never replaces
+    assert(out.filter("id = 2").count() == 2)
+    // the view re-bound to the appended state
+    assert(spark.table("dml_a").count() == 3 + 2)
   }
 
   test("INSERT OR REPLACE with VALUES replaces on the leading-column key and appends") {

@@ -29,6 +29,7 @@ object QueriesDialect {
            strftime('%H:%M:%S', ts) AS hms,
            strftime('%I%p', ts) AS hr12,
            strftime('%P', ts) AS ampm_lc,
+           strftime('%e', ts) AS dom_sp,
            strftime('%j', ts) AS doy,
            strftime('%w', ts) AS dow,
            strftime('%U', ts) AS wk_sun,
@@ -245,6 +246,7 @@ object QueriesDialect {
            strftime(ts, '%H:%M:%S') AS hms,
            strftime(ts, '%I%p') AS hr12,
            lower(strftime(ts, '%p')) AS ampm_lc,
+           lpad(CAST(day(ts) AS VARCHAR), 2, ' ') AS dom_sp,
            strftime(ts, '%j') AS doy,
            CAST(dayofweek(ts) AS VARCHAR) AS dow,
            strftime(ts, '%U') AS wk_sun,

@@ -1081,7 +1081,7 @@ object SqlDialect {
   private val directives = Map(
     'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
     'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'f' -> "ss.SSS",
-    'e' -> "d", 'I' -> "hh", 'p' -> "a",
+    'I' -> "hh", 'p' -> "a",
     // C-composite shorthands (SQLite ≥3.44 supports these directly)
     'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'R' -> "HH:mm")
 
@@ -1166,6 +1166,9 @@ object SqlDialect {
           case 'k' => // 24-hour, " 0".." 9" then "10".."23"
             flushLit()
             pieces += Right(s"lpad(CAST(hour($e) AS STRING), 2, ' ')")
+          case 'e' => // day of month, C %2d: " 1".."31" (space-padded)
+            flushLit()
+            pieces += Right(s"lpad(CAST(day($e) AS STRING), 2, ' ')")
           case 'l' => // 12-hour, " 1".."12"
             flushLit()
             pieces += Right(

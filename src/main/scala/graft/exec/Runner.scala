@@ -49,7 +49,23 @@ object Runner {
       return spark.sql("EXPLAIN " + stmt.drop("explain query plan".length))
     val prepared = Pragma.rewriteTvf(spark, sql)
     if (Pragma.referencesMaster(prepared)) Pragma.registerSqliteMaster(spark)
-    SqlDml.detect(prepared) match {
+    // SQLite EVALUATION semantics for generated SQL: under Spark 4's
+    // default ANSI mode, `1/0` and an unparseable CAST are whole-query
+    // RUNTIME ERRORS — a model-emitted ratio with one zero denominator
+    // in one group would crash the entire answer, where SQLite (the
+    // dialect this SQL is declared in, and what the reference's engine
+    // executes) yields NULL for that row. Non-ANSI Spark matches the
+    // NULL behavior, so it is scoped to exactly this call: the eager
+    // analysis inside the try bakes each expression's eval mode, and
+    // the conf is restored before returning the (lazy) result.
+    // Caveat: the session conf is process-visible, so OTHER threads
+    // analyzing queries concurrently in the same session would also
+    // see non-ANSI during this window — the engine's Q&A usage is
+    // synchronous; cluster deployments wanting ANSI everywhere else
+    // simply keep their own conf (it is restored here either way).
+    val savedAnsi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try SqlDml.detect(prepared) match {
       case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
       case Some(v: SqlDml.CreateView) => Ddl.createView(spark, v)
       case Some(t: SqlDml.CreateTableAs) => Ddl.createTableAs(spark, t)
@@ -64,7 +80,7 @@ object Runner {
             s"DROP TABLE/VIEW [IF EXISTS] <name>. Express updates/deletes " +
             s"as a SELECT materializing a new table, or re-ingest.")
       case None => spark.sql(prepared)
-    }
+    } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
   }
 
   /** ≤5 sample rows as JSON (reference test.py:51-55). */

@@ -166,7 +166,10 @@ object QueriesDialect {
   val queries: Map[String, Q] = sqlite.map { case (k, q) =>
     val fn: Q = (s, d) => {
       Tables.registerAll(s, d)
-      s.sql(SqlDialect.translate(q))
+      // through Runner.runSql — the EXACT generated-SQL path, which
+      // also pins SQLite evaluation semantics (non-ANSI: 1/0 and bad
+      // casts yield NULL for the row, never a whole-query error)
+      graft.exec.Runner.runSql(s, SqlDialect.translate(q))
     }
     k -> fn
   } ++ Map[String, Q](

@@ -90,6 +90,22 @@ class PragmaSpec extends SparkSpec {
       "SELECT * FROM begin_like").count() == 2)
   }
 
+  test("runSql uses SQLite evaluation semantics: 1/0 and bad casts → NULL") {
+    // under Spark 4's default ANSI mode both of these are whole-query
+    // runtime errors; the generated-SQL path must yield NULL per row,
+    // as SQLite (the declared dialect) does
+    val r = Runner.runSql(spark,
+      "SELECT x / (x - 1) AS ratio, CAST(s AS INTEGER) AS n " +
+        "FROM VALUES (1, 'abc'), (3, '7') AS t(x, s) ORDER BY x").collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1)) // 1/0 → NULL, 'abc' → NULL
+    assert(!r(1).isNullAt(0) && r(1).getInt(1) == 7)
+    // the session conf is restored afterwards (default ANSI stays on)
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    // and restored even when the statement fails
+    intercept[Exception] { Runner.runSql(spark, "SELECT FROM nonsense(") }
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+  }
+
   test("PRAGMA table_list summarizes the catalog; other pragmas decline") {
     freshView("pragma_t4")
     val tl = Runner.runSql(spark, "PRAGMA table_list")

@@ -10,8 +10,9 @@ import graft.text2sql.{SqlDml, Text2Sql}
   * hash-named temp views, and results sample to JSON rows.
   *
   * DML routing: the reference hands ANY generated statement to SQLite
-  * (pandasqlite.py:245-247), including DML. Here `INSERT OR REPLACE
-  * INTO` rewrites onto the copy-on-write upsert ([[Upsert]]); the
+  * (pandasqlite.py:245-247), including DML. Here `INSERT [OR REPLACE]
+  * INTO` rewrites onto the copy-on-write upsert ([[Upsert]]) and
+  * `UPDATE`/`DELETE` onto copy-on-write row rewrites ([[Mutate]]); the
   * remaining verbs raise a targeted read-only-engine error instead of
   * a generic analysis failure.
   */
@@ -67,6 +68,8 @@ object Runner {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try SqlDml.detect(prepared) match {
       case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
+      case Some(m: SqlDml.Update) => Mutate.runUpdate(spark, m)
+      case Some(m: SqlDml.Delete) => Mutate.runDelete(spark, m)
       case Some(v: SqlDml.CreateView) => Ddl.createView(spark, v)
       case Some(t: SqlDml.CreateTableAs) => Ddl.createTableAs(spark, t)
       case Some(d: SqlDml.DropRelation) => Ddl.drop(spark, d)
@@ -76,9 +79,13 @@ object Runner {
             s"storage; got DML verb $verb. Supported statements: " +
             s"INSERT [OR REPLACE] INTO <table> [(cols)] (SELECT …|VALUES …) " +
             s"(copy-on-write append / upsert keyed on the leading column), " +
+            s"UPDATE <table> SET … [WHERE …] [RETURNING …], " +
+            s"DELETE FROM <table> [WHERE …] [RETURNING …] (both " +
+            s"copy-on-write row rewrites), " +
             s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, and " +
-            s"DROP TABLE/VIEW [IF EXISTS] <name>. Express updates/deletes " +
-            s"as a SELECT materializing a new table, or re-ingest.")
+            s"DROP TABLE/VIEW [IF EXISTS] <name>. Express other " +
+            s"mutations as a SELECT materializing a new table, or " +
+            s"re-ingest.")
       case None => spark.sql(prepared)
     } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
   }

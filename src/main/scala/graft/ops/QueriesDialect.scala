@@ -215,6 +215,42 @@ object QueriesDialect {
         .orderBy("n_nationkey", "n_name")
     }),
 
+    // SQLite UPDATE as a model emits it (pandasqlite.py:245-247 runs
+    // it verbatim) — two sequential statements through the full
+    // Runner path: a conditional multi-assignment rewrite, then a
+    // lenient-cast assignment whose miss must yield NULL (the non-ANSI
+    // window — under ANSI the second statement would ERROR, so a green
+    // row also proves evaluation semantics held on the DML path)
+    "sink_update_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_update_sql_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """UPDATE graft_update_sql_t
+             SET n_name = 'UPD_' || n_name, n_regionkey = n_regionkey + 10
+           WHERE n_nationkey % 2 = 0"""))
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """UPDATE graft_update_sql_t
+             SET n_regionkey = CAST(substr(n_name, 1, 2) AS INTEGER)
+           WHERE n_nationkey = 1"""))
+      s.table("graft_update_sql_t").orderBy("n_nationkey")
+    }),
+
+    // SQLite DELETE with a self-referential WHERE subquery: the
+    // predicate reads the OLD table state (the copy-on-write rewrite
+    // resolves the whole statement against one binding)
+    "sink_delete_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_delete_sql_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """DELETE FROM graft_delete_sql_t
+           WHERE n_regionkey IN (SELECT n_regionkey
+                                 FROM graft_delete_sql_t
+                                 WHERE n_nationkey >= 22)"""))
+      s.table("graft_delete_sql_t").orderBy("n_nationkey")
+    }),
+
     // SQLite introspection as a model emits it for schema questions —
     // PRAGMA table_info through Runner (exec.Pragma renders catalog
     // rows); oracle pins the exact SQLite-shaped contract
@@ -398,6 +434,27 @@ object QueriesDialect {
          SELECT n_nationkey, 'DUP_' || n_name, n_regionkey
          FROM base WHERE n_nationkey = 0
          ORDER BY n_nationkey, n_name""",
+
+    // the two UPDATE statements' post-state as CASE projections; the
+    // TRY_CAST mirrors graft's documented lenient-cast-miss → NULL
+    // (statement 2 runs after statement 1, but key 1 is odd so its
+    // n_name is untouched when substr reads it)
+    "sink_update_sql" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'UPD_' || n_name
+                ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey = 1
+                  THEN TRY_CAST(substr(n_name, 1, 2) AS INTEGER)
+                WHEN n_nationkey % 2 = 0 THEN n_regionkey + 10
+                ELSE n_regionkey END AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    "sink_delete_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey FROM base
+         WHERE n_regionkey NOT IN
+           (SELECT n_regionkey FROM base WHERE n_nationkey >= 22)
+         ORDER BY n_nationkey""",
 
     // hand-pinned introspection contracts (DuckDB has no Spark catalog
     // to reflect — the VALUES lists ARE the expected surface)

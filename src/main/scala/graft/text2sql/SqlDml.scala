@@ -15,9 +15,16 @@ package graft.text2sql
   * which [[graft.exec.Upsert]] rewrites as a copy-on-write merge
   * (updates ∪ base-anti-updates on the key, materialized, temp view
   * re-bound — last write wins, the same observable table state SQLite
-  * leaves). Every other verb — INSERT without OR REPLACE, UPDATE,
-  * DELETE — raises a targeted read-only-engine error instead of
-  * Spark's generic `ParseException`/`AnalysisException`.
+  * leaves). `UPDATE t SET … [WHERE p]` and `DELETE FROM t [WHERE p]`
+  * (with optional `RETURNING`) re-express the same way
+  * ([[graft.exec.Mutate]]): an UPDATE is a full-width CASE-WHEN
+  * projection (assignments applied where p holds, old row otherwise),
+  * a DELETE keeps the rows where p is NOT true — each materialized and
+  * re-bound, the table-state transition SQLite performs in place.
+  * Verbs with no sound lake re-expression — conflict-action
+  * `UPDATE OR …`, join-`UPDATE … FROM`, DML `ORDER BY`/`LIMIT` — raise
+  * a targeted read-only-engine error instead of Spark's generic
+  * `ParseException`/`AnalysisException`.
   *
   * This object only CLASSIFIES and PARSES; execution lives in
   * `graft.exec` so the text2sql layer stays side-effect free.
@@ -39,6 +46,22 @@ object SqlDml {
 
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
+
+  /** `UPDATE table SET col = expr, … [WHERE p] [RETURNING exprs]`.
+    * Expression fields carry raw (already-translated) SQL text;
+    * `withPrefix` is the statement's leading `WITH …` clause, kept so
+    * CTE references inside WHERE/SET subqueries stay bound. Repeated
+    * assignments to one column are legal; the rightmost wins (SQLite
+    * lang_update.html). */
+  final case class Update(table: String, assigns: Seq[(String, String)],
+                          where: Option[String], returning: Option[String],
+                          withPrefix: String) extends Stmt
+
+  /** `DELETE FROM table [WHERE p] [RETURNING exprs]`. No WHERE =
+    * delete every row (the schema survives, as in SQLite). */
+  final case class Delete(table: String, where: Option[String],
+                          returning: Option[String],
+                          withPrefix: String) extends Stmt
 
   /** `CREATE [TEMP] VIEW name AS select` — executed as a session
     * (temporary) view; the reference's SQLite database is itself
@@ -72,8 +95,12 @@ object SqlDml {
         case None      => return None // unparseable WITH: let spark.sql report
       }
     }
-    if (keywordAt(sql, i, "update")) return Some(Unsupported("UPDATE"))
-    if (keywordAt(sql, i, "delete")) return Some(Unsupported("DELETE"))
+    if (keywordAt(sql, i, "update"))
+      return Some(parseUpdate(sql, skipWs(sql, i + 6), withPrefix)
+        .getOrElse(Unsupported("UPDATE")))
+    if (keywordAt(sql, i, "delete"))
+      return Some(parseDelete(sql, skipWs(sql, i + 6), withPrefix)
+        .getOrElse(Unsupported("DELETE")))
     if (keywordAt(sql, i, "create")) return parseCreate(sql, skipWs(sql, i + 6))
     if (keywordAt(sql, i, "drop")) {
       var j = skipWs(sql, i + 4)
@@ -124,6 +151,161 @@ object SqlDml {
         .orElse(Some(Unsupported("INSERT")))
     }
     None
+  }
+
+  /** Parse `[OR action] table [INDEXED …] SET a = e, … [WHERE p]
+    * [RETURNING r]` starting just after UPDATE. Conflict actions
+    * (`UPDATE OR IGNORE …`) and the join form (`UPDATE … FROM`)
+    * decline targeted — the lake schema declares no constraints to
+    * resolve against, and the join form has no positional SQLite
+    * semantics worth guessing at. */
+  private def parseUpdate(sql: String, start: Int,
+                          withPrefix: String): Option[Stmt] = {
+    var j = start
+    if (keywordAt(sql, j, "or")) {
+      val k = skipWs(sql, j + 2)
+      var e = k
+      while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+      if (e == k) return None
+      return Some(Unsupported(s"UPDATE OR ${sql.substring(k, e).toUpperCase}"))
+    }
+    val (table, afterTable) = parseIdent(sql, j).getOrElse(return None)
+    j = skipIndexedBy(sql, skipWs(sql, afterTable)).getOrElse(return None)
+    if (!keywordAt(sql, j, "set")) return None
+    j = skipWs(sql, j + 3)
+    val assigns = Seq.newBuilder[(String, String)]
+    var more = true
+    var stopKw: Option[String] = None
+    while (more) {
+      if (j < sql.length && sql.charAt(j) == '(')
+        // row-value form `SET (a, b) = (e1, e2)` — rare; decline named
+        return Some(Unsupported("UPDATE with a column-name-list SET"))
+      val (c, afterC) = parseIdent(sql, j).getOrElse(return None)
+      j = skipWs(sql, afterC)
+      if (j >= sql.length || sql.charAt(j) != '=') return None
+      j = skipWs(sql, j + 1)
+      val (expr, stop, stopped) = scanExpr(sql, j, dmlStops)
+      if (expr.trim.isEmpty) return None
+      assigns += ((unquoteIdent(c.trim), expr.trim))
+      j = stop
+      stopped match {
+        case Some(",") => j = skipWs(sql, j + 1)
+        case other     => stopKw = other; more = false
+      }
+    }
+    finishDml(sql, j, stopKw, withPrefix, "UPDATE") {
+      case (where, returning) =>
+        Update(table, assigns.result(), where, returning, withPrefix)
+    }
+  }
+
+  /** Parse `FROM table [INDEXED …] [WHERE p] [RETURNING r]` starting
+    * just after DELETE. */
+  private def parseDelete(sql: String, start: Int,
+                          withPrefix: String): Option[Stmt] = {
+    var j = start
+    if (!keywordAt(sql, j, "from")) return None
+    j = skipWs(sql, j + 4)
+    val (table, afterTable) = parseIdent(sql, j).getOrElse(return None)
+    j = skipIndexedBy(sql, skipWs(sql, afterTable)).getOrElse(return None)
+    val stopKw =
+      if (j >= sql.length) None
+      else {
+        // whatever word sits here must be a clause keyword
+        var e = j
+        while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+        val w = sql.substring(j, e).toLowerCase
+        if (!dmlStops(w)) return None
+        Some(w)
+      }
+    finishDml(sql, j, stopKw, withPrefix, "DELETE") {
+      case (where, returning) => Delete(table, where, returning, withPrefix)
+    }
+  }
+
+  private val dmlStops = Set("where", "from", "returning", "order", "limit")
+
+  /** Shared tail of UPDATE/DELETE: `[WHERE p] [RETURNING r]`, with
+    * `ORDER BY`/`LIMIT` (SQLITE_ENABLE_UPDATE_DELETE_LIMIT builds) and
+    * UPDATE-join `FROM` declined targeted. `at` points AT the stop
+    * keyword when `stopKw` is set. */
+  private def finishDml(sql: String, at: Int, stopKw: Option[String],
+                        withPrefix: String, verb: String)
+                       (mk: ((Option[String], Option[String])) => Stmt)
+      : Option[Stmt] = {
+    var where: Option[String] = None
+    var returning: Option[String] = None
+    var j = at
+    var kw = stopKw
+    while (kw.isDefined) kw match {
+      case Some("from") =>
+        return Some(Unsupported(s"$verb … FROM (join form)"))
+      case Some("order") | Some("limit") =>
+        return Some(Unsupported(s"$verb with ORDER BY/LIMIT"))
+      case Some("where") =>
+        if (where.isDefined) return None
+        val (expr, stop, stopped) =
+          scanExpr(sql, skipWs(sql, j + 5), dmlStops - "where")
+        if (expr.trim.isEmpty || stopped.contains(",")) return None
+        where = Some(expr.trim)
+        j = stop
+        kw = stopped
+      case Some("returning") =>
+        val rest = sql.substring(skipWs(sql, j + 9)).trim
+        if (rest.isEmpty) return None
+        returning = Some(rest)
+        kw = None
+      case _ => return None
+    }
+    Some(mk((where, returning)))
+  }
+
+  /** Skip an optional `INDEXED BY name` / `NOT INDEXED` access-path
+    * hint (pure optimizer directives in SQLite — no semantics).
+    * Returns the index after the hint, None on a malformed one. */
+  private def skipIndexedBy(sql: String, start: Int): Option[Int] = {
+    var j = start
+    if (keywordAt(sql, j, "indexed")) {
+      j = skipWs(sql, j + 7)
+      if (!keywordAt(sql, j, "by")) return None
+      j = skipWs(sql, j + 2)
+      val (_, e) = parseIdent(sql, j).getOrElse(return None)
+      Some(skipWs(sql, e))
+    } else if (keywordAt(sql, j, "not")) {
+      val k = skipWs(sql, j + 3)
+      if (!keywordAt(sql, k, "indexed")) return None
+      Some(skipWs(sql, k + 7))
+    } else Some(j)
+  }
+
+  /** Raw expression text from `i` up to the first top-level `,` or
+    * stop keyword — quote- and paren-aware, so keywords inside
+    * subqueries, literals, and quoted identifiers never stop the scan.
+    * Returns (text, index of the stopper, Some(",")/Some(keyword)/None
+    * = end of statement). */
+  private def scanExpr(sql: String, i: Int,
+                       stops: Set[String]): (String, Int, Option[String]) = {
+    var j = i
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      c match {
+        case '\'' | '"' | '`' => j = endOfQuoted(sql, j, c)
+        case '(' =>
+          val e = closeParen(sql, j)
+          if (e < 0) return (sql.substring(i), sql.length, None)
+          j = e + 1
+        case ',' => return (sql.substring(i, j), j, Some(","))
+        case _ =>
+          if (isWordChar(c)) {
+            var e = j
+            while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+            val w = sql.substring(j, e).toLowerCase
+            if (stops(w)) return (sql.substring(i, j), j, Some(w))
+            j = e
+          } else j += 1
+      }
+    }
+    (sql.substring(i), sql.length, None)
   }
 
   /** Parse `[TEMP|TEMPORARY] (VIEW|TABLE) [IF NOT EXISTS] name AS

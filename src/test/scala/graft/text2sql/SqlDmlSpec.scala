@@ -18,8 +18,10 @@ class SqlDmlSpec extends SparkSpec {
 
   test("detect classifies the four verbs; SELECT and scalar replace() are not DML") {
     import SqlDml._
-    assert(detect("UPDATE t SET x = 1") == Some(Unsupported("UPDATE")))
-    assert(detect("  delete from 'abc' where x < 0") == Some(Unsupported("DELETE")))
+    assert(detect("UPDATE t SET x = 1")
+      == Some(Update("t", Seq("x" -> "1"), None, None, "")))
+    assert(detect("  delete from 'abc' where x < 0")
+      == Some(Delete("abc", Some("x < 0"), None, "")))
     // plain INSERT INTO parses as an APPEND (replace = false)
     detect("INSERT INTO t VALUES (1)") match {
       case Some(Upsert("t", Seq(), src, false)) =>
@@ -59,21 +61,126 @@ class SqlDmlSpec extends SparkSpec {
         assert(src.startsWith("WITH c AS"), src)
       case other => fail(s"expected Upsert, got $other")
     }
-    assert(detect("WITH c AS (SELECT 1) DELETE FROM t")
-      == Some(Unsupported("DELETE")))
+    assert(detect("WITH c AS (SELECT 1 AS x) DELETE FROM t WHERE id IN (SELECT x FROM c)")
+      == Some(Delete("t", Some("id IN (SELECT x FROM c)"), None,
+        "WITH c AS (SELECT 1 AS x)")))
   }
 
-  test("UPDATE / DELETE raise the targeted read-only error") {
-    freshView("dml_t")
-    for (stmt <- Seq(
-      "UPDATE dml_t SET name = 'x' WHERE id = 1",
-      "DELETE FROM dml_t WHERE id = 1")) {
-      val e = intercept[UnsupportedOperationException] {
-        Runner.runSql(spark, stmt)
-      }
-      assert(e.getMessage.contains("read-only analytics engine"), stmt)
-      assert(e.getMessage.contains("INSERT [OR REPLACE]"), stmt)
+  test("detect parses UPDATE/DELETE clause structure; unsound forms decline named") {
+    import SqlDml._
+    // multi-assignment, rightmost-wins duplicates are the parser's to
+    // KEEP (executor applies the SQLite rule), WHERE + RETURNING split
+    assert(detect("UPDATE t SET a = 1, b = a + 2 WHERE a < 3 RETURNING a, b")
+      == Some(Update("t", Seq("a" -> "1", "b" -> "a + 2"),
+        Some("a < 3"), Some("a, b"), "")))
+    // keywords inside literals/subqueries never stop the clause scan
+    assert(detect("UPDATE t SET s = 'where x' WHERE id IN (SELECT id FROM u WHERE z = 1)")
+      == Some(Update("t", Seq("s" -> "'where x'"),
+        Some("id IN (SELECT id FROM u WHERE z = 1)"), None, "")))
+    assert(detect("DELETE FROM t RETURNING *")
+      == Some(Delete("t", None, Some("*"), "")))
+    // INDEXED BY / NOT INDEXED are pure access-path hints — skipped
+    assert(detect("DELETE FROM t INDEXED BY idx WHERE x = 1")
+      == Some(Delete("t", Some("x = 1"), None, "")))
+    assert(detect("UPDATE t NOT INDEXED SET a = 1")
+      == Some(Update("t", Seq("a" -> "1"), None, None, "")))
+    // forms with no sound lake re-expression decline with the form named
+    assert(detect("UPDATE OR IGNORE t SET a = 1")
+      == Some(Unsupported("UPDATE OR IGNORE")))
+    assert(detect("UPDATE t SET a = u.b FROM u WHERE t.id = u.id")
+      == Some(Unsupported("UPDATE … FROM (join form)")))
+    assert(detect("DELETE FROM t WHERE x = 1 ORDER BY x LIMIT 5")
+      == Some(Unsupported("DELETE with ORDER BY/LIMIT")))
+    assert(detect("UPDATE t SET (a, b) = (1, 2)")
+      == Some(Unsupported("UPDATE with a column-name-list SET")))
+    // mangled statements fall back to the bare-verb decline
+    assert(detect("UPDATE t SET = 5") == Some(Unsupported("UPDATE")))
+    assert(detect("DELETE t WHERE x = 1") == Some(Unsupported("DELETE")))
+  }
+
+  test("UPDATE rewrites matching rows in place; NULL-predicate rows stay untouched") {
+    freshView("dml_u")
+    val out = Runner.runSql(spark,
+      "UPDATE dml_u SET name = upper(name), v = v + 1 WHERE id >= 2")
+    val rows = spark.table("dml_u").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO", 21L), (3L, "THREE", 31L)))
+    assert(out.count() == 3) // no RETURNING → the new table state
+    // assignments see the OLD row: swap is not sequential
+    Seq((1L, 100L, 200L)).toDF("id", "a", "b").createOrReplaceTempView("dml_u2")
+    Runner.runSql(spark, "UPDATE dml_u2 SET a = b, b = a")
+    val r2 = spark.table("dml_u2").collect()(0)
+    assert((r2.getLong(1), r2.getLong(2)) == (200L, 100L))
+    // NULL predicate rows are kept unmodified (SQLite updates only
+    // WHERE-true rows; a bare CASE WHEN NULL would also fall through,
+    // but the coalesce makes it explicit)
+    Seq((1L, Some(5L), "x"), (2L, None, "y"))
+      .toDF("id", "k", "s").createOrReplaceTempView("dml_u3")
+    Runner.runSql(spark, "UPDATE dml_u3 SET s = 'hit' WHERE k > 0")
+    assert(spark.table("dml_u3").orderBy("id")
+      .collect().map(_.getString(2)).toSeq == Seq("hit", "y"))
+  }
+
+  test("DELETE removes WHERE-true rows only; no WHERE truncates, schema survives") {
+    freshView("dml_d")
+    Runner.runSql(spark, "DELETE FROM dml_d WHERE id % 2 = 1")
+    assert(spark.table("dml_d").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // NULL-predicate rows are KEPT (SQLite deletes only WHERE-true)
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(-1L)))
+      .toDF("id", "k").createOrReplaceTempView("dml_d2")
+    Runner.runSql(spark, "DELETE FROM dml_d2 WHERE k > 0")
+    assert(spark.table("dml_d2").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // truncate: all rows go, the schema (and view) survive
+    Runner.runSql(spark, "DELETE FROM dml_d2")
+    assert(spark.table("dml_d2").count() == 0)
+    assert(spark.table("dml_d2").columns.toSeq == Seq("id", "k"))
+  }
+
+  test("RETURNING hands back affected rows: old values for DELETE, new for UPDATE") {
+    freshView("dml_ret")
+    val del = Runner.runSql(spark,
+      "DELETE FROM dml_ret WHERE v >= 20 RETURNING id, name").orderBy("id")
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "two"), (3L, "three")))
+    assert(spark.table("dml_ret").count() == 1)
+    val upd = Runner.runSql(spark,
+      "UPDATE dml_ret SET v = v * 10 WHERE id = 1 RETURNING name, v")
+    assert(upd.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("one", 100L)))
+    // the RETURNING result was materialized before the re-bind: it
+    // re-reads stably even after FURTHER statements mutate the table
+    Runner.runSql(spark, "DELETE FROM dml_ret")
+    assert(upd.collect().map(_.getLong(1)).toSeq == Seq(100L))
+  }
+
+  test("WITH-prefixed UPDATE/DELETE keep CTE bindings in scope; updates compose") {
+    freshView("dml_w")
+    Runner.runSql(spark,
+      "WITH hot AS (SELECT 2 AS hid) DELETE FROM dml_w WHERE id IN (SELECT hid FROM hot)")
+    assert(spark.table("dml_w").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // generation dirs: statement 2 reads what statement 1 wrote
+    Runner.runSql(spark, "UPDATE dml_w SET v = v + 1 WHERE id = 1")
+    Runner.runSql(spark, "UPDATE dml_w SET v = v + 1 WHERE id = 1")
+    assert(spark.table("dml_w").filter("id = 1")
+      .collect().map(_.getLong(2)).toSeq == Seq(12L))
+  }
+
+  test("UPDATE/DELETE errors are targeted: unknown table, unknown column") {
+    freshView("dml_me")
+    val e1 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "UPDATE no_such_mt SET a = 1")
     }
+    assert(e1.getMessage.contains("not a registered"))
+    val e2 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "UPDATE dml_me SET bogus = 1")
+    }
+    assert(e2.getMessage.contains("no such column"))
+    val e3 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "DELETE FROM no_such_mt WHERE 1 = 1")
+    }
+    assert(e3.getMessage.contains("not a registered"))
   }
 
   test("plain INSERT INTO appends; duplicate keys survive (no PK rule)") {

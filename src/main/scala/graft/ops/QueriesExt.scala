@@ -311,6 +311,27 @@ object QueriesExt {
         .orderBy("id1", "id2")
     }),
 
+    // Repeated-substring SPAN detection (Lee et al. 2021 style,
+    // k-gram anchored — Dedup.duplicateSpans): corpus = documents plus
+    // an injected copy of every 5th doc behind a fixed 6-word
+    // preamble. The copied body surfaces as one long merged span in
+    // BOTH the original and the copy; the preamble — identical across
+    // all injected docs — yields only a 6-token island, below the
+    // 10-token floor, pinning the threshold behavior in the oracle.
+    "ext_dedup_spans" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("injected preamble marker one two three "),
+              col("text")).as("text")))
+      Dedup.duplicateSpans(corpus, "doc_id", "text", k = 5,
+          minSpanTokens = 10)
+        .select(col("id").as("doc_id"), col("n_spans"),
+          col("dup_tokens"), col("max_span"))
+        .orderBy("doc_id")
+    }),
+
     // BENCH-scale brute-force cosine top-k over the materialized
     // ~100k-vector expanded corpus (fused codegen kernel) — the exact
     // baseline the indexed probe below is measured against. Rows-only
@@ -783,6 +804,45 @@ object QueriesExt {
          JOIN cnt cb ON cb.doc_id = d2
          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.09
          ORDER BY d1, d2""",
+    // same gram/island/threshold pipeline over gram STRINGS (the Spark
+    // side shuffles xxhash64 of the same strings — equality semantics
+    // match modulo astronomically-unlikely 64-bit collisions);
+    // GENERATE_SERIES is BIGINT in DuckDB, so pos is cast to INTEGER
+    // to mirror Spark's int positions
+    "ext_dedup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000,
+                  'injected preamble marker one two three ' || text
+           FROM documents WHERE doc_id % 5 = 0),
+         words AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w
+                   FROM corpus),
+         grams AS (SELECT doc_id, CAST(g AS INTEGER) AS pos,
+                          ARRAY_TO_STRING(w[g:g+4], ' ') AS gram
+                   FROM words,
+                        (SELECT UNNEST(GENERATE_SERIES(1, 2000)) AS g) t(g)
+                   WHERE g <= LEN(w) - 4),
+         dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+         cov AS (SELECT doc_id, pos FROM grams
+                 WHERE gram IN (SELECT gram FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                        CASE WHEN pos - LAG(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) <= 5
+                             THEN 0 ELSE 1 END AS f
+                 FROM cov),
+         grp AS (SELECT doc_id, pos,
+                        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                 FROM isl),
+         runs AS (SELECT doc_id, g,
+                         MAX(pos) - MIN(pos) + 5 AS span_tokens
+                  FROM grp GROUP BY doc_id, g
+                  HAVING MAX(pos) - MIN(pos) + 5 >= 10)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+                MAX(span_tokens) AS max_span
+         FROM runs GROUP BY doc_id ORDER BY doc_id""",
+
     "ext_dedup_minhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
          corpus AS (SELECT doc_id, text FROM base

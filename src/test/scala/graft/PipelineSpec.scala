@@ -125,12 +125,23 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     assert(after.filter(col("Product_line").startsWith("UPD_")).count() == before)
 
-    // a delete question fails with the targeted read-only error, not a
-    // generic analysis failure
-    val qd = "Remove all products"
-    val stubD = new StubLlm(Map(qd -> s"DELETE FROM `${pr.hash}`"))
+    // a delete question executes copy-on-write (SQLite would run it
+    // in place; the observable table state must match)
+    val qd = "Remove the cheap products"
+    val stubD = new StubLlm(Map(qd ->
+      s"DELETE FROM `${pr.hash}` WHERE `Unit_cost` < 10"))
+    Runner.ask(spark, qd, results, stubD)
+    val kept = spark.table(s"`${pr.hash}`")
+    assert(kept.count() < before && kept.count() > 0)
+    assert(kept.filter(col("Unit_cost") < 10).count() == 0)
+
+    // a verb with no sound re-expression still fails targeted, not
+    // with a generic analysis error
+    val qa = "Insert ignoring conflicts"
+    val stubA = new StubLlm(Map(qa ->
+      s"INSERT OR IGNORE INTO `${pr.hash}` VALUES (1)"))
     val e = intercept[UnsupportedOperationException] {
-      Runner.ask(spark, qd, results, stubD)
+      Runner.ask(spark, qa, results, stubA)
     }
     assert(e.getMessage.contains("read-only analytics engine"))
   }

@@ -339,4 +339,46 @@ class DedupSpec extends SparkSpec {
     assert(deduped.count() == 4)
     assert(deduped.filter($"n" === 2).select("doc_id").as[Long].head() == 1L)
   }
+
+  test("duplicateSpans finds shared spans, merges islands, and respects the floor") {
+    // doc 1: 12 unique words + a 12-word span copied into doc 2 at a
+    // different offset; doc 3 repeats a 10-word span WITHIN itself;
+    // doc 4 shares only a 6-word run with doc 5 (< 10-token floor);
+    // doc 6 is shorter than one gram
+    val span12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val span10 = "one two three four five six seven eight nine ten"
+    val run6 = "red orange yellow green blue indigo"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 $span12"),
+      (2L, s"$span12 v1 v2 v3 v4 v5"),
+      (3L, s"$span10 w1 w2 w3 $span10"),
+      (4L, s"x1 x2 $run6 x3 x4"),
+      (5L, s"y1 y2 y3 $run6 y4"),
+      (6L, "tiny doc here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 5, minSpanTokens = 10)
+      .orderBy("id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // docs 1 and 2 each carry the 12-token span exactly once; doc 3's
+    // two copies are separated by 3 uncovered words (start gap 8 > k),
+    // so they stay two DISTINCT 10-token spans; docs 4/5/6 produce
+    // nothing
+    assert(out == Seq((1L, 1L, 12L, 12), (2L, 1L, 12L, 12),
+      (3L, 2L, 20L, 10)))
+  }
+
+  test("duplicateSpans join-back volume is linear in a mega-cluster, not quadratic") {
+    // 2000 identical docs: every gram is duplicated, but the df-join
+    // fans each gram OCCURRENCE out exactly once — the span output is
+    // one row per doc, and the whole run completes at cluster size
+    // where any pairwise path would enumerate ~2000²/2 pairs
+    val text = "the same boilerplate sentence repeated across every " +
+      "single document in this cluster forever and ever"
+    val clones = (1 to 2000).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(clones, "doc_id", "text")
+    assert(out.count() == 2000)
+    assert(out.select("max_span").distinct().as[Int].collect().toSeq
+      == Seq(15)) // every doc = one full-width 15-token span
+  }
 }

@@ -39,6 +39,7 @@ object QueriesDialect {
            strftime('%G', ts) AS yr_iso,
            strftime('%u', ts) AS dow_iso,
            strftime('%s', ts) AS epoch_s,
+           strftime('%J', ts) AS jd_str,
            unixepoch(ts) AS epoch_i,
            date(ts) AS d,
            date(ts, 'start of month') AS som,
@@ -295,6 +296,15 @@ object QueriesDialect {
            strftime(ts, '%G') AS yr_iso,
            strftime(ts, '%u') AS dow_iso,
            CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS epoch_s,
+           RTRIM(RTRIM(
+             CAST(CAST(FLOOR((2440587.5 + epoch_us(ts) / 86400000000.0)
+                             * 1000000000.0 + 0.5) AS BIGINT)
+                  // 1000000000 AS VARCHAR)
+             || '.' ||
+             lpad(CAST(CAST(FLOOR((2440587.5 + epoch_us(ts) / 86400000000.0)
+                                  * 1000000000.0 + 0.5) AS BIGINT)
+                       % 1000000000 AS VARCHAR), 9, '0'),
+             '0'), '.') AS jd_str,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_i,
            strftime(ts, '%Y-%m-%d') AS d,
            strftime(date_trunc('month', ts), '%Y-%m-%d') AS som,

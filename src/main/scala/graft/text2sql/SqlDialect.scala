@@ -845,7 +845,10 @@ object SqlDialect {
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>
         Some(if (args.length == 1) s"chr(${args.head})"
-             else args.map(a => s"chr($a)").mkString("concat(", ", ", ")"))
+             // || not concat(): the concat→concat_ws NULL-skip rewrite
+             // would hit our own emission on a second pass (fixpoint),
+             // and || keeps NULL-propagation
+             else args.map(a => s"chr($a)").mkString("(", " || ", ")"))
       case "group_concat" => buildGroupConcat(args)
       case "strftime" if args.nonEmpty => buildStrftime(args)
       // SQLite total(): like sum() but DOUBLE and 0.0 (not NULL) on
@@ -867,10 +870,14 @@ object SqlDialect {
       case "datetime" =>
         applyModifiers(args).map(e => s"date_format($e, 'yyyy-MM-dd HH:mm:ss')")
       case "julianday" =>
-        // decimal literal would make the whole expression DECIMAL; the
-        // SQLite function returns a float → force DOUBLE
+        // SQLite returns a float → force DOUBLE everywhere: in SQL
+        // TEXT a `1000000.0` literal parses as DECIMAL and bigint ÷
+        // decimal runs DECIMAL division, whose rounding diverges from
+        // the double formula in the last digit — so divide ONCE by an
+        // explicit double (µs per day)
         applyModifiers(args).map(e =>
-          s"(CAST(2440587.5 AS DOUBLE) + (unix_micros($e) / 1000000.0) / 86400.0)")
+          s"(CAST(2440587.5 AS DOUBLE) + " +
+            s"unix_micros($e) / CAST(86400000000 AS DOUBLE))")
       case "unixepoch" =>
         // SQLite ≥3.38: integer Unix seconds (floor)
         applyModifiers(args).map(e => s"unix_timestamp($e)")
@@ -1162,6 +1169,25 @@ object SqlDialect {
           case 'P' => // lowercase am/pm ('a' has no lowercase variant)
             flushLit()
             pieces += Right(s"lower(date_format($e, 'a'))")
+          case 'J' => // Julian day number; SQLite renders with C
+            // "%.16g" — for the 7-integer-digit JD range that is 9
+            // fraction digits with the trailing zeros (and a bare
+            // point) stripped. NOT emitted via format_string: Java's
+            // %.9f rounds the double's SHORTEST decimal repr where C
+            // rounds the exact binary expansion, so the last digit
+            // diverges. Instead the digits are integer-assembled from
+            // floor(jd·10⁹ + 0.5) — at that magnitude ulp = 0.5, the
+            // +0.5 is exact, and floor is deterministic and identical
+            // across engines. Same noon-based formula as julianday().
+            flushLit()
+            val jdScaled = s"CAST(FLOOR((CAST(2440587.5 AS DOUBLE) + " +
+              s"unix_micros($e) / CAST(86400000000 AS DOUBLE)) * " +
+              s"CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            pieces += Right(
+              s"regexp_replace(" +
+                s"CAST($jdScaled div 1000000000 AS STRING) || '.' || " +
+                s"lpad(CAST($jdScaled % 1000000000 AS STRING), 9, '0'), " +
+                s"'\\\\.?0+$$', '')")
           // space-padded hours (no DateTimeFormatter equivalent)
           case 'k' => // 24-hour, " 0".." 9" then "10".."23"
             flushLit()
@@ -1189,10 +1215,15 @@ object SqlDialect {
       case Seq(Left(p))  => Some(fmtPiece(p))
       case Seq(Right(x)) => Some(x)
       case many =>
+        // || not concat(): the concat→concat_ws NULL-skip rewrite
+        // would hit our own emission on a second pass (breaking the
+        // textual fixpoint), and || keeps the NULL-propagation a NULL
+        // timeval needs (strftime(fmt, NULL) IS NULL; concat_ws would
+        // yield '')
         Some(many.map {
           case Left(p)  => fmtPiece(p)
           case Right(x) => x
-        }.mkString("concat(", ", ", ")"))
+        }.mkString("(", " || ", ")"))
     }
   }
 

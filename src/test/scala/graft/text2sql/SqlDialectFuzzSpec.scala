@@ -43,6 +43,13 @@ class SqlDialectFuzzSpec extends SparkSpec {
         Gen.zip(sub, sub).map { case (a, b) => s"max($a, $b)" },
         sub.map(a => s"datetime($a, 'start of month', '+1 day')"),
         sub.map(a => s"strftime('%Y-%m', $a)"),
+        // MIXED pattern/computed formats force the ||-joined emission
+        // (a plain concat() there would be re-rewritten to concat_ws
+        // on the second pass — the regression this class caught)
+        sub.map(a => s"strftime('%Y-W%W', $a)"),
+        sub.map(a => s"strftime('%J', $a)"),
+        sub.map(a => s"strftime('w%V day%e at%k', $a)"),
+        Gen.zip(sub, sub).map { case (a, b) => s"char($a, $b)" },
         sub.map(a => s"CAST($a AS TEXT)"),
         sub.map(a => s"CAST($a AS INTEGER)"),
         // round-6 surface: JSON scalars/operators, printf casts,

@@ -23,6 +23,13 @@ object Runner {
       """reindex(\s+[\w.`"']+)?)(\s+(deferred|immediate|exclusive|transaction))*""").r
 
   def runSql(spark: SparkSession, sql: String): DataFrame = {
+    // the generated-SQL path needs the SQLite-dialect native functions
+    // resolvable (the translator emits sqlite_typeof; verbatim
+    // SQLite-isms like iif/glob also resolve then) — register them
+    // once per session, cheap existence probe after that
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sqlite_typeof")))
+      graft.plans.SqliteFunctions.registerRuntime(spark)
     // SQLite introspection first: bare PRAGMA statements execute
     // directly; pragma_table_info('t') table-valued calls rewrite to
     // on-demand views; any sqlite_master reference (re)builds the

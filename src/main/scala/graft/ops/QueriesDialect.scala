@@ -52,6 +52,19 @@ object QueriesDialect {
            date(1700000000 + event_id, 'unixepoch', '+1 days') AS from_epoch_p1
          FROM events ORDER BY event_id""",
 
+    // SQLite storage-class introspection over typed lake columns —
+    // typeof() answers with SQLite's class names ('integer', 'real',
+    // 'text', 'null'), never Spark's; the mixed column exercises the
+    // per-row null guard
+    "fn_typeof" ->
+      """SELECT c_custkey,
+           typeof(c_custkey) AS t_int,
+           typeof(c_name) AS t_text,
+           typeof(c_acctbal) AS t_real,
+           typeof(NULL) AS t_null,
+           typeof(iif(c_custkey % 2 = 0, NULL, c_name)) AS t_mixed
+         FROM customer ORDER BY c_custkey""",
+
     "fn_cond_iif" ->
       """SELECT c_custkey,
            iif(c_acctbal < 0, 'neg', 'pos') AS sgn,
@@ -444,6 +457,15 @@ object QueriesDialect {
          SELECT n_nationkey, 'DUP_' || n_name, n_regionkey
          FROM base WHERE n_nationkey = 0
          ORDER BY n_nationkey, n_name""",
+
+    // the storage classes are static facts of the lake schema — the
+    // oracle pins them as literals (only the mixed column varies)
+    "fn_typeof" ->
+      """SELECT c_custkey,
+           'integer' AS t_int, 'text' AS t_text, 'real' AS t_real,
+           'null' AS t_null,
+           CASE WHEN c_custkey % 2 = 0 THEN 'null' ELSE 'text' END AS t_mixed
+         FROM customer ORDER BY c_custkey""",
 
     // the two UPDATE statements' post-state as CASE projections; the
     // TRY_CAST mirrors graft's documented lenient-cast-miss → NULL

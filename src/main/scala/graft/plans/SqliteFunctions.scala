@@ -100,6 +100,35 @@ object SqliteFunctions {
         case _ => throw new IllegalArgumentException(
           "glob(pattern, str) requires a literal pattern")
       }
+    }),
+
+    // SQLite typeof() → storage class of the VALUE. With a fixed lake
+    // schema the class is static per expression TYPE; only nullness is
+    // a runtime question, so the whole call folds to a null-guarded
+    // literal (free at execution). Registered under a DISTINCT name:
+    // Spark's own typeof() answers with Spark type names ('bigint',
+    // 'string') — silently wrong values for SQLite-dialect SQL — and
+    // the separate name keeps the translator's rewrite a textual
+    // fixpoint ('typeof' inside 'sqlite_typeof' fails the
+    // word-boundary match).
+    ("sqlite_typeof", "sqlite_typeof(x) - SQLite storage class ('integer', 'real', 'text', 'blob', 'null')", { args =>
+      arity("sqlite_typeof", args, 1)
+      val e = args.head
+      val cls = e.dataType match {
+        case NullType => "null"
+        case BooleanType | ByteType | ShortType | IntegerType |
+             LongType => "integer"
+        case FloatType | DoubleType | _: DecimalType => "real"
+        case _: StringType | _: VarcharType | _: CharType => "text"
+        case BinaryType => "blob"
+        // pandas to_sql ships dates/times to SQLite as TEXT
+        // (reference pandasqlite.py:115), so typed temporal columns
+        // answer as the reference's tables would
+        case DateType | TimestampType | TimestampNTZType => "text"
+        case dt => throw new IllegalArgumentException(
+          s"sqlite_typeof: no SQLite storage class for ${dt.sql}")
+      }
+      If(IsNull(e), Literal("null"), Literal(cls))
     })
   )
 

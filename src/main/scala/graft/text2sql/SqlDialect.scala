@@ -657,7 +657,7 @@ object SqlDialect {
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
-    "glob", "string_agg", "concat")
+    "glob", "string_agg", "concat", "typeof")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -833,14 +833,17 @@ object SqlDialect {
       // including '' (never NULL) when every argument is NULL
       case "concat" if args.nonEmpty =>
         Some(s"concat_ws('', ${args.mkString(", ")})")
-      // typeof() is deliberately NOT translated: any rewrite mapping
-      // Spark's type names onto SQLite storage classes must itself
-      // call typeof(), so a second translate pass would re-expand the
-      // inner call and corrupt the result — breaking the translator's
-      // idempotence property (fuzz-pinned), which keeps retry /
-      // pipeline-of-translators composition safe. Spark's typeof
-      // resolves natively with its own type names; README divergence
-      // table documents the delta.
+      // typeof() → the native sqlite_typeof expression (registered by
+      // Runner.runSql / GraftExtensions), which folds the storage
+      // class to a null-guarded literal. A pure-SQL rewrite would have
+      // to call typeof() inside its own emission — a second translate
+      // pass would re-expand it (fixpoint violation, fuzz-pinned) —
+      // and leaving the call verbatim resolves to SPARK's typeof,
+      // whose answers ('bigint', 'string') are silently wrong in
+      // SQLite dialect. The distinct target name survives re-scans:
+      // 'typeof' inside 'sqlite_typeof' fails the word-boundary match.
+      case "typeof" if args.length == 1 =>
+        Some(s"sqlite_typeof(${args.head})")
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>

@@ -53,6 +53,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getBoolean(4) && !r.getBoolean(5))
   }
 
+  test("sqlite_typeof answers storage classes, null-guarded per row") {
+    val r = spark.sql(
+      """SELECT sqlite_typeof(7) AS a,
+                sqlite_typeof(CAST(7 AS SMALLINT)) AS b,
+                sqlite_typeof(1.5D) AS c,
+                sqlite_typeof(CAST(1.5 AS DECIMAL(5,2))) AS d,
+                sqlite_typeof('s') AS e,
+                sqlite_typeof(CAST('ab' AS BINARY)) AS f,
+                sqlite_typeof(NULL) AS g,
+                sqlite_typeof(CAST(NULL AS STRING)) AS h,
+                sqlite_typeof(DATE '2024-01-01') AS i
+      """).collect()(0)
+    assert((0 to 8).map(r.getString) == Seq("integer", "integer", "real",
+      "real", "text", "blob", "null", "null", "text"))
+    // the class folds to a literal: no per-row work in the plan
+    val plan = spark.sql("SELECT sqlite_typeof(id) FROM range(5)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("integer"), plan)
+  }
+
   test("total() is 0.0 on empty input, sum elsewhere; group_concat sorted") {
     Seq((1, 5.0), (1, 2.5), (2, -2.5)).toDF("k", "v")
       .createOrReplaceTempView("tot_t")

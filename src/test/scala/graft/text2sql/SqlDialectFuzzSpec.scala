@@ -50,6 +50,9 @@ class SqlDialectFuzzSpec extends SparkSpec {
         sub.map(a => s"strftime('%J', $a)"),
         sub.map(a => s"strftime('w%V day%e at%k', $a)"),
         Gen.zip(sub, sub).map { case (a, b) => s"char($a, $b)" },
+        // the rewrite target contains the source name as a SUBSTRING
+        // (sqlite_typeof) — word-boundary matching must not re-expand
+        sub.map(a => s"typeof($a)"),
         sub.map(a => s"CAST($a AS TEXT)"),
         sub.map(a => s"CAST($a AS INTEGER)"),
         // round-6 surface: JSON scalars/operators, printf casts,

@@ -6,6 +6,12 @@ import graft.ops.Tables
 class SqlDialectSpec extends SparkSpec {
   import spark.implicits._
 
+  // translate() output may reference the SQLite-dialect native
+  // functions (e.g. sqlite_typeof); Runner.runSql registers them
+  // lazily in production — mirror that here since these specs execute
+  // translated SQL through raw spark.sql
+  graft.plans.SqliteFunctions.registerRuntime(spark)
+
   test("GLOB rewrites to an anchored RLIKE that executes in Spark") {
     val sql = SqlDialect.translate(
       "SELECT p_partkey FROM part WHERE p_name GLOB '*ge?r*' ORDER BY p_partkey")
@@ -622,11 +628,14 @@ class SqlDialectSpec extends SparkSpec {
     assert(one("concat(NULL)") == "")
     // string_agg = group_concat alias: sorted for determinism
     assert(one("string_agg(x, '|') FROM VALUES ('b'),('a') AS t(x)") == "a|b")
-    // typeof is deliberately untranslated (idempotence — see
-    // SqlDialect); Spark's own typeof resolves with Spark type names
+    // typeof → the native sqlite_typeof (distinct name: 'typeof'
+    // inside it fails the word-boundary match, keeping the fixpoint)
     val q = "SELECT typeof(x) FROM t"
-    assert(SqlDialect.translate(q) == q)
-    assert(one("typeof(3.5)") == "decimal(2,1)")
+    assert(SqlDialect.translate(q) == "SELECT sqlite_typeof(x) FROM t")
+    assert(one("typeof(3.5)") == "real")
+    assert(one("typeof(3)") == "integer")
+    assert(one("typeof('s')") == "text")
+    assert(one("typeof(NULL)") == "null")
   }
 
   test("negative LIMIT (SQLite: no limit) is removed; OFFSET survives") {

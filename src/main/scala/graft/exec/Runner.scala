@@ -84,8 +84,11 @@ object Runner {
         throw new UnsupportedOperationException(
           s"graft is a read-only analytics engine over immutable lake " +
             s"storage; got DML verb $verb. Supported statements: " +
-            s"INSERT [OR REPLACE] INTO <table> [(cols)] (SELECT …|VALUES …) " +
-            s"(copy-on-write append / upsert keyed on the leading column), " +
+            s"INSERT [OR REPLACE|OR IGNORE] INTO <table> [(cols)] " +
+            s"(SELECT …|VALUES …) [ON CONFLICT [(cols)] DO NOTHING | " +
+            s"DO UPDATE SET … [WHERE …]] " +
+            s"(copy-on-write append / upsert; no conflict target = the " +
+            s"leading column), " +
             s"UPDATE <table> SET … [WHERE …] [RETURNING …], " +
             s"DELETE FROM <table> [WHERE …] [RETURNING …] (both " +
             s"copy-on-write row rewrites), " +

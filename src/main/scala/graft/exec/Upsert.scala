@@ -90,9 +90,28 @@ object Upsert {
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val merged =
-      if (stmt.replace) merge(base, aligned, Seq(base.columns.head))
-      else base.unionAll(aligned)
+    val merged = stmt.conflict match {
+      case Some(c) =>
+        // the upsert clause (or OR IGNORE's implied DO NOTHING):
+        // resolve the conflict key against the lake schema; no target
+        // = the leading column, the same id convention OR REPLACE uses
+        val keys =
+          if (c.keyCols.isEmpty) Seq(base.columns.head)
+          else c.keyCols.map { k =>
+            base.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+              throw new IllegalArgumentException(
+                s"$verb INTO ${stmt.table} ON CONFLICT: no such column $k"))
+          }
+        if (c.assigns.isEmpty)
+          // DO NOTHING: conflicting incoming rows are discarded, the
+          // rest append — base rows always survive untouched
+          base.unionAll(aligned.join(
+            base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+        else doUpdate(base, aligned, keys, c, stmt.table)
+      case None =>
+        if (stmt.replace) merge(base, aligned, Seq(base.columns.head))
+        else base.unionAll(aligned)
+    }
     // copy-on-write: materialize BEFORE re-binding the view (the merge
     // plan reads the old binding; a lazy re-registration would
     // recurse). The dir carries a per-statement generation counter —
@@ -108,6 +127,55 @@ object Upsert {
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)
     out
+  }
+
+  /** `ON CONFLICT (keys) DO UPDATE SET … [WHERE p]`: base rows whose
+    * key matches an incoming row take the assignments (expressions see
+    * the OLD row bare and the incoming row as `excluded.col`, exactly
+    * SQLite's scoping); a false/NULL update-WHERE keeps the old row
+    * and discards the incoming one; incoming rows with no base match
+    * append as plain inserts. One left join + one anti-join — the
+    * MERGE shape again, shuffling on the key only.
+    *
+    * Batch-internal key duplicates: SQLite resolves them sequentially
+    * by rowid, an order a distributed batch does not have — one
+    * arbitrary row per key drives the update (the same documented
+    * caveat as [[merge]]).
+    */
+  private def doUpdate(base: DataFrame, incoming: DataFrame,
+                       keys: Seq[String], c: graft.text2sql.SqlDml.OnConflict,
+                       table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+    val upd = incoming.dropDuplicates(keys)
+    val excl = upd.select((upd.columns.map(cn => col(cn).as("__excl_" + cn))
+      :+ lit(true).as("__excl_hit")).toIndexedSeq: _*)
+    // alias the base side with the table name so qualified `t.col`
+    // references in assignments resolve (dotted names can't alias)
+    val b = if (table.contains(".")) base else base.as(table)
+    val joined = b.join(excl,
+      keys.map(k => b(k) === excl("__excl_" + k)).reduce(_ && _), "left")
+    val assigns: Map[String, String] = c.assigns.map { case (cn, ex) =>
+      val res = base.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT INTO $table ON CONFLICT DO UPDATE: no such column $cn"))
+      res -> graft.text2sql.SqlDml.rewriteExcluded(ex)
+    }.toMap // rightmost assignment wins on a repeated column (SQLite)
+    val hit = coalesce(col("__excl_hit"), lit(false))
+    val gate = c.updateWhere match {
+      // NULL predicate skips the update, as in SQLite — `when` only
+      // fires on TRUE, so the raw && carries that semantics
+      case Some(w) => hit && expr(graft.text2sql.SqlDml.rewriteExcluded(w))
+      case None    => hit
+    }
+    val updated = joined.select(base.schema.fields.map { f =>
+      assigns.get(f.name) match {
+        case Some(ex) =>
+          when(gate, expr(ex).cast(f.dataType)).otherwise(b(f.name)).as(f.name)
+        case None => b(f.name).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+    updated.unionAll(incoming.join(
+      base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
   }
 
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)

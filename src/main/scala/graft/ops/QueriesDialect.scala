@@ -229,6 +229,54 @@ object QueriesDialect {
         .orderBy("n_nationkey", "n_name")
     }),
 
+    // SQLite's upsert clause end-to-end: DO NOTHING skips conflicting
+    // keys, OR IGNORE implies the same action, and the second
+    // statement sequences against the first's re-bound state (401
+    // exists only because statement 1 appended it)
+    "sink_insert_ignore_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_ignore_sql_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """INSERT OR IGNORE INTO graft_ignore_sql_t
+           SELECT n_nationkey, 'IGN_' || n_name, n_regionkey
+             FROM graft_ignore_sql_t WHERE n_nationkey < 5
+           UNION ALL
+           SELECT n_nationkey + 400, 'NEW_' || n_name, n_regionkey
+             FROM graft_ignore_sql_t WHERE n_nationkey < 2"""))
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """INSERT INTO graft_ignore_sql_t
+           SELECT n_nationkey, 'CONF_' || n_name, n_regionkey
+             FROM graft_ignore_sql_t WHERE n_nationkey IN (1, 401)
+           UNION ALL
+           SELECT n_nationkey + 500, n_name, n_regionkey
+             FROM graft_ignore_sql_t WHERE n_nationkey = 3
+           ON CONFLICT DO NOTHING"""))
+      s.table("graft_ignore_sql_t").orderBy("n_nationkey")
+    }),
+
+    // ON CONFLICT (key) DO UPDATE with excluded.* scoping and a
+    // conditional WHERE gate: conflicting even keys update (old row
+    // bare, incoming as excluded), odd keys keep the old row, new
+    // keys append — one statement driving the whole MERGE surface
+    "sink_upsert_conflict_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_conflict_sql_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """INSERT INTO graft_conflict_sql_t (n_nationkey, n_name, n_regionkey)
+           SELECT n_nationkey, 'X_' || n_name, n_regionkey + 100
+             FROM graft_conflict_sql_t WHERE n_nationkey < 10
+           UNION ALL
+           SELECT n_nationkey + 300, n_name, n_regionkey
+             FROM graft_conflict_sql_t WHERE n_nationkey < 3
+           ON CONFLICT (n_nationkey) DO UPDATE
+             SET n_name = excluded.n_name || '/' || n_name,
+                 n_regionkey = n_regionkey + excluded.n_regionkey
+           WHERE n_nationkey % 2 = 0"""))
+        .orderBy("n_nationkey")
+    }),
+
     // SQLite UPDATE as a model emits it (pandasqlite.py:245-247 runs
     // it verbatim) — two sequential statements through the full
     // Runner path: a conditional multi-assignment rewrite, then a
@@ -466,6 +514,37 @@ object QueriesDialect {
            'null' AS t_null,
            CASE WHEN c_custkey % 2 = 0 THEN 'null' ELSE 'text' END AS t_mixed
          FROM customer ORDER BY c_custkey""",
+
+    // statement 1 skips every conflicting IGN_ row and appends 400/401;
+    // statement 2's CONF_ rows conflict against the post-statement-1
+    // state (401 included) and are skipped; 503 appends
+    "sink_insert_ignore_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey FROM base
+         UNION ALL
+         SELECT n_nationkey + 400, 'NEW_' || n_name, n_regionkey
+         FROM base WHERE n_nationkey < 2
+         UNION ALL
+         SELECT n_nationkey + 500, n_name, n_regionkey
+         FROM base WHERE n_nationkey = 3
+         ORDER BY n_nationkey""",
+
+    // conflicting even keys take the assignments (excluded = incoming:
+    // name 'X_'||n_name, regionkey +100), odd conflicts keep the old
+    // row, 300-302 append
+    "sink_upsert_conflict_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+         SELECT n_nationkey,
+           CASE WHEN n_nationkey < 10 AND n_nationkey % 2 = 0
+                THEN 'X_' || n_name || '/' || n_name ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey < 10 AND n_nationkey % 2 = 0
+                THEN n_regionkey + n_regionkey + 100 ELSE n_regionkey
+                END AS n_regionkey
+         FROM base
+         UNION ALL
+         SELECT n_nationkey + 300, n_name, n_regionkey
+         FROM base WHERE n_nationkey < 3
+         ORDER BY n_nationkey""",
 
     // the two UPDATE statements' post-state as CASE projections; the
     // TRY_CAST mirrors graft's documented lenient-cast-miss → NULL

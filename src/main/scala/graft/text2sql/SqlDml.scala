@@ -38,11 +38,25 @@ object SqlDml {
     * a complete runnable SELECT (a leading `WITH` prefix from the
     * statement is carried into it; a `VALUES …` source is wrapped as
     * `SELECT * FROM (VALUES …)`). `cols` empty = positional against
-    * the full target schema, as in SQLite.
+    * the full target schema, as in SQLite. `conflict` carries a parsed
+    * upsert clause (`ON CONFLICT …`), or the equivalent implied by
+    * `INSERT OR IGNORE`; when set it overrides `replace`.
     */
   final case class Upsert(table: String, cols: Seq[String],
                           sourceSql: String,
-                          replace: Boolean = true) extends Stmt
+                          replace: Boolean = true,
+                          conflict: Option[OnConflict] = None) extends Stmt
+
+  /** SQLite's upsert clause: `ON CONFLICT [(cols)] DO NOTHING` (empty
+    * `assigns`) or `ON CONFLICT (cols) DO UPDATE SET … [WHERE p]`.
+    * Expression texts are raw translated SQL; `excluded.col`
+    * references (the would-be-inserted row) are resolved at execution
+    * via [[rewriteExcluded]]. Empty `keyCols` = the target's leading
+    * column, the same id-column convention `INSERT OR REPLACE` uses
+    * (ingested tables declare no constraints for SQLite to match). */
+  final case class OnConflict(keyCols: Seq[String],
+                              assigns: Seq[(String, String)],
+                              updateWhere: Option[String])
 
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
@@ -131,17 +145,35 @@ object SqlDml {
       var j = skipWs(sql, i + 6)
       if (keywordAt(sql, j, "or")) {
         j = skipWs(sql, j + 2)
-        if (!keywordAt(sql, j, "replace")) {
-          // OR IGNORE / OR ABORT / OR FAIL / OR ROLLBACK: conflict
-          // actions over constraints the lake schema doesn't declare
-          var k = j
-          while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
-          return Some(Unsupported(s"INSERT OR ${sql.substring(j, k).toUpperCase}"))
+        var k = j
+        while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
+        val action = sql.substring(j, k).toLowerCase
+        j = skipWs(sql, k)
+        if (!keywordAt(sql, j, "into"))
+          return Some(Unsupported(s"INSERT OR ${action.toUpperCase}"))
+        val at = skipWs(sql, j + 4)
+        return action match {
+          case "replace" =>
+            parseUpsert(sql, at, withPrefix)
+              .orElse(Some(Unsupported("INSERT OR REPLACE")))
+          // OR IGNORE = skip conflicting rows — the upsert clause's DO
+          // NOTHING on the default (leading-column) key, same id
+          // convention OR REPLACE resolves against
+          case "ignore" =>
+            parseUpsert(sql, at, withPrefix, replace = false,
+                implied = Some(OnConflict(Nil, Nil, None)))
+              .orElse(Some(Unsupported("INSERT OR IGNORE")))
+          // OR ABORT / FAIL / ROLLBACK differ only in how a constraint
+          // VIOLATION unwinds — ingested tables declare none (pandas
+          // to_sql, reference pandasqlite.py:115), so on these tables
+          // SQLite executes all three as a plain append. Exact, not a
+          // divergence.
+          case "abort" | "fail" | "rollback" =>
+            parseUpsert(sql, at, withPrefix, replace = false)
+              .orElse(Some(Unsupported(s"INSERT OR ${action.toUpperCase}")))
+          case other =>
+            Some(Unsupported(s"INSERT OR ${other.toUpperCase}"))
         }
-        j = skipWs(sql, j + 7)
-        if (!keywordAt(sql, j, "into")) return Some(Unsupported("INSERT"))
-        return parseUpsert(sql, skipWs(sql, j + 4), withPrefix)
-          .orElse(Some(Unsupported("INSERT OR REPLACE")))
       }
       // plain INSERT INTO: SQLite appends — routed onto the same
       // copy-on-write machinery with replacement (the key anti-join)
@@ -355,9 +387,16 @@ object SqlDml {
          else CreateTableAs(name, ifNotExists, source))
   }
 
-  /** Parse `table [(col, …)] (SELECT …| VALUES …)` starting at `i`. */
+  /** Parse `table [(col, …)] (SELECT …| VALUES …) [ON CONFLICT …]`
+    * starting at `i`. `implied` is a conflict action the VERB already
+    * selected (`INSERT OR IGNORE` = DO NOTHING); an explicit
+    * `ON CONFLICT` clause overrides it. Returns the Upsert, a targeted
+    * Unsupported for recognized-but-unsound clause forms, or None for
+    * statements that don't parse at all (the caller supplies the
+    * bare-verb decline). */
   private def parseUpsert(sql: String, i: Int, withPrefix: String,
-                          replace: Boolean = true): Option[Upsert] = {
+                          replace: Boolean = true,
+                          implied: Option[OnConflict] = None): Option[Stmt] = {
     val (table, afterTable) = parseIdent(sql, i).getOrElse(return None)
     var j = skipWs(sql, afterTable)
     var cols = Seq.empty[String]
@@ -373,7 +412,33 @@ object SqlDml {
     // else): decline to the targeted Unsupported error, never an
     // index-out-of-bounds from charAt below
     if (j >= sql.length) return None
-    val rest = sql.substring(j).trim
+    // split the source from a trailing upsert clause: the first
+    // top-level ON CONFLICT (quotes and parens skipped; a join's ON
+    // is never followed by the word CONFLICT)
+    val confAt = findOnConflict(sql, j)
+    val srcEnd = if (confAt < 0) sql.length else confAt
+    val conflict: Option[OnConflict] =
+      if (confAt < 0) implied
+      else {
+        val afterOn = skipWs(sql, confAt + 2) // at CONFLICT
+        parseConflict(sql, afterOn + 8) match {
+          case Left(u) => return Some(u)
+          case Right((c, end)) =>
+            val rest = skipWs(sql, end)
+            if (rest < sql.length) {
+              // a second clause or a RETURNING tail — named decline
+              return Some(Unsupported(
+                if (findOnConflict(sql, rest) == rest)
+                  "INSERT with multiple ON CONFLICT clauses"
+                else if (keywordAt(sql, rest, "returning"))
+                  "INSERT … RETURNING"
+                else "INSERT … ON CONFLICT"))
+            }
+            Some(c)
+        }
+      }
+    val rest = sql.substring(j, srcEnd).trim
+    if (rest.isEmpty) return None
     val source =
       if (keywordAt(sql, j, "select") || sql.charAt(j) == '(')
         s"$withPrefix $rest".trim
@@ -381,7 +446,148 @@ object SqlDml {
         // VALUES can't reference CTEs, so the prefix is droppable
         s"SELECT * FROM ($rest)"
       else return None
-    Some(Upsert(table, cols, source, replace))
+    Some(Upsert(table, cols, source, replace, conflict))
+  }
+
+  /** Index of the first top-level `ON CONFLICT` at or after `i`
+    * (outside quotes and parens), or -1. */
+  private def findOnConflict(sql: String, i: Int): Int = {
+    var j = i
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      c match {
+        case '\'' | '"' | '`' => j = endOfQuoted(sql, j, c)
+        case '(' =>
+          val e = closeParen(sql, j)
+          if (e < 0) return -1
+          j = e + 1
+        case _ =>
+          if (isWordChar(c)) {
+            var e = j
+            while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+            if (e - j == 2 && sql.substring(j, e).equalsIgnoreCase("on") &&
+                keywordAt(sql, skipWs(sql, e), "conflict"))
+              return j
+            j = e
+          } else j += 1
+      }
+    }
+    -1
+  }
+
+  /** Parse `[(cols) [WHERE …]] DO (NOTHING | UPDATE SET a = e, …
+    * [WHERE p])` starting just after the CONFLICT keyword. Right =
+    * (clause, end index); Left = targeted decline. */
+  private def parseConflict(sql: String, start: Int)
+      : Either[Unsupported, (OnConflict, Int)] = {
+    var j = skipWs(sql, start)
+    var cols = Seq.empty[String]
+    if (j < sql.length && sql.charAt(j) == '(') {
+      val close = closeParen(sql, j)
+      if (close < 0) return Left(Unsupported("INSERT … ON CONFLICT"))
+      val raw = sql.substring(j + 1, close).split(",").toSeq.map(_.trim)
+      cols = raw.map(unquoteIdent).filter(_.nonEmpty)
+      // an expression target (e.g. lower(email)) names an expression
+      // index; only plain column lists key against the lake schema
+      if (cols.isEmpty ||
+          raw.exists(c => unquoteIdent(c) == c && !c.forall(isWordChar)))
+        return Left(Unsupported("ON CONFLICT with an expression target"))
+      j = skipWs(sql, close + 1)
+      if (keywordAt(sql, j, "where"))
+        return Left(Unsupported("ON CONFLICT with a partial-index WHERE"))
+    }
+    if (!keywordAt(sql, j, "do"))
+      return Left(Unsupported("INSERT … ON CONFLICT"))
+    j = skipWs(sql, j + 2)
+    if (keywordAt(sql, j, "nothing"))
+      return Right((OnConflict(cols, Nil, None), j + 7))
+    if (!keywordAt(sql, j, "update"))
+      return Left(Unsupported("INSERT … ON CONFLICT DO"))
+    j = skipWs(sql, j + 6)
+    if (!keywordAt(sql, j, "set"))
+      return Left(Unsupported("ON CONFLICT DO UPDATE"))
+    j = skipWs(sql, j + 3)
+    // assignment list, stopping at a trailing WHERE / RETURNING / a
+    // second ON CONFLICT (SQLite 3.35 chains; one clause is supported)
+    val stops = Set("where", "on", "returning")
+    val assigns = Seq.newBuilder[(String, String)]
+    var stopKw: Option[String] = None
+    var more = true
+    while (more) {
+      if (j < sql.length && sql.charAt(j) == '(')
+        return Left(Unsupported("ON CONFLICT DO UPDATE with a column-name-list SET"))
+      val (c, afterC) = parseIdent(sql, j)
+        .getOrElse(return Left(Unsupported("ON CONFLICT DO UPDATE")))
+      j = skipWs(sql, afterC)
+      if (j >= sql.length || sql.charAt(j) != '=')
+        return Left(Unsupported("ON CONFLICT DO UPDATE"))
+      j = skipWs(sql, j + 1)
+      val (expr, stop, stopped) = scanExpr(sql, j, stops)
+      if (expr.trim.isEmpty) return Left(Unsupported("ON CONFLICT DO UPDATE"))
+      assigns += ((unquoteIdent(c.trim), expr.trim))
+      j = stop
+      stopped match {
+        case Some(",") => j = skipWs(sql, j + 1)
+        case other     => stopKw = other; more = false
+      }
+    }
+    stopKw match {
+      case None => Right((OnConflict(cols, assigns.result(), None), j))
+      case Some("where") =>
+        val (expr, stop, stopped) =
+          scanExpr(sql, skipWs(sql, j + 5), stops - "where")
+        if (expr.trim.isEmpty)
+          Left(Unsupported("ON CONFLICT DO UPDATE"))
+        else if (stopped.isEmpty)
+          Right((OnConflict(cols, assigns.result(), Some(expr.trim)), stop))
+        else Left(Unsupported(
+          if (stopped.contains("returning")) "INSERT … RETURNING"
+          else "INSERT with multiple ON CONFLICT clauses"))
+      case Some("returning") => Left(Unsupported("INSERT … RETURNING"))
+      case Some("on") =>
+        Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
+      case _ => Left(Unsupported("INSERT … ON CONFLICT"))
+    }
+  }
+
+  /** Rewrite `excluded.col` references — SQLite's upsert qualifier for
+    * the would-be-inserted row — to flat `__excl_col` names, the
+    * columns [[graft.exec.Upsert]] carries the incoming row under in
+    * its update join. Quote-aware: `excluded` inside literals or
+    * quoted identifiers is untouched; both bare and quoted column
+    * forms rewrite. */
+  private[graft] def rewriteExcluded(s: String): String = {
+    val out = new StringBuilder
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(s, j, c)
+        out.append(s.substring(j, e)); j = e
+      } else if (isWordChar(c)) {
+        var e = j
+        while (e < s.length && isWordChar(s.charAt(e))) e += 1
+        val w = s.substring(j, e)
+        var k = skipWs(s, e)
+        if (w.equalsIgnoreCase("excluded") && k < s.length &&
+            s.charAt(k) == '.') {
+          k = skipWs(s, k + 1)
+          if (k < s.length &&
+              (s.charAt(k) == '"' || s.charAt(k) == '`' || s.charAt(k) == '\'')) {
+            val qe = endOfQuoted(s, k, s.charAt(k))
+            val name = s.substring(k + 1, qe - 1)
+            out.append("`__excl_").append(name.replace("`", "``")).append('`')
+            j = qe
+          } else if (k < s.length && isWordChar(s.charAt(k))) {
+            var ke = k
+            while (ke < s.length && isWordChar(s.charAt(ke))) ke += 1
+            out.append("__excl_").append(s.substring(k, ke))
+            j = ke
+          } else { out.append(w); j = e }
+        } else { out.append(w); j = e }
+      } else { out.append(c); j += 1 }
+    }
+    out.toString
   }
 
   /** Identifier at `i`: bare word, or quoted with `` ` ``/`"`/`'`

@@ -135,11 +135,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept.count() < before && kept.count() > 0)
     assert(kept.filter(col("Unit_cost") < 10).count() == 0)
 
+    // INSERT OR IGNORE is the implied DO NOTHING: every key already
+    // exists, so the statement leaves the table unchanged
+    val qi = "Re-add all products, ignoring ones already present"
+    val keptCount = spark.table(s"`${pr.hash}`").count()
+    val stubI = new StubLlm(Map(qi ->
+      s"INSERT OR IGNORE INTO `${pr.hash}` SELECT * FROM `${pr.hash}`"))
+    Runner.ask(spark, qi, results, stubI)
+    assert(spark.table(s"`${pr.hash}`").count() == keptCount)
+
     // a verb with no sound re-expression still fails targeted, not
     // with a generic analysis error
-    val qa = "Insert ignoring conflicts"
+    val qa = "Update ignoring conflicts"
     val stubA = new StubLlm(Map(qa ->
-      s"INSERT OR IGNORE INTO `${pr.hash}` VALUES (1)"))
+      s"UPDATE OR IGNORE `${pr.hash}` SET `Unit_cost` = 1"))
     val e = intercept[UnsupportedOperationException] {
       Runner.ask(spark, qa, results, stubA)
     }

@@ -24,26 +24,34 @@ class SqlDmlSpec extends SparkSpec {
       == Some(Delete("abc", Some("x < 0"), None, "")))
     // plain INSERT INTO parses as an APPEND (replace = false)
     detect("INSERT INTO t VALUES (1)") match {
-      case Some(Upsert("t", Seq(), src, false)) =>
+      case Some(Upsert("t", Seq(), src, false, None)) =>
         assert(src.contains("VALUES (1)"))
       case other => fail(s"expected append Upsert, got $other")
     }
     // INSERT without INTO is not SQLite grammar → targeted error
     assert(detect("INSERT t VALUES (1)") == Some(Unsupported("INSERT")))
+    // OR IGNORE = the implied DO NOTHING on the default key
     assert(detect("INSERT OR IGNORE INTO t VALUES (1)")
-      == Some(Unsupported("INSERT OR IGNORE")))
+      == Some(Upsert("t", Nil, "SELECT * FROM (VALUES (1))", false,
+        Some(OnConflict(Nil, Nil, None)))))
+    // OR ABORT/FAIL/ROLLBACK differ only on constraint violation —
+    // none exist on ingested tables, so they run as plain appends
+    detect("INSERT OR ABORT INTO t VALUES (1)") match {
+      case Some(Upsert("t", _, _, false, None)) =>
+      case other => fail(s"expected append Upsert, got $other")
+    }
     detect("INSERT OR REPLACE INTO t (a, b) VALUES (1, 2)") match {
-      case Some(Upsert("t", Seq("a", "b"), src, true)) =>
+      case Some(Upsert("t", Seq("a", "b"), src, true, None)) =>
         assert(src.contains("VALUES (1, 2)"))
       case other => fail(s"expected Upsert, got $other")
     }
     detect("REPLACE INTO `my t` SELECT * FROM s") match {
-      case Some(Upsert("my t", Seq(), src, true)) => assert(src == "SELECT * FROM s")
+      case Some(Upsert("my t", Seq(), src, true, None)) => assert(src == "SELECT * FROM s")
       case other => fail(s"expected Upsert, got $other")
     }
     // quoted-hash table names, as the reference's generated SQL writes them
     detect("INSERT OR REPLACE INTO 'abc123' SELECT * FROM s") match {
-      case Some(Upsert("abc123", _, _, true)) =>
+      case Some(Upsert("abc123", _, _, true, None)) =>
       case other => fail(s"expected Upsert into abc123, got $other")
     }
     assert(detect("SELECT * FROM t").isEmpty)
@@ -51,13 +59,13 @@ class SqlDmlSpec extends SparkSpec {
     // trailing semicolons (the habitual model emission) never ride
     // into a re-wrapped source
     detect("INSERT OR REPLACE INTO t (a) VALUES (1);") match {
-      case Some(Upsert(_, _, src, _)) => assert(!src.contains(";"), src)
+      case Some(Upsert(_, _, src, _, _)) => assert(!src.contains(";"), src)
       case other => fail(s"expected Upsert, got $other")
     }
     assert(detect("DROP TABLE t ; ") == Some(DropRelation("t", false)))
     // WITH-prefixed DML classifies; the CTE rides into the source
     detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
-      case Some(Upsert("t", _, src, true)) =>
+      case Some(Upsert("t", _, src, true, None)) =>
         assert(src.startsWith("WITH c AS"), src)
       case other => fail(s"expected Upsert, got $other")
     }
@@ -96,6 +104,100 @@ class SqlDmlSpec extends SparkSpec {
     // mangled statements fall back to the bare-verb decline
     assert(detect("UPDATE t SET = 5") == Some(Unsupported("UPDATE")))
     assert(detect("DELETE t WHERE x = 1") == Some(Unsupported("DELETE")))
+  }
+
+  test("detect parses the ON CONFLICT upsert clause; unsound forms decline named") {
+    import SqlDml._
+    detect("INSERT INTO t VALUES (1) ON CONFLICT DO NOTHING") match {
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)))) =>
+        assert(!src.toLowerCase.contains("conflict"), src)
+      case other => fail(s"expected DO NOTHING Upsert, got $other")
+    }
+    detect("""INSERT INTO t (a, b) SELECT x, y FROM s
+              ON CONFLICT (a) DO UPDATE SET b = excluded.b WHERE b < excluded.b""") match {
+      case Some(Upsert("t", Seq("a", "b"), _, false,
+          Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w))))) =>
+        assert(w == "b < excluded.b")
+      case other => fail(s"expected DO UPDATE Upsert, got $other")
+    }
+    // a join's ON inside the source never splits the statement; the
+    // clause scan only fires on the ON CONFLICT keyword pair
+    detect("""INSERT INTO t SELECT s.x FROM s JOIN u ON s.id = u.id
+              ON CONFLICT DO NOTHING""") match {
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)))) =>
+        assert(src.contains("ON s.id = u.id"), src)
+      case other => fail(s"expected Upsert with join source, got $other")
+    }
+    // recognized-but-unsound clause forms decline with the form named
+    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (lower(a)) DO NOTHING")
+      == Some(Unsupported("ON CONFLICT with an expression target")))
+    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (a) WHERE a > 0 DO NOTHING")
+      == Some(Unsupported("ON CONFLICT with a partial-index WHERE")))
+    assert(detect(
+      "INSERT INTO t VALUES (1) ON CONFLICT (a) DO NOTHING ON CONFLICT (b) DO NOTHING")
+      == Some(Unsupported("INSERT with multiple ON CONFLICT clauses")))
+    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET b = 1 RETURNING *")
+      == Some(Unsupported("INSERT … RETURNING")))
+  }
+
+  test("rewriteExcluded maps excluded.col to the flat join name, quote-aware") {
+    import SqlDml.rewriteExcluded
+    assert(rewriteExcluded("v + excluded.v") == "v + __excl_v")
+    assert(rewriteExcluded("excluded.`a b` || excluded.\"c\"")
+      == "`__excl_a b` || `__excl_c`")
+    // inside a string literal: untouched
+    assert(rewriteExcluded("'excluded.v' || excluded.v")
+      == "'excluded.v' || __excl_v")
+    // a bare identifier merely NAMED excluded (no dot) is untouched
+    assert(rewriteExcluded("excluded + 1") == "excluded + 1")
+  }
+
+  test("ON CONFLICT DO NOTHING / OR IGNORE skip conflicting rows and append the rest") {
+    freshView("dml_n")
+    Runner.runSql(spark,
+      "INSERT INTO dml_n VALUES (2, 'CONFLICT', 99), (5, 'five', 50) ON CONFLICT DO NOTHING")
+    val rows = spark.table("dml_n").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "two", 20L),
+      (3L, "three", 30L), (5L, "five", 50L)))
+    // OR IGNORE: the same semantics from the verb prefix, sequencing
+    // against the re-bound state (5 now conflicts)
+    Runner.runSql(spark,
+      "INSERT OR IGNORE INTO dml_n VALUES (5, 'FIVE2', 55), (6, 'six', 60)")
+    assert(spark.table("dml_n").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "one"), (2L, "two"), (3L, "three"), (5L, "five"), (6L, "six")))
+  }
+
+  test("ON CONFLICT DO UPDATE applies assignments with excluded scoping; WHERE gates") {
+    freshView("dml_c")
+    // id 2 conflicts and updates (old row visible bare, incoming as
+    // excluded); id 3 conflicts but the WHERE gate fails (60 > 30 is
+    // required, incoming v=1) so the old row survives; id 7 appends
+    Runner.runSql(spark,
+      """INSERT INTO dml_c (id, name, v)
+         VALUES (2, 'TWO', 200), (3, 'THREE', 1), (7, 'seven', 70)
+         ON CONFLICT (id) DO UPDATE
+           SET name = excluded.name || '/' || name, v = v + excluded.v
+         WHERE excluded.v > v""")
+    val rows = spark.table("dml_c").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "one", 10L), (2L, "TWO/two", 220L),
+      (3L, "three", 30L), (7L, "seven", 70L)))
+  }
+
+  test("ON CONFLICT errors are targeted: unknown key column, unknown SET column") {
+    freshView("dml_ck")
+    val e1 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark,
+        "INSERT INTO dml_ck VALUES (1, 'x', 1) ON CONFLICT (bogus) DO NOTHING")
+    }
+    assert(e1.getMessage.contains("no such column bogus"))
+    val e2 = intercept[IllegalArgumentException] {
+      Runner.runSql(spark,
+        "INSERT INTO dml_ck VALUES (1, 'x', 1) ON CONFLICT (id) DO UPDATE SET bogus = 1")
+    }
+    assert(e2.getMessage.contains("no such column bogus"))
   }
 
   test("UPDATE rewrites matching rows in place; NULL-predicate rows stay untouched") {

@@ -61,6 +61,94 @@ object Ddl {
       throw new IllegalArgumentException(
         s"DROP: no such session table/view '${stmt.name}' " +
           s"(add IF EXISTS to make this a no-op)")
+    if (dropped) SessionKeys.forgetTable(spark, stmt.name)
+    spark.emptyDataFrame
+  }
+
+  /** SQLite declared-type → lake type via the affinity rules
+    * (sqlite.org/datatype3.html §3.1), refined where SQLite's storage
+    * convention implies a narrower lake projection: BOOLEAN stores
+    * 0/1 (integer), DATE/DATETIME store ISO-8601 text (the date
+    * functions' convention), a typeless column takes text (the most
+    * cast-tolerant lake type for SQLite's "no affinity"), and NUMERIC
+    * (polymorphic in SQLite) takes double. */
+  private[exec] def affinityType(decl: String)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val t = decl.toUpperCase
+    if (t.isEmpty) StringType
+    else if (t.contains("INT")) LongType
+    else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT"))
+      StringType
+    else if (t.contains("BLOB")) BinaryType
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB"))
+      DoubleType
+    else if (t.contains("BOOL")) LongType
+    else if (t.contains("DATE") || t.contains("TIME")) StringType
+    else DoubleType
+  }
+
+  /** `CREATE TABLE name (col decls …)` — an empty typed session
+    * relation (SQLite starts it empty too); the declared PRIMARY KEY
+    * (or first UNIQUE constraint) registers as the conflict key later
+    * upserts resolve against, exactly SQLite's rule. */
+  def createTable(spark: SparkSession, stmt: SqlDml.CreateTable): DataFrame = {
+    if (exists(spark, stmt.name)) {
+      if (stmt.ifNotExists) return spark.emptyDataFrame
+      throw new IllegalArgumentException(
+        s"CREATE TABLE ${stmt.name}: relation already exists (SQLite " +
+          s"semantics); add IF NOT EXISTS or DROP TABLE it first")
+    }
+    val dupes = stmt.cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1).keys
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CREATE TABLE ${stmt.name}: duplicate column " +
+          dupes.mkString(", "))
+    val schema = org.apache.spark.sql.types.StructType(stmt.cols.map {
+      case (n, t) => org.apache.spark.sql.types.StructField(n, affinityType(t))
+    })
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema).createOrReplaceTempView(stmt.name)
+    SessionKeys.forgetTable(spark, stmt.name)
+    if (stmt.pkCols.nonEmpty) SessionKeys.declarePk(spark, stmt.name, stmt.pkCols)
+    spark.emptyDataFrame
+  }
+
+  /** `CREATE [UNIQUE] INDEX` — a plain index is a pure access-path
+    * directive in SQLite (results never change) and registers as a
+    * no-op; a UNIQUE index declares the constraint later upserts
+    * resolve against, so its column set is recorded. */
+  def createIndex(spark: SparkSession, stmt: SqlDml.CreateIndex): DataFrame = {
+    val verb = if (stmt.unique) "CREATE UNIQUE INDEX" else "CREATE INDEX"
+    val base =
+      try spark.table(quote(stmt.table))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: target '${stmt.table}' is not a " +
+            s"registered table/view: ${e.getMessage}", e)
+      }
+    if (stmt.cols.nonEmpty) {
+      val known = base.columns.map(_.toLowerCase).toSet
+      val unknown = stmt.cols.filterNot(c => known(c.toLowerCase))
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: no such column(s) ${unknown.mkString(", ")}")
+    }
+    val fresh = SessionKeys.registerIndex(spark, stmt.name, stmt.table,
+      stmt.cols, stmt.unique)
+    if (!fresh && !stmt.ifNotExists)
+      throw new IllegalArgumentException(
+        s"$verb: index ${stmt.name} already exists (SQLite semantics); " +
+          s"add IF NOT EXISTS or DROP INDEX it first")
+    spark.emptyDataFrame
+  }
+
+  def dropIndex(spark: SparkSession, stmt: SqlDml.DropIndex): DataFrame = {
+    val removed = SessionKeys.dropIndex(spark, stmt.name)
+    if (!removed && !stmt.ifExists)
+      throw new IllegalArgumentException(
+        s"DROP INDEX: no such index '${stmt.name}' " +
+          s"(add IF EXISTS to make this a no-op)")
     spark.emptyDataFrame
   }
 }

@@ -79,21 +79,27 @@ object Runner {
       case Some(m: SqlDml.Delete) => Mutate.runDelete(spark, m)
       case Some(v: SqlDml.CreateView) => Ddl.createView(spark, v)
       case Some(t: SqlDml.CreateTableAs) => Ddl.createTableAs(spark, t)
+      case Some(t: SqlDml.CreateTable) => Ddl.createTable(spark, t)
       case Some(d: SqlDml.DropRelation) => Ddl.drop(spark, d)
+      case Some(i: SqlDml.CreateIndex) => Ddl.createIndex(spark, i)
+      case Some(i: SqlDml.DropIndex) => Ddl.dropIndex(spark, i)
       case Some(SqlDml.Unsupported(verb)) =>
         throw new UnsupportedOperationException(
           s"graft is a read-only analytics engine over immutable lake " +
             s"storage; got DML verb $verb. Supported statements: " +
             s"INSERT [OR REPLACE|OR IGNORE] INTO <table> [(cols)] " +
             s"(SELECT …|VALUES …) [ON CONFLICT [(cols)] DO NOTHING | " +
-            s"DO UPDATE SET … [WHERE …]] " +
+            s"DO UPDATE SET … [WHERE …]] [RETURNING …] " +
             s"(copy-on-write append / upsert; no conflict target = the " +
-            s"leading column), " +
-            s"UPDATE <table> SET … [WHERE …] [RETURNING …], " +
+            s"declared PRIMARY KEY / unique index, else the leading " +
+            s"column), " +
+            s"UPDATE <table> SET … [FROM …] [WHERE …] [RETURNING …], " +
             s"DELETE FROM <table> [WHERE …] [RETURNING …] (both " +
             s"copy-on-write row rewrites), " +
-            s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, and " +
-            s"DROP TABLE/VIEW [IF EXISTS] <name>. Express other " +
+            s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, " +
+            s"CREATE [TEMP] TABLE <name> (col decls), " +
+            s"CREATE [UNIQUE] INDEX <name> ON <table> (cols), " +
+            s"DROP TABLE/VIEW/INDEX [IF EXISTS] <name>. Express other " +
             s"mutations as a SELECT materializing a new table, or " +
             s"re-ingest.")
       case None => spark.sql(prepared)

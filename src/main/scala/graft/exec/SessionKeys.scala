@@ -1,0 +1,76 @@
+package graft.exec
+
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Session-scoped conflict-key declarations for the generated-DML
+  * path. SQLite resolves `INSERT OR REPLACE` / bare `ON CONFLICT`
+  * against the target's PRIMARY KEY or any UNIQUE constraint; ingested
+  * tables declare none (pandas `to_sql`, reference pandasqlite.py:115)
+  * — for those graft keys on the leading column (documented README
+  * divergence). But generated SQL can DECLARE keys mid-session
+  * (`CREATE TABLE … PRIMARY KEY`, `CREATE UNIQUE INDEX`), and then
+  * SQLite's own resolution rule applies — this registry carries those
+  * declarations so [[Upsert]] resolves the same way.
+  *
+  * Keyed per SparkSession identity (sessions are the engine's
+  * database scope, like the reference's in-memory SQLite db); entries
+  * are dropped with their table ([[Ddl.drop]]) or index.
+  */
+object SessionKeys {
+
+  private final case class IndexInfo(table: String, cols: Seq[String],
+                                     unique: Boolean)
+
+  // (session identity, lowercased table) -> declared PRIMARY KEY
+  private val pks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+  // (session identity, lowercased index name) -> index info
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), IndexInfo]()
+
+  private def sid(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
+
+  /** Declare a table's PRIMARY KEY (CREATE TABLE with a PK/UNIQUE
+    * constraint). */
+  def declarePk(spark: SparkSession, table: String, cols: Seq[String]): Unit =
+    pks.put((sid(spark), table.toLowerCase), cols)
+
+  /** Register an index. Returns false when the name is taken (SQLite
+    * errors unless IF NOT EXISTS). */
+  def registerIndex(spark: SparkSession, name: String, table: String,
+                    cols: Seq[String], unique: Boolean): Boolean =
+    indexes.putIfAbsent((sid(spark), name.toLowerCase),
+      IndexInfo(table.toLowerCase, cols, unique)) == null
+
+  /** Drop an index by name. Returns false when absent. */
+  def dropIndex(spark: SparkSession, name: String): Boolean =
+    indexes.remove((sid(spark), name.toLowerCase)) != null
+
+  /** Forget everything declared for a table (DROP TABLE/VIEW, or a
+    * CREATE re-binding the name). */
+  def forgetTable(spark: SparkSession, table: String): Unit = {
+    val s = sid(spark)
+    val t = table.toLowerCase
+    pks.remove((s, t))
+    indexes.entrySet().asScala
+      .filter(e => e.getKey._1 == s && e.getValue.table == t)
+      .map(_.getKey).toList.foreach(indexes.remove)
+  }
+
+  /** The conflict key a bare `INSERT OR REPLACE` / `ON CONFLICT`
+    * resolves against: the declared PRIMARY KEY, else the first
+    * (name-ordered, for determinism) UNIQUE index on the table, else
+    * None (caller falls back to the leading-column convention). */
+  def keyFor(spark: SparkSession, table: String): Option[Seq[String]] = {
+    val s = sid(spark)
+    val t = table.toLowerCase
+    Option(pks.get((s, t))).orElse {
+      indexes.entrySet().asScala
+        .filter(e => e.getKey._1 == s && e.getValue.table == t &&
+          e.getValue.unique)
+        .toSeq.sortBy(_.getKey._2).headOption.map(_.getValue.cols)
+    }
+  }
+}

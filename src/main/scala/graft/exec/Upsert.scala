@@ -17,11 +17,13 @@ import graft.text2sql.SqlDml
   * broadcasts the update set when small — AQE decides), only rewritten
   * files are produced, and no row ever crosses the driver.
   *
-  * Key: the target's LEADING column. SQLite resolves OR REPLACE
-  * against the table's PRIMARY KEY, but ingested tables (pandas
-  * `to_sql`, reference pandasqlite.py:115) declare none — SQLite would
-  * then degrade OR REPLACE to a plain append, which is almost never
-  * what the question meant. Graft instead keys on the first column
+  * Key: SQLite resolves OR REPLACE against the table's PRIMARY KEY /
+  * UNIQUE constraints. When the session declared one (`CREATE TABLE …
+  * PRIMARY KEY`, `CREATE UNIQUE INDEX` — see [[SessionKeys]]) that key
+  * is used, exactly SQLite's rule. Ingested tables (pandas `to_sql`,
+  * reference pandasqlite.py:115) declare none — SQLite would then
+  * degrade OR REPLACE to a plain append, which is almost never what
+  * the question meant. Graft instead keys those on the LEADING column
   * (the id-like convention of every ingested CSV); documented
   * divergence, visible in the README table.
   */
@@ -37,7 +39,12 @@ object Upsert {
     val aligned = updates.select(base.columns.map(col): _*)
     aligned.unionAll(
       base.join(aligned.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti"))
+        keyCols, "left_anti")
+        // a USING join MOVES the key columns to the front of its
+        // output — re-project to base order or the positional union
+        // silently swaps columns whenever the key isn't the leading
+        // column (declared PKs / unique indexes make that reachable)
+        .select(base.columns.map(col): _*))
   }
 
   /** Execute a parsed INSERT statement against the session catalog —
@@ -90,27 +97,42 @@ object Upsert {
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val merged = stmt.conflict match {
+    // the key a bare OR REPLACE / targetless ON CONFLICT resolves
+    // against: a session-declared PRIMARY KEY / UNIQUE index when one
+    // exists (SQLite's own rule), else the leading-column convention
+    // (documented divergence for constraint-less ingested tables)
+    lazy val defaultKey = SessionKeys.keyFor(spark, stmt.table)
+      .map(_.map { k =>
+        base.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$verb INTO ${stmt.table}: declared key column $k is not " +
+              s"in the table's current schema"))
+      })
+      .getOrElse(Seq(base.columns.head))
+    val (merged, affected) = stmt.conflict match {
       case Some(c) =>
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
         // resolve the conflict key against the lake schema; no target
-        // = the leading column, the same id convention OR REPLACE uses
+        // = the declared/leading default key
         val keys =
-          if (c.keyCols.isEmpty) Seq(base.columns.head)
+          if (c.keyCols.isEmpty) defaultKey
           else c.keyCols.map { k =>
             base.columns.find(_.equalsIgnoreCase(k)).getOrElse(
               throw new IllegalArgumentException(
                 s"$verb INTO ${stmt.table} ON CONFLICT: no such column $k"))
           }
-        if (c.assigns.isEmpty)
+        if (c.assigns.isEmpty) {
           // DO NOTHING: conflicting incoming rows are discarded, the
-          // rest append — base rows always survive untouched
-          base.unionAll(aligned.join(
-            base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
-        else doUpdate(base, aligned, keys, c, stmt.table)
+          // rest append — base rows always survive untouched. The
+          // USING anti-join fronts the key columns; re-project.
+          val appended = aligned.join(
+            base.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .select(base.columns.map(col): _*)
+          (base.unionAll(appended), appended)
+        } else doUpdate(base, aligned, keys, c, stmt.table)
       case None =>
-        if (stmt.replace) merge(base, aligned, Seq(base.columns.head))
-        else base.unionAll(aligned)
+        if (stmt.replace) (merge(base, aligned, defaultKey), aligned)
+        else (base.unionAll(aligned), aligned)
     }
     // copy-on-write: materialize BEFORE re-binding the view (the merge
     // plan reads the old binding; a lazy re-registration would
@@ -123,10 +145,23 @@ object Upsert {
     val dir = "target/graft_tmp/upsert_" +
       stmt.table.replaceAll("[^A-Za-z0-9_]", "_") +
       "_g" + Upsert.generation.incrementAndGet()
+    // RETURNING sees the affected slice with its FINAL values (SQLite
+    // lang_returning: inserted rows, plus DO-UPDATE-updated rows) —
+    // materialized BEFORE the re-bind so the handed-back result can't
+    // be perturbed by later statements
+    val ret = stmt.returning.map { r =>
+      val rv = "graft_ret_g" + Upsert.generation.get()
+      affected.createOrReplaceTempView(rv)
+      try {
+        spark.sql(s"SELECT $r FROM `$rv`")
+          .write.mode("overwrite").parquet(dir + "_ret")
+      } finally spark.catalog.dropTempView(rv)
+      spark.read.parquet(dir + "_ret")
+    }
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)
-    out
+    ret.getOrElse(out)
   }
 
   /** `ON CONFLICT (keys) DO UPDATE SET … [WHERE p]`: base rows whose
@@ -144,7 +179,7 @@ object Upsert {
     */
   private def doUpdate(base: DataFrame, incoming: DataFrame,
                        keys: Seq[String], c: graft.text2sql.SqlDml.OnConflict,
-                       table: String): DataFrame = {
+                       table: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
     val upd = incoming.dropDuplicates(keys)
     val excl = upd.select((upd.columns.map(cn => col(cn).as("__excl_" + cn))
@@ -167,15 +202,23 @@ object Upsert {
       case Some(w) => hit && expr(graft.text2sql.SqlDml.rewriteExcluded(w))
       case None    => hit
     }
-    val updated = joined.select(base.schema.fields.map { f =>
+    val projected = joined.select((base.schema.fields.map { f =>
       assigns.get(f.name) match {
         case Some(ex) =>
           when(gate, expr(ex).cast(f.dataType)).otherwise(b(f.name)).as(f.name)
         case None => b(f.name).as(f.name)
       }
-    }.toIndexedSeq: _*)
-    updated.unionAll(incoming.join(
-      base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    } :+ gate.as("__graft_hit")).toIndexedSeq: _*)
+    val appended = incoming.join(
+      base.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      // USING joins front the key columns; re-project to base order
+      .select(base.columns.map(col): _*)
+    val merged = projected.drop("__graft_hit").unionAll(appended)
+    // RETURNING's affected slice: gate-fired updates (new values) +
+    // appended inserts (SQLite lang_returning reports both)
+    val affected = projected.filter(col("__graft_hit") === lit(true))
+      .drop("__graft_hit").unionAll(appended)
+    (merged, affected)
   }
 
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)

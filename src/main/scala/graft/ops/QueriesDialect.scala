@@ -313,6 +313,83 @@ object QueriesDialect {
       s.table("graft_delete_sql_t").orderBy("n_nationkey")
     }),
 
+    // SQLite's UPDATE-FROM join form (3.33+, lang_update.html §2):
+    // enrich the target from a joined source — the assignment reads
+    // BOTH the old target row and the joined row. The region side is
+    // unique per key, so the many-to-one join is deterministic and
+    // oracle-expressible in closed form; unmatched rows (odd keys)
+    // stay untouched.
+    "sink_update_from_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_updfrom_t")
+      Tables.t(s, d, "region")
+        .select("r_regionkey", "r_name")
+        .createOrReplaceTempView("graft_updfrom_r")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """UPDATE graft_updfrom_t
+             SET n_name = n_name || '@' || r_name
+           FROM graft_updfrom_r
+           WHERE graft_updfrom_t.n_regionkey = graft_updfrom_r.r_regionkey
+             AND n_nationkey % 2 = 0"""))
+      s.table("graft_updfrom_t").orderBy("n_nationkey")
+    }),
+
+    // INSERT … RETURNING (SQLite 3.35): the statement's RESULT is the
+    // affected slice with final values — here an OR IGNORE where one
+    // incoming row conflicts (dropped from the result) and the rest
+    // append with NULL-padded unlisted columns
+    "sink_insert_returning_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_insret_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """INSERT OR IGNORE INTO graft_insret_t (n_nationkey, n_name)
+           SELECT n_nationkey + 600, 'RET_' || n_name
+             FROM graft_insret_t WHERE n_nationkey < 4
+           UNION ALL
+           SELECT n_nationkey, n_name FROM graft_insret_t
+            WHERE n_nationkey = 2
+           RETURNING n_nationkey, n_name, n_regionkey"""))
+        .orderBy("n_nationkey")
+    }),
+
+    // session DDL with column definitions: an empty typed table whose
+    // declared (non-leading!) PRIMARY KEY drives later upsert
+    // resolution — SQLite's own rule, not the leading-column
+    // convention for constraint-less ingested tables
+    "ddl_create_table_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_ddl_ct")
+      run("""CREATE TABLE graft_ddl_ct (
+              label TEXT NOT NULL, k INTEGER PRIMARY KEY, score REAL)""")
+      run("INSERT INTO graft_ddl_ct VALUES ('a', 1, 1.5), ('b', 2, 2.5)")
+      run("INSERT OR REPLACE INTO graft_ddl_ct VALUES ('B', 2, 9.0), ('c', 3, 3.5)")
+      s.table("graft_ddl_ct").orderBy("k")
+    }),
+
+    // CREATE UNIQUE INDEX declares the conflict key (n_name, not the
+    // leading n_nationkey) that the following OR REPLACE resolves
+    // against; the plain index is a registered no-op (SQLite: indexes
+    // never change results)
+    "ddl_create_index_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_ddl_ix_t")
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP INDEX IF EXISTS graft_ddl_ix")
+      run("DROP INDEX IF EXISTS graft_ddl_ix_plain")
+      run("CREATE INDEX graft_ddl_ix_plain ON graft_ddl_ix_t (n_regionkey)")
+      run("CREATE UNIQUE INDEX graft_ddl_ix ON graft_ddl_ix_t (n_name)")
+      run("""INSERT OR REPLACE INTO graft_ddl_ix_t
+             SELECT n_nationkey + 700, n_name, n_regionkey + 50
+               FROM graft_ddl_ix_t WHERE n_nationkey < 5""")
+      // drop so reruns in a shared session start clean
+      run("DROP INDEX graft_ddl_ix")
+      run("DROP INDEX graft_ddl_ix_plain")
+      s.table("graft_ddl_ix_t").orderBy("n_nationkey")
+    }),
+
     // SQLite introspection as a model emits it for schema questions —
     // PRAGMA table_info through Runner (exec.Pragma renders catalog
     // rows); oracle pins the exact SQLite-shaped contract
@@ -565,6 +642,47 @@ object QueriesDialect {
          SELECT n_nationkey, n_name, n_regionkey FROM base
          WHERE n_regionkey NOT IN
            (SELECT n_regionkey FROM base WHERE n_nationkey >= 22)
+         ORDER BY n_nationkey""",
+
+    // UPDATE-FROM post-state in closed form: the region join is
+    // many-to-one, so the "arbitrary" SQLite pick is unique; odd keys
+    // never match the WHERE and stay untouched
+    "sink_update_from_sql" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN n_name || '@' || r_name
+                ELSE n_name END AS n_name,
+           n_regionkey
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+
+    // the RETURNING slice: appended rows only (the conflicting key-2
+    // row is ignored), unlisted n_regionkey NULL-padded
+    "sink_insert_returning_sql" ->
+      """SELECT n_nationkey + 600 AS n_nationkey, 'RET_' || n_name AS n_name,
+           CAST(NULL AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_nationkey < 4
+         ORDER BY n_nationkey""",
+
+    // the created table's post-state: k=2 replaced on the declared
+    // (non-leading) PRIMARY KEY, k=3 appended
+    "ddl_create_table_sql" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE)),
+           ('B', CAST(2 AS BIGINT), CAST(9.0 AS DOUBLE)),
+           ('c', CAST(3 AS BIGINT), CAST(3.5 AS DOUBLE)))
+         AS t(label, k, score) ORDER BY k""",
+
+    // OR REPLACE resolved on the UNIQUE-indexed n_name: nations 0-4
+    // are replaced by their +700/+50 images, the rest survive
+    "ddl_create_index_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         upd AS (SELECT n_nationkey + 700 AS n_nationkey, n_name,
+                        n_regionkey + 50 AS n_regionkey
+                 FROM base WHERE n_nationkey < 5)
+         SELECT n_nationkey, n_name, n_regionkey FROM upd
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey FROM base
+         WHERE n_name NOT IN (SELECT n_name FROM upd)
          ORDER BY n_nationkey""",
 
     // hand-pinned introspection contracts (DuckDB has no Spark catalog

@@ -24,21 +24,30 @@ object Tables {
     new java.io.File(dir, "_SUCCESS").isFile
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    // type for: read the raw int64 nanos and truncate to micros (UTC
-    // session) — same truncation DuckDB applies internally. Set once
-    // per session, not per call.
+    // Some generator versions write events.ts as parquet
+    // TIMESTAMP(NANOS), which Spark has no native type for: read the
+    // raw int64 nanos and truncate to micros (UTC session) — same
+    // truncation DuckDB applies internally. Set once per session, not
+    // per call.
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // The source annotation is isAdjustedToUTC=false → the column is a
     // wall-clock (NTZ) timestamp; keep it NTZ so derived timestamps
-    // round-trip with the same semantics.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    // round-trip with the same semantics. TIMESTAMP(MICROS) sources
+    // already read as a native timestamp type — normalize to NTZ and
+    // skip the nanos rewrite (schema-dispatched, so one build serves
+    // both generator versions).
+    if (name == "events") {
+      val tsType = df.schema("ts").dataType
+      if (tsType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    } else df
   }
 
   // weak keys: entries die with their session; no identity-hash reuse

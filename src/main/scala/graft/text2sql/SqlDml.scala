@@ -45,7 +45,8 @@ object SqlDml {
   final case class Upsert(table: String, cols: Seq[String],
                           sourceSql: String,
                           replace: Boolean = true,
-                          conflict: Option[OnConflict] = None) extends Stmt
+                          conflict: Option[OnConflict] = None,
+                          returning: Option[String] = None) extends Stmt
 
   /** SQLite's upsert clause: `ON CONFLICT [(cols)] DO NOTHING` (empty
     * `assigns`) or `ON CONFLICT (cols) DO UPDATE SET … [WHERE p]`.
@@ -61,15 +62,20 @@ object SqlDml {
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
 
-  /** `UPDATE table SET col = expr, … [WHERE p] [RETURNING exprs]`.
-    * Expression fields carry raw (already-translated) SQL text;
-    * `withPrefix` is the statement's leading `WITH …` clause, kept so
-    * CTE references inside WHERE/SET subqueries stay bound. Repeated
-    * assignments to one column are legal; the rightmost wins (SQLite
-    * lang_update.html). */
+  /** `UPDATE table SET col = expr, … [FROM sources] [WHERE p]
+    * [RETURNING exprs]`. Expression fields carry raw (already-
+    * translated) SQL text; `withPrefix` is the statement's leading
+    * `WITH …` clause, kept so CTE references inside WHERE/SET
+    * subqueries stay bound. Repeated assignments to one column are
+    * legal; the rightmost wins (SQLite lang_update.html). `from` is
+    * the verbatim source list of SQLite's UPDATE-FROM join form
+    * (lang_update.html §2) — assignments and WHERE then see the
+    * joined row. */
   final case class Update(table: String, assigns: Seq[(String, String)],
                           where: Option[String], returning: Option[String],
-                          withPrefix: String) extends Stmt
+                          withPrefix: String,
+                          from: Option[String] = None,
+                          orAction: Option[String] = None) extends Stmt
 
   /** `DELETE FROM table [WHERE p] [RETURNING exprs]`. No WHERE =
     * delete every row (the schema survives, as in SQLite). */
@@ -91,6 +97,33 @@ object SqlDml {
   /** `DROP TABLE/VIEW [IF EXISTS] name` — unregisters the session
     * relation (lake files are immutable; only the binding drops). */
   final case class DropRelation(name: String, ifExists: Boolean) extends Stmt
+
+  /** `CREATE [TEMP] TABLE name (col decl …, …)` — the column-def form.
+    * `cols` carries (name, declared-type-text); the executor maps the
+    * declared type through SQLite's affinity rules (datatype3.html
+    * §3.1) to a lake type. `pkCols` is the declared PRIMARY KEY (column
+    * suffix or table-level constraint) — the key later `INSERT OR
+    * REPLACE`/`ON CONFLICT` statements resolve against, exactly as
+    * SQLite would. Other constraints (NOT NULL, DEFAULT, CHECK,
+    * REFERENCES, COLLATE) are storage/validation directives with no
+    * lake counterpart and are skipped; generated columns decline. */
+  final case class CreateTable(name: String, ifNotExists: Boolean,
+                               cols: Seq[(String, String)],
+                               pkCols: Seq[String]) extends Stmt
+
+  /** `CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON table (cols)` —
+    * a plain index is a pure access-path directive in SQLite (results
+    * never change), so it executes as a registered no-op; a UNIQUE
+    * index additionally declares the constraint SQLite resolves
+    * `INSERT OR REPLACE` / bare `ON CONFLICT` against, so its column
+    * set registers as the table's conflict key. */
+  final case class CreateIndex(name: String, table: String,
+                               cols: Seq[String], unique: Boolean,
+                               ifNotExists: Boolean) extends Stmt
+
+  /** `DROP INDEX [IF EXISTS] name` — unregisters the index (and its
+    * unique-key declaration, if any). */
+  final case class DropIndex(name: String, ifExists: Boolean) extends Stmt
 
   /** Classify a statement. None = not DML (run it as a query). */
   def detect(rawSql: String): Option[Stmt] = {
@@ -118,9 +151,10 @@ object SqlDml {
     if (keywordAt(sql, i, "create")) return parseCreate(sql, skipWs(sql, i + 6))
     if (keywordAt(sql, i, "drop")) {
       var j = skipWs(sql, i + 4)
-      if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view"))
+      val isIndex = keywordAt(sql, j, "index")
+      if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view") && !isIndex)
         return Some(Unsupported("DROP"))
-      j = skipWs(sql, j + (if (keywordAt(sql, j, "table")) 5 else 4))
+      j = skipWs(sql, j + (if (keywordAt(sql, j, "table")) 5 else if (isIndex) 5 else 4))
       var ifExists = false
       if (keywordAt(sql, j, "if")) {
         val k = skipWs(sql, j + 2)
@@ -129,8 +163,9 @@ object SqlDml {
         j = skipWs(sql, k + 6)
       }
       return parseIdent(sql, j) match {
-        case Some((name, _)) => Some(DropRelation(name, ifExists))
-        case None            => Some(Unsupported("DROP"))
+        case Some((name, _)) if isIndex => Some(DropIndex(name, ifExists))
+        case Some((name, _))            => Some(DropRelation(name, ifExists))
+        case None => Some(Unsupported(if (isIndex) "DROP INDEX" else "DROP"))
       }
     }
     if (keywordAt(sql, i, "replace")) {
@@ -185,21 +220,28 @@ object SqlDml {
     None
   }
 
-  /** Parse `[OR action] table [INDEXED …] SET a = e, … [WHERE p]
-    * [RETURNING r]` starting just after UPDATE. Conflict actions
-    * (`UPDATE OR IGNORE …`) and the join form (`UPDATE … FROM`)
-    * decline targeted — the lake schema declares no constraints to
-    * resolve against, and the join form has no positional SQLite
-    * semantics worth guessing at. */
+  /** Parse `[OR action] table [INDEXED …] SET a = e, … [FROM sources]
+    * [WHERE p] [RETURNING r]` starting just after UPDATE. A conflict
+    * action (`UPDATE OR <action>`) differs from plain UPDATE only when
+    * a constraint VIOLATION occurs — on a table with no declared
+    * constraints none can, so the action rides along in `orAction` and
+    * the EXECUTOR decides: plain UPDATE semantics when the table has
+    * no session-declared key, a targeted decline when it has one (the
+    * rewrite does not simulate constraint checking). */
   private def parseUpdate(sql: String, start: Int,
                           withPrefix: String): Option[Stmt] = {
     var j = start
+    var orAction: Option[String] = None
     if (keywordAt(sql, j, "or")) {
       val k = skipWs(sql, j + 2)
       var e = k
       while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
       if (e == k) return None
-      return Some(Unsupported(s"UPDATE OR ${sql.substring(k, e).toUpperCase}"))
+      val action = sql.substring(k, e).toLowerCase
+      if (!Set("ignore", "abort", "fail", "rollback", "replace")(action))
+        return Some(Unsupported(s"UPDATE OR ${action.toUpperCase}"))
+      orAction = Some(action.toUpperCase)
+      j = skipWs(sql, e)
     }
     val (table, afterTable) = parseIdent(sql, j).getOrElse(return None)
     j = skipIndexedBy(sql, skipWs(sql, afterTable)).getOrElse(return None)
@@ -226,8 +268,9 @@ object SqlDml {
       }
     }
     finishDml(sql, j, stopKw, withPrefix, "UPDATE") {
-      case (where, returning) =>
-        Update(table, assigns.result(), where, returning, withPrefix)
+      case (from, where, returning) =>
+        Update(table, assigns.result(), where, returning, withPrefix, from,
+          orAction)
     }
   }
 
@@ -251,33 +294,46 @@ object SqlDml {
         Some(w)
       }
     finishDml(sql, j, stopKw, withPrefix, "DELETE") {
-      case (where, returning) => Delete(table, where, returning, withPrefix)
+      case (_, where, returning) => Delete(table, where, returning, withPrefix)
     }
   }
 
   private val dmlStops = Set("where", "from", "returning", "order", "limit")
 
-  /** Shared tail of UPDATE/DELETE: `[WHERE p] [RETURNING r]`, with
-    * `ORDER BY`/`LIMIT` (SQLITE_ENABLE_UPDATE_DELETE_LIMIT builds) and
-    * UPDATE-join `FROM` declined targeted. `at` points AT the stop
-    * keyword when `stopKw` is set. */
+  /** Shared tail of UPDATE/DELETE: `[FROM sources] [WHERE p]
+    * [RETURNING r]`, with `ORDER BY`/`LIMIT`
+    * (SQLITE_ENABLE_UPDATE_DELETE_LIMIT builds) declined targeted and
+    * the join `FROM` accepted for UPDATE only (SQLite's UPDATE-FROM;
+    * DELETE has no join form). `at` points AT the stop keyword when
+    * `stopKw` is set. */
   private def finishDml(sql: String, at: Int, stopKw: Option[String],
                         withPrefix: String, verb: String)
-                       (mk: ((Option[String], Option[String])) => Stmt)
+                       (mk: ((Option[String], Option[String], Option[String])) => Stmt)
       : Option[Stmt] = {
+    var from: Option[String] = None
     var where: Option[String] = None
     var returning: Option[String] = None
     var j = at
     var kw = stopKw
     while (kw.isDefined) kw match {
       case Some("from") =>
-        return Some(Unsupported(s"$verb … FROM (join form)"))
+        // the source list precedes WHERE in SQLite's grammar; commas
+        // separate joined sources, so the scan is comma-transparent
+        if (verb != "UPDATE" || from.isDefined || where.isDefined)
+          return Some(Unsupported(s"$verb … FROM (join form)"))
+        val (src, stop, stopped) =
+          scanExpr(sql, skipWs(sql, j + 4), dmlStops - "from",
+            stopComma = false)
+        if (src.trim.isEmpty) return None
+        from = Some(src.trim)
+        j = stop
+        kw = stopped
       case Some("order") | Some("limit") =>
         return Some(Unsupported(s"$verb with ORDER BY/LIMIT"))
       case Some("where") =>
         if (where.isDefined) return None
         val (expr, stop, stopped) =
-          scanExpr(sql, skipWs(sql, j + 5), dmlStops - "where")
+          scanExpr(sql, skipWs(sql, j + 5), dmlStops - "where" - "from")
         if (expr.trim.isEmpty || stopped.contains(",")) return None
         where = Some(expr.trim)
         j = stop
@@ -289,7 +345,7 @@ object SqlDml {
         kw = None
       case _ => return None
     }
-    Some(mk((where, returning)))
+    Some(mk((from, where, returning)))
   }
 
   /** Skip an optional `INDEXED BY name` / `NOT INDEXED` access-path
@@ -313,10 +369,13 @@ object SqlDml {
   /** Raw expression text from `i` up to the first top-level `,` or
     * stop keyword — quote- and paren-aware, so keywords inside
     * subqueries, literals, and quoted identifiers never stop the scan.
-    * Returns (text, index of the stopper, Some(",")/Some(keyword)/None
-    * = end of statement). */
-  private def scanExpr(sql: String, i: Int,
-                       stops: Set[String]): (String, Int, Option[String]) = {
+    * `stopComma = false` treats commas as ordinary text (a FROM source
+    * list separates joined relations with them). Returns (text, index
+    * of the stopper, Some(",")/Some(keyword)/None = end of statement).
+    */
+  private def scanExpr(sql: String, i: Int, stops: Set[String],
+                       stopComma: Boolean = true)
+      : (String, Int, Option[String]) = {
     var j = i
     while (j < sql.length) {
       val c = sql.charAt(j)
@@ -326,7 +385,7 @@ object SqlDml {
           val e = closeParen(sql, j)
           if (e < 0) return (sql.substring(i), sql.length, None)
           j = e + 1
-        case ',' => return (sql.substring(i, j), j, Some(","))
+        case ',' if stopComma => return (sql.substring(i, j), j, Some(","))
         case _ =>
           if (isWordChar(c)) {
             var e = j
@@ -340,12 +399,20 @@ object SqlDml {
     (sql.substring(i), sql.length, None)
   }
 
-  /** Parse `[TEMP|TEMPORARY] (VIEW|TABLE) [IF NOT EXISTS] name AS
-    * select` starting just after CREATE. Anything else under CREATE
-    * (INDEX, TRIGGER, column-def TABLE) declines with the verb named.
+  /** Parse `[TEMP|TEMPORARY] (VIEW|TABLE) [IF NOT EXISTS] name
+    * (AS select | (column defs))` or `[UNIQUE] INDEX …` starting just
+    * after CREATE. Anything else under CREATE (TRIGGER, VIRTUAL
+    * TABLE) declines with the verb named.
     */
   private def parseCreate(sql: String, start: Int): Option[Stmt] = {
     var j = start
+    if (keywordAt(sql, j, "unique")) {
+      val k = skipWs(sql, j + 6)
+      if (!keywordAt(sql, k, "index")) return Some(Unsupported("CREATE UNIQUE"))
+      return parseCreateIndex(sql, skipWs(sql, k + 5), unique = true)
+    }
+    if (keywordAt(sql, j, "index"))
+      return parseCreateIndex(sql, skipWs(sql, j + 5), unique = false)
     if (keywordAt(sql, j, "temp")) j = skipWs(sql, j + 4)
     else if (keywordAt(sql, j, "temporary")) j = skipWs(sql, j + 9)
     val isView = keywordAt(sql, j, "view")
@@ -370,21 +437,210 @@ object SqlDml {
     val (name, afterName) = parseIdent(sql, j)
       .getOrElse(return Some(Unsupported(verb)))
     j = skipWs(sql, afterName)
-    // a paren after the name: column DEFINITIONS for TABLE (lake
-    // tables come from ingest, not DDL), a renaming column list for
-    // VIEW — both declined (a visible error beats mis-binding)
-    if (j < sql.length && sql.charAt(j) == '(')
-      return Some(Unsupported(
-        if (isTable) "CREATE TABLE with column definitions"
-        else s"$verb with a column list"))
+    // a paren after the name: column DEFINITIONS for TABLE (an empty
+    // typed relation — SQLite's affinity rules pick the lake types), a
+    // renaming column list for VIEW (declined: a visible error beats
+    // mis-binding)
+    if (j < sql.length && sql.charAt(j) == '(') {
+      if (!isTable) return Some(Unsupported(s"$verb with a column list"))
+      val close = closeParen(sql, j)
+      if (close < 0) return Some(Unsupported("CREATE TABLE"))
+      if (skipWs(sql, close + 1) < sql.length)
+        // WITHOUT ROWID / STRICT tail, or an AS after defs (not SQLite
+        // grammar) — STRICT/WITHOUT ROWID are storage directives with
+        // no lake counterpart but also no observable semantics here
+        return parseColumnDefs(sql.substring(j + 1, close)) match {
+          case Right((cols, pk))
+              if keywordAt(sql, skipWs(sql, close + 1), "without") ||
+                 keywordAt(sql, skipWs(sql, close + 1), "strict") =>
+            Some(CreateTable(name, ifNotExists, cols, pk))
+          case _ => Some(Unsupported("CREATE TABLE"))
+        }
+      return parseColumnDefs(sql.substring(j + 1, close)) match {
+        case Right((cols, pk)) => Some(CreateTable(name, ifNotExists, cols, pk))
+        case Left(u)           => Some(u)
+      }
+    }
     if (!keywordAt(sql, j, "as"))
       return Some(Unsupported(
-        if (isTable) "CREATE TABLE with column definitions" else verb))
+        if (isTable) "CREATE TABLE" else verb))
     j = skipWs(sql, j + 2)
     if (j >= sql.length) return Some(Unsupported(verb))
     val source = sql.substring(j).trim
     Some(if (isView) CreateView(name, ifNotExists, source)
          else CreateTableAs(name, ifNotExists, source))
+  }
+
+  /** Keywords that END a column's type declaration and start its
+    * constraint tail (SQLite column-constraint grammar). */
+  private val colConstraintKw = Set("primary", "not", "null", "unique",
+    "default", "check", "references", "collate", "generated", "as")
+
+  /** Parse the inside of a column-def list: `col [type] [constraints],
+    * …, [table constraints]`. Right = (columns as (name, declared type
+    * text), PRIMARY KEY columns — falling back to the first UNIQUE
+    * constraint, the next thing SQLite would resolve OR REPLACE
+    * against). Left = a targeted decline (generated columns have real
+    * read semantics the lake schema can't carry silently). */
+  private def parseColumnDefs(inner: String)
+      : Either[Unsupported, (Seq[(String, String)], Seq[String])] = {
+    val cols = Seq.newBuilder[(String, String)]
+    var pk = Seq.empty[String]
+    var uniqueFallback = Seq.empty[String]
+    def parseColList(s: String): Seq[String] =
+      s.split(",").toSeq.map(c => unquoteIdent(
+        // strip per-column COLLATE / ASC / DESC riders
+        c.trim.split("\\s+").headOption.getOrElse("").trim)).filter(_.nonEmpty)
+    for (rawItem <- splitTopCommas(inner)) {
+      var item = rawItem.trim
+      if (item.isEmpty) return Left(Unsupported("CREATE TABLE"))
+      if (keywordAt(item, 0, "constraint")) {
+        // CONSTRAINT <name> <constraint> — the name is decorative here
+        val after = parseIdent(item, skipWs(item, 10))
+          .getOrElse(return Left(Unsupported("CREATE TABLE")))._2
+        item = item.substring(skipWs(item, after)).trim
+      }
+      if (keywordAt(item, 0, "primary")) {
+        val k = skipWs(item, 7)
+        if (!keywordAt(item, k, "key")) return Left(Unsupported("CREATE TABLE"))
+        val p = skipWs(item, k + 3)
+        if (p >= item.length || item.charAt(p) != '(')
+          return Left(Unsupported("CREATE TABLE"))
+        val close = closeParen(item, p)
+        if (close < 0) return Left(Unsupported("CREATE TABLE"))
+        val keys = parseColList(item.substring(p + 1, close))
+        if (keys.isEmpty) return Left(Unsupported("CREATE TABLE"))
+        if (pk.isEmpty) pk = keys
+      } else if (keywordAt(item, 0, "unique")) {
+        val p = skipWs(item, 6)
+        if (p < item.length && item.charAt(p) == '(') {
+          val close = closeParen(item, p)
+          if (close < 0) return Left(Unsupported("CREATE TABLE"))
+          val keys = parseColList(item.substring(p + 1, close))
+          if (keys.nonEmpty && uniqueFallback.isEmpty) uniqueFallback = keys
+        } else return Left(Unsupported("CREATE TABLE"))
+      } else if (keywordAt(item, 0, "foreign") || keywordAt(item, 0, "check")) {
+        // FOREIGN KEY / CHECK: validation directives, no lake semantics
+      } else {
+        // a column definition: name [type tokens] [constraint tail]
+        val (name, afterName) = parseIdent(item, 0)
+          .getOrElse(return Left(Unsupported("CREATE TABLE")))
+        var j = skipWs(item, afterName)
+        val typeStart = j
+        var typeEnd = j
+        var scanning = true
+        while (scanning && j < item.length) {
+          val c = item.charAt(j)
+          if (c == '(') {
+            val close = closeParen(item, j)
+            if (close < 0) return Left(Unsupported("CREATE TABLE"))
+            j = skipWs(item, close + 1); typeEnd = close + 1
+          } else if (isWordChar(c)) {
+            var e = j
+            while (e < item.length && isWordChar(item.charAt(e))) e += 1
+            if (colConstraintKw(item.substring(j, e).toLowerCase)) scanning = false
+            else { typeEnd = e; j = skipWs(item, e) }
+          } else scanning = false
+        }
+        val declType = item.substring(typeStart, typeEnd min item.length).trim
+        val frag = item.substring(typeEnd min item.length)
+        if (findTopKeyword(frag, 0, "generated") >= 0 ||
+            findTopKeyword(frag, 0, "as") >= 0)
+          return Left(Unsupported("CREATE TABLE with a generated column"))
+        if (findTopKeyword(frag, 0, "primary") >= 0 && pk.isEmpty)
+          pk = Seq(name)
+        else if (findTopKeyword(frag, 0, "unique") >= 0 && uniqueFallback.isEmpty)
+          uniqueFallback = Seq(name)
+        cols += ((name, declType))
+      }
+    }
+    val allCols = cols.result()
+    if (allCols.isEmpty) return Left(Unsupported("CREATE TABLE"))
+    val known = allCols.map(_._1.toLowerCase).toSet
+    val key = if (pk.nonEmpty) pk else uniqueFallback
+    if (key.exists(k => !known(k.toLowerCase)))
+      return Left(Unsupported("CREATE TABLE"))
+    Right((allCols, key))
+  }
+
+  /** Split on top-level commas (outside quotes and parens). */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      c match {
+        case '\'' | '"' | '`' => j = endOfQuoted(s, j, c)
+        case '(' =>
+          val e = closeParen(s, j)
+          j = if (e < 0) s.length else e + 1
+        case ',' => out += s.substring(start, j); start = j + 1; j += 1
+        case _ => j += 1
+      }
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Parse `[IF NOT EXISTS] name ON table (col [COLLATE c] [ASC|DESC],
+    * …) [WHERE …]` starting just after INDEX. A plain index is a pure
+    * access-path directive (no result semantics — registered no-op); a
+    * UNIQUE one declares the conflict key, so unsound variants
+    * (expression keys, partial-index WHERE) decline targeted. */
+  private def parseCreateIndex(sql: String, start: Int,
+                               unique: Boolean): Option[Stmt] = {
+    val verb = if (unique) "CREATE UNIQUE INDEX" else "CREATE INDEX"
+    var j = start
+    var ifNotExists = false
+    if (keywordAt(sql, j, "if")) {
+      val k = skipWs(sql, j + 2)
+      if (!keywordAt(sql, k, "not")) return Some(Unsupported(verb))
+      val m = skipWs(sql, k + 3)
+      if (!keywordAt(sql, m, "exists")) return Some(Unsupported(verb))
+      ifNotExists = true
+      j = skipWs(sql, m + 6)
+    }
+    val (name, afterName) = parseIdent(sql, j)
+      .getOrElse(return Some(Unsupported(verb)))
+    j = skipWs(sql, afterName)
+    if (!keywordAt(sql, j, "on")) return Some(Unsupported(verb))
+    j = skipWs(sql, j + 2)
+    val (table, afterTable) = parseIdent(sql, j)
+      .getOrElse(return Some(Unsupported(verb)))
+    j = skipWs(sql, afterTable)
+    if (j >= sql.length || sql.charAt(j) != '(')
+      return Some(Unsupported(verb))
+    val close = closeParen(sql, j)
+    if (close < 0) return Some(Unsupported(verb))
+    var exprKey = false
+    val cols = splitTopCommas(sql.substring(j + 1, close)).flatMap { raw =>
+      val item = raw.trim
+      parseIdent(item, 0) match {
+        case Some((c, after)) =>
+          // accept trailing COLLATE <name> / ASC / DESC riders; any
+          // other tail makes it an expression key
+          var k = skipWs(item, after)
+          if (keywordAt(item, k, "collate")) {
+            k = parseIdent(item, skipWs(item, k + 7))
+              .map(_._2).getOrElse(item.length)
+            k = skipWs(item, k)
+          }
+          if (keywordAt(item, k, "asc")) k = skipWs(item, k + 3)
+          else if (keywordAt(item, k, "desc")) k = skipWs(item, k + 4)
+          if (k < item.length) { exprKey = true; None } else Some(c)
+        case None => exprKey = true; None
+      }
+    }
+    val tail = skipWs(sql, close + 1)
+    val partial = tail < sql.length && keywordAt(sql, tail, "where")
+    if (unique && (exprKey || cols.isEmpty))
+      return Some(Unsupported("CREATE UNIQUE INDEX on an expression"))
+    if (unique && partial)
+      return Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE"))
+    if (tail < sql.length && !partial) return Some(Unsupported(verb))
+    Some(CreateIndex(name, table, if (exprKey) Nil else cols, unique,
+      ifNotExists))
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …) [ON CONFLICT …]`
@@ -412,11 +668,21 @@ object SqlDml {
     // else): decline to the targeted Unsupported error, never an
     // index-out-of-bounds from charAt below
     if (j >= sql.length) return None
-    // split the source from a trailing upsert clause: the first
-    // top-level ON CONFLICT (quotes and parens skipped; a join's ON
-    // is never followed by the word CONFLICT)
+    // split the source from a trailing upsert clause / RETURNING: the
+    // first top-level ON CONFLICT (quotes and parens skipped; a join's
+    // ON is never followed by the word CONFLICT), else the first
+    // top-level RETURNING (grammar places it after ON CONFLICT, and a
+    // bare keyword can't appear top-level inside the source)
     val confAt = findOnConflict(sql, j)
-    val srcEnd = if (confAt < 0) sql.length else confAt
+    val retAt = if (confAt >= 0) -1 else findTopKeyword(sql, j, "returning")
+    val srcEnd =
+      if (confAt >= 0) confAt else if (retAt >= 0) retAt else sql.length
+    var returning: Option[String] =
+      if (retAt >= 0) {
+        val r = sql.substring(skipWs(sql, retAt + 9)).trim
+        if (r.isEmpty) return None
+        Some(r)
+      } else None
     val conflict: Option[OnConflict] =
       if (confAt < 0) implied
       else {
@@ -426,12 +692,14 @@ object SqlDml {
           case Right((c, end)) =>
             val rest = skipWs(sql, end)
             if (rest < sql.length) {
-              // a second clause or a RETURNING tail — named decline
-              return Some(Unsupported(
+              if (keywordAt(sql, rest, "returning")) {
+                val r = sql.substring(skipWs(sql, rest + 9)).trim
+                if (r.isEmpty) return None
+                returning = Some(r)
+              } else return Some(Unsupported(
+                // a second clause — named decline
                 if (findOnConflict(sql, rest) == rest)
                   "INSERT with multiple ON CONFLICT clauses"
-                else if (keywordAt(sql, rest, "returning"))
-                  "INSERT … RETURNING"
                 else "INSERT … ON CONFLICT"))
             }
             Some(c)
@@ -446,7 +714,32 @@ object SqlDml {
         // VALUES can't reference CTEs, so the prefix is droppable
         s"SELECT * FROM ($rest)"
       else return None
-    Some(Upsert(table, cols, source, replace, conflict))
+    Some(Upsert(table, cols, source, replace, conflict, returning))
+  }
+
+  /** Index of the first top-level occurrence of keyword `kw` at or
+    * after `i` (outside quotes and parens), or -1. */
+  private def findTopKeyword(sql: String, i: Int, kw: String): Int = {
+    var j = i
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      c match {
+        case '\'' | '"' | '`' => j = endOfQuoted(sql, j, c)
+        case '(' =>
+          val e = closeParen(sql, j)
+          if (e < 0) return -1
+          j = e + 1
+        case _ =>
+          if (isWordChar(c)) {
+            var e = j
+            while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+            if (e - j == kw.length && sql.substring(j, e).equalsIgnoreCase(kw))
+              return j
+            j = e
+          } else j += 1
+      }
+    }
+    -1
   }
 
   /** Index of the first top-level `ON CONFLICT` at or after `i`
@@ -538,12 +831,13 @@ object SqlDml {
           scanExpr(sql, skipWs(sql, j + 5), stops - "where")
         if (expr.trim.isEmpty)
           Left(Unsupported("ON CONFLICT DO UPDATE"))
-        else if (stopped.isEmpty)
+        else if (stopped.isEmpty || stopped.contains("returning"))
+          // a trailing RETURNING belongs to the caller: end the clause
+          // AT the keyword so parseUpsert picks it up
           Right((OnConflict(cols, assigns.result(), Some(expr.trim)), stop))
-        else Left(Unsupported(
-          if (stopped.contains("returning")) "INSERT … RETURNING"
-          else "INSERT with multiple ON CONFLICT clauses"))
-      case Some("returning") => Left(Unsupported("INSERT … RETURNING"))
+        else Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
+      case Some("returning") =>
+        Right((OnConflict(cols, assigns.result(), None), j))
       case Some("on") =>
         Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
       case _ => Left(Unsupported("INSERT … ON CONFLICT"))

@@ -17,6 +17,18 @@ class JdbcSpec extends SparkSpec {
 
   private lazy val seeded: Unit = {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    // a crashed prior run can leave a half-created database directory;
+    // Derby's create=true then fails with "Directory already exists".
+    // The db is a throwaway fixture — clear any stale remnant first
+    // (service.properties missing = never fully booted).
+    val dbDir = new java.io.File(dbPath)
+    if (dbDir.isDirectory &&
+        !new java.io.File(dbDir, "service.properties").isFile) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dbDir)
+    }
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()

@@ -19,12 +19,12 @@ class SqlDmlSpec extends SparkSpec {
   test("detect classifies the four verbs; SELECT and scalar replace() are not DML") {
     import SqlDml._
     assert(detect("UPDATE t SET x = 1")
-      == Some(Update("t", Seq("x" -> "1"), None, None, "")))
+      == Some(Update("t", Seq("x" -> "1"), None, None, "", None)))
     assert(detect("  delete from 'abc' where x < 0")
       == Some(Delete("abc", Some("x < 0"), None, "")))
     // plain INSERT INTO parses as an APPEND (replace = false)
     detect("INSERT INTO t VALUES (1)") match {
-      case Some(Upsert("t", Seq(), src, false, None)) =>
+      case Some(Upsert("t", Seq(), src, false, None, None)) =>
         assert(src.contains("VALUES (1)"))
       case other => fail(s"expected append Upsert, got $other")
     }
@@ -33,25 +33,25 @@ class SqlDmlSpec extends SparkSpec {
     // OR IGNORE = the implied DO NOTHING on the default key
     assert(detect("INSERT OR IGNORE INTO t VALUES (1)")
       == Some(Upsert("t", Nil, "SELECT * FROM (VALUES (1))", false,
-        Some(OnConflict(Nil, Nil, None)))))
+        Some(OnConflict(Nil, Nil, None)), None)))
     // OR ABORT/FAIL/ROLLBACK differ only on constraint violation —
     // none exist on ingested tables, so they run as plain appends
     detect("INSERT OR ABORT INTO t VALUES (1)") match {
-      case Some(Upsert("t", _, _, false, None)) =>
+      case Some(Upsert("t", _, _, false, None, None)) =>
       case other => fail(s"expected append Upsert, got $other")
     }
     detect("INSERT OR REPLACE INTO t (a, b) VALUES (1, 2)") match {
-      case Some(Upsert("t", Seq("a", "b"), src, true, None)) =>
+      case Some(Upsert("t", Seq("a", "b"), src, true, None, None)) =>
         assert(src.contains("VALUES (1, 2)"))
       case other => fail(s"expected Upsert, got $other")
     }
     detect("REPLACE INTO `my t` SELECT * FROM s") match {
-      case Some(Upsert("my t", Seq(), src, true, None)) => assert(src == "SELECT * FROM s")
+      case Some(Upsert("my t", Seq(), src, true, None, None)) => assert(src == "SELECT * FROM s")
       case other => fail(s"expected Upsert, got $other")
     }
     // quoted-hash table names, as the reference's generated SQL writes them
     detect("INSERT OR REPLACE INTO 'abc123' SELECT * FROM s") match {
-      case Some(Upsert("abc123", _, _, true, None)) =>
+      case Some(Upsert("abc123", _, _, true, None, None)) =>
       case other => fail(s"expected Upsert into abc123, got $other")
     }
     assert(detect("SELECT * FROM t").isEmpty)
@@ -59,13 +59,13 @@ class SqlDmlSpec extends SparkSpec {
     // trailing semicolons (the habitual model emission) never ride
     // into a re-wrapped source
     detect("INSERT OR REPLACE INTO t (a) VALUES (1);") match {
-      case Some(Upsert(_, _, src, _, _)) => assert(!src.contains(";"), src)
+      case Some(Upsert(_, _, src, _, _, _)) => assert(!src.contains(";"), src)
       case other => fail(s"expected Upsert, got $other")
     }
     assert(detect("DROP TABLE t ; ") == Some(DropRelation("t", false)))
     // WITH-prefixed DML classifies; the CTE rides into the source
     detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
-      case Some(Upsert("t", _, src, true, None)) =>
+      case Some(Upsert("t", _, src, true, None, None)) =>
         assert(src.startsWith("WITH c AS"), src)
       case other => fail(s"expected Upsert, got $other")
     }
@@ -80,23 +80,30 @@ class SqlDmlSpec extends SparkSpec {
     // KEEP (executor applies the SQLite rule), WHERE + RETURNING split
     assert(detect("UPDATE t SET a = 1, b = a + 2 WHERE a < 3 RETURNING a, b")
       == Some(Update("t", Seq("a" -> "1", "b" -> "a + 2"),
-        Some("a < 3"), Some("a, b"), "")))
+        Some("a < 3"), Some("a, b"), "", None)))
     // keywords inside literals/subqueries never stop the clause scan
     assert(detect("UPDATE t SET s = 'where x' WHERE id IN (SELECT id FROM u WHERE z = 1)")
       == Some(Update("t", Seq("s" -> "'where x'"),
-        Some("id IN (SELECT id FROM u WHERE z = 1)"), None, "")))
+        Some("id IN (SELECT id FROM u WHERE z = 1)"), None, "", None)))
     assert(detect("DELETE FROM t RETURNING *")
       == Some(Delete("t", None, Some("*"), "")))
     // INDEXED BY / NOT INDEXED are pure access-path hints — skipped
     assert(detect("DELETE FROM t INDEXED BY idx WHERE x = 1")
       == Some(Delete("t", Some("x = 1"), None, "")))
     assert(detect("UPDATE t NOT INDEXED SET a = 1")
-      == Some(Update("t", Seq("a" -> "1"), None, None, "")))
-    // forms with no sound lake re-expression decline with the form named
+      == Some(Update("t", Seq("a" -> "1"), None, None, "", None)))
+    // a conflict action parses and rides along (the executor applies
+    // plain-UPDATE semantics on constraint-less tables); an unknown
+    // action still declines named
     assert(detect("UPDATE OR IGNORE t SET a = 1")
-      == Some(Unsupported("UPDATE OR IGNORE")))
+      == Some(Update("t", Seq("a" -> "1"), None, None, "", None,
+        Some("IGNORE"))))
+    assert(detect("UPDATE OR BOGUS t SET a = 1")
+      == Some(Unsupported("UPDATE OR BOGUS")))
+    // the join form now PARSES (SQLite 3.33 UPDATE-FROM)
     assert(detect("UPDATE t SET a = u.b FROM u WHERE t.id = u.id")
-      == Some(Unsupported("UPDATE … FROM (join form)")))
+      == Some(Update("t", Seq("a" -> "u.b"),
+        Some("t.id = u.id"), None, "", Some("u"))))
     assert(detect("DELETE FROM t WHERE x = 1 ORDER BY x LIMIT 5")
       == Some(Unsupported("DELETE with ORDER BY/LIMIT")))
     assert(detect("UPDATE t SET (a, b) = (1, 2)")
@@ -109,14 +116,14 @@ class SqlDmlSpec extends SparkSpec {
   test("detect parses the ON CONFLICT upsert clause; unsound forms decline named") {
     import SqlDml._
     detect("INSERT INTO t VALUES (1) ON CONFLICT DO NOTHING") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)))) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)), None)) =>
         assert(!src.toLowerCase.contains("conflict"), src)
       case other => fail(s"expected DO NOTHING Upsert, got $other")
     }
     detect("""INSERT INTO t (a, b) SELECT x, y FROM s
               ON CONFLICT (a) DO UPDATE SET b = excluded.b WHERE b < excluded.b""") match {
       case Some(Upsert("t", Seq("a", "b"), _, false,
-          Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w))))) =>
+          Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w))), None)) =>
         assert(w == "b < excluded.b")
       case other => fail(s"expected DO UPDATE Upsert, got $other")
     }
@@ -124,7 +131,7 @@ class SqlDmlSpec extends SparkSpec {
     // clause scan only fires on the ON CONFLICT keyword pair
     detect("""INSERT INTO t SELECT s.x FROM s JOIN u ON s.id = u.id
               ON CONFLICT DO NOTHING""") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)))) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)), None)) =>
         assert(src.contains("ON s.id = u.id"), src)
       case other => fail(s"expected Upsert with join source, got $other")
     }
@@ -136,8 +143,11 @@ class SqlDmlSpec extends SparkSpec {
     assert(detect(
       "INSERT INTO t VALUES (1) ON CONFLICT (a) DO NOTHING ON CONFLICT (b) DO NOTHING")
       == Some(Unsupported("INSERT with multiple ON CONFLICT clauses")))
-    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET b = 1 RETURNING *")
-      == Some(Unsupported("INSERT … RETURNING")))
+    detect("INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET b = 1 RETURNING *") match {
+      case Some(Upsert("t", _, _, false,
+          Some(OnConflict(Seq("a"), Seq(("b", "1")), None)), Some("*"))) =>
+      case other => fail(s"expected RETURNING Upsert, got $other")
+    }
   }
 
   test("rewriteExcluded maps excluded.col to the flat join name, quote-aware") {
@@ -383,15 +393,193 @@ class SqlDmlSpec extends SparkSpec {
       Runner.runSql(spark, "DROP TABLE ddl_v")
     }
     assert(d.getMessage.contains("no such session table"))
-    // column-def CREATE TABLE and CREATE INDEX decline with the verb named
-    for ((stmt, verb) <- Seq(
-      "CREATE TABLE plain_t (a INTEGER, b TEXT)" -> "column definitions",
-      "CREATE INDEX idx ON t (a)" -> "CREATE INDEX")) {
-      val u = intercept[UnsupportedOperationException] {
-        Runner.runSql(spark, stmt)
-      }
-      assert(u.getMessage.contains(verb), stmt)
+    // generated columns carry read semantics the lake schema can't
+    // hold silently — still a targeted decline
+    val u = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark,
+        "CREATE TABLE gen_t (a INTEGER, b INTEGER GENERATED ALWAYS AS (a * 2))")
     }
+    assert(u.getMessage.contains("generated column"))
+  }
+
+  test("CREATE TABLE with column defs builds an empty typed relation; PK drives upserts") {
+    Runner.runSql(spark, "DROP TABLE IF EXISTS ct_t")
+    // the PRIMARY KEY is NOT the leading column — a later OR REPLACE
+    // must resolve on it (SQLite's rule), not the leading-column
+    // convention for constraint-less ingested tables
+    Runner.runSql(spark,
+      """CREATE TABLE ct_t (
+           label TEXT NOT NULL,
+           k INTEGER PRIMARY KEY,
+           score REAL DEFAULT 0.5,
+           tags BLOB,
+           seen BOOLEAN,
+           day DATE)""")
+    val sch = spark.table("ct_t").schema
+    import org.apache.spark.sql.types._
+    assert(sch.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("label", StringType), ("k", LongType), ("score", DoubleType),
+      ("tags", BinaryType), ("seen", LongType), ("day", StringType)))
+    assert(spark.table("ct_t").count() == 0)
+    Runner.runSql(spark,
+      "INSERT INTO ct_t (label, k, score) VALUES ('a', 1, 1.5), ('b', 2, 2.5)")
+    // OR REPLACE resolves on k (the declared PK): label 'B' replaces
+    // k=2 even though its label differs; k=3 appends
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO ct_t (label, k, score) VALUES ('B', 2, 9.0), ('c', 3, 3.5)")
+    val rows = spark.table("ct_t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 1L, 1.5), ("B", 2L, 9.0), ("c", 3L, 3.5)))
+    // IF NOT EXISTS no-op; bare CREATE errors (SQLite semantics)
+    Runner.runSql(spark, "CREATE TABLE IF NOT EXISTS ct_t (x INTEGER)")
+    assert(spark.table("ct_t").columns.length == 6)
+    val e = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "CREATE TABLE ct_t (x INTEGER)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // DROP forgets the declared key with the table
+    Runner.runSql(spark, "DROP TABLE ct_t")
+    assert(graft.exec.SessionKeys.keyFor(spark, "ct_t").isEmpty)
+  }
+
+  test("CREATE TABLE parses table-level constraints, quoted idents, STRICT tails") {
+    import SqlDml._
+    detect("""CREATE TABLE t ("a col" VARCHAR(30), b DOUBLE PRECISION,
+              c, PRIMARY KEY (b, c), FOREIGN KEY (c) REFERENCES u(x))""") match {
+      case Some(CreateTable("t", false,
+          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"))) =>
+        assert(dt1 == "VARCHAR(30)" && dt2 == "DOUBLE PRECISION")
+      case other => fail(s"expected CreateTable, got $other")
+    }
+    // a UNIQUE table constraint is the conflict-key fallback when no
+    // PK is declared; CHECK contents never leak keywords
+    detect("""CREATE TABLE t (a INT, b TEXT CHECK (b <> 'primary key'),
+              UNIQUE (a)) STRICT""") match {
+      case Some(CreateTable("t", false, cols, Seq("a"))) =>
+        assert(cols.map(_._1) == Seq("a", "b"))
+      case other => fail(s"expected CreateTable with UNIQUE fallback, got $other")
+    }
+    // column-level PRIMARY KEY with riders
+    detect("CREATE TEMP TABLE IF NOT EXISTS t (id INTEGER PRIMARY KEY AUTOINCREMENT, v REAL)") match {
+      case Some(CreateTable("t", true, cols, Seq("id"))) =>
+        assert(cols.map(_._1) == Seq("id", "v"))
+      case other => fail(s"expected CreateTable, got $other")
+    }
+  }
+
+  test("CREATE [UNIQUE] INDEX registers; unique declares the upsert key; DROP INDEX forgets") {
+    freshView("idx_t")
+    // a plain index: pure access-path no-op (SQLite results never
+    // change) — and the upsert key stays the leading column
+    Runner.runSql(spark, "CREATE INDEX idx_plain ON idx_t (name)")
+    assert(graft.exec.SessionKeys.keyFor(spark, "idx_t").isEmpty)
+    // a UNIQUE index declares the constraint OR REPLACE resolves
+    // against — here the NON-leading v column
+    Runner.runSql(spark, "CREATE UNIQUE INDEX idx_u ON idx_t (v)")
+    Runner.runSql(spark,
+      "INSERT OR REPLACE INTO idx_t (id, name, v) VALUES (9, 'NEW', 20)")
+    val rows = spark.table("idx_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // v=20 replaced (old id 2 row gone), ids 1/3 survive
+    assert(rows == Seq((1L, "one", 10L), (3L, "three", 30L), (9L, "NEW", 20L)))
+    // duplicate index name errors unless IF NOT EXISTS; DROP forgets
+    val e = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "CREATE INDEX idx_u ON idx_t (name)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    Runner.runSql(spark, "CREATE INDEX IF NOT EXISTS idx_u ON idx_t (name)")
+    Runner.runSql(spark, "DROP INDEX idx_u")
+    assert(graft.exec.SessionKeys.keyFor(spark, "idx_t").isEmpty)
+    val d = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "DROP INDEX idx_u")
+    }
+    assert(d.getMessage.contains("no such index"))
+    Runner.runSql(spark, "DROP INDEX IF EXISTS idx_u") // no-op
+    // unknown column / missing table are targeted
+    val c = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "CREATE UNIQUE INDEX idx_b ON idx_t (bogus)")
+    }
+    assert(c.getMessage.contains("no such column"))
+    val m = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "CREATE INDEX idx_m ON no_such_table (x)")
+    }
+    assert(m.getMessage.contains("not a registered"))
+    // unsound UNIQUE variants decline targeted
+    import SqlDml._
+    assert(detect("CREATE UNIQUE INDEX e ON t (lower(a))")
+      == Some(Unsupported("CREATE UNIQUE INDEX on an expression")))
+    assert(detect("CREATE UNIQUE INDEX e ON t (a) WHERE a > 0")
+      == Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE")))
+    // a plain expression/partial index is still a sound no-op
+    detect("CREATE INDEX e ON t (lower(a)) WHERE a > 0") match {
+      case Some(CreateIndex("e", "t", Nil, false, false)) =>
+      case other => fail(s"expected no-op CreateIndex, got $other")
+    }
+  }
+
+  test("UPDATE … FROM joins, updates matched rows only, resolves deterministically") {
+    freshView("uf_t")
+    Seq((1L, "alpha"), (3L, "gamma"), (9L, "omega"))
+      .toDF("ref_id", "tag").createOrReplaceTempView("uf_src")
+    Runner.runSql(spark,
+      """UPDATE uf_t SET name = name || '@' || tag, v = v + 1
+         FROM uf_src WHERE uf_t.id = uf_src.ref_id""")
+    val rows = spark.table("uf_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // ids 1 and 3 matched and updated; id 2 had no match and is untouched
+    assert(rows == Seq((1L, "one@alpha", 11L), (2L, "two", 20L),
+      (3L, "three@gamma", 31L)))
+    // multi-match: SQLite picks one arbitrary join row; graft picks
+    // the deterministic minimum of the assigned row image — reruns
+    // agree with themselves
+    freshView("uf_m")
+    Seq((1L, "zz"), (1L, "aa")).toDF("ref_id", "tag")
+      .createOrReplaceTempView("uf_msrc")
+    Runner.runSql(spark,
+      "UPDATE uf_m SET name = tag FROM uf_msrc WHERE id = ref_id")
+    assert(spark.table("uf_m").filter("id = 1")
+      .collect().map(_.getString(1)).toSeq == Seq("aa"))
+    // RETURNING sees the new values of the matched rows only
+    freshView("uf_r")
+    Runner.runSql(spark,
+      """UPDATE uf_r SET v = v * 100 FROM uf_src
+         WHERE uf_r.id = uf_src.ref_id RETURNING id, v""").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq match {
+      case Seq((1L, 1000L), (3L, 3000L)) =>
+      case other => fail(s"unexpected RETURNING rows: $other")
+    }
+  }
+
+  test("INSERT … RETURNING hands back the affected slice per conflict action") {
+    // plain append: every inserted row, final (NULL-padded) values
+    freshView("ir_a")
+    val ins = Runner.runSql(spark,
+      "INSERT INTO ir_a (id, name) VALUES (8, 'eight'), (9, 'nine') RETURNING id, name, v")
+    assert(ins.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+      == Seq((8L, "eight", true), (9L, "nine", true)))
+    // DO NOTHING: only the non-conflicting row comes back
+    freshView("ir_n")
+    val ign = Runner.runSql(spark,
+      "INSERT OR IGNORE INTO ir_n VALUES (2, 'CONF', 99), (7, 'seven', 70) RETURNING id")
+    assert(ign.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // DO UPDATE: updated rows (new values) + appended rows
+    freshView("ir_u")
+    val up = Runner.runSql(spark,
+      """INSERT INTO ir_u VALUES (2, 'TWO', 200), (7, 'seven', 70)
+         ON CONFLICT (id) DO UPDATE SET v = v + excluded.v
+         RETURNING id, v""").orderBy("id")
+    assert(up.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((2L, 220L), (7L, 70L)))
+    // OR REPLACE: the incoming rows are the affected slice
+    freshView("ir_r")
+    val rep = Runner.runSql(spark,
+      "INSERT OR REPLACE INTO ir_r VALUES (3, 'THREE', 33) RETURNING name, v")
+    assert(rep.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("THREE", 33L)))
+    // the RETURNING result is materialized: stable across later DML
+    Runner.runSql(spark, "DELETE FROM ir_r")
+    assert(rep.count() == 1)
   }
 
   test("upsert errors are targeted: unknown table, arity mismatch, unknown column") {

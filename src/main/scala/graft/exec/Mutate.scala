@@ -59,6 +59,11 @@ object Mutate {
             s"supported (the copy-on-write rewrite does not simulate " +
             s"constraint checking); use a plain UPDATE")
     }
+    if (u.limit.isDefined && u.from.isDefined)
+      throw new UnsupportedOperationException(
+        "UPDATE … FROM combined with LIMIT is not supported; split the " +
+          "statement")
+    if (u.limit.isDefined) return runUpdateLimit(spark, u)
     if (u.from.isDefined) return runUpdateFrom(spark, u)
     val base = resolve(spark, u.table, "UPDATE")
     val known = base.schema.fields.map(_.name.toLowerCase).toSet
@@ -162,6 +167,7 @@ object Mutate {
   }
 
   def runDelete(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
+    if (d.limit.isDefined) return runDeleteLimit(spark, d)
     resolve(spark, d.table, "DELETE") // existence check, targeted error
     val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val merged = spark.sql(
@@ -172,6 +178,165 @@ object Mutate {
         s"(SELECT * FROM ${q(d.table)} WHERE $cond)").trim)
     }
     rebind(spark, d.table, merged, ret)
+  }
+
+  /** A LIMIT/OFFSET expression must be a constant integer (SQLite
+    * evaluates it once, before the scan). */
+  private def evalConst(spark: SparkSession, e: String,
+                        what: String): Long = {
+    val row =
+      try spark.sql(s"SELECT CAST(($e) AS BIGINT)").first()
+      catch {
+        case ex: Exception => throw new IllegalArgumentException(
+          s"$what expression '$e' is not a constant integer: " +
+            ex.getMessage, ex)
+      }
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"$what expression '$e' evaluated to NULL")
+    row.getLong(0)
+  }
+
+  /** The rid set a `… [ORDER BY o] LIMIT n [OFFSET m]` DML statement
+    * touches: WHERE-true rows, ordered by (o, rid) — rid breaks ties,
+    * a deterministic instance of SQLite's "arbitrary" — skipping the
+    * first `m`, capped at `n`. The `LIMIT n+m` clause keeps the scan a
+    * TakeOrderedAndProject (bounded executor-side heaps, no global
+    * sort); the offset skip is a row_number window over that ≤ n+m-row
+    * slice. A negative `n` means no cap (SQLite's rule); the rare
+    * no-cap-with-offset combination falls back to a global-order
+    * window. Returns None when the statement is effectively
+    * un-limited (negative n, no offset) — callers use their plain
+    * path. */
+  private def limitedRids(spark: SparkSession, bview: String, rid: String,
+                          withPrefix: String, cond: String,
+                          orderBy: Option[String], n: Long, m0: Long)
+      : Option[DataFrame] = {
+    val m = m0 max 0L
+    // negative n = no cap (SQLite); a cap beyond Int range can't ride
+    // a LIMIT clause (Spark limits are Int) — same no-cap treatment
+    if ((n < 0 || n + m > Int.MaxValue) && m == 0) return None
+    val nEff = if (n < 0 || n + m > Int.MaxValue) -1L else n
+    val obys = orderBy.map(o => s"$o, `$rid`").getOrElse(s"`$rid`")
+    val capped =
+      if (nEff < 0)
+        s"""$withPrefix SELECT `$rid` AS __rid, * FROM `$bview`
+           |WHERE $cond""".stripMargin
+      else
+        s"""$withPrefix SELECT `$rid` AS __rid, * FROM `$bview`
+           |WHERE $cond ORDER BY $obys LIMIT ${nEff + m}""".stripMargin
+    val top = spark.sql(capped.trim)
+    // re-rank inside the capped slice on the same total order; the
+    // first m ranks are the OFFSET skip. The window re-reads the order
+    // columns through the carried `*`, so arbitrary order expressions
+    // stay resolvable.
+    val rvw = s"graft_dml_lim_g${Upsert.nextGeneration()}"
+    top.createOrReplaceTempView(rvw)
+    val ranked = spark.sql(
+      s"""SELECT __rid FROM (
+         |  SELECT __rid, row_number() OVER (ORDER BY $obys) AS __rn
+         |  FROM `$rvw`
+         |) WHERE __rn > $m ${if (nEff >= 0) s"AND __rn <= ${m + nEff}" else ""}"""
+        .stripMargin)
+    Some(ranked)
+  }
+
+  /** `DELETE … [ORDER BY …] LIMIT n [OFFSET m]`
+    * (SQLITE_ENABLE_UPDATE_DELETE_LIMIT, enabled in the Python-bundled
+    * SQLite the reference runs on): remove at most n WHERE-true rows
+    * in the given order. */
+  private def runDeleteLimit(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val base = resolve(spark, d.table, "DELETE")
+    val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val n = evalConst(spark, d.limit.get, "DELETE LIMIT")
+    val m = d.offset.map(evalConst(spark, _, "DELETE OFFSET")).getOrElse(0L)
+    val rid = "__graft_rid"
+    val baseR = base.withColumn(rid, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bview = s"graft_dmll_src_g${Upsert.nextGeneration()}"
+    baseR.createOrReplaceTempView(bview)
+    try {
+      limitedRids(spark, bview, rid, d.withPrefix, cond, d.orderBy,
+          n, m) match {
+        case None =>
+          // effectively un-limited: the plain path (no rid pass)
+          runDelete(spark, d.copy(limit = None, offset = None,
+            orderBy = None))
+        case Some(victims) =>
+          val vk = victims.select(col("__rid").as(rid))
+          val merged = baseR.join(vk, Seq(rid), "left_anti")
+            .select(base.columns.map(col): _*)
+          val ret = d.returning.map { r =>
+            val rv = s"graft_dmll_ret_g${Upsert.nextGeneration()}"
+            baseR.join(vk, Seq(rid), "left_semi")
+              .select(base.columns.map(col): _*)
+              .createOrReplaceTempView(rv)
+            spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
+          }
+          rebind(spark, d.table, merged, ret)
+      }
+    } finally {
+      spark.catalog.dropTempView(bview)
+      baseR.unpersist()
+    }
+  }
+
+  /** `UPDATE … SET … [ORDER BY …] LIMIT n [OFFSET m]`: assignments
+    * apply to at most n WHERE-true rows in the given order; every
+    * other row survives unchanged. */
+  private def runUpdateLimit(spark: SparkSession, u: SqlDml.Update): DataFrame = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val base = resolve(spark, u.table, "UPDATE")
+    val known = base.schema.fields.map(_.name.toLowerCase).toSet
+    val unknown = u.assigns.map(_._1).filterNot(c => known(c.toLowerCase))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
+    val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val n = evalConst(spark, u.limit.get, "UPDATE LIMIT")
+    val m = u.offset.map(evalConst(spark, _, "UPDATE OFFSET")).getOrElse(0L)
+    val rid = "__graft_rid"
+    val baseR = base.withColumn(rid, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bview = s"graft_updl_src_g${Upsert.nextGeneration()}"
+    baseR.createOrReplaceTempView(bview)
+    try {
+      limitedRids(spark, bview, rid, u.withPrefix, cond, u.orderBy,
+          n, m) match {
+        case None =>
+          runUpdate(spark, u.copy(limit = None, offset = None,
+            orderBy = None))
+        case Some(victims) =>
+          val vk = victims.select(col("__rid").as(rid))
+          // victims all satisfy the WHERE — assignments apply
+          // unconditionally, reading the OLD row (SQLite rule)
+          val vv = s"graft_updl_vic_g${Upsert.nextGeneration()}"
+          baseR.join(vk, Seq(rid), "left_semi").createOrReplaceTempView(vv)
+          val proj = base.schema.fields.map { f =>
+            assigns.get(f.name.toLowerCase) match {
+              case Some(e) =>
+                s"CAST(($e) AS ${f.dataType.sql}) AS ${q(f.name)}"
+              case None => q(f.name)
+            }
+          }
+          val updated = spark.sql(
+            s"${u.withPrefix} SELECT ${proj.mkString(", ")} FROM `$vv`".trim)
+          val untouched = baseR.join(vk, Seq(rid), "left_anti")
+            .select(base.columns.map(col): _*)
+          val merged = untouched.unionByName(updated)
+          val ret = u.returning.map { r =>
+            val rv = s"graft_updl_ret_g${Upsert.nextGeneration()}"
+            updated.createOrReplaceTempView(rv)
+            spark.sql(s"${u.withPrefix} SELECT $r FROM `$rv`".trim)
+          }
+          rebind(spark, u.table, merged, ret)
+      }
+    } finally {
+      spark.catalog.dropTempView(bview)
+      baseR.unpersist()
+    }
   }
 
   /** Materialize the rewritten table (and the RETURNING slice, if any

@@ -50,18 +50,66 @@ object Pragma {
 
   /** `PRAGMA table_info(T)` rows for one table. Types use the same
     * rendering as the snapshot DDL (ingest/Ddl.sqlType); `notnull`
-    * reflects the catalog's nullability; `pk` is always 0 (ingested
-    * tables declare no PRIMARY KEY, exactly like the reference's
-    * pandas `to_sql` tables — README divergence table). */
+    * reflects the catalog's nullability; `pk` is the column's 1-based
+    * position in a session-declared PRIMARY KEY (`CREATE TABLE …
+    * PRIMARY KEY` — [[SessionKeys]]), 0 otherwise (ingested tables
+    * declare none, exactly like the reference's pandas `to_sql` tables
+    * — README divergence table). */
   def tableInfo(spark: SparkSession, table: String): DataFrame = {
     val schema = spark.table(table).schema
+    val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
+      .map(_.toLowerCase).zipWithIndex.toMap
     val rows = schema.fields.zipWithIndex.map { case (f, i) =>
       Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
-        if (f.nullable) 0 else 1, null, 0)
+        if (f.nullable) 0 else 1, null,
+        pk.get(f.name.toLowerCase).map(_ + 1).getOrElse(0))
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       tableInfoSchema)
+  }
+
+  private val indexListSchema = StructType(Seq(
+    StructField("seq", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("unique", IntegerType, nullable = false),
+    StructField("origin", StringType, nullable = false),
+    StructField("partial", IntegerType, nullable = false)))
+
+  private val indexInfoSchema = StructType(Seq(
+    StructField("seqno", IntegerType, nullable = false),
+    StructField("cid", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  /** `PRAGMA index_list(T)`: the session-declared indexes
+    * ([[SessionKeys]] — `CREATE [UNIQUE] INDEX`), SQLite's shape:
+    * origin 'c' (created), partial 0 (partial UNIQUE declines at
+    * parse; plain partials register without their predicate). */
+  private def indexList(spark: SparkSession, table: String): DataFrame = {
+    spark.table("`" + table.replace("`", "``") + "`") // targeted missing-table error
+    val rows = SessionKeys.indexesFor(spark, table).zipWithIndex.map {
+      case ((name, _, unique), i) => Row(i, name, if (unique) 1 else 0, "c", 0)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      indexListSchema)
+  }
+
+  /** `PRAGMA index_info(I)`: the index's key columns — (seqno in the
+    * index, cid in the table, column name). */
+  private def indexInfo(spark: SparkSession, index: String): DataFrame = {
+    val rows = SessionKeys.indexByName(spark, index) match {
+      case None => Array.empty[Row] // SQLite: empty result, not an error
+      case Some((table, cols, _)) =>
+        val colIdx = spark.table("`" + table.replace("`", "``") + "`")
+          .schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+        cols.zipWithIndex.map { case (c, i) =>
+          Row(i, colIdx.getOrElse(c.toLowerCase, -1), c)
+        }.toArray
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      indexInfoSchema)
   }
 
   private def tableList(spark: SparkSession): DataFrame = {
@@ -95,6 +143,10 @@ object Pragma {
   private val pragmaTableInfoRe =
     """(?is)^\s*pragma\s+table_info\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaTableListRe = """(?is)^\s*pragma\s+table_list\s*$""".r
+  private val pragmaIndexListRe =
+    """(?is)^\s*pragma\s+index_list\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaIndexInfoRe =
+    """(?is)^\s*pragma\s+index_info\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaOtherRe = """(?is)^\s*pragma\s+(\w+).*$""".r
 
   /** Execute a bare `PRAGMA …` statement (caller strips trailing `;`). */
@@ -102,12 +154,17 @@ object Pragma {
     case pragmaTableInfoRe(q1, q2, q3, bare) =>
       tableInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaTableListRe() => tableList(spark)
+    case pragmaIndexListRe(q1, q2, q3, bare) =>
+      indexList(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+    case pragmaIndexInfoRe(q1, q2, q3, bare) =>
+      indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaOtherRe(name) =>
       throw new UnsupportedOperationException(
         s"PRAGMA $name is not supported: graft has no SQLite storage " +
           s"engine to configure. Introspection pragmas ARE supported: " +
-          s"PRAGMA table_info(<table>), PRAGMA table_list, and the " +
-          s"sqlite_master catalog view.")
+          s"PRAGMA table_info(<table>), PRAGMA table_list, " +
+          s"PRAGMA index_list(<table>), PRAGMA index_info(<index>), " +
+          s"and the sqlite_master catalog view.")
     case _ =>
       throw new UnsupportedOperationException(s"unparseable PRAGMA: $sql")
   }

@@ -59,6 +59,31 @@ object SessionKeys {
       .map(_.getKey).toList.foreach(indexes.remove)
   }
 
+  /** The table's declared PRIMARY KEY alone (for introspection:
+    * `PRAGMA table_info`'s pk column reports PK membership, not
+    * unique-index keys). */
+  def declaredPk(spark: SparkSession, table: String): Option[Seq[String]] =
+    Option(pks.get((sid(spark), table.toLowerCase)))
+
+  /** All indexes declared on a table, name-ordered: (name, columns,
+    * unique). Feeds `PRAGMA index_list`. */
+  def indexesFor(spark: SparkSession, table: String)
+      : Seq[(String, Seq[String], Boolean)] = {
+    val s = sid(spark)
+    val t = table.toLowerCase
+    indexes.entrySet().asScala
+      .filter(e => e.getKey._1 == s && e.getValue.table == t)
+      .toSeq.sortBy(_.getKey._2)
+      .map(e => (e.getKey._2, e.getValue.cols, e.getValue.unique))
+  }
+
+  /** Look up one index by name: (table, columns, unique). Feeds
+    * `PRAGMA index_info`. */
+  def indexByName(spark: SparkSession, name: String)
+      : Option[(String, Seq[String], Boolean)] =
+    Option(indexes.get((sid(spark), name.toLowerCase)))
+      .map(i => (i.table, i.cols, i.unique))
+
   /** The conflict key a bare `INSERT OR REPLACE` / `ON CONFLICT`
     * resolves against: the declared PRIMARY KEY, else the first
     * (name-ordered, for determinism) UNIQUE index on the table, else

@@ -313,6 +313,20 @@ object QueriesDialect {
       s.table("graft_delete_sql_t").orderBy("n_nationkey")
     }),
 
+    // the DML LIMIT form (SQLITE_ENABLE_UPDATE_DELETE_LIMIT — enabled
+    // in the Python-bundled SQLite the reference runs on): delete the
+    // 2nd and 3rd highest keys of region 2 — ORDER BY + LIMIT + OFFSET
+    // together, deterministic because n_nationkey is unique
+    "sink_delete_limit_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_dellim_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """DELETE FROM graft_dellim_t WHERE n_regionkey = 2
+           ORDER BY n_nationkey DESC LIMIT 2 OFFSET 1"""))
+      s.table("graft_dellim_t").orderBy("n_nationkey")
+    }),
+
     // SQLite's UPDATE-FROM join form (3.33+, lang_update.html §2):
     // enrich the target from a joined source — the assignment reads
     // BOTH the old target row and the joined row. The region side is
@@ -642,6 +656,18 @@ object QueriesDialect {
          SELECT n_nationkey, n_name, n_regionkey FROM base
          WHERE n_regionkey NOT IN
            (SELECT n_regionkey FROM base WHERE n_nationkey >= 22)
+         ORDER BY n_nationkey""",
+
+    // DELETE-LIMIT post-state in closed form: rank region-2 rows by
+    // key descending; ranks 2-3 are the deleted slice
+    "sink_delete_limit_sql" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         ranked AS (SELECT n_nationkey,
+                      row_number() OVER (ORDER BY n_nationkey DESC) AS rn
+                    FROM base WHERE n_regionkey = 2)
+         SELECT n_nationkey, n_name, n_regionkey FROM base
+         WHERE n_nationkey NOT IN
+           (SELECT n_nationkey FROM ranked WHERE rn > 1 AND rn <= 3)
          ORDER BY n_nationkey""",
 
     // UPDATE-FROM post-state in closed form: the region join is

@@ -71,17 +71,37 @@ object SqlDml {
     * the verbatim source list of SQLite's UPDATE-FROM join form
     * (lang_update.html §2) — assignments and WHERE then see the
     * joined row. */
+  /** The shared `[FROM …] [WHERE …] [RETURNING …] [ORDER BY … LIMIT n
+    * [OFFSET m]]` tail of UPDATE/DELETE. `orderBy`/`limit`/`offset`
+    * carry SQLite's optional-LIMIT DML form
+    * (SQLITE_ENABLE_UPDATE_DELETE_LIMIT — enabled in the Python-
+    * bundled builds the reference runs on): the statement touches at
+    * most `limit` WHERE-true rows in `orderBy` order. */
+  final case class DmlTail(from: Option[String] = None,
+                           where: Option[String] = None,
+                           returning: Option[String] = None,
+                           orderBy: Option[String] = None,
+                           limit: Option[String] = None,
+                           offset: Option[String] = None)
+
   final case class Update(table: String, assigns: Seq[(String, String)],
                           where: Option[String], returning: Option[String],
                           withPrefix: String,
                           from: Option[String] = None,
-                          orAction: Option[String] = None) extends Stmt
+                          orAction: Option[String] = None,
+                          orderBy: Option[String] = None,
+                          limit: Option[String] = None,
+                          offset: Option[String] = None) extends Stmt
 
-  /** `DELETE FROM table [WHERE p] [RETURNING exprs]`. No WHERE =
-    * delete every row (the schema survives, as in SQLite). */
+  /** `DELETE FROM table [WHERE p] [RETURNING exprs] [ORDER BY … LIMIT
+    * …]`. No WHERE = delete every row (the schema survives, as in
+    * SQLite). */
   final case class Delete(table: String, where: Option[String],
                           returning: Option[String],
-                          withPrefix: String) extends Stmt
+                          withPrefix: String,
+                          orderBy: Option[String] = None,
+                          limit: Option[String] = None,
+                          offset: Option[String] = None) extends Stmt
 
   /** `CREATE [TEMP] VIEW name AS select` — executed as a session
     * (temporary) view; the reference's SQLite database is itself
@@ -267,10 +287,9 @@ object SqlDml {
         case other     => stopKw = other; more = false
       }
     }
-    finishDml(sql, j, stopKw, withPrefix, "UPDATE") {
-      case (from, where, returning) =>
-        Update(table, assigns.result(), where, returning, withPrefix, from,
-          orAction)
+    finishDml(sql, j, stopKw, withPrefix, "UPDATE") { t =>
+      Update(table, assigns.result(), t.where, t.returning, withPrefix,
+        t.from, orAction, t.orderBy, t.limit, t.offset)
     }
   }
 
@@ -293,59 +312,98 @@ object SqlDml {
         if (!dmlStops(w)) return None
         Some(w)
       }
-    finishDml(sql, j, stopKw, withPrefix, "DELETE") {
-      case (_, where, returning) => Delete(table, where, returning, withPrefix)
+    finishDml(sql, j, stopKw, withPrefix, "DELETE") { t =>
+      Delete(table, t.where, t.returning, withPrefix,
+        t.orderBy, t.limit, t.offset)
     }
   }
 
   private val dmlStops = Set("where", "from", "returning", "order", "limit")
 
   /** Shared tail of UPDATE/DELETE: `[FROM sources] [WHERE p]
-    * [RETURNING r]`, with `ORDER BY`/`LIMIT`
-    * (SQLITE_ENABLE_UPDATE_DELETE_LIMIT builds) declined targeted and
-    * the join `FROM` accepted for UPDATE only (SQLite's UPDATE-FROM;
-    * DELETE has no join form). `at` points AT the stop keyword when
-    * `stopKw` is set. */
+    * [RETURNING r] [ORDER BY … LIMIT n [OFFSET m]]`, with the join
+    * `FROM` accepted for UPDATE only (SQLite's UPDATE-FROM; DELETE has
+    * no join form) and the DML LIMIT form accepted for both
+    * (SQLITE_ENABLE_UPDATE_DELETE_LIMIT). `at` points AT the stop
+    * keyword when `stopKw` is set. */
   private def finishDml(sql: String, at: Int, stopKw: Option[String],
                         withPrefix: String, verb: String)
-                       (mk: ((Option[String], Option[String], Option[String])) => Stmt)
-      : Option[Stmt] = {
-    var from: Option[String] = None
-    var where: Option[String] = None
-    var returning: Option[String] = None
+                       (mk: DmlTail => Stmt): Option[Stmt] = {
+    var t = DmlTail()
     var j = at
     var kw = stopKw
     while (kw.isDefined) kw match {
       case Some("from") =>
         // the source list precedes WHERE in SQLite's grammar; commas
         // separate joined sources, so the scan is comma-transparent
-        if (verb != "UPDATE" || from.isDefined || where.isDefined)
+        if (verb != "UPDATE" || t.from.isDefined || t.where.isDefined)
           return Some(Unsupported(s"$verb … FROM (join form)"))
         val (src, stop, stopped) =
           scanExpr(sql, skipWs(sql, j + 4), dmlStops - "from",
             stopComma = false)
         if (src.trim.isEmpty) return None
-        from = Some(src.trim)
+        t = t.copy(from = Some(src.trim))
         j = stop
         kw = stopped
-      case Some("order") | Some("limit") =>
-        return Some(Unsupported(s"$verb with ORDER BY/LIMIT"))
+      case Some("order") =>
+        // ORDER BY without LIMIT is an error in SQLite's DML grammar
+        if (t.orderBy.isDefined || t.limit.isDefined) return None
+        val afterBy = skipWs(sql, j + 5)
+        if (!keywordAt(sql, afterBy, "by")) return None
+        val (o, stop, stopped) = scanExpr(sql, skipWs(sql, afterBy + 2),
+          Set("limit"), stopComma = false)
+        if (o.trim.isEmpty || !stopped.contains("limit"))
+          return Some(Unsupported(s"$verb with ORDER BY but no LIMIT"))
+        t = t.copy(orderBy = Some(o.trim))
+        j = stop
+        kw = stopped
+      case Some("limit") =>
+        if (t.limit.isDefined) return None
+        val (l, stop, stopped) =
+          scanExpr(sql, skipWs(sql, j + 5), Set("offset", "returning"))
+        if (l.trim.isEmpty) return None
+        j = stop
+        stopped match {
+          case Some(",") =>
+            // SQLite `LIMIT m, n` = OFFSET m LIMIT n
+            val (n, stop2, stopped2) =
+              scanExpr(sql, skipWs(sql, j + 1), Set("returning"))
+            if (n.trim.isEmpty) return None
+            t = t.copy(limit = Some(n.trim), offset = Some(l.trim))
+            j = stop2
+            kw = stopped2
+          case Some("offset") =>
+            val (m, stop2, stopped2) =
+              scanExpr(sql, skipWs(sql, j + 6), Set("returning"))
+            if (m.trim.isEmpty || stopped2.contains(",")) return None
+            t = t.copy(limit = Some(l.trim), offset = Some(m.trim))
+            j = stop2
+            kw = stopped2
+          case other =>
+            t = t.copy(limit = Some(l.trim))
+            kw = other
+        }
       case Some("where") =>
-        if (where.isDefined) return None
+        if (t.where.isDefined) return None
         val (expr, stop, stopped) =
           scanExpr(sql, skipWs(sql, j + 5), dmlStops - "where" - "from")
         if (expr.trim.isEmpty || stopped.contains(",")) return None
-        where = Some(expr.trim)
+        t = t.copy(where = Some(expr.trim))
         j = stop
         kw = stopped
       case Some("returning") =>
-        val rest = sql.substring(skipWs(sql, j + 9)).trim
-        if (rest.isEmpty) return None
-        returning = Some(rest)
-        kw = None
+        // the RETURNING list may precede ORDER BY/LIMIT in SQLite's
+        // diagram — stop at a top-level ORDER/LIMIT so both clause
+        // orders parse
+        val (r, stop, stopped) = scanExpr(sql, skipWs(sql, j + 9),
+          Set("order", "limit"), stopComma = false)
+        if (r.trim.isEmpty) return None
+        t = t.copy(returning = Some(r.trim))
+        j = stop
+        kw = stopped
       case _ => return None
     }
-    Some(mk((from, where, returning)))
+    Some(mk(t))
   }
 
   /** Skip an optional `INDEXED BY name` / `NOT INDEXED` access-path

@@ -118,4 +118,32 @@ class PragmaSpec extends SparkSpec {
     assert(e.getMessage.contains("PRAGMA journal_mode"), e.getMessage)
     assert(e.getMessage.contains("table_info"), e.getMessage)
   }
+
+  test("PRAGMA index_list/index_info reflect session-declared indexes; table_info reports the PK") {
+    freshView("pragma_ix")
+    // no indexes yet: empty list, not an error
+    assert(Runner.runSql(spark, "PRAGMA index_list(pragma_ix)").count() == 0)
+    Runner.runSql(spark, "CREATE UNIQUE INDEX pragma_ix_u ON pragma_ix (score)")
+    Runner.runSql(spark, "CREATE INDEX pragma_ix_p ON pragma_ix (tag)")
+    val il = Runner.runSql(spark, "PRAGMA index_list('pragma_ix')")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSeq
+    assert(il.toSet == Set(("pragma_ix_u", 1), ("pragma_ix_p", 0)))
+    // index_info: (seqno, cid in table, column name) — score is column 2
+    val ii = Runner.runSql(spark, "PRAGMA index_info(pragma_ix_u)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(ii == Seq((0, 2, "score")))
+    // unknown index: empty result (SQLite's behavior), not an error
+    assert(Runner.runSql(spark, "PRAGMA index_info(no_such_ix)").count() == 0)
+    Runner.runSql(spark, "DROP INDEX pragma_ix_u")
+    Runner.runSql(spark, "DROP INDEX pragma_ix_p")
+    // a declared PRIMARY KEY surfaces in table_info's pk column,
+    // 1-based in key order
+    Runner.runSql(spark, "DROP TABLE IF EXISTS pragma_ct")
+    Runner.runSql(spark,
+      "CREATE TABLE pragma_ct (a TEXT, b INTEGER, c REAL, PRIMARY KEY (c, b))")
+    val ti = Runner.runSql(spark, "PRAGMA table_info(pragma_ct)")
+      .collect().map(r => (r.getString(1), r.getInt(5))).toSeq
+    assert(ti == Seq(("a", 0), ("b", 2), ("c", 1)))
+    Runner.runSql(spark, "DROP TABLE pragma_ct")
+  }
 }

@@ -104,8 +104,19 @@ class SqlDmlSpec extends SparkSpec {
     assert(detect("UPDATE t SET a = u.b FROM u WHERE t.id = u.id")
       == Some(Update("t", Seq("a" -> "u.b"),
         Some("t.id = u.id"), None, "", Some("u"))))
+    // the DML LIMIT form now parses (SQLITE_ENABLE_UPDATE_DELETE_LIMIT)
     assert(detect("DELETE FROM t WHERE x = 1 ORDER BY x LIMIT 5")
-      == Some(Unsupported("DELETE with ORDER BY/LIMIT")))
+      == Some(Delete("t", Some("x = 1"), None, "",
+        Some("x"), Some("5"), None)))
+    assert(detect("DELETE FROM t LIMIT 3 OFFSET 2")
+      == Some(Delete("t", None, None, "", None, Some("3"), Some("2"))))
+    // SQLite `LIMIT m, n` = OFFSET m LIMIT n
+    assert(detect("UPDATE t SET a = 1 ORDER BY b DESC, c LIMIT 2, 4")
+      == Some(Update("t", Seq("a" -> "1"), None, None, "", None, None,
+        Some("b DESC, c"), Some("4"), Some("2"))))
+    // ORDER BY without LIMIT is not SQLite DML grammar
+    assert(detect("DELETE FROM t ORDER BY x")
+      == Some(Unsupported("DELETE with ORDER BY but no LIMIT")))
     assert(detect("UPDATE t SET (a, b) = (1, 2)")
       == Some(Unsupported("UPDATE with a column-name-list SET")))
     // mangled statements fall back to the bare-verb decline
@@ -596,5 +607,48 @@ class SqlDmlSpec extends SparkSpec {
       Runner.runSql(spark, "INSERT OR REPLACE INTO dml_e (id, bogus, v) VALUES (1, 'a', 2)")
     }
     assert(e3.getMessage.contains("no such column"))
+  }
+
+  test("DELETE/UPDATE with ORDER BY + LIMIT touch the ordered slice only") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 40L), (3L, 20L), (4L, 30L), (5L, 50L))
+      .toDF("id", "v").createOrReplaceTempView("dml_lim")
+    // delete the two SMALLEST v among WHERE-true rows: v=20 (id 3) and
+    // v=30 (id 4) — v=10 is excluded by the WHERE
+    Runner.runSql(spark,
+      "DELETE FROM dml_lim WHERE v > 15 ORDER BY v LIMIT 2")
+    assert(spark.table("dml_lim").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    // OFFSET skips the first ranked row; RETURNING sees the deleted
+    // (old) rows
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("id", "v").createOrReplaceTempView("dml_lim2")
+    val del = Runner.runSql(spark,
+      "DELETE FROM dml_lim2 ORDER BY v DESC LIMIT 2 OFFSET 1 RETURNING id")
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(spark.table("dml_lim2").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // UPDATE LIMIT: only the top-n ordered rows take the assignment
+    Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("id", "v").createOrReplaceTempView("dml_lim3")
+    Runner.runSql(spark,
+      "UPDATE dml_lim3 SET v = v + 1000 ORDER BY v DESC LIMIT 1")
+    assert(spark.table("dml_lim3").orderBy("id")
+      .collect().map(_.getLong(1)).toSeq == Seq(10L, 20L, 1030L))
+    // bare LIMIT with no ORDER BY deletes a deterministic arbitrary
+    // subset of the right SIZE (SQLite: unspecified which rows)
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "v")
+      .createOrReplaceTempView("dml_lim4")
+    Runner.runSql(spark, "DELETE FROM dml_lim4 LIMIT 2")
+    assert(spark.table("dml_lim4").count() == 1)
+    // negative LIMIT = no limit (SQLite's rule)
+    Runner.runSql(spark, "DELETE FROM dml_lim4 LIMIT -1")
+    assert(spark.table("dml_lim4").count() == 0)
+    // a non-constant LIMIT is a targeted error
+    Seq((1L, 1L)).toDF("id", "v").createOrReplaceTempView("dml_lim5")
+    val e = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "DELETE FROM dml_lim5 LIMIT v")
+    }
+    assert(e.getMessage.contains("not a constant integer"))
   }
 }

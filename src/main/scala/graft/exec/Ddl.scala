@@ -151,4 +151,116 @@ object Ddl {
           s"(add IF EXISTS to make this a no-op)")
     spark.emptyDataFrame
   }
+
+  private def resolveAlter(spark: SparkSession, table: String): DataFrame =
+    try spark.table(quote(table))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"ALTER TABLE: no such session table/view '$table': " +
+          e.getMessage, e)
+    }
+
+  /** `ALTER TABLE t RENAME TO t2` — the binding moves; declared keys
+    * and indexes follow (SQLite rewrites schema references on rename).
+    * Pure metadata: the captured (already-analyzed) plan re-registers
+    * under the new name, so no data is rewritten. */
+  def alterRenameTable(spark: SparkSession,
+                       stmt: SqlDml.AlterRenameTable): DataFrame = {
+    val base = resolveAlter(spark, stmt.table)
+    if (!stmt.newName.equalsIgnoreCase(stmt.table) &&
+        exists(spark, stmt.newName))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table} RENAME TO ${stmt.newName}: target " +
+          s"name already exists (SQLite semantics); DROP it first")
+    base.createOrReplaceTempView(stmt.newName)
+    if (!stmt.newName.equalsIgnoreCase(stmt.table))
+      spark.catalog.dropTempView(stmt.table)
+    SessionKeys.renameTable(spark, stmt.table, stmt.newName)
+    spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t RENAME [COLUMN] a TO b` — a pure projection
+    * re-bind (Catalyst collapses stacked ALTER projections); declared
+    * keys/indexes referencing the column follow. */
+  def alterRenameColumn(spark: SparkSession,
+                        stmt: SqlDml.AlterRenameColumn): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = resolveAlter(spark, stmt.table)
+    val cols = base.columns
+    if (!cols.exists(_.equalsIgnoreCase(stmt.oldCol)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: no such column ${stmt.oldCol}")
+    if (!stmt.newCol.equalsIgnoreCase(stmt.oldCol) &&
+        cols.exists(_.equalsIgnoreCase(stmt.newCol)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: duplicate column name ${stmt.newCol}")
+    base.select(cols.map { c =>
+      if (c.equalsIgnoreCase(stmt.oldCol)) col(quote(c)).as(stmt.newCol)
+      else col(quote(c))
+    }.toIndexedSeq: _*).createOrReplaceTempView(stmt.table)
+    SessionKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
+    spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t ADD [COLUMN] c type [DEFAULT lit] [NOT NULL]` —
+    * existing rows report the default (NULL absent one), exactly as
+    * SQLite synthesizes it on read; like column-def CREATE TABLE, the
+    * default is NOT registered for future inserts (documented). The
+    * rewrite is a lazy constant-projection re-bind — no data moves. */
+  def alterAddColumn(spark: SparkSession,
+                     stmt: SqlDml.AlterAddColumn): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = resolveAlter(spark, stmt.table)
+    if (base.columns.exists(_.equalsIgnoreCase(stmt.col)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: duplicate column name ${stmt.col}")
+    val dt = affinityType(stmt.declType)
+    // evaluate the literal once (SQLite stores one value in the
+    // schema); a non-literal token fails here with the resolver's
+    // message, matching SQLite's rejection of non-constant defaults
+    val value = stmt.default.map { d =>
+      spark.sql(s"SELECT CAST(($d) AS ${dt.sql})").first().get(0)
+    }.orNull
+    if (stmt.notNull && value == null)
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: cannot add a NOT NULL column " +
+          s"with default value NULL (SQLite semantics)")
+    base.select(base.columns.map(c => col(quote(c))).toIndexedSeq :+
+        lit(value).cast(dt).as(stmt.col): _*)
+      .createOrReplaceTempView(stmt.table)
+    spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t DROP [COLUMN] c` — SQLite's restrictions enforce:
+    * not a PK column, not indexed, not the last column. The rewrite is
+    * a pure projection re-bind. */
+  def alterDropColumn(spark: SparkSession,
+                      stmt: SqlDml.AlterDropColumn): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = resolveAlter(spark, stmt.table)
+    val cols = base.columns
+    if (!cols.exists(_.equalsIgnoreCase(stmt.col)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: no such column ${stmt.col}")
+    if (cols.length == 1)
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: cannot drop the only column " +
+          s"(SQLite semantics)")
+    if (SessionKeys.declaredPk(spark, stmt.table).getOrElse(Nil)
+        .exists(_.equalsIgnoreCase(stmt.col)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${stmt.table}: cannot drop PRIMARY KEY column " +
+          s"${stmt.col} (SQLite semantics)")
+    SessionKeys.indexesFor(spark, stmt.table)
+      .find(_._2.exists(_.equalsIgnoreCase(stmt.col)))
+      .foreach { case (ix, _, _) =>
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${stmt.table}: cannot drop column ${stmt.col}: " +
+            s"indexed by $ix (SQLite semantics); DROP INDEX it first")
+      }
+    base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
+        .map(c => col(quote(c))).toIndexedSeq: _*)
+      .createOrReplaceTempView(stmt.table)
+    spark.emptyDataFrame
+  }
 }

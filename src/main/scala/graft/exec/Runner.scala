@@ -83,6 +83,10 @@ object Runner {
       case Some(d: SqlDml.DropRelation) => Ddl.drop(spark, d)
       case Some(i: SqlDml.CreateIndex) => Ddl.createIndex(spark, i)
       case Some(i: SqlDml.DropIndex) => Ddl.dropIndex(spark, i)
+      case Some(a: SqlDml.AlterRenameTable) => Ddl.alterRenameTable(spark, a)
+      case Some(a: SqlDml.AlterRenameColumn) => Ddl.alterRenameColumn(spark, a)
+      case Some(a: SqlDml.AlterAddColumn) => Ddl.alterAddColumn(spark, a)
+      case Some(a: SqlDml.AlterDropColumn) => Ddl.alterDropColumn(spark, a)
       case Some(SqlDml.Unsupported(verb)) =>
         throw new UnsupportedOperationException(
           s"graft is a read-only analytics engine over immutable lake " +
@@ -99,7 +103,9 @@ object Runner {
             s"CREATE [TEMP] VIEW/TABLE <name> AS SELECT …, " +
             s"CREATE [TEMP] TABLE <name> (col decls), " +
             s"CREATE [UNIQUE] INDEX <name> ON <table> (cols), " +
-            s"DROP TABLE/VIEW/INDEX [IF EXISTS] <name>. Express other " +
+            s"DROP TABLE/VIEW/INDEX [IF EXISTS] <name>, " +
+            s"ALTER TABLE <t> RENAME TO / RENAME COLUMN / ADD COLUMN / " +
+            s"DROP COLUMN. Express other " +
             s"mutations as a SELECT materializing a new table, or " +
             s"re-ingest.")
       case None => spark.sql(prepared)

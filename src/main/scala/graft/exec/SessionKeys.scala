@@ -59,6 +59,33 @@ object SessionKeys {
       .map(_.getKey).toList.foreach(indexes.remove)
   }
 
+  /** ALTER TABLE RENAME TO: declared keys and indexes follow the table
+    * to its new name (SQLite rewrites schema references on rename). */
+  def renameTable(spark: SparkSession, table: String, newName: String): Unit = {
+    val s = sid(spark)
+    val t = table.toLowerCase
+    Option(pks.remove((s, t))).foreach(pks.put((s, newName.toLowerCase), _))
+    indexes.entrySet().asScala
+      .filter(e => e.getKey._1 == s && e.getValue.table == t)
+      .toList.foreach(e =>
+        indexes.put(e.getKey, e.getValue.copy(table = newName.toLowerCase)))
+  }
+
+  /** ALTER TABLE RENAME COLUMN: declared keys and index column lists
+    * referencing the column follow (SQLite rewrites them too). */
+  def renameColumn(spark: SparkSession, table: String, oldCol: String,
+                   newCol: String): Unit = {
+    val s = sid(spark)
+    val t = table.toLowerCase
+    def sub(cols: Seq[String]): Seq[String] =
+      cols.map(c => if (c.equalsIgnoreCase(oldCol)) newCol else c)
+    Option(pks.get((s, t))).foreach(k => pks.put((s, t), sub(k)))
+    indexes.entrySet().asScala
+      .filter(e => e.getKey._1 == s && e.getValue.table == t)
+      .toList.foreach(e =>
+        indexes.put(e.getKey, e.getValue.copy(cols = sub(e.getValue.cols))))
+  }
+
   /** The table's declared PRIMARY KEY alone (for introspection:
     * `PRAGMA table_info`'s pk column reports PK membership, not
     * unique-index keys). */

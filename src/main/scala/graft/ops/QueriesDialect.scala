@@ -404,6 +404,22 @@ object QueriesDialect {
       s.table("graft_ddl_ix_t").orderBy("n_nationkey")
     }),
 
+    // SQLite's full ALTER TABLE surface end-to-end: ADD COLUMN with a
+    // default backfill, RENAME COLUMN, DROP COLUMN, RENAME TO — all
+    // pure projection/metadata re-binds (no data rewrite); the final
+    // state is closed-form over nation
+    "ddl_alter_table_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_alter_t")
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("ALTER TABLE graft_alter_t ADD COLUMN src TEXT DEFAULT 'lake'")
+      run("ALTER TABLE graft_alter_t RENAME COLUMN n_name TO nation_name")
+      run("ALTER TABLE graft_alter_t DROP COLUMN n_regionkey")
+      run("ALTER TABLE graft_alter_t RENAME TO graft_alter_t2")
+      s.table("graft_alter_t2").orderBy("n_nationkey")
+    }),
+
     // SQLite introspection as a model emits it for schema questions —
     // PRAGMA table_info through Runner (exec.Pragma renders catalog
     // rows); oracle pins the exact SQLite-shaped contract
@@ -710,6 +726,12 @@ object QueriesDialect {
          SELECT n_nationkey, n_name, n_regionkey FROM base
          WHERE n_name NOT IN (SELECT n_name FROM upd)
          ORDER BY n_nationkey""",
+
+    // ALTER TABLE post-state in closed form: src backfilled with the
+    // default, n_name renamed, n_regionkey gone
+    "ddl_alter_table_sql" ->
+      """SELECT n_nationkey, n_name AS nation_name, 'lake' AS src
+         FROM nation ORDER BY n_nationkey""",
 
     // hand-pinned introspection contracts (DuckDB has no Spark catalog
     // to reflect — the VALUES lists ARE the expected surface)

@@ -145,6 +145,34 @@ object SqlDml {
     * unique-key declaration, if any). */
   final case class DropIndex(name: String, ifExists: Boolean) extends Stmt
 
+  /** SQLite `ALTER TABLE t RENAME TO t2` (lang_altertable.html §2):
+    * the binding moves to the new name; declared keys/indexes follow
+    * (SQLite rewrites schema references on rename). */
+  final case class AlterRenameTable(table: String, newName: String)
+      extends Stmt
+
+  /** `ALTER TABLE t RENAME [COLUMN] a TO b` — declared keys/indexes
+    * referencing the column follow, as in SQLite. */
+  final case class AlterRenameColumn(table: String, oldCol: String,
+                                     newCol: String) extends Stmt
+
+  /** `ALTER TABLE t ADD [COLUMN] col [type] [constraints]`. SQLite's
+    * own ADD COLUMN restrictions apply at parse (no PRIMARY KEY /
+    * UNIQUE / parenthesized or CURRENT_* default — lang_altertable.html
+    * §3); `default` is the literal existing rows report (SQLite
+    * synthesizes it on read; the rewrite bakes it in), `notNull` only
+    * gates SQLite's "NOT NULL needs a non-NULL default" rule. Like
+    * column-def CREATE TABLE, the default is NOT registered for future
+    * inserts (documented: unlisted insert columns become NULL). */
+  final case class AlterAddColumn(table: String, col: String,
+                                  declType: String,
+                                  default: Option[String],
+                                  notNull: Boolean) extends Stmt
+
+  /** `ALTER TABLE t DROP [COLUMN] c` — the executor enforces SQLite's
+    * restrictions (no PK / indexed / last-remaining column). */
+  final case class AlterDropColumn(table: String, col: String) extends Stmt
+
   /** Classify a statement. None = not DML (run it as a query). */
   def detect(rawSql: String): Option[Stmt] = {
     // strip trailing statement terminators: models habitually emit
@@ -169,6 +197,7 @@ object SqlDml {
       return Some(parseDelete(sql, skipWs(sql, i + 6), withPrefix)
         .getOrElse(Unsupported("DELETE")))
     if (keywordAt(sql, i, "create")) return parseCreate(sql, skipWs(sql, i + 6))
+    if (keywordAt(sql, i, "alter")) return parseAlter(sql, skipWs(sql, i + 5))
     if (keywordAt(sql, i, "drop")) {
       var j = skipWs(sql, i + 4)
       val isIndex = keywordAt(sql, j, "index")
@@ -527,6 +556,129 @@ object SqlDml {
     val source = sql.substring(j).trim
     Some(if (isView) CreateView(name, ifNotExists, source)
          else CreateTableAs(name, ifNotExists, source))
+  }
+
+  /** Parse `TABLE name (RENAME TO n | RENAME [COLUMN] a TO b |
+    * ADD [COLUMN] coldef | DROP [COLUMN] c)` starting just after ALTER
+    * (SQLite's complete ALTER surface — there is no ALTER VIEW/INDEX).
+    * Malformed statements decline with the verb named. */
+  private def parseAlter(sql: String, start: Int): Option[Stmt] = {
+    var j = start
+    if (!keywordAt(sql, j, "table")) {
+      var k = j
+      while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
+      val kind = sql.substring(j, k).toUpperCase
+      return Some(Unsupported(if (kind.isEmpty) "ALTER" else s"ALTER $kind"))
+    }
+    j = skipWs(sql, j + 5)
+    val (table, afterTable) = parseIdent(sql, j)
+      .getOrElse(return Some(Unsupported("ALTER TABLE")))
+    j = skipWs(sql, afterTable)
+    def atEnd(e: Int): Boolean = skipWs(sql, e) >= sql.length
+    if (keywordAt(sql, j, "rename")) {
+      j = skipWs(sql, j + 6)
+      if (keywordAt(sql, j, "to")) {
+        return parseIdent(sql, skipWs(sql, j + 2)) match {
+          case Some((nn, e)) if atEnd(e) => Some(AlterRenameTable(table, nn))
+          case _ => Some(Unsupported("ALTER TABLE RENAME TO"))
+        }
+      }
+      if (keywordAt(sql, j, "column")) j = skipWs(sql, j + 6)
+      val bad = Some(Unsupported("ALTER TABLE RENAME COLUMN"))
+      val (oldC, e1) = parseIdent(sql, j).getOrElse(return bad)
+      j = skipWs(sql, e1)
+      if (!keywordAt(sql, j, "to")) return bad
+      return parseIdent(sql, skipWs(sql, j + 2)) match {
+        case Some((newC, e)) if atEnd(e) =>
+          Some(AlterRenameColumn(table, oldC, newC))
+        case _ => bad
+      }
+    }
+    if (keywordAt(sql, j, "drop")) {
+      j = skipWs(sql, j + 4)
+      if (keywordAt(sql, j, "column")) j = skipWs(sql, j + 6)
+      return parseIdent(sql, j) match {
+        case Some((c, e)) if atEnd(e) => Some(AlterDropColumn(table, c))
+        case _ => Some(Unsupported("ALTER TABLE DROP COLUMN"))
+      }
+    }
+    if (keywordAt(sql, j, "add")) {
+      j = skipWs(sql, j + 3)
+      if (keywordAt(sql, j, "column")) j = skipWs(sql, j + 6)
+      return parseAddColumn(sql.substring(j).trim, table)
+    }
+    Some(Unsupported("ALTER TABLE"))
+  }
+
+  /** One column-def for ADD COLUMN: `name [type tokens] [constraint
+    * tail]`. SQLite's ADD COLUMN restrictions enforce at parse: no
+    * PRIMARY KEY / UNIQUE, no generated column, and the default may be
+    * neither a parenthesized expression nor CURRENT_TIME/DATE/TIMESTAMP
+    * (lang_altertable.html §3) — so the default is always one literal
+    * token. COLLATE / CHECK / REFERENCES skip as in CREATE TABLE. */
+  private def parseAddColumn(item: String, table: String): Option[Stmt] = {
+    val verb = "ALTER TABLE ADD COLUMN"
+    val bad = Some(Unsupported(verb))
+    val (name, afterName) = parseIdent(item, 0).getOrElse(return bad)
+    var j = skipWs(item, afterName)
+    val typeStart = j
+    var typeEnd = j
+    var scanning = true
+    while (scanning && j < item.length) {
+      val c = item.charAt(j)
+      if (c == '(') {
+        val close = closeParen(item, j)
+        if (close < 0) return bad
+        j = skipWs(item, close + 1); typeEnd = close + 1
+      } else if (isWordChar(c)) {
+        var e = j
+        while (e < item.length && isWordChar(item.charAt(e))) e += 1
+        if (colConstraintKw(item.substring(j, e).toLowerCase)) scanning = false
+        else { typeEnd = e; j = skipWs(item, e) }
+      } else scanning = false
+    }
+    val declType = item.substring(typeStart, typeEnd min item.length).trim
+    val frag = item.substring(typeEnd min item.length)
+    if (findTopKeyword(frag, 0, "primary") >= 0)
+      return Some(Unsupported(s"$verb with PRIMARY KEY (SQLite forbids)"))
+    if (findTopKeyword(frag, 0, "unique") >= 0)
+      return Some(Unsupported(s"$verb with UNIQUE (SQLite forbids)"))
+    if (findTopKeyword(frag, 0, "generated") >= 0 ||
+        findTopKeyword(frag, 0, "as") >= 0)
+      return Some(Unsupported(s"$verb with a generated column"))
+    val notNull = {
+      val k = findTopKeyword(frag, 0, "not")
+      k >= 0 && keywordAt(frag, skipWs(frag, k + 3), "null")
+    }
+    val dk = findTopKeyword(frag, 0, "default")
+    val default =
+      if (dk < 0) None
+      else {
+        val at = skipWs(frag, dk + 7)
+        if (at >= frag.length) return bad
+        val c = frag.charAt(at)
+        if (c == '(')
+          return Some(Unsupported(
+            s"$verb with a parenthesized DEFAULT expression (SQLite forbids)"))
+        val end =
+          if (c == '\'' || c == '"') endOfQuoted(frag, at, c)
+          else if ((c == 'x' || c == 'X') && at + 1 < frag.length &&
+                   frag.charAt(at + 1) == '\'')
+            endOfQuoted(frag, at + 1, '\'')
+          else {
+            var e = at
+            while (e < frag.length && !frag.charAt(e).isWhitespace) e += 1
+            e
+          }
+        val tok = frag.substring(at, end min frag.length).trim
+        if (tok.isEmpty) return bad
+        if (Set("current_time", "current_date", "current_timestamp")
+            .contains(tok.toLowerCase))
+          return Some(Unsupported(
+            s"$verb with a ${tok.toUpperCase} default (SQLite forbids)"))
+        Some(tok)
+      }
+    Some(AlterAddColumn(table, name, declType, default, notNull))
   }
 
   /** Keywords that END a column's type declaration and start its

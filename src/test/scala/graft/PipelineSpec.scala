@@ -144,13 +144,23 @@ class PipelineSpec extends SparkSpec {
     Runner.ask(spark, qi, results, stubI)
     assert(spark.table(s"`${pr.hash}`").count() == keptCount)
 
-    // a verb with no sound re-expression still fails targeted, not
-    // with a generic analysis error
+    // UPDATE OR <action> on a constraint-less ingested table is
+    // exactly a plain UPDATE in SQLite (no constraint can trip), so it
+    // executes rather than declining
     val qa = "Update ignoring conflicts"
     val stubA = new StubLlm(Map(qa ->
       s"UPDATE OR IGNORE `${pr.hash}` SET `Unit_cost` = 1"))
+    Runner.ask(spark, qa, results, stubA)
+    assert(spark.table(s"`${pr.hash}`")
+      .filter(col("Unit_cost") =!= 1).count() == 0)
+
+    // a verb with no sound re-expression still fails targeted, not
+    // with a generic analysis error
+    val qt = "Add an audit trigger on products"
+    val stubT = new StubLlm(Map(qt ->
+      s"CREATE TRIGGER au AFTER UPDATE ON `${pr.hash}` BEGIN SELECT 1; END"))
     val e = intercept[UnsupportedOperationException] {
-      Runner.ask(spark, qa, results, stubA)
+      Runner.ask(spark, qt, results, stubT)
     }
     assert(e.getMessage.contains("read-only analytics engine"))
   }

@@ -609,6 +609,103 @@ class SqlDmlSpec extends SparkSpec {
     assert(e3.getMessage.contains("no such column"))
   }
 
+  test("detect classifies SQLite's ALTER TABLE forms") {
+    import SqlDml._
+    assert(detect("ALTER TABLE t RENAME TO u")
+      == Some(AlterRenameTable("t", "u")))
+    assert(detect("alter table 'h2' rename column a to b;")
+      == Some(AlterRenameColumn("h2", "a", "b")))
+    // the COLUMN keyword is optional in SQLite's grammar
+    assert(detect("ALTER TABLE t RENAME a TO b")
+      == Some(AlterRenameColumn("t", "a", "b")))
+    assert(detect("ALTER TABLE t ADD COLUMN c INTEGER DEFAULT 5 NOT NULL")
+      == Some(AlterAddColumn("t", "c", "INTEGER", Some("5"), notNull = true)))
+    assert(detect("ALTER TABLE t ADD c TEXT DEFAULT 'x y'")
+      == Some(AlterAddColumn("t", "c", "TEXT", Some("'x y'"), notNull = false)))
+    // typeless + no default (both legal in SQLite)
+    assert(detect("ALTER TABLE t ADD COLUMN c")
+      == Some(AlterAddColumn("t", "c", "", None, notNull = false)))
+    assert(detect("ALTER TABLE t DROP COLUMN c")
+      == Some(AlterDropColumn("t", "c")))
+    assert(detect("ALTER TABLE t DROP c")
+      == Some(AlterDropColumn("t", "c")))
+    // SQLite's own ADD COLUMN restrictions decline at parse
+    assert(detect("ALTER TABLE t ADD COLUMN c INTEGER PRIMARY KEY")
+      == Some(Unsupported(
+        "ALTER TABLE ADD COLUMN with PRIMARY KEY (SQLite forbids)")))
+    assert(detect("ALTER TABLE t ADD COLUMN c TEXT DEFAULT (1+2)")
+      == Some(Unsupported("ALTER TABLE ADD COLUMN with a parenthesized " +
+        "DEFAULT expression (SQLite forbids)")))
+    assert(detect("ALTER TABLE t ADD COLUMN c TEXT DEFAULT CURRENT_TIMESTAMP")
+      == Some(Unsupported("ALTER TABLE ADD COLUMN with a " +
+        "CURRENT_TIMESTAMP default (SQLite forbids)")))
+    // there is no ALTER VIEW/INDEX in SQLite; trailing garbage declines
+    assert(detect("ALTER INDEX i RENAME TO j")
+      == Some(Unsupported("ALTER INDEX")))
+    assert(detect("ALTER TABLE t RENAME TO u extra")
+      == Some(Unsupported("ALTER TABLE RENAME TO")))
+  }
+
+  test("ALTER TABLE executes: rename/add/drop column, rename table, keys follow") {
+    freshView("alt_t")
+    Runner.runSql(spark,
+      "ALTER TABLE alt_t ADD COLUMN src TEXT DEFAULT 'lake'")
+    assert(spark.table("alt_t").columns.toSeq
+      == Seq("id", "name", "v", "src"))
+    assert(spark.table("alt_t").select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("lake"))
+    // no default → NULL for existing rows
+    Runner.runSql(spark, "ALTER TABLE alt_t ADD COLUMN w INTEGER")
+    assert(spark.table("alt_t").where("w IS NULL").count() == 3)
+    Runner.runSql(spark, "ALTER TABLE alt_t RENAME COLUMN name TO label")
+    assert(spark.table("alt_t").columns.toSeq
+      == Seq("id", "label", "v", "src", "w"))
+    Runner.runSql(spark, "ALTER TABLE alt_t DROP COLUMN w")
+    assert(spark.table("alt_t").columns.toSeq
+      == Seq("id", "label", "v", "src"))
+    Runner.runSql(spark, "ALTER TABLE alt_t RENAME TO alt_u")
+    assert(spark.table("alt_u").where("label = 'two'").count() == 1)
+    val gone = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "ALTER TABLE alt_t DROP COLUMN v")
+    }
+    assert(gone.getMessage.contains("no such session table"))
+    // declared keys follow renames: PK moves with the table AND the
+    // renamed column, so a later upsert resolves on it
+    Runner.runSql(spark, "DROP TABLE IF EXISTS alt_k")
+    Runner.runSql(spark,
+      "CREATE TABLE alt_k (pk INTEGER PRIMARY KEY, s TEXT)")
+    Runner.runSql(spark, "INSERT INTO alt_k VALUES (1, 'a'), (2, 'b')")
+    Runner.runSql(spark, "ALTER TABLE alt_k RENAME COLUMN pk TO k")
+    Runner.runSql(spark, "ALTER TABLE alt_k RENAME TO alt_k2")
+    assert(graft.exec.SessionKeys.keyFor(spark, "alt_k2") == Some(Seq("k")))
+    Runner.runSql(spark, "INSERT OR REPLACE INTO alt_k2 VALUES (2, 'B')")
+    assert(spark.table("alt_k2").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "B")))
+    // SQLite's DROP COLUMN restrictions: PK and indexed columns refuse
+    val pkErr = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "ALTER TABLE alt_k2 DROP COLUMN k")
+    }
+    assert(pkErr.getMessage.contains("PRIMARY KEY column"))
+    Runner.runSql(spark, "CREATE INDEX alt_ix ON alt_k2 (s)")
+    val ixErr = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "ALTER TABLE alt_k2 DROP COLUMN s")
+    }
+    assert(ixErr.getMessage.contains("indexed by alt_ix"))
+    Runner.runSql(spark, "DROP INDEX alt_ix")
+    // NOT NULL without a non-NULL default refuses (SQLite's rule)
+    val nn = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "ALTER TABLE alt_k2 ADD COLUMN z TEXT NOT NULL")
+    }
+    assert(nn.getMessage.contains("NOT NULL column"))
+    // duplicate targets refuse
+    val dup = intercept[IllegalArgumentException] {
+      Runner.runSql(spark, "ALTER TABLE alt_k2 ADD COLUMN s TEXT")
+    }
+    assert(dup.getMessage.contains("duplicate column"))
+    Runner.runSql(spark, "DROP TABLE alt_k2")
+  }
+
   test("DELETE/UPDATE with ORDER BY + LIMIT touch the ordered slice only") {
     import spark.implicits._
     Seq((1L, 10L), (2L, 40L), (3L, 20L), (4L, 30L), (5L, 50L))

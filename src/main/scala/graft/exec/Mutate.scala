@@ -91,6 +91,13 @@ object Mutate {
         s"(SELECT ${proj.mkString(", ")} FROM ${q(u.table)} " +
         s"WHERE $cond)").trim)
     }
+    // changes(): WHERE-true rows (SQLite counts matched rows even when
+    // values are unchanged). Analyzed NOW against the old binding,
+    // counted lazily — only a changes() call pays the narrow
+    // filter-count scan.
+    val cnt = spark.sql(
+      s"${u.withPrefix} SELECT count(*) FROM ${q(u.table)} WHERE $cond".trim)
+    SessionChanges.record(spark, () => cnt.first().getLong(0))
     rebind(spark, u.table, merged, ret)
   }
 
@@ -157,6 +164,9 @@ object Mutate {
         try spark.sql(s"${u.withPrefix} SELECT $r FROM `$rv`".trim)
         finally () // view dropped after rebind materializes it
       }
+      // changes(): one count per matched target row (the captured
+      // plan stays computable after the view drops / cache release)
+      SessionChanges.record(spark, () => matched.count())
       val out = rebind(spark, u.table, merged, ret)
       spark.catalog.dropTempView(s"graft_updf_ret_g$gen")
       out
@@ -177,6 +187,11 @@ object Mutate {
       spark.sql((s"${d.withPrefix} SELECT $r FROM " +
         s"(SELECT * FROM ${q(d.table)} WHERE $cond)").trim)
     }
+    // changes(): deleted = WHERE-true rows, counted lazily (see
+    // runUpdate)
+    val cnt = spark.sql(
+      s"${d.withPrefix} SELECT count(*) FROM ${q(d.table)} WHERE $cond".trim)
+    SessionChanges.record(spark, () => cnt.first().getLong(0))
     rebind(spark, d.table, merged, ret)
   }
 
@@ -265,6 +280,7 @@ object Mutate {
             orderBy = None))
         case Some(victims) =>
           val vk = victims.select(col("__rid").as(rid))
+          SessionChanges.record(spark, () => vk.count()) // ≤ n rows
           val merged = baseR.join(vk, Seq(rid), "left_anti")
             .select(base.columns.map(col): _*)
           val ret = d.returning.map { r =>
@@ -310,6 +326,7 @@ object Mutate {
             orderBy = None))
         case Some(victims) =>
           val vk = victims.select(col("__rid").as(rid))
+          SessionChanges.record(spark, () => vk.count()) // ≤ n rows
           // victims all satisfy the WHERE — assignments apply
           // unconditionally, reading the OLD row (SQLite rule)
           val vv = s"graft_updl_vic_g${Upsert.nextGeneration()}"

@@ -1,0 +1,64 @@
+package graft.exec
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-session affected-row accounting behind SQLite's `changes()` /
+  * `total_changes()` functions (delegated surface: the reference's
+  * SQLite answers them for free after any executed DML, and "how many
+  * rows did that remove?" is a natural follow-up question).
+  *
+  * Counts are recorded as LAZY memoized thunks capturing the
+  * pre-rebind plan of the affected slice: a DML statement pays the
+  * counting job only if a later query actually calls `changes()` /
+  * `total_changes()` — the rewrite itself stays one pass. The captured
+  * plans stay computable after the view re-binds (analysis inlined the
+  * old binding) and after scratch caches unpersist (lineage recompute);
+  * superseded generation files are never deleted within a session.
+  *
+  * Keyed per SparkSession identity like [[SessionKeys]]; the deferred
+  * list is bounded (oldest counts fold once 64 statements back up).
+  */
+object SessionChanges {
+
+  private final class Entry(thunk: () => Long) {
+    lazy val value: Long = thunk()
+  }
+
+  private final class State {
+    var acc = 0L
+    var pending = Vector.empty[Entry]
+  }
+
+  private val states =
+    new java.util.concurrent.ConcurrentHashMap[String, State]()
+
+  private def state(spark: SparkSession): State =
+    states.computeIfAbsent(
+      System.identityHashCode(spark).toString, _ => new State)
+
+  /** Record a DML statement's affected-row count (deferred). */
+  def record(spark: SparkSession, thunk: () => Long): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.pending :+= new Entry(thunk)
+      while (s.pending.size > 64) {
+        s.acc += s.pending.head.value
+        s.pending = s.pending.tail
+      }
+    }
+  }
+
+  /** Rows changed by the most recent INSERT/UPDATE/DELETE (0 before
+    * any ran — SQLite's value on a fresh connection). */
+  def changes(spark: SparkSession): Long = {
+    val s = state(spark)
+    s.synchronized(s.pending.lastOption).map(_.value).getOrElse(0L)
+  }
+
+  /** Rows changed by every DML statement this session executed. */
+  def totalChanges(spark: SparkSession): Long = {
+    val s = state(spark)
+    val (acc, pend) = s.synchronized((s.acc, s.pending))
+    acc + pend.map(_.value).sum
+  }
+}

@@ -158,6 +158,11 @@ object Upsert {
       } finally spark.catalog.dropTempView(rv)
       spark.read.parquet(dir + "_ret")
     }
+    // changes(): the affected slice (inserted rows; OR-IGNORE
+    // survivors only; DO-UPDATE-updated + appended rows — the same
+    // set RETURNING hands back, which is SQLite's count). Lazy: only
+    // an actual changes() call pays the count.
+    SessionChanges.record(spark, () => affected.count())
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)

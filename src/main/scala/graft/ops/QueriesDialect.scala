@@ -163,6 +163,20 @@ object QueriesDialect {
            json_extract(props, '$.k', '$.zz') AS multi
          FROM events ORDER BY event_id LIMIT 2000""",
 
+    // SQLite value-rendering functions: hex() over the value's BLOB
+    // rendering (text → UTF-8 bytes, numerics → their TEXT rendering —
+    // Spark's own hex(25) answers '19' where SQLite answers '3235';
+    // NULL → '' not NULL), quote() as the SQL-literal rendering
+    "fn_hex_quote" ->
+      """SELECT c_custkey,
+           hex(c_name) AS h_text,
+           hex(c_custkey) AS h_int,
+           quote(c_name) AS q_text,
+           quote(c_acctbal) AS q_real,
+           quote(NULL) AS q_null,
+           hex(NULL) AS h_null
+         FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
+
     // SQLite's built-in RTRIM collation: compare with trailing spaces
     // ignored. The corpus has no padded columns, so padding is
     // constructed inline — each predicate only matches if the fold
@@ -402,6 +416,25 @@ object QueriesDialect {
       run("DROP INDEX graft_ddl_ix")
       run("DROP INDEX graft_ddl_ix_plain")
       s.table("graft_ddl_ix_t").orderBy("n_nationkey")
+    }),
+
+    // SQLite changes() after executed DML: the count of rows the most
+    // recent INSERT/UPDATE/DELETE touched (recorded lazily by the
+    // copy-on-write executors — exec.SessionChanges; a natural model
+    // follow-up to "remove the X rows"). changes() is statement-scoped
+    // so the key is deterministic in a shared session; total_changes()
+    // (session-cumulative) is spec-covered as a before/after delta.
+    "fn_changes_sql" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_chg_t")
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DELETE FROM graft_chg_t WHERE n_regionkey = 2")
+      val del = run("SELECT changes() AS n").first().getLong(0)
+      run("UPDATE graft_chg_t SET n_name = n_name || '!' WHERE n_nationkey < 10")
+      val upd = run("SELECT changes() AS n").first().getLong(0)
+      Seq((del, upd)).toDF("del_n", "upd_n")
     }),
 
     // SQLite's full ALTER TABLE surface end-to-end: ADD COLUMN with a
@@ -726,6 +759,28 @@ object QueriesDialect {
          SELECT n_nationkey, n_name, n_regionkey FROM base
          WHERE n_name NOT IN (SELECT n_name FROM upd)
          ORDER BY n_nationkey""",
+
+    // hex/quote in closed form: DuckDB's hex() matches SQLite's only
+    // for text (bytes), so the numeric column hexes its TEXT rendering
+    // explicitly; quote() is emulated with replace-doubling
+    "fn_hex_quote" ->
+      """SELECT c_custkey,
+           hex(c_name) AS h_text,
+           hex(CAST(c_custkey AS VARCHAR)) AS h_int,
+           '''' || replace(c_name, '''', '''''') || '''' AS q_text,
+           CAST(c_acctbal AS VARCHAR) AS q_real,
+           'NULL' AS q_null,
+           '' AS h_null
+         FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
+
+    // changes() deltas in closed form: region-2 nations deleted, then
+    // the surviving keys < 10 updated
+    "fn_changes_sql" ->
+      """WITH del AS (SELECT count(*) AS n FROM nation WHERE n_regionkey = 2),
+         upd AS (SELECT count(*) AS n FROM nation
+                 WHERE n_regionkey <> 2 AND n_nationkey < 10)
+         SELECT CAST(del.n AS BIGINT) AS del_n, CAST(upd.n AS BIGINT) AS upd_n
+         FROM del, upd""",
 
     // ALTER TABLE post-state in closed form: src backfilled with the
     // default, n_name renamed, n_regionkey gone

@@ -129,6 +129,70 @@ object SqliteFunctions {
           s"sqlite_typeof: no SQLite storage class for ${dt.sql}")
       }
       If(IsNull(e), Literal("null"), Literal(cls))
+    }),
+
+    // SQLite hex(X): uppercase hex of X rendered as a BLOB — text
+    // hexes its UTF-8 bytes, numerics hex their TEXT rendering
+    // (hex(25) = '3235', where Spark's hex(25) = '19' — silently
+    // wrong values untranslated), and NULL yields '' (the zero-length
+    // blob rendering), never NULL. Distinct name for the translator
+    // fixpoint, same reasoning as sqlite_typeof.
+    ("sqlite_hex", "sqlite_hex(x) - SQLite hex(): uppercase hex of the value's blob rendering", { args =>
+      arity("sqlite_hex", args, 1)
+      val e = args.head
+      val blob = e.dataType match {
+        case BinaryType   => e
+        case NullType     => Literal.create(null, BinaryType)
+        case _: StringType => Cast(e, BinaryType)
+        case _            => Cast(Cast(e, StringType), BinaryType)
+      }
+      Coalesce(Seq(Hex(blob), Literal("")))
+    }),
+
+    // SQLite quote(X): the SQL-literal rendering — text single-quoted
+    // with '' doubling, numerics bare, blobs X'…', NULL the keyword.
+    // Type-directed like sqlite_typeof; everything folds to existing
+    // codegen'd expressions.
+    ("sqlite_quote", "sqlite_quote(x) - SQLite quote(): SQL literal rendering of a value", { args =>
+      arity("sqlite_quote", args, 1)
+      val e = args.head
+      val rendered = e.dataType match {
+        case NullType   => Literal.create(null, StringType)
+        case BinaryType =>
+          Concat(Seq(Literal("X'"), Hex(e), Literal("'")))
+        case BooleanType =>
+          // SQLite stores booleans as INTEGER 0/1
+          Cast(Cast(e, LongType), StringType)
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType => Cast(e, StringType)
+        case _ => Concat(Seq(Literal("'"),
+          StringReplace(Cast(e, StringType), Literal("'"), Literal("''")),
+          Literal("'")))
+      }
+      Coalesce(Seq(rendered, Literal("NULL")))
+    }),
+
+    // SQLite changes()/total_changes(): affected-row counts of the
+    // session's executed DML ([[graft.exec.SessionChanges]] — the
+    // executors record a lazy count of the affected slice). The value
+    // folds to a literal at ANALYSIS of the calling query, which is
+    // exactly SQLite's timing (the count as of statement start).
+    ("changes", "changes() - rows changed by the most recent INSERT/UPDATE/DELETE", { args =>
+      arity("changes", args, 0)
+      Literal(graft.exec.SessionChanges.changes(SparkSession.active))
+    }),
+
+    ("total_changes", "total_changes() - rows changed by all DML this session", { args =>
+      arity("total_changes", args, 0)
+      Literal(graft.exec.SessionChanges.totalChanges(SparkSession.active))
+    }),
+
+    // rowids don't exist on lake tables — fail targeted at analysis
+    // instead of "undefined function"
+    ("last_insert_rowid", "last_insert_rowid() - unsupported: lake tables have no rowids", { _ =>
+      throw new UnsupportedOperationException(
+        "last_insert_rowid() is not supported: lake tables have no " +
+          "rowids; use INSERT … RETURNING to observe inserted rows")
     })
   )
 

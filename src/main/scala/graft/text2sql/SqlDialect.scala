@@ -19,7 +19,11 @@ package graft.text2sql
   *  - `unicode(x)` / `char(n…)`   → `ascii(x)` / `chr`-concat
   *  - `printf(...)`               → `format_string(...)`
   *  - `x GLOB 'pat'`              → `x RLIKE '<anchored regex>'`
-  *  - `random()`                  → `rand()`
+  *  - `random()`                  → uniform 64-bit BIGINT over rand()
+  *    (SQLite's range, so `abs(random()) % n` keeps its meaning)
+  *  - `hex(x)` / `quote(x)`       → native `sqlite_hex`/`sqlite_quote`
+  *    (type-directed blob/literal renderings; Spark's hex(25) = '19'
+  *    where SQLite's = '3235')
   *  - `a LIKE b`                  → `a ILIKE b` (SQLite LIKE folds case;
   *    Spark's does not — same token, different semantics, silent wrong
   *    rows without the rewrite; `NOT`/`ESCAPE` forms compose)
@@ -657,7 +661,7 @@ object SqlDialect {
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
-    "glob", "string_agg", "concat", "typeof")
+    "glob", "string_agg", "concat", "typeof", "hex", "quote")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -796,8 +800,19 @@ object SqlDialect {
       // SQLite ≥3.48 two-argument iif: NULL when the condition is false
       case "iif" if args.length == 2 =>
         Some(s"(CASE WHEN ${args(0)} THEN ${args(1)} END)")
+      // SQLite random() returns a uniform 64-bit INTEGER, not a [0,1)
+      // double — `abs(random()) % n` (the idiomatic SQLite random
+      // pick) would silently always yield ~0 on a bare rand(). One
+      // double-scaled draw can't make uniform LOW bits either (the
+      // ulp near 2^63 is 2048, so `% 10` would only ever see even
+      // residues) — compose two exact 32-bit draws instead: each
+      // rand() instance seeds independently, floor(rand()*2^32) is
+      // integer-exact in a double, and (hi-2^31)*2^32 + lo spans
+      // exactly [-2^63, 2^63) with no BIGINT overflow. 'rand' never
+      // re-matches the 'random' scan (different word): fixpoint.
       case "random" if args.isEmpty =>
-        Some("rand()")
+        Some("((CAST(floor(rand() * 4294967296.0D) AS BIGINT) - 2147483648) " +
+          "* 4294967296 + CAST(floor(rand() * 4294967296.0D) AS BIGINT))")
       // format() is SQLite's printf alias (≥3.38); Spark has no format()
       case "printf" | "format" if args.nonEmpty =>
         buildPrintf(args)
@@ -844,6 +859,15 @@ object SqlDialect {
       // 'typeof' inside 'sqlite_typeof' fails the word-boundary match.
       case "typeof" if args.length == 1 =>
         Some(s"sqlite_typeof(${args.head})")
+      // hex()/quote() are value-rendering functions whose behavior
+      // depends on the operand's storage class — routed to native
+      // type-directed expressions (same pattern and fixpoint reasoning
+      // as typeof; Spark's own hex() answers '19' for hex(25) where
+      // SQLite answers '3235')
+      case "hex" if args.length == 1 =>
+        Some(s"sqlite_hex(${args.head})")
+      case "quote" if args.length == 1 =>
+        Some(s"sqlite_quote(${args.head})")
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>

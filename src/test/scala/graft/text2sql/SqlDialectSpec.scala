@@ -100,10 +100,66 @@ class SqlDialectSpec extends SparkSpec {
     assert(span > 0 && span < 60) // events span ~30 days
   }
 
-  test("random() becomes rand(); Spark-valid functions untouched") {
-    assert(SqlDialect.translate("SELECT random()") == "SELECT rand()")
+  test("random() becomes a 64-bit BIGINT draw; Spark-valid functions untouched") {
+    val t = SqlDialect.translate("SELECT random()")
+    assert(t.contains("rand()") && t.contains("AS BIGINT"), t)
+    assert(SqlDialect.translate(t) == t) // fixpoint: rand never re-matches
     val passthrough = "SELECT ifnull(x, 0), instr(s, 'a'), substr(s, 1, 3) FROM t"
     assert(SqlDialect.translate(passthrough) == passthrough)
+    // SQLite's idiomatic random pick keeps its meaning: abs(random())%n
+    // is uniform over 0..n-1, which a bare [0,1) rand() would break
+    val draws = graft.exec.Runner.runSql(spark, SqlDialect.translate(
+      "SELECT abs(random()) % 10 AS d FROM range(2000)"))
+      .collect().map(_.getLong(0))
+    assert(draws.forall(d => d >= 0 && d <= 9))
+    assert(draws.distinct.length == 10, "all 10 residues should appear")
+  }
+
+  test("hex()/quote() route to the native type-directed renderings") {
+    assert(SqlDialect.translate("SELECT hex(x), quote(y) FROM t")
+      == "SELECT sqlite_hex(x), sqlite_quote(y) FROM t")
+    // fixpoint: hex inside sqlite_hex fails the word-boundary match
+    val once = SqlDialect.translate("SELECT hex(25) AS h")
+    assert(SqlDialect.translate(once) == once)
+    val row = graft.exec.Runner.runSql(spark, SqlDialect.translate(
+      """SELECT hex('abc') AS a, hex(25) AS b, hex(NULL) AS c,
+                quote('it''s') AS d, quote(7.5) AS e, quote(NULL) AS f,
+                quote(X'0AFF') AS g, hex(X'0AFF') AS h""")).head()
+    assert(row.getString(0) == "616263")
+    assert(row.getString(1) == "3235") // SQLite hexes the TEXT rendering
+    assert(row.getString(2) == "")     // NULL → zero-length blob → ''
+    assert(row.getString(3) == "'it''s'")
+    assert(row.getString(4) == "7.5")
+    assert(row.getString(5) == "NULL")
+    assert(row.getString(6) == "X'0AFF'")
+    assert(row.getString(7) == "0AFF")
+  }
+
+  test("changes()/total_changes() report executed-DML row counts") {
+    import spark.implicits._
+    val t0 = graft.exec.Runner.runSql(spark,
+      "SELECT total_changes() AS t").head().getLong(0)
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("id", "v").createOrReplaceTempView("chg_t")
+    graft.exec.Runner.runSql(spark, "DELETE FROM chg_t WHERE v > 25")
+    assert(graft.exec.Runner.runSql(spark, "SELECT changes() AS n")
+      .head().getLong(0) == 2L)
+    graft.exec.Runner.runSql(spark, "UPDATE chg_t SET v = v + 1 WHERE id = 1")
+    assert(graft.exec.Runner.runSql(spark, "SELECT changes() AS n")
+      .head().getLong(0) == 1L)
+    graft.exec.Runner.runSql(spark, "INSERT INTO chg_t VALUES (9, 90), (10, 100)")
+    assert(graft.exec.Runner.runSql(spark, "SELECT changes() AS n")
+      .head().getLong(0) == 2L)
+    // session-cumulative, measured as a delta (the suite shares the
+    // session with other DML tests)
+    val t1 = graft.exec.Runner.runSql(spark,
+      "SELECT total_changes() AS t").head().getLong(0)
+    assert(t1 - t0 == 5L)
+    // rowids don't exist on lake tables: targeted analysis-time error
+    val e = intercept[UnsupportedOperationException] {
+      graft.exec.Runner.runSql(spark, "SELECT last_insert_rowid()")
+    }
+    assert(e.getMessage.contains("RETURNING"))
   }
 
   // ---- round-2 SQLite surface --------------------------------------

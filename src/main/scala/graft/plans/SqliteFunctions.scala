@@ -193,6 +193,14 @@ object SqliteFunctions {
       throw new UnsupportedOperationException(
         "last_insert_rowid() is not supported: lake tables have no " +
           "rowids; use INSERT … RETURNING to observe inserted rows")
+    }),
+
+    // the SQLite dialect LEVEL graft emulates (documented in README):
+    // a model probing the version before emitting version-gated SQL
+    // gets a coherent answer instead of "undefined function"
+    ("sqlite_version", "sqlite_version() - the emulated SQLite dialect level", { args =>
+      arity("sqlite_version", args, 0)
+      Literal("3.45.3")
     })
   )
 

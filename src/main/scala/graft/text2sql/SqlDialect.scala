@@ -661,7 +661,8 @@ object SqlDialect {
     "unixepoch", "julianday", "datetime", "strftime", "random",
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
-    "glob", "string_agg", "concat", "typeof", "hex", "quote")
+    "glob", "string_agg", "concat", "typeof", "hex", "quote",
+    "zeroblob", "randomblob")
 
   private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -868,6 +869,26 @@ object SqlDialect {
         Some(s"sqlite_hex(${args.head})")
       case "quote" if args.length == 1 =>
         Some(s"sqlite_quote(${args.head})")
+      // zeroblob(N) → an N-byte zero blob (non-positive N → empty,
+      // SQLite's rule). unhex/repeat/greatest are never rewritten and
+      // INT is not a castTypes class — the emission is a fixpoint.
+      case "zeroblob" if args.length == 1 =>
+        Some(s"unhex(repeat('00', greatest(CAST((${args.head}) AS INT), 0)))")
+      // randomblob(N) → N uniform random bytes, each an exact
+      // independent 8-bit draw (hex(randomblob(16)) is the idiomatic
+      // SQLite unique-id generator). N must be a literal — the byte
+      // count is the emission length; SQLite returns ONE byte for
+      // N < 1. format_string (not hex/concat) keeps the emission out
+      // of this translator's own rewrites. Over 256 bytes (or a
+      // non-literal N) the call is left verbatim → visible error.
+      case "randomblob" if args.length == 1 &&
+          args.head.trim.matches("-?\\d{1,9}") =>
+        val n = math.max(args.head.trim.toInt, 1)
+        if (n > 256) None
+        else {
+          val b = "format_string('%02X', CAST(floor(rand() * 256.0D) AS BIGINT))"
+          Some(s"unhex(${Seq.fill(n)(b).mkString("(", " || ", ")")})")
+        }
       case "unicode" if args.length == 1 =>
         Some(s"ascii(${args.head})")
       case "char" if args.nonEmpty =>

@@ -135,6 +135,28 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getString(7) == "0AFF")
   }
 
+  test("zeroblob/randomblob/sqlite_version execute with SQLite semantics") {
+    val q = SqlDialect.translate(
+      """SELECT hex(zeroblob(4)) AS z, hex(zeroblob(-3)) AS zneg,
+                length(randomblob(16)) AS n, length(randomblob(0)) AS none,
+                hex(randomblob(8)) AS h1, hex(randomblob(8)) AS h2,
+                sqlite_version() AS v""")
+    assert(SqlDialect.translate(q) == q) // fixpoint
+    val row = graft.exec.Runner.runSql(spark, q).head()
+    assert(row.getString(0) == "00000000")
+    assert(row.getString(1) == "") // non-positive N → empty blob
+    assert(row.getInt(2) == 16)   // blob length = bytes
+    assert(row.getInt(3) == 1)    // SQLite: N < 1 → one random byte
+    assert(row.getString(4).length == 16 && row.getString(5).length == 16)
+    assert(row.getString(4) != row.getString(5), "independent draws")
+    assert(row.getString(6).startsWith("3."))
+    // non-literal / oversized N: left verbatim → visible error
+    assert(SqlDialect.translate("SELECT randomblob(x) FROM t")
+      == "SELECT randomblob(x) FROM t")
+    assert(SqlDialect.translate("SELECT randomblob(9999)")
+      == "SELECT randomblob(9999)")
+  }
+
   test("changes()/total_changes() report executed-DML row counts") {
     import spark.implicits._
     val t0 = graft.exec.Runner.runSql(spark,

@@ -36,6 +36,21 @@ object Runner {
     // catalog view so schema questions keep working ([[Pragma]])
     val stmt = sql.trim.replaceAll(";\\s*$", "").trim
     val head = stmt.toLowerCase
+    // the reference's execution path (pd.read_sql → sqlite3
+    // cursor.execute, reference test.py:50) accepts ONE statement —
+    // a multi-statement script raises SQLite's "You can only execute
+    // one statement at a time", so the same targeted error beats a
+    // generic parse failure. Quote- and comment-aware scan; CREATE
+    // TRIGGER is exempt (its BEGIN…END body holds `;` legally, as
+    // sqlite3_complete knows) so it reaches its own targeted decline.
+    if (!head.matches("(?s)create\\s+(temp\\w*\\s+)?trigger\\b.*"))
+      topLevelSemicolon(stmt).foreach { i =>
+        if (stmt.substring(i + 1).exists(!_.isWhitespace))
+          throw new UnsupportedOperationException(
+            "multi-statement scripts are not supported — one statement " +
+              "at a time (SQLite's own execute() rule); run each " +
+              "statement separately")
+      }
     if (head.startsWith("pragma"))
       return Pragma.run(spark, stmt)
     // SQLite session statements a model wraps around reads: BEGIN /
@@ -110,6 +125,31 @@ object Runner {
             s"re-ingest.")
       case None => spark.sql(prepared)
     } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
+  }
+
+  /** First top-level `;` (outside quotes and comments), if any. */
+  private def topLevelSemicolon(sql: String): Option[Int] = {
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < sql.length &&
+                 !(sql.charAt(i) == q &&
+                   (i + 1 >= sql.length || sql.charAt(i + 1) != q))) {
+            if (sql.charAt(i) == q) i += 2 else i += 1 // doubled quote
+          }
+          i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val end = sql.indexOf("*/", i + 2)
+          i = if (end < 0) sql.length else end + 2
+        case ';' => return Some(i)
+        case _ => i += 1
+      }
+    }
+    None
   }
 
   /** ≤5 sample rows as JSON (reference test.py:51-55). */

@@ -609,6 +609,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(e3.getMessage.contains("no such column"))
   }
 
+  test("multi-statement scripts fail targeted (SQLite's one-statement rule)") {
+    freshView("multi_t")
+    val e = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark,
+        "DELETE FROM multi_t WHERE id = 1; SELECT * FROM multi_t")
+    }
+    assert(e.getMessage.contains("one statement"))
+    assert(spark.table("multi_t").count() == 3) // nothing executed
+    // `;` inside literals/comments is opaque; trailing `;` is fine
+    assert(Runner.runSql(spark,
+      "SELECT 'a; b' AS s FROM multi_t -- note; here\n;").count() == 3)
+    // CREATE TRIGGER keeps its own targeted decline (its BEGIN…END
+    // body holds `;` legally)
+    val t = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark,
+        "CREATE TRIGGER tg AFTER UPDATE ON multi_t BEGIN SELECT 1; END")
+    }
+    assert(t.getMessage.contains("read-only analytics engine"), t.getMessage)
+  }
+
   test("detect classifies SQLite's ALTER TABLE forms") {
     import SqlDml._
     assert(detect("ALTER TABLE t RENAME TO u")

@@ -279,6 +279,42 @@ object QueriesTrain {
     // both engines: exact integer products, then one double division
     // per factor, so the only cross-engine exposure is the per-doc
     // 3-term sum, absorbed by round(..., 6).
+    // CCNet/Gopher-style LM fluency score: the corpus's OWN bigram
+    // model scores each document by mean log P(w2 | w1) with
+    // P = c(w1 w2) / c(w1 ·) over corpus-wide counts — garbled or
+    // boilerplate-heavy text lands in the tails, which is exactly how
+    // perplexity bucketing (CCNet head/middle/tail) selects training
+    // data. The corpus tokenizes ONCE into a persisted narrow bigram
+    // projection with three consumers (both count aggregations + the
+    // scoring join); the model (distinct-bigram sized, ≪ corpus)
+    // joins back on the bigram key. Counts shuffle on vocab-sized
+    // keys, the score is one avg per doc: the canonical distributed
+    // LM-scoring shape at any corpus size. mean_logp is monotone in
+    // perplexity (ppl = exp(-mean_logp)); rounded like every
+    // cross-engine aggregate to absorb summation-order noise.
+    "ext_perplexity" -> ((s, d) => {
+      val bigrams = t("documents")(s, d)
+        .select(col("doc_id"),
+          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          log(col("c12").cast("double") / col("c1")).as("logp"))
+      bigrams.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(avg(col("logp")), 6).as("mean_logp"))
+        .orderBy("doc_id")
+    }),
+
     "ext_bm25" -> ((s, d) => {
       val terms = Seq("spark", "join", "window")
       val termList = terms.map(t => s"'$t'").mkString(", ")
@@ -450,6 +486,24 @@ object QueriesTrain {
           CAST(sum(freq) AS DOUBLE) / count(*) AS avg_tok_freq
         FROM toks JOIN freq USING (tok)
         GROUP BY doc_id ORDER BY doc_id""",
+    // the same bigram model in closed form: parallel unnests zip the
+    // left/right token lists into bigram rows
+    "ext_perplexity" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             UNNEST(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+           FROM w WHERE len(toks) >= 2),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM e GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM e GROUP BY 1)
+         SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(CAST(c12.c12 AS DOUBLE) / c1.c1)), 6) AS mean_logp
+         FROM e JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
+
     "ext_bm25" ->
       """WITH d2 AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -88,10 +88,27 @@ object Ddl {
     else DoubleType
   }
 
+  /** A declared DEFAULT's executable form: the CURRENT_* keywords
+    * render SQLite's fixed 'YYYY-MM-DD HH:MM:SS' UTC text (the session
+    * runs UTC), everything else runs through the dialect translator
+    * (defaults are SQLite-dialect expressions). */
+  private[exec] def defaultExecSql(raw: String): String =
+    raw.trim.toLowerCase match {
+      case "current_timestamp" =>
+        "date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')"
+      case "current_date" => "date_format(current_date(), 'yyyy-MM-dd')"
+      case "current_time" =>
+        "date_format(current_timestamp(), 'HH:mm:ss')"
+      case _ =>
+        graft.text2sql.SqlDialect.translate(s"SELECT ($raw)")
+          .stripPrefix("SELECT ").trim
+    }
+
   /** `CREATE TABLE name (col decls …)` — an empty typed session
     * relation (SQLite starts it empty too); the declared PRIMARY KEY
     * (or first UNIQUE constraint) registers as the conflict key later
-    * upserts resolve against, exactly SQLite's rule. */
+    * upserts resolve against, and declared DEFAULTs register so
+    * partial-column INSERTs fill them — both exactly SQLite's rule. */
   def createTable(spark: SparkSession, stmt: SqlDml.CreateTable): DataFrame = {
     if (exists(spark, stmt.name)) {
       if (stmt.ifNotExists) return spark.emptyDataFrame
@@ -111,6 +128,8 @@ object Ddl {
       schema).createOrReplaceTempView(stmt.name)
     SessionKeys.forgetTable(spark, stmt.name)
     if (stmt.pkCols.nonEmpty) SessionKeys.declarePk(spark, stmt.name, stmt.pkCols)
+    SessionKeys.declareDefaults(spark, stmt.name,
+      stmt.defaults.map { case (c, raw) => c -> (raw, defaultExecSql(raw)) })
     spark.emptyDataFrame
   }
 
@@ -204,9 +223,9 @@ object Ddl {
 
   /** `ALTER TABLE t ADD [COLUMN] c type [DEFAULT lit] [NOT NULL]` —
     * existing rows report the default (NULL absent one), exactly as
-    * SQLite synthesizes it on read; like column-def CREATE TABLE, the
-    * default is NOT registered for future inserts (documented). The
-    * rewrite is a lazy constant-projection re-bind — no data moves. */
+    * SQLite synthesizes it on read, and the default REGISTERS so later
+    * partial-column INSERTs fill it too (SQLite's rule). The rewrite
+    * is a lazy constant-projection re-bind — no data moves. */
   def alterAddColumn(spark: SparkSession,
                      stmt: SqlDml.AlterAddColumn): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -228,6 +247,8 @@ object Ddl {
     base.select(base.columns.map(c => col(quote(c))).toIndexedSeq :+
         lit(value).cast(dt).as(stmt.col): _*)
       .createOrReplaceTempView(stmt.table)
+    stmt.default.foreach(raw => SessionKeys.declareDefaults(spark,
+      stmt.table, Seq(stmt.col -> (raw, defaultExecSql(raw)))))
     spark.emptyDataFrame
   }
 
@@ -261,6 +282,7 @@ object Ddl {
     base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)
+    SessionKeys.forgetColumn(spark, stmt.table, stmt.col)
     spark.emptyDataFrame
   }
 }

@@ -59,9 +59,13 @@ object Pragma {
     val schema = spark.table(table).schema
     val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
       .map(_.toLowerCase).zipWithIndex.toMap
+    // dflt_value reports the DEFAULT text as written (SQLite's shape);
+    // ingested tables declare none
+    val dflt = SessionKeys.defaultsFor(spark, table)
     val rows = schema.fields.zipWithIndex.map { case (f, i) =>
       Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
-        if (f.nullable) 0 else 1, null,
+        if (f.nullable) 0 else 1,
+        dflt.get(f.name.toLowerCase).map(_._1).orNull,
         pk.get(f.name.toLowerCase).map(_ + 1).getOrElse(0))
     }
     spark.createDataFrame(

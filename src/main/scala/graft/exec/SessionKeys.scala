@@ -28,6 +28,11 @@ object SessionKeys {
   // (session identity, lowercased index name) -> index info
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[(String, String), IndexInfo]()
+  // (session identity, lowercased table) -> lowercased column ->
+  // (raw DEFAULT text as written, executable Spark-SQL expression)
+  private val defaults =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Map[String, (String, String)]]()
 
   private def sid(spark: SparkSession): String =
     System.identityHashCode(spark).toString
@@ -54,9 +59,33 @@ object SessionKeys {
     val s = sid(spark)
     val t = table.toLowerCase
     pks.remove((s, t))
+    defaults.remove((s, t))
     indexes.entrySet().asScala
       .filter(e => e.getKey._1 == s && e.getValue.table == t)
       .map(_.getKey).toList.foreach(indexes.remove)
+  }
+
+  /** Declare (merge) column DEFAULTs for a table: column →
+    * (raw text as written — `PRAGMA table_info` reports it,
+    * executable Spark-SQL expression — partial-column INSERTs fill
+    * it, SQLite's rule). */
+  def declareDefaults(spark: SparkSession, table: String,
+                      ds: Seq[(String, (String, String))]): Unit =
+    if (ds.nonEmpty)
+      defaults.merge((sid(spark), table.toLowerCase),
+        ds.map { case (c, v) => c.toLowerCase -> v }.toMap, _ ++ _)
+
+  /** Declared DEFAULTs by lowercased column name. */
+  def defaultsFor(spark: SparkSession, table: String)
+      : Map[String, (String, String)] =
+    Option(defaults.get((sid(spark), table.toLowerCase)))
+      .getOrElse(Map.empty)
+
+  /** ALTER TABLE DROP COLUMN: the column's default goes with it. */
+  def forgetColumn(spark: SparkSession, table: String, col: String): Unit = {
+    val k = (sid(spark), table.toLowerCase)
+    Option(defaults.get(k)).foreach(m =>
+      defaults.put(k, m - col.toLowerCase))
   }
 
   /** ALTER TABLE RENAME TO: declared keys and indexes follow the table
@@ -65,6 +94,8 @@ object SessionKeys {
     val s = sid(spark)
     val t = table.toLowerCase
     Option(pks.remove((s, t))).foreach(pks.put((s, newName.toLowerCase), _))
+    Option(defaults.remove((s, t)))
+      .foreach(defaults.put((s, newName.toLowerCase), _))
     indexes.entrySet().asScala
       .filter(e => e.getKey._1 == s && e.getValue.table == t)
       .toList.foreach(e =>
@@ -80,6 +111,10 @@ object SessionKeys {
     def sub(cols: Seq[String]): Seq[String] =
       cols.map(c => if (c.equalsIgnoreCase(oldCol)) newCol else c)
     Option(pks.get((s, t))).foreach(k => pks.put((s, t), sub(k)))
+    Option(defaults.get((s, t))).foreach { m =>
+      m.get(oldCol.toLowerCase).foreach(v =>
+        defaults.put((s, t), m - oldCol.toLowerCase + (newCol.toLowerCase -> v)))
+    }
     indexes.entrySet().asScala
       .filter(e => e.getKey._1 == s && e.getValue.table == t)
       .toList.foreach(e =>

@@ -88,14 +88,22 @@ object Upsert {
       throw new IllegalArgumentException(
         s"$verb INTO ${stmt.table}: no such column(s) " +
           unknown.mkString(", "))
-    // full-width row per SQLite: unlisted columns become NULL (the
-    // replaced row's old values do NOT survive — OR REPLACE deletes
-    // and re-inserts), every column cast to the lake schema's type
+    // full-width row per SQLite: unlisted columns take their declared
+    // DEFAULT when one was registered (CREATE TABLE / ADD COLUMN —
+    // SessionKeys), else NULL (the replaced row's old values do NOT
+    // survive — OR REPLACE deletes and re-inserts), every column cast
+    // to the lake schema's type
     val present = named.columns.map(_.toLowerCase).toSet
+    val dflts = SessionKeys.defaultsFor(spark, stmt.table)
     val aligned = named.select(base.schema.fields.map { f =>
       if (present.contains(f.name.toLowerCase))
         col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else dflts.get(f.name.toLowerCase) match {
+        case Some((_, execSql)) =>
+          org.apache.spark.sql.functions.expr(execSql)
+            .cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
     // the key a bare OR REPLACE / targetless ON CONFLICT resolves
     // against: a session-declared PRIMARY KEY / UNIQUE index when one

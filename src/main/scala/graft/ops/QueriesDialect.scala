@@ -437,6 +437,19 @@ object QueriesDialect {
       Seq((del, upd)).toDF("del_n", "upd_n")
     }),
 
+    // declared column DEFAULTs end-to-end: partial-column INSERTs
+    // fill the registered default (literal and parenthesized-
+    // expression forms), fully-listed rows don't — SQLite's rule
+    "ddl_defaults_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_dflt_t")
+      run("""CREATE TABLE graft_dflt_t (k INTEGER PRIMARY KEY,
+             tag TEXT DEFAULT 'n/a', score REAL DEFAULT (2 + 0.5))""")
+      run("INSERT INTO graft_dflt_t (k) VALUES (1), (2)")
+      run("INSERT INTO graft_dflt_t (k, tag, score) VALUES (3, 'x', 9.0)")
+      s.table("graft_dflt_t").orderBy("k")
+    }),
+
     // SQLite's full ALTER TABLE surface end-to-end: ADD COLUMN with a
     // default backfill, RENAME COLUMN, DROP COLUMN, RENAME TO — all
     // pure projection/metadata re-binds (no data rewrite); the final
@@ -446,6 +459,8 @@ object QueriesDialect {
         .select("n_nationkey", "n_name", "n_regionkey")
         .createOrReplaceTempView("graft_alter_t")
       val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      // reruns in a shared session start clean (DeterminismSpec)
+      run("DROP TABLE IF EXISTS graft_alter_t2")
       run("ALTER TABLE graft_alter_t ADD COLUMN src TEXT DEFAULT 'lake'")
       run("ALTER TABLE graft_alter_t RENAME COLUMN n_name TO nation_name")
       run("ALTER TABLE graft_alter_t DROP COLUMN n_regionkey")
@@ -781,6 +796,14 @@ object QueriesDialect {
                  WHERE n_regionkey <> 2 AND n_nationkey < 10)
          SELECT CAST(del.n AS BIGINT) AS del_n, CAST(upd.n AS BIGINT) AS upd_n
          FROM del, upd""",
+
+    // defaults post-state in closed form
+    "ddl_defaults_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
+           (CAST(2 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
+           (CAST(3 AS BIGINT), 'x', CAST(9.0 AS DOUBLE)))
+         AS t(k, tag, score) ORDER BY k""",
 
     // ALTER TABLE post-state in closed form: src backfilled with the
     // default, n_name renamed, n_regionkey gone

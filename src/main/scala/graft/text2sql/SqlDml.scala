@@ -124,12 +124,17 @@ object SqlDml {
     * §3.1) to a lake type. `pkCols` is the declared PRIMARY KEY (column
     * suffix or table-level constraint) — the key later `INSERT OR
     * REPLACE`/`ON CONFLICT` statements resolve against, exactly as
-    * SQLite would. Other constraints (NOT NULL, DEFAULT, CHECK,
-    * REFERENCES, COLLATE) are storage/validation directives with no
-    * lake counterpart and are skipped; generated columns decline. */
+    * SQLite would. `defaults` carries each column's DEFAULT expression
+    * verbatim — registered so later partial-column INSERTs fill it (and
+    * `PRAGMA table_info` reports it), exactly as SQLite does. Other
+    * constraints (NOT NULL, CHECK, REFERENCES, COLLATE) are
+    * storage/validation directives with no lake counterpart and are
+    * skipped; generated columns decline. */
   final case class CreateTable(name: String, ifNotExists: Boolean,
                                cols: Seq[(String, String)],
-                               pkCols: Seq[String]) extends Stmt
+                               pkCols: Seq[String],
+                               defaults: Seq[(String, String)] = Nil)
+      extends Stmt
 
   /** `CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON table (cols)` —
     * a plain index is a pure access-path directive in SQLite (results
@@ -537,15 +542,16 @@ object SqlDml {
         // grammar) — STRICT/WITHOUT ROWID are storage directives with
         // no lake counterpart but also no observable semantics here
         return parseColumnDefs(sql.substring(j + 1, close)) match {
-          case Right((cols, pk))
+          case Right((cols, pk, ds))
               if keywordAt(sql, skipWs(sql, close + 1), "without") ||
                  keywordAt(sql, skipWs(sql, close + 1), "strict") =>
-            Some(CreateTable(name, ifNotExists, cols, pk))
+            Some(CreateTable(name, ifNotExists, cols, pk, ds))
           case _ => Some(Unsupported("CREATE TABLE"))
         }
       return parseColumnDefs(sql.substring(j + 1, close)) match {
-        case Right((cols, pk)) => Some(CreateTable(name, ifNotExists, cols, pk))
-        case Left(u)           => Some(u)
+        case Right((cols, pk, ds)) =>
+          Some(CreateTable(name, ifNotExists, cols, pk, ds))
+        case Left(u) => Some(u)
       }
     }
     if (!keywordAt(sql, j, "as"))
@@ -690,11 +696,14 @@ object SqlDml {
     * …, [table constraints]`. Right = (columns as (name, declared type
     * text), PRIMARY KEY columns — falling back to the first UNIQUE
     * constraint, the next thing SQLite would resolve OR REPLACE
-    * against). Left = a targeted decline (generated columns have real
-    * read semantics the lake schema can't carry silently). */
+    * against, per-column DEFAULT expressions verbatim). Left = a
+    * targeted decline (generated columns have real read semantics the
+    * lake schema can't carry silently). */
   private def parseColumnDefs(inner: String)
-      : Either[Unsupported, (Seq[(String, String)], Seq[String])] = {
+      : Either[Unsupported,
+               (Seq[(String, String)], Seq[String], Seq[(String, String)])] = {
     val cols = Seq.newBuilder[(String, String)]
+    val defaults = Seq.newBuilder[(String, String)]
     var pk = Seq.empty[String]
     var uniqueFallback = Seq.empty[String]
     def parseColList(s: String): Seq[String] =
@@ -761,6 +770,35 @@ object SqlDml {
           pk = Seq(name)
         else if (findTopKeyword(frag, 0, "unique") >= 0 && uniqueFallback.isEmpty)
           uniqueFallback = Seq(name)
+        // DEFAULT expression, verbatim: a parenthesized group, a
+        // quoted literal, or a signed literal/keyword token (SQLite's
+        // column-constraint grammar — CREATE TABLE, unlike ADD
+        // COLUMN, allows parenthesized defaults)
+        val dk = findTopKeyword(frag, 0, "default")
+        if (dk >= 0) {
+          val at = skipWs(frag, dk + 7)
+          if (at >= frag.length) return Left(Unsupported("CREATE TABLE"))
+          val c = frag.charAt(at)
+          val end =
+            if (c == '(') {
+              val close = closeParen(frag, at)
+              if (close < 0) return Left(Unsupported("CREATE TABLE"))
+              close + 1
+            }
+            else if (c == '\'' || c == '"') endOfQuoted(frag, at, c)
+            else {
+              var e = at
+              if (e < frag.length &&
+                  (frag.charAt(e) == '-' || frag.charAt(e) == '+')) e += 1
+              while (e < frag.length &&
+                     (isWordChar(frag.charAt(e)) || frag.charAt(e) == '.'))
+                e += 1
+              e
+            }
+          val tok = frag.substring(at, end min frag.length).trim
+          if (tok.isEmpty) return Left(Unsupported("CREATE TABLE"))
+          defaults += ((name, tok))
+        }
         cols += ((name, declType))
       }
     }
@@ -770,7 +808,7 @@ object SqlDml {
     val key = if (pk.nonEmpty) pk else uniqueFallback
     if (key.exists(k => !known(k.toLowerCase)))
       return Left(Unsupported("CREATE TABLE"))
-    Right((allCols, key))
+    Right((allCols, key, defaults.result()))
   }
 
   /** Split on top-level commas (outside quotes and parens). */

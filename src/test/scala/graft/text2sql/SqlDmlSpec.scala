@@ -458,7 +458,7 @@ class SqlDmlSpec extends SparkSpec {
     detect("""CREATE TABLE t ("a col" VARCHAR(30), b DOUBLE PRECISION,
               c, PRIMARY KEY (b, c), FOREIGN KEY (c) REFERENCES u(x))""") match {
       case Some(CreateTable("t", false,
-          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"))) =>
+          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"), Nil)) =>
         assert(dt1 == "VARCHAR(30)" && dt2 == "DOUBLE PRECISION")
       case other => fail(s"expected CreateTable, got $other")
     }
@@ -466,16 +466,67 @@ class SqlDmlSpec extends SparkSpec {
     // PK is declared; CHECK contents never leak keywords
     detect("""CREATE TABLE t (a INT, b TEXT CHECK (b <> 'primary key'),
               UNIQUE (a)) STRICT""") match {
-      case Some(CreateTable("t", false, cols, Seq("a"))) =>
+      case Some(CreateTable("t", false, cols, Seq("a"), Nil)) =>
         assert(cols.map(_._1) == Seq("a", "b"))
       case other => fail(s"expected CreateTable with UNIQUE fallback, got $other")
     }
     // column-level PRIMARY KEY with riders
     detect("CREATE TEMP TABLE IF NOT EXISTS t (id INTEGER PRIMARY KEY AUTOINCREMENT, v REAL)") match {
-      case Some(CreateTable("t", true, cols, Seq("id"))) =>
+      case Some(CreateTable("t", true, cols, Seq("id"), Nil)) =>
         assert(cols.map(_._1) == Seq("id", "v"))
       case other => fail(s"expected CreateTable, got $other")
     }
+    // DEFAULT expressions capture verbatim: quoted, signed, keyword,
+    // and parenthesized forms (CREATE TABLE allows all four)
+    detect("""CREATE TABLE t (a TEXT DEFAULT 'n/a', b INT DEFAULT -1,
+              c TEXT DEFAULT CURRENT_TIMESTAMP NOT NULL,
+              d REAL DEFAULT (1.5 * 2))""") match {
+      case Some(CreateTable("t", false, cols, Nil, ds)) =>
+        assert(cols.map(_._1) == Seq("a", "b", "c", "d"))
+        assert(ds == Seq("a" -> "'n/a'", "b" -> "-1",
+          "c" -> "CURRENT_TIMESTAMP", "d" -> "(1.5 * 2)"))
+      case other => fail(s"expected CreateTable with defaults, got $other")
+    }
+  }
+
+  test("declared DEFAULTs fill unlisted INSERT columns; table_info reports them") {
+    Runner.runSql(spark, "DROP TABLE IF EXISTS dft_t")
+    Runner.runSql(spark,
+      """CREATE TABLE dft_t (id INTEGER PRIMARY KEY, tag TEXT DEFAULT 'n/a',
+           score REAL DEFAULT (2 + 0.5), n INTEGER DEFAULT -1)""")
+    Runner.runSql(spark, "INSERT INTO dft_t (id) VALUES (1)")
+    Runner.runSql(spark, "INSERT INTO dft_t (id, tag) VALUES (2, 'real')")
+    val rows = spark.table("dft_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq((1L, "n/a", 2.5, -1L), (2L, "real", 2.5, -1L)))
+    // PRAGMA table_info reports the default text as written
+    val ti = Runner.runSql(spark, "PRAGMA table_info(dft_t)").collect()
+      .map(r => (r.getString(1), r.getString(4))).toSeq
+    assert(ti == Seq(("id", null), ("tag", "'n/a'"),
+      ("score", "(2 + 0.5)"), ("n", "-1")))
+    // the default follows a column rename and dies with a column drop
+    Runner.runSql(spark, "ALTER TABLE dft_t RENAME COLUMN tag TO label")
+    Runner.runSql(spark, "ALTER TABLE dft_t DROP COLUMN n")
+    Runner.runSql(spark, "INSERT INTO dft_t (id) VALUES (3)")
+    val r3 = spark.table("dft_t").where("id = 3").collect().head
+    assert(r3.getString(1) == "n/a")
+    // an ADD COLUMN default backfills AND applies to later inserts
+    Runner.runSql(spark,
+      "ALTER TABLE dft_t ADD COLUMN src TEXT DEFAULT 'lake'")
+    Runner.runSql(spark, "INSERT INTO dft_t (id) VALUES (4)")
+    val srcs = spark.table("dft_t").orderBy("id").collect()
+      .map(_.getString(3)).toSeq
+    assert(srcs == Seq("lake", "lake", "lake", "lake"))
+    // CURRENT_TIMESTAMP renders SQLite's fixed UTC text shape
+    Runner.runSql(spark, "DROP TABLE IF EXISTS dft_ts")
+    Runner.runSql(spark,
+      "CREATE TABLE dft_ts (id INTEGER, at TEXT DEFAULT CURRENT_TIMESTAMP)")
+    Runner.runSql(spark, "INSERT INTO dft_ts (id) VALUES (1)")
+    val at = spark.table("dft_ts").collect().head.getString(1)
+    assert(at.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"), at)
+    Runner.runSql(spark, "DROP TABLE dft_ts")
+    Runner.runSql(spark, "DROP TABLE dft_t")
   }
 
   test("CREATE [UNIQUE] INDEX registers; unique declares the upsert key; DROP INDEX forgets") {

@@ -136,9 +136,18 @@ object Pragma {
 
   /** (Re)build the `sqlite_master` session view from the catalog. */
   def registerSqliteMaster(spark: SparkSession): Unit = {
-    val rows = sessionTables(spark).map { case (name, schema) =>
+    val tableRows = sessionTables(spark).map { case (name, schema) =>
       Row("table", name, name, 0, graft.ingest.Ddl.createTable(name, schema).trim)
     }
+    // session-declared indexes list as SQLite's would (type 'index',
+    // tbl_name = the indexed table, sql = the synthesized statement)
+    val indexRows = SessionKeys.allIndexes(spark).map {
+      case (name, table, cols, unique) =>
+        val verb = if (unique) "CREATE UNIQUE INDEX" else "CREATE INDEX"
+        Row("index", name, table, 0,
+          s"$verb $name ON $table (${cols.mkString(", ")})")
+    }
+    val rows = tableRows ++ indexRows
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       masterSchema).createOrReplaceTempView("sqlite_master")

@@ -139,6 +139,17 @@ object SessionKeys {
       .map(e => (e.getKey._2, e.getValue.cols, e.getValue.unique))
   }
 
+  /** Every index declared in the session, name-ordered: (name, table,
+    * columns, unique). Feeds the sqlite_master index rows. */
+  def allIndexes(spark: SparkSession)
+      : Seq[(String, String, Seq[String], Boolean)] = {
+    val s = sid(spark)
+    indexes.entrySet().asScala.filter(_.getKey._1 == s)
+      .toSeq.sortBy(_.getKey._2)
+      .map(e => (e.getKey._2, e.getValue.table, e.getValue.cols,
+        e.getValue.unique))
+  }
+
   /** Look up one index by name: (table, columns, unique). Feeds
     * `PRAGMA index_info`. */
   def indexByName(spark: SparkSession, name: String)

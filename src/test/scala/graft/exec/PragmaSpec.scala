@@ -134,6 +134,14 @@ class PragmaSpec extends SparkSpec {
     assert(ii == Seq((0, 2, "score")))
     // unknown index: empty result (SQLite's behavior), not an error
     assert(Runner.runSql(spark, "PRAGMA index_info(no_such_ix)").count() == 0)
+    // sqlite_master lists declared indexes (type 'index'), as SQLite's
+    // catalog does
+    val ix = Runner.runSql(spark,
+      """SELECT name, tbl_name, sql FROM sqlite_master
+         WHERE type = 'index' AND tbl_name = 'pragma_ix' ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(ix.map(_._1) == Seq("pragma_ix_p", "pragma_ix_u"))
+    assert(ix(1)._2 == "CREATE UNIQUE INDEX pragma_ix_u ON pragma_ix (score)")
     Runner.runSql(spark, "DROP INDEX pragma_ix_u")
     Runner.runSql(spark, "DROP INDEX pragma_ix_p")
     // a declared PRIMARY KEY surfaces in table_info's pk column,

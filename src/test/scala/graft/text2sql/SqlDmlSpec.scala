@@ -357,7 +357,17 @@ class SqlDmlSpec extends SparkSpec {
     for (stmt <- Seq(
       "INSERT OR REPLACE INTO dml_t",
       "REPLACE INTO dml_t",
-      "INSERT OR REPLACE INTO dml_t (id, name)")) {
+      "INSERT OR REPLACE INTO dml_t (id, name)",
+      // truncated/malformed ALTER forms: targeted, never an index error
+      "ALTER",
+      "ALTER TABLE",
+      "ALTER TABLE dml_t",
+      "ALTER TABLE dml_t ADD",
+      "ALTER TABLE dml_t ADD COLUMN",
+      "ALTER TABLE dml_t RENAME",
+      "ALTER TABLE dml_t RENAME COLUMN x",
+      "ALTER TABLE dml_t DROP COLUMN",
+      "ALTER VIEW v RENAME TO w")) {
       val e = intercept[UnsupportedOperationException] {
         Runner.runSql(spark, stmt)
       }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   * old binding) and after scratch caches unpersist (lineage recompute);
   * superseded generation files are never deleted within a session.
   *
-  * Keyed per SparkSession identity like [[SessionKeys]]; the deferred
-  * list is bounded (oldest counts fold once 64 statements back up).
+  * Keyed weakly per SparkSession like [[SessionKeys]] — a dead
+  * session's counters (and the plan closures its thunks hold) are
+  * garbage-collectable; the deferred list is bounded (oldest counts
+  * fold once 64 statements back up).
   */
 object SessionChanges {
 
@@ -30,11 +32,15 @@ object SessionChanges {
   }
 
   private val states =
-    new java.util.concurrent.ConcurrentHashMap[String, State]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, State]())
 
   private def state(spark: SparkSession): State =
-    states.computeIfAbsent(
-      System.identityHashCode(spark).toString, _ => new State)
+    states.synchronized {
+      var s = states.get(spark)
+      if (s == null) { s = new State; states.put(spark, s) }
+      s
+    }
 
   /** Record a DML statement's affected-row count (deferred). */
   def record(spark: SparkSession, thunk: () => Long): Unit = {

@@ -177,6 +177,23 @@ object QueriesDialect {
            hex(NULL) AS h_null
          FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
 
+    // FILTER (WHERE …) on WINDOW aggregates — standard SQL that
+    // SQLite executes and Spark's parser rejects (FILTER is
+    // group-by-only there); the translator rewrites it to a
+    // NULL-producing CASE inside the aggregate, which is exactly
+    // FILTER's semantics. Sums/avgs rounded per cross-engine policy.
+    "win_filter_clause" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           count(*) FILTER (WHERE c_acctbal > 0)
+             OVER (PARTITION BY c_mktsegment) AS n_pos,
+           round(sum(c_acctbal) FILTER (WHERE c_acctbal > 0)
+             OVER (PARTITION BY c_mktsegment), 4) AS pos_bal,
+           round(avg(c_acctbal) FILTER (WHERE c_acctbal < 0)
+             OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS neg_run
+         FROM customer ORDER BY c_custkey""",
+
     // SQLite's built-in RTRIM collation: compare with trailing spaces
     // ignored. The corpus has no padded columns, so padding is
     // constructed inline — each predicate only matches if the fold
@@ -774,6 +791,20 @@ object QueriesDialect {
          SELECT n_nationkey, n_name, n_regionkey FROM base
          WHERE n_name NOT IN (SELECT n_name FROM upd)
          ORDER BY n_nationkey""",
+
+    // DuckDB executes window FILTER natively — the oracle IS the
+    // untranslated form
+    "win_filter_clause" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           count(*) FILTER (WHERE c_acctbal > 0)
+             OVER (PARTITION BY c_mktsegment) AS n_pos,
+           round(sum(c_acctbal) FILTER (WHERE c_acctbal > 0)
+             OVER (PARTITION BY c_mktsegment), 4) AS pos_bal,
+           round(avg(c_acctbal) FILTER (WHERE c_acctbal < 0)
+             OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS neg_run
+         FROM customer ORDER BY c_custkey""",
 
     // hex/quote in closed form: DuckDB's hex() matches SQLite's only
     // for text (bytes), so the numeric column hexes its TEXT rendering

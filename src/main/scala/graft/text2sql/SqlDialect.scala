@@ -57,7 +57,8 @@ package graft.text2sql
 object SqlDialect {
 
   def translate(sql: String): String = {
-    var out = rewriteCalls(sql)
+    var out = rewriteWindowFilter(sql)
+    out = rewriteCalls(out)
     out = rewriteJsonArrow(out)
     out = rewriteGlob(out)
     out = rewriteLike(out)
@@ -66,6 +67,116 @@ object SqlDialect {
     out = rewriteLimitComma(out)
     out = rewriteNegativeLimit(out)
     out
+  }
+
+  /** `agg(args) FILTER (WHERE p) OVER …` → `agg(CASE WHEN p THEN …
+    * END) OVER …`. SQLite (and the SQL standard) allow FILTER on
+    * window aggregates; Spark supports FILTER only with GROUP BY
+    * aggregation, so the window form fails to parse. The rewrite is
+    * exact: `count(*)` counts predicate-true rows via CASE→1, any
+    * single-argument aggregate skips predicate-false rows via a
+    * NULL-producing CASE (aggregates ignore NULL — exactly FILTER's
+    * semantics), DISTINCT rides along. Multi-argument aggregates stay
+    * verbatim → a visible parse error naming FILTER. Group-by FILTER
+    * (no OVER) is native Spark and passes through untouched. Runs
+    * FIRST so later passes see the rewritten aggregate. */
+  private def rewriteWindowFilter(sql: String): String = {
+    // close-paren position -> its matching open, quote-aware
+    def parenMap(s: String): Map[Int, Int] = {
+      val m = Map.newBuilder[Int, Int]
+      var stack = List.empty[Int]
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case q @ ('\'' | '"' | '`') => i = endOfQuoted(s, i, q) - 1
+          case '(' => stack ::= i
+          case ')' => if (stack.nonEmpty) { m += (i -> stack.head); stack = stack.tail }
+          case _ =>
+        }
+        i += 1
+      }
+      m.result()
+    }
+    def skipW(s: String, at: Int): Int = {
+      var i = at
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      i
+    }
+    def hasTopComma(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case q @ ('\'' | '"' | '`') => i = endOfQuoted(s, i, q) - 1
+          case '(' => val e = closeParen(s, i); i = if (e < 0) s.length else e
+          case ',' => return true
+          case _ =>
+        }
+        i += 1
+      }
+      false
+    }
+    def onePass(s: String): Option[String] = {
+      val pm = parenMap(s)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(s, i, c)
+        else if (keywordAt(s, i, "filter")) {
+          var p = i - 1
+          while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+          val closeIdx = p
+          val j = skipW(s, i + 6)
+          if (closeIdx >= 0 && s.charAt(closeIdx) == ')' &&
+              j < s.length && s.charAt(j) == '(') {
+            val fClose = closeParen(s, j)
+            val innerT = if (fClose > 0) s.substring(j + 1, fClose).trim else ""
+            val afterF = if (fClose > 0) skipW(s, fClose + 1) else s.length
+            if (fClose > 0 && keywordAt(innerT, 0, "where") &&
+                keywordAt(s, afterF, "over")) {
+              val pred = innerT.substring(5).trim
+              val openIdx = pm.getOrElse(closeIdx, -1)
+              if (openIdx > 0 && pred.nonEmpty) {
+                var ns = openIdx
+                while (ns > 0 && s.charAt(ns - 1).isWhitespace) ns -= 1
+                var n0 = ns
+                while (n0 > 0 && isWordChar(s.charAt(n0 - 1))) n0 -= 1
+                val name = s.substring(n0, ns)
+                var args = s.substring(openIdx + 1, closeIdx).trim
+                if (name.nonEmpty) {
+                  var distinct = ""
+                  if (keywordAt(args, 0, "distinct")) {
+                    distinct = "DISTINCT "
+                    args = args.substring(8).trim
+                  }
+                  val call =
+                    if (name.equalsIgnoreCase("count") && args == "*" &&
+                        distinct.isEmpty)
+                      Some(s"count(CASE WHEN ($pred) THEN 1 END)")
+                    else if (args.nonEmpty && !hasTopComma(args))
+                      Some(s"$name(${distinct}CASE WHEN ($pred) THEN $args END)")
+                    else None
+                  call match {
+                    case Some(cl) =>
+                      return Some(s.substring(0, n0) + cl + " " +
+                        s.substring(afterF))
+                    case None => // multi-arg: leave verbatim, keep scanning
+                  }
+                }
+              }
+            }
+          }
+          i += 6
+        } else i += 1
+      }
+      None
+    }
+    var cur = sql
+    var more = true
+    while (more) onePass(cur) match {
+      case Some(n) => cur = n
+      case None => more = false
+    }
+    cur
   }
 
   /** SQLite `LIMIT -N` means NO limit (documented: a negative LIMIT

@@ -135,6 +135,37 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getString(7) == "0AFF")
   }
 
+  test("FILTER (WHERE) on window aggregates rewrites to a CASE argument") {
+    val t = SqlDialect.translate(
+      "SELECT sum(x) FILTER (WHERE x > 0) OVER (PARTITION BY g) FROM t")
+    assert(!t.toLowerCase.contains("filter"), t)
+    assert(t.contains("sum(CASE WHEN (x > 0) THEN x END) OVER"), t)
+    assert(SqlDialect.translate(t) == t) // fixpoint
+    val c = SqlDialect.translate(
+      "SELECT count(*) FILTER (WHERE ok) OVER () FROM t")
+    assert(c.contains("count(CASE WHEN (ok) THEN 1 END) OVER"), c)
+    // group-by FILTER (no OVER) is native Spark: untouched
+    val g = "SELECT sum(x) FILTER (WHERE x > 0) FROM t"
+    assert(SqlDialect.translate(g) == g)
+    // multi-argument aggregates stay verbatim → visible parse error
+    val m = "SELECT corr(x, y) FILTER (WHERE ok) OVER () FROM t"
+    assert(SqlDialect.translate(m) == m)
+    // FILTER-shaped text inside literals is opaque
+    val lit = "SELECT 'a FILTER (WHERE x) OVER b' AS s FROM t"
+    assert(SqlDialect.translate(lit) == lit)
+    // executes end-to-end with FILTER's skip-the-row semantics
+    import spark.implicits._
+    Seq((1L, 10.0), (1L, -5.0), (2L, 3.0)).toDF("g", "x")
+      .createOrReplaceTempView("wf_t")
+    val rows = graft.exec.Runner.runSql(spark, SqlDialect.translate(
+      """SELECT g, x,
+           sum(x) FILTER (WHERE x > 0) OVER (PARTITION BY g) AS pos,
+           count(*) FILTER (WHERE x < 0) OVER (PARTITION BY g) AS n_neg
+         FROM wf_t ORDER BY g, x"""))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 10.0, 1L), (1L, 10.0, 1L), (2L, 3.0, 0L)))
+  }
+
   test("zeroblob/randomblob/sqlite_version execute with SQLite semantics") {
     val q = SqlDialect.translate(
       """SELECT hex(zeroblob(4)) AS z, hex(zeroblob(-3)) AS zneg,

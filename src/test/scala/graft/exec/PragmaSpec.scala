@@ -152,6 +152,12 @@ class PragmaSpec extends SparkSpec {
     val ti = Runner.runSql(spark, "PRAGMA table_info(pragma_ct)")
       .collect().map(r => (r.getString(1), r.getInt(5))).toSeq
     assert(ti == Seq(("a", 0), ("b", 2), ("c", 1)))
+    // the synthesized sqlite_master DDL carries the declared PK (and
+    // any DEFAULTs) for session-created tables
+    val ddl = Runner.runSql(spark,
+      "SELECT sql FROM sqlite_master WHERE name = 'pragma_ct'")
+      .collect().head.getString(0)
+    assert(ddl.contains("PRIMARY KEY (c, b)"), ddl)
     Runner.runSql(spark, "DROP TABLE pragma_ct")
   }
 }

@@ -1171,7 +1171,9 @@ object SqlDialect {
     * is unknown — so for a LITERAL format string the conversions are
     * scanned and each consuming argument gets the cast SQLite would
     * apply (%d/%i/%x/%o → BIGINT, %e/%f/%g → DOUBLE), `%i` renders as
-    * `%d` and `!` is dropped. SQLite-only conversions (%q/%Q/%w/%u/%c)
+    * `%d` and `!` is dropped, and the SQL-escaping conversions
+    * %q/%Q/%w render as %s over a transformed argument. The remaining
+    * SQLite-only conversions (%u/%c)
     * and `*` widths decline the whole call → visible error. A
     * non-literal format string passes through to format_string as-is
     * (no directive knowledge — the pre-existing behavior). */
@@ -1209,6 +1211,12 @@ object SqlDialect {
           case k @ ('x' | 'X' | 'o')       => kinds += 'd'; spec.append(k)
           case k @ ('e' | 'E' | 'f' | 'g' | 'G') => kinds += 'f'; spec.append(k)
           case 's'                         => kinds += 's'; spec.append('s')
+          // SQLite's SQL-escaping conversions render as %s over a
+          // transformed argument: %q doubles single quotes (NULL →
+          // empty, where Java's Formatter would print "null"), %Q is
+          // the quote() rendering incl. the bare NULL keyword, %w
+          // doubles double quotes for identifiers
+          case k @ ('q' | 'Q' | 'w')       => kinds += k; spec.append('s')
           case _                           => return None
         }
         fixed.append(spec); i = j + 1
@@ -1218,6 +1226,11 @@ object SqlDialect {
     val casted = kinds.toSeq.zip(args.tail).map {
       case ('d', a) => s"CAST($a AS BIGINT)"
       case ('f', a) => s"CAST($a AS DOUBLE)"
+      case ('q', a) =>
+        s"coalesce(replace(CAST($a AS STRING), '''', ''''''), '')"
+      case ('Q', a) => s"sqlite_quote(CAST($a AS STRING))"
+      case ('w', a) =>
+        s"""coalesce(replace(CAST($a AS STRING), '"', '""'), '')"""
       case (_, a)   => a
     }
     val lit = "'" + fixed.toString.replace("'", "''") + "'"

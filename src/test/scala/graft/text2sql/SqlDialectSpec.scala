@@ -720,8 +720,19 @@ class SqlDialectSpec extends SparkSpec {
     assert(one("printf('[%5i]', 7)") == "[    7]")
     assert(one("printf('%x|%o', 255, 8)") == "ff|10")
     assert(one("printf('%,d', 1234567)") == "1,234,567")
-    // SQLite-only conversions decline the whole call (left verbatim)
-    val q = "SELECT printf('%q', x) FROM t"
+    // SQL-escaping conversions render as %s over a transformed arg
+    // (through runSql so sqlite_quote resolves)
+    def r(expr: String): Any =
+      graft.exec.Runner.runSql(spark,
+        SqlDialect.translate("SELECT " + expr)).head().get(0)
+    assert(r("printf('%q', 'it''s')") == "it''s")
+    assert(r("printf('set x = ''%q''', 'a')") == "set x = 'a'")
+    assert(r("printf('%Q', 'it''s')") == "'it''s'")
+    assert(r("printf('%Q', NULL)") == "NULL")
+    assert(r("printf('%q', NULL)") == "") // Java Formatter would say "null"
+    assert(r("""printf('%w', 'a"b')""") == "a\"\"b")
+    // the remaining SQLite-only conversions decline (left verbatim)
+    val q = "SELECT printf('%c', x) FROM t"
     assert(SqlDialect.translate(q) == q)
     // arg-count mismatch declines rather than guessing
     val m = "SELECT printf('%d%d', x) FROM t"

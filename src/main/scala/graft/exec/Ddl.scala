@@ -22,7 +22,9 @@ import graft.text2sql.SqlDml
   */
 object Ddl {
 
-  private def quote(name: String): String =
+  /** Backtick-quote an identifier — THE quoting helper for the exec
+    * package (hash-named tables may start with a digit). */
+  private[exec] def quote(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
   private def exists(spark: SparkSession, name: String): Boolean =
@@ -128,6 +130,14 @@ object Ddl {
       schema).createOrReplaceTempView(stmt.name)
     SessionKeys.forgetTable(spark, stmt.name)
     if (stmt.pkCols.nonEmpty) SessionKeys.declarePk(spark, stmt.name, stmt.pkCols)
+    // a UNIQUE table constraint becomes SQLite's automatic unique
+    // index (sqlite_autoindex_<t>_1, origin 'u') — NOT a PK, so
+    // PRAGMA table_info keeps pk=0 for it while OR REPLACE / bare ON
+    // CONFLICT still resolve against it through keyFor's unique-index
+    // fallback, both exactly SQLite's behavior
+    if (stmt.uniqueCols.nonEmpty)
+      SessionKeys.registerIndex(spark, s"sqlite_autoindex_${stmt.name}_1",
+        stmt.name, stmt.uniqueCols, unique = true, origin = "u")
     SessionKeys.declareDefaults(spark, stmt.name,
       stmt.defaults.map { case (c, raw) => c -> (raw, defaultExecSql(raw)) })
     spark.emptyDataFrame
@@ -274,7 +284,7 @@ object Ddl {
           s"${stmt.col} (SQLite semantics)")
     SessionKeys.indexesFor(spark, stmt.table)
       .find(_._2.exists(_.equalsIgnoreCase(stmt.col)))
-      .foreach { case (ix, _, _) =>
+      .foreach { case (ix, _, _, _) =>
         throw new IllegalArgumentException(
           s"ALTER TABLE ${stmt.table}: cannot drop column ${stmt.col}: " +
             s"indexed by $ix (SQLite semantics); DROP INDEX it first")

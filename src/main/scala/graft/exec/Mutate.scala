@@ -34,7 +34,7 @@ import graft.text2sql.SqlDml
   */
 object Mutate {
 
-  private def q(name: String) = "`" + name.replace("`", "``") + "`"
+  private def q(name: String) = Ddl.quote(name)
 
   private def resolve(spark: SparkSession, table: String,
                       verb: String): DataFrame =
@@ -247,12 +247,17 @@ object Mutate {
     // stay resolvable.
     val rvw = s"graft_dml_lim_g${Upsert.nextGeneration()}"
     top.createOrReplaceTempView(rvw)
-    val ranked = spark.sql(
-      s"""SELECT __rid FROM (
-         |  SELECT __rid, row_number() OVER (ORDER BY $obys) AS __rn
-         |  FROM `$rvw`
-         |) WHERE __rn > $m ${if (nEff >= 0) s"AND __rn <= ${m + nEff}" else ""}"""
-        .stripMargin)
+    // the view exists only to give the window SQL a name — the ranked
+    // plan is analyzed (inlined) eagerly, so drop it before returning
+    // rather than leaking a catalog entry per DML statement
+    val ranked =
+      try spark.sql(
+        s"""SELECT __rid FROM (
+           |  SELECT __rid, row_number() OVER (ORDER BY $obys) AS __rn
+           |  FROM `$rvw`
+           |) WHERE __rn > $m ${if (nEff >= 0) s"AND __rn <= ${m + nEff}" else ""}"""
+          .stripMargin)
+      finally spark.catalog.dropTempView(rvw)
     Some(ranked)
   }
 
@@ -288,7 +293,8 @@ object Mutate {
             baseR.join(vk, Seq(rid), "left_semi")
               .select(base.columns.map(col): _*)
               .createOrReplaceTempView(rv)
-            spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
+            try spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
+            finally spark.catalog.dropTempView(rv)
           }
           rebind(spark, d.table, merged, ret)
       }
@@ -338,15 +344,20 @@ object Mutate {
               case None => q(f.name)
             }
           }
-          val updated = spark.sql(
-            s"${u.withPrefix} SELECT ${proj.mkString(", ")} FROM `$vv`".trim)
+          // the scratch views only name plans for SQL text — analysis
+          // inlines them, so they drop immediately (no catalog leak)
+          val updated =
+            try spark.sql(
+              s"${u.withPrefix} SELECT ${proj.mkString(", ")} FROM `$vv`".trim)
+            finally spark.catalog.dropTempView(vv)
           val untouched = baseR.join(vk, Seq(rid), "left_anti")
             .select(base.columns.map(col): _*)
           val merged = untouched.unionByName(updated)
           val ret = u.returning.map { r =>
             val rv = s"graft_updl_ret_g${Upsert.nextGeneration()}"
             updated.createOrReplaceTempView(rv)
-            spark.sql(s"${u.withPrefix} SELECT $r FROM `$rv`".trim)
+            try spark.sql(s"${u.withPrefix} SELECT $r FROM `$rv`".trim)
+            finally spark.catalog.dropTempView(rv)
           }
           rebind(spark, u.table, merged, ret)
       }

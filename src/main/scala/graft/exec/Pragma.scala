@@ -46,7 +46,8 @@ object Pragma {
     StructField("name", StringType, nullable = false),
     StructField("tbl_name", StringType, nullable = false),
     StructField("rootpage", IntegerType, nullable = false),
-    StructField("sql", StringType, nullable = false)))
+    // NULL for UNIQUE-constraint autoindexes, exactly SQLite's rows
+    StructField("sql", StringType, nullable = true)))
 
   /** `PRAGMA table_info(T)` rows for one table. Types use the same
     * rendering as the snapshot DDL (ingest/Ddl.sqlType); `notnull`
@@ -86,13 +87,15 @@ object Pragma {
     StructField("name", StringType, nullable = false)))
 
   /** `PRAGMA index_list(T)`: the session-declared indexes
-    * ([[SessionKeys]] — `CREATE [UNIQUE] INDEX`), SQLite's shape:
-    * origin 'c' (created), partial 0 (partial UNIQUE declines at
-    * parse; plain partials register without their predicate). */
+    * ([[SessionKeys]] — `CREATE [UNIQUE] INDEX` plus UNIQUE-constraint
+    * autoindexes), SQLite's shape: origin 'c' (created) / 'u' (unique
+    * constraint), partial 0 (partial UNIQUE declines at parse; plain
+    * partials register without their predicate). */
   private def indexList(spark: SparkSession, table: String): DataFrame = {
-    spark.table("`" + table.replace("`", "``") + "`") // targeted missing-table error
+    spark.table(Ddl.quote(table)) // targeted missing-table error
     val rows = SessionKeys.indexesFor(spark, table).zipWithIndex.map {
-      case ((name, _, unique), i) => Row(i, name, if (unique) 1 else 0, "c", 0)
+      case ((name, _, unique, origin), i) =>
+        Row(i, name, if (unique) 1 else 0, origin, 0)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
@@ -105,7 +108,7 @@ object Pragma {
     val rows = SessionKeys.indexByName(spark, index) match {
       case None => Array.empty[Row] // SQLite: empty result, not an error
       case Some((table, cols, _)) =>
-        val colIdx = spark.table("`" + table.replace("`", "``") + "`")
+        val colIdx = spark.table(Ddl.quote(table))
           .schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
         cols.zipWithIndex.map { case (c, i) =>
           Row(i, colIdx.getOrElse(c.toLowerCase, -1), c)
@@ -157,12 +160,15 @@ object Pragma {
       Row("table", name, name, 0, sql)
     }
     // session-declared indexes list as SQLite's would (type 'index',
-    // tbl_name = the indexed table, sql = the synthesized statement)
+    // tbl_name = the indexed table, sql = the synthesized statement —
+    // NULL for UNIQUE-constraint autoindexes, exactly SQLite's rows)
     val indexRows = SessionKeys.allIndexes(spark).map {
-      case (name, table, cols, unique) =>
+      case (name, table, cols, unique, origin) =>
         val verb = if (unique) "CREATE UNIQUE INDEX" else "CREATE INDEX"
-        Row("index", name, table, 0,
-          s"$verb $name ON $table (${cols.mkString(", ")})")
+        val sql =
+          if (origin != "c") null
+          else s"$verb $name ON $table (${cols.mkString(", ")})"
+        Row("index", name, table, 0, sql)
     }
     val rows = tableRows ++ indexRows
     spark.createDataFrame(

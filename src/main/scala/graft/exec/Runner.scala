@@ -18,7 +18,9 @@ import graft.text2sql.{SqlDml, Text2Sql}
   */
 object Runner {
   private val noopRe =
-    ("""(?s)(begin|commit|end|rollback(\s+to\s+\w+)?|savepoint\s+\w+|""" +
+    ("""(?s)(begin|commit|end|""" +
+      """rollback(\s+transaction)?(\s+to(\s+savepoint)?\s+\w+)?|""" +
+      """savepoint\s+\w+|""" +
       """release(\s+savepoint)?\s+\w+|vacuum|analyze(\s+[\w.`"']+)?|""" +
       """reindex(\s+[\w.`"']+)?)(\s+(deferred|immediate|exclusive|transaction))*""").r
 

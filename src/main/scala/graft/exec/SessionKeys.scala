@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionKeys {
 
+  // origin: 'c' = CREATE INDEX, 'u' = a UNIQUE table constraint's
+  // automatic index, SQLite's own PRAGMA index_list codes
   private final case class IndexInfo(table: String, cols: Seq[String],
-                                     unique: Boolean)
+                                     unique: Boolean, origin: String)
 
   private final class State {
     // lowercased table -> declared PRIMARY KEY
@@ -60,12 +62,16 @@ object SessionKeys {
   /** Register an index. Returns false when the name is taken (SQLite
     * errors unless IF NOT EXISTS). */
   def registerIndex(spark: SparkSession, name: String, table: String,
-                    cols: Seq[String], unique: Boolean): Boolean = {
+                    cols: Seq[String], unique: Boolean,
+                    origin: String = "c"): Boolean = {
     val s = state(spark)
     s.synchronized {
       val n = name.toLowerCase
       if (s.indexes.contains(n)) false
-      else { s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique); true }
+      else {
+        s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin)
+        true
+      }
     }
   }
 
@@ -162,25 +168,25 @@ object SessionKeys {
   }
 
   /** All indexes declared on a table, name-ordered: (name, columns,
-    * unique). Feeds `PRAGMA index_list`. */
+    * unique, origin). Feeds `PRAGMA index_list`. */
   def indexesFor(spark: SparkSession, table: String)
-      : Seq[(String, Seq[String], Boolean)] = {
+      : Seq[(String, Seq[String], Boolean, String)] = {
     val s = state(spark)
     val t = table.toLowerCase
     s.synchronized {
       s.indexes.toSeq.filter(_._2.table == t).sortBy(_._1)
-        .map { case (n, i) => (n, i.cols, i.unique) }
+        .map { case (n, i) => (n, i.cols, i.unique, i.origin) }
     }
   }
 
   /** Every index declared in the session, name-ordered: (name, table,
-    * columns, unique). Feeds the sqlite_master index rows. */
+    * columns, unique, origin). Feeds the sqlite_master index rows. */
   def allIndexes(spark: SparkSession)
-      : Seq[(String, String, Seq[String], Boolean)] = {
+      : Seq[(String, String, Seq[String], Boolean, String)] = {
     val s = state(spark)
     s.synchronized {
       s.indexes.toSeq.sortBy(_._1)
-        .map { case (n, i) => (n, i.table, i.cols, i.unique) }
+        .map { case (n, i) => (n, i.table, i.cols, i.unique, i.origin) }
     }
   }
 

@@ -56,7 +56,7 @@ object Upsert {
     // backtick-quote: ingested tables are hash-named (md5 hex) and may
     // start with a digit, which spark.table() would fail to PARSE —
     // a confusing error instead of "not registered"
-    val quotedName = "`" + stmt.table.replace("`", "``") + "`"
+    val quotedName = Ddl.quote(stmt.table)
     val base =
       try spark.table(quotedName)
       catch {

@@ -1223,9 +1223,12 @@ object SqlDialect {
       }
     }
     if (kinds.length != args.length - 1) return None
+    // NULL arguments take SQLite's printf substitutions (0, 0.0, the
+    // empty string) — Java's Formatter would print the string "null"
     val casted = kinds.toSeq.zip(args.tail).map {
-      case ('d', a) => s"CAST($a AS BIGINT)"
-      case ('f', a) => s"CAST($a AS DOUBLE)"
+      case ('d', a) => s"coalesce(CAST($a AS BIGINT), 0)"
+      case ('f', a) => s"coalesce(CAST($a AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      case ('s', a) => s"coalesce(CAST($a AS STRING), '')"
       case ('q', a) =>
         s"coalesce(replace(CAST($a AS STRING), '''', ''''''), '')"
       case ('Q', a) => s"sqlite_quote(CAST($a AS STRING))"

@@ -124,16 +124,21 @@ object SqlDml {
     * §3.1) to a lake type. `pkCols` is the declared PRIMARY KEY (column
     * suffix or table-level constraint) — the key later `INSERT OR
     * REPLACE`/`ON CONFLICT` statements resolve against, exactly as
-    * SQLite would. `defaults` carries each column's DEFAULT expression
-    * verbatim — registered so later partial-column INSERTs fill it (and
-    * `PRAGMA table_info` reports it), exactly as SQLite does. Other
+    * SQLite would. `uniqueCols` is the first declared UNIQUE
+    * constraint — registered as SQLite's automatic
+    * `sqlite_autoindex_<t>_1` unique index, NOT as a PK (so `PRAGMA
+    * table_info` keeps pk=0 for it, exactly SQLite's report).
+    * `defaults` carries each column's DEFAULT expression verbatim —
+    * registered so later partial-column INSERTs fill it (and `PRAGMA
+    * table_info` reports it), exactly as SQLite does. Other
     * constraints (NOT NULL, CHECK, REFERENCES, COLLATE) are
     * storage/validation directives with no lake counterpart and are
     * skipped; generated columns decline. */
   final case class CreateTable(name: String, ifNotExists: Boolean,
                                cols: Seq[(String, String)],
                                pkCols: Seq[String],
-                               defaults: Seq[(String, String)] = Nil)
+                               defaults: Seq[(String, String)] = Nil,
+                               uniqueCols: Seq[String] = Nil)
       extends Stmt
 
   /** `CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON table (cols)` —
@@ -165,10 +170,10 @@ object SqlDml {
     * own ADD COLUMN restrictions apply at parse (no PRIMARY KEY /
     * UNIQUE / parenthesized or CURRENT_* default — lang_altertable.html
     * §3); `default` is the literal existing rows report (SQLite
-    * synthesizes it on read; the rewrite bakes it in), `notNull` only
-    * gates SQLite's "NOT NULL needs a non-NULL default" rule. Like
-    * column-def CREATE TABLE, the default is NOT registered for future
-    * inserts (documented: unlisted insert columns become NULL). */
+    * synthesizes it on read; the rewrite bakes it in) AND the executor
+    * registers it so later partial-column INSERTs fill it, SQLite's
+    * rule ([[graft.exec.SessionKeys]]); `notNull` only gates SQLite's
+    * "NOT NULL needs a non-NULL default" rule. */
   final case class AlterAddColumn(table: String, col: String,
                                   declType: String,
                                   default: Option[String],
@@ -178,13 +183,40 @@ object SqlDml {
     * restrictions (no PK / indexed / last-remaining column). */
   final case class AlterDropColumn(table: String, col: String) extends Stmt
 
+  /** Strip `--` and `slash-star` comments (quote-aware, replaced by one
+    * space so token boundaries survive). The clause scanners stop on
+    * bare keywords — a `-- limit cleanup` trailer would otherwise be
+    * read as a LIMIT clause; Spark itself handles comments in plain
+    * queries, but the DML path re-assembles statement fragments, so
+    * comments are removed before classification. */
+  private def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(sql, i, c)
+        out.append(sql.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        out.append(' ')
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        i = if (e < 0) sql.length else e + 2
+        out.append(' ')
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Classify a statement. None = not DML (run it as a query). */
   def detect(rawSql: String): Option[Stmt] = {
     // strip trailing statement terminators: models habitually emit
     // "…;" and a semicolon riding into a re-wrapped source (e.g.
     // `SELECT * FROM (VALUES (1);)`) is a parse error. Quote-safe: a
     // literal can't END the statement with a bare ';' outside quotes.
-    val sql = rawSql.replaceAll("[;\\s]+$", "")
+    // Comments strip first — the clause scanners are keyword-driven.
+    val sql = stripComments(rawSql).replaceAll("[;\\s]+$", "")
     var i = skipWs(sql, 0)
     var withPrefix = ""
     if (keywordAt(sql, i, "with")) {
@@ -542,15 +574,15 @@ object SqlDml {
         // grammar) — STRICT/WITHOUT ROWID are storage directives with
         // no lake counterpart but also no observable semantics here
         return parseColumnDefs(sql.substring(j + 1, close)) match {
-          case Right((cols, pk, ds))
+          case Right((cols, pk, uq, ds))
               if keywordAt(sql, skipWs(sql, close + 1), "without") ||
                  keywordAt(sql, skipWs(sql, close + 1), "strict") =>
-            Some(CreateTable(name, ifNotExists, cols, pk, ds))
+            Some(CreateTable(name, ifNotExists, cols, pk, ds, uq))
           case _ => Some(Unsupported("CREATE TABLE"))
         }
       return parseColumnDefs(sql.substring(j + 1, close)) match {
-        case Right((cols, pk, ds)) =>
-          Some(CreateTable(name, ifNotExists, cols, pk, ds))
+        case Right((cols, pk, uq, ds)) =>
+          Some(CreateTable(name, ifNotExists, cols, pk, ds, uq))
         case Left(u) => Some(u)
       }
     }
@@ -626,23 +658,8 @@ object SqlDml {
     val verb = "ALTER TABLE ADD COLUMN"
     val bad = Some(Unsupported(verb))
     val (name, afterName) = parseIdent(item, 0).getOrElse(return bad)
-    var j = skipWs(item, afterName)
-    val typeStart = j
-    var typeEnd = j
-    var scanning = true
-    while (scanning && j < item.length) {
-      val c = item.charAt(j)
-      if (c == '(') {
-        val close = closeParen(item, j)
-        if (close < 0) return bad
-        j = skipWs(item, close + 1); typeEnd = close + 1
-      } else if (isWordChar(c)) {
-        var e = j
-        while (e < item.length && isWordChar(item.charAt(e))) e += 1
-        if (colConstraintKw(item.substring(j, e).toLowerCase)) scanning = false
-        else { typeEnd = e; j = skipWs(item, e) }
-      } else scanning = false
-    }
+    val typeStart = skipWs(item, afterName)
+    val (typeEnd, _) = scanTypeTokens(item, typeStart).getOrElse(return bad)
     val declType = item.substring(typeStart, typeEnd min item.length).trim
     val frag = item.substring(typeEnd min item.length)
     if (findTopKeyword(frag, 0, "primary") >= 0)
@@ -692,16 +709,41 @@ object SqlDml {
   private val colConstraintKw = Set("primary", "not", "null", "unique",
     "default", "check", "references", "collate", "generated", "as")
 
+  /** Scan a column's declared-type tokens from `start` (just past the
+    * column name), stopping at a constraint keyword. Shared by CREATE
+    * TABLE column defs and ALTER ADD COLUMN. Returns (typeEnd
+    * exclusive, scan position); None on an unbalanced paren. */
+  private def scanTypeTokens(item: String, start: Int): Option[(Int, Int)] = {
+    var j = start
+    var typeEnd = start
+    var scanning = true
+    while (scanning && j < item.length) {
+      val c = item.charAt(j)
+      if (c == '(') {
+        val close = closeParen(item, j)
+        if (close < 0) return None
+        j = skipWs(item, close + 1); typeEnd = close + 1
+      } else if (isWordChar(c)) {
+        var e = j
+        while (e < item.length && isWordChar(item.charAt(e))) e += 1
+        if (colConstraintKw(item.substring(j, e).toLowerCase)) scanning = false
+        else { typeEnd = e; j = skipWs(item, e) }
+      } else scanning = false
+    }
+    Some((typeEnd, j))
+  }
+
   /** Parse the inside of a column-def list: `col [type] [constraints],
     * …, [table constraints]`. Right = (columns as (name, declared type
     * text), PRIMARY KEY columns — falling back to the first UNIQUE
-    * constraint, the next thing SQLite would resolve OR REPLACE
-    * against, per-column DEFAULT expressions verbatim). Left = a
-    * targeted decline (generated columns have real read semantics the
-    * lake schema can't carry silently). */
+    * constraint returned SEPARATELY — SQLite registers it as an
+    * automatic unique index, not a PK, per-column DEFAULT expressions
+    * verbatim). Left = a targeted decline (generated columns have
+    * real read semantics the lake schema can't carry silently). */
   private def parseColumnDefs(inner: String)
       : Either[Unsupported,
-               (Seq[(String, String)], Seq[String], Seq[(String, String)])] = {
+               (Seq[(String, String)], Seq[String], Seq[String],
+                Seq[(String, String)])] = {
     val cols = Seq.newBuilder[(String, String)]
     val defaults = Seq.newBuilder[(String, String)]
     var pk = Seq.empty[String]
@@ -744,23 +786,9 @@ object SqlDml {
         // a column definition: name [type tokens] [constraint tail]
         val (name, afterName) = parseIdent(item, 0)
           .getOrElse(return Left(Unsupported("CREATE TABLE")))
-        var j = skipWs(item, afterName)
-        val typeStart = j
-        var typeEnd = j
-        var scanning = true
-        while (scanning && j < item.length) {
-          val c = item.charAt(j)
-          if (c == '(') {
-            val close = closeParen(item, j)
-            if (close < 0) return Left(Unsupported("CREATE TABLE"))
-            j = skipWs(item, close + 1); typeEnd = close + 1
-          } else if (isWordChar(c)) {
-            var e = j
-            while (e < item.length && isWordChar(item.charAt(e))) e += 1
-            if (colConstraintKw(item.substring(j, e).toLowerCase)) scanning = false
-            else { typeEnd = e; j = skipWs(item, e) }
-          } else scanning = false
-        }
+        val typeStart = skipWs(item, afterName)
+        val (typeEnd, _) = scanTypeTokens(item, typeStart)
+          .getOrElse(return Left(Unsupported("CREATE TABLE")))
         val declType = item.substring(typeStart, typeEnd min item.length).trim
         val frag = item.substring(typeEnd min item.length)
         if (findTopKeyword(frag, 0, "generated") >= 0 ||
@@ -805,10 +833,9 @@ object SqlDml {
     val allCols = cols.result()
     if (allCols.isEmpty) return Left(Unsupported("CREATE TABLE"))
     val known = allCols.map(_._1.toLowerCase).toSet
-    val key = if (pk.nonEmpty) pk else uniqueFallback
-    if (key.exists(k => !known(k.toLowerCase)))
+    if ((pk ++ uniqueFallback).exists(k => !known(k.toLowerCase)))
       return Left(Unsupported("CREATE TABLE"))
-    Right((allCols, key, defaults.result()))
+    Right((allCols, pk, uniqueFallback, defaults.result()))
   }
 
   /** Split on top-level commas (outside quotes and parens). */

@@ -159,5 +159,25 @@ class PragmaSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(ddl.contains("PRIMARY KEY (c, b)"), ddl)
     Runner.runSql(spark, "DROP TABLE pragma_ct")
+    // a UNIQUE table constraint is NOT a PK: table_info reports pk=0,
+    // the constraint surfaces as SQLite's automatic unique index
+    // (origin 'u', sql NULL in sqlite_master), and the upsert key
+    // still resolves against it
+    Runner.runSql(spark, "DROP TABLE IF EXISTS pragma_uq")
+    Runner.runSql(spark,
+      "CREATE TABLE pragma_uq (a INTEGER, b TEXT, UNIQUE (b))")
+    val uq = Runner.runSql(spark, "PRAGMA table_info(pragma_uq)")
+      .collect().map(r => (r.getString(1), r.getInt(5))).toSeq
+    assert(uq == Seq(("a", 0), ("b", 0)))
+    val uil = Runner.runSql(spark, "PRAGMA index_list(pragma_uq)")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(uil == Seq(("sqlite_autoindex_pragma_uq_1", 1, "u")))
+    val usql = Runner.runSql(spark,
+      "SELECT sql FROM sqlite_master WHERE name = 'sqlite_autoindex_pragma_uq_1'")
+      .collect().head
+    assert(usql.isNullAt(0))
+    assert(graft.exec.SessionKeys.keyFor(spark, "pragma_uq")
+      == Some(Seq("b")))
+    Runner.runSql(spark, "DROP TABLE pragma_uq")
   }
 }

@@ -468,7 +468,8 @@ class SqlDmlSpec extends SparkSpec {
     detect("""CREATE TABLE t ("a col" VARCHAR(30), b DOUBLE PRECISION,
               c, PRIMARY KEY (b, c), FOREIGN KEY (c) REFERENCES u(x))""") match {
       case Some(CreateTable("t", false,
-          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"), Nil)) =>
+          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"), Nil,
+          Nil)) =>
         assert(dt1 == "VARCHAR(30)" && dt2 == "DOUBLE PRECISION")
       case other => fail(s"expected CreateTable, got $other")
     }
@@ -476,13 +477,13 @@ class SqlDmlSpec extends SparkSpec {
     // PK is declared; CHECK contents never leak keywords
     detect("""CREATE TABLE t (a INT, b TEXT CHECK (b <> 'primary key'),
               UNIQUE (a)) STRICT""") match {
-      case Some(CreateTable("t", false, cols, Seq("a"), Nil)) =>
+      case Some(CreateTable("t", false, cols, Nil, Nil, Seq("a"))) =>
         assert(cols.map(_._1) == Seq("a", "b"))
       case other => fail(s"expected CreateTable with UNIQUE fallback, got $other")
     }
     // column-level PRIMARY KEY with riders
     detect("CREATE TEMP TABLE IF NOT EXISTS t (id INTEGER PRIMARY KEY AUTOINCREMENT, v REAL)") match {
-      case Some(CreateTable("t", true, cols, Seq("id"), Nil)) =>
+      case Some(CreateTable("t", true, cols, Seq("id"), Nil, Nil)) =>
         assert(cols.map(_._1) == Seq("id", "v"))
       case other => fail(s"expected CreateTable, got $other")
     }
@@ -491,7 +492,7 @@ class SqlDmlSpec extends SparkSpec {
     detect("""CREATE TABLE t (a TEXT DEFAULT 'n/a', b INT DEFAULT -1,
               c TEXT DEFAULT CURRENT_TIMESTAMP NOT NULL,
               d REAL DEFAULT (1.5 * 2))""") match {
-      case Some(CreateTable("t", false, cols, Nil, ds)) =>
+      case Some(CreateTable("t", false, cols, Nil, ds, Nil)) =>
         assert(cols.map(_._1) == Seq("a", "b", "c", "d"))
         assert(ds == Seq("a" -> "'n/a'", "b" -> "-1",
           "c" -> "CURRENT_TIMESTAMP", "d" -> "(1.5 * 2)"))
@@ -668,6 +669,23 @@ class SqlDmlSpec extends SparkSpec {
       Runner.runSql(spark, "INSERT OR REPLACE INTO dml_e (id, bogus, v) VALUES (1, 'a', 2)")
     }
     assert(e3.getMessage.contains("no such column"))
+  }
+
+  test("comments never confuse the DML clause scanners") {
+    import SqlDml._
+    // a clause keyword inside a trailing comment is NOT a clause
+    assert(detect("DELETE FROM t WHERE x > 0 -- limit cleanup pass")
+      == Some(Delete("t", Some("x > 0"), None, "")))
+    assert(detect("UPDATE t SET a = 1 /* WHERE id = 5 */")
+      == Some(Update("t", Seq("a" -> "1"), None, None, "", None)))
+    // comment-shaped text inside literals survives verbatim
+    assert(detect("DELETE FROM t WHERE s = '-- not a comment'")
+      == Some(Delete("t", Some("s = '-- not a comment'"), None, "")))
+    // and executes end-to-end
+    freshView("cmt_t")
+    Runner.runSql(spark,
+      "DELETE FROM cmt_t WHERE v > 15 -- limit this to the big rows")
+    assert(spark.table("cmt_t").count() == 1)
   }
 
   test("multi-statement scripts fail targeted (SQLite's one-statement rule)") {

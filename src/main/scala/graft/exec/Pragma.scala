@@ -57,7 +57,11 @@ object Pragma {
     * declare none, exactly like the reference's pandas `to_sql` tables
     * — README divergence table). */
   def tableInfo(spark: SparkSession, table: String): DataFrame = {
-    val schema = spark.table(table).schema
+    // the emulated rowid column ([[Rowid]]) is not a declared column —
+    // SQLite's table_info never lists rowid
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.table(table).schema.fields.filterNot(f =>
+        f.name.equalsIgnoreCase("rowid") && Rowid.isEnabled(spark, table)))
     val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
       .map(_.toLowerCase).zipWithIndex.toMap
     // dflt_value reports the DEFAULT text as written (SQLite's shape);
@@ -135,7 +139,16 @@ object Pragma {
       .map(_.name)
       .filterNot(n => n == "sqlite_master" || n.startsWith("graft_pragma_ti_"))
       .sorted
-      .map(n => (n, spark.table(n).schema))
+      .map { n =>
+        // hide the emulated rowid from synthesized DDL / column counts
+        // (SQLite's catalog never lists rowid as a declared column)
+        val s = spark.table(n).schema
+        val vis =
+          if (Rowid.isEnabled(spark, n))
+            StructType(s.fields.filterNot(_.name.equalsIgnoreCase("rowid")))
+          else s
+        (n, vis)
+      }
 
   /** (Re)build the `sqlite_master` session view from the catalog. */
   def registerSqliteMaster(spark: SparkSession): Unit = {

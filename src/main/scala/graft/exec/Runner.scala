@@ -72,8 +72,12 @@ object Runner {
     // format, same intent); bare EXPLAIN is already valid Spark
     if (head.startsWith("explain query plan"))
       return spark.sql("EXPLAIN " + stmt.drop("explain query plan".length))
-    val prepared = Pragma.rewriteTvf(spark, sql)
-    if (Pragma.referencesMaster(prepared)) Pragma.registerSqliteMaster(spark)
+    val prepared0 = Pragma.rewriteTvf(spark, sql)
+    if (Pragma.referencesMaster(prepared0)) Pragma.registerSqliteMaster(spark)
+    // SQLite rowid surface: lazily materialize `rowid` on referenced
+    // session tables, normalize `_rowid_`/`oid`, and expand `*` so the
+    // column stays hidden exactly where SQLite hides it ([[Rowid]])
+    val prepared = Rowid.prepare(spark, prepared0)
     // SQLite EVALUATION semantics for generated SQL: under Spark 4's
     // default ANSI mode, `1/0` and an unparseable CAST are whole-query
     // RUNTIME ERRORS — a model-emitted ratio with one zero denominator

@@ -67,4 +67,54 @@ object SessionChanges {
     val (acc, pend) = s.synchronized((s.acc, s.pending))
     acc + pend.map(_.value).sum
   }
+
+  // ---- last_insert_rowid() --------------------------------------------
+
+  private final class RowidEntry(thunk: () => Option[Long]) {
+    lazy val value: Option[Long] = thunk()
+  }
+
+  private val rowidStates =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, RowidState]())
+
+  private final class RowidState {
+    var folded: Option[Long] = None
+    var pending = Vector.empty[RowidEntry]
+  }
+
+  private def rowidState(spark: SparkSession): RowidState =
+    rowidStates.synchronized {
+      var s = rowidStates.get(spark)
+      if (s == null) { s = new RowidState; rowidStates.put(spark, s) }
+      s
+    }
+
+  /** Record an INSERT's max assigned rowid (deferred — the thunk runs
+    * only if `last_insert_rowid()` is actually asked). `None` = the
+    * statement inserted no rows (e.g. OR IGNORE all-conflict), which
+    * leaves the value unchanged — SQLite's own rule. */
+  def recordInsertRowid(spark: SparkSession, thunk: () => Option[Long]): Unit = {
+    val s = rowidState(spark)
+    s.synchronized {
+      s.pending :+= new RowidEntry(thunk)
+      while (s.pending.size > 64) {
+        // same deferred-list bound as the change counters: the oldest
+        // entry folds (paying its job) once 64 statements back up
+        s.folded = s.pending.head.value.orElse(s.folded)
+        s.pending = s.pending.tail
+      }
+    }
+  }
+
+  /** The rowid of the most recently inserted row (0 before any INSERT
+    * landed — SQLite's fresh-connection value). Walks newest-first so
+    * only statements newer than the last successful insert pay their
+    * deferred job. */
+  def lastInsertRowid(spark: SparkSession): Long = {
+    val s = rowidState(spark)
+    val (folded, pend) = s.synchronized((s.folded, s.pending))
+    pend.reverseIterator.flatMap(_.value).nextOption()
+      .orElse(folded).getOrElse(0L)
+  }
 }

@@ -65,9 +65,17 @@ object Upsert {
             s"table/view: ${e.getMessage}", e)
       }
     val src = spark.sql(stmt.sourceSql)
+    // the emulated rowid column ([[Rowid]]) is NOT part of the
+    // positional target schema (SQLite: INSERT binds declared columns;
+    // rowid only participates when listed explicitly) — appended rows
+    // get max+position below, SQLite's monotonic assignment
+    val rowidAuto = Rowid.isEnabled(spark, stmt.table)
+    val visible =
+      if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
+      else base.columns
     // bind source columns: the declared column list if present, else
-    // positional against the full target schema (SQLite's rule)
-    val named =
+    // positional against the visible target schema (SQLite's rule)
+    val named0 =
       if (stmt.cols.nonEmpty) {
         if (stmt.cols.length != src.columns.length)
           throw new IllegalArgumentException(
@@ -75,13 +83,18 @@ object Upsert {
               s"target columns but the source produces ${src.columns.length}")
         src.toDF(stmt.cols: _*)
       } else {
-        if (base.columns.length != src.columns.length)
+        if (visible.length != src.columns.length)
           throw new IllegalArgumentException(
             s"$verb INTO ${stmt.table}: table has " +
-              s"${base.columns.length} columns but the source produces " +
+              s"${visible.length} columns but the source produces " +
               s"${src.columns.length}")
-        src.toDF(base.columns.toIndexedSeq: _*)
+        src.toDF(visible.toIndexedSeq: _*)
       }
+    val named =
+      if (rowidAuto && !named0.columns.exists(_.equalsIgnoreCase("rowid")))
+        Rowid.withSequentialRowid(spark, named0,
+          Rowid.maxRowid(spark, stmt.table) + 1L)
+      else named0
     val unknown = named.columns.map(_.toLowerCase).toSet --
       base.columns.map(_.toLowerCase).toSet
     if (unknown.nonEmpty)
@@ -116,7 +129,7 @@ object Upsert {
             s"$verb INTO ${stmt.table}: declared key column $k is not " +
               s"in the table's current schema"))
       })
-      .getOrElse(Seq(base.columns.head))
+      .getOrElse(Seq(visible.head)) // never the emulated rowid
     val (merged, affected) = stmt.conflict match {
       case Some(c) =>
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
@@ -171,6 +184,15 @@ object Upsert {
     // set RETURNING hands back, which is SQLite's count). Lazy: only
     // an actual changes() call pays the count.
     SessionChanges.record(spark, () => affected.count())
+    // last_insert_rowid(): the max rowid this statement assigned, when
+    // the target carries the emulated surface (None = inserted nothing
+    // — the value stays, SQLite's rule). Deferred like the counter.
+    if (affected.columns.exists(_.equalsIgnoreCase("rowid")))
+      SessionChanges.recordInsertRowid(spark, () => {
+        val r = affected.agg(
+          org.apache.spark.sql.functions.max("rowid")).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      })
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)

@@ -344,6 +344,46 @@ object QueriesDialect {
       s.table("graft_delete_sql_t").orderBy("n_nationkey")
     }),
 
+    // SQLite's implicit rowid, addressed the way models actually use
+    // it — the classic keep-first dedup idiom. The fixture plants
+    // duplicate contents (50 re-keyed copies appended after the
+    // originals, single partition in doc_id order so rowid 1..N is
+    // deterministic); the DELETE keeps MIN(rowid) per content, i.e.
+    // the original rows. Runs through [[graft.exec.Rowid]]: lazy
+    // enablement, alias normalization, star hiding.
+    "fn_rowid_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.t(s, d, "documents")
+        .select("doc_id", "text", "lang").where(col("doc_id") < 200)
+      val dups = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"),
+          col("lang"))
+      docs.unionAll(dups).repartition(1).sortWithinPartitions("doc_id")
+        .createOrReplaceTempView("graft_rowid_dedup_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """DELETE FROM graft_rowid_dedup_t
+           WHERE rowid NOT IN (SELECT MIN(rowid)
+                               FROM graft_rowid_dedup_t
+                               GROUP BY text)"""))
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """SELECT doc_id, text, lang FROM graft_rowid_dedup_t
+           ORDER BY doc_id"""))
+    }),
+
+    // rowid as a first-class SELECT surface: projection, predicate
+    // arithmetic, ordering — the emulated column must number 1..N in
+    // the fixture's row order to hash-match the oracle's row_number
+    "fn_rowid_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.t(s, d, "documents")
+        .select("doc_id", "lang").where(col("doc_id") < 300)
+        .repartition(1).sortWithinPartitions("doc_id")
+        .createOrReplaceTempView("graft_rowid_sel_t")
+      graft.exec.Runner.runSql(s, SqlDialect.translate(
+        """SELECT rowid, doc_id, lang FROM graft_rowid_sel_t
+           WHERE rowid % 3 = 1 ORDER BY rowid"""))
+    }),
+
     // the DML LIMIT form (SQLITE_ENABLE_UPDATE_DELETE_LIMIT — enabled
     // in the Python-bundled SQLite the reference runs on): delete the
     // 2nd and 3rd highest keys of region 2 — ORDER BY + LIMIT + OFFSET
@@ -738,6 +778,27 @@ object QueriesDialect {
          WHERE n_regionkey NOT IN
            (SELECT n_regionkey FROM base WHERE n_nationkey >= 22)
          ORDER BY n_nationkey""",
+
+    // rowid assignment order == doc_id order by construction, so
+    // MIN(rowid)-per-content ≡ MIN(doc_id)-per-content in closed form
+    // (doc_id is unique in the fixture: originals < 200, copies +1000)
+    "fn_rowid_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 1000, text, lang FROM documents
+           WHERE doc_id < 50)
+         SELECT doc_id, text, lang FROM base
+         WHERE doc_id IN (SELECT min(doc_id) FROM base GROUP BY text)
+         ORDER BY doc_id""",
+
+    "fn_rowid_select" ->
+      """WITH base AS (
+           SELECT row_number() OVER (ORDER BY doc_id) AS rowid,
+                  doc_id, lang
+           FROM documents WHERE doc_id < 300)
+         SELECT rowid, doc_id, lang FROM base
+         WHERE rowid % 3 = 1 ORDER BY rowid""",
 
     // DELETE-LIMIT post-state in closed form: rank region-2 rows by
     // key descending; ranks 2-3 are the deleted slice

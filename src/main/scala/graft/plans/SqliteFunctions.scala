@@ -187,12 +187,15 @@ object SqliteFunctions {
       Literal(graft.exec.SessionChanges.totalChanges(SparkSession.active))
     }),
 
-    // rowids don't exist on lake tables — fail targeted at analysis
-    // instead of "undefined function"
-    ("last_insert_rowid", "last_insert_rowid() - unsupported: lake tables have no rowids", { _ =>
-      throw new UnsupportedOperationException(
-        "last_insert_rowid() is not supported: lake tables have no " +
-          "rowids; use INSERT … RETURNING to observe inserted rows")
+    // last_insert_rowid(): the max rowid the most recent INSERT into a
+    // rowid-enabled table assigned ([[graft.exec.Rowid]] materializes
+    // the surface lazily; [[graft.exec.SessionChanges]] records the
+    // deferred value). Inserts into tables that never referenced the
+    // rowid surface don't update it — documented README divergence
+    // (those tables have no materialized rowids to report).
+    ("last_insert_rowid", "last_insert_rowid() - rowid of the most recently inserted row", { args =>
+      arity("last_insert_rowid", args, 0)
+      Literal(graft.exec.SessionChanges.lastInsertRowid(SparkSession.active))
     }),
 
     // the SQLite dialect LEVEL graft emulates (documented in README):

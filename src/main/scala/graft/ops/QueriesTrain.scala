@@ -342,7 +342,19 @@ object QueriesTrain {
         .agg(round(sum(col("score_t")), 6).as("bm25"))
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(50)
-    })
+    }),
+
+    // sequence packing: greedy first-fit of documents into 8192-unit
+    // context windows (n_chars as the token proxy — the real pipeline
+    // swaps in its tokenizer's counts), sharded into 32 deterministic
+    // pack groups so the inherently-sequential greedy scan runs in
+    // parallel per group ([[Packing]]). The oracle replays the exact
+    // recursion as a recursive CTE — bin assignments hash-match.
+    "ext_seq_packing" -> ((s, d) =>
+      Packing.packGreedy(t("documents")(s, d), "doc_id", "n_chars",
+          capacity = 8192L, groups = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -526,6 +538,29 @@ object QueriesTrain {
              AS bm25
          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
          GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 50"""
+         ORDER BY bm25 DESC, doc_id LIMIT 50""",
+
+    // the identical greedy recursion, replayed per pack group: row n
+    // joins row n-1's bin when it fits, else opens the next bin
+    "ext_seq_packing" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS toks,
+                  CAST(doc_id % 32 AS INTEGER) AS grp,
+                  row_number() OVER (PARTITION BY doc_id % 32
+                                     ORDER BY doc_id) AS rn
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         r AS (
+           SELECT grp, rn, doc_id, toks, toks AS fill,
+                  CAST(0 AS BIGINT) AS bin
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.grp, b.rn, b.doc_id, b.toks,
+                  CASE WHEN r.fill + b.toks <= 8192
+                       THEN r.fill + b.toks ELSE b.toks END,
+                  CASE WHEN r.fill + b.toks <= 8192
+                       THEN r.bin ELSE r.bin + 1 END
+           FROM r JOIN base b ON b.grp = r.grp AND b.rn = r.rn + 1)
+         SELECT doc_id, grp, bin, toks FROM r ORDER BY doc_id"""
   )
 }

@@ -71,6 +71,7 @@ object Mutate {
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
+    Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
     // rightmost assignment wins on a repeated column (SQLite rule);
     // toMap keeps the last entry per key
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
@@ -124,6 +125,7 @@ object Mutate {
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
+    Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val gen = Upsert.nextGeneration()
     val rid = "__graft_rid"
@@ -315,6 +317,7 @@ object Mutate {
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
+    Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val n = evalConst(spark, u.limit.get, "UPDATE LIMIT")

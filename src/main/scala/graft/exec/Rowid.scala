@@ -39,8 +39,9 @@ import graft.text2sql.RowidRewrite
 object Rowid {
 
   private final class State {
-    // lowercase table name -> enabled
-    val tables = scala.collection.mutable.Set.empty[String]
+    // lowercase table name -> Some(aliased INTEGER PRIMARY KEY column)
+    // or None (independent sequential rowid)
+    val tables = scala.collection.mutable.Map.empty[String, Option[String]]
   }
 
   private val states =
@@ -73,24 +74,72 @@ object Rowid {
     spark.table(Ddl.quote(table)).columns.toIndexedSeq
       .filterNot(_.equalsIgnoreCase("rowid"))
 
-  /** Materialize the table's current state with `rowid` = 1..N in
-    * current row order and re-bind the view. No-op when already
-    * enabled or when a declared column shadows the name (SQLite:
-    * a real `rowid` column wins; references hit it). */
+  /** Materialize the table's current state with `rowid` and re-bind
+    * the view. No-op when already enabled or when a declared column
+    * shadows the name (SQLite: a real `rowid` column wins; references
+    * hit it).
+    *
+    * A session-declared single-column INTEGER PRIMARY KEY **is** the
+    * rowid in SQLite (lang_createtable.html §5) — for those tables
+    * `rowid` materializes as that column's values, not an independent
+    * sequence; writes stay in sync via [[rowidExprForInsert]] /
+    * [[guardUpdateAssigns]]. */
   def enable(spark: SparkSession, table: String): Unit = {
     if (isEnabled(spark, table)) return
     val df =
       try spark.table(Ddl.quote(table))
       catch { case _: Exception => return } // unknown name: not a table ref
     if (df.columns.exists(_.equalsIgnoreCase("rowid"))) return // shadowed
-    val withId = withSequentialRowid(spark, df, 1L)
+    val alias = integerPkAlias(spark, table, df)
+    val withId = alias match {
+      case Some(pk) =>
+        df.withColumn("rowid", df(Ddl.quote(pk)).cast(LongType))
+      case None => withSequentialRowid(spark, df, 1L)
+    }
     val dir = "target/graft_tmp/rowid_" +
       table.replaceAll("[^A-Za-z0-9_]", "_") + "_g" + Upsert.nextGeneration()
     withId.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView(table)
     val s = state(spark)
-    s.synchronized(s.tables.add(table.toLowerCase))
+    s.synchronized(s.tables.put(table.toLowerCase, alias))
   }
+
+  /** The declared single-column integer PRIMARY KEY, when one exists —
+    * SQLite's rowid-alias rule applies only to exactly that shape. */
+  private def integerPkAlias(spark: SparkSession, table: String,
+                             df: DataFrame): Option[String] =
+    SessionKeys.declaredPk(spark, table) match {
+      case Some(Seq(c)) =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).collect {
+          case f if f.dataType == org.apache.spark.sql.types.LongType ||
+                    f.dataType == org.apache.spark.sql.types.IntegerType =>
+            f.name
+        }
+      case _ => None
+    }
+
+  /** The aliased INTEGER PRIMARY KEY column for an enabled table, if
+    * that is how it was enabled. */
+  def aliasOf(spark: SparkSession, table: String): Option[String] = {
+    val s = state(spark)
+    s.synchronized(s.tables.get(table.toLowerCase)).flatten
+  }
+
+  /** Decline UPDATEs that would desynchronize an aliased rowid (the
+    * emulation stores the alias as a materialized copy; assigning the
+    * key or the rowid itself on such a table needs write-through the
+    * copy does not model — visible failure over silent skew). */
+  def guardUpdateAssigns(spark: SparkSession, table: String,
+                         assigned: Seq[String]): Unit =
+    aliasOf(spark, table).foreach { pk =>
+      if (isEnabled(spark, table) &&
+          assigned.exists(a => a.equalsIgnoreCase(pk) ||
+            a.equalsIgnoreCase("rowid")))
+        throw new UnsupportedOperationException(
+          s"UPDATE of $pk (the INTEGER PRIMARY KEY aliased by rowid) on " +
+            s"a rowid-referenced table is not supported; re-create the " +
+            s"table or express the change as DELETE + INSERT")
+    }
 
   /** Append a sequential `rowid` column (`start`, `start`+1, … in row
     * order). `zipWithIndex` = one count pass + distributed assignment;
@@ -126,7 +175,7 @@ object Rowid {
     * token scan). */
   def prepare(spark: SparkSession, sql: String): String = {
     val s = state(spark)
-    val enabledNow = s.synchronized(s.tables.toSet)
+    val enabledNow = s.synchronized(s.tables.keySet.toSet)
     val hasTok = RowidRewrite.referencesRowid(sql)
     if (!hasTok && enabledNow.isEmpty) return sql
     if (hasTok) {
@@ -136,7 +185,7 @@ object Rowid {
       RowidRewrite.referencedTables(sql, cands)
         .foreach(t => enable(spark, t))
     }
-    val active = s.synchronized(s.tables.toSet)
+    val active = s.synchronized(s.tables.keySet.toSet)
       .filter(t => isEnabled(spark, t))
     if (active.isEmpty) return sql
     val referenced = RowidRewrite.referencedTables(sql, active)

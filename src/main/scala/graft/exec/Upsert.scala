@@ -92,8 +92,27 @@ object Upsert {
       }
     val named =
       if (rowidAuto && !named0.columns.exists(_.equalsIgnoreCase("rowid")))
-        Rowid.withSequentialRowid(spark, named0,
-          Rowid.maxRowid(spark, stmt.table) + 1L)
+        Rowid.aliasOf(spark, stmt.table) match {
+          case Some(pk) if named0.columns.exists(_.equalsIgnoreCase(pk)) =>
+            // rowid IS the INTEGER PRIMARY KEY (SQLite's alias rule) —
+            // write-through the supplied key value; SQLite's NULL-key
+            // auto-assignment is separate machinery, declined visibly
+            named0.withColumn("rowid",
+              org.apache.spark.sql.functions.when(col(pk).isNull,
+                org.apache.spark.sql.functions.raise_error(lit(
+                  s"$verb INTO ${stmt.table}: NULL $pk (the INTEGER " +
+                    s"PRIMARY KEY aliased by rowid) cannot be " +
+                    s"auto-assigned; provide the key")))
+                .otherwise(col(pk).cast(
+                  org.apache.spark.sql.types.LongType)))
+          case Some(pk) =>
+            throw new IllegalArgumentException(
+              s"$verb INTO ${stmt.table}: the INTEGER PRIMARY KEY $pk " +
+                s"(aliased by rowid) must be among the inserted columns")
+          case None =>
+            Rowid.withSequentialRowid(spark, named0,
+              Rowid.maxRowid(spark, stmt.table) + 1L)
+        }
       else named0
     val unknown = named.columns.map(_.toLowerCase).toSet --
       base.columns.map(_.toLowerCase).toSet

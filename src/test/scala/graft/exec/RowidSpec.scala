@@ -136,6 +136,30 @@ class RowidSpec extends SparkSpec {
     assert(run("SELECT last_insert_rowid() AS r").collect().head.getLong(0) == 77L)
   }
 
+  test("an INTEGER PRIMARY KEY is the rowid (SQLite's alias rule)") {
+    run("DROP TABLE IF EXISTS rw_ipk")
+    run("CREATE TABLE rw_ipk (id INTEGER PRIMARY KEY, txt TEXT)")
+    run("INSERT INTO rw_ipk (id, txt) VALUES (10, 'a'), (35, 'b')")
+    // rowid materializes as the KEY VALUES, not an independent 1..N
+    val out = run("SELECT rowid, id, txt FROM rw_ipk ORDER BY rowid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 10L), (35L, 35L)))
+    // post-enablement inserts write the key through to rowid
+    run("INSERT INTO rw_ipk (id, txt) VALUES (20, 'c')")
+    val three = run("SELECT rowid FROM rw_ipk ORDER BY rowid").collect()
+    assert(three.map(_.getLong(0)).toSeq == Seq(10L, 20L, 35L))
+    // assigning the aliased key (or rowid) declines — write-through
+    // the materialized copy is not modeled
+    intercept[UnsupportedOperationException] {
+      run("UPDATE rw_ipk SET id = 99 WHERE rowid = 10")
+    }
+    // other columns update fine
+    run("UPDATE rw_ipk SET txt = 'Z' WHERE rowid = 35")
+    val z = run("SELECT txt FROM rw_ipk WHERE rowid = 35").collect()
+    assert(z.head.getString(0) == "Z")
+    run("DROP TABLE rw_ipk")
+  }
+
   test("joins with stars expand only the enabled side") {
     mkTable("rw_j1", Seq(1 -> "a", 2 -> "b"))
     import spark.implicits._

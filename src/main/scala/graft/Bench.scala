@@ -31,6 +31,7 @@ object Bench {
     "ext_sim_search_ivf_indexed_full", // indexed probe over the same corpus — the measured pruning win
     "ext_text_quality",    // token analytics single scan
     "ext_fingerprint",     // md5 fingerprinting scan
+    "ext_seq_packing",     // greedy context-window packing (one group shuffle)
   )
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,21 @@ class PackingSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("packing pays exactly one shuffle (the group repartition)") {
+    // the scan runs behind an RDD transition, so audit the LINEAGE:
+    // exactly one ShuffleDependency end-to-end
+    val rdd = Packing.packGreedy(docs, "doc_id", "n_chars", 8192L, 16).rdd
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def shuffles(r: org.apache.spark.rdd.RDD[_]): Int =
+      if (!seen.add(r.id)) 0
+      else r.dependencies.map {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] =>
+          1 + shuffles(s.rdd)
+        case d => shuffles(d.rdd)
+      }.sum
+    assert(shuffles(rdd) == 1)
+  }
+
   test("oversize documents occupy a bin alone and do not poison the next") {
     import spark.implicits._
     val d = Seq((0L, 100L), (1L, 5000L), (2L, 100L), (3L, 200L))

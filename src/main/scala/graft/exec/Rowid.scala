@@ -178,15 +178,19 @@ object Rowid {
     val enabledNow = s.synchronized(s.tables.keySet.toSet)
     val hasTok = RowidRewrite.referencesRowid(sql)
     if (!hasTok && enabledNow.isEmpty) return sql
+    // a CTE shadows a same-named table for the whole statement
+    // (SQLite scoping) — never enable through, or expand against, a
+    // shadowed name
+    val ctes = RowidRewrite.cteNames(sql)
     if (hasTok) {
       // which session tables does the statement reference?
       val cands = spark.catalog.listTables().collect()
-        .map(_.name.toLowerCase).filter(claimable).toSet
+        .map(_.name.toLowerCase).filter(claimable).toSet -- ctes
       RowidRewrite.referencedTables(sql, cands)
         .foreach(t => enable(spark, t))
     }
     val active = s.synchronized(s.tables.keySet.toSet)
-      .filter(t => isEnabled(spark, t))
+      .filter(t => isEnabled(spark, t)) -- ctes
     if (active.isEmpty) return sql
     val referenced = RowidRewrite.referencedTables(sql, active)
     if (referenced.isEmpty) return sql

@@ -89,6 +89,58 @@ object RowidRewrite {
       (i - 2 < 0 || !(sql.charAt(i - 2).isLetterOrDigit || sql.charAt(i - 2) == '_'))
   }
 
+  /** Names defined by WITH clauses anywhere in the statement — a CTE
+    * shadows a same-named table for the whole statement (SQLite
+    * scoping), so these must be excluded both from enablement and
+    * from star expansion. */
+  def cteNames(sql: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val withs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    scanTokens(sql) { (tok, at) =>
+      if (at >= 0 && tok.equalsIgnoreCase("with")) withs += at
+    }
+    withs.foreach { at =>
+      var i = skipWsComments(sql, at + 4)
+      wordAt(sql, i).foreach { w =>
+        if (w.equalsIgnoreCase("recursive")) i = skipWsComments(sql, i + w.length)
+      }
+      var more = true
+      while (more) {
+        more = false
+        val name = readName(sql, i)
+        if (name.nonEmpty) {
+          i = skipWsComments(sql, i + name.length)
+          // optional column list
+          if (i < sql.length && sql.charAt(i) == '(') {
+            i = skipWsComments(sql, closeParenOr(sql, i))
+          }
+          wordAt(sql, i) match {
+            case Some(as) if as.equalsIgnoreCase("as") =>
+              i = skipWsComments(sql, i + 2)
+              // optional NOT? MATERIALIZED
+              wordAt(sql, i).foreach { m =>
+                if (m.equalsIgnoreCase("not")) i = skipWsComments(sql, i + 3)
+              }
+              wordAt(sql, i).foreach { m =>
+                if (m.equalsIgnoreCase("materialized"))
+                  i = skipWsComments(sql, i + m.length)
+              }
+              if (i < sql.length && sql.charAt(i) == '(') {
+                out += unquoteName(name).toLowerCase
+                i = skipWsComments(sql, closeParenOr(sql, i))
+                if (i < sql.length && sql.charAt(i) == ',') {
+                  i = skipWsComments(sql, i + 1)
+                  more = true
+                }
+              }
+            case _ => // not a CTE definition (e.g. `with` used oddly)
+          }
+        }
+      }
+    }
+    out.toSet
+  }
+
   /** Expand select-list stars that bind to rowid-enabled tables.
     *
     * `enabled` maps lowercase table name → VISIBLE columns (rowid

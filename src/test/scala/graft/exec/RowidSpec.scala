@@ -136,6 +136,16 @@ class RowidSpec extends SparkSpec {
     assert(run("SELECT last_insert_rowid() AS r").collect().head.getLong(0) == 77L)
   }
 
+  test("a CTE named like an enabled table shadows it for the statement") {
+    mkTable("rw_cshadow", Seq(1 -> "a", 2 -> "b"))
+    run("SELECT rowid FROM rw_cshadow").collect() // enable
+    // the CTE projects DIFFERENT columns — star must bind to the CTE,
+    // not expand against the table's visible schema
+    val out = run("""WITH rw_cshadow AS (SELECT 42 AS z)
+                     SELECT * FROM rw_cshadow""").collect()
+    assert(out.toSeq == Seq(Row(42)))
+  }
+
   test("an INTEGER PRIMARY KEY is the rowid (SQLite's alias rule)") {
     run("DROP TABLE IF EXISTS rw_ipk")
     run("CREATE TABLE rw_ipk (id INTEGER PRIMARY KEY, txt TEXT)")

@@ -124,6 +124,20 @@ class RowidRewriteSpec extends AnyFunSuite {
       "SELECT `9abc`.`x y`, `9abc`.ok FROM `9abc`")
   }
 
+  test("cteNames collects WITH-defined names, nested and chained") {
+    assert(RowidRewrite.cteNames(
+      "WITH a AS (SELECT 1), b(x) AS (SELECT 2) SELECT * FROM a, b") ==
+      Set("a", "b"))
+    assert(RowidRewrite.cteNames(
+      "WITH RECURSIVE r AS (SELECT 1 UNION ALL SELECT n+1 FROM r) " +
+        "SELECT * FROM r") == Set("r"))
+    assert(RowidRewrite.cteNames(
+      "SELECT * FROM (WITH q AS (SELECT 1) SELECT * FROM q)") == Set("q"))
+    assert(RowidRewrite.cteNames(
+      "WITH t AS NOT MATERIALIZED (SELECT 1) SELECT * FROM t") == Set("t"))
+    assert(RowidRewrite.cteNames("SELECT 'with' FROM t") == Set.empty)
+  }
+
   test("set operations: each branch expands against its own FROM") {
     val out = RowidRewrite.expandStars(
       "SELECT * FROM t UNION ALL SELECT * FROM s", t)

@@ -179,6 +179,43 @@ object StreamingOps {
       .toDF("doc_id", "dup_of", "sim_est")
   }
 
+  /** Streaming sequence packing: assign arriving documents to
+    * fixed-capacity context-window bins with PERSISTENT fill state per
+    * pack group — the streaming face of [[graft.ops.Packing]] (a
+    * training-ingest service packs documents as they arrive instead of
+    * re-running batch packing per shard).
+    *
+    * Greedy first-fit in ARRIVAL order (the only order a stream has;
+    * the batch operator's doc-id order is a batch luxury). State per
+    * group is one (bin, fill) pair — O(groups) total regardless of
+    * stream length, so no timeout/eviction is needed: this is that
+    * rare stateful op whose state is bounded by construction.
+    * Oversize docs occupy a bin alone, exactly the batch rule.
+    */
+  def streamingPacking(docs: DataFrame, capacity: Long = 8192L,
+                       groups: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_toks").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => ((id % groups) + groups) % groups }
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (grp: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (bin, fill) = state.getOption.getOrElse((0L, -1L))
+          val out = rows.map { case (id, toks) =>
+            if (fill < 0L) fill = toks // first doc of the group ever
+            else if (fill + toks <= capacity) fill += toks
+            else { bin += 1L; fill = toks }
+            (id, grp, bin, toks)
+          }.toVector
+          state.update((bin, fill))
+          out.iterator
+      }
+      .toDF("doc_id", "grp", "bin", "toks")
+  }
+
   /** Per-user running statistics on the arbitrary-state v2 API
     * (`transformWithState` + `StatefulProcessor`, Spark 4) — the
     * successor surface to flatMapGroupsWithState: typed per-key

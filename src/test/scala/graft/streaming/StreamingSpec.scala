@@ -400,4 +400,38 @@ class StreamingSpec extends SparkSpec {
       assert(vs1 == 0L, s"state for doc 1 should have been evicted, got $vs1 matches")
     } finally q.stop()
   }
+
+  test("streamingPacking carries fill state across batches; matches a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().toDF("doc_id", "n_toks")
+
+    val q = StreamingOps.streamingPacking(docs, capacity = 1000L, groups = 2)
+      .writeStream.format("memory").queryName("pack_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // group 0: ids 0,2,4..; group 1: ids 1,3,5..
+      input.addData((0L, 400L), (1L, 900L), (2L, 500L))
+      q.processAllAvailable()
+      // batch 2 must CONTINUE group 0's fill (400+500=900; +200 > 1000
+      // would roll -- 900+100 fits History: doc 4 (100) joins bin 0)
+      input.addData((4L, 100L), (3L, 200L), (6L, 600L))
+      q.processAllAvailable()
+      val rows = spark.table("pack_test")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // group 0 arrival order 0,2,4,6: 400 -> b0; +500=900 -> b0;
+      // +100=1000 -> b0 (exactly at capacity); 600 -> b1
+      // group 1 arrival order 1,3: 900 -> b0; +200 -> b1
+      assert(rows == Seq(
+        (0L, 0L, 0L, 400L), (1L, 1L, 0L, 900L), (2L, 0L, 0L, 500L),
+        (3L, 1L, 1L, 200L), (4L, 0L, 0L, 100L), (6L, 0L, 1L, 600L)))
+      // every bin within capacity unless a lone oversize doc
+      val over = spark.table("pack_test").groupBy("grp", "bin")
+        .agg(org.apache.spark.sql.functions.sum("toks").as("fill"),
+          org.apache.spark.sql.functions.count("*").as("n"))
+        .filter($"fill" > 1000L && $"n" > 1L).count()
+      assert(over == 0L)
+    } finally q.stop()
+  }
 }

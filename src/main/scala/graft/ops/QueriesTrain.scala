@@ -344,6 +344,24 @@ object QueriesTrain {
         .limit(50)
     }),
 
+    // token-budget selection: keep the best documents per source until
+    // the source's token budget is spent — curation under a fixed
+    // training-token budget. One window pass: running token sum per
+    // source in quality order (length proxy desc, doc_id tiebreak),
+    // kept while the PREFIX INCLUDING the doc fits. One shuffle
+    // (the source partition), no join, no driver path; at 100 TB the
+    // window runs per source partition exactly like any ranked
+    // selection.
+    "ext_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      t("documents")(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("cum_toks", sum("n_chars").over(w))
+        .filter(col("cum_toks") <= 4000L)
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: greedy first-fit of documents into 8192-unit
     // context windows (n_chars as the token proxy — the real pipeline
     // swaps in its tokenizer's counts), sharded into 32 deterministic
@@ -539,6 +557,16 @@ object QueriesTrain {
          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 50""",
+
+    "ext_token_budget" ->
+      """SELECT doc_id, source, n_chars, cum_toks FROM (
+           SELECT doc_id, source, n_chars,
+                  CAST(SUM(n_chars) OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                       AS BIGINT) AS cum_toks
+           FROM documents)
+         WHERE cum_toks <= 4000
+         ORDER BY doc_id""",
 
     // the identical greedy recursion, replayed per pack group: row n
     // joins row n-1's bin when it fits, else opens the next bin

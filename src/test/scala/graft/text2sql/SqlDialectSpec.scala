@@ -208,11 +208,13 @@ class SqlDialectSpec extends SparkSpec {
     val t1 = graft.exec.Runner.runSql(spark,
       "SELECT total_changes() AS t").head().getLong(0)
     assert(t1 - t0 == 5L)
-    // rowids don't exist on lake tables: targeted analysis-time error
-    val e = intercept[UnsupportedOperationException] {
-      graft.exec.Runner.runSql(spark, "SELECT last_insert_rowid()")
-    }
-    assert(e.getMessage.contains("RETURNING"))
+    // last_insert_rowid() reports the newest rowid-enabled INSERT's
+    // max assigned rowid (the rowid surface materializes lazily —
+    // graft.exec.Rowid; full coverage in RowidSpec)
+    graft.exec.Runner.runSql(spark, "SELECT rowid FROM chg_t").collect()
+    graft.exec.Runner.runSql(spark, "INSERT INTO chg_t VALUES (11, 110)")
+    assert(graft.exec.Runner.runSql(spark, "SELECT last_insert_rowid() AS r")
+      .head().getLong(0) == 5L)
   }
 
   // ---- round-2 SQLite surface --------------------------------------

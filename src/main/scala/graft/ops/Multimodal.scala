@@ -221,6 +221,99 @@ object Multimodal {
         "bin", "decoded")
   }
 
+  /** Perceptual average-hash (aHash): `javax.imageio` decode →
+    * 8×8 box-filter grayscale (the same exact integer area averages as
+    * [[resizeImages]], BT.601 luma weights) → 64-bit hash, bit i set
+    * iff cell i's gray exceeds the 64-cell mean. The standard cheap
+    * perceptual fingerprint: visually identical images collide
+    * bit-for-bit, small edits flip few bits, so near-duplicates sit
+    * within a small Hamming radius. Row-local in `mapPartitions` —
+    * at 100 TB the hash pass is a pure map stage, no shuffle.
+    * Unparseable payloads yield `decoded = false` with hash 0.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) (id, 0L, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = new Array[Long](64)
+            var oy = 0
+            while (oy < 8) {
+              val y0 = oy * h / 8; val y1 = math.max((oy + 1) * h / 8, y0 + 1)
+              var ox = 0
+              while (ox < 8) {
+                val x0 = ox * w / 8; val x1 = math.max((ox + 1) * w / 8, x0 + 1)
+                var s = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    s += (((rgb >> 16) & 0xff) * 299L +
+                          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000L
+                    x += 1
+                  }
+                  y += 1
+                }
+                gray(oy * 8 + ox) = s / ((x1 - x0).toLong * (y1 - y0))
+                ox += 1
+              }
+              oy += 1
+            }
+            val mean = gray.sum / 64L
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (gray(i) > mean) hash |= (1L << i)
+              i += 1
+            }
+            (id, hash, true)
+          }
+        }
+      }
+      .toDF("media_id", "phash", "decoded")
+  }
+
+  /** Image near-duplicate pairs: band the 64-bit perceptual hash into
+    * four 16-bit keys (an exact-collision band ⇒ candidate — the
+    * pigeonhole guarantee: any pair within Hamming distance 3 shares
+    * at least one intact band; radius 4–7 pairs still collide unless
+    * their flipped bits spread across all four bands), bucket-join the
+    * candidates through the shared capped generator
+    * ([[Dedup.bucketPairs]] — identical-image mega-clusters stay
+    * bounded), then exact-verify by Hamming distance on the full hash.
+    * The multimodal face of the SimHash pipeline: banding shuffles
+    * 12-byte (id, band) rows, never pixels.
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 6,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    // MEMORY_ONLY: evictable + lineage-recomputable (see
+    // Dedup.exactJaccard for the policy note)
+    val ph = imagePhash(media).filter(col("decoded"))
+      .select(col("media_id").as("id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val buckets = ph.select(col("id"), explode(expr(
+        """transform(sequence(0, 3), b ->
+             CAST(b AS BIGINT) * 65536 +
+             ((phash >> (b * 16)) & 65535))""")).as("bk"))
+    val pairs = Dedup.bucketPairs(buckets, maxBucket)
+    pairs
+      .join(ph.select(col("id").as("id1"), col("phash").as("h1")), "id1")
+      .join(ph.select(col("id").as("id2"), col("phash").as("h2")), "id2")
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Render a deterministic mono 16-bit PCM sine tone as REAL WAV
     * container bytes (RIFF header via the JDK's own writer) — the
     * frequency derives from the seed, the length from `nSamples`, so

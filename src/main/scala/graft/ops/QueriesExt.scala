@@ -516,6 +516,31 @@ object QueriesExt {
         .orderBy("media_id")
     }),
 
+    // perceptual image hashing (rows-only): decode → 8×8 box-filter
+    // grayscale → 64-bit aHash, all row-local; deterministic because
+    // the box filter uses exact integer area sums (no Graphics2D)
+    "ext_multimodal_phash" -> ((s, d) => {
+      val media = Multimodal.asPngMedia(
+        t("documents")(s, d), "doc_id", "text")
+      Multimodal.imagePhash(media).orderBy("media_id")
+    }),
+
+    // image near-dup (rows-only): phash banding (4×16-bit keys) →
+    // capped bucket pairs → Hamming verify — the multimodal face of
+    // the SimHash pipeline. The fixture plants exact image copies
+    // (re-keyed +100000): every planted pair MUST surface at Hamming
+    // 0, asserted in MultimodalSpec; the key returns the pair list
+    "ext_image_neardup" -> ((s, d) => {
+      val docs = t("documents")(s, d).select("doc_id", "text")
+        .where(col("doc_id") < 300)
+      val planted = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val media = Multimodal.asPngMedia(
+        docs.unionAll(planted), "doc_id", "text")
+      Multimodal.imageNearDup(media, maxHamming = 6)
+        .orderBy("id1", "id2")
+    }),
+
     // REAL audio decode (rows-only): each document is rendered to a
     // mono 16-bit PCM WAV through the JDK's javax.sound codec
     // (mapPartitions), then DECODED BACK through the same codec —

@@ -362,11 +362,14 @@ object QueriesTrain {
         .orderBy("doc_id")
     }),
 
-    // sequence packing: greedy first-fit of documents into 8192-unit
-    // context windows (n_chars as the token proxy — the real pipeline
-    // swaps in its tokenizer's counts), sharded into 32 deterministic
-    // pack groups so the inherently-sequential greedy scan runs in
-    // parallel per group ([[Packing]]). The oracle replays the exact
+    // sequence packing: EXACT greedy first-fit of documents into
+    // 8192-unit context windows (n_chars as the token proxy — the real
+    // pipeline swaps in its tokenizer's counts), sharded into 32
+    // deterministic pack groups so the inherently-sequential greedy
+    // scan runs in parallel per group ([[Packing]]). Complements
+    // QueriesExt's ext_seq_pack, the pure-window cumsum APPROXIMATION
+    // (floor(prefix/cap) — documents may straddle bin boundaries);
+    // this key never overfills a bin. The oracle replays the exact
     // recursion as a recursive CTE — bin assignments hash-match.
     "ext_seq_packing" -> ((s, d) =>
       Packing.packGreedy(t("documents")(s, d), "doc_id", "n_chars",

@@ -109,4 +109,47 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 4) // 256 bytes / 16 per frame / stride 4
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("imagePhash: deterministic, constant image collapses, garbage flags") {
+    val docs = Seq((1L, "some repeated text " * 8), (2L, "q"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asPngMedia(docs, "doc_id", "text", w = 16, h = 16)
+    val h1 = Multimodal.imagePhash(media).orderBy("media_id").collect()
+    val h2 = Multimodal.imagePhash(media).orderBy("media_id").collect()
+    assert(h1.map(_.getLong(1)).toSeq == h2.map(_.getLong(1)).toSeq)
+    assert(h1.forall(_.getBoolean(2)))
+    // a single-byte payload renders a CONSTANT image: no cell exceeds
+    // the mean, hash must be exactly 0
+    assert(h1.find(_.getLong(0) == 2L).get.getLong(1) == 0L)
+    // an unparseable payload flags decoded = false with hash 0
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "bin")
+    val bad = Multimodal.imagePhash(junk).collect().head
+    assert(!bad.getBoolean(2) && bad.getLong(1) == 0L)
+  }
+
+  test("imageNearDup surfaces exact copies at Hamming 0, not random pairs") {
+    val texts = (0L until 40L).map(i =>
+      i -> s"document body number $i ${"filler " * (i % 7).toInt}")
+    val docs = (texts ++ Seq(1000L -> texts(3)._2, 1001L -> texts(17)._2))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asPngMedia(docs, "doc_id", "text", w = 16, h = 16)
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // both planted copies found at distance 0
+    assert(pairs.contains((3L, 1000L, 0)))
+    assert(pairs.contains((17L, 1001L, 0)))
+    // every reported pair honors the verify bound
+    assert(pairs.forall(_._3 == 0))
+  }
+
+  test("imageNearDup candidate volume stays bounded under a mega-cluster") {
+    // 500 identical images: uncapped banding would emit ~125k pairs
+    // from ONE bucket; the capped generator must drop it entirely
+    val docs = (0L until 500L).map(i => i -> "the same text every time")
+      .toDF("doc_id", "text")
+    val media = Multimodal.asPngMedia(docs, "doc_id", "text", w = 8, h = 8)
+    val n = Multimodal.imageNearDup(media, maxHamming = 0, maxBucket = 100)
+      .count()
+    assert(n == 0L, s"capped mega-cluster bucket must drop, got $n pairs")
+  }
 }

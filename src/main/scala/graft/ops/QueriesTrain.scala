@@ -344,6 +344,27 @@ object QueriesTrain {
         .limit(50)
     }),
 
+    // document chunking: fixed 200-char windows with 50-char overlap
+    // (stride 150) — the standard pre-embedding split. Row-local
+    // explode (chunk count derives from the row's own length), no
+    // shuffle but the presentation sort; chunk CONTENT rides as md5 so
+    // the oracle verifies every byte of every chunk without shipping
+    // the text twice. Last chunk may run short; ≤200-char docs yield
+    // exactly one chunk.
+    "ext_chunk_split" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("greatest(0L, CAST(ceil((length(text) - 200) / 150.0) AS BIGINT))")
+            .as("n_extra"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0L, n_extra)")).as("chunk_idx"),
+          expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)")
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // token-budget selection: keep the best documents per source until
     // the source's token budget is spent — curation under a fixed
     // training-token budget. One window pass: running token sum per
@@ -560,6 +581,26 @@ object QueriesTrain {
          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 50""",
+
+    "ext_chunk_split" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+                  GREATEST(0, CAST(ceil((length(text) - 200) / 150.0)
+                                   AS BIGINT)) AS n_extra
+           FROM documents),
+         e AS (
+           SELECT doc_id, text,
+                  UNNEST(generate_series(0, n_extra)) AS chunk_idx
+           FROM c),
+         s AS (
+           SELECT doc_id, chunk_idx,
+                  substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)
+                    AS chunk
+           FROM e)
+         SELECT doc_id, chunk_idx,
+                CAST(length(chunk) AS BIGINT) AS chunk_len,
+                md5(chunk) AS chunk_hash
+         FROM s ORDER BY doc_id, chunk_idx""",
 
     "ext_token_budget" ->
       """SELECT doc_id, source, n_chars, cum_toks FROM (

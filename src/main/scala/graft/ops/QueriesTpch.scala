@@ -391,6 +391,140 @@ object QueriesTpch {
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(20)
     }),
+
+    // Q2 shape (adapted: no partsupp in this testdata — the
+    // part↔supplier relation with a unit cost derives from the fact:
+    // avg unit price per (part, supplier) pair): minimum-cost supplier
+    // per qualifying part within one region. The literal SQL re-scans
+    // partsupp in a correlated MIN subquery; here the region-scoped
+    // rollup computes ONCE (persisted: the 100 TB fact contributes one
+    // bounded row per observed pair) and the correlated MIN becomes a
+    // window over the SAME rows — one fact scan, one rollup shuffle,
+    // one partkey window exchange. Only fixed-cardinality nation/
+    // region carry broadcast hints; the supplier join is left to AQE.
+    "q_shape_q2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nat = t("nation")(s, d)
+      val reg = t("region")(s, d).filter(col("r_name") === "ASIA")
+      val regionSupp = t("supplier")(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = t("lineitem")(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 4)
+          .as("unit_cost"))
+      val regionPs = ps
+        .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val qualParts = t("part")(s, d)
+        .filter(col("p_size") === 25 && col("p_type") === "LARGE")
+      regionPs
+        .withColumn("min_cost", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(qualParts, col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("unit_cost"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+        .limit(10)
+    }),
+
+    // Q9 shape (adapted: profit margin uses 10% of p_retailprice as
+    // the stand-in supply cost; '%red%' part-name filter): product-line
+    // profit by supplier nation and order year. One fact scan feeding
+    // a single partial+final aggregate; the part-name LIKE pushes to
+    // the part scan and prunes the join input; only nation carries a
+    // broadcast hint.
+    "q_shape_q9" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val part = t("part")(s, d).filter(col("p_name").contains("red"))
+      val supp = t("supplier")(s, d)
+      val ord = t("orders")(s, d)
+      val nat = t("nation")(s, d)
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit), 2).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // Q11 shape (adapted: "inventory value" = shipped value
+    // l_extendedprice·l_quantity scoped to one nation's suppliers):
+    // parts whose value share exceeds a global fraction. The rollup
+    // feeds BOTH the global total and the per-part filter; persisting
+    // it (one bounded row per part) keeps the fact at ONE scan, and
+    // the 1-row threshold broadcasts — the q15 scalar-subquery
+    // pattern on a bigger key space.
+    "q_shape_q11" -> ((s, d) => {
+      val supp = t("supplier")(s, d)
+        .filter(col("s_nationkey").isin(3, 7, 12))
+      val value = t("lineitem")(s, d)
+        .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("v"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val threshold = value.agg((sum(col("v")) * lit(0.001)).as("thr"))
+      value.join(broadcast(threshold), col("v") > col("thr"))
+        .select(col("p_partkey"), round(col("v"), 2).as("value"))
+        .orderBy(desc("value"), asc("p_partkey"))
+    }),
+
+    // Q16 shape (adapted: the part↔supplier relation is the DISTINCT
+    // (partkey, suppkey) set observed in the fact; "complained"
+    // suppliers = negative account balance): supplier counts by part
+    // attributes, excluding flagged suppliers. The fact scan projects
+    // two bigints before the distinct shuffles; the exclusion is an
+    // anti join (NOT EXISTS — null-safe, unlike NOT IN); the
+    // count-distinct aggregate is partial+final on the attribute key.
+    "q_shape_q16" -> ((s, d) => {
+      val ps = t("lineitem")(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val flagged = t("supplier")(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val parts = t("part")(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      ps.join(flagged, ps("l_suppkey") === flagged("s_suppkey"), "left_anti")
+        .join(parts, ps("l_partkey") === parts("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    }),
+
+    // Q20 shape (adapted: "excess stock" = a supplier's 1997 shipped
+    // quantity of a PROMO part exceeding half that part's total 1997
+    // shipments): candidate suppliers in one nation. The literal SQL
+    // nests partsupp inside two IN subqueries with a correlated SUM —
+    // here the per-(part, supplier) rollup computes once off ONE
+    // pre-filtered fact scan, the correlated total is a window over
+    // the same rows, and the supplier qualification is a semi join.
+    "q_shape_q20" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shipped = t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val promo = t("part")(s, d).filter(col("p_type") === "PROMO")
+      val w = Window.partitionBy(col("l_partkey"))
+      val excess = shipped
+        .withColumn("total_qty", sum(col("qty")).over(w))
+        .filter(col("qty") > lit(0.5) * col("total_qty"))
+        .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      val nat = t("nation")(s, d).filter(col("n_name") === "NATION_3")
+      t("supplier")(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(asc("s_name"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +733,79 @@ object QueriesTpch {
                              AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_shape_q2" ->
+      """WITH region_ps AS (
+           SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             ROUND(CAST(AVG(l_extendedprice / l_quantity) AS DOUBLE), 4)
+               AS unit_cost
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+         FROM region_ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 25 AND p_type = 'LARGE'
+           AND unit_cost = (SELECT MIN(r2.unit_cost) FROM region_ps r2
+                            WHERE r2.l_partkey = region_ps.l_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 10""",
+    "q_shape_q9" ->
+      """SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)
+             - 0.1 * p_retailprice * l_quantity) AS DOUBLE), 2) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2
+         ORDER BY nation, o_year DESC""",
+    "q_shape_q11" ->
+      """WITH val AS (
+           SELECT l_partkey AS p_partkey,
+             SUM(l_extendedprice * l_quantity) AS v
+           FROM lineitem
+           WHERE EXISTS (SELECT 1 FROM supplier
+                         WHERE s_suppkey = l_suppkey
+                           AND s_nationkey IN (3, 7, 12))
+           GROUP BY l_partkey)
+         SELECT p_partkey, ROUND(CAST(v AS DOUBLE), 2) AS value
+         FROM val
+         WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+         ORDER BY value DESC, p_partkey""",
+    "q_shape_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND NOT EXISTS (SELECT 1 FROM supplier
+                           WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_shape_q20" ->
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2)
+         SELECT s_name, ROUND(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM shipped s1
+             WHERE qty > 0.5 * (SELECT SUM(s2.qty) FROM shipped s2
+                                WHERE s2.l_partkey = s1.l_partkey)
+               AND EXISTS (SELECT 1 FROM part
+                           WHERE p_partkey = s1.l_partkey
+                             AND p_type = 'PROMO'))
+         ORDER BY s_name""",
   )
 }

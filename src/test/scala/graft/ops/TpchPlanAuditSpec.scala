@@ -156,6 +156,58 @@ class TpchPlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "rollup lost map-side combine")
   }
 
+  test("q2: correlated MIN is a window over the one rollup — single fact scan") {
+    val p = plan("q_shape_q2")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans\n${p.take(2000)}")
+    assert(p.contains("Window ["), "per-part min lost the window formulation")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 lost the bounded sort")
+    val logical = graft.SparkEntry.queries("q_shape_q2")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(logical).size == 2,
+      "only fixed-cardinality nation/region may carry forced broadcasts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q9: one fact scan; part-name filter prunes the part side below the join") {
+    val p = plan("q_shape_q9")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")
+    assert(p.contains("Contains(p_name,red)") || p.contains("contains(p_name"),
+      "part-name filter not pushed to the part scan")
+    assert(p.contains("partial_sum"), "profit aggregate lost map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q11: both threshold and filter read the persisted rollup — one fact scan") {
+    val p = plan("q_shape_q11")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"threshold and filter branches must both read the cached per-part value\n${p.take(2000)}")
+    // the 1-row threshold comparison is the single permissible nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16: two-column fact projection before the distinct; null-safe anti join") {
+    val p = plan("q_shape_q16")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      "fact scan must read exactly the two join keys")
+    assert(p.contains("LeftAnti"), "flagged-supplier exclusion lost the anti join")
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      "balance filter not pushed to the supplier scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20: correlated total is a window; date window pushed; one fact scan") {
+    val p = plan("q_shape_q20")
+    assert(factScans(p) == 1, s"${factScans(p)} lineitem scans\n${p.take(2000)}")
+    assert(p.contains("Window ["), "per-part total lost the window formulation")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "shipdate window not pushed to the fact scan")
+    assert("LeftSemi".r.findAllIn(p).size == 2,
+      "promo-part and excess-supplier qualifications must both be semi joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q7: exactly two broadcast hints (the two nation roles); no cartesian") {
     val logical = graft.SparkEntry.queries("q_shape_q7")(spark, sfDir)
       .queryExecution.analyzed.toString

@@ -153,6 +153,36 @@ object QueriesExt {
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
 
+    // k-NN JOIN: every probe vector gets its k nearest corpus vectors
+    // by cosine — the BATCH retrieval shape (nearest training examples
+    // per eval item, dataset enrichment), vs ext_sim_search's single
+    // query. The probe set is persisted (tiny by construction; in
+    // production it is its own table) and broadcasts under the cross
+    // join, so every scored pair is born and dies inside one corpus
+    // partition; the per-probe top-k runs on the bounded-heap
+    // GroupTopK operator — partial heaps per partition, then a final
+    // heap after shuffling at most partitions·k rows per probe. The
+    // |probe|·|corpus| score stream never materializes and never
+    // globally sorts, which is what makes the brute-force shape viable
+    // as the exact-verification baseline at scale (the ANN keys are
+    // its sublinear path).
+    "ext_knn_join" -> ((s, d) => {
+      graft.plans.GroupTopKOps.ensureRegistered(s)
+      val emb = t("embeddings")(s, d)
+      val probes = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val scored = emb.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("embedding"), col("probe_emb")), 6).as("sim"))
+      graft.plans.GroupTopKOps.topK(scored, Seq("probe_id"),
+          Seq("sim" -> true, "vec_id" -> false), 5)
+        .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
+    }),
+
     // embedding-cosine near-dup pairs via sign-LSH banding
     // (Similarity.lshNearDupPairs) — bucketed candidates + exact-cosine
     // verification, no all-pairs join anywhere. Corpus = embeddings
@@ -465,6 +495,32 @@ object QueriesExt {
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    // the SCALE path for ext_knn_join: the same batch retrieval over
+    // the materialized IVF index — probe cells rank row-local, the
+    // exploded (probe, cell) set broadcasts, dynamic partition
+    // pruning keeps the index scan to the ranked cells, GroupTopK
+    // bounds the heaps. Approximate (nProbe of 16 cells) → rows-only;
+    // recall vs the exact ext_knn_join is pinned in SimilaritySpec.
+    // Probe-set members are excluded from candidates (self-match
+    // filter), aligning the candidate corpus with ext_knn_join's.
+    "ext_knn_join_ivf" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val idx = annIndex.computeIfAbsent(s"ivf_${TableIds.idFor(d)}",
+        key => Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          s"target/ann_index/$key", nCentroids = 16))
+        .asInstanceOf[Similarity.IvfIndex]
+      val probes = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard); also keeps
+        // the DPP subquery from re-printing a second probe-side scan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      Similarity.ivfKnnJoin(s, idx, probes, "probe_id", "probe_emb",
+          k = 5, nProbe = 6,
+          candidateFilter = Some(col("vec_id") % 97 =!= 0))
+        .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
     }),
 
     "ext_sim_search_lsh_indexed" -> ((s, d) => {
@@ -913,6 +969,25 @@ object QueriesExt {
          SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS comp
          FROM r GROUP BY id ORDER BY doc_id, comp""",
 
+    "ext_knn_join" ->
+      """WITH probes AS (
+           SELECT vec_id AS probe_id, embedding AS pe
+           FROM embeddings WHERE vec_id % 97 = 0),
+         scored AS (
+           SELECT probe_id, vec_id, ROUND(
+             list_aggregate(list_apply(list_zip(embedding, pe),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(pe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM embeddings, probes WHERE vec_id % 97 != 0)
+         SELECT probe_id, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY sim DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= 5
+         ORDER BY probe_id, sim DESC, vec_id""",
     "ext_sim_search" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, ROUND(

@@ -231,13 +231,7 @@ object QueriesOpt {
     // and full-volume shuffle. Plan shape asserted in GroupTopKSpec;
     // the oracle proves row-for-row ROW_NUMBER equivalence.
     "opt_group_topk" -> ((s, d) => {
-      QueriesOpt.synchronized {
-        // check-then-append under a lock: two threads racing here would
-        // last-writer-win and silently drop one registration
-        if (!s.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
-          s.experimental.extraStrategies =
-            s.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
-      }
+      graft.plans.GroupTopKOps.ensureRegistered(s)
       graft.plans.GroupTopKOps.topK(
         Tables.t(s, d, "orders")
           .select("o_custkey", "o_orderkey", "o_totalprice"),

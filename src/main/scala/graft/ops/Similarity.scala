@@ -263,6 +263,53 @@ object Similarity {
     bruteForceTopK(corpus, idCol, embCol, q, k)
   }
 
+  /** BATCH k-NN join against a built IVF index: every probe ROW gets
+    * its k nearest index vectors among its `nProbe` most-similar
+    * cells — the many-query analogue of [[ivfProbe]] (dataset
+    * enrichment / retrieval, not one ad-hoc lookup). Cell ranking is
+    * row-local on the probe side (centroids are broadcast literals,
+    * exactly [[ivfAssign]] generalized to top-nProbe); the exploded
+    * (probe, cell) set broadcasts, and because the equi-join key is
+    * the index's PARTITION column, dynamic partition pruning skips
+    * every cell no probe ranked — the batch analogue of ivfProbe's
+    * driver-side `isin`, with no driver collect of any probe data.
+    * Per-probe top-k runs on the bounded-heap GroupTopK operator, so
+    * the probes·candidates score stream never globally sorts.
+    *
+    * Returns (probeIdCol, index id col, sim) rows; `sim` is rounded
+    * to 6 places so downstream tie-breaks are engine-portable.
+    */
+  def ivfKnnJoin(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+                 probes: DataFrame, probeIdCol: String, probeEmbCol: String,
+                 k: Int, nProbe: Int = 4,
+                 candidateFilter: Option[Column] = None): DataFrame = {
+    graft.plans.GroupTopKOps.ensureRegistered(spark)
+    val cellStructs = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.GraftFunctions
+        .cosine_sim(col(probeEmbCol), array(c.map(lit(_)): _*).cast("array<float>"))
+        .as("sim"), lit(i).as("cid"))
+    }
+    // top-nProbe cells per probe: sort the (sim, cid) structs desc and
+    // slice — row-local, no shuffle on the probe side
+    val ranked = probes
+      .withColumn("cells",
+        slice(reverse(array_sort(array(cellStructs: _*))), 1, nProbe))
+      .withColumn("cell", explode(col("cells").getField("cid")))
+      .select(col(probeIdCol), col(probeEmbCol), col("cell"))
+    val idx = openIndex(spark, index.path)
+    val (sid, semb) = indexColumns(idx, index.path)
+    // candidateFilter (e.g. exclude self-matches — every real
+    // retrieval pipeline needs it) applies BEFORE the top-k heaps so
+    // excluded candidates never occupy a slot
+    val scored0 = idx.join(broadcast(ranked), Seq("cell"))
+    val scored = candidateFilter.fold(scored0)(scored0.filter)
+      .select(col(probeIdCol), col(sid),
+        round(graft.functions.GraftFunctions
+          .cosine_sim(col(semb), col(probeEmbCol)), 6).as("sim"))
+    graft.plans.GroupTopKOps.topK(scored, Seq(probeIdCol),
+      Seq("sim" -> true, sid -> false), k)
+  }
+
   /** Materialized sign-LSH index: corpus written `partitionBy(cell)`
     * on the nBits-bit bucket key; probing reads only the partitions
     * within the multi-probe Hamming radius.

@@ -124,6 +124,17 @@ object GroupTopKStrategy extends SparkStrategy {
   * (append a unique tiebreaker) for deterministic results.
   */
 object GroupTopKOps {
+  /** Idempotent per-session strategy registration. Synchronized
+    * check-then-append: two threads racing would last-writer-win and
+    * silently drop one registration.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupTopKStrategy
+    }
+
   def topK(df: DataFrame, groupCols: Seq[String],
            order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val child = df.queryExecution.analyzed

@@ -192,6 +192,43 @@ object QueriesExt {
     // background max pairwise cosine is ≈0.51, so the 0.9 threshold
     // isolates exactly the planted pairs — same answer as the oracle's
     // exact all-pairs formulation.
+    // SEMANTIC decontamination: corpus vectors whose cosine to ANY
+    // eval vector reaches the threshold are quarantined, with the
+    // closest eval item attributed — catches the paraphrased benchmark
+    // leakage that n-gram overlap (ext_decontaminate) misses. Eval
+    // sets are index-sized next to a training corpus, so the eval side
+    // persists + broadcasts and the similarity computes in one pass
+    // over ONE corpus scan; only the flagged sliver (tiny by
+    // construction) shuffles for the per-vector argmax. At 100 TB this
+    // is a map-only job over the corpus. (If the eval set ever
+    // outgrows a broadcast, the sign-LSH banding in Similarity is the
+    // fallback pair generator.) Planted contamination: rescaled eval
+    // copies (cosine exactly 1, the ext_dedup_embed fixture) on a
+    // background whose max corpus-eval cosine is 0.45 — the 0.85
+    // threshold separates them in closed form.
+    "ext_decontaminate_semantic" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val evalSet = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val corpus = emb.filter(col("vec_id") % 53 =!= 0).unionAll(
+        emb.filter(col("vec_id") % 53 === 0 && col("vec_id") % 106 =!= 0)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+              .as("embedding")))
+      corpus.crossJoin(broadcast(evalSet))
+        .select(col("vec_id"), col("eval_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("embedding"), col("eval_emb")), 6).as("sim"))
+        .filter(col("sim") >= 0.85)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), col("eval_id"))).as("m"))
+        .select(col("vec_id"), col("m.eval_id").as("eval_id"),
+          col("m.sim").as("sim"))
+        .orderBy("vec_id")
+    }),
+
     "ext_dedup_embed" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val corpus = emb.unionAll(
@@ -1010,6 +1047,32 @@ object QueriesExt {
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
          FROM embeddings, q WHERE vec_id != 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ext_decontaminate_semantic" ->
+      """WITH ev AS (
+           SELECT vec_id AS eval_id, embedding AS ee
+           FROM embeddings WHERE vec_id % 53 = 0),
+         corpus AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 53 != 0
+           UNION ALL
+           SELECT vec_id + 20000,
+             list_apply(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+           FROM embeddings WHERE vec_id % 53 = 0 AND vec_id % 106 != 0),
+         scored AS (
+           SELECT vec_id, eval_id, ROUND(
+             list_aggregate(list_apply(list_zip(embedding, ee),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(ee,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM corpus, ev)
+         SELECT vec_id, eval_id, sim FROM (
+           SELECT vec_id, eval_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, eval_id DESC) AS rn
+           FROM scored WHERE sim >= 0.85)
+         WHERE rn = 1
+         ORDER BY vec_id""",
     "ext_dedup_embed" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings

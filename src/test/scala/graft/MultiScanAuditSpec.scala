@@ -16,6 +16,7 @@ class MultiScanAuditSpec extends SparkSpec {
     "ext_dataset_mix" -> "3-row class census reads only the source column; pruned scan beats caching text",
     "ext_decontaminate" -> "corpus vs its own eval-overlap subset (anti-join of a derived set)",
     "ext_decontaminate_report" -> "corpus vs its own eval subset (eval is an external table in production)",
+    "ext_decontaminate_semantic" -> "corpus unioned with its planted-contamination projection (eval is an external table in production)",
     "ext_dedup_exact" -> "corpus unioned with its planted-duplicate projection",
     "ext_dedup_incremental" -> "history fingerprints vs new-batch union (two filters of the source)",
     "ext_dedup_lines" -> "digest census pass + reassembly pass read different columns",

@@ -29,6 +29,8 @@ object Bench {
     "ext_sim_search_ivf_indexed", // partition-pruned probe of the materialized ANN index — measured next to brute force
     "ext_sim_search_full", // brute-force over the ~100k-vector expanded corpus
     "ext_sim_search_ivf_indexed_full", // indexed probe over the same corpus — the measured pruning win
+    "ext_knn_join_full",   // batch retrieval: exact GroupTopK knn join over the expanded corpus
+    "ext_knn_join_ivf_full", // same via the DPP-pruned IVF index — the batch pruning win
     "ext_text_quality",    // token analytics single scan
     "ext_fingerprint",     // md5 fingerprinting scan
     "ext_seq_packing",     // greedy context-window packing (one group shuffle)

@@ -560,6 +560,49 @@ object QueriesExt {
         .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
     }),
 
+    // BENCH-scale batch retrieval over the expanded corpus (~40k
+    // vectors at sf0.1): the exact GroupTopK knn join vs the
+    // DPP-pruned IVF variant — the pair that turns "the batch probe
+    // prunes" into a measured number. ~180 probes (vec_id % 11): batch
+    // retrieval's real regime is MANY probes, where scoring volume
+    // (probes × corpus for brute force, probes × nProbe/nCells × corpus
+    // for IVF) dominates — at a handful of probes both sides are
+    // job-overhead-bound and the 10× candidate reduction is invisible.
+    // rows-only (derived corpus).
+    "ext_knn_join_full" -> ((s, d) => {
+      graft.plans.GroupTopKOps.ensureRegistered(s)
+      val emb = t("embeddings")(s, d)
+      val probes = emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val scored = s.read.parquet(expandedEmbDir(s, d))
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("embedding"), col("probe_emb")), 6).as("sim"))
+      graft.plans.GroupTopKOps.topK(scored, Seq("probe_id"),
+          Seq("sim" -> true, "vec_id" -> false), 10)
+        .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
+    }),
+
+    "ext_knn_join_ivf_full" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val dir = expandedEmbDir(s, d)
+      val idx = annIndex.computeIfAbsent(s"ivf_full_${TableIds.idFor(d)}",
+        key => Similarity.buildIvfIndex(
+          s.read.parquet(dir), "vec_id", "embedding",
+          s"target/ann_index/$key", nCentroids = 64))
+        .asInstanceOf[Similarity.IvfIndex]
+      val probes = emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      Similarity.ivfKnnJoin(s, idx, probes, "probe_id", "probe_emb",
+          k = 10, nProbe = 6)
+        .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
+    }),
+
     "ext_sim_search_lsh_indexed" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)

@@ -52,6 +52,27 @@ object QueriesDialect {
            date(1700000000 + event_id, 'unixepoch', '+1 days') AS from_epoch_p1
          FROM events ORDER BY event_id""",
 
+    // JSON1 MUTATION surface (json_set / insert / replace / remove /
+    // type / quote / patch) — Spark has no JSON editors at all; these
+    // resolve to the native graft.functions.SqliteJson expressions
+    // (raw-token-preserving tree, SQLite edit semantics pinned in
+    // SqliteJsonSpec against real SQLite 3.40). The oracle states the
+    // expected documents by string surgery over the same props
+    // column, so a green row proves the edit semantics end-to-end.
+    "fn_json_modify" ->
+      """SELECT event_id,
+           json_set(props, '$.e', event_id) AS set_e,
+           json_set(props, '$.k', event_type) AS set_k,
+           json_insert(props, '$.k', 99) AS ins_noop,
+           json_replace(props, '$.k', event_id) AS repl_k,
+           json_remove(props, '$.k') AS rm_k,
+           json_type(props) AS t_doc,
+           json_type(props, '$.k') AS t_k,
+           json_type(props, '$.zz') AS t_missing,
+           json_quote(event_type) AS q_type,
+           json_patch(props, '{"k":null,"p":1}') AS patched
+         FROM events ORDER BY event_id LIMIT 2000""",
+
     // SQLite storage-class introspection over typed lake columns —
     // typeof() answers with SQLite's class names ('integer', 'real',
     // 'text', 'null'), never Spark's; the mixed column exercises the
@@ -548,6 +569,23 @@ object QueriesDialect {
   )
 
   val oracle: Map[String, String] = Map(
+    // props is uniformly '{"k": <int>}' in the testdata, so every
+    // edited document can be stated by string surgery — the oracle is
+    // independent of any DuckDB JSON-editor behavior
+    "fn_json_modify" ->
+      """SELECT event_id,
+           '{"k":' || (props ->> 'k') || ',"e":' || event_id || '}' AS set_e,
+           '{"k":"' || event_type || '"}' AS set_k,
+           '{"k":' || (props ->> 'k') || '}' AS ins_noop,
+           '{"k":' || event_id || '}' AS repl_k,
+           '{}' AS rm_k,
+           'object' AS t_doc,
+           'integer' AS t_k,
+           CAST(NULL AS VARCHAR) AS t_missing,
+           '"' || event_type || '"' AS q_type,
+           '{"p":1}' AS patched
+         FROM events ORDER BY event_id LIMIT 2000""",
+
     // DuckDB strftime takes (value, fmt) — argument order is swapped vs
     // SQLite. dayofweek() is Sunday=0 in both DuckDB and the translated
     // Spark expression. Month shifts clamp in BOTH Spark and DuckDB

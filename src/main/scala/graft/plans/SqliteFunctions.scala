@@ -204,8 +204,102 @@ object SqliteFunctions {
     ("sqlite_version", "sqlite_version() - the emulated SQLite dialect level", { args =>
       arity("sqlite_version", args, 0)
       Literal("3.45.3")
+    }),
+
+    // ---- JSON1 mutation surface (graft.functions.SqliteJson) ----
+    // Spark has no JSON mutation functions at all; these are native
+    // expressions over a raw-token-preserving JSON tree (untouched
+    // scalars keep their source text byte-for-byte, as SQLite's
+    // editors do). Multi-pair calls fold left-to-right — SQLite's
+    // sequential-edit rule — so each step is a fixed-arity codegen'd
+    // expression.
+    ("json_set", "json_set(json, path, value, ...) - set or insert at each path",
+      jsonEditBuilder("json_set", 0)),
+    ("json_insert", "json_insert(json, path, value, ...) - insert only where absent",
+      jsonEditBuilder("json_insert", 1)),
+    ("json_replace", "json_replace(json, path, value, ...) - replace only where present",
+      jsonEditBuilder("json_replace", 2)),
+
+    ("json_remove", "json_remove(json, path, ...) - remove each path; minifies with no paths", { args =>
+      if (args.isEmpty) throw new IllegalArgumentException(
+        "json_remove expects at least 1 argument")
+      args.tail.foldLeft[Expression](
+        if (args.length == 1)
+          graft.functions.SqliteJsonMinify(Cast(args.head, StringType))
+        else Cast(args.head, StringType)) { (acc, p) =>
+        graft.functions.SqliteJsonRemove(acc, Cast(p, StringType))
+      }
+    }),
+
+    ("json_type", "json_type(json[, path]) - SQLite JSON type name", { args =>
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"json_type expects 1 or 2 arguments, got ${args.length}")
+      // json_type(j) ≡ json_type(j, '$') — the root path, so a
+      // genuine NULL path argument still yields NULL (SQLite's rule)
+      val path = if (args.length == 2) Cast(args(1), StringType)
+                 else Literal("$")
+      graft.functions.SqliteJsonType(Cast(args.head, StringType), path)
+    }),
+
+    ("json_patch", "json_patch(a, b) - RFC-7386 merge patch", { args =>
+      arity("json_patch", args, 2)
+      graft.functions.SqliteJsonPatch(
+        Cast(args(0), StringType), Cast(args(1), StringType))
+    }),
+
+    ("json_quote", "json_quote(x) - JSON rendering of an SQL value", { args =>
+      arity("json_quote", args, 1)
+      Coalesce(Seq(jsonValueExpr(args.head, "json_quote"), Literal("null")))
     })
   )
+
+  /** set/insert/replace builder: json then (path, value) pairs. */
+  private def jsonEditBuilder(name: String, mode: Int): Builder = { args =>
+    if (args.isEmpty || args.length % 2 == 0)
+      throw new IllegalArgumentException(
+        s"$name expects json plus (path, value) pairs, got ${args.length} arguments")
+    if (args.length == 1)
+      graft.functions.SqliteJsonMinify(Cast(args.head, StringType))
+    else args.tail.grouped(2)
+      .foldLeft[Expression](Cast(args.head, StringType)) { case (acc, Seq(p, v)) =>
+      graft.functions.SqliteJsonEdit(acc, Cast(p, StringType),
+        Coalesce(Seq(jsonValueExpr(v, name), Literal("null"))), mode)
+    }
+  }
+
+  /** Render an SQL value expression as JSON text, type-directed —
+    * SQLite's value→JSON rule. Results of JSON-producing calls splice
+    * verbatim (the JSON-subtype rule): after translation `json(x)`
+    * and `->` are `to_json(…)`, and this module's own editors carry
+    * the subtype structurally. SQL NULL renders as JSON null via the
+    * caller's Coalesce. Known divergence (README): REAL exponent
+    * rendering follows Spark's cast ('1.0E20' vs SQLite '1.0e+20').
+    */
+  private def jsonValueExpr(e: Expression, fn: String): Expression = {
+    def isJsonSubtyped(x: Expression): Boolean = x match {
+      case _: graft.functions.SqliteJsonEdit |
+           _: graft.functions.SqliteJsonRemove |
+           _: graft.functions.SqliteJsonMinify |
+           _: graft.functions.SqliteJsonPatch => true
+      case _ => x.prettyName == "to_json"
+    }
+    e.dataType match {
+      case _ if isJsonSubtyped(e) => e
+      case NullType => Literal.create(null, StringType)
+      case BooleanType => Cast(Cast(e, LongType), StringType)
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType => Cast(e, StringType)
+      case _: StringType | _: VarcharType | _: CharType =>
+        graft.functions.SqliteJsonQuoteString(e)
+      case DateType | TimestampType | TimestampNTZType =>
+        graft.functions.SqliteJsonQuoteString(Cast(e, StringType))
+      case BinaryType => throw new IllegalArgumentException(
+        s"$fn: JSON cannot hold BLOB values")
+      case dt => throw new IllegalArgumentException(
+        s"$fn: cannot render ${dt.sql} as JSON")
+    }
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",

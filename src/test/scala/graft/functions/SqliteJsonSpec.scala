@@ -1,0 +1,130 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden matrix for the JSON1 mutation surface, generated against
+  * REAL SQLite 3.40 (python sqlite3, same literal expressions) —
+  * every row is (SQL expression, SQLite's exact result). Literal
+  * expressions exercise the interpreted eval path (constant folding);
+  * the column-based tests below exercise codegen.
+  */
+class SqliteJsonSpec extends SparkSpec {
+  graft.plans.SqliteFunctions.registerRuntime(spark)
+
+  private val golden: Seq[(String, String)] = Seq(
+    ("json_set('{\"a\":1}', '$.b', 2)", "{\"a\":1,\"b\":2}"),
+    ("json_set('{}', '$.a.b', 2)", "{\"a\":{\"b\":2}}"),
+    ("json_set('{\"a\":{\"x\":1}}', '$.a.y', 2)", "{\"a\":{\"x\":1,\"y\":2}}"),
+    ("json_set('[1,2]', '$[#]', 3)", "[1,2,3]"),
+    ("json_set('[1,2]', '$[0]', 9)", "[9,2]"),
+    ("json_set('[1,2]', '$[#-1]', 9)", "[1,9]"),
+    ("json_set('[1,2]', '$[2]', 9)", "[1,2,9]"),
+    ("json_set('[1,2]', '$[5]', 9)", "[1,2]"),
+    ("json_set('{}', '$.a[0]', 1)", "{\"a\":[1]}"),
+    ("json_set('{}', '$.a[1]', 1)", "{}"),
+    ("json_set('{\"a\":3}', '$.a.b', 9)", "{\"a\":3}"),
+    ("json_set('{\"A\":1}', '$.a', 2)", "{\"A\":1,\"a\":2}"),
+    ("json_set('{\"a\": 1 }', '$.c', 1, '$.d', 2)", "{\"a\":1,\"c\":1,\"d\":2}"),
+    ("json_set('5', '$', 9)", "9"),
+    ("json_set('{\"a\":1}', '$.b', 'tx\"t')", "{\"a\":1,\"b\":\"tx\\\"t\"}"),
+    ("json_set('{\"a\":1}', '$.b', 2.5)", "{\"a\":1,\"b\":2.5}"),
+    ("json_set('{\"a\":1}', '$.b', NULL)", "{\"a\":1,\"b\":null}"),
+    ("json_set('{\"a\":1}')", "{\"a\":1}"),
+    ("json_set('{\"a b\":{}}', '$.\"a b\".c', 1)", "{\"a b\":{\"c\":1}}"),
+    ("json_set('[1.50, 2e2]', '$[#]', 3)", "[1.50,2e2,3]"),
+    ("json_insert('{\"a\":1}', '$.a', 9)", "{\"a\":1}"),
+    ("json_insert('{\"a\":1}', '$.b', 9)", "{\"a\":1,\"b\":9}"),
+    ("json_insert('{}', '$.a.b', 9)", "{\"a\":{\"b\":9}}"),
+    ("json_insert('[1,2]', '$[#]', 5)", "[1,2,5]"),
+    ("json_insert('5', '$', 9)", "5"),
+    ("json_replace('{\"a\":1}', '$.a', 9)", "{\"a\":9}"),
+    ("json_replace('{\"a\":1}', '$.b', 9)", "{\"a\":1}"),
+    ("json_replace('5', '$', 9)", "9"),
+    ("json_remove('{\"a\":1,\"b\":2}', '$.a')", "{\"b\":2}"),
+    ("json_remove('[1,2,3]', '$[1]')", "[1,3]"),
+    ("json_remove('[1,2,3]', '$[5]')", "[1,2,3]"),
+    ("json_remove('[[1,2],3]', '$[0][1]')", "[[1],3]"),
+    ("json_remove('[1,2,3]', '$[1]', '$[1]')", "[1]"),
+    ("json_remove('{\"a\":1}')", "{\"a\":1}"),
+    ("json_remove('[1]', '$')", null),
+    ("json_remove('[1,2,3]', '$[#-1]')", "[1,2]"),
+    ("json_type('{\"a\":[1]}')", "object"),
+    ("json_type('{\"a\":[1]}', '$.a')", "array"),
+    ("json_type('{\"a\":[1]}', '$.b')", null),
+    ("json_type('3.5')", "real"),
+    ("json_type('3')", "integer"),
+    ("json_type('2e2')", "real"),
+    ("json_type('true')", "true"),
+    ("json_type('null')", "null"),
+    ("json_type('\"x\"')", "text"),
+    ("json_type('{\"a\":1}', NULL)", null),
+    ("json_quote(3.5)", "3.5"),
+    ("json_quote(3)", "3"),
+    ("json_quote('t\"x')", "\"t\\\"x\""),
+    ("json_quote(NULL)", "null"),
+    ("json_patch('{\"a\":1,\"b\":2}','{\"b\":null,\"c\":3}')", "{\"a\":1,\"c\":3}"),
+    ("json_patch('{\"a\":{\"x\":1}}','{\"a\":{\"y\":2}}')", "{\"a\":{\"x\":1,\"y\":2}}"),
+    ("json_patch('{\"a\":1}','[1,2]')", "[1,2]"),
+    ("json_patch('[1,2]','{\"a\":1}')", "{\"a\":1}"),
+    ("json_patch('{\"a\":{\"x\":1}}','{\"a\":null}')", "{}"),
+  )
+
+  golden.foreach { case (exprSql, want) =>
+    test(s"golden: $exprSql") {
+      val got = spark.sql(s"SELECT $exprSql AS r").head().getString(0)
+      assert(got == want, s"\n  got  $got\n  want $want")
+    }
+  }
+
+  test("codegen path: per-row edits over a column match the golden rule") {
+    val df = spark.range(1, 6).selectExpr(
+      "id", "concat('{\"k\": ', id, '}') AS j")
+    val out = df.selectExpr(
+        "json_set(j, '$.e', id) AS s",
+        "json_remove(j, '$.k') AS r",
+        "json_type(j, '$.k') AS t",
+        "json_insert(j, '$.k', 99) AS i")
+      .collect()
+    out.zip(1 to 5).foreach { case (row, id) =>
+      assert(row.getString(0) == s"""{"k":$id,"e":$id}""")
+      assert(row.getString(1) == "{}")
+      assert(row.getString(2) == "integer")
+      assert(row.getString(3) == s"""{"k":$id}""")
+    }
+  }
+
+  test("JSON subtype: a json()-produced value splices instead of quoting") {
+    // the translator rewrites json(x) → to_json(parse_json(x)); the
+    // builder recognizes to_json output and splices it as JSON
+    val sql = graft.text2sql.SqlDialect.translate(
+      """SELECT json_set('{"a":1}', '$.b', json('[1,2]')) AS r""")
+    assert(spark.sql(sql).head().getString(0) == """{"a":1,"b":[1,2]}""")
+  }
+
+  test("quoteText escapes controls and mandatory characters, leaves unicode raw") {
+    assert(SqliteJson.quoteText("a\\b") == "\"a\\\\b\"")
+    assert(SqliteJson.quoteText("x\ny") == "\"x\\ny\"")
+    assert(SqliteJson.quoteText("caf\u00e9") == "\"caf\u00e9\"")
+    assert(SqliteJson.quoteText("\u0001") == "\"\\u0001\"")
+  }
+
+  test("malformed JSON and bad paths raise, as SQLite does") {
+    intercept[Exception] {
+      spark.sql("SELECT json_set('not json', '$.a', 1)").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT json_type('{\"a\":1}', 'a')").head()
+    }
+    intercept[Exception] { // BLOB values cannot enter JSON
+      spark.sql("SELECT json_quote(X'41')").head()
+    }
+  }
+
+  test("NULL json or path yields NULL; NULL value becomes JSON null") {
+    assert(spark.sql("SELECT json_set(NULL, '$.a', 1)").head().isNullAt(0))
+    assert(spark.sql("SELECT json_set('{}', NULL, 1)").head().isNullAt(0))
+    assert(spark.sql("SELECT json_remove('{}', NULL)").head().isNullAt(0))
+    assert(spark.sql("SELECT json_patch(NULL, '{}')").head().isNullAt(0))
+  }
+}

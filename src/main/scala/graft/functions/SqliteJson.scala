@@ -496,6 +496,112 @@ object SqliteJson {
   /** JSON-escape a text value (json_quote on TEXT). */
   def quoteString(s: UTF8String): UTF8String =
     UTF8String.fromString(quoteText(s.toString))
+
+  // --------------------------------- json_each / json_tree row walk
+
+  /** One row of the table-valued json_each/json_tree: (key, value,
+    * type, atom, id, parent, fullkey, path) — value/atom rendered to
+    * SQL as SQLite does (text unquoted, numbers raw, true/false →
+    * 1/0, containers as JSON text, JSON null → SQL NULL). `id` and
+    * `parent` are sequential DFS ordinals: SQLite documents its ids
+    * as an implementation detail ("may change from one release to the
+    * next"), so only the identify-your-parent role is preserved, not
+    * the exact numbers (README divergence table).
+    */
+  final case class EachRow(key: String, value: String, tpe: String,
+                           atom: String, id: Int, parent: Integer,
+                           fullkey: String, path: String)
+
+  private def bareKey(k: String): Boolean =
+    k != null && k.nonEmpty && !k.head.isDigit &&
+      k.forall(c => c.isLetterOrDigit || c == '_')
+
+  private def childFullkey(parent: String, key: Either[String, Int]): String =
+    key match {
+      case Right(i) => s"$parent[$i]"
+      case Left(k) if bareKey(k) => s"$parent.$k"
+      case Left(k) => s"""$parent."$k""""
+    }
+
+  private def eachType(n: Node): String = n match {
+    case JObj(_) => "object"
+    case JArr(_) => "array"
+    case JScalar(raw) =>
+      if (raw == "true" || raw == "false" || raw == "null") raw
+      else if (raw.charAt(0) == '"') "text"
+      else if (raw.exists(c => c == '.' || c == 'e' || c == 'E')) "real"
+      else "integer"
+  }
+
+  private def eachValue(n: Node): String = n match {
+    case o: JObj => render(o)
+    case a: JArr => render(a)
+    case JScalar("true")  => "1"
+    case JScalar("false") => "0"
+    case JScalar("null")  => null
+    case JScalar(raw) =>
+      if (raw.charAt(0) == '"') unescape(raw) else raw
+  }
+
+  private def eachAtom(n: Node): String = n match {
+    case _: JObj | _: JArr => null
+    case s: JScalar        => eachValue(s)
+  }
+
+  /** json_each (recursive=false): the children of the path node, or
+    * one row for a scalar. json_tree (recursive=true): the path node
+    * itself plus every descendant, DFS order. Missing path → empty.
+    */
+  def walk(json: String, path: String, recursive: Boolean): Seq[EachRow] = {
+    val root = new Parser(json).parse()
+    val steps = parsePath(path)
+    val start = lookup(root, steps) match {
+      case Some(n) => n
+      case None    => return Nil
+    }
+    val out = Seq.newBuilder[EachRow]
+    var nextId = 0
+    def emit(key: Either[String, Int], n: Node, parent: Integer,
+             fullkey: String, pathStr: String): Int = {
+      val id = nextId
+      nextId += 1
+      out += EachRow(
+        key match { case Left(k) => k; case Right(i) => i.toString },
+        eachValue(n), eachType(n), eachAtom(n), id, parent, fullkey, pathStr)
+      id
+    }
+    def children(n: Node, parent: Integer, fullkey: String): Unit = n match {
+      case JObj(fields) =>
+        fields.foreach { case (k, _, v) =>
+          val fk = childFullkey(fullkey, Left(k))
+          val id = emit(Left(k), v, parent, fk, fullkey)
+          if (recursive) children(v, id, fk)
+        }
+      case JArr(items) =>
+        items.zipWithIndex.foreach { case (v, i) =>
+          val fk = childFullkey(fullkey, Right(i))
+          val id = emit(Right(i), v, parent, fk, fullkey)
+          if (recursive) children(v, id, fk)
+        }
+      case _ =>
+    }
+    // the key column of the path node itself (scalar each / tree
+    // root): the last path step's name/index, NULL at the root
+    val rootKey: Either[String, Int] = steps.lastOption match {
+      case None              => Left(null)
+      case Some(Key(k))      => Left(k)
+      case Some(Idx(i))      => Right(i)
+      case Some(FromEnd(_))  => Left(null) // index unknowable statically
+    }
+    if (recursive) {
+      val id = emit(rootKey, start, null, path, path)
+      children(start, id, path)
+    } else start match {
+      case _: JObj | _: JArr => children(start, null, path)
+      case _ => emit(rootKey, start, null, path, path)
+    }
+    out.result()
+  }
 }
 
 // --------------------------------------------------------- expressions
@@ -626,6 +732,57 @@ case class SqliteJsonPatch(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** SQLite's table-valued json_each / json_tree as a Spark Generator:
+  * one output row per element (each: the path node's children; tree:
+  * the node plus all descendants, DFS), columns (key, value, type,
+  * atom, id, parent, fullkey, path). Reached via LATERAL VIEW — the
+  * translator rewrites SQLite's `FROM t, json_each(t.col)` comma form
+  * onto it. NULL json or path generates no rows (SQLite's behavior on
+  * NULL arguments). Generators execute in GenerateExec's interpreted
+  * path; the surrounding projections stay codegen'd.
+  */
+case class SqliteJsonEachGen(json: Expression, path: Expression,
+                             recursive: Boolean)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def children: Seq[Expression] = Seq(json, path)
+  override def prettyName: String = if (recursive) "json_tree" else "json_each"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType),
+    StructField("type", StringType), StructField("atom", StringType),
+    StructField("id", IntegerType, nullable = false),
+    StructField("parent", IntegerType),
+    StructField("fullkey", StringType), StructField("path", StringType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (json.dataType == StringType && path.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string arguments")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val j = json.eval(input)
+    val p = path.eval(input)
+    if (j == null || p == null) return Nil
+    def s(x: String): UTF8String =
+      if (x == null) null else UTF8String.fromString(x)
+    SqliteJson.walk(j.toString, p.toString, recursive).map { r =>
+      InternalRow(s(r.key), s(r.value), s(r.tpe), s(r.atom), r.id,
+        if (r.parent == null) null else r.parent.intValue(),
+        s(r.fullkey), s(r.path))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(json = newChildren(0), path = newChildren(1))
 }
 
 /** JSON-escape TEXT into a quoted JSON string (the runtime piece of

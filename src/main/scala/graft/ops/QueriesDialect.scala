@@ -73,6 +73,15 @@ object QueriesDialect {
            json_patch(props, '{"k":null,"p":1}') AS patched
          FROM events ORDER BY event_id LIMIT 2000""",
 
+    // the table-valued json_each in SQLite's idiomatic comma form —
+    // the translator inserts the LATERAL Spark requires, the
+    // generator (functions.SqliteJsonEachGen) supplies the rows
+    "fn_json_each_tvf" ->
+      """SELECT event_id, je.key AS k, je.value AS v, je.type AS ty,
+           je.atom AS atom, je.fullkey AS fk, je.path AS p
+         FROM events, json_each(events.props) je
+         ORDER BY event_id LIMIT 2000""",
+
     // SQLite storage-class introspection over typed lake columns —
     // typeof() answers with SQLite's class names ('integer', 'real',
     // 'text', 'null'), never Spark's; the mixed column exercises the
@@ -584,6 +593,12 @@ object QueriesDialect {
            CAST(NULL AS VARCHAR) AS t_missing,
            '"' || event_type || '"' AS q_type,
            '{"p":1}' AS patched
+         FROM events ORDER BY event_id LIMIT 2000""",
+
+    "fn_json_each_tvf" ->
+      """SELECT event_id, 'k' AS k, (props ->> 'k') AS v,
+           'integer' AS ty, (props ->> 'k') AS atom,
+           '$.k' AS fk, '$' AS p
          FROM events ORDER BY event_id LIMIT 2000""",
 
     // DuckDB strftime takes (value, fmt) — argument order is swapped vs

@@ -251,8 +251,24 @@ object SqliteFunctions {
     ("json_quote", "json_quote(x) - JSON rendering of an SQL value", { args =>
       arity("json_quote", args, 1)
       Coalesce(Seq(jsonValueExpr(args.head, "json_quote"), Literal("null")))
-    })
+    }),
+
+    // table-valued json_each/json_tree double as scalar-registry
+    // generators so LATERAL VIEW also resolves them
+    ("json_each", "json_each(json[, path]) - one row per element of the path node",
+      jsonEachBuilder("json_each", recursive = false)),
+    ("json_tree", "json_tree(json[, path]) - the path node and every descendant, DFS",
+      jsonEachBuilder("json_tree", recursive = true))
   )
+
+  private def jsonEachBuilder(name: String, recursive: Boolean): Builder = { args =>
+    if (args.isEmpty || args.length > 2)
+      throw new IllegalArgumentException(
+        s"$name expects 1 or 2 arguments, got ${args.length}")
+    val path = if (args.length == 2) Cast(args(1), StringType) else Literal("$")
+    graft.functions.SqliteJsonEachGen(
+      Cast(args.head, StringType), path, recursive)
+  }
 
   /** set/insert/replace builder: json then (path, value) pairs. */
   private def jsonEditBuilder(name: String, mode: Int): Builder = { args =>
@@ -305,18 +321,46 @@ object SqliteFunctions {
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",
       "misc_funcs", "4.0.0", "", "built-in")
 
+  /** FROM-position (table-valued) forms of json_each/json_tree: a
+    * Generate over OneRowRelation, exactly how Spark registers its own
+    * built-in TVFs (explode & co). The analyzer supplies lateral
+    * correlation, so `FROM t, LATERAL json_each(t.col)` — the
+    * translator inserts the LATERAL SQLite's comma form omits —
+    * resolves each row's document. */
+  private val tvfs: Seq[(String, String, Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, OneRowRelation}
+    Seq(("json_each", false), ("json_tree", true)).map { case (name, rec) =>
+      (name, s"$name(json[, path]) - table-valued form",
+        (args: Seq[Expression]) => Generate(
+          jsonEachBuilder(name, rec)(args)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Generator],
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Nil, child = OneRowRelation()))
+    }
+  }
+
   /** Builder-time wiring (`SparkSession.builder.withExtensions`). */
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, usage, b) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
+    tvfs.foreach { case (name, usage, b) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+  }
 
   /** Live-session wiring (tests, notebooks, existing sessions). */
-  def registerRuntime(spark: SparkSession): Unit =
+  def registerRuntime(spark: SparkSession): Unit = {
     fns.foreach { case (name, usage, b) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info(name, usage), b)
     }
+    tvfs.foreach { case (name, usage, b) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` entry point:

@@ -58,6 +58,7 @@ object SqlDialect {
 
   def translate(sql: String): String = {
     var out = rewriteWindowFilter(sql)
+    out = rewriteJsonTvf(out)
     out = rewriteCalls(out)
     out = rewriteJsonArrow(out)
     out = rewriteGlob(out)
@@ -67,6 +68,39 @@ object SqlDialect {
     out = rewriteLimitComma(out)
     out = rewriteNegativeLimit(out)
     out
+  }
+
+  /** SQLite's comma-form table-valued JSON calls — `FROM t,
+    * json_each(t.col)` — correlate implicitly; Spark requires the
+    * LATERAL keyword for a correlated FROM-position TVF (the
+    * functions themselves are registered in the table-function
+    * registry by `plans.SqliteFunctions`). Insert it. Valid SQLite
+    * admits json_each/json_tree ONLY in FROM position, so a preceding
+    * comma is proof of the form — a select-list or argument
+    * occurrence would already be a SQLite error. Quote-aware;
+    * idempotent (after insertion the token before the name is
+    * LATERAL, not a comma).
+    */
+  private def rewriteJsonTvf(sql: String): String = {
+    val name = "(?is)^(json_each|json_tree)\\s*\\(".r
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          val e = endOfQuoted(sql, i, q)
+          out.append(sql.substring(i, e)); i = e
+        case c if (c == 'j' || c == 'J') &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+            name.findFirstIn(sql.substring(i)).isDefined =>
+          var k = out.length - 1
+          while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+          if (k >= 0 && out.charAt(k) == ',') out.append("LATERAL ")
+          out.append(c); i += 1
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** `agg(args) FILTER (WHERE p) OVER …` → `agg(CASE WHEN p THEN …

@@ -77,6 +77,66 @@ class SqliteJsonSpec extends SparkSpec {
     }
   }
 
+  test("json_each rows match SQLite (golden): types, rendering, fullkey quoting") {
+    // SQLite 3.40: SELECT key,value,type,atom,fullkey,path FROM
+    // json_each('[true, false, null, 2.5, "t x"]')
+    val rows = spark.sql(
+      """SELECT key, value, type, atom, fullkey, path
+         FROM json_each('[true, false, null, 2.5, "t x"]')""").collect()
+      .map(r => (0 to 5).map(i => r.get(i)).toList)
+    assert(rows.toList == List(
+      List("0", "1", "true", "1", "$[0]", "$"),
+      List("1", "0", "false", "0", "$[1]", "$"),
+      List("2", null, "null", null, "$[2]", "$"),
+      List("3", "2.5", "real", "2.5", "$[3]", "$"),
+      List("4", "t x", "text", "t x", "$[4]", "$")))
+    // object iteration + non-bare key quoting in fullkey
+    val obj = spark.sql(
+      """SELECT key, fullkey FROM json_each('{"a b":1}')""").head()
+    assert(obj.getString(0) == "a b" && obj.getString(1) == "$.\"a b\"")
+    // path argument scopes the iteration; missing path → empty
+    assert(spark.sql(
+      """SELECT value FROM json_each('{"a":{"b":1}}', '$.a')""")
+      .head().getString(0) == "1")
+    assert(spark.sql(
+      """SELECT * FROM json_each('{"a":1}', '$.zz')""").count() == 0)
+    // scalar document: one row, NULL key
+    val sc = spark.sql("SELECT key, value, type FROM json_each('7')").head()
+    assert(sc.isNullAt(0) && sc.getString(1) == "7" && sc.getString(2) == "integer")
+  }
+
+  test("json_tree walks DFS with parent linkage; root row first") {
+    val rows = spark.sql(
+      """SELECT key, value, type, id, parent, fullkey, path
+         FROM json_tree('{"a":{"x":[1,2]}}')""").collect()
+    val asList = rows.map(r => (r.get(0), r.get(1), r.get(2), r.get(5), r.get(6))).toList
+    assert(asList == List(
+      (null, """{"a":{"x":[1,2]}}""", "object", "$", "$"),
+      ("a", """{"x":[1,2]}""", "object", "$.a", "$"),
+      ("x", "[1,2]", "array", "$.a.x", "$.a"),
+      ("0", "1", "integer", "$.a.x[0]", "$.a.x"),
+      ("1", "2", "integer", "$.a.x[1]", "$.a.x")))
+    // parent ids link each row to its container row (ordinal scheme —
+    // SQLite's exact ids are documented as an implementation detail)
+    val byId = rows.map(r => r.getInt(3) -> r).toMap
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      val parent = byId(r.getInt(4))
+      assert(r.getString(6) == parent.getString(5),
+        "row's path must equal its parent's fullkey")
+    }
+  }
+
+  test("the translator inserts LATERAL into SQLite's comma-form TVF join") {
+    val t = graft.text2sql.SqlDialect.translate(
+      "SELECT event_id, je.key FROM events, json_each(events.props) je")
+    assert(t.contains(", LATERAL json_each(events.props) je"), t)
+    // idempotent — a second pass must not double-insert
+    assert(graft.text2sql.SqlDialect.translate(t) == t)
+    // select-position calls (not valid SQLite, but must not corrupt)
+    val keep = "SELECT json_each('[1]') AS x"
+    assert(graft.text2sql.SqlDialect.translate(keep) == keep)
+  }
+
   test("codegen path: per-row edits over a column match the golden rule") {
     val df = spark.range(1, 6).selectExpr(
       "id", "concat('{\"k\": ', id, '}') AS j")

@@ -58,6 +58,7 @@ object SqlDialect {
 
   def translate(sql: String): String = {
     var out = rewriteWindowFilter(sql)
+    out = rewriteJsonb(out)
     out = rewriteJsonTvf(out)
     out = rewriteCalls(out)
     out = rewriteJsonArrow(out)
@@ -68,6 +69,44 @@ object SqlDialect {
     out = rewriteLimitComma(out)
     out = rewriteNegativeLimit(out)
     out
+  }
+
+  /** SQLite 3.45's `jsonb*` family "works exactly the same" as the
+    * text family except for returning binary JSONB — a storage-layer
+    * distinction with no lake counterpart. Map each call onto its
+    * text twin (the emulated `sqlite_version()` answers 3.45.3, so a
+    * version-probing model may legitimately emit these). Documented
+    * divergence: results are JSON TEXT, not BLOBs. Known names only,
+    * `(`-anchored and word-bounded, so a column named `jsonb_extra`
+    * is untouched; idempotent (the emission starts `json_`, which no
+    * longer matches `jsonb`).
+    */
+  private val jsonbRe =
+    ("(?i)\\bjsonb(_(?:set|insert|replace|remove|patch|extract|array" +
+      "|object|group_array|group_object))?(\\s*\\()").r
+
+  private def rewriteJsonb(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          val e = endOfQuoted(sql, i, q)
+          out.append(sql.substring(i, e)); i = e
+        case c if (c == 'j' || c == 'J') &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1))) =>
+          jsonbRe.findPrefixMatchOf(sql.substring(i)) match {
+            case Some(m) =>
+              out.append("json")
+                .append(Option(m.group(1)).getOrElse(""))
+                .append(m.group(2))
+              i += m.end
+            case None => out.append(c); i += 1
+          }
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** SQLite's comma-form table-valued JSON calls — `FROM t,

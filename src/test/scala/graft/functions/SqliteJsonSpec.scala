@@ -137,6 +137,19 @@ class SqliteJsonSpec extends SparkSpec {
     assert(graft.text2sql.SqlDialect.translate(keep) == keep)
   }
 
+  test("jsonb_* calls map onto their text twins (3.45 family)") {
+    import graft.text2sql.SqlDialect.translate
+    val t = translate("SELECT jsonb_set('{\"a\":1}', '$.b', 2) AS r")
+    assert(t.contains("json_set("), t)
+    assert(spark.sql(t).head().getString(0) == """{"a":1,"b":2}""")
+    assert(translate("SELECT jsonb('[1, 2]')") ==
+      translate("SELECT json('[1, 2]')"))
+    // idempotent; unknown jsonb-prefixed identifiers untouched
+    assert(translate(t) == t)
+    val keep = "SELECT jsonb_extra, jsonb_custom(x) FROM t"
+    assert(translate(keep) == keep)
+  }
+
   test("codegen path: per-row edits over a column match the golden rule") {
     val df = spark.range(1, 6).selectExpr(
       "id", "concat('{\"k\": ', id, '}') AS j")

@@ -56,6 +56,24 @@ object QueriesTrain {
     // hashing (not rand()) makes the sample reproducible and
     // duplicate-consistent; the rate table is a row-local CASE here —
     // at scale, an external rates dim joins in as a broadcast.
+    // EXACT-k per-class sampling: precisely k docs per language, the
+    // selection keyed on the content hash — deterministic under
+    // re-sharding and row reordering (a rate-based sample can't hit an
+    // exact budget; ORDER BY rand() isn't reproducible across runs).
+    // The per-group selection runs on the bounded-heap GroupTopK
+    // operator: partial heaps per partition, at most partitions·k rows
+    // shuffle per language — never a full per-group sort. This is the
+    // fixed-budget curation op ("exactly 100k docs per language into
+    // the mix") next to the rate-based ext_stratified_sample.
+    "ext_sample_exact_k" -> ((s, d) => {
+      graft.plans.GroupTopKOps.ensureRegistered(s)
+      val ranked = t("documents")(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("rk"))
+      graft.plans.GroupTopKOps.topK(ranked, Seq("lang"),
+          Seq("rk" -> false, "doc_id" -> false), 5)
+        .orderBy("lang", "rk", "doc_id")
+    }),
+
     "ext_stratified_sample" -> ((s, d) =>
       t("documents")(s, d)
         .withColumn("bucket",
@@ -419,6 +437,14 @@ object QueriesTrain {
                 ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END <= 0.1)
             AS keep
         FROM g ORDER BY doc_id""",
+
+    "ext_sample_exact_k" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang, md5(text) AS rk,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS rn
+           FROM documents) WHERE rn <= 5
+         ORDER BY lang, rk, doc_id""",
 
     "ext_stratified_sample" ->
       """WITH w AS (SELECT doc_id, lang,

@@ -37,7 +37,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SqliteJson {
 
-  final class JsonError(msg: String)
+  final class JsonError(msg: String, val pos: Int = -1)
       extends IllegalArgumentException(msg)
 
   // ------------------------------------------------------------ tree
@@ -55,7 +55,8 @@ object SqliteJson {
 
   private final class Parser(s: String) {
     private var i = 0
-    private def fail(): Nothing = throw new JsonError("malformed JSON")
+    private def fail(): Nothing =
+      throw new JsonError("malformed JSON", math.min(i, s.length - 1))
     private def ws(): Unit =
       while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
         s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
@@ -497,6 +498,14 @@ object SqliteJson {
   def quoteString(s: UTF8String): UTF8String =
     UTF8String.fromString(quoteText(s.toString))
 
+  /** json_error_position (SQLite 3.42): 0 for well-formed input, else
+    * the 1-based character position of the first detected error —
+    * SQLite documents the position as approximate, and this parser's
+    * first-failure index is exactly such an approximation. */
+  def errorPosition(json: UTF8String): Int =
+    try { new Parser(json.toString).parse(); 0 }
+    catch { case e: JsonError => math.max(e.pos, 0) + 1 }
+
   // --------------------------------- json_each / json_tree row walk
 
   /** One row of the table-valued json_each/json_tree: (key, value,
@@ -732,6 +741,29 @@ case class SqliteJsonPatch(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** json_error_position: 0 for well-formed JSON, else the 1-based
+  * character position of the first detected error — the one JSON
+  * function whose OUTPUT is about malformed input, which makes it the
+  * data-quality primitive ("how many docs carry broken JSON, and
+  * where") rather than an editor. */
+case class SqliteJsonErrorPos(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "json_error_position"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expects a string argument")
+
+  override def nullSafeEval(j: Any): Any =
+    SqliteJson.errorPosition(j.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, j => s"graft.functions.SqliteJson.errorPosition($j)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** SQLite's table-valued json_each / json_tree as a Spark Generator:

@@ -253,6 +253,11 @@ object SqliteFunctions {
       Coalesce(Seq(jsonValueExpr(args.head, "json_quote"), Literal("null")))
     }),
 
+    ("json_error_position", "json_error_position(x) - 0 if well-formed, else 1-based char position of the first error", { args =>
+      arity("json_error_position", args, 1)
+      graft.functions.SqliteJsonErrorPos(Cast(args.head, StringType))
+    }),
+
     // table-valued json_each/json_tree double as scalar-registry
     // generators so LATERAL VIEW also resolves them
     ("json_each", "json_each(json[, path]) - one row per element of the path node",

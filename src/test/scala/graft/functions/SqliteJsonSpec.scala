@@ -137,6 +137,21 @@ class SqliteJsonSpec extends SparkSpec {
     assert(graft.text2sql.SqlDialect.translate(keep) == keep)
   }
 
+  test("json_error_position: 0 on valid, 1-based first-error position, NULL on NULL") {
+    def pos(lit: String): Any =
+      spark.sql(s"SELECT json_error_position($lit)").head().get(0)
+    assert(pos("'{\"a\":1}'") == 0)
+    assert(pos("'[1,2]'") == 0)
+    assert(pos("NULL") == null)
+    // 1-based positions point into the offending region (SQLite
+    // documents the position as approximate)
+    assert(pos("'[1,]'") == 4)      // the ']' where a value was expected
+    assert(pos("'not json'") == 1)  // fails at the first character
+    assert(pos("''") == 1)
+    val truncated = pos("'{\"a\":1'").asInstanceOf[Int]
+    assert(truncated >= 6, s"truncation should fail at the tail, got $truncated")
+  }
+
   test("jsonb_* calls map onto their text twins (3.45 family)") {
     import graft.text2sql.SqlDialect.translate
     val t = translate("SELECT jsonb_set('{\"a\":1}', '$.b', 2) AS r")

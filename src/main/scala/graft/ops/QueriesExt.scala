@@ -603,6 +603,27 @@ object QueriesExt {
         .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
     }),
 
+    // the LSH twin of ext_knn_join_ivf: probes hash to their sign
+    // bucket row-local and expand the Hamming-1 ball via a literal
+    // mask array — no centroids, no retrain, append-stable buckets.
+    // rows-only; recall + DPP pinned in SimilaritySpec.
+    "ext_knn_join_lsh" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).select("vec_id", "embedding")
+      val idx = annIndex.computeIfAbsent(s"lsh_${TableIds.idFor(d)}",
+        key => Similarity.buildLshIndex(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          s"target/ann_index/$key", dim = 64, nBits = 8))
+        .asInstanceOf[Similarity.LshIndex]
+      val probes = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      Similarity.lshKnnJoin(s, idx, probes, "probe_id", "probe_emb",
+          k = 5, radius = 2,
+          candidateFilter = Some(col("vec_id") % 97 =!= 0))
+        .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
+    }),
+
     "ext_sim_search_lsh_indexed" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)

@@ -296,18 +296,56 @@ object Similarity {
         slice(reverse(array_sort(array(cellStructs: _*))), 1, nProbe))
       .withColumn("cell", explode(col("cells").getField("cid")))
       .select(col(probeIdCol), col(probeEmbCol), col("cell"))
-    val idx = openIndex(spark, index.path)
-    val (sid, semb) = indexColumns(idx, index.path)
-    // candidateFilter (e.g. exclude self-matches — every real
-    // retrieval pipeline needs it) applies BEFORE the top-k heaps so
-    // excluded candidates never occupy a slot
-    val scored0 = idx.join(broadcast(ranked), Seq("cell"))
+    knnJoinTail(openIndex(spark, index.path), ranked,
+      probeIdCol, probeEmbCol, k, candidateFilter)
+  }
+
+  /** The shared back half of the batch knn joins: broadcast the
+    * (probe, cell) set so DPP prunes the index scan, score candidates
+    * on the fused kernel, per-probe top-k on bounded heaps.
+    * candidateFilter (e.g. exclude self-matches — every real
+    * retrieval pipeline needs it) applies BEFORE the heaps so
+    * excluded candidates never occupy a slot. */
+  private def knnJoinTail(idx: DataFrame, ranked: DataFrame,
+                          probeIdCol: String, probeEmbCol: String, k: Int,
+                          candidateFilter: Option[Column]): DataFrame = {
+    val stored = idx.schema.fieldNames.filterNot(_ == "cell")
+    val (sid, semb) = (stored(0), stored(1))
+    val cellTyped = ranked.withColumn("cell",
+      col("cell").cast(idx.schema("cell").dataType))
+    val scored0 = idx.join(broadcast(cellTyped), Seq("cell"))
     val scored = candidateFilter.fold(scored0)(scored0.filter)
       .select(col(probeIdCol), col(sid),
         round(graft.functions.GraftFunctions
           .cosine_sim(col(semb), col(probeEmbCol)), 6).as("sim"))
     graft.plans.GroupTopKOps.topK(scored, Seq(probeIdCol),
       Seq("sim" -> true, sid -> false), k)
+  }
+
+  /** Batch k-NN join against a built sign-LSH index: each probe ROW
+    * hashes to its bucket (the seeded hyperplanes are index metadata,
+    * broadcast as literals) and probes every cell within `radius`
+    * bit-flips — the Hamming-ball masks depend only on (nBits,
+    * radius), so they fold into a literal array and the ball expands
+    * ROW-LOCAL with one explode. The rest is [[knnJoinTail]]: DPP
+    * prunes the index scan to the union of probed buckets.
+    */
+  def lshKnnJoin(spark: org.apache.spark.sql.SparkSession, index: LshIndex,
+                 probes: DataFrame, probeIdCol: String, probeEmbCol: String,
+                 k: Int, radius: Int = 1,
+                 candidateFilter: Option[Column] = None): DataFrame = {
+    graft.plans.GroupTopKOps.ensureRegistered(spark)
+    require(index.nBits >= 1 && index.nBits <= maxLshIndexBits,
+      s"index nBits ${index.nBits} outside [1, $maxLshIndexBits]")
+    val masks = (0L until (1L << index.nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+    val ranked = probes
+      .withColumn("qkey", lshKey(col(probeEmbCol), index.planes))
+      .withColumn("cell", explode(array(
+        masks.map(m => col("qkey").bitwiseXOR(lit(m))): _*)))
+      .select(col(probeIdCol), col(probeEmbCol), col("cell"))
+    knnJoinTail(openIndex(spark, index.path), ranked,
+      probeIdCol, probeEmbCol, k, candidateFilter)
   }
 
   /** Materialized sign-LSH index: corpus written `partitionBy(cell)`

@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("dynamicpruning"),
       s"index scan not partition-pruned\n${p.take(2000)}")
     assert(p.contains("GroupTopK"), "per-probe top-k lost the bounded heaps")
+    // the LSH twin: Hamming-ball expansion row-local, same DPP shape
+    val lsh = byProbe("ext_knn_join_lsh")
+    assert(lsh.keySet == exact.keySet, "LSH probe set diverges")
+    val lshRecalls = exact.map { case (pk, ids) =>
+      ids.intersect(lsh(pk)).size.toDouble / ids.size }
+    val lshMean = lshRecalls.sum / lshRecalls.size
+    assert(lshMean >= 0.2, s"lsh mean recall $lshMean") // radius-2 of 8 bits
+    // DPP is cost-based and may decline on the 256-partition toy LSH
+    // layout (the IVF assertion above pins the mechanism fires); what
+    // is structural for LSH is the cell equi-join against the
+    // partition column + bounded heaps
+    val lp = graft.SparkEntry.queries("ext_knn_join_lsh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("GroupTopK"), "LSH per-probe top-k lost the bounded heaps")
+    assert("BroadcastHashJoin \\[cell".r.findAllIn(lp).nonEmpty,
+      s"LSH candidate join must be the broadcast cell equi-join\n${lp.take(2000)}")
   }
 
   test("ivfAssign puts a centroid vector in its own cell") {

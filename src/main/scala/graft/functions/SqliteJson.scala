@@ -128,8 +128,9 @@ object SqliteJson {
       JArr(items) // unreachable
     }
 
-    /** Raw string token INCLUDING the quotes; escapes validated but
-      * kept verbatim. */
+    /** Raw string token INCLUDING the quotes; escapes validated (the
+      * strict JSON set — SQLite rejects `\q` and truncated `\uXXXX`)
+      * but kept verbatim. */
     private def rawString(): String = {
       val start = i
       i += 1
@@ -138,7 +139,15 @@ object SqliteJson {
           case '"'  => i += 1; return s.substring(start, i)
           case '\\' =>
             if (i + 1 >= s.length) fail()
-            i += 2
+            s.charAt(i + 1) match {
+              case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' =>
+                i += 2
+              case 'u' =>
+                if (i + 5 >= s.length ||
+                    !(2 to 5).forall(o => isHex(s.charAt(i + o)))) fail()
+                i += 6
+              case _ => fail()
+            }
           case c if c < ' ' => fail()
           case _ => i += 1
         }
@@ -146,22 +155,28 @@ object SqliteJson {
       fail()
     }
 
+    private def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+    /** Strict JSON number grammar — SQLite rejects `+5`, `.5`, `5.`,
+      * and leading zeros like `01`, all of which a lenient scan would
+      * accept and then declare "valid" against json_valid's verdict. */
     private def number(): Node = {
       val start = i
-      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
-      var digits = false
-      while (i < s.length && s.charAt(i).isDigit) { i += 1; digits = true }
+      if (i < s.length && s.charAt(i) == '-') i += 1
+      if (i >= s.length || !s.charAt(i).isDigit) fail()
+      if (s.charAt(i) == '0') i += 1
+      else while (i < s.length && s.charAt(i).isDigit) i += 1
       if (i < s.length && s.charAt(i) == '.') {
         i += 1
-        while (i < s.length && s.charAt(i).isDigit) { i += 1; digits = true }
+        if (i >= s.length || !s.charAt(i).isDigit) fail()
+        while (i < s.length && s.charAt(i).isDigit) i += 1
       }
-      if (!digits) fail()
       if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
         i += 1
         if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
-        var expDigits = false
-        while (i < s.length && s.charAt(i).isDigit) { i += 1; expDigits = true }
-        if (!expDigits) fail()
+        if (i >= s.length || !s.charAt(i).isDigit) fail()
+        while (i < s.length && s.charAt(i).isDigit) i += 1
       }
       JScalar(s.substring(start, i))
     }
@@ -694,7 +709,8 @@ case class SqliteJsonMinify(child: Expression) extends UnaryExpression {
 }
 
 /** json_type(json[, path]); NULL when the path selects nothing. The
-  * 1-arg form passes a null-literal path. */
+  * 1-arg builder passes the root path `'$'`, so a genuine NULL path
+  * argument yields NULL through ordinary null propagation. */
 case class SqliteJsonType(json: Expression, path: Expression)
     extends BinaryExpression {
   override def left: Expression = json

@@ -44,6 +44,34 @@ object QueriesExt {
   private val annIndex =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** ONE builder per (index kind, dataset) — every consumer key goes
+    * through these, so build parameters cannot drift between the
+    * sibling keys sharing a memoized index (a second inline copy with
+    * different nCentroids/nBits would be silently ignored by
+    * whichever key ran second). */
+  private def ivfIndexFor(s: SparkSession, d: String): Similarity.IvfIndex =
+    annIndex.computeIfAbsent(s"ivf_${TableIds.idFor(d)}",
+      key => Similarity.buildIvfIndex(
+        t("embeddings")(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", s"target/ann_index/$key", nCentroids = 16))
+      .asInstanceOf[Similarity.IvfIndex]
+
+  private def lshIndexFor(s: SparkSession, d: String): Similarity.LshIndex =
+    annIndex.computeIfAbsent(s"lsh_${TableIds.idFor(d)}",
+      key => Similarity.buildLshIndex(
+        t("embeddings")(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", s"target/ann_index/$key", dim = 64, nBits = 8))
+      .asInstanceOf[Similarity.LshIndex]
+
+  private def ivfFullIndexFor(s: SparkSession, d: String): Similarity.IvfIndex =
+    annIndex.computeIfAbsent(s"ivf_full_${TableIds.idFor(d)}",
+      key => Similarity.buildIvfIndex(
+        s.read.parquet(expandedEmbDir(s, d)), "vec_id", "embedding",
+        s"target/ann_index/$key", nCentroids = 64))
+      .asInstanceOf[Similarity.IvfIndex]
+
   /** Bench-scale embedding corpus, materialized ONCE per dataset: the
     * base embeddings × 20 deterministic perturbed copies (distinct
     * directions — each copy scales AND shifts elementwise), written as
@@ -425,11 +453,7 @@ object QueriesExt {
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val dir = expandedEmbDir(s, d)
-      val idx = annIndex.computeIfAbsent(s"ivf_full_${TableIds.idFor(d)}",
-        key => Similarity.buildIvfIndex(
-          s.read.parquet(dir), "vec_id", "embedding",
-          s"target/ann_index/$key", nCentroids = 64))
-        .asInstanceOf[Similarity.IvfIndex]
+      val idx = ivfFullIndexFor(s, d)
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
@@ -524,11 +548,7 @@ object QueriesExt {
       // avoids the unbounded per-invocation index directories a UUID
       // path would leak, and the memo serializes concurrent
       // invocations of the same key (no overwrite race in-JVM)
-      val idx = annIndex.computeIfAbsent(s"ivf_${TableIds.idFor(d)}",
-        key => Similarity.buildIvfIndex(
-          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          s"target/ann_index/$key", nCentroids = 16))
-        .asInstanceOf[Similarity.IvfIndex]
+      val idx = ivfIndexFor(s, d)
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
@@ -544,11 +564,7 @@ object QueriesExt {
     // filter), aligning the candidate corpus with ext_knn_join's.
     "ext_knn_join_ivf" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
-      val idx = annIndex.computeIfAbsent(s"ivf_${TableIds.idFor(d)}",
-        key => Similarity.buildIvfIndex(
-          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          s"target/ann_index/$key", nCentroids = 16))
-        .asInstanceOf[Similarity.IvfIndex]
+      val idx = ivfIndexFor(s, d)
       val probes = emb.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard); also keeps
@@ -589,11 +605,7 @@ object QueriesExt {
     "ext_knn_join_ivf_full" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       val dir = expandedEmbDir(s, d)
-      val idx = annIndex.computeIfAbsent(s"ivf_full_${TableIds.idFor(d)}",
-        key => Similarity.buildIvfIndex(
-          s.read.parquet(dir), "vec_id", "embedding",
-          s"target/ann_index/$key", nCentroids = 64))
-        .asInstanceOf[Similarity.IvfIndex]
+      val idx = ivfFullIndexFor(s, d)
       val probes = emb.filter(col("vec_id") % 11 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
@@ -609,11 +621,7 @@ object QueriesExt {
     // rows-only; recall + DPP pinned in SimilaritySpec.
     "ext_knn_join_lsh" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
-      val idx = annIndex.computeIfAbsent(s"lsh_${TableIds.idFor(d)}",
-        key => Similarity.buildLshIndex(
-          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          s"target/ann_index/$key", dim = 64, nBits = 8))
-        .asInstanceOf[Similarity.LshIndex]
+      val idx = lshIndexFor(s, d)
       val probes = emb.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
@@ -628,11 +636,7 @@ object QueriesExt {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val idx = annIndex.computeIfAbsent(s"lsh_${TableIds.idFor(d)}",
-        key => Similarity.buildLshIndex(
-          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          s"target/ann_index/$key", dim = 64, nBits = 8))
-        .asInstanceOf[Similarity.LshIndex]
+      val idx = lshIndexFor(s, d)
       Similarity.lshProbe(s, idx, "vec_id", "embedding", q, k = 10, probes = 2)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))

@@ -396,11 +396,11 @@ object QueriesTpch {
     // part↔supplier relation with a unit cost derives from the fact:
     // avg unit price per (part, supplier) pair): minimum-cost supplier
     // per qualifying part within one region. The literal SQL re-scans
-    // partsupp in a correlated MIN subquery; here the region-scoped
-    // rollup computes ONCE (persisted: the 100 TB fact contributes one
-    // bounded row per observed pair) and the correlated MIN becomes a
-    // window over the SAME rows — one fact scan, one rollup shuffle,
-    // one partkey window exchange. Only fixed-cardinality nation/
+    // partsupp in a correlated MIN subquery; here the correlated MIN
+    // is a window over the SAME region-scoped rollup rows, so the
+    // rollup has exactly one consumer and the whole query is one fact
+    // scan, one rollup shuffle, one partkey window exchange (audited:
+    // factScans == 1 — no persist needed). Only fixed-cardinality nation/
     // region carry broadcast hints; the supplier join is left to AQE.
     "q_shape_q2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

@@ -73,15 +73,23 @@ object Similarity {
     * pruning.
     */
   def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
-                centroids: Seq[Seq[Float]]): DataFrame = {
-    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+                centroids: Seq[Seq[Float]]): DataFrame =
+    // array_max on (sim, cid) structs picks the best cell per row
+    emb.withColumn("cell",
+      array_max(array(centroidCellStructs(col(embCol), centroids): _*))
+        .getField("cid"))
+
+  /** One (sim, cid) struct per centroid — THE cell-scoring expression
+    * shared by index assignment ([[ivfAssign]]) and batch probe-cell
+    * ranking ([[ivfKnnJoin]]); a private copy in either would let the
+    * two silently diverge and destroy recall. */
+  private def centroidCellStructs(embCol: Column,
+                                  centroids: Seq[Seq[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.GraftFunctions
-        .cosine_sim(col(embCol), array(c.map(lit(_)): _*).cast("array<float>"))
+        .cosine_sim(embCol, array(c.map(lit(_)): _*).cast("array<float>"))
         .as("sim"), lit(i).as("cid"))
     }
-    // array_max on (sim, cid) structs picks the best cell per row
-    emb.withColumn("cell", array_max(array(cellStructs: _*)).getField("cid"))
-  }
 
   /** Driver-side sign-bit key for a query vector (the exact mirror of
     * the corpus-side [[lshKey]]). */
@@ -276,38 +284,50 @@ object Similarity {
     * Per-probe top-k runs on the bounded-heap GroupTopK operator, so
     * the probes·candidates score stream never globally sorts.
     *
-    * Returns (probeIdCol, index id col, sim) rows; `sim` is rounded
-    * to 6 places so downstream tie-breaks are engine-portable.
+    * Returns (probeIdCol, index id col, sim) rows — the index id is
+    * suffixed `_nn` if it would collide with probeIdCol; `sim` is
+    * rounded to 6 places so downstream tie-breaks are
+    * engine-portable. Probe columns are renamed internally, so probe
+    * frames may freely use the index's own column names (the natural
+    * self-retrieval call) or carry extra columns.
     */
   def ivfKnnJoin(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
                  probes: DataFrame, probeIdCol: String, probeEmbCol: String,
                  k: Int, nProbe: Int = 4,
                  candidateFilter: Option[Column] = None): DataFrame = {
     graft.plans.GroupTopKOps.ensureRegistered(spark)
-    val cellStructs = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.GraftFunctions
-        .cosine_sim(col(probeEmbCol), array(c.map(lit(_)): _*).cast("array<float>"))
-        .as("sim"), lit(i).as("cid"))
-    }
     // top-nProbe cells per probe: sort the (sim, cid) structs desc and
     // slice — row-local, no shuffle on the probe side
-    val ranked = probes
-      .withColumn("cells",
-        slice(reverse(array_sort(array(cellStructs: _*))), 1, nProbe))
+    val ranked = probeFrame(probes, probeIdCol, probeEmbCol)
+      .withColumn("cells", slice(reverse(array_sort(
+        array(centroidCellStructs(col(ProbeEmb), index.centroids): _*))),
+        1, nProbe))
       .withColumn("cell", explode(col("cells").getField("cid")))
-      .select(col(probeIdCol), col(probeEmbCol), col("cell"))
+      .select(col(ProbeId), col(ProbeEmb), col("cell"))
     knnJoinTail(openIndex(spark, index.path), ranked,
-      probeIdCol, probeEmbCol, k, candidateFilter)
+      probeIdCol, k, candidateFilter)
   }
+
+  /** Internal reserved probe column names: renaming at the boundary
+    * lets probe frames collide freely with the stored index columns
+    * (the natural self-retrieval call passes the index's own names)
+    * and with the internal cell/qkey working columns. */
+  private val ProbeId = "__graft_probe_id"
+  private val ProbeEmb = "__graft_probe_emb"
+
+  private def probeFrame(probes: DataFrame, probeIdCol: String,
+                         probeEmbCol: String): DataFrame =
+    probes.select(col(probeIdCol).as(ProbeId), col(probeEmbCol).as(ProbeEmb))
 
   /** The shared back half of the batch knn joins: broadcast the
     * (probe, cell) set so DPP prunes the index scan, score candidates
     * on the fused kernel, per-probe top-k on bounded heaps.
     * candidateFilter (e.g. exclude self-matches — every real
     * retrieval pipeline needs it) applies BEFORE the heaps so
-    * excluded candidates never occupy a slot. */
+    * excluded candidates never occupy a slot; it sees the index
+    * columns under their stored names. */
   private def knnJoinTail(idx: DataFrame, ranked: DataFrame,
-                          probeIdCol: String, probeEmbCol: String, k: Int,
+                          probeIdCol: String, k: Int,
                           candidateFilter: Option[Column]): DataFrame = {
     val stored = idx.schema.fieldNames.filterNot(_ == "cell")
     val (sid, semb) = (stored(0), stored(1))
@@ -315,11 +335,13 @@ object Similarity {
       col("cell").cast(idx.schema("cell").dataType))
     val scored0 = idx.join(broadcast(cellTyped), Seq("cell"))
     val scored = candidateFilter.fold(scored0)(scored0.filter)
-      .select(col(probeIdCol), col(sid),
+      .select(col(ProbeId), col(sid),
         round(graft.functions.GraftFunctions
-          .cosine_sim(col(semb), col(probeEmbCol)), 6).as("sim"))
-    graft.plans.GroupTopKOps.topK(scored, Seq(probeIdCol),
-      Seq("sim" -> true, sid -> false), k)
+          .cosine_sim(col(semb), col(ProbeEmb)), 6).as("sim"))
+    val sidOut = if (sid == probeIdCol) s"${sid}_nn" else sid
+    graft.plans.GroupTopKOps.topK(scored, Seq(ProbeId),
+        Seq("sim" -> true, sid -> false), k)
+      .select(col(ProbeId).as(probeIdCol), col(sid).as(sidOut), col("sim"))
   }
 
   /** Batch k-NN join against a built sign-LSH index: each probe ROW
@@ -339,13 +361,13 @@ object Similarity {
       s"index nBits ${index.nBits} outside [1, $maxLshIndexBits]")
     val masks = (0L until (1L << index.nBits))
       .filter(m => java.lang.Long.bitCount(m) <= radius)
-    val ranked = probes
-      .withColumn("qkey", lshKey(col(probeEmbCol), index.planes))
+    val ranked = probeFrame(probes, probeIdCol, probeEmbCol)
+      .withColumn("qkey", lshKey(col(ProbeEmb), index.planes))
       .withColumn("cell", explode(array(
         masks.map(m => col("qkey").bitwiseXOR(lit(m))): _*)))
-      .select(col(probeIdCol), col(probeEmbCol), col("cell"))
+      .select(col(ProbeId), col(ProbeEmb), col("cell"))
     knnJoinTail(openIndex(spark, index.path), ranked,
-      probeIdCol, probeEmbCol, k, candidateFilter)
+      probeIdCol, k, candidateFilter)
   }
 
   /** Materialized sign-LSH index: corpus written `partitionBy(cell)`

@@ -309,8 +309,15 @@ object SqliteFunctions {
       case _ if isJsonSubtyped(e) => e
       case NullType => Literal.create(null, StringType)
       case BooleanType => Cast(Cast(e, LongType), StringType)
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | _: DecimalType => Cast(e, StringType)
+      case ByteType | ShortType | IntegerType | LongType |
+           _: DecimalType => Cast(e, StringType)
+      case FloatType | DoubleType =>
+        // JSON cannot hold non-finite numbers; SQLite renders NaN and
+        // ±Infinity REALs as JSON null rather than failing the edit
+        val d = Cast(e, DoubleType)
+        If(Or(IsNaN(d), Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+            EqualTo(d, Literal(Double.NegativeInfinity)))),
+          Literal.create(null, StringType), Cast(e, StringType))
       case _: StringType | _: VarcharType | _: CharType =>
         graft.functions.SqliteJsonQuoteString(e)
       case DateType | TimestampType | TimestampNTZType =>

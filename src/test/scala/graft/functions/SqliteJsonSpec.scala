@@ -152,6 +152,33 @@ class SqliteJsonSpec extends SparkSpec {
     assert(truncated >= 6, s"truncation should fail at the tail, got $truncated")
   }
 
+  test("strict grammar: bad escapes and non-JSON numbers are malformed, like SQLite") {
+    // SQLite 3.40 ground truth: json_valid = 0 for every one of these
+    val malformed = Seq(
+      """'[+5]'""", """'[.5]'""", """'[5.]'""", """'[01]'""", """'[-.5]'""",
+      """'["\\q"]'""", """'["\\u12G4"]'""")
+    malformed.foreach { doc =>
+      val p = spark.sql(s"SELECT json_error_position($doc)").head().getInt(0)
+      assert(p > 0, s"$doc must be malformed, got position $p")
+      intercept[Exception] {
+        spark.sql(s"SELECT json_set($doc, '$$[0]', 1)").head()
+      }
+    }
+    // ...while SQLite-valid unusual numbers stay valid AND raw
+    assert(spark.sql("SELECT json_error_position('[1.50,2e2,-0.0]')")
+      .head().getInt(0) == 0)
+  }
+
+  test("non-finite REAL values render as JSON null instead of failing the edit") {
+    val r = spark.sql(
+      """SELECT json_set('{}', '$.a', CAST('NaN' AS DOUBLE)) AS a,
+                json_set('{}', '$.b', CAST('Infinity' AS DOUBLE)) AS b,
+                json_set('{}', '$.c', 1.0D / 3.0D) AS c""").head()
+    assert(r.getString(0) == """{"a":null}""")
+    assert(r.getString(1) == """{"b":null}""")
+    assert(r.getString(2).startsWith("""{"c":0.3333"""))
+  }
+
   test("jsonb_* calls map onto their text twins (3.45 family)") {
     import graft.text2sql.SqlDialect.translate
     val t = translate("SELECT jsonb_set('{\"a\":1}', '$.b', 2) AS r")

@@ -91,6 +91,24 @@ class SimilaritySpec extends SparkSpec {
       s"LSH candidate join must be the broadcast cell equi-join\n${lp.take(2000)}")
   }
 
+  test("knn joins accept probe frames using the index's own column names") {
+    // the natural self-retrieval call: probes ARE index rows, same
+    // names — internal renaming must keep this unambiguous, and the
+    // colliding output id column gains the _nn suffix
+    val idx = Similarity.buildIvfIndex(
+      emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      "target/ann_index/spec_selfnames", nCentroids = 4)
+    val probes = emb.filter($"vec_id" % 100 === 1)
+    val out = Similarity.ivfKnnJoin(spark, idx, probes,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(out.columns.toSeq == Seq("vec_id", "vec_id_nn", "sim"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // self-matches appear at sim 1.0 (the probe rows live in the index)
+    assert(rows.exists(r => r.getLong(0) == r.getLong(1) &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-6))
+  }
+
   test("ivfAssign puts a centroid vector in its own cell") {
     val centroids = emb.orderBy($"vec_id").limit(4)
       .select("embedding").collect().toIndexedSeq.map(_.getSeq[Float](0))

@@ -198,6 +198,24 @@ object Pragma {
     """(?is)^\s*pragma\s+index_info\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaOtherRe = """(?is)^\s*pragma\s+(\w+).*$""".r
 
+  /** Storage-layer configuration pragmas whose ASSIGNMENT form cannot
+    * change any query result here (no SQLite storage engine exists to
+    * configure, and ingested tables declare no foreign keys for
+    * `foreign_keys=ON` to enforce) — routed as no-ops, matching how
+    * BEGIN/COMMIT route. Semantics-changing pragmas (e.g.
+    * `case_sensitive_like`) stay on the targeted-error path: silently
+    * ignoring one would corrupt later answers. */
+  private val noopSetRe =
+    ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
+      """cache_size|temp_store|busy_timeout|mmap_size|page_size)""" +
+      """\s*=\s*(\S.*?)\s*$""").r
+
+  private def oneValue(spark: SparkSession, name: String, v: Any,
+                       dt: DataType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(Row(v))),
+      StructType(Seq(StructField(name, dt, nullable = false))))
+
   /** Execute a bare `PRAGMA …` statement (caller strips trailing `;`). */
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
     case pragmaTableInfoRe(q1, q2, q3, bare) =>
@@ -207,6 +225,28 @@ object Pragma {
       indexList(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+    case noopSetRe(name, value) =>
+      // journal_mode assignment answers the (accepted) mode in SQLite;
+      // the other storage pragmas answer nothing
+      if (name.equalsIgnoreCase("journal_mode"))
+        oneValue(spark, "journal_mode", value.toLowerCase, StringType)
+      else spark.emptyDataFrame
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
+        name.equalsIgnoreCase("quick_check") =>
+      // a lake-backed session has no B-tree to corrupt
+      oneValue(spark, name.toLowerCase, "ok", StringType)
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("encoding") =>
+      oneValue(spark, "encoding", "UTF-8", StringType)
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("foreign_keys") =>
+      oneValue(spark, "foreign_keys", 0, IntegerType) // SQLite's default: OFF
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("database_list") =>
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          java.util.Arrays.asList(Row(0, "main", ""))),
+        StructType(Seq(
+          StructField("seq", IntegerType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("file", StringType, nullable = false))))
     case pragmaOtherRe(name) =>
       throw new UnsupportedOperationException(
         s"PRAGMA $name is not supported: graft has no SQLite storage " +

@@ -112,11 +112,32 @@ class PragmaSpec extends SparkSpec {
     val row = tl.filter("name = 'pragma_t4'").head()
     assert(row.getString(0) == "main" && row.getString(2) == "table" &&
       row.getInt(3) == 3)
+    // semantics-changing pragmas still decline with a targeted error —
+    // silently ignoring case_sensitive_like would corrupt later answers
     val e = intercept[UnsupportedOperationException] {
-      Runner.runSql(spark, "PRAGMA journal_mode = WAL")
+      Runner.runSql(spark, "PRAGMA case_sensitive_like = ON")
     }
-    assert(e.getMessage.contains("PRAGMA journal_mode"), e.getMessage)
+    assert(e.getMessage.contains("PRAGMA case_sensitive_like"), e.getMessage)
     assert(e.getMessage.contains("table_info"), e.getMessage)
+  }
+
+  test("storage-config pragmas no-op; read-only constants answer SQLite's shape") {
+    // assignment forms: nothing here has a storage engine to configure
+    assert(Runner.runSql(spark, "PRAGMA foreign_keys = ON").count() == 0)
+    assert(Runner.runSql(spark, "PRAGMA synchronous = OFF").count() == 0)
+    // journal_mode assignment answers the accepted mode, as SQLite does
+    val jm = Runner.runSql(spark, "PRAGMA journal_mode = WAL").head()
+    assert(jm.getString(0) == "wal")
+    // query-form constants
+    assert(Runner.runSql(spark, "PRAGMA integrity_check").head()
+      .getString(0) == "ok")
+    assert(Runner.runSql(spark, "PRAGMA quick_check").head()
+      .getString(0) == "ok")
+    assert(Runner.runSql(spark, "PRAGMA encoding").head()
+      .getString(0) == "UTF-8")
+    assert(Runner.runSql(spark, "PRAGMA foreign_keys").head().getInt(0) == 0)
+    val dbl = Runner.runSql(spark, "PRAGMA database_list").head()
+    assert(dbl.getInt(0) == 0 && dbl.getString(1) == "main")
   }
 
   test("PRAGMA index_list/index_info reflect session-declared indexes; table_info reports the PK") {

@@ -49,7 +49,9 @@ object QueriesDialect {
            time(ts) AS tm,
            datetime(ts, '+1 days', '+2 hours') AS shifted,
            datetime(1700000000 + event_id, 'unixepoch') AS from_epoch,
-           date(1700000000 + event_id, 'unixepoch', '+1 days') AS from_epoch_p1
+           date(1700000000 + event_id, 'unixepoch', '+1 days') AS from_epoch_p1,
+           date(julianday(ts) + 30) AS jd_plus30,
+           datetime(julianday(ts)) AS jd_roundtrip
          FROM events ORDER BY event_id""",
 
     // JSON1 MUTATION surface (json_set / insert / replace / remove /
@@ -642,7 +644,9 @@ object QueriesDialect {
            strftime(make_timestamp(CAST(1700000000 + event_id AS BIGINT) * 1000000),
                     '%Y-%m-%d %H:%M:%S') AS from_epoch,
            strftime(make_timestamp(CAST(1700000000 + event_id AS BIGINT) * 1000000)
-                      + INTERVAL 1 DAY, '%Y-%m-%d') AS from_epoch_p1
+                      + INTERVAL 1 DAY, '%Y-%m-%d') AS from_epoch_p1,
+           strftime(ts + INTERVAL 30 DAY, '%Y-%m-%d') AS jd_plus30,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS jd_roundtrip
          FROM events ORDER BY event_id""",
 
     "fn_cond_iif" ->

@@ -31,9 +31,31 @@ object SqliteFunctions {
 
   private type Builder = Seq[Expression] => Expression
 
+  /** SQLite time-value interpretation, shared by every temporal
+    * builder: ISO text, or a JULIAN DAY number for numerics (see the
+    * sqlite_timeval registration below for the full rationale —
+    * julianday(2460374.5) must be ~identity, not an epoch-seconds
+    * misread). */
   private def ts(e: Expression): Expression = e.dataType match {
     case TimestampType => e
-    case _ => Cast(e, TimestampType)
+    case TimestampNTZType | DateType => Cast(e, TimestampType)
+    case NullType => Literal.create(null, TimestampType)
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType => julianTs(e)
+    case _ => Coalesce(Seq(
+      Cast(e, TimestampType, None, EvalMode.TRY),
+      julianTs(Cast(e, DoubleType, None, EvalMode.TRY))))
+  }
+
+  /** Julian day number → timestamp; NULL outside SQLite's supported
+    * span [0, 5373484.5] (to year 9999). */
+  private def julianTs(x: Expression): Expression = {
+    val d = Cast(x, DoubleType)
+    If(And(GreaterThanOrEqual(d, Literal(0.0)),
+        LessThanOrEqual(d, Literal(5373484.5))),
+      SecondsToTimestamp(Multiply(
+        Subtract(d, Literal(2440587.5)), Literal(86400.0))),
+      Literal.create(null, TimestampType))
   }
 
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
@@ -251,6 +273,21 @@ object SqliteFunctions {
     ("json_quote", "json_quote(x) - JSON rendering of an SQL value", { args =>
       arity("json_quote", args, 1)
       Coalesce(Seq(jsonValueExpr(args.head, "json_quote"), Literal("null")))
+    }),
+
+    // SQLite time-value interpretation for date()/time()/datetime()/
+    // strftime() base arguments (no 'unixepoch' modifier): TEXT parses
+    // as ISO-8601, and NUMERIC values — including numeric TEXT — are
+    // JULIAN DAY numbers, never epoch seconds. A blind
+    // CAST(x AS TIMESTAMP) reads a double as epoch seconds, so
+    // date(julianday(a) + 30) — the stock date-arithmetic idiom —
+    // silently answered a 1970 date before this dispatch. Type-directed
+    // at analysis (the distinct-name fixpoint pattern of
+    // sqlite_typeof); out-of-range julian values ([0, 5373484.5] is
+    // SQLite's span to year 9999) yield NULL, as SQLite does.
+    ("sqlite_timeval", "sqlite_timeval(x) - SQLite time-value: ISO text, or a julian day number", { args =>
+      arity("sqlite_timeval", args, 1)
+      ts(args.head)
     }),
 
     ("json_error_position", "json_error_position(x) - 0 if well-formed, else 1-based char position of the first error", { args =>

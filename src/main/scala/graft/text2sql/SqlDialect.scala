@@ -1499,7 +1499,14 @@ object SqlDialect {
       case Some(b) if epochBase =>
         // fractional seconds honored (SQLite accepts them with subsec)
         s"timestamp_seconds(CAST($b AS DOUBLE))"
-      case Some(b) => s"CAST($b AS TIMESTAMP)"
+      // NOT a bare CAST: SQLite time-values dispatch on runtime type —
+      // numerics (incl. numeric text) are JULIAN DAY numbers, and
+      // date(julianday(a) + 30), the stock date-arithmetic idiom,
+      // would silently read as epoch seconds under a blind cast. The
+      // native type-directed expression (plans.SqliteFunctions) picks
+      // the interpretation at analysis; distinct-name fixpoint, same
+      // pattern as sqlite_typeof.
+      case Some(b) => s"sqlite_timeval($b)"
     }
     val it = args.drop(if (epochBase) 2 else 1).iterator
     while (it.hasNext) {

@@ -73,6 +73,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("integer"), plan)
   }
 
+  test("time-values dispatch on type: numerics are julian days, not epoch seconds") {
+    // SQLite: date(2460374.5) = '2024-03-05'; a blind CAST would read
+    // epoch seconds and silently answer 1970
+    val r = spark.sql(
+      """SELECT CAST(sqlite_timeval(2460374.5) AS STRING) AS n,
+                CAST(sqlite_timeval('2460374.5') AS STRING) AS t,
+                CAST(sqlite_timeval('2024-03-05 06:00:00') AS STRING) AS iso,
+                sqlite_timeval(-1.0) AS oob,
+                julianday(2460374.5) AS jd_id""").head()
+    assert(r.getString(0) == "2024-03-05 00:00:00")
+    assert(r.getString(1) == "2024-03-05 00:00:00")
+    assert(r.getString(2) == "2024-03-05 06:00:00")
+    assert(r.isNullAt(3), "out-of-range julian must be NULL")
+    assert(math.abs(r.getDouble(4) - 2460374.5) < 1e-6,
+      "native julianday of a julian number must be ~identity")
+  }
+
   test("total() is 0.0 on empty input, sum elsewhere; group_concat sorted") {
     Seq((1, 5.0), (1, 2.5), (2, -2.5)).toDF("k", "v")
       .createOrReplaceTempView("tot_t")

@@ -226,11 +226,19 @@ object Pragma {
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case noopSetRe(name, value) =>
-      // journal_mode assignment answers the (accepted) mode in SQLite;
-      // the other storage pragmas answer nothing
-      if (name.equalsIgnoreCase("journal_mode"))
-        oneValue(spark, "journal_mode", value.toLowerCase, StringType)
-      else spark.emptyDataFrame
+      // journal_mode assignment answers the ACCEPTED mode in SQLite;
+      // quoted values unwrap, and an unrecognized mode answers the
+      // (unchanged) current mode — never an echo SQLite could not
+      // produce. The other storage pragmas answer nothing.
+      if (name.equalsIgnoreCase("journal_mode")) {
+        val bare = value.toLowerCase.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+        val mode =
+          if (Set("delete", "truncate", "persist", "memory", "wal",
+              "off").contains(bare)) bare
+          else "memory" // the session's effective mode
+        oneValue(spark, "journal_mode", mode, StringType)
+      } else spark.emptyDataFrame
     case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
         name.equalsIgnoreCase("quick_check") =>
       // a lake-backed session has no B-tree to corrupt

@@ -53,10 +53,22 @@ object SqliteJson {
 
   // ---------------------------------------------------------- parser
 
+  /** SQLite's nesting cap (SQLITE_JSON_MAX_DEPTH): beyond it the
+    * document is "malformed JSON". Also what keeps the recursive
+    * parse/render/walk inside the JVM stack — an uncapped adversarial
+    * '[[[…' document would otherwise escape the JsonError totality
+    * contract with a StackOverflowError. */
+  private val MaxDepth = 1000
+
   private final class Parser(s: String) {
     private var i = 0
+    private var depth = 0
     private def fail(): Nothing =
       throw new JsonError("malformed JSON", math.min(i, s.length - 1))
+    private def enter(): Unit = {
+      depth += 1
+      if (depth > MaxDepth) fail()
+    }
     private def ws(): Unit =
       while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
         s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
@@ -87,9 +99,12 @@ object SqliteJson {
     }
 
     private def obj(): Node = {
+      enter()
       i += 1; ws()
       val fields = new ArrayBuffer[Field]()
-      if (i < s.length && s.charAt(i) == '}') { i += 1; return JObj(fields) }
+      if (i < s.length && s.charAt(i) == '}') {
+        i += 1; depth -= 1; return JObj(fields)
+      }
       while (true) {
         ws()
         if (i >= s.length || s.charAt(i) != '"') fail()
@@ -103,7 +118,7 @@ object SqliteJson {
         if (i >= s.length) fail()
         s.charAt(i) match {
           case ',' => i += 1
-          case '}' => i += 1; return JObj(fields)
+          case '}' => i += 1; depth -= 1; return JObj(fields)
           case _   => fail()
         }
       }
@@ -111,9 +126,12 @@ object SqliteJson {
     }
 
     private def arr(): Node = {
+      enter()
       i += 1; ws()
       val items = new ArrayBuffer[Node]()
-      if (i < s.length && s.charAt(i) == ']') { i += 1; return JArr(items) }
+      if (i < s.length && s.charAt(i) == ']') {
+        i += 1; depth -= 1; return JArr(items)
+      }
       while (true) {
         ws()
         items += value()
@@ -121,7 +139,7 @@ object SqliteJson {
         if (i >= s.length) fail()
         s.charAt(i) match {
           case ',' => i += 1
-          case ']' => i += 1; return JArr(items)
+          case ']' => i += 1; depth -= 1; return JArr(items)
           case _   => fail()
         }
       }
@@ -513,6 +531,34 @@ object SqliteJson {
   def quoteString(s: UTF8String): UTF8String =
     UTF8String.fromString(quoteText(s.toString))
 
+  /** Render an EXTRACTION result (get_json_object output) as an edit
+    * value — the runtime face of SQLite's JSON subtype for extracted
+    * values, which graft's string-typed extraction erases: containers
+    * splice (json_extract of an object/array carries the subtype),
+    * numeric text and true/false/null splice bare (SQLite's extracted
+    * numbers/booleans are SQL values that render bare), anything else
+    * quotes as text. Known divergence (README): an extracted STRING
+    * whose text is exactly 'true'/'false'/a number, and `->>` of a
+    * container (never subtyped in SQLite), splice here.
+    */
+  def spliceOrQuote(v: UTF8String): UTF8String = {
+    val t = v.toString.trim
+    // extracted booleans are SQL INTEGERs in SQLite and render bare 1/0
+    if (t == "true") return UTF8String.fromString("1")
+    if (t == "false") return UTF8String.fromString("0")
+    if (t == "null") return UTF8String.fromString("null")
+    val looksJson = t.nonEmpty && (t.charAt(0) match {
+      case '{' | '[' => true
+      case _ =>
+        try { java.lang.Double.parseDouble(t); true }
+        catch { case _: NumberFormatException => false }
+    })
+    if (looksJson)
+      try SqliteJson.minifyJson(UTF8String.fromString(t))
+      catch { case _: JsonError => quoteString(v) }
+    else quoteString(v)
+  }
+
   /** json_error_position (SQLite 3.42): 0 for well-formed input, else
     * the 1-based character position of the first detected error —
     * SQLite documents the position as approximate, and this parser's
@@ -720,8 +766,7 @@ case class SqliteJsonType(json: Expression, path: Expression)
   override def prettyName: String = "json_type"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (json.dataType == StringType &&
-        (path.dataType == StringType || path.foldable))
+    if (json.dataType == StringType && path.dataType == StringType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("json_type expects string arguments")
 
@@ -757,6 +802,28 @@ case class SqliteJsonPatch(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Runtime face of the JSON subtype for EXTRACTED values feeding an
+  * editor (see [[SqliteJson.spliceOrQuote]]): containers and JSON
+  * scalars splice, text quotes. Built only around get_json_object
+  * results, never plain text columns. */
+case class SqliteJsonExtractedValue(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_extracted_value"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    SqliteJson.spliceOrQuote(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.SqliteJson.spliceOrQuote($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** json_error_position: 0 for well-formed JSON, else the 1-based

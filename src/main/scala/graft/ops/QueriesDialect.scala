@@ -645,8 +645,13 @@ object QueriesDialect {
                     '%Y-%m-%d %H:%M:%S') AS from_epoch,
            strftime(make_timestamp(CAST(1700000000 + event_id AS BIGINT) * 1000000)
                       + INTERVAL 1 DAY, '%Y-%m-%d') AS from_epoch_p1,
-           strftime(ts + INTERVAL 30 DAY, '%Y-%m-%d') AS jd_plus30,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS jd_roundtrip
+           strftime(make_timestamp(CAST(round(
+               ((2440587.5 + epoch_us(ts) / 86400000000.0) + 30 - 2440587.5)
+               * 86400000.0) AS BIGINT) * 1000), '%Y-%m-%d') AS jd_plus30,
+           strftime(make_timestamp(CAST(round(
+               ((2440587.5 + epoch_us(ts) / 86400000000.0) - 2440587.5)
+               * 86400000.0) AS BIGINT) * 1000),
+             '%Y-%m-%d %H:%M:%S') AS jd_roundtrip
          FROM events ORDER BY event_id""",
 
     "fn_cond_iif" ->

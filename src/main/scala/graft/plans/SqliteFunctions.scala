@@ -42,19 +42,29 @@ object SqliteFunctions {
     case NullType => Literal.create(null, TimestampType)
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | _: DecimalType => julianTs(e)
+    // NUMERIC TEXT is a julian day too (SQLite: date('2024') =
+    // '-4707-06-09') — and Spark's timestamp cast accepts bare
+    // 4-digit strings as a YEAR, so the julian interpretation must
+    // win the coalesce; ISO text fails the double cast and falls
+    // through to the timestamp parse
     case _ => Coalesce(Seq(
-      Cast(e, TimestampType, None, EvalMode.TRY),
-      julianTs(Cast(e, DoubleType, None, EvalMode.TRY))))
+      julianTs(Cast(e, DoubleType, None, EvalMode.TRY)),
+      Cast(e, TimestampType, None, EvalMode.TRY)))
   }
 
-  /** Julian day number → timestamp; NULL outside SQLite's supported
-    * span [0, 5373484.5] (to year 9999). */
+  /** Julian day number → timestamp, ROUNDED to the nearest
+    * millisecond as SQLite does — the double carries ~10µs of error
+    * at modern dates, and truncating (SecondsToTimestamp's double
+    * path) would land whole-second instants one second EARLY about
+    * half the time. NULL outside SQLite's supported span
+    * [0, 5373484.5] (to year 9999). */
   private def julianTs(x: Expression): Expression = {
     val d = Cast(x, DoubleType)
+    val ms = Multiply(Subtract(d, Literal(2440587.5)), Literal(86400000.0))
     If(And(GreaterThanOrEqual(d, Literal(0.0)),
         LessThanOrEqual(d, Literal(5373484.5))),
-      SecondsToTimestamp(Multiply(
-        Subtract(d, Literal(2440587.5)), Literal(86400.0))),
+      MicrosToTimestamp(Multiply(
+        Cast(Round(ms, Literal(0)), LongType), Literal(1000L))),
       Literal.create(null, TimestampType))
   }
 
@@ -344,6 +354,12 @@ object SqliteFunctions {
     }
     e.dataType match {
       case _ if isJsonSubtyped(e) => e
+      // extraction results (json_extract / `->` / `->>` all translate
+      // to get_json_object for scalars): the subtype decision is a
+      // RUNTIME question — containers and JSON scalars splice, text
+      // quotes (graft.functions.SqliteJson.spliceOrQuote)
+      case _ if e.prettyName == "get_json_object" =>
+        graft.functions.SqliteJsonExtractedValue(e)
       case NullType => Literal.create(null, StringType)
       case BooleanType => Cast(Cast(e, LongType), StringType)
       case ByteType | ShortType | IntegerType | LongType |

@@ -135,6 +135,19 @@ object SqlDialect {
           var k = out.length - 1
           while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
           if (k >= 0 && out.charAt(k) == ',') out.append("LATERAL ")
+          else {
+            // `CROSS JOIN json_each(...)` — also valid SQLite, also
+            // implicitly correlating — becomes the comma-LATERAL form
+            // (identical semantics: both are unconditional joins).
+            // ON-clause JOIN forms are left verbatim → visible error.
+            val upper = out.toString.toUpperCase
+            val trimmed = upper.substring(0, k + 1)
+            if (trimmed.endsWith("CROSS JOIN")) {
+              val start = trimmed.lastIndexOf("CROSS JOIN")
+              out.setLength(start)
+              out.append(", LATERAL ")
+            }
+          }
           out.append(c); i += 1
         case c => out.append(c); i += 1
       }

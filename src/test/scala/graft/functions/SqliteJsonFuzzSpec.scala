@@ -28,7 +28,8 @@ class SqliteJsonFuzzSpec extends AnyFunSuite {
   private val scalarTok: Gen[String] = Gen.oneOf(
     Gen.const("true"), Gen.const("false"), Gen.const("null"),
     Gen.chooseNum(-999999L, 999999L).map(_.toString),
-    Gen.chooseNum(-9999.0, 9999.0).map(d => f"$d%.3f"),
+    Gen.chooseNum(-9999.0, 9999.0).map(d =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))),
     Gen.oneOf("1.50", "2e2", "1e-3", "-0.0", "0.10"),
     Gen.alphaNumStr.map(s => SqliteJson.quoteText(s.take(8))),
     Gen.const(SqliteJson.quoteText("q\"w\\x\ny")))

@@ -179,6 +179,49 @@ class SqliteJsonSpec extends SparkSpec {
     assert(r.getString(2).startsWith("""{"c":0.3333"""))
   }
 
+  test("extraction results feeding an editor splice per the JSON subtype") {
+    // SQLite ground truth: extracted containers splice, extracted
+    // numbers/booleans render bare, extracted text quotes
+    def run(sqlite: String): String = {
+      val t = graft.text2sql.SqlDialect.translate(s"SELECT $sqlite AS r")
+      spark.sql(t).head().getString(0)
+    }
+    assert(run("""json_set('{}', '$.b', json_extract('{"a":{"x":1}}', '$.a'))""")
+      == """{"b":{"x":1}}""")
+    assert(run("""json_set('{}', '$.b', json_extract('{"n":7}', '$.n'))""")
+      == """{"b":7}""")
+    assert(run("""json_set('{}', '$.b', json_extract('{"s":"ab"}', '$.s'))""")
+      == """{"b":"ab"}""")
+    assert(run("""json_set('{}', '$.b', json_extract('{"t":true}', '$.t'))""")
+      == """{"b":1}""") // extracted booleans are SQL INTEGERs in SQLite
+    // a PLAIN TEXT value that happens to look like JSON still quotes
+    assert(run("""json_set('{}', '$.b', '{"x":1}')""")
+      == """{"b":"{\"x\":1}"}""")
+  }
+
+  test("nesting beyond SQLite's depth cap is malformed JSON, not a stack overflow") {
+    val deep = "[" * 60000 + "]" * 60000
+    spark.range(1).createOrReplaceTempView("one_row_t")
+    val p = spark.sql(s"SELECT json_error_position('$deep')").head().getInt(0)
+    assert(p > 0, "over-deep document must be malformed")
+    intercept[Exception] {
+      spark.sql(s"SELECT json_set('$deep', '$$[0]', 1)").head()
+    }
+    // at or under the cap still parses
+    val ok = "[" * 900 + "1" + "]" * 900
+    assert(spark.sql(s"SELECT json_error_position('$ok')").head().getInt(0) == 0)
+  }
+
+  test("CROSS JOIN json_each gains LATERAL via the comma form") {
+    val t = graft.text2sql.SqlDialect.translate(
+      "SELECT e.id, je.value FROM tv e CROSS JOIN json_each(e.j) je")
+    assert(t.contains(", LATERAL json_each(e.j) je"), t)
+    assert(graft.text2sql.SqlDialect.translate(t) == t) // fixpoint
+    spark.range(1, 3).selectExpr("id", "concat('{\"k\": ', id, '}') AS j")
+      .createOrReplaceTempView("tv")
+    assert(spark.sql(t).collect().map(_.getString(1)).toSeq == Seq("1", "2"))
+  }
+
   test("jsonb_* calls map onto their text twins (3.45 family)") {
     import graft.text2sql.SqlDialect.translate
     val t = translate("SELECT jsonb_set('{\"a\":1}', '$.b', 2) AS r")

@@ -90,6 +90,25 @@ class ExtensionsSpec extends SparkSpec {
       "native julianday of a julian number must be ~identity")
   }
 
+  test("julian round-trips preserve whole seconds; bare-year text is julian") {
+    // the double carries ~10µs of error at modern dates; truncation
+    // would answer the PREVIOUS second ~half the time on whole-second
+    // instants (verified against Spark's SecondsToTimestamp)
+    val flips = spark.sql(
+      """SELECT count(*) FROM range(2001)
+         WHERE CAST(sqlite_timeval(julianday(
+             timestamp_seconds(1709600000 + id))) AS STRING)
+           != CAST(timestamp_seconds(1709600000 + id) AS STRING)""")
+      .head().getLong(0)
+    assert(flips == 0, s"$flips whole-second instants flipped")
+    // SQLite: date('2024') = '-4707-06-09' (julian day 2024), NOT the
+    // year 2024 Spark's bare cast would produce
+    val y = spark.sql(
+      "SELECT date_format(sqlite_timeval('2024'), 'yyyy-MM-dd')").head()
+    assert(!y.getString(0).startsWith("2024"),
+      s"numeric text must be julian, got ${y.getString(0)}")
+  }
+
   test("total() is 0.0 on empty input, sum elsewhere; group_concat sorted") {
     Seq((1, 5.0), (1, 2.5), (2, -2.5)).toDF("k", "v")
       .createOrReplaceTempView("tot_t")

@@ -165,6 +165,39 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only analytics engine"))
   }
 
+  test("JSON question end-to-end: json_each and json_set through the generated-SQL path") {
+    import spark.implicits._
+    val cacheD = Files.createTempDirectory("graft_cache_json_").toString
+    val docs = Seq(
+      (1L, """{"tags": ["a", "b"], "score": 3}"""),
+      (2L, """{"tags": ["c"], "score": 5}""")).toDF("id", "props")
+    val (results, _) = Ingestor.ingest(spark, Seq(docs),
+      llm = new StubLlm(), cacheDir = cacheD)
+    val h = results.head.hash
+
+    // SQLite's idiomatic comma-form lateral: the translator inserts
+    // LATERAL, the generator supplies the rows
+    val q = "List every tag with its document id"
+    // `id` must be qualified: json_each's own row shape carries an
+    // `id` column, and a bare reference is ambiguous in SQLite too
+    val stub = new StubLlm(Map(q ->
+      (s"SELECT `$h`.`id`, je.value AS tag FROM `$h`, " +
+        s"json_each(`$h`.`props`, '$$.tags') je ORDER BY `$h`.`id`, tag")))
+    val tags = Runner.ask(spark, q, results, stub).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tags == Seq((1L, "a"), (1L, "b"), (2L, "c")))
+
+    // a JSON-mutation question: UPDATE + json_set runs copy-on-write
+    // and the table state carries the edited documents
+    val qs = "Mark each document as reviewed"
+    val stubS = new StubLlm(Map(qs ->
+      s"UPDATE `$h` SET `props` = json_set(`props`, '$$.reviewed', 1)"))
+    Runner.ask(spark, qs, results, stubS)
+    val after = spark.table(s"`$h`").collect().map(_.getAs[String]("props"))
+    assert(after.length == 2)
+    assert(after.forall(_.endsWith(""","reviewed":1}""")), after.mkString("; "))
+  }
+
   test("three-table join question: categories for products sold in Italy") {
     assume(new java.io.File(goDir).isDirectory)
     import org.apache.spark.sql.functions.col

@@ -267,9 +267,20 @@ object SqliteJson {
   private def pathError(p: String): Nothing =
     throw new JsonError(s"JSON path error near '$p'")
 
+  /** Path steps share the document [[MaxDepth]] cap: the edit/build/
+    * render recursion is one frame per step, so an uncapped
+    * `'$'+'.a'*100000` path would escape the JsonError totality
+    * contract with a StackOverflowError (a path deeper than the
+    * deepest legal document can never address anything anyway). */
   private def parsePath(p: String): List[Step] = {
     if (p.isEmpty || p.charAt(0) != '$') pathError(p)
     val steps = List.newBuilder[Step]
+    var nSteps = 0
+    def step(s: Step): Unit = {
+      nSteps += 1
+      if (nSteps > MaxDepth) throw new JsonError("JSON path too deep")
+      steps += s
+    }
     var i = 1
     while (i < p.length) {
       p.charAt(i) match {
@@ -279,29 +290,29 @@ object SqliteJson {
           if (p.charAt(i) == '"') {
             val end = p.indexOf('"', i + 1)
             if (end < 0) pathError(p)
-            steps += Key(p.substring(i + 1, end))
+            step(Key(p.substring(i + 1, end)))
             i = end + 1
           } else {
             val start = i
             while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[') i += 1
             if (i == start) pathError(p)
-            steps += Key(p.substring(start, i))
+            step(Key(p.substring(start, i)))
           }
         case '[' =>
           val end = p.indexOf(']', i)
           if (end < 0) pathError(p)
           val body = p.substring(i + 1, end)
-          if (body == "#") steps += FromEnd(0)
+          if (body == "#") step(FromEnd(0))
           else if (body.startsWith("#-")) {
             val n = try body.substring(2).toInt
                     catch { case _: NumberFormatException => pathError(p) }
             if (n < 0) pathError(p)
-            steps += FromEnd(n)
+            step(FromEnd(n))
           } else {
             val n = try body.toInt
                     catch { case _: NumberFormatException => pathError(p) }
             if (n < 0) pathError(p)
-            steps += Idx(n)
+            step(Idx(n))
           }
           i = end + 1
         case _ => pathError(p)
@@ -618,6 +629,21 @@ object SqliteJson {
     case s: JScalar        => eachValue(s)
   }
 
+  /** How json_tree re-renders the PATH ARGUMENT's steps into its
+    * fullkey/path columns (pinned against sqlite 3.40.1 in
+    * SqliteJsonSpec): key steps canonicalize (a quoted-but-bare
+    * `$."a"` prints `$.a`), and EVERY array step — `[1]`, `[#-1]`,
+    * any index — prints `[0]`: SQLite renders those steps from its
+    * iterator counter, which is always 0 for the seeded root chain
+    * (`json_tree(x,'$[1][1]')` reports fullkey `$[0][0]`). json_each
+    * does NOT re-render — its strings carry the argument verbatim. */
+  private def renderTreeStep(sb: java.lang.StringBuilder, s: Step): Unit =
+    s match {
+      case Key(k) if bareKey(k) => sb.append('.').append(k)
+      case Key(k)               => sb.append(".\"").append(k).append('"')
+      case _                    => sb.append("[0]")
+    }
+
   /** json_each (recursive=false): the children of the path node, or
     * one row for a scalar. json_tree (recursive=true): the path node
     * itself plus every descendant, DFS order. Missing path → empty.
@@ -655,20 +681,31 @@ object SqliteJson {
         }
       case _ =>
     }
-    // the key column of the path node itself (scalar each / tree
-    // root): the last path step's name/index, NULL at the root
-    val rootKey: Either[String, Int] = steps.lastOption match {
-      case None              => Left(null)
-      case Some(Key(k))      => Left(k)
-      case Some(Idx(i))      => Right(i)
-      case Some(FromEnd(_))  => Left(null) // index unknowable statically
-    }
     if (recursive) {
-      val id = emit(rootKey, start, null, path, path)
-      children(start, id, path)
+      // json_tree root row (sqlite 3.40.1, golden-pinned in
+      // SqliteJsonSpec): fullkey is the path argument RE-RENDERED
+      // ([[renderTreeStep]] — array steps print [0]); path is the
+      // parent prefix of that rendering ('$' for a one-step path);
+      // key is the object key ONLY when the target is a container
+      // reached through a key step — scalar targets and array-step
+      // targets report NULL. Descendants build on the rendered root
+      // fullkey with their REAL keys/indexes.
+      val parentSb = new java.lang.StringBuilder("$")
+      steps.dropRight(1).foreach(renderTreeStep(parentSb, _))
+      val fullSb = new java.lang.StringBuilder(parentSb.toString)
+      steps.lastOption.foreach(renderTreeStep(fullSb, _))
+      val rootFullkey = fullSb.toString
+      val rootKey: Either[String, Int] = (start, steps.lastOption) match {
+        case (_: JObj | _: JArr, Some(Key(k))) => Left(k)
+        case _                                 => Left(null)
+      }
+      val id = emit(rootKey, start, null, rootFullkey, parentSb.toString)
+      children(start, id, rootFullkey)
     } else start match {
+      // json_each carries the path argument VERBATIM ('$[#-1]' stays
+      // unresolved) and a scalar target's single row has a NULL key.
       case _: JObj | _: JArr => children(start, null, path)
-      case _ => emit(rootKey, start, null, path, path)
+      case _ => emit(Left(null), start, null, path, path)
     }
     out.result()
   }

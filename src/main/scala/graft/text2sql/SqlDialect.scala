@@ -140,11 +140,13 @@ object SqlDialect {
             // implicitly correlating — becomes the comma-LATERAL form
             // (identical semantics: both are unconditional joins).
             // ON-clause JOIN forms are left verbatim → visible error.
-            val upper = out.toString.toUpperCase
-            val trimmed = upper.substring(0, k + 1)
-            if (trimmed.endsWith("CROSS JOIN")) {
-              val start = trimmed.lastIndexOf("CROSS JOIN")
-              out.setLength(start)
+            // whitespace-tolerant: `CROSS\nJOIN` and doubled spaces
+            // are valid SQLite too, so match CROSS\s+JOIN at the end
+            // of the emitted buffer rather than one literal spelling
+            val trimmed = out.toString.substring(0, k + 1)
+            val m = "(?is)\\bCROSS\\s+JOIN\\s*$".r.findFirstMatchIn(trimmed)
+            m.foreach { mm =>
+              out.setLength(mm.start)
               out.append(", LATERAL ")
             }
           }

@@ -126,6 +126,68 @@ class SqliteJsonSpec extends SparkSpec {
     }
   }
 
+  test("json_tree/json_each non-root paths match SQLite 3.40.1 (golden)") {
+    // (key, fullkey, path) triples pinned against python sqlite3
+    // 3.40.1. json_tree RE-RENDERS the path argument: quoted-bare
+    // keys canonicalize ($."a" → $.a) and every array step prints
+    // [0] (SQLite's iterator counter — '$[1][1]' reports '$[0][0]');
+    // root path is the parent prefix; root key is the object key only
+    // for a container under a key step. json_each carries the
+    // argument VERBATIM ('$[#-1]' stays) and scalar rows have NULL key.
+    def rows(sql: String): List[(String, String, String)] =
+      spark.sql(s"SELECT key, fullkey, path FROM $sql").collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+                   r.getString(1), r.getString(2))).toList
+    val treeGolden = Seq(
+      """json_tree('{"a":{"b":1}}','$.a')""" ->
+        List(("a", "$.a", "$"), ("b", "$.a.b", "$.a")),
+      """json_tree('{"a":7}','$.a')""" ->
+        List((null, "$.a", "$")),
+      """json_tree('[1,[2,3]]','$[1]')""" ->
+        List((null, "$[0]", "$"), ("0", "$[0][0]", "$[0]"),
+             ("1", "$[0][1]", "$[0]")),
+      """json_tree('[1,2,3]','$[#-1]')""" ->
+        List((null, "$[0]", "$")),
+      """json_tree('{"a":{"b":1}}','$."a"')""" ->
+        List(("a", "$.a", "$"), ("b", "$.a.b", "$.a")),
+      """json_tree('[0,[1,[2]]]','$[1][1]')""" ->
+        List((null, "$[0][0]", "$[0]"), ("0", "$[0][0][0]", "$[0][0]")),
+      """json_tree('{"a b":{"c":1}}','$."a b"')""" ->
+        List(("a b", "$.\"a b\"", "$"), ("c", "$.\"a b\".c", "$.\"a b\"")),
+      """json_tree('{"a":{"b":{"c":1}}}','$.a.b')""" ->
+        List(("b", "$.a.b", "$.a"), ("c", "$.a.b.c", "$.a.b")),
+      """json_tree('{"a":[1]}','$.a')""" ->
+        List(("a", "$.a", "$"), ("0", "$.a[0]", "$.a")),
+      """json_tree('[{"b":1}]','$[0]')""" ->
+        List((null, "$[0]", "$"), ("b", "$[0].b", "$[0]")))
+    val eachGolden = Seq(
+      """json_each('{"a":7}','$.a')""" ->
+        List((null, "$.a", "$.a")),
+      """json_each('[1,[2,3]]','$[#-1]')""" ->
+        List(("0", "$[#-1][0]", "$[#-1]"), ("1", "$[#-1][1]", "$[#-1]")),
+      """json_each('{"a":{"b":1}}','$."a"')""" ->
+        List(("b", "$.\"a\".b", "$.\"a\"")),
+      """json_each('[9]','$[0]')""" ->
+        List((null, "$[0]", "$[0]")))
+    (treeGolden ++ eachGolden).foreach { case (sql, want) =>
+      assert(rows(sql) == want, sql)
+    }
+  }
+
+  test("a path deeper than the document cap raises JsonError, not StackOverflow") {
+    val deep = "'$'" + " || " + s"repeat('.a', 100000)"
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT json_set('{}', $deep, 1)").collect()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).isInstanceOf[graft.functions.SqliteJson.JsonError], e)
+    // at exactly the cap the edit still lands (1000 steps = MaxDepth)
+    val okPath = "'$'" + " || " + s"repeat('.a', 999)"
+    assert(spark.sql(s"SELECT json_set('{}', $okPath, 1)")
+      .head().getString(0).startsWith("{\"a\":"))
+  }
+
   test("the translator inserts LATERAL into SQLite's comma-form TVF join") {
     val t = graft.text2sql.SqlDialect.translate(
       "SELECT event_id, je.key FROM events, json_each(events.props) je")
@@ -216,6 +278,14 @@ class SqliteJsonSpec extends SparkSpec {
     val t = graft.text2sql.SqlDialect.translate(
       "SELECT e.id, je.value FROM tv e CROSS JOIN json_each(e.j) je")
     assert(t.contains(", LATERAL json_each(e.j) je"), t)
+    // whitespace-tolerant: CROSS\nJOIN and doubled spaces are valid
+    // SQLite and must reach the same comma-LATERAL rewrite
+    val tn = graft.text2sql.SqlDialect.translate(
+      "SELECT e.id, je.value FROM tv e CROSS\nJOIN json_each(e.j) je")
+    assert(tn.contains(", LATERAL json_each(e.j) je"), tn)
+    val ts = graft.text2sql.SqlDialect.translate(
+      "SELECT e.id, je.value FROM tv e cross  join json_tree(e.j) jt")
+    assert(ts.contains(", LATERAL json_tree(e.j) jt"), ts)
     assert(graft.text2sql.SqlDialect.translate(t) == t) // fixpoint
     spark.range(1, 3).selectExpr("id", "concat('{\"k\": ', id, '}') AS j")
       .createOrReplaceTempView("tv")

@@ -201,14 +201,47 @@ object Pragma {
   /** Storage-layer configuration pragmas whose ASSIGNMENT form cannot
     * change any query result here (no SQLite storage engine exists to
     * configure, and ingested tables declare no foreign keys for
-    * `foreign_keys=ON` to enforce) — routed as no-ops, matching how
-    * BEGIN/COMMIT route. Semantics-changing pragmas (e.g.
-    * `case_sensitive_like`) stay on the targeted-error path: silently
-    * ignoring one would corrupt later answers. */
-  private val noopSetRe =
+    * `foreign_keys=ON` to enforce). Both forms are SESSION-TRACKED in
+    * spark.conf so the echo contract matches real SQLite exactly
+    * (pinned in PragmaSpec against python sqlite3 3.40.1 on a file
+    * db): busy_timeout and mmap_size echo one row from BOTH forms,
+    * journal_mode echoes the accepted mode, the others assign
+    * silently but ANSWER their query form — a write-ok/read-error
+    * asymmetry would be indefensible. `case_sensitive_like` is the
+    * one semantics-CHANGING pragma here: its flag feeds the dialect
+    * translator's LIKE rewrite ([[caseSensitiveLike]]); SQLite makes
+    * it write-only (both forms answer nothing). */
+  private val trackedSetRe =
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
-      """cache_size|temp_store|busy_timeout|mmap_size|page_size)""" +
-      """\s*=\s*(\S.*?)\s*$""").r
+      """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
+      """case_sensitive_like)\s*=\s*(\S.*?)\s*$""").r
+  private val trackedGetRe =
+    ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
+      """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
+      """case_sensitive_like)\s*$""").r
+
+  private def confKey(name: String) = s"spark.graft.pragma.$name"
+
+  private def tracked(spark: SparkSession, name: String, dflt: String): String =
+    spark.conf.get(confKey(name), dflt)
+
+  /** The session's `PRAGMA case_sensitive_like` state — consumed by
+    * [[graft.text2sql.SqlDialect.translate]]'s LIKE rewrite (flag on =
+    * SQLite's LIKE is a BINARY comparison = Spark's own LIKE; flag
+    * off = the default ASCII-folding LIKE → ILIKE). */
+  def caseSensitiveLike(spark: SparkSession): Boolean =
+    tracked(spark, "case_sensitive_like", "0") == "1"
+
+  /** SQLite's boolean-pragma parse: 1/yes/true/on → 1, everything
+    * else (including unrecognized words) → 0. */
+  private def boolValue(v: String): String = {
+    val b = unquote(v).toLowerCase
+    if (b == "1" || b == "yes" || b == "true" || b == "on") "1" else "0"
+  }
+
+  private def unquote(v: String): String =
+    v.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
 
   private def oneValue(spark: SparkSession, name: String, v: Any,
                        dt: DataType): DataFrame =
@@ -225,20 +258,85 @@ object Pragma {
       indexList(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
-    case noopSetRe(name, value) =>
-      // journal_mode assignment answers the ACCEPTED mode in SQLite;
-      // quoted values unwrap, and an unrecognized mode answers the
-      // (unchanged) current mode — never an echo SQLite could not
-      // produce. The other storage pragmas answer nothing.
-      if (name.equalsIgnoreCase("journal_mode")) {
-        val bare = value.toLowerCase.stripPrefix("'").stripSuffix("'")
-          .stripPrefix("\"").stripSuffix("\"")
-        val mode =
-          if (Set("delete", "truncate", "persist", "memory", "wal",
-              "off").contains(bare)) bare
-          else "memory" // the session's effective mode
-        oneValue(spark, "journal_mode", mode, StringType)
-      } else spark.emptyDataFrame
+    case trackedSetRe(name0, value) =>
+      val name = name0.toLowerCase
+      val v = unquote(value)
+      def num(dflt: Long): Long =
+        try v.toLong catch { case _: NumberFormatException => dflt }
+      name match {
+        case "journal_mode" =>
+          // assignment answers the ACCEPTED mode in SQLite; an
+          // unrecognized mode answers the (unchanged) current mode —
+          // never an echo SQLite could not produce
+          val cur = tracked(spark, name, "memory")
+          val mode =
+            if (Set("delete", "truncate", "persist", "memory", "wal",
+                "off").contains(v.toLowerCase)) v.toLowerCase
+            else cur
+          spark.conf.set(confKey(name), mode)
+          oneValue(spark, "journal_mode", mode, StringType)
+        case "busy_timeout" =>
+          // junk / negative → 0; echoes the stored value, col `timeout`
+          val t = math.max(0L, num(0L))
+          spark.conf.set(confKey(name), t.toString)
+          oneValue(spark, "timeout", t, LongType)
+        case "mmap_size" =>
+          // negative/junk leaves the current value; echoes one row
+          val cur = tracked(spark, name, "0").toLong
+          val sz = if (num(-1L) >= 0) num(-1L) else cur
+          spark.conf.set(confKey(name), sz.toString)
+          oneValue(spark, "mmap_size", sz, LongType)
+        case "synchronous" =>
+          // off=0 normal=1 full=2 extra=3; unknown word → 1 (measured)
+          val lvl = v.toLowerCase match {
+            case "off" => 0L; case "normal" => 1L; case "full" => 2L
+            case "extra" => 3L
+            case s => try s.toLong & 7 catch
+              { case _: NumberFormatException => 1L }
+          }
+          spark.conf.set(confKey(name), lvl.toString)
+          spark.emptyDataFrame
+        case "temp_store" =>
+          val ts = v.toLowerCase match {
+            case "default" => 0L; case "file" => 1L; case "memory" => 2L
+            case s => try s.toLong catch
+              { case _: NumberFormatException => 0L }
+          }
+          spark.conf.set(confKey(name), ts.toString)
+          spark.emptyDataFrame
+        case "page_size" =>
+          // only powers of two in [512, 65536] are accepted
+          val n = num(-1L)
+          if (n >= 512 && n <= 65536 && (n & (n - 1)) == 0)
+            spark.conf.set(confKey(name), n.toString)
+          spark.emptyDataFrame
+        case "cache_size" =>
+          spark.conf.set(confKey(name), num(0L).toString)
+          spark.emptyDataFrame
+        case "foreign_keys" | "case_sensitive_like" =>
+          spark.conf.set(confKey(name), boolValue(value))
+          spark.emptyDataFrame
+      }
+    case trackedGetRe(name0) =>
+      val name = name0.toLowerCase
+      name match {
+        case "journal_mode" =>
+          oneValue(spark, name, tracked(spark, name, "memory"), StringType)
+        case "busy_timeout" =>
+          oneValue(spark, "timeout", tracked(spark, name, "0").toLong, LongType)
+        case "mmap_size" =>
+          oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
+        case "synchronous" =>
+          oneValue(spark, name, tracked(spark, name, "2").toLong, LongType)
+        case "cache_size" =>
+          oneValue(spark, name, tracked(spark, name, "-2000").toLong, LongType)
+        case "temp_store" =>
+          oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
+        case "page_size" =>
+          oneValue(spark, name, tracked(spark, name, "4096").toLong, LongType)
+        case "case_sensitive_like" =>
+          spark.emptyDataFrame // write-only in SQLite: query answers nothing
+      }
     case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
         name.equalsIgnoreCase("quick_check") =>
       // a lake-backed session has no B-tree to corrupt
@@ -246,7 +344,10 @@ object Pragma {
     case pragmaOtherRe(name) if name.equalsIgnoreCase("encoding") =>
       oneValue(spark, "encoding", "UTF-8", StringType)
     case pragmaOtherRe(name) if name.equalsIgnoreCase("foreign_keys") =>
-      oneValue(spark, "foreign_keys", 0, IntegerType) // SQLite's default: OFF
+      // reflects the session's assignment (enforcement never happens
+      // here — ingested tables declare no FKs); SQLite's default: OFF
+      oneValue(spark, "foreign_keys",
+        tracked(spark, "foreign_keys", "0").toInt, IntegerType)
     case pragmaOtherRe(name) if name.equalsIgnoreCase("database_list") =>
       spark.createDataFrame(
         new java.util.ArrayList[Row](

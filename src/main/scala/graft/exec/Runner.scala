@@ -165,5 +165,6 @@ object Runner {
   /** Full question → answer pipeline over prior ingestions. */
   def ask(spark: SparkSession, question: String,
           ingestions: Seq[IngestResult], llm: LlmCallback): DataFrame =
-    runSql(spark, Text2Sql.text2sql(question, ingestions, llm))
+    runSql(spark, Text2Sql.text2sql(question, ingestions, llm,
+      Pragma.caseSensitiveLike(spark)))
 }

@@ -245,11 +245,41 @@ object QueriesDialect {
       Tables.registerAll(s, d)
       // through Runner.runSql — the EXACT generated-SQL path, which
       // also pins SQLite evaluation semantics (non-ANSI: 1/0 and bad
-      // casts yield NULL for the row, never a whole-query error)
-      graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      // casts yield NULL for the row, never a whole-query error); the
+      // translator sees the session's case_sensitive_like state just
+      // as Runner.ask threads it
+      graft.exec.Runner.runSql(s, SqlDialect.translate(q,
+        graft.exec.Pragma.caseSensitiveLike(s)))
     }
     k -> fn
   } ++ Map[String, Q](
+    // `PRAGMA case_sensitive_like = 1` flips SQLite's LIKE to the
+    // BINARY comparison — the translated query must then KEEP Spark's
+    // case-sensitive LIKE instead of folding to ILIKE, and a COLLATE
+    // NOCASE riding on the LIKE stays ignored (SQLite's LIKE honors
+    // no collating sequences in either mode). Runs the whole
+    // pragma-then-query session flow through Runner.runSql, restoring
+    // the flag afterwards (keys share one session). The uppercase
+    // pattern row proves sensitivity (lowercase 'build%' matches
+    // nothing against 'BUILDING' — the exact rows the default mode's
+    // key DOES return); the equality COLLATE NOCASE still folds.
+    "filter_like_cs_sqlite" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.exec.Runner.runSql(s, "PRAGMA case_sensitive_like = 1")
+      try {
+        val q =
+          """SELECT c_custkey, c_name, c_mktsegment
+             FROM customer
+             WHERE (c_mktsegment LIKE 'BUILD%'
+                    OR c_mktsegment LIKE 'build%'
+                    OR c_mktsegment = 'automobile' COLLATE NOCASE)
+               AND c_name NOT LIKE '%0001'
+             ORDER BY c_custkey"""
+        graft.exec.Runner.runSql(s, SqlDialect.translate(q,
+          graft.exec.Pragma.caseSensitiveLike(s)))
+      } finally
+        graft.exec.Runner.runSql(s, "PRAGMA case_sensitive_like = 0")
+    }),
     // SQLite DML as a model emits it, driven end-to-end through the
     // translator + Runner routing: INSERT OR REPLACE rewrites onto the
     // copy-on-write upsert (graft.exec.Upsert) — one statement that
@@ -711,6 +741,17 @@ object QueriesDialect {
                 OR LOWER(c_mktsegment) = LOWER('automobile'))
            AND c_name NOT ILIKE '%0001'
            AND c_name ILIKE 'customer#%' ESCAPE '!'
+         ORDER BY c_custkey""",
+
+    // under case_sensitive_like: plain (case-sensitive) LIKE in
+    // DuckDB, with the equality's NOCASE fold spelled out
+    "filter_like_cs_sqlite" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE (c_mktsegment LIKE 'BUILD%'
+                OR c_mktsegment LIKE 'build%'
+                OR LOWER(c_mktsegment) = LOWER('automobile'))
+           AND c_name NOT LIKE '%0001'
          ORDER BY c_custkey""",
 
     // the upsert statement's post-state as a plain SELECT: updates win

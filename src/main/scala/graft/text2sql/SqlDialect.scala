@@ -56,7 +56,18 @@ package graft.text2sql
   */
 object SqlDialect {
 
-  def translate(sql: String): String = {
+  def translate(sql: String): String =
+    translate(sql, caseSensitiveLike = false)
+
+  /** `caseSensitiveLike` mirrors the session's `PRAGMA
+    * case_sensitive_like` state ([[graft.exec.Pragma.caseSensitiveLike]]):
+    * with the flag ON, SQLite's LIKE is the BINARY comparison — exactly
+    * Spark's own LIKE. The pipeline still funnels LIKE through ILIKE so
+    * the COLLATE pass treats it uniformly (SQLite's LIKE ignores
+    * collating sequences in BOTH modes — `'ABC' LIKE 'abc' COLLATE
+    * NOCASE` is 0 under the flag, measured on 3.40.1), then a final
+    * pass lowers ILIKE back to the case-sensitive operator. */
+  def translate(sql: String, caseSensitiveLike: Boolean): String = {
     var out = rewriteWindowFilter(sql)
     out = rewriteJsonb(out)
     out = rewriteJsonTvf(out)
@@ -68,7 +79,27 @@ object SqlDialect {
     out = rewriteIs(out)
     out = rewriteLimitComma(out)
     out = rewriteNegativeLimit(out)
+    if (caseSensitiveLike) out = unrewriteIlike(out)
     out
+  }
+
+  /** ILIKE → LIKE (outside quotes), the final pass under
+    * case_sensitive_like. Declared-SQLite input has no ILIKE of its
+    * own (not a SQLite operator), so every ILIKE here came from
+    * [[rewriteLike]]. */
+  private def unrewriteIlike(sql: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(sql, i, c)
+        out.append(sql, i, e); i = e
+      } else if (keywordAt(sql, i, "ilike")) {
+        out.append("LIKE"); i += 5
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** SQLite 3.45's `jsonb*` family "works exactly the same" as the

@@ -83,7 +83,8 @@ object Text2Sql {
     * at :247 — which mis-binds multi-table SQL; fixed here).
     */
   def text2sql(question: String, ingestions: Seq[IngestResult],
-               llm: LlmCallback): String = {
+               llm: LlmCallback,
+               caseSensitiveLike: Boolean = false): String = {
     val raw = llm(buildPrompt(question, ingestions))
     // double-quoted tokens resolve as identifiers iff they name an
     // ingested column or table hash (SQLite's own resolution rule —
@@ -91,7 +92,8 @@ object Text2Sql {
     val identifiers: Set[String] = ingestions
       .flatMap(i => i.columnTypes.keys ++ Seq(i.hash) ++ Seq("table")).toSet
     val sql = SqlDialect.resolveDoubleQuoted(
-      SqlDialect.translate(extractSql(LlmCallback.truncateAtStop(raw))),
+      SqlDialect.translate(extractSql(LlmCallback.truncateAtStop(raw)),
+        caseSensitiveLike),
       identifiers)
     if (ingestions.size == 1) Text2SqlSubst.bindTable(sql, ingestions.head.hash)
     else sql

@@ -112,32 +112,93 @@ class PragmaSpec extends SparkSpec {
     val row = tl.filter("name = 'pragma_t4'").head()
     assert(row.getString(0) == "main" && row.getString(2) == "table" &&
       row.getInt(3) == 3)
-    // semantics-changing pragmas still decline with a targeted error —
-    // silently ignoring case_sensitive_like would corrupt later answers
+    // unknown storage pragmas still decline with a targeted error
     val e = intercept[UnsupportedOperationException] {
-      Runner.runSql(spark, "PRAGMA case_sensitive_like = ON")
+      Runner.runSql(spark, "PRAGMA wal_autocheckpoint = 100")
     }
-    assert(e.getMessage.contains("PRAGMA case_sensitive_like"), e.getMessage)
+    assert(e.getMessage.contains("PRAGMA wal_autocheckpoint"), e.getMessage)
     assert(e.getMessage.contains("table_info"), e.getMessage)
   }
 
-  test("storage-config pragmas no-op; read-only constants answer SQLite's shape") {
-    // assignment forms: nothing here has a storage engine to configure
-    assert(Runner.runSql(spark, "PRAGMA foreign_keys = ON").count() == 0)
-    assert(Runner.runSql(spark, "PRAGMA synchronous = OFF").count() == 0)
-    // journal_mode assignment answers the accepted mode, as SQLite does
-    val jm = Runner.runSql(spark, "PRAGMA journal_mode = WAL").head()
-    assert(jm.getString(0) == "wal")
+  test("storage-config pragmas track + echo exactly as SQLite 3.40.1 does") {
+    // every (statement → columns/rows) pair below is pinned against
+    // python sqlite3 3.40.1 on a file-backed database
+    def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
+    // busy_timeout echoes one row (column `timeout`) from BOTH forms;
+    // junk and negative values parse to 0
+    assert(rows("PRAGMA busy_timeout = 5000").map(_.getLong(0)) == Seq(5000L))
+    assert(Runner.runSql(spark, "PRAGMA busy_timeout").columns.toSeq ==
+      Seq("timeout"))
+    assert(rows("PRAGMA busy_timeout").map(_.getLong(0)) == Seq(5000L))
+    assert(rows("PRAGMA busy_timeout = abc").map(_.getLong(0)) == Seq(0L))
+    assert(rows("PRAGMA busy_timeout = -5").map(_.getLong(0)) == Seq(0L))
+    // mmap_size echoes one row from both forms; negatives are ignored
+    assert(rows("PRAGMA mmap_size = 268435456").map(_.getLong(0)) ==
+      Seq(268435456L))
+    assert(rows("PRAGMA mmap_size = -1").map(_.getLong(0)) == Seq(268435456L))
+    assert(rows("PRAGMA mmap_size").map(_.getLong(0)) == Seq(268435456L))
+    Runner.runSql(spark, "PRAGMA mmap_size = 0")
+    // journal_mode assignment answers the ACCEPTED mode; an
+    // unrecognized mode answers the unchanged current mode
+    assert(rows("PRAGMA journal_mode = WAL").map(_.getString(0)) == Seq("wal"))
+    assert(rows("PRAGMA journal_mode = bogus").map(_.getString(0)) == Seq("wal"))
+    assert(rows("PRAGMA journal_mode").map(_.getString(0)) == Seq("wal"))
+    // the silent-assignment pragmas ANSWER their query form: no
+    // write-ok/read-error asymmetry. synchronous: names map off=0
+    // normal=1 full=2 extra=3, unknown word → 1
+    assert(rows("PRAGMA synchronous = OFF").isEmpty)
+    assert(rows("PRAGMA synchronous").map(_.getLong(0)) == Seq(0L))
+    assert(rows("PRAGMA synchronous = extra").isEmpty)
+    assert(rows("PRAGMA synchronous").map(_.getLong(0)) == Seq(3L))
+    assert(rows("PRAGMA synchronous = bogus").isEmpty)
+    assert(rows("PRAGMA synchronous").map(_.getLong(0)) == Seq(1L))
+    assert(rows("PRAGMA cache_size = 500").isEmpty)
+    assert(rows("PRAGMA cache_size").map(_.getLong(0)) == Seq(500L))
+    assert(rows("PRAGMA temp_store = MEMORY").isEmpty)
+    assert(rows("PRAGMA temp_store").map(_.getLong(0)) == Seq(2L))
+    // page_size accepts only powers of two in [512, 65536]
+    assert(rows("PRAGMA page_size = 5000").isEmpty)
+    assert(rows("PRAGMA page_size").map(_.getLong(0)) == Seq(4096L))
+    assert(rows("PRAGMA page_size = 8192").isEmpty)
+    assert(rows("PRAGMA page_size").map(_.getLong(0)) == Seq(8192L))
+    // foreign_keys: boolean parse, query reflects the assignment
+    assert(rows("PRAGMA foreign_keys = ON").isEmpty)
+    assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(1))
+    assert(rows("PRAGMA foreign_keys = bogus").isEmpty)
+    assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(0))
     // query-form constants
-    assert(Runner.runSql(spark, "PRAGMA integrity_check").head()
-      .getString(0) == "ok")
-    assert(Runner.runSql(spark, "PRAGMA quick_check").head()
-      .getString(0) == "ok")
-    assert(Runner.runSql(spark, "PRAGMA encoding").head()
-      .getString(0) == "UTF-8")
-    assert(Runner.runSql(spark, "PRAGMA foreign_keys").head().getInt(0) == 0)
+    assert(rows("PRAGMA integrity_check").map(_.getString(0)) == Seq("ok"))
+    assert(rows("PRAGMA quick_check").map(_.getString(0)) == Seq("ok"))
+    assert(rows("PRAGMA encoding").map(_.getString(0)) == Seq("UTF-8"))
     val dbl = Runner.runSql(spark, "PRAGMA database_list").head()
     assert(dbl.getInt(0) == 0 && dbl.getString(1) == "main")
+  }
+
+  test("PRAGMA case_sensitive_like flips the LIKE translation (write-only)") {
+    // write-only in SQLite: both forms answer nothing
+    assert(Runner.runSql(spark, "PRAGMA case_sensitive_like = 1").count() == 0)
+    assert(Runner.runSql(spark, "PRAGMA case_sensitive_like").count() == 0)
+    assert(Pragma.caseSensitiveLike(spark))
+    try {
+      // flag ON: LIKE stays the BINARY comparison, and a COLLATE
+      // NOCASE riding on it is still ignored (SQLite's LIKE honors no
+      // collating sequences in either mode — measured: 0)
+      val t = graft.text2sql.SqlDialect.translate(
+        "SELECT 'ABC' LIKE 'abc' AS x, 'ABC' LIKE 'abc' COLLATE NOCASE AS y",
+        caseSensitiveLike = true)
+      val r = Runner.runSql(spark, t).head()
+      assert(!r.getBoolean(0) && !r.getBoolean(1), t)
+      // and the equality COLLATE NOCASE still folds under the flag
+      val t2 = graft.text2sql.SqlDialect.translate(
+        "SELECT 'ABC' = 'abc' COLLATE NOCASE AS x", caseSensitiveLike = true)
+      assert(Runner.runSql(spark, t2).head().getBoolean(0), t2)
+    } finally Runner.runSql(spark, "PRAGMA case_sensitive_like = 0")
+    assert(!Pragma.caseSensitiveLike(spark))
+    // flag OFF: the default ASCII-folding LIKE → ILIKE
+    val t3 = graft.text2sql.SqlDialect.translate(
+      "SELECT 'ABC' LIKE 'abc' AS x",
+      graft.exec.Pragma.caseSensitiveLike(spark))
+    assert(Runner.runSql(spark, t3).head().getBoolean(0), t3)
   }
 
   test("PRAGMA index_list/index_info reflect session-declared indexes; table_info reports the PK") {

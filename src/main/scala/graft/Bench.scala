@@ -60,6 +60,12 @@ object Bench {
     // warm the JVM/codegen paths so the first timed query isn't
     // charged for one-time initialization
     SparkEntry.queries("scan_parquet")(spark, sfDir).count()
+    // one-time fixture materializations (expanded embedding corpus,
+    // memoized ANN indexes) are SETUP, not query: build them here so
+    // the _full keys' three timed runs all measure the probe/scan —
+    // r7's spread max of 16.6 s vs a 0.235 s median was the first run
+    // paying the index build
+    graft.ops.QueriesExt.warmFixtures(spark, sfDir)
     // and the shared operator machinery: generated classes are
     // per-plan, but the layers underneath them — Janino itself, unsafe
     // row writers, aggregate hash maps, shuffle/sort/broadcast paths,
@@ -162,7 +168,7 @@ object Bench {
     // run 1 still pays plan compilation cold (comparable to the old
     // number); medians absorb one outlier without hiding a real
     // regression, which shifts all three runs.
-    val results = headline.map { name =>
+    def measure(): Seq[(String, Seq[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -174,6 +180,14 @@ object Bench {
       }
       name -> runs.sorted
     }
+    val results = measure()
+    // a SECOND full measurement pass, reported as its own block:
+    // median-of-3 absorbs one outlier per key, but co-located machine
+    // load spanning the whole bench (the r6 failure mode) shifts every
+    // median uniformly — two independent passes disagreeing beyond
+    // ~20% on total make that contamination self-evident in the
+    // artifact instead of silently poisoning the round's number
+    val results2 = measure()
     def f3(v: Double) = f"$v%.3f"
     // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
     // the MINIMUM, so taking runs(1) as median would report the faster
@@ -191,8 +205,13 @@ object Bench {
     val total = results.map(r => med(r._2)).filter(_ >= 0).sum
     val core = results.filter(r => core16(r._1))
       .map(r => med(r._2)).filter(_ >= 0).sum
+    val total2 = results2.map(r => med(r._2)).filter(_ >= 0).sum
+    val core2 = results2.filter(r => core16(r._1))
+      .map(r => med(r._2)).filter(_ >= 0).sum
+    val qs2 = results2.map { case (k, r) => "\"" + k + "\":" + f3(med(r)) }
+      .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"run2":{"total":$total2%.3f,"core16":$core2%.3f,"queries":$qs2},"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt [info] noise; also drop the JSON in a
     // file so the driver's parse never depends on log scraping

@@ -98,6 +98,21 @@ object QueriesExt {
     dir
   }
 
+  /** Bench warm-up hook: force the ONE-TIME fixture materializations
+    * — the expanded ~100k-vector embedding corpus and the memoized
+    * ANN indexes over it — so the bench's timed runs measure the
+    * probe/scan they claim to measure, not fixture setup. (r7
+    * evidence: the first timed ext_sim_search_ivf_indexed_full run
+    * paid the whole index build — spread max 16.6 s against a 0.235 s
+    * median.) Queries outside the bench are unaffected: the same
+    * memos make this a no-op wherever the fixtures already exist. */
+  def warmFixtures(s: SparkSession, d: String): Unit = {
+    expandedEmbDir(s, d)
+    ivfFullIndexFor(s, d)
+    ivfIndexFor(s, d)
+    lshIndexFor(s, d)
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: duplicates synthesized (every 10th doc re-appended),
     // then hash-groupBy on content — the 100 TB pattern (shuffle on a

@@ -84,6 +84,22 @@ object QueriesDialect {
          FROM events, json_each(events.props) je
          ORDER BY event_id LIMIT 2000""",
 
+    // NON-ROOT path arguments through both TVFs (row shape verified
+    // against sqlite 3.40.1 verbatim): json_tree('…','$.a') reports
+    // the parent prefix as the root row's path with the key step in
+    // fullkey, and json_each('…','$[#-1]') carries the argument
+    // verbatim with a NULL key for the scalar target — the exact
+    // columns that silently echoed the raw path before round 8
+    "fn_json_tree_path" ->
+      """SELECT event_id,
+           jt.key AS tk, jt.value AS tv, jt.type AS tty,
+           jt.fullkey AS tfk, jt.path AS tp,
+           je.key AS ek, je.value AS ev, je.fullkey AS efk, je.path AS ep
+         FROM events
+         CROSS JOIN json_tree('{"a":{"b":' || (event_id % 5) || '}}', '$.a') jt
+         CROSS JOIN json_each('[5,' || (event_id % 7) || ']', '$[#-1]') je
+         ORDER BY event_id, tfk, efk LIMIT 2000""",
+
     // SQLite storage-class introspection over typed lake columns —
     // typeof() answers with SQLite's class names ('integer', 'real',
     // 'text', 'null'), never Spark's; the mixed column exercises the
@@ -632,6 +648,24 @@ object QueriesDialect {
            'integer' AS ty, (props ->> 'k') AS atom,
            '$.k' AS fk, '$' AS p
          FROM events ORDER BY event_id LIMIT 2000""",
+
+    // the TVF rows are deterministic functions of event_id, so the
+    // oracle states SQLite 3.40.1's exact output as plain expressions
+    "fn_json_tree_path" ->
+      """WITH t AS (
+           SELECT event_id, 'a' AS tk,
+             '{"b":' || (event_id % 5) || '}' AS tv,
+             'object' AS tty, '$.a' AS tfk, '$' AS tp
+           FROM events
+           UNION ALL
+           SELECT event_id, 'b', CAST(event_id % 5 AS VARCHAR),
+             'integer', '$.a.b', '$.a'
+           FROM events)
+         SELECT event_id, tk, tv, tty, tfk, tp,
+           CAST(NULL AS VARCHAR) AS ek,
+           CAST(event_id % 7 AS VARCHAR) AS ev,
+           '$[#-1]' AS efk, '$[#-1]' AS ep
+         FROM t ORDER BY event_id, tfk, efk LIMIT 2000""",
 
     // DuckDB strftime takes (value, fmt) — argument order is swapped vs
     // SQLite. dayofweek() is Sunday=0 in both DuckDB and the translated

@@ -250,7 +250,25 @@ object Pragma {
       StructType(Seq(StructField(name, dt, nullable = false))))
 
   /** Execute a bare `PRAGMA …` statement (caller strips trailing `;`). */
-  def run(spark: SparkSession, sql: String): DataFrame = sql match {
+  /** `PRAGMA main.x` — SQLite accepts a schema qualifier on every
+    * pragma and raises "unknown database" for schemas that don't
+    * exist; the only schema here IS main, so the prefix normalizes
+    * away (and any other prefix gets SQLite's own error shape). */
+  private val schemaQualRe =
+    """(?is)^(\s*pragma\s+)([A-Za-z_]\w*)\s*\.\s*(.*)$""".r
+
+  def run(spark: SparkSession, sql0: String): DataFrame = {
+    val sql = sql0 match {
+      case schemaQualRe(head, schema, rest) =>
+        if (schema.equalsIgnoreCase("main")) head + rest
+        else throw new UnsupportedOperationException(
+          s"unknown database $schema")
+      case _ => sql0
+    }
+    runNormalized(spark, sql)
+  }
+
+  private def runNormalized(spark: SparkSession, sql: String): DataFrame = sql match {
     case pragmaTableInfoRe(q1, q2, q3, bare) =>
       tableInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaTableListRe() => tableList(spark)

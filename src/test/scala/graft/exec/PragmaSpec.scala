@@ -112,6 +112,16 @@ class PragmaSpec extends SparkSpec {
     val row = tl.filter("name = 'pragma_t4'").head()
     assert(row.getString(0) == "main" && row.getString(2) == "table" &&
       row.getInt(3) == 3)
+    // schema-qualified pragmas: `main.` normalizes away on every
+    // pragma (SQLite accepts it), unknown schemas get SQLite's error
+    assert(Runner.runSql(spark, "PRAGMA main.table_info(pragma_t4)")
+      .count() == 3)
+    assert(Runner.runSql(spark, "PRAGMA main.busy_timeout").columns.toSeq ==
+      Seq("timeout"))
+    val eDb = intercept[UnsupportedOperationException] {
+      Runner.runSql(spark, "PRAGMA aux1.table_info(pragma_t4)")
+    }
+    assert(eDb.getMessage.contains("unknown database aux1"), eDb.getMessage)
     // unknown storage pragmas still decline with a targeted error
     val e = intercept[UnsupportedOperationException] {
       Runner.runSql(spark, "PRAGMA wal_autocheckpoint = 100")

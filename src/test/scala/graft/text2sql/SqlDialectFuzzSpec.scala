@@ -128,6 +128,24 @@ class SqlDialectFuzzSpec extends SparkSpec {
     })
   }
 
+  test("case_sensitive_like translate is total, parseable, idempotent, ILIKE-free") {
+    check("cs-fuzz", Prop.forAll(expr(3)) { e =>
+      val sql = s"SELECT $e AS v"
+      val once = SqlDialect.translate(sql, caseSensitiveLike = true)
+      parser.parsePlan(once)
+      // no ILIKE survives outside string literals: the final pass
+      // must lower every rewriteLike-produced ILIKE back to LIKE
+      val stripped = once.replaceAll("'(?:[^']|'')*'", "''")
+      val noIlike = !stripped.toUpperCase.contains("ILIKE")
+      // and the flagged translation is itself a fixpoint
+      val twice = SqlDialect.translate(once, caseSensitiveLike = true)
+      val idem = twice == once
+      if (!idem || !noIlike)
+        println(s"CS-LIKE VIOLATION:\n  in:    $sql\n  once:  $once\n  twice: $twice")
+      idem && noIlike
+    })
+  }
+
   test("string literal bodies survive translation byte-for-byte") {
     val lits = Seq("'iif(1,2,3)'", "'group_concat(x)'", "'a GLOB b'",
       "'COLLATE NOCASE'", "'+1 day'", "' LIKE '")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.exec.Runner
+import graft.exec.{Pragma, Runner}
 import graft.ingest.{IngestResult, Ingestor}
 import graft.llm.LlmCallback
 import graft.text2sql.Text2Sql
@@ -45,9 +45,19 @@ object Graft {
                    cacheDir: String = Ingestor.defaultCacheDir): (Seq[IngestResult], String) =
     Ingestor.ingestByHash(spark, hash, cacheDir)
 
+  /** Sessionless form (the reference's own signature): translates
+    * with the DEFAULT LIKE mode. If the session may have run `PRAGMA
+    * case_sensitive_like`, use the SparkSession overload (or [[ask]],
+    * which threads the flag) — this form cannot see session state. */
   def text2sql(question: String, ingestions: Seq[IngestResult],
                llm: LlmCallback): String =
     Text2Sql.text2sql(question, ingestions, llm)
+
+  /** Session-aware form: honors `PRAGMA case_sensitive_like`. */
+  def text2sql(spark: SparkSession, question: String,
+               ingestions: Seq[IngestResult], llm: LlmCallback): String =
+    Text2Sql.text2sql(question, ingestions, llm,
+      Pragma.caseSensitiveLike(spark))
 
   def sql(spark: SparkSession, query: String): DataFrame =
     Runner.runSql(spark, query)

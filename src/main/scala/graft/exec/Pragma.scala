@@ -211,10 +211,13 @@ object Pragma {
     * one semantics-CHANGING pragma here: its flag feeds the dialect
     * translator's LIKE rewrite ([[caseSensitiveLike]]); SQLite makes
     * it write-only (both forms answer nothing). */
+  /** Both of SQLite's equivalent assignment spellings: `PRAGMA x = v`
+    * and the call form `PRAGMA x(v)` (verified identical echo shapes
+    * on 3.40.1 for every tracked pragma). */
   private val trackedSetRe =
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
-      """case_sensitive_like)\s*=\s*(\S.*?)\s*$""").r
+      """case_sensitive_like)\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
   private val trackedGetRe =
     ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
@@ -232,11 +235,14 @@ object Pragma {
   def caseSensitiveLike(spark: SparkSession): Boolean =
     tracked(spark, "case_sensitive_like", "0") == "1"
 
-  /** SQLite's boolean-pragma parse: 1/yes/true/on → 1, everything
-    * else (including unrecognized words) → 0. */
+  /** SQLite's boolean-pragma parse (sqlite3GetBoolean): any nonzero
+    * integer → 1 (`foreign_keys = 2` is ON, measured), yes/true/on →
+    * 1, everything else (including unrecognized words) → 0. */
   private def boolValue(v: String): String = {
     val b = unquote(v).toLowerCase
-    if (b == "1" || b == "yes" || b == "true" || b == "on") "1" else "0"
+    try { if (b.toLong != 0) "1" else "0" }
+    catch { case _: NumberFormatException =>
+      if (b == "yes" || b == "true" || b == "on") "1" else "0" }
   }
 
   private def unquote(v: String): String =
@@ -250,17 +256,21 @@ object Pragma {
       StructType(Seq(StructField(name, dt, nullable = false))))
 
   /** Execute a bare `PRAGMA …` statement (caller strips trailing `;`). */
-  /** `PRAGMA main.x` — SQLite accepts a schema qualifier on every
-    * pragma and raises "unknown database" for schemas that don't
-    * exist; the only schema here IS main, so the prefix normalizes
-    * away (and any other prefix gets SQLite's own error shape). */
+  /** `PRAGMA main.x` / `PRAGMA temp.x` — SQLite accepts a schema
+    * qualifier on every pragma (main and temp ALWAYS exist) and
+    * raises "unknown database" otherwise. This engine keeps one
+    * namespace (CREATE TEMP VIEW lands in the same session catalog),
+    * so both known qualifiers normalize away — documented divergence:
+    * `temp.table_info(t)` answers main's rows where SQLite separates
+    * the schemas — and any other prefix gets SQLite's error shape. */
   private val schemaQualRe =
     """(?is)^(\s*pragma\s+)([A-Za-z_]\w*)\s*\.\s*(.*)$""".r
 
   def run(spark: SparkSession, sql0: String): DataFrame = {
     val sql = sql0 match {
       case schemaQualRe(head, schema, rest) =>
-        if (schema.equalsIgnoreCase("main")) head + rest
+        if (schema.equalsIgnoreCase("main") ||
+            schema.equalsIgnoreCase("temp")) head + rest
         else throw new UnsupportedOperationException(
           s"unknown database $schema")
       case _ => sql0
@@ -276,8 +286,9 @@ object Pragma {
       indexList(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
-    case trackedSetRe(name0, value) =>
+    case trackedSetRe(name0, eqValue, callValue) =>
       val name = name0.toLowerCase
+      val value = if (eqValue != null) eqValue else callValue
       val v = unquote(value)
       def num(dflt: Long): Long =
         try v.toLong catch { case _: NumberFormatException => dflt }
@@ -299,27 +310,32 @@ object Pragma {
           spark.conf.set(confKey(name), t.toString)
           oneValue(spark, "timeout", t, LongType)
         case "mmap_size" =>
-          // negative/junk leaves the current value; echoes one row
-          val cur = tracked(spark, name, "0").toLong
-          val sz = if (num(-1L) >= 0) num(-1L) else cur
+          // junk parses as 0 (atoi) and negatives reset to 0 — both
+          // measured on 3.40.1 with a nonzero current value
+          val sz = math.max(0L, num(0L))
           spark.conf.set(confKey(name), sz.toString)
           oneValue(spark, "mmap_size", sz, LongType)
         case "synchronous" =>
-          // off=0 normal=1 full=2 extra=3; unknown word → 1 (measured)
+          // off=0 normal=1 full=2 extra=3; DIGIT-led tokens take &7
+          // (`= 9` answers 1), anything else — including negatives,
+          // which never reach atoi — falls to the default 1 (measured)
           val lvl = v.toLowerCase match {
             case "off" => 0L; case "normal" => 1L; case "full" => 2L
             case "extra" => 3L
-            case s => try s.toLong & 7 catch
-              { case _: NumberFormatException => 1L }
+            case s if s.nonEmpty && s.forall(_.isDigit) =>
+              try s.toLong & 7 catch { case _: NumberFormatException => 1L }
+            case _ => 1L
           }
           spark.conf.set(confKey(name), lvl.toString)
           spark.emptyDataFrame
         case "temp_store" =>
-          val ts = v.toLowerCase match {
+          // anything outside 0..2 clamps to 0 (`= 7` answers 0, measured)
+          val ts0 = v.toLowerCase match {
             case "default" => 0L; case "file" => 1L; case "memory" => 2L
             case s => try s.toLong catch
               { case _: NumberFormatException => 0L }
           }
+          val ts = if (ts0 >= 0 && ts0 <= 2) ts0 else 0L
           spark.conf.set(confKey(name), ts.toString)
           spark.emptyDataFrame
         case "page_size" =>

@@ -142,12 +142,13 @@ class PragmaSpec extends SparkSpec {
     assert(rows("PRAGMA busy_timeout").map(_.getLong(0)) == Seq(5000L))
     assert(rows("PRAGMA busy_timeout = abc").map(_.getLong(0)) == Seq(0L))
     assert(rows("PRAGMA busy_timeout = -5").map(_.getLong(0)) == Seq(0L))
-    // mmap_size echoes one row from both forms; negatives are ignored
+    // mmap_size echoes one row from both forms; junk and negatives
+    // RESET to 0 (atoi semantics, measured with a nonzero current)
     assert(rows("PRAGMA mmap_size = 268435456").map(_.getLong(0)) ==
       Seq(268435456L))
-    assert(rows("PRAGMA mmap_size = -1").map(_.getLong(0)) == Seq(268435456L))
     assert(rows("PRAGMA mmap_size").map(_.getLong(0)) == Seq(268435456L))
-    Runner.runSql(spark, "PRAGMA mmap_size = 0")
+    assert(rows("PRAGMA mmap_size = -1").map(_.getLong(0)) == Seq(0L))
+    assert(rows("PRAGMA mmap_size").map(_.getLong(0)) == Seq(0L))
     // journal_mode assignment answers the ACCEPTED mode; an
     // unrecognized mode answers the unchanged current mode
     assert(rows("PRAGMA journal_mode = WAL").map(_.getString(0)) == Seq("wal"))
@@ -171,11 +172,36 @@ class PragmaSpec extends SparkSpec {
     assert(rows("PRAGMA page_size").map(_.getLong(0)) == Seq(4096L))
     assert(rows("PRAGMA page_size = 8192").isEmpty)
     assert(rows("PRAGMA page_size").map(_.getLong(0)) == Seq(8192L))
-    // foreign_keys: boolean parse, query reflects the assignment
+    // foreign_keys: boolean parse (any nonzero integer is ON —
+    // sqlite3GetBoolean), query reflects the assignment
     assert(rows("PRAGMA foreign_keys = ON").isEmpty)
     assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(1))
     assert(rows("PRAGMA foreign_keys = bogus").isEmpty)
     assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(0))
+    assert(rows("PRAGMA foreign_keys = 2").isEmpty)
+    assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(1))
+    // the call form `PRAGMA x(v)` is SQLite's equivalent assignment
+    // spelling — identical echo shapes (measured)
+    assert(rows("PRAGMA foreign_keys(0)").isEmpty)
+    assert(rows("PRAGMA foreign_keys").map(_.getInt(0)) == Seq(0))
+    assert(rows("PRAGMA busy_timeout(750)").map(_.getLong(0)) == Seq(750L))
+    assert(rows("PRAGMA journal_mode(delete)").map(_.getString(0)) ==
+      Seq("delete"))
+    // junk/negative mmap_size RESETS to 0 (atoi), never keeps current
+    Runner.runSql(spark, "PRAGMA mmap_size = 4096")
+    assert(rows("PRAGMA mmap_size = junk").map(_.getLong(0)) == Seq(0L))
+    Runner.runSql(spark, "PRAGMA mmap_size = 4096")
+    assert(rows("PRAGMA mmap_size = -1").map(_.getLong(0)) == Seq(0L))
+    // synchronous: digit-led &7 (`= 9` → 1), negatives → default 1
+    assert(rows("PRAGMA synchronous = 9").isEmpty)
+    assert(rows("PRAGMA synchronous").map(_.getLong(0)) == Seq(1L))
+    assert(rows("PRAGMA synchronous = -1").isEmpty)
+    assert(rows("PRAGMA synchronous").map(_.getLong(0)) == Seq(1L))
+    // temp_store clamps out-of-range to 0
+    assert(rows("PRAGMA temp_store = 7").isEmpty)
+    assert(rows("PRAGMA temp_store").map(_.getLong(0)) == Seq(0L))
+    // temp. qualifies like main. (both schemas always exist in SQLite)
+    assert(rows("PRAGMA temp.busy_timeout").map(_.getLong(0)) == Seq(750L))
     // query-form constants
     assert(rows("PRAGMA integrity_check").map(_.getString(0)) == Seq("ok"))
     assert(rows("PRAGMA quick_check").map(_.getString(0)) == Seq("ok"))

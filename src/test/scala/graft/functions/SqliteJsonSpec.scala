@@ -182,10 +182,15 @@ class SqliteJsonSpec extends SparkSpec {
     def rootCause(t: Throwable): Throwable =
       if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
     assert(rootCause(e).isInstanceOf[graft.functions.SqliteJson.JsonError], e)
-    // at exactly the cap the edit still lands (1000 steps = MaxDepth)
-    val okPath = "'$'" + " || " + s"repeat('.a', 999)"
+    // exact boundary: 1000 steps (= MaxDepth) still lands, 1001 rejects
+    val okPath = "'$'" + " || " + s"repeat('.a', 1000)"
     assert(spark.sql(s"SELECT json_set('{}', $okPath, 1)")
       .head().getString(0).startsWith("{\"a\":"))
+    val overPath = "'$'" + " || " + s"repeat('.a', 1001)"
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT json_set('{}', $overPath, 1)").collect()
+    }
+    assert(rootCause(e2).isInstanceOf[graft.functions.SqliteJson.JsonError], e2)
   }
 
   test("the translator inserts LATERAL into SQLite's comma-form TVF join") {

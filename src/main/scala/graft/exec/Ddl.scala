@@ -63,7 +63,10 @@ object Ddl {
       throw new IllegalArgumentException(
         s"DROP: no such session table/view '${stmt.name}' " +
           s"(add IF EXISTS to make this a no-op)")
-    if (dropped) SessionKeys.forgetTable(spark, stmt.name)
+    if (dropped) {
+      SessionKeys.forgetTable(spark, stmt.name)
+      Triggers.dropForTable(spark, stmt.name) // SQLite: triggers die with their table
+    }
     spark.emptyDataFrame
   }
 
@@ -205,6 +208,7 @@ object Ddl {
     if (!stmt.newName.equalsIgnoreCase(stmt.table))
       spark.catalog.dropTempView(stmt.table)
     SessionKeys.renameTable(spark, stmt.table, stmt.newName)
+    Triggers.renameTable(spark, stmt.table, stmt.newName)
     spark.emptyDataFrame
   }
 

@@ -99,7 +99,35 @@ object Mutate {
     val cnt = spark.sql(
       s"${u.withPrefix} SELECT count(*) FROM ${q(u.table)} WHERE $cond".trim)
     SessionChanges.record(spark, () => cnt.first().getLong(0))
-    rebind(spark, u.table, merged, ret)
+    // UPDATE triggers: the affected-row slice pairs each row's OLD and
+    // NEW images as structs, built against the PRE-rebind binding
+    // (analysis inlines the old plan, so the post-rebind lazy read
+    // stays on the superseded generation — copy-on-write guarantees it
+    // is still there). WHERE-true rows fire regardless of value
+    // change, exactly SQLite.
+    val setColNames = u.assigns.map(_._1)
+    val slice =
+      if (!Triggers.anyFor(spark, u.table, "update", setColNames)) None
+      else {
+        def esc(n: String) = n.replace("'", "''")
+        val oldS = base.schema.fields
+          .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
+        val newS = base.schema.fields.map { f =>
+          val v = assigns.get(f.name.toLowerCase) match {
+            case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
+            case None    => q(f.name)
+          }
+          s"'${esc(f.name)}', $v"
+        }.mkString(", ")
+        Some(spark.sql((s"${u.withPrefix} SELECT named_struct($oldS) AS old," +
+          s" named_struct($newS) AS new FROM ${q(u.table)} WHERE $cond").trim))
+      }
+    slice.foreach(sl =>
+      Triggers.fire(spark, u.table, "update", setColNames, "before", sl))
+    val out = rebind(spark, u.table, merged, ret)
+    slice.foreach(sl =>
+      Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
+    out
   }
 
   /** SQLite's UPDATE-FROM join form (lang_update.html §2): each target
@@ -119,6 +147,8 @@ object Mutate {
     */
   private def runUpdateFrom(spark: SparkSession, u: SqlDml.Update): DataFrame = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    declineTriggered(spark, u.table, "update", u.assigns.map(_._1),
+      "UPDATE … FROM")
     val base = resolve(spark, u.table, "UPDATE")
     val known = base.schema.fields.map(_.name.toLowerCase).toSet
     val unknown = u.assigns.map(_._1).filterNot(c => known(c.toLowerCase))
@@ -194,7 +224,24 @@ object Mutate {
     val cnt = spark.sql(
       s"${d.withPrefix} SELECT count(*) FROM ${q(d.table)} WHERE $cond".trim)
     SessionChanges.record(spark, () => cnt.first().getLong(0))
-    rebind(spark, d.table, merged, ret)
+    // DELETE triggers: OLD images of the WHERE-true rows (see the
+    // UPDATE path for the pre-rebind slice rationale)
+    val slice =
+      if (!Triggers.anyFor(spark, d.table, "delete")) None
+      else {
+        def esc(n: String) = n.replace("'", "''")
+        val base = spark.table(q(d.table))
+        val oldS = base.schema.fields
+          .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
+        Some(spark.sql((s"${d.withPrefix} SELECT named_struct($oldS) AS old" +
+          s" FROM ${q(d.table)} WHERE $cond").trim))
+      }
+    slice.foreach(sl =>
+      Triggers.fire(spark, d.table, "delete", Nil, "before", sl))
+    val out = rebind(spark, d.table, merged, ret)
+    slice.foreach(sl =>
+      Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
+    out
   }
 
   /** A LIMIT/OFFSET expression must be a constant integer (SQLite
@@ -269,6 +316,7 @@ object Mutate {
     * in the given order. */
   private def runDeleteLimit(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    declineTriggered(spark, d.table, "delete", Nil, "DELETE … LIMIT")
     val base = resolve(spark, d.table, "DELETE")
     val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val n = evalConst(spark, d.limit.get, "DELETE LIMIT")
@@ -311,6 +359,8 @@ object Mutate {
     * other row survives unchanged. */
   private def runUpdateLimit(spark: SparkSession, u: SqlDml.Update): DataFrame = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    declineTriggered(spark, u.table, "update", u.assigns.map(_._1),
+      "UPDATE … LIMIT")
     val base = resolve(spark, u.table, "UPDATE")
     val known = base.schema.fields.map(_.name.toLowerCase).toSet
     val unknown = u.assigns.map(_._1).filterNot(c => known(c.toLowerCase))
@@ -373,6 +423,18 @@ object Mutate {
   /** Materialize the rewritten table (and the RETURNING slice, if any
     * — FIRST, while it still reads the old binding), re-bind the view,
     * return RETURNING rows or the new table state. */
+  /** The FROM/LIMIT DML variants do not fire triggers (their
+    * affected-row slices interleave with ordering/join machinery this
+    * set-based engine does not re-derive) — decline VISIBLY rather
+    * than silently skip a registered trigger. */
+  private def declineTriggered(spark: SparkSession, table: String,
+                               event: String, setCols: Seq[String],
+                               form: String): Unit =
+    if (Triggers.anyFor(spark, table, event, setCols))
+      throw new UnsupportedOperationException(
+        s"$form does not fire the trigger(s) registered on $table; " +
+          s"drop the trigger or use the plain statement form")
+
   private def rebind(spark: SparkSession, table: String,
                      merged: DataFrame, ret: Option[DataFrame]): DataFrame = {
     val dir = "target/graft_tmp/mutate_" +

@@ -183,7 +183,12 @@ object Pragma {
           else s"$verb $name ON $table (${cols.mkString(", ")})"
         Row("index", name, table, 0, sql)
     }
-    val rows = tableRows ++ indexRows
+    // registered triggers list as SQLite does: type 'trigger',
+    // tbl_name = the trigger's table, sql = the statement as written
+    val triggerRows = Triggers.masterRows(spark).map {
+      case (name, table, sql) => Row("trigger", name, table, 0, sql)
+    }
+    val rows = tableRows ++ indexRows ++ triggerRows
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       masterSchema).createOrReplaceTempView("sqlite_master")

@@ -104,6 +104,8 @@ object Runner {
       case Some(d: SqlDml.DropRelation) => Ddl.drop(spark, d)
       case Some(i: SqlDml.CreateIndex) => Ddl.createIndex(spark, i)
       case Some(i: SqlDml.DropIndex) => Ddl.dropIndex(spark, i)
+      case Some(t: SqlDml.CreateTrigger) => Triggers.create(spark, t)
+      case Some(t: SqlDml.DropTrigger) => Triggers.dropTrigger(spark, t)
       case Some(a: SqlDml.AlterRenameTable) => Ddl.alterRenameTable(spark, a)
       case Some(a: SqlDml.AlterRenameColumn) => Ddl.alterRenameColumn(spark, a)
       case Some(a: SqlDml.AlterAddColumn) => Ddl.alterAddColumn(spark, a)

@@ -149,6 +149,18 @@ object Upsert {
               s"in the table's current schema"))
       })
       .getOrElse(Seq(visible.head)) // never the emulated rowid
+    // INSERT triggers fire over the inserted slice. OR REPLACE fires
+    // INSERT only (SQLite fires the implied deletes' triggers only
+    // under recursive_triggers=ON — OFF is the default this engine
+    // mirrors). ON CONFLICT DO UPDATE would need the slice split into
+    // its UPDATE-trigger and INSERT-trigger halves — targeted decline.
+    val insTrig = Triggers.anyFor(spark, stmt.table, "insert")
+    if (stmt.conflict.exists(_.assigns.nonEmpty) &&
+        (insTrig || Triggers.anyFor(spark, stmt.table, "update",
+          stmt.conflict.toSeq.flatMap(_.assigns.map(_._1)))))
+      throw new UnsupportedOperationException(
+        s"ON CONFLICT DO UPDATE does not fire the trigger(s) registered " +
+          s"on ${stmt.table}; drop the trigger or split the statement")
     val (merged, affected) = stmt.conflict match {
       case Some(c) =>
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
@@ -212,9 +224,20 @@ object Upsert {
           org.apache.spark.sql.functions.max("rowid")).first()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       })
+    // the NEW-image slice for INSERT triggers, analyzed against the
+    // pre-rebind binding (lazy reads stay on the superseded
+    // generation — copy-on-write)
+    val slice =
+      if (!insTrig) None
+      else Some(affected.select(org.apache.spark.sql.functions.struct(
+        affected.columns.map(col): _*).as("new")))
+    slice.foreach(sl =>
+      Triggers.fire(spark, stmt.table, "insert", Nil, "before", sl))
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(stmt.table)
+    slice.foreach(sl =>
+      Triggers.fire(spark, stmt.table, "insert", Nil, "after", sl))
     ret.getOrElse(out)
   }
 

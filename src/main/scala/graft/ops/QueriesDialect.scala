@@ -303,6 +303,35 @@ object QueriesDialect {
     // APPENDS new ones (keys+100), then the post-statement table state
     // is read back. A dedicated working view is used so the mutation
     // never re-binds the shared `nation` view other keys read.
+    // CREATE TRIGGER end-to-end (exec.Triggers): an UPDATE OF … WHEN
+    // audit trigger and a DELETE audit trigger fire set-based over the
+    // affected-row slices; DROP TRIGGER stops the firing; the final
+    // audit table is plain-SQL-derivable, so the DuckDB oracle states
+    // it directly. The whole session flow — column-def CREATE, CTAS,
+    // CREATE TRIGGER, triggering DML, DROP — runs through Runner.
+    "ddl_create_trigger_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      def run(q: String) =
+        graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_trg_work") // also drops its triggers
+      run("DROP TABLE IF EXISTS graft_trg_audit")
+      run("""CREATE TABLE graft_trg_work AS
+             SELECT n_nationkey AS k, n_name AS name FROM nation""")
+      run("CREATE TABLE graft_trg_audit (ev TEXT, k INTEGER)")
+      run("""CREATE TRIGGER graft_trg_upd AFTER UPDATE OF name
+             ON graft_trg_work WHEN NEW.k % 2 = 0 BEGIN
+               INSERT INTO graft_trg_audit VALUES ('upd', NEW.k);
+               INSERT INTO graft_trg_audit VALUES ('old', OLD.k);
+             END""")
+      run("""CREATE TRIGGER graft_trg_del AFTER DELETE ON graft_trg_work
+             BEGIN INSERT INTO graft_trg_audit VALUES ('del', OLD.k); END""")
+      run("UPDATE graft_trg_work SET name = name || '!' WHERE k < 10")
+      run("DELETE FROM graft_trg_work WHERE k >= 20")
+      run("DROP TRIGGER graft_trg_del")
+      run("DELETE FROM graft_trg_work WHERE k = 15") // fires nothing
+      run("""SELECT ev, k FROM graft_trg_audit ORDER BY ev, k""")
+    }),
+
     "sink_upsert_sql" -> ((s, d) => {
       Tables.t(s, d, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -787,6 +816,20 @@ object QueriesDialect {
                 OR LOWER(c_mktsegment) = LOWER('automobile'))
            AND c_name NOT LIKE '%0001'
          ORDER BY c_custkey""",
+
+    // the trigger key's audit table, derived as plain SQL: the UPDATE
+    // trigger fired for even keys below 10 (one 'upd' + one 'old' row
+    // each), the DELETE trigger for keys >= 20 — the k = 15 delete
+    // happened after DROP TRIGGER and left no rows
+    "ddl_create_trigger_sql" ->
+      """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+         SELECT * FROM (
+           SELECT 'del' AS ev, k FROM nat WHERE k >= 20
+           UNION ALL
+           SELECT 'old' AS ev, k FROM nat WHERE k < 10 AND k % 2 = 0
+           UNION ALL
+           SELECT 'upd' AS ev, k FROM nat WHERE k < 10 AND k % 2 = 0
+         ) ORDER BY ev, k""",
 
     // the upsert statement's post-state as a plain SELECT: updates win
     // on key, untouched base rows survive, appends land — the same

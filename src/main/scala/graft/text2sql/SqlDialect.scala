@@ -606,7 +606,7 @@ object SqlDialect {
 
   /** Case-insensitive keyword match at `i` with word boundaries on
     * both sides. */
-  private[text2sql] def keywordAt(sql: String, i: Int, kw: String): Boolean =
+  private[graft] def keywordAt(sql: String, i: Int, kw: String): Boolean =
     sql.regionMatches(true, i, kw, 0, kw.length) &&
       (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
       (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length)))
@@ -894,7 +894,7 @@ object SqlDialect {
     "glob", "string_agg", "concat", "typeof", "hex", "quote",
     "zeroblob", "randomblob")
 
-  private[text2sql] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+  private[graft] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
   /** Index just past the closing quote of the literal starting at
     * `start` (which must be a `'`), honoring `''` escapes. */
@@ -902,7 +902,7 @@ object SqlDialect {
     endOfQuoted(sql, start, '\'')
 
   /** Same for an arbitrary quote char (`'` or `"`), honoring doubling. */
-  private[text2sql] def endOfQuoted(sql: String, start: Int, q: Char): Int = {
+  private[graft] def endOfQuoted(sql: String, start: Int, q: Char): Int = {
     var i = start + 1
     while (i < sql.length) {
       if (sql.charAt(i) == q) {
@@ -915,7 +915,7 @@ object SqlDialect {
 
   /** Index of the `)` balancing the `(` at `open`, quote-aware (both
     * `'…'` and `"…"` are opaque); -1 if unbalanced. */
-  private[text2sql] def closeParen(sql: String, open: Int): Int = {
+  private[graft] def closeParen(sql: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < sql.length) {

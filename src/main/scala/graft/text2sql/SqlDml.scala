@@ -155,6 +155,23 @@ object SqlDml {
     * unique-key declaration, if any). */
   final case class DropIndex(name: String, ifExists: Boolean) extends Stmt
 
+  /** `CREATE [TEMP] TRIGGER [IF NOT EXISTS] name [BEFORE|AFTER|
+    * INSTEAD OF] (INSERT|UPDATE [OF cols]|DELETE) ON table [FOR EACH
+    * ROW] [WHEN expr] BEGIN stmt; … END`. `timing` is "" when SQLite's
+    * default (BEFORE) was left implicit; `body` holds the raw body
+    * statements split on top-level `;`; `sql` is the statement as
+    * written (the sqlite_master text). Validation of the SUPPORTED
+    * subset happens in [[graft.exec.Triggers.create]], not here —
+    * parse-level malformation falls back to Unsupported. */
+  final case class CreateTrigger(name: String, ifNotExists: Boolean,
+                                 timing: String, event: String,
+                                 ofCols: Seq[String], table: String,
+                                 when: Option[String], body: Seq[String],
+                                 sql: String) extends Stmt
+
+  /** `DROP TRIGGER [IF EXISTS] name`. */
+  final case class DropTrigger(name: String, ifExists: Boolean) extends Stmt
+
   /** SQLite `ALTER TABLE t RENAME TO t2` (lang_altertable.html §2):
     * the binding moves to the new name; declared keys/indexes follow
     * (SQLite rewrites schema references on rename). */
@@ -238,9 +255,13 @@ object SqlDml {
     if (keywordAt(sql, i, "drop")) {
       var j = skipWs(sql, i + 4)
       val isIndex = keywordAt(sql, j, "index")
-      if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view") && !isIndex)
+      val isTrigger = keywordAt(sql, j, "trigger")
+      if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view") &&
+          !isIndex && !isTrigger)
         return Some(Unsupported("DROP"))
-      j = skipWs(sql, j + (if (keywordAt(sql, j, "table")) 5 else if (isIndex) 5 else 4))
+      j = skipWs(sql, j + (if (keywordAt(sql, j, "table")) 5
+                           else if (isTrigger) 7
+                           else if (isIndex) 5 else 4))
       var ifExists = false
       if (keywordAt(sql, j, "if")) {
         val k = skipWs(sql, j + 2)
@@ -249,9 +270,12 @@ object SqlDml {
         j = skipWs(sql, k + 6)
       }
       return parseIdent(sql, j) match {
-        case Some((name, _)) if isIndex => Some(DropIndex(name, ifExists))
-        case Some((name, _))            => Some(DropRelation(name, ifExists))
-        case None => Some(Unsupported(if (isIndex) "DROP INDEX" else "DROP"))
+        case Some((name, _)) if isTrigger => Some(DropTrigger(name, ifExists))
+        case Some((name, _)) if isIndex   => Some(DropIndex(name, ifExists))
+        case Some((name, _))              => Some(DropRelation(name, ifExists))
+        case None => Some(Unsupported(
+          if (isTrigger) "DROP TRIGGER"
+          else if (isIndex) "DROP INDEX" else "DROP"))
       }
     }
     if (keywordAt(sql, i, "replace")) {
@@ -539,6 +563,8 @@ object SqlDml {
       return parseCreateIndex(sql, skipWs(sql, j + 5), unique = false)
     if (keywordAt(sql, j, "temp")) j = skipWs(sql, j + 4)
     else if (keywordAt(sql, j, "temporary")) j = skipWs(sql, j + 9)
+    if (keywordAt(sql, j, "trigger"))
+      return parseCreateTrigger(sql, skipWs(sql, j + 7))
     val isView = keywordAt(sql, j, "view")
     val isTable = keywordAt(sql, j, "table")
     if (!isView && !isTable) {
@@ -863,6 +889,108 @@ object SqlDml {
     * access-path directive (no result semantics — registered no-op); a
     * UNIQUE one declares the conflict key, so unsound variants
     * (expression keys, partial-index WHERE) decline targeted. */
+  /** First top-level `;` at/after `i` (outside quotes; parens cannot
+    * legally hold a bare `;`), or -1. */
+  private def topLevelSemi(sql: String, i: Int): Int = {
+    var j = i
+    while (j < sql.length) {
+      sql.charAt(j) match {
+        case c @ ('\'' | '"' | '`') => j = endOfQuoted(sql, j, c)
+        case ';' => return j
+        case _ => j += 1
+      }
+    }
+    -1
+  }
+
+  /** `CREATE [TEMP] TRIGGER …` — see [[CreateTrigger]]. Grammar-level
+    * failures return Unsupported("CREATE TRIGGER") (targeted decline);
+    * subset validation (timings, body verbs, RAISE, …) lives in
+    * exec.Triggers where the error messages can be specific. */
+  private def parseCreateTrigger(sql: String, start: Int): Option[Stmt] = {
+    def bail: Option[Stmt] = Some(Unsupported("CREATE TRIGGER"))
+    var j = start
+    var ifNotExists = false
+    if (keywordAt(sql, j, "if")) {
+      val k = skipWs(sql, j + 2)
+      if (!keywordAt(sql, k, "not")) return bail
+      val m = skipWs(sql, k + 3)
+      if (!keywordAt(sql, m, "exists")) return bail
+      ifNotExists = true
+      j = skipWs(sql, m + 6)
+    }
+    val (name, afterName) = parseIdent(sql, j).getOrElse(return bail)
+    j = skipWs(sql, afterName)
+    var timing = ""
+    if (keywordAt(sql, j, "before")) { timing = "before"; j = skipWs(sql, j + 6) }
+    else if (keywordAt(sql, j, "after")) { timing = "after"; j = skipWs(sql, j + 5) }
+    else if (keywordAt(sql, j, "instead")) {
+      val k = skipWs(sql, j + 7)
+      if (!keywordAt(sql, k, "of")) return bail
+      timing = "instead of"; j = skipWs(sql, k + 2)
+    }
+    var event = ""
+    val ofCols = Seq.newBuilder[String]
+    if (keywordAt(sql, j, "insert")) { event = "insert"; j = skipWs(sql, j + 6) }
+    else if (keywordAt(sql, j, "delete")) { event = "delete"; j = skipWs(sql, j + 6) }
+    else if (keywordAt(sql, j, "update")) {
+      event = "update"; j = skipWs(sql, j + 6)
+      if (keywordAt(sql, j, "of")) {
+        j = skipWs(sql, j + 2)
+        var more = true
+        while (more) {
+          val (c, e) = parseIdent(sql, j).getOrElse(return bail)
+          ofCols += c.toLowerCase
+          j = skipWs(sql, e)
+          if (j < sql.length && sql.charAt(j) == ',') j = skipWs(sql, j + 1)
+          else more = false
+        }
+      }
+    } else return bail
+    if (!keywordAt(sql, j, "on")) return bail
+    j = skipWs(sql, j + 2)
+    val (table, afterTable) = parseIdent(sql, j).getOrElse(return bail)
+    j = skipWs(sql, afterTable)
+    if (keywordAt(sql, j, "for")) {
+      val k = skipWs(sql, j + 3)
+      if (!keywordAt(sql, k, "each")) return bail
+      val m = skipWs(sql, k + 4)
+      if (!keywordAt(sql, m, "row")) return bail
+      j = skipWs(sql, m + 3)
+    }
+    var when: Option[String] = None
+    if (keywordAt(sql, j, "when")) {
+      j = skipWs(sql, j + 4)
+      val (w, e, stop) = scanExpr(sql, j, Set("begin"), stopComma = false)
+      if (!stop.contains("begin")) return bail
+      when = Some(w.trim)
+      j = e
+    }
+    if (!keywordAt(sql, j, "begin")) return bail
+    j = skipWs(sql, j + 5)
+    // body: (stmt ';')+ then END — CASE…END inside a statement holds
+    // no top-level ';', so the trigger's END is always the keyword
+    // right after a ';'
+    val body = Seq.newBuilder[String]
+    var parsing = true
+    while (parsing) {
+      if (keywordAt(sql, j, "end")) {
+        if (skipWs(sql, j + 3) < sql.length) return bail // trailing text
+        parsing = false
+      } else {
+        val semi = topLevelSemi(sql, j)
+        if (semi < 0) return bail
+        val stmtText = sql.substring(j, semi).trim
+        if (stmtText.nonEmpty) body += stmtText
+        j = skipWs(sql, semi + 1)
+      }
+    }
+    val stmts = body.result()
+    if (stmts.isEmpty) return bail
+    Some(CreateTrigger(name, ifNotExists, timing, event, ofCols.result(),
+      table, when, stmts, sql))
+  }
+
   private def parseCreateIndex(sql: String, start: Int,
                                unique: Boolean): Option[Stmt] = {
     val verb = if (unique) "CREATE UNIQUE INDEX" else "CREATE INDEX"

@@ -154,13 +154,21 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(s"`${pr.hash}`")
       .filter(col("Unit_cost") =!= 1).count() == 0)
 
-    // a verb with no sound re-expression still fails targeted, not
-    // with a generic analysis error
+    // a generated CREATE TRIGGER registers end-to-end (exec.Triggers;
+    // see TriggerSpec for the surface); a verb with no sound
+    // re-expression still fails targeted, not with a generic error
     val qt = "Add an audit trigger on products"
     val stubT = new StubLlm(Map(qt ->
       s"CREATE TRIGGER au AFTER UPDATE ON `${pr.hash}` BEGIN SELECT 1; END"))
+    Runner.ask(spark, qt, results, stubT)
+    assert(Runner.runSql(spark, "SELECT * FROM sqlite_master " +
+      "WHERE type = 'trigger' AND name = 'au'").count() == 1)
+    Runner.runSql(spark, "DROP TRIGGER au")
+    val qv = "Create a virtual table"
+    val stubV = new StubLlm(Map(qv ->
+      s"CREATE VIRTUAL TABLE vt USING fts5(content)"))
     val e = intercept[UnsupportedOperationException] {
-      Runner.ask(spark, qt, results, stubT)
+      Runner.ask(spark, qv, results, stubV)
     }
     assert(e.getMessage.contains("read-only analytics engine"))
   }

@@ -1,0 +1,171 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.text2sql.SqlDialect
+
+/** The CREATE TRIGGER subset (exec.Triggers): set-based firing over
+  * the affected-row slice, through the full translate-and-run path
+  * generated SQL takes. Row expectations are pinned against python
+  * sqlite3 3.40.1 running the same statements. */
+class TriggerSpec extends SparkSpec {
+
+  private def sql(q: String) =
+    Runner.runSql(spark, SqlDialect.translate(q))
+
+  private def rowsOf(q: String): Seq[Seq[Any]] =
+    sql(q).collect().map(_.toSeq.toSeq).toSeq
+
+  private var n = 0
+  /** Fresh table pair (t, log) per test so firings never bleed. */
+  private def fixture(): (String, String) = {
+    n += 1
+    val t = s"trg_t$n"; val log = s"trg_log$n"
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("a", "b")
+      .createOrReplaceTempView(t)
+    Seq.empty[(String, Long)].toDF("ev", "va").createOrReplaceTempView(log)
+    (t, log)
+  }
+
+  test("AFTER INSERT: body inserts once per affected row, NEW resolves") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_i$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('ins', NEW.a); END")
+    sql(s"INSERT INTO $t VALUES (4, 'w'), (5, 'v')")
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY va") ==
+      Seq(Seq("ins", 4L), Seq("ins", 5L)))
+    // zero affected rows → zero firings
+    sql(s"INSERT INTO $t SELECT a, b FROM $t WHERE a > 999")
+    assert(sql(s"SELECT * FROM $log").count() == 2)
+    // a constant body still inserts once PER row (SQLite row semantics)
+    sql(s"CREATE TRIGGER tr_c$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('k', 0); END")
+    sql(s"INSERT INTO $t VALUES (6, 'u'), (7, 's')")
+    assert(sql(s"SELECT * FROM $log WHERE ev = 'k'").count() == 2)
+  }
+
+  test("AFTER UPDATE OF col + WHEN: fires for WHERE-true rows passing WHEN") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_u$n AFTER UPDATE OF a ON $t " +
+      s"WHEN NEW.a > 10 BEGIN " +
+      s"INSERT INTO $log VALUES ('upd', NEW.a); " +
+      s"INSERT INTO $log VALUES ('old', OLD.a); END")
+    sql(s"UPDATE $t SET a = a + 100 WHERE a >= 2")
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY ev, va") ==
+      Seq(Seq("old", 2L), Seq("old", 3L), Seq("upd", 102L), Seq("upd", 103L)))
+    // an update NOT touching `a` does not fire (UPDATE OF)
+    sql(s"UPDATE $t SET b = 'q' WHERE a = 1")
+    assert(sql(s"SELECT * FROM $log").count() == 4)
+    // WHEN filters: a row failing NEW.a > 10 stays silent
+    sql(s"UPDATE $t SET a = 5 WHERE a = 1")
+    assert(sql(s"SELECT * FROM $log").count() == 4)
+  }
+
+  test("AFTER DELETE: OLD resolves; DELETE body correlates via EXISTS") {
+    val (t, log) = fixture()
+    sql(s"INSERT INTO $log VALUES ('seed', 2), ('seed', 9)")
+    sql(s"CREATE TRIGGER tr_d$n AFTER DELETE ON $t BEGIN " +
+      s"DELETE FROM $log WHERE va = OLD.a; END")
+    sql(s"DELETE FROM $t WHERE a = 2")
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY va") ==
+      Seq(Seq("seed", 9L)))
+    assert(sql(s"SELECT * FROM $t").count() == 2)
+  }
+
+  test("UPDATE body correlates through the UPDATE-FROM machinery") {
+    val (t, log) = fixture()
+    sql(s"INSERT INTO $log VALUES ('c', 1), ('c', 2), ('c', 3)")
+    sql(s"CREATE TRIGGER tr_ub$n AFTER INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = va + NEW.a WHERE va = NEW.a; END")
+    sql(s"INSERT INTO $t VALUES (2, 'p')")
+    assert(rowsOf(s"SELECT va FROM $log ORDER BY va") ==
+      Seq(Seq(1L), Seq(3L), Seq(4L)))
+  }
+
+  test("INSERT…SELECT body replicates per slice row (LATERAL correlation)") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_s$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log SELECT b, a * 10 FROM $t WHERE a = NEW.a; END")
+    sql(s"INSERT INTO $t VALUES (8, 'h'), (9, 'i')")
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY va") ==
+      Seq(Seq("h", 80L), Seq("i", 90L)))
+  }
+
+  test("BEFORE (and implicit-timing) triggers run; cascade fires; recursion guarded") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("ev", "va")
+      .createOrReplaceTempView(s"log2_$n")
+    // implicit timing = BEFORE in SQLite; body targets OTHER tables
+    sql(s"CREATE TRIGGER tr_b$n INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('b', NEW.a); END")
+    // cascade: the log insert fires log's own trigger
+    sql(s"CREATE TRIGGER tr_l$n AFTER INSERT ON $log BEGIN " +
+      s"INSERT INTO log2_$n VALUES (NEW.ev, NEW.va + 1000); END")
+    sql(s"INSERT INTO $t VALUES (4, 'w')")
+    assert(rowsOf(s"SELECT ev, va FROM $log") == Seq(Seq("b", 4L)))
+    assert(rowsOf(s"SELECT ev, va FROM log2_$n") == Seq(Seq("b", 1004L)))
+    // recursion: a trigger inserting into its own table fires once
+    // (recursive_triggers OFF, SQLite's default)
+    sql(s"CREATE TRIGGER tr_r$n AFTER INSERT ON log2_$n BEGIN " +
+      s"INSERT INTO log2_$n VALUES ('r', NEW.va); END")
+    sql(s"INSERT INTO log2_$n VALUES ('seed', 1)")
+    assert(sql(s"SELECT * FROM log2_$n WHERE ev = 'r'").count() == 1)
+  }
+
+  test("sqlite_master lists triggers; DROP TRIGGER / DROP TABLE unregister") {
+    val (t, log) = fixture()
+    val create = s"CREATE TRIGGER tr_m$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('m', NEW.a); END"
+    sql(create)
+    val m = rowsOf("SELECT type, name, tbl_name, sql FROM sqlite_master " +
+      s"WHERE type = 'trigger' AND name = 'tr_m$n'")
+    assert(m == Seq(Seq("trigger", s"tr_m$n", t, create)), m)
+    // duplicate name errors with SQLite's message; IF NOT EXISTS no-ops
+    val dup = intercept[IllegalArgumentException] { sql(create) }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    sql(s"CREATE TRIGGER IF NOT EXISTS tr_m$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', 0); END")
+    sql(s"INSERT INTO $t VALUES (4, 'w')")
+    assert(rowsOf(s"SELECT ev FROM $log") == Seq(Seq("m"))) // original body
+    sql(s"DROP TRIGGER tr_m$n")
+    sql(s"INSERT INTO $t VALUES (5, 'v')")
+    assert(sql(s"SELECT * FROM $log").count() == 1) // no further firings
+    intercept[IllegalArgumentException] { sql(s"DROP TRIGGER tr_m$n") }
+    sql(s"DROP TRIGGER IF EXISTS tr_m$n") // no-op
+    // DROP TABLE drops its triggers
+    sql(create)
+    sql(s"DROP TABLE $t")
+    assert(sql("SELECT * FROM sqlite_master WHERE type = 'trigger' " +
+      s"AND name = 'tr_m$n'").count() == 0)
+  }
+
+  test("declines are targeted: subset edges fail at CREATE with named errors") {
+    val (t, log) = fixture()
+    def declined(q: String, needle: String): Unit = {
+      val e = intercept[Exception] { sql(q) }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"$q -> ${e.getMessage}")
+    }
+    declined(s"CREATE TRIGGER bad1$n INSTEAD OF INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', 1); END", "INSTEAD OF")
+    declined(s"CREATE TRIGGER bad2$n AFTER INSERT ON $t BEGIN " +
+      s"SELECT RAISE(ABORT, 'no'); END", "RAISE")
+    declined(s"CREATE TRIGGER bad3$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', OLD.a); END", "OLD is not valid")
+    declined(s"CREATE TRIGGER bad4$n AFTER DELETE ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', NEW.a); END", "NEW is not valid")
+    declined(s"CREATE TRIGGER bad5$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', NEW.a) RETURNING ev; END", "RETURNING")
+    declined(s"CREATE TRIGGER bad6$n AFTER INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = va + 1; END", "NEW/OLD")
+    declined(s"CREATE TRIGGER bad7$n BEFORE INSERT ON $t BEGIN " +
+      s"INSERT INTO $t VALUES (NEW.a + 1, NEW.b); END", "own table")
+    declined(s"CREATE TRIGGER bad8$n AFTER INSERT ON missing_table$n BEGIN " +
+      s"INSERT INTO $log VALUES ('x', 1); END", "no such table")
+    // a registered trigger makes the non-firing DML forms decline
+    sql(s"CREATE TRIGGER tr_g$n AFTER DELETE ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('d', OLD.a); END")
+    declined(s"DELETE FROM $t WHERE a > 0 LIMIT 1", "trigger")
+  }
+}

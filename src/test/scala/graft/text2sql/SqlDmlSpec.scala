@@ -699,13 +699,15 @@ class SqlDmlSpec extends SparkSpec {
     // `;` inside literals/comments is opaque; trailing `;` is fine
     assert(Runner.runSql(spark,
       "SELECT 'a; b' AS s FROM multi_t -- note; here\n;").count() == 3)
-    // CREATE TRIGGER keeps its own targeted decline (its BEGIN…END
-    // body holds `;` legally)
-    val t = intercept[UnsupportedOperationException] {
-      Runner.runSql(spark,
-        "CREATE TRIGGER tg AFTER UPDATE ON multi_t BEGIN SELECT 1; END")
-    }
-    assert(t.getMessage.contains("read-only analytics engine"), t.getMessage)
+    // CREATE TRIGGER's BEGIN…END body holds `;` legally — the
+    // statement-splitting exemption lets it through to the trigger
+    // engine, which registers it (see TriggerSpec for the surface)
+    Runner.runSql(spark,
+      "CREATE TRIGGER tg AFTER UPDATE ON multi_t BEGIN SELECT 1; END")
+    assert(Runner.runSql(spark,
+      "SELECT name FROM sqlite_master WHERE type = 'trigger' " +
+        "AND name = 'tg'").count() == 1)
+    Runner.runSql(spark, "DROP TRIGGER tg")
   }
 
   test("detect classifies SQLite's ALTER TABLE forms") {

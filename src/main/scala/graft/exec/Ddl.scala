@@ -232,6 +232,7 @@ object Ddl {
       else col(quote(c))
     }.toIndexedSeq: _*).createOrReplaceTempView(stmt.table)
     SessionKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
+    Triggers.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
     spark.emptyDataFrame
   }
 
@@ -293,6 +294,7 @@ object Ddl {
           s"ALTER TABLE ${stmt.table}: cannot drop column ${stmt.col}: " +
             s"indexed by $ix (SQLite semantics); DROP INDEX it first")
       }
+    Triggers.guardDropColumn(spark, stmt.table, stmt.col)
     base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)

@@ -36,6 +36,8 @@ object Mutate {
 
   private def q(name: String) = Ddl.quote(name)
 
+  private def esc(n: String) = n.replace("'", "''")
+
   private def resolve(spark: SparkSession, table: String,
                       verb: String): DataFrame =
     try spark.table(q(table))
@@ -109,7 +111,6 @@ object Mutate {
     val slice =
       if (!Triggers.anyFor(spark, u.table, "update", setColNames)) None
       else {
-        def esc(n: String) = n.replace("'", "''")
         val oldS = base.schema.fields
           .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
         val newS = base.schema.fields.map { f =>
@@ -119,15 +120,21 @@ object Mutate {
           }
           s"'${esc(f.name)}', $v"
         }.mkString(", ")
+        // persisted ONCE around both timings (fire() skips its own
+        // persist on a pre-persisted slice) — a table with BEFORE and
+        // AFTER triggers pays the slice scan once, not twice
         Some(spark.sql((s"${u.withPrefix} SELECT named_struct($oldS) AS old," +
-          s" named_struct($newS) AS new FROM ${q(u.table)} WHERE $cond").trim))
+          s" named_struct($newS) AS new FROM ${q(u.table)} WHERE $cond").trim)
+          .persist())
       }
-    slice.foreach(sl =>
-      Triggers.fire(spark, u.table, "update", setColNames, "before", sl))
-    val out = rebind(spark, u.table, merged, ret)
-    slice.foreach(sl =>
-      Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
-    out
+    try {
+      slice.foreach(sl =>
+        Triggers.fire(spark, u.table, "update", setColNames, "before", sl))
+      val out = rebind(spark, u.table, merged, ret)
+      slice.foreach(sl =>
+        Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
+      out
+    } finally slice.foreach(_.unpersist())
   }
 
   /** SQLite's UPDATE-FROM join form (lang_update.html §2): each target
@@ -147,8 +154,6 @@ object Mutate {
     */
   private def runUpdateFrom(spark: SparkSession, u: SqlDml.Update): DataFrame = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
-    declineTriggered(spark, u.table, "update", u.assigns.map(_._1),
-      "UPDATE … FROM")
     val base = resolve(spark, u.table, "UPDATE")
     val known = base.schema.fields.map(_.name.toLowerCase).toSet
     val unknown = u.assigns.map(_._1).filterNot(c => known(c.toLowerCase))
@@ -199,9 +204,37 @@ object Mutate {
       // changes(): one count per matched target row (the captured
       // plan stays computable after the view drops / cache release)
       SessionChanges.record(spark, () => matched.count())
-      val out = rebind(spark, u.table, merged, ret)
-      spark.catalog.dropTempView(s"graft_updf_ret_g$gen")
-      out
+      // UPDATE … FROM fires this table's UPDATE triggers like the
+      // plain form (trigger bodies themselves route through here, so
+      // this is also what makes CASCADING updates fire): OLD = the
+      // matched base row, NEW = the picked row image (multi-matches
+      // already resolved to the deterministic minimum). Pre-rebind
+      // plans; persisted once around both timings.
+      val setColNames = u.assigns.map(_._1)
+      val slice =
+        if (!Triggers.anyFor(spark, u.table, "update", setColNames)) None
+        else {
+          import org.apache.spark.sql.functions.struct
+          val o = baseR.as("graft_updf_o")
+          val n = matched.as("graft_updf_n")
+          Some(o.join(n,
+              col(s"graft_updf_o.`$rid`") === col("graft_updf_n.__rid"))
+            .select(
+              struct(base.columns.map(c =>
+                col(s"graft_updf_o.`$c`").as(c)).toIndexedSeq: _*).as("old"),
+              struct(base.columns.map(c =>
+                col(s"graft_updf_n.`$c`").as(c)).toIndexedSeq: _*).as("new"))
+            .persist())
+        }
+      try {
+        slice.foreach(sl => Triggers.fire(spark, u.table, "update",
+          setColNames, "before", sl))
+        val out = rebind(spark, u.table, merged, ret)
+        spark.catalog.dropTempView(s"graft_updf_ret_g$gen")
+        slice.foreach(sl => Triggers.fire(spark, u.table, "update",
+          setColNames, "after", sl))
+        out
+      } finally slice.foreach(_.unpersist())
     } finally {
       spark.catalog.dropTempView(bview)
       baseR.unpersist()
@@ -225,23 +258,24 @@ object Mutate {
       s"${d.withPrefix} SELECT count(*) FROM ${q(d.table)} WHERE $cond".trim)
     SessionChanges.record(spark, () => cnt.first().getLong(0))
     // DELETE triggers: OLD images of the WHERE-true rows (see the
-    // UPDATE path for the pre-rebind slice rationale)
+    // UPDATE path for the pre-rebind slice + persist-once rationale)
     val slice =
       if (!Triggers.anyFor(spark, d.table, "delete")) None
       else {
-        def esc(n: String) = n.replace("'", "''")
         val base = spark.table(q(d.table))
         val oldS = base.schema.fields
           .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
         Some(spark.sql((s"${d.withPrefix} SELECT named_struct($oldS) AS old" +
-          s" FROM ${q(d.table)} WHERE $cond").trim))
+          s" FROM ${q(d.table)} WHERE $cond").trim).persist())
       }
-    slice.foreach(sl =>
-      Triggers.fire(spark, d.table, "delete", Nil, "before", sl))
-    val out = rebind(spark, d.table, merged, ret)
-    slice.foreach(sl =>
-      Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
-    out
+    try {
+      slice.foreach(sl =>
+        Triggers.fire(spark, d.table, "delete", Nil, "before", sl))
+      val out = rebind(spark, d.table, merged, ret)
+      slice.foreach(sl =>
+        Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
+      out
+    } finally slice.foreach(_.unpersist())
   }
 
   /** A LIMIT/OFFSET expression must be a constant integer (SQLite
@@ -423,10 +457,11 @@ object Mutate {
   /** Materialize the rewritten table (and the RETURNING slice, if any
     * — FIRST, while it still reads the old binding), re-bind the view,
     * return RETURNING rows or the new table state. */
-  /** The FROM/LIMIT DML variants do not fire triggers (their
-    * affected-row slices interleave with ordering/join machinery this
-    * set-based engine does not re-derive) — decline VISIBLY rather
-    * than silently skip a registered trigger. */
+  /** The LIMIT DML variants do not fire triggers (their affected-row
+    * slices interleave with the ordering machinery this set-based
+    * engine does not re-derive; trigger bodies never carry LIMIT —
+    * declined at CREATE) — decline VISIBLY rather than silently skip
+    * a registered trigger. UPDATE … FROM fires normally. */
   private def declineTriggered(spark: SparkSession, table: String,
                                event: String, setCols: Seq[String],
                                form: String): Unit =

@@ -222,11 +222,12 @@ object Pragma {
   private val trackedSetRe =
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
-      """case_sensitive_like)\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
+      """case_sensitive_like|recursive_triggers)""" +
+      """\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
   private val trackedGetRe =
     ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
-      """case_sensitive_like)\s*$""").r
+      """case_sensitive_like|recursive_triggers)\s*$""").r
 
   private def confKey(name: String) = s"spark.graft.pragma.$name"
 
@@ -355,6 +356,19 @@ object Pragma {
         case "foreign_keys" | "case_sensitive_like" =>
           spark.conf.set(confKey(name), boolValue(value))
           spark.emptyDataFrame
+        case "recursive_triggers" =>
+          // the engine's set-based trigger firing skips re-entrant
+          // firings — exactly OFF, SQLite's default. ON would need
+          // per-row recursive firing with a depth limit; no set-based
+          // equivalent exists, so turning it on declines VISIBLY
+          // rather than silently not recursing.
+          if (boolValue(value) == "1")
+            throw new UnsupportedOperationException(
+              "PRAGMA recursive_triggers = ON is not supported: trigger " +
+                "firing here is set-based with re-entrant firings " +
+                "skipped (= OFF, SQLite's default)")
+          spark.conf.set(confKey(name), "0")
+          spark.emptyDataFrame
       }
     case trackedGetRe(name0) =>
       val name = name0.toLowerCase
@@ -375,6 +389,8 @@ object Pragma {
           oneValue(spark, name, tracked(spark, name, "4096").toLong, LongType)
         case "case_sensitive_like" =>
           spark.emptyDataFrame // write-only in SQLite: query answers nothing
+        case "recursive_triggers" =>
+          oneValue(spark, name, 0L, LongType) // always OFF here
       }
     case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
         name.equalsIgnoreCase("quick_check") =>

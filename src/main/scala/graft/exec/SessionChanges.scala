@@ -29,6 +29,23 @@ object SessionChanges {
   private final class State {
     var acc = 0L
     var pending = Vector.empty[Entry]
+    // trigger-body DML: counts toward total_changes() only (SQLite
+    // lang_corefunc — changes() excludes trigger-program changes)
+    var pendingTrig = Vector.empty[Entry]
+  }
+
+  /** Depth of trigger-body execution on this thread. While > 0,
+    * recorded counts feed total_changes() but not changes(), and
+    * insert rowids are dropped — SQLite restores last_insert_rowid()
+    * when a trigger completes. */
+  private val triggerDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Run `f` with trigger-body accounting (see [[triggerDepth]]). */
+  def inTriggerBody[T](f: => T): T = {
+    triggerDepth.set(triggerDepth.get + 1)
+    try f finally triggerDepth.set(triggerDepth.get - 1)
   }
 
   private val states =
@@ -42,14 +59,23 @@ object SessionChanges {
       s
     }
 
-  /** Record a DML statement's affected-row count (deferred). */
+  /** Record a DML statement's affected-row count (deferred). A count
+    * recorded inside a trigger body lands in the total-only bucket. */
   def record(spark: SparkSession, thunk: () => Long): Unit = {
     val s = state(spark)
     s.synchronized {
-      s.pending :+= new Entry(thunk)
-      while (s.pending.size > 64) {
-        s.acc += s.pending.head.value
-        s.pending = s.pending.tail
+      if (triggerDepth.get > 0) {
+        s.pendingTrig :+= new Entry(thunk)
+        while (s.pendingTrig.size > 64) {
+          s.acc += s.pendingTrig.head.value
+          s.pendingTrig = s.pendingTrig.tail
+        }
+      } else {
+        s.pending :+= new Entry(thunk)
+        while (s.pending.size > 64) {
+          s.acc += s.pending.head.value
+          s.pending = s.pending.tail
+        }
       }
     }
   }
@@ -61,11 +87,14 @@ object SessionChanges {
     s.synchronized(s.pending.lastOption).map(_.value).getOrElse(0L)
   }
 
-  /** Rows changed by every DML statement this session executed. */
+  /** Rows changed by every DML statement this session executed —
+    * INCLUDING trigger-body statements (SQLite's total_changes()
+    * counts them; changes() does not). */
   def totalChanges(spark: SparkSession): Long = {
     val s = state(spark)
-    val (acc, pend) = s.synchronized((s.acc, s.pending))
-    acc + pend.map(_.value).sum
+    val (acc, pend, pendT) =
+      s.synchronized((s.acc, s.pending, s.pendingTrig))
+    acc + pend.map(_.value).sum + pendT.map(_.value).sum
   }
 
   // ---- last_insert_rowid() --------------------------------------------
@@ -95,6 +124,9 @@ object SessionChanges {
     * statement inserted no rows (e.g. OR IGNORE all-conflict), which
     * leaves the value unchanged — SQLite's own rule. */
   def recordInsertRowid(spark: SparkSession, thunk: () => Option[Long]): Unit = {
+    // a trigger-body INSERT does not move the session value — SQLite
+    // reverts last_insert_rowid() when the trigger completes
+    if (triggerDepth.get > 0) return
     val s = rowidState(spark)
     s.synchronized {
       s.pending :+= new RowidEntry(thunk)

@@ -94,38 +94,11 @@ object Triggers {
   // --------------------------------------------------------- create
 
   /** Case-insensitive scan (outside quotes) for `NEW.` / `OLD.`. */
-  private def refersTo(sqlText: String, qualifier: String): Boolean = {
-    var i = 0
-    val q = qualifier.toLowerCase
-    while (i < sqlText.length) {
-      val c = sqlText.charAt(i)
-      if (c == '\'' || c == '"' || c == '`')
-        i = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
-      else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, q)) {
-        var j = i + q.length
-        while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
-        if (j < sqlText.length && sqlText.charAt(j) == '.') return true
-        i += q.length
-      } else i += 1
-    }
-    false
-  }
+  private def refersTo(sqlText: String, qualifier: String): Boolean =
+    graft.text2sql.SqlDialect.keywordFollowedBy(sqlText, qualifier, '.')
 
-  private def containsRaise(sqlText: String): Boolean = {
-    var i = 0
-    while (i < sqlText.length) {
-      val c = sqlText.charAt(i)
-      if (c == '\'' || c == '"' || c == '`')
-        i = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
-      else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, "raise")) {
-        var j = i + 5
-        while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
-        if (j < sqlText.length && sqlText.charAt(j) == '(') return true
-        i += 5
-      } else i += 1
-    }
-    false
-  }
+  private def containsRaise(sqlText: String): Boolean =
+    graft.text2sql.SqlDialect.keywordFollowedBy(sqlText, "raise", '(')
 
   private def decline(msg: String): Nothing =
     throw new UnsupportedOperationException(msg)
@@ -218,14 +191,163 @@ object Triggers {
     }
   }
 
-  /** ALTER TABLE … RENAME TO: trigger table references follow
-    * (SQLite rewrites them). */
+  /** Quote-aware whole-identifier rename of a table reference: bare
+    * `from` (word-bounded, not after `.`, not a `from(` call) and the
+    * `"from"` / `` `from` `` quoted forms become `to`; string literals
+    * are untouched. The subset's body statements reference tables only
+    * in these shapes (INSERT INTO t / UPDATE t / DELETE FROM t /
+    * FROM t [alias]), so this IS SQLite's trigger-program rewrite for
+    * the supported grammar. */
+  private def renameIdent(sqlText: String, from: String, to: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (c == '"' || c == '`') {
+        val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
+        val inner = sqlText.substring(i + 1, (e - 1) max (i + 1))
+        if (inner.equalsIgnoreCase(from) && !inner.contains(c))
+          out.append(c).append(to).append(c)
+        else out.append(sqlText.substring(i, e max (i + 1)))
+        i = e max (i + 1)
+      } else if (c == '\'') {
+        val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
+        out.append(sqlText.substring(i, e max (i + 1)))
+        i = e max (i + 1)
+      } else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, from) &&
+                 (out.isEmpty || out.last != '.') && {
+                   var j = i + from.length
+                   while (j < sqlText.length &&
+                          sqlText.charAt(j).isWhitespace) j += 1
+                   j >= sqlText.length || sqlText.charAt(j) != '('
+                 }) {
+        out.append(to); i += from.length
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Rewrite (or just detect, when `to` is None) `qual.col`
+    * references — the shapes a trigger program uses for the firing
+    * table's columns. Returns (rewritten, found). */
+  private def scanQual(sqlText: String, qual: String, colName: String,
+                       to: Option[String]): (String, Boolean) = {
+    val out = new StringBuilder
+    var found = false
+    var i = 0
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
+        out.append(sqlText.substring(i, e max (i + 1)))
+        i = e max (i + 1)
+      } else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, qual)) {
+        var j = i + qual.length
+        while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
+        if (j < sqlText.length && sqlText.charAt(j) == '.') {
+          var k = j + 1
+          while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+          val quoted = k < sqlText.length &&
+            (sqlText.charAt(k) == '"' || sqlText.charAt(k) == '`')
+          val (refEnd, ref) =
+            if (quoted) {
+              val q = sqlText.charAt(k)
+              val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, k, q)
+              (e, sqlText.substring(k + 1, (e - 1) max (k + 1)))
+            } else {
+              var e = k
+              while (e < sqlText.length &&
+                     (sqlText.charAt(e).isLetterOrDigit ||
+                      sqlText.charAt(e) == '_')) e += 1
+              (e, sqlText.substring(k, e))
+            }
+          if (ref.equalsIgnoreCase(colName)) {
+            found = true
+            out.append(sqlText.substring(i, k))
+            out.append(to.getOrElse(ref))
+            i = refEnd max (k + 1)
+          } else { out.append(sqlText.substring(i, refEnd max (k + 1)))
+                   i = refEnd max (k + 1) }
+        } else { out.append(sqlText.substring(i, j min sqlText.length))
+                 i = j min sqlText.length }
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, found)
+  }
+
+  private def refersToCol(t: Trig, colName: String): Boolean =
+    t.ofCols.exists(_.equalsIgnoreCase(colName)) ||
+      (t.when.toSeq ++ t.body).exists { frag =>
+        scanQual(frag, "new", colName, None)._2 ||
+          scanQual(frag, "old", colName, None)._2
+      }
+
+  /** The sqlite_master `sql` text, regenerated after an ALTER rewrote
+    * pieces of the trigger program (SQLite rewrites its stored text
+    * too; this engine regenerates a canonical equivalent). */
+  private def canonicalSql(t: Trig): String = {
+    val timing = if (t.timing.isEmpty) "" else t.timing.toUpperCase + " "
+    val of = if (t.ofCols.isEmpty) "" else " OF " + t.ofCols.mkString(", ")
+    s"CREATE TRIGGER ${t.name} $timing${t.event.toUpperCase}$of " +
+      s"ON ${t.table}" + t.when.map(w => s" WHEN $w").getOrElse("") +
+      " BEGIN " + t.body.map(_ + ";").mkString(" ") + " END"
+  }
+
+  /** ALTER TABLE … RENAME TO: every trigger program follows — the ON
+    * table AND body/WHEN references to the renamed table (SQLite
+    * 3.25+ rewrites trigger bodies on rename). */
   def renameTable(spark: SparkSession, from: String, to: String): Unit = {
     val s = state(spark)
     s.synchronized {
       s.trigs.mapValuesInPlace { (_, t) =>
-        if (t.table.equalsIgnoreCase(from)) t.copy(table = to) else t
+        val t2 = t.copy(
+          table = if (t.table.equalsIgnoreCase(from)) to else t.table,
+          when = t.when.map(renameIdent(_, from, to)),
+          body = t.body.map(renameIdent(_, from, to)))
+        if (t2 == t) t else t2.copy(sql = canonicalSql(t2))
       }
+    }
+  }
+
+  /** ALTER TABLE … RENAME COLUMN: `UPDATE OF` lists and `NEW.c` /
+    * `OLD.c` references in the table's own triggers follow (SQLite
+    * rewrites trigger programs on column rename). A body's bare
+    * references to another table's renamed column are NOT rewritten —
+    * they fail visibly at next fire, never silently. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.trigs.mapValuesInPlace { (_, t) =>
+        if (!t.table.equalsIgnoreCase(table)) t
+        else {
+          val t2 = t.copy(
+            ofCols = t.ofCols.map(c =>
+              if (c.equalsIgnoreCase(from)) to.toLowerCase else c),
+            when = t.when.map(w =>
+              scanQual(scanQual(w, "new", from, Some(to))._1,
+                "old", from, Some(to))._1),
+            body = t.body.map(b =>
+              scanQual(scanQual(b, "new", from, Some(to))._1,
+                "old", from, Some(to))._1))
+          if (t2 == t) t else t2.copy(sql = canonicalSql(t2))
+        }
+      }
+    }
+  }
+
+  /** ALTER TABLE … DROP COLUMN must not orphan a trigger that
+    * references the column (SQLite errors the ALTER). */
+  def guardDropColumn(spark: SparkSession, table: String,
+                      colName: String): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.trigs.values.find(t =>
+        t.table.equalsIgnoreCase(table) && refersToCol(t, colName))
+        .foreach(t => throw new IllegalArgumentException(
+          s"cannot drop column $colName: referenced by trigger " +
+            s"${t.name} (SQLite refuses this ALTER too); DROP TRIGGER " +
+            s"${t.name} first"))
     }
   }
 
@@ -269,21 +391,30 @@ object Triggers {
            setCols: Seq[String], timing: String, slice: => DataFrame): Unit = {
     val trigs = matching(spark, table, event, setCols, timing)
     if (trigs.isEmpty) return
-    val df = slice.persist()
+    // a caller that fires both timings persists the slice once around
+    // both calls; only persist (and unpersist) here when it didn't
+    val df = slice
+    val prePersisted =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!prePersisted) df.persist()
     try {
       if (df.isEmpty) return
       val view = s"graft_trig_${sliceCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
-      try trigs.foreach { t =>
-        val rel = t.when match {
-          case Some(w) => s"(SELECT * FROM $view WHERE $w)"
-          case None    => s"$view"
+      // body DML counts toward total_changes() only, and leaves
+      // last_insert_rowid() untouched — SQLite's trigger accounting
+      try SessionChanges.inTriggerBody {
+        trigs.foreach { t =>
+          val rel = t.when match {
+            case Some(w) => s"(SELECT * FROM $view WHERE $w)"
+            case None    => s"$view"
+          }
+          active.get() += t.name.toLowerCase
+          try t.body.foreach(runBody(spark, rel, _))
+          finally active.get() -= t.name.toLowerCase
         }
-        active.get() += t.name.toLowerCase
-        try t.body.foreach(runBody(spark, rel, _))
-        finally active.get() -= t.name.toLowerCase
       } finally spark.catalog.dropTempView(view)
-    } finally df.unpersist()
+    } finally if (!prePersisted) df.unpersist()
   }
 
   private def runBody(spark: SparkSession, rel: String, stmt: String): Unit =

@@ -152,16 +152,15 @@ object Upsert {
     // INSERT triggers fire over the inserted slice. OR REPLACE fires
     // INSERT only (SQLite fires the implied deletes' triggers only
     // under recursive_triggers=ON — OFF is the default this engine
-    // mirrors). ON CONFLICT DO UPDATE would need the slice split into
-    // its UPDATE-trigger and INSERT-trigger halves — targeted decline.
+    // mirrors). ON CONFLICT DO UPDATE splits: the update half fires
+    // UPDATE triggers (SQLite lang_upsert — the upsert's UPDATE
+    // portion is trigger-visible as an UPDATE), the appended half
+    // fires AFTER INSERT.
     val insTrig = Triggers.anyFor(spark, stmt.table, "insert")
-    if (stmt.conflict.exists(_.assigns.nonEmpty) &&
-        (insTrig || Triggers.anyFor(spark, stmt.table, "update",
-          stmt.conflict.toSeq.flatMap(_.assigns.map(_._1)))))
-      throw new UnsupportedOperationException(
-        s"ON CONFLICT DO UPDATE does not fire the trigger(s) registered " +
-          s"on ${stmt.table}; drop the trigger or split the statement")
-    val (merged, affected) = stmt.conflict match {
+    val updAssignCols = stmt.conflict.toSeq.flatMap(_.assigns.map(_._1))
+    val updTrig = stmt.conflict.exists(_.assigns.nonEmpty) &&
+      Triggers.anyFor(spark, stmt.table, "update", updAssignCols)
+    val (merged, affected, inserted, updOldNew) = stmt.conflict match {
       case Some(c) =>
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
         // resolve the conflict key against the lake schema; no target
@@ -180,11 +179,15 @@ object Upsert {
           val appended = aligned.join(
             base.select(keys.map(col): _*).distinct(), keys, "left_anti")
             .select(base.columns.map(col): _*)
-          (base.unionAll(appended), appended)
-        } else doUpdate(base, aligned, keys, c, stmt.table)
+          (base.unionAll(appended), appended, appended, None)
+        } else {
+          val (m, a, upd, app) = doUpdate(base, aligned, keys, c, stmt.table)
+          (m, a, app, Some(upd))
+        }
       case None =>
-        if (stmt.replace) (merge(base, aligned, defaultKey), aligned)
-        else (base.unionAll(aligned), aligned)
+        if (stmt.replace) (merge(base, aligned, defaultKey), aligned,
+          aligned, None)
+        else (base.unionAll(aligned), aligned, aligned, None)
     }
     // copy-on-write: materialize BEFORE re-binding the view (the merge
     // plan reads the old binding; a lazy re-registration would
@@ -224,21 +227,39 @@ object Upsert {
           org.apache.spark.sql.functions.max("rowid")).first()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       })
-    // the NEW-image slice for INSERT triggers, analyzed against the
+    // the NEW-image slices for INSERT triggers, analyzed against the
     // pre-rebind binding (lazy reads stay on the superseded
-    // generation — copy-on-write)
-    val slice =
+    // generation — copy-on-write). BEFORE fires per ATTEMPTED row:
+    // SQLite runs BEFORE INSERT triggers ahead of conflict checking,
+    // so OR IGNORE / DO NOTHING discards still fire them; AFTER fires
+    // only for the rows actually inserted.
+    def newImage(df: DataFrame) =
+      df.select(org.apache.spark.sql.functions.struct(
+        df.columns.map(col): _*).as("new"))
+    val beforeSlice = if (!insTrig) None else Some(newImage(aligned))
+    val afterSlice =
       if (!insTrig) None
-      else Some(affected.select(org.apache.spark.sql.functions.struct(
-        affected.columns.map(col): _*).as("new")))
-    slice.foreach(sl =>
-      Triggers.fire(spark, stmt.table, "insert", Nil, "before", sl))
-    merged.write.mode("overwrite").parquet(dir)
-    val out = spark.read.parquet(dir)
-    out.createOrReplaceTempView(stmt.table)
-    slice.foreach(sl =>
-      Triggers.fire(spark, stmt.table, "insert", Nil, "after", sl))
-    ret.getOrElse(out)
+      else if (inserted eq aligned) beforeSlice
+      else Some(newImage(inserted))
+    // the DO-UPDATE half's old/new slice, persisted once around both
+    // timings (fire() skips its persist on a pre-persisted slice)
+    val updSlice = if (!updTrig) None else updOldNew.map(_.persist())
+    try {
+      beforeSlice.foreach(sl =>
+        Triggers.fire(spark, stmt.table, "insert", Nil, "before", sl))
+      updSlice.foreach(sl =>
+        Triggers.fire(spark, stmt.table, "update", updAssignCols,
+          "before", sl))
+      merged.write.mode("overwrite").parquet(dir)
+      val out = spark.read.parquet(dir)
+      out.createOrReplaceTempView(stmt.table)
+      afterSlice.foreach(sl =>
+        Triggers.fire(spark, stmt.table, "insert", Nil, "after", sl))
+      updSlice.foreach(sl =>
+        Triggers.fire(spark, stmt.table, "update", updAssignCols,
+          "after", sl))
+      ret.getOrElse(out)
+    } finally updSlice.foreach(_.unpersist())
   }
 
   /** `ON CONFLICT (keys) DO UPDATE SET … [WHERE p]`: base rows whose
@@ -256,8 +277,9 @@ object Upsert {
     */
   private def doUpdate(base: DataFrame, incoming: DataFrame,
                        keys: Seq[String], c: graft.text2sql.SqlDml.OnConflict,
-                       table: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+                       table: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, struct, when}
     val upd = incoming.dropDuplicates(keys)
     val excl = upd.select((upd.columns.map(cn => col(cn).as("__excl_" + cn))
       :+ lit(true).as("__excl_hit")).toIndexedSeq: _*)
@@ -295,7 +317,17 @@ object Upsert {
     // appended inserts (SQLite lang_returning reports both)
     val affected = projected.filter(col("__graft_hit") === lit(true))
       .drop("__graft_hit").unionAll(appended)
-    (merged, affected)
+    // the UPDATE-trigger slice: old/new images of the gate-fired rows
+    // (lazy — only built into a job when a trigger actually fires)
+    val updOldNew = joined.filter(gate).select(
+      struct(base.columns.map(cn => b(cn).as(cn)).toIndexedSeq: _*).as("old"),
+      struct(base.schema.fields.map { f =>
+        (assigns.get(f.name) match {
+          case Some(ex) => expr(ex).cast(f.dataType)
+          case None     => b(f.name)
+        }).as(f.name)
+      }.toIndexedSeq: _*).as("new"))
+    (merged, affected, updOldNew, appended)
   }
 
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -611,6 +611,25 @@ object SqlDialect {
       (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
       (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length)))
 
+  /** Quote-aware scan: does `kw` occur anywhere outside quotes,
+    * followed (after optional whitespace) by `next`? Covers the
+    * `NEW.` / `OLD.` / `raise(` shapes trigger validation probes. */
+  private[graft] def keywordFollowedBy(sql: String, kw: String,
+                                       next: Char): Boolean = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
+      else if (keywordAt(sql, i, kw)) {
+        var j = i + kw.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == next) return true
+        i += kw.length
+      } else i += 1
+    }
+    false
+  }
+
   /** SQLite `COLLATE` clauses. `COLLATE BINARY` is Spark's default
     * comparison — the clause is dropped. `COLLATE NOCASE` applies
     * ASCII case-folding to the comparison it decorates:

@@ -904,29 +904,31 @@ object SqlDml {
   }
 
   /** `CREATE [TEMP] TRIGGER …` — see [[CreateTrigger]]. Grammar-level
-    * failures return Unsupported("CREATE TRIGGER") (targeted decline);
-    * subset validation (timings, body verbs, RAISE, …) lives in
-    * exec.Triggers where the error messages can be specific. */
+    * failures return Unsupported with a NAMED reason (the detector
+    * stays total — a truncated model response must classify, not
+    * throw); subset validation (timings, body verbs, RAISE, …) lives
+    * in exec.Triggers where the error messages can be specific. */
   private def parseCreateTrigger(sql: String, start: Int): Option[Stmt] = {
-    def bail: Option[Stmt] = Some(Unsupported("CREATE TRIGGER"))
+    def bailWhy(why: String): Option[Stmt] =
+      Some(Unsupported(s"CREATE TRIGGER ($why)"))
     var j = start
     var ifNotExists = false
     if (keywordAt(sql, j, "if")) {
       val k = skipWs(sql, j + 2)
-      if (!keywordAt(sql, k, "not")) return bail
+      if (!keywordAt(sql, k, "not")) return bailWhy("malformed IF NOT EXISTS")
       val m = skipWs(sql, k + 3)
-      if (!keywordAt(sql, m, "exists")) return bail
+      if (!keywordAt(sql, m, "exists")) return bailWhy("malformed IF NOT EXISTS")
       ifNotExists = true
       j = skipWs(sql, m + 6)
     }
-    val (name, afterName) = parseIdent(sql, j).getOrElse(return bail)
+    val (name, afterName) = parseIdent(sql, j).getOrElse(return bailWhy("unparseable trigger name"))
     j = skipWs(sql, afterName)
     var timing = ""
     if (keywordAt(sql, j, "before")) { timing = "before"; j = skipWs(sql, j + 6) }
     else if (keywordAt(sql, j, "after")) { timing = "after"; j = skipWs(sql, j + 5) }
     else if (keywordAt(sql, j, "instead")) {
       val k = skipWs(sql, j + 7)
-      if (!keywordAt(sql, k, "of")) return bail
+      if (!keywordAt(sql, k, "of")) return bailWhy("malformed INSTEAD OF")
       timing = "instead of"; j = skipWs(sql, k + 2)
     }
     var event = ""
@@ -939,34 +941,34 @@ object SqlDml {
         j = skipWs(sql, j + 2)
         var more = true
         while (more) {
-          val (c, e) = parseIdent(sql, j).getOrElse(return bail)
+          val (c, e) = parseIdent(sql, j).getOrElse(return bailWhy("unparseable UPDATE OF column list"))
           ofCols += c.toLowerCase
           j = skipWs(sql, e)
           if (j < sql.length && sql.charAt(j) == ',') j = skipWs(sql, j + 1)
           else more = false
         }
       }
-    } else return bail
-    if (!keywordAt(sql, j, "on")) return bail
+    } else return bailWhy("no INSERT/UPDATE/DELETE event")
+    if (!keywordAt(sql, j, "on")) return bailWhy("missing ON <table>")
     j = skipWs(sql, j + 2)
-    val (table, afterTable) = parseIdent(sql, j).getOrElse(return bail)
+    val (table, afterTable) = parseIdent(sql, j).getOrElse(return bailWhy("unparseable table name"))
     j = skipWs(sql, afterTable)
     if (keywordAt(sql, j, "for")) {
       val k = skipWs(sql, j + 3)
-      if (!keywordAt(sql, k, "each")) return bail
+      if (!keywordAt(sql, k, "each")) return bailWhy("only FOR EACH ROW is supported")
       val m = skipWs(sql, k + 4)
-      if (!keywordAt(sql, m, "row")) return bail
+      if (!keywordAt(sql, m, "row")) return bailWhy("only FOR EACH ROW is supported")
       j = skipWs(sql, m + 3)
     }
     var when: Option[String] = None
     if (keywordAt(sql, j, "when")) {
       j = skipWs(sql, j + 4)
       val (w, e, stop) = scanExpr(sql, j, Set("begin"), stopComma = false)
-      if (!stop.contains("begin")) return bail
+      if (!stop.contains("begin")) return bailWhy("WHEN clause not followed by BEGIN")
       when = Some(w.trim)
       j = e
     }
-    if (!keywordAt(sql, j, "begin")) return bail
+    if (!keywordAt(sql, j, "begin")) return bailWhy("missing BEGIN")
     j = skipWs(sql, j + 5)
     // body: (stmt ';')+ then END — CASE…END inside a statement holds
     // no top-level ';', so the trigger's END is always the keyword
@@ -975,18 +977,18 @@ object SqlDml {
     var parsing = true
     while (parsing) {
       if (keywordAt(sql, j, "end")) {
-        if (skipWs(sql, j + 3) < sql.length) return bail // trailing text
+        if (skipWs(sql, j + 3) < sql.length) return bailWhy("text after END") // trailing text
         parsing = false
       } else {
         val semi = topLevelSemi(sql, j)
-        if (semi < 0) return bail
+        if (semi < 0) return bailWhy("body statement without a terminating ';' before END")
         val stmtText = sql.substring(j, semi).trim
         if (stmtText.nonEmpty) body += stmtText
         j = skipWs(sql, semi + 1)
       }
     }
     val stmts = body.result()
-    if (stmts.isEmpty) return bail
+    if (stmts.isEmpty) return bailWhy("empty body")
     Some(CreateTrigger(name, ifNotExists, timing, event, ofCols.result(),
       table, when, stmts, sql))
   }

@@ -167,5 +167,127 @@ class TriggerSpec extends SparkSpec {
     sql(s"CREATE TRIGGER tr_g$n AFTER DELETE ON $t BEGIN " +
       s"INSERT INTO $log VALUES ('d', OLD.a); END")
     declined(s"DELETE FROM $t WHERE a > 0 LIMIT 1", "trigger")
+    // grammar-level failures name the reason, not the read-only blurb
+    declined(s"CREATE TRIGGER bad9$n AFTER INSERT ON $t FOR EACH " +
+      s"STATEMENT BEGIN INSERT INTO $log VALUES ('x', 1); END",
+      "FOR EACH ROW")
+  }
+
+  test("body DML: excluded from changes()/last_insert_rowid(), in total_changes()") {
+    val (t, log) = fixture()
+    // rowid-enable the body's target so a body INSERT would move
+    // last_insert_rowid() if it weren't trigger-suppressed
+    sql(s"SELECT rowid FROM $log").collect()
+    sql(s"INSERT INTO $log VALUES ('seed', 0)")
+    val lir0 = rowsOf("SELECT last_insert_rowid() AS r").head.head
+    val tot0 = rowsOf("SELECT total_changes() AS t").head.head
+      .asInstanceOf[Long]
+    sql(s"CREATE TRIGGER tr_ch$n AFTER UPDATE ON $t WHEN NEW.a > 102 " +
+      s"BEGIN INSERT INTO $log VALUES ('u', NEW.a); END")
+    sql(s"UPDATE $t SET a = a + 100 WHERE a >= 2") // 2 affected, 1 WHEN-pass
+    // sqlite3 3.40.1: changes() = the outer statement's 2, not the
+    // body's 1; total_changes() counts both; last_insert_rowid()
+    // reverts when the trigger completes
+    assert(rowsOf("SELECT changes() AS c") == Seq(Seq(2L)))
+    assert(rowsOf("SELECT total_changes() AS t") == Seq(Seq(tot0 + 3L)))
+    assert(rowsOf("SELECT last_insert_rowid() AS r") == Seq(Seq(lir0)))
+    assert(sql(s"SELECT * FROM $log WHERE ev = 'u'").count() == 1)
+  }
+
+  test("cascading UPDATE bodies fire the downstream table's triggers") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("ev", "va")
+      .createOrReplaceTempView(s"audit_c$n")
+    sql(s"INSERT INTO $log VALUES ('c', 2)")
+    sql(s"CREATE TRIGGER tr_c1$n AFTER INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = va + NEW.a WHERE va = NEW.a; END")
+    sql(s"CREATE TRIGGER tr_c2$n AFTER UPDATE ON $log BEGIN " +
+      s"INSERT INTO audit_c$n VALUES ('cascade', NEW.va); END")
+    sql(s"INSERT INTO $t VALUES (2, 'p')") // body updates log 2→4 → tr_c2
+    assert(rowsOf(s"SELECT va FROM $log") == Seq(Seq(4L)))
+    assert(rowsOf(s"SELECT ev, va FROM audit_c$n") ==
+      Seq(Seq("cascade", 4L)))
+  }
+
+  test("user-level UPDATE … FROM fires UPDATE triggers over the matched slice") {
+    val (t, log) = fixture()
+    sql(s"INSERT INTO $log VALUES ('m', 2), ('m', 9)")
+    sql(s"CREATE TRIGGER tr_uf$n AFTER UPDATE ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('fired', OLD.a * 100 + NEW.a); END")
+    sql(s"UPDATE $t SET a = $t.a + va FROM $log WHERE $t.a = va")
+    // row a=2 matched va=2 → OLD.a=2, NEW.a=4
+    assert(rowsOf(s"SELECT va FROM $log WHERE ev = 'fired'") ==
+      Seq(Seq(204L)))
+  }
+
+  test("ALTER TABLE RENAME COLUMN follows into OF lists and NEW/OLD refs") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_rc$n AFTER UPDATE OF a ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('rc', NEW.a); END")
+    sql(s"ALTER TABLE $t RENAME COLUMN a TO aa")
+    sql(s"UPDATE $t SET aa = aa + 100 WHERE aa = 2")
+    assert(rowsOf(s"SELECT ev, va FROM $log") == Seq(Seq("rc", 102L)))
+    val m = rowsOf(s"SELECT sql FROM sqlite_master WHERE name = 'tr_rc$n'")
+      .head.head.toString
+    assert(m.contains("OF aa") && m.toLowerCase.contains("new.aa"), m)
+  }
+
+  test("ALTER TABLE DROP COLUMN declines when a trigger references it") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_dc$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('d', NEW.a); END")
+    val e = intercept[IllegalArgumentException] {
+      sql(s"ALTER TABLE $t DROP COLUMN a") }
+    assert(e.getMessage.contains(s"tr_dc$n"), e.getMessage)
+    sql(s"ALTER TABLE $t DROP COLUMN b") // unreferenced: fine
+  }
+
+  test("renaming a table referenced by trigger BODIES rewrites the program") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_rt$n AFTER DELETE ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('del', OLD.a); END")
+    sql(s"ALTER TABLE $log RENAME TO ${log}_2")
+    sql(s"DELETE FROM $t WHERE a = 1")
+    assert(rowsOf(s"SELECT ev, va FROM ${log}_2") == Seq(Seq("del", 1L)))
+    val m = rowsOf(s"SELECT sql FROM sqlite_master WHERE name = 'tr_rt$n'")
+      .head.head.toString
+    assert(m.contains(s"${log}_2"), m)
+  }
+
+  test("ON CONFLICT DO UPDATE: UPDATE triggers fire for the update half, INSERT for the appended half") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("ev", "va")
+      .createOrReplaceTempView(s"ulog$n")
+    sql(s"CREATE TRIGGER tr_du$n AFTER UPDATE ON $t BEGIN " +
+      s"INSERT INTO ulog$n VALUES (NEW.b, OLD.a); END")
+    sql(s"CREATE TRIGGER tr_di$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('i', NEW.a); END")
+    // a=2 conflicts → DO UPDATE (b 'y'→'P'): UPDATE trigger sees
+    // OLD/NEW; a=10 appends: AFTER INSERT fires for it alone
+    sql(s"INSERT INTO $t VALUES (2, 'P'), (10, 'N') " +
+      s"ON CONFLICT (a) DO UPDATE SET b = excluded.b")
+    assert(rowsOf(s"SELECT ev, va FROM ulog$n") == Seq(Seq("P", 2L)))
+    assert(rowsOf(s"SELECT ev, va FROM $log") == Seq(Seq("i", 10L)))
+    assert(rowsOf(s"SELECT b FROM $t WHERE a = 2") == Seq(Seq("P")))
+  }
+
+  test("OR IGNORE: BEFORE INSERT fires per ATTEMPTED row, AFTER per survivor") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("ev", "va")
+      .createOrReplaceTempView(s"blog$n")
+    sql(s"CREATE TRIGGER tr_bi$n BEFORE INSERT ON $t BEGIN " +
+      s"INSERT INTO blog$n VALUES ('b', NEW.a); END")
+    sql(s"CREATE TRIGGER tr_ai$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('a', NEW.a); END")
+    // key = leading column a; 1 conflicts, 10 appends. SQLite runs
+    // BEFORE triggers ahead of conflict checking — both rows fire;
+    // AFTER fires only for the row actually inserted.
+    sql(s"INSERT OR IGNORE INTO $t VALUES (1, 'dup'), (10, 'new')")
+    assert(rowsOf(s"SELECT va FROM blog$n ORDER BY va") ==
+      Seq(Seq(1L), Seq(10L)))
+    assert(rowsOf(s"SELECT va FROM $log") == Seq(Seq(10L)))
   }
 }

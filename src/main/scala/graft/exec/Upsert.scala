@@ -73,10 +73,15 @@ object Upsert {
     val visible =
       if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
       else base.columns
+    // DEFAULT VALUES: the sentinel's one row binds no target columns —
+    // every column falls to its registered DEFAULT / NULL below
+    val isDefaultValues =
+      stmt.sourceSql == graft.text2sql.SqlDml.DefaultValuesSource
     // bind source columns: the declared column list if present, else
     // positional against the visible target schema (SQLite's rule)
     val named0 =
-      if (stmt.cols.nonEmpty) {
+      if (isDefaultValues) src
+      else if (stmt.cols.nonEmpty) {
         if (stmt.cols.length != src.columns.length)
           throw new IllegalArgumentException(
             s"$verb INTO ${stmt.table}: ${stmt.cols.length} " +
@@ -115,7 +120,8 @@ object Upsert {
         }
       else named0
     val unknown = named.columns.map(_.toLowerCase).toSet --
-      base.columns.map(_.toLowerCase).toSet
+      base.columns.map(_.toLowerCase).toSet -
+      (if (isDefaultValues) "__graft_default_values" else "")
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"$verb INTO ${stmt.table}: no such column(s) " +

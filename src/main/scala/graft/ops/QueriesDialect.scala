@@ -604,6 +604,20 @@ object QueriesDialect {
     // declared column DEFAULTs end-to-end: partial-column INSERTs
     // fill the registered default (literal and parenthesized-
     // expression forms), fully-listed rows don't — SQLite's rule
+    // `INSERT INTO t DEFAULT VALUES` (SQLite): one full-default row
+    // per statement; listed-column inserts still fill the rest from
+    // their declared defaults
+    "sink_insert_default_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_dv_t")
+      run("""CREATE TABLE graft_dv_t (k INTEGER DEFAULT 5,
+             tag TEXT DEFAULT 'n/a', score REAL DEFAULT (2 + 0.5))""")
+      run("INSERT INTO graft_dv_t DEFAULT VALUES")
+      run("INSERT INTO graft_dv_t DEFAULT VALUES")
+      run("INSERT INTO graft_dv_t (k, tag) VALUES (9, 'x')")
+      s.table("graft_dv_t").orderBy("k", "tag", "score")
+    }),
+
     "ddl_defaults_sql" -> ((s, d) => {
       val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
       run("DROP TABLE IF EXISTS graft_dflt_t")
@@ -1070,6 +1084,15 @@ object QueriesDialect {
          FROM del, upd""",
 
     // defaults post-state in closed form
+    // closed-form post-state: two all-default rows + one listed-column
+    // insert whose unlisted score takes the default
+    "sink_insert_default_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(5 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
+           (CAST(5 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
+           (CAST(9 AS BIGINT), 'x', CAST(2.5 AS DOUBLE)))
+         AS t(k, tag, score) ORDER BY k, tag, score""",
+
     "ddl_defaults_sql" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),

@@ -48,6 +48,13 @@ object SqlDml {
                           conflict: Option[OnConflict] = None,
                           returning: Option[String] = None) extends Stmt
 
+  /** `sourceSql` sentinel for `INSERT INTO t DEFAULT VALUES`: a
+    * one-row projection binding NO target columns — exec.Upsert
+    * recognizes it and fills the full row width from each column's
+    * declared DEFAULT / NULL (the unlisted-column machinery). */
+  private[graft] val DefaultValuesSource =
+    "SELECT true AS __graft_default_values"
+
   /** SQLite's upsert clause: `ON CONFLICT [(cols)] DO NOTHING` (empty
     * `assigns`) or `ON CONFLICT (cols) DO UPDATE SET … [WHERE p]`.
     * Expression texts are raw translated SQL; `excluded.col`
@@ -1118,6 +1125,15 @@ object SqlDml {
       else if (keywordAt(sql, j, "values"))
         // VALUES can't reference CTEs, so the prefix is droppable
         s"SELECT * FROM ($rest)"
+      else if (keywordAt(sql, j, "default")) {
+        // `INSERT INTO t DEFAULT VALUES` (SQLite): one row, every
+        // column its declared DEFAULT / NULL. SQLite's grammar allows
+        // neither a column list nor an upsert clause on this form.
+        val k = skipWs(sql, j + 7)
+        if (!keywordAt(sql, k, "values") || skipWs(sql, k + 6) < srcEnd ||
+            cols.nonEmpty || confAt >= 0) return None
+        DefaultValuesSource
+      }
       else return None
     Some(Upsert(table, cols, source, replace, conflict, returning))
   }

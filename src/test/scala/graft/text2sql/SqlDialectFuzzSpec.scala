@@ -164,7 +164,9 @@ class SqlDialectFuzzSpec extends SparkSpec {
       "WITH c AS (SELECT 1) INSERT OR REPLACE INTO", "SELECT * FROM",
       "CREATE VIEW", "CREATE TEMP VIEW", "CREATE TABLE",
       "CREATE TABLE IF NOT EXISTS", "CREATE INDEX", "CREATE",
-      "DROP TABLE", "DROP VIEW IF EXISTS", "DROP")
+      "DROP TABLE", "DROP VIEW IF EXISTS", "DROP",
+      "CREATE TRIGGER", "CREATE TEMP TRIGGER tr AFTER INSERT ON",
+      "CREATE TRIGGER tr BEFORE UPDATE OF a, b ON", "DROP TRIGGER")
     val tails = Gen.oneOf("", " t", " t (", " t (a,", " t (a, b)",
       " t (a, b) VALUES", " t (a, b) VALUES (1", " t (a, b) VALUES (1, 'x')",
       " t SELECT", " t SELECT * FROM s", " 'h' SELECT 1", " `q t` VALUES (1)",

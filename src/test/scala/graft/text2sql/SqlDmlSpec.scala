@@ -500,6 +500,28 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO t DEFAULT VALUES inserts one all-default row") {
+    Runner.runSql(spark, "DROP TABLE IF EXISTS dv_t")
+    Runner.runSql(spark,
+      "CREATE TABLE dv_t (id INTEGER, tag TEXT DEFAULT 'n/a', n INTEGER DEFAULT 7)")
+    Runner.runSql(spark, "INSERT INTO dv_t DEFAULT VALUES")
+    val rows = spark.table("dv_t").collect()
+      .map(r => (r.isNullAt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((true, "n/a", 7L)))
+    // RETURNING sees the defaulted row (SQLite allows it on this form)
+    val ret = Runner.runSql(spark,
+      "INSERT INTO dv_t DEFAULT VALUES RETURNING tag, n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ret == Seq(("n/a", 7L)))
+    assert(spark.table("dv_t").count() == 2)
+    // SQLite's grammar: no column list, no upsert clause on this form
+    intercept[UnsupportedOperationException] {
+      Runner.runSql(spark, "INSERT INTO dv_t (id) DEFAULT VALUES") }
+    intercept[UnsupportedOperationException] {
+      Runner.runSql(spark,
+        "INSERT INTO dv_t DEFAULT VALUES ON CONFLICT DO NOTHING") }
+  }
+
   test("declared DEFAULTs fill unlisted INSERT columns; table_info reports them") {
     Runner.runSql(spark, "DROP TABLE IF EXISTS dft_t")
     Runner.runSql(spark,

@@ -222,12 +222,14 @@ object Pragma {
   private val trackedSetRe =
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
-      """case_sensitive_like|recursive_triggers)""" +
+      """case_sensitive_like|recursive_triggers|user_version|""" +
+      """application_id)""" +
       """\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
   private val trackedGetRe =
     ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
-      """case_sensitive_like|recursive_triggers)\s*$""").r
+      """case_sensitive_like|recursive_triggers|user_version|""" +
+      """application_id)\s*$""").r
 
   private def confKey(name: String) = s"spark.graft.pragma.$name"
 
@@ -353,6 +355,12 @@ object Pragma {
         case "cache_size" =>
           spark.conf.set(confKey(name), num(0L).toString)
           spark.emptyDataFrame
+        case "user_version" | "application_id" =>
+          // 32-bit schema cookies (SQLite stores them in the db
+          // header): assignment is silent, junk parses to 0, values
+          // wrap to signed 32-bit (measured: = 4294967296 reads 0)
+          spark.conf.set(confKey(name), num(0L).toInt.toString)
+          spark.emptyDataFrame
         case "foreign_keys" | "case_sensitive_like" =>
           spark.conf.set(confKey(name), boolValue(value))
           spark.emptyDataFrame
@@ -391,6 +399,8 @@ object Pragma {
           spark.emptyDataFrame // write-only in SQLite: query answers nothing
         case "recursive_triggers" =>
           oneValue(spark, name, 0L, LongType) // always OFF here
+        case "user_version" | "application_id" =>
+          oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
       }
     case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
         name.equalsIgnoreCase("quick_check") =>

@@ -237,6 +237,20 @@ class PragmaSpec extends SparkSpec {
     assert(Runner.runSql(spark, t3).head().getBoolean(0), t3)
   }
 
+  test("PRAGMA user_version / application_id: silent set, int echo, 32-bit wrap") {
+    def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
+    assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(0L))
+    assert(Runner.runSql(spark, "PRAGMA user_version = 42").count() == 0)
+    assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(42L))
+    // 32-bit cookie wrap (sqlite 3.40.1: = 4294967296 reads back 0)
+    Runner.runSql(spark, "PRAGMA user_version = 4294967296")
+    assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(0L))
+    Runner.runSql(spark, "PRAGMA application_id(7)")
+    assert(rows("PRAGMA application_id").map(_.getLong(0)) == Seq(7L))
+    Runner.runSql(spark, "PRAGMA user_version = 0") // restore for reruns
+    Runner.runSql(spark, "PRAGMA application_id = 0")
+  }
+
   test("PRAGMA recursive_triggers: OFF tracks, ON declines, query echoes 0") {
     // sqlite 3.40.1: assignment is silent, query echoes the flag.
     // The engine's re-entrant-skip firing IS OFF; ON has no set-based

@@ -191,38 +191,60 @@ object Triggers {
     }
   }
 
-  /** Quote-aware whole-identifier rename of a table reference: bare
-    * `from` (word-bounded, not after `.`, not a `from(` call) and the
-    * `"from"` / `` `from` `` quoted forms become `to`; string literals
-    * are untouched. The subset's body statements reference tables only
-    * in these shapes (INSERT INTO t / UPDATE t / DELETE FROM t /
-    * FROM t [alias]), so this IS SQLite's trigger-program rewrite for
-    * the supported grammar. */
+  /** Quote-aware, POSITION-aware rename of a table reference: an
+    * identifier equal to `from` (bare or `"quoted"`/`` `quoted` ``)
+    * becomes `to` only in table positions — right after INTO / UPDATE
+    * / FROM / JOIN, or used as a dot-qualifier (`from.col`). Column
+    * references that merely share the name are untouched (a bare SET
+    * target, a select-list item). String literals are untouched. The
+    * subset's body statements reference tables only in these shapes;
+    * a reference this scan misses (e.g. the second entry of a
+    * comma-separated FROM list) fails VISIBLY at next fire — never a
+    * silent wrong-table write. */
+  private val tablePosKeywords = Set("into", "update", "from", "join")
+
   private def renameIdent(sqlText: String, from: String, to: String): String = {
     val out = new StringBuilder
     var i = 0
+    var prevWord = "" // last identifier/keyword; punctuation resets it
+    def dotFollows(k: Int): Boolean = {
+      var j = k
+      while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
+      j < sqlText.length && sqlText.charAt(j) == '.'
+    }
     while (i < sqlText.length) {
       val c = sqlText.charAt(i)
       if (c == '"' || c == '`') {
         val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
         val inner = sqlText.substring(i + 1, (e - 1) max (i + 1))
-        if (inner.equalsIgnoreCase(from) && !inner.contains(c))
+        if (inner.equalsIgnoreCase(from) && !inner.contains(c) &&
+            (tablePosKeywords(prevWord) || dotFollows(e max (i + 1))))
           out.append(c).append(to).append(c)
         else out.append(sqlText.substring(i, e max (i + 1)))
+        prevWord = inner.toLowerCase
         i = e max (i + 1)
       } else if (c == '\'') {
         val e = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
         out.append(sqlText.substring(i, e max (i + 1)))
+        prevWord = ""
         i = e max (i + 1)
-      } else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, from) &&
-                 (out.isEmpty || out.last != '.') && {
-                   var j = i + from.length
-                   while (j < sqlText.length &&
-                          sqlText.charAt(j).isWhitespace) j += 1
-                   j >= sqlText.length || sqlText.charAt(j) != '('
-                 }) {
-        out.append(to); i += from.length
-      } else { out.append(c); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        var e = i
+        while (e < sqlText.length && (sqlText.charAt(e).isLetterOrDigit ||
+               sqlText.charAt(e) == '_')) e += 1
+        val w = sqlText.substring(i, e)
+        val afterDot = out.nonEmpty && out.last == '.'
+        if (w.equalsIgnoreCase(from) && !afterDot &&
+            (tablePosKeywords(prevWord) || dotFollows(e)))
+          out.append(to)
+        else out.append(w)
+        prevWord = w.toLowerCase
+        i = e
+      } else {
+        out.append(c)
+        if (!c.isWhitespace) prevWord = ""
+        i += 1
+      }
     }
     out.toString
   }
@@ -336,14 +358,31 @@ object Triggers {
     }
   }
 
+  /** A body statement that names the column of `table` structurally —
+    * an INSERT column list or an UPDATE SET target (bare references
+    * inside WHERE/expression text are not resolvable without full
+    * analysis; those fail VISIBLY at next fire instead). */
+  private def bodyNamesColOf(b: String, table: String,
+                             colName: String): Boolean =
+    SqlDml.detect(b) match {
+      case Some(u: SqlDml.Upsert) if u.table.equalsIgnoreCase(table) =>
+        u.cols.exists(_.equalsIgnoreCase(colName))
+      case Some(u: SqlDml.Update) if u.table.equalsIgnoreCase(table) =>
+        u.assigns.exists(_._1.equalsIgnoreCase(colName))
+      case _ => false
+    }
+
   /** ALTER TABLE … DROP COLUMN must not orphan a trigger that
-    * references the column (SQLite errors the ALTER). */
+    * references the column (SQLite errors the ALTER): OF lists and
+    * NEW./OLD. references of the table's own triggers, plus ANY
+    * trigger whose body DML targets the table naming the column. */
   def guardDropColumn(spark: SparkSession, table: String,
                       colName: String): Unit = {
     val s = state(spark)
     s.synchronized {
       s.trigs.values.find(t =>
-        t.table.equalsIgnoreCase(table) && refersToCol(t, colName))
+        (t.table.equalsIgnoreCase(table) && refersToCol(t, colName)) ||
+          t.body.exists(bodyNamesColOf(_, table, colName)))
         .foreach(t => throw new IllegalArgumentException(
           s"cannot drop column $colName: referenced by trigger " +
             s"${t.name} (SQLite refuses this ALTER too); DROP TRIGGER " +
@@ -419,6 +458,12 @@ object Triggers {
 
   private def runBody(spark: SparkSession, rel: String, stmt: String): Unit =
     SqlDml.detect(stmt) match {
+      case Some(u: SqlDml.Upsert) if u.defaultValues =>
+        // `INSERT INTO t DEFAULT VALUES`: one all-default row per
+        // slice row (SQLite's per-row body) — the source stays a
+        // no-columns-bound projection, fanned out over the slice
+        Upsert.run(spark, u.copy(sourceSql =
+          s"SELECT true AS __graft_default_values FROM $rel graft_trig_row"))
       case Some(u: SqlDml.Upsert) =>
         // parseUpsert re-wraps a VALUES source as `SELECT * FROM
         // (VALUES …)`; Spark cannot correlate an outer reference into

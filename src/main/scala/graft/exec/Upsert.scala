@@ -73,10 +73,10 @@ object Upsert {
     val visible =
       if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
       else base.columns
-    // DEFAULT VALUES: the sentinel's one row binds no target columns —
-    // every column falls to its registered DEFAULT / NULL below
-    val isDefaultValues =
-      stmt.sourceSql == graft.text2sql.SqlDml.DefaultValuesSource
+    // DEFAULT VALUES: the source binds no target columns — every
+    // column falls to its registered DEFAULT / NULL below, one row
+    // per source row (trigger bodies fan it out per slice row)
+    val isDefaultValues = stmt.defaultValues
     // bind source columns: the declared column list if present, else
     // positional against the visible target schema (SQLite's rule)
     val named0 =
@@ -187,6 +187,10 @@ object Upsert {
             .select(base.columns.map(col): _*)
           (base.unionAll(appended), appended, appended, None)
         } else {
+          // same rowid-desync guard as plain UPDATE: the emulated
+          // rowid (or its INTEGER PRIMARY KEY alias) is not a valid
+          // DO UPDATE assignment target
+          Rowid.guardUpdateAssigns(spark, stmt.table, c.assigns.map(_._1))
           val (m, a, upd, app) = doUpdate(base, aligned, keys, c, stmt.table)
           (m, a, app, Some(upd))
         }
@@ -242,13 +246,17 @@ object Upsert {
     def newImage(df: DataFrame) =
       df.select(org.apache.spark.sql.functions.struct(
         df.columns.map(col): _*).as("new"))
-    val beforeSlice = if (!insTrig) None else Some(newImage(aligned))
+    // the attempted-rows slice persists once around both timings
+    // (fire() skips its persist on a pre-persisted slice) — a plain
+    // INSERT's before and after slices are the same frame, so the
+    // source query is scanned once, not per timing
+    val beforeSlice =
+      if (!insTrig) None else Some(newImage(aligned).persist())
     val afterSlice =
       if (!insTrig) None
       else if (inserted eq aligned) beforeSlice
       else Some(newImage(inserted))
-    // the DO-UPDATE half's old/new slice, persisted once around both
-    // timings (fire() skips its persist on a pre-persisted slice)
+    // the DO-UPDATE half's old/new slice, persisted the same way
     val updSlice = if (!updTrig) None else updOldNew.map(_.persist())
     try {
       beforeSlice.foreach(sl =>
@@ -265,7 +273,10 @@ object Upsert {
         Triggers.fire(spark, stmt.table, "update", updAssignCols,
           "after", sl))
       ret.getOrElse(out)
-    } finally updSlice.foreach(_.unpersist())
+    } finally {
+      updSlice.foreach(_.unpersist())
+      beforeSlice.foreach(_.unpersist())
+    }
   }
 
   /** `ON CONFLICT (keys) DO UPDATE SET … [WHERE p]`: base rows whose

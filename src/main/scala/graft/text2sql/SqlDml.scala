@@ -46,12 +46,15 @@ object SqlDml {
                           sourceSql: String,
                           replace: Boolean = true,
                           conflict: Option[OnConflict] = None,
-                          returning: Option[String] = None) extends Stmt
+                          returning: Option[String] = None,
+                          defaultValues: Boolean = false) extends Stmt
 
-  /** `sourceSql` sentinel for `INSERT INTO t DEFAULT VALUES`: a
-    * one-row projection binding NO target columns — exec.Upsert
-    * recognizes it and fills the full row width from each column's
-    * declared DEFAULT / NULL (the unlisted-column machinery). */
+  /** `sourceSql` for `INSERT INTO t DEFAULT VALUES` (flagged by
+    * [[Upsert.defaultValues]] — a STRUCTURAL flag, so a user SELECT
+    * that happens to produce this text still binds positionally): a
+    * projection binding NO target columns — exec.Upsert fills the
+    * full row width from each column's declared DEFAULT / NULL (the
+    * unlisted-column machinery), one row per source row. */
   private[graft] val DefaultValuesSource =
     "SELECT true AS __graft_default_values"
 
@@ -1135,7 +1138,8 @@ object SqlDml {
         DefaultValuesSource
       }
       else return None
-    Some(Upsert(table, cols, source, replace, conflict, returning))
+    Some(Upsert(table, cols, source, replace, conflict, returning,
+      defaultValues = source eq DefaultValuesSource))
   }
 
   /** Index of the first top-level occurrence of keyword `kw` at or

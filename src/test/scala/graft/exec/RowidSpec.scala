@@ -167,6 +167,11 @@ class RowidSpec extends SparkSpec {
     run("UPDATE rw_ipk SET txt = 'Z' WHERE rowid = 35")
     val z = run("SELECT txt FROM rw_ipk WHERE rowid = 35").collect()
     assert(z.head.getString(0) == "Z")
+    // the same guard covers ON CONFLICT DO UPDATE assignment targets
+    intercept[UnsupportedOperationException] {
+      run("INSERT INTO rw_ipk VALUES (10, 'x') " +
+        "ON CONFLICT (id) DO UPDATE SET id = 99")
+    }
     run("DROP TABLE rw_ipk")
   }
 

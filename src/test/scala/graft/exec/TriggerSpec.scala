@@ -273,6 +273,41 @@ class TriggerSpec extends SparkSpec {
     assert(rowsOf(s"SELECT b FROM $t WHERE a = 2") == Seq(Seq("P")))
   }
 
+  test("body INSERT … DEFAULT VALUES fans out one all-default row per slice row") {
+    val (t, _) = fixture()
+    sql(s"CREATE TABLE dvlog$n (ev TEXT DEFAULT 'dv', va INTEGER DEFAULT 7)")
+    sql(s"CREATE TRIGGER tr_dv$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO dvlog$n DEFAULT VALUES; END")
+    sql(s"INSERT INTO $t VALUES (4, 'w'), (5, 'v')")
+    assert(rowsOf(s"SELECT ev, va FROM dvlog$n") ==
+      Seq(Seq("dv", 7L), Seq("dv", 7L)))
+  }
+
+  test("RENAME TO rewrites column-list INSERTs but not same-named columns") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    // stats carries a COLUMN named like the log table — the rename
+    // must rewrite table positions only
+    Seq((1L, 0L)).toDF("id", log).coalesce(1)
+      .createOrReplaceTempView(s"stats$n")
+    sql(s"CREATE TRIGGER tr_rn$n AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $log (ev, va) VALUES ('i', NEW.a); " +
+      s"UPDATE stats$n SET $log = $log + NEW.a WHERE id = 1; END")
+    sql(s"ALTER TABLE $log RENAME TO ${log}_r")
+    sql(s"INSERT INTO $t VALUES (4, 'w')")
+    assert(rowsOf(s"SELECT ev, va FROM ${log}_r") == Seq(Seq("i", 4L)))
+    assert(rowsOf(s"SELECT $log FROM stats$n") == Seq(Seq(4L)))
+  }
+
+  test("DROP COLUMN declines when another table's trigger body assigns it") {
+    val (t, log) = fixture()
+    sql(s"CREATE TRIGGER tr_dd$n AFTER INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = NEW.a WHERE ev = 'x'; END")
+    val e = intercept[IllegalArgumentException] {
+      sql(s"ALTER TABLE $log DROP COLUMN va") }
+    assert(e.getMessage.contains(s"tr_dd$n"), e.getMessage)
+  }
+
   test("OR IGNORE: BEFORE INSERT fires per ATTEMPTED row, AFTER per survivor") {
     val (t, log) = fixture()
     import spark.implicits._

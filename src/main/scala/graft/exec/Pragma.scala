@@ -90,6 +90,32 @@ object Pragma {
     StructField("cid", IntegerType, nullable = false),
     StructField("name", StringType, nullable = false)))
 
+  private val indexXinfoSchema = StructType(Seq(
+    StructField("seqno", IntegerType, nullable = false),
+    StructField("cid", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("desc", IntegerType, nullable = false),
+    StructField("coll", StringType, nullable = false),
+    StructField("key", IntegerType, nullable = false)))
+
+  /** `PRAGMA index_xinfo(I)`: index_info plus sort/collation/key
+    * columns and SQLite's trailing rowid auxiliary row (cid -1, name
+    * NULL, key 0) — shape measured on sqlite 3.40.1. */
+  private def indexXinfo(spark: SparkSession, index: String): DataFrame = {
+    val rows = SessionKeys.indexByName(spark, index) match {
+      case None => Array.empty[Row]
+      case Some((table, cols, _)) =>
+        val colIdx = spark.table(Ddl.quote(table))
+          .schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+        (cols.zipWithIndex.map { case (c, i) =>
+          Row(i, colIdx.getOrElse(c.toLowerCase, -1), c, 0, "BINARY", 1)
+        } :+ Row(cols.length, -1, null, 0, "BINARY", 0)).toArray
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      indexXinfoSchema)
+  }
+
   /** `PRAGMA index_list(T)`: the session-declared indexes
     * ([[SessionKeys]] — `CREATE [UNIQUE] INDEX` plus UNIQUE-constraint
     * autoindexes), SQLite's shape: origin 'c' (created) / 'u' (unique
@@ -201,6 +227,10 @@ object Pragma {
     """(?is)^\s*pragma\s+index_list\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaIndexInfoRe =
     """(?is)^\s*pragma\s+index_info\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaTableXinfoRe =
+    """(?is)^\s*pragma\s+table_xinfo\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaIndexXinfoRe =
+    """(?is)^\s*pragma\s+index_xinfo\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaOtherRe = """(?is)^\s*pragma\s+(\w+).*$""".r
 
   /** Storage-layer configuration pragmas whose ASSIGNMENT form cannot
@@ -294,6 +324,13 @@ object Pragma {
       indexList(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+    case pragmaTableXinfoRe(q1, q2, q3, bare) =>
+      // table_info plus the `hidden` kind column (0 = normal; the
+      // engine has no hidden or generated columns to report)
+      tableInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+        .withColumn("hidden", org.apache.spark.sql.functions.lit(0))
+    case pragmaIndexXinfoRe(q1, q2, q3, bare) =>
+      indexXinfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case trackedSetRe(name0, eqValue, callValue) =>
       val name = name0.toLowerCase
       val value = if (eqValue != null) eqValue else callValue
@@ -408,6 +445,15 @@ object Pragma {
       oneValue(spark, name.toLowerCase, "ok", StringType)
     case pragmaOtherRe(name) if name.equalsIgnoreCase("encoding") =>
       oneValue(spark, "encoding", "UTF-8", StringType)
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("collation_list") =>
+      // exactly the collations this engine implements, in SQLite
+      // 3.40.1's measured listing order
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(
+          Row(0, "RTRIM"), Row(1, "NOCASE"), Row(2, "BINARY"))),
+        StructType(Seq(
+          StructField("seq", IntegerType, nullable = false),
+          StructField("name", StringType, nullable = false))))
     case pragmaOtherRe(name) if name.equalsIgnoreCase("foreign_keys") =>
       // reflects the session's assignment (enforcement never happens
       // here — ingested tables declare no FKs); SQLite's default: OFF

@@ -237,6 +237,29 @@ class PragmaSpec extends SparkSpec {
     assert(Runner.runSql(spark, t3).head().getBoolean(0), t3)
   }
 
+  test("PRAGMA table_xinfo / collation_list answer SQLite 3.40.1's shapes") {
+    Runner.runSql(spark, "DROP TABLE IF EXISTS pragma_xi")
+    Runner.runSql(spark,
+      "CREATE TABLE pragma_xi (a INTEGER PRIMARY KEY, b TEXT DEFAULT 'x')")
+    // table_xinfo = table_info + hidden (0 = normal column); sqlite
+    // 3.40.1 measures (0,'a','INTEGER',0,NULL,1,0), (1,'b','TEXT',
+    // 0,"'x'",0,0) — the type column here reflects the LAKE schema
+    // (INTEGER affinity lands in a 64-bit column → BIGINT), table_
+    // info's existing documented convention
+    val xi = Runner.runSql(spark, "PRAGMA table_xinfo(pragma_xi)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4), r.getInt(5),
+        r.getInt(6))).toSeq
+    assert(xi == Seq((0, "a", "BIGINT", null, 1, 0),
+      (1, "b", "TEXT", "'x'", 0, 0)), xi)
+    Runner.runSql(spark, "DROP TABLE pragma_xi")
+    // collation_list: the three implemented collations in SQLite's
+    // measured listing order
+    val cl = Runner.runSql(spark, "PRAGMA collation_list")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(cl == Seq((0, "RTRIM"), (1, "NOCASE"), (2, "BINARY")))
+  }
+
   test("PRAGMA user_version / application_id: silent set, int echo, 32-bit wrap") {
     def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
     assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(0L))
@@ -280,6 +303,14 @@ class PragmaSpec extends SparkSpec {
     val ii = Runner.runSql(spark, "PRAGMA index_info(pragma_ix_u)")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
     assert(ii == Seq((0, 2, "score")))
+    // index_xinfo adds (desc, coll, key) and SQLite's trailing rowid
+    // auxiliary row — (1, -1, null, 0, 'BINARY', 0), measured 3.40.1
+    val ixi = Runner.runSql(spark, "PRAGMA index_xinfo(pragma_ix_u)")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        r.getInt(3), r.getString(4), r.getInt(5))).toSeq
+    assert(ixi == Seq((0, 2, "score", 0, "BINARY", 1),
+      (1, -1, null, 0, "BINARY", 0)), ixi)
     // unknown index: empty result (SQLite's behavior), not an error
     assert(Runner.runSql(spark, "PRAGMA index_info(no_such_ix)").count() == 0)
     // sqlite_master lists declared indexes (type 'index'), as SQLite's

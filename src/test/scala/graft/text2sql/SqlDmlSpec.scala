@@ -455,6 +455,16 @@ class SqlDmlSpec extends SparkSpec {
     // IF NOT EXISTS no-op; bare CREATE errors (SQLite semantics)
     Runner.runSql(spark, "CREATE TABLE IF NOT EXISTS ct_t (x INTEGER)")
     assert(spark.table("ct_t").columns.length == 6)
+    // AUTOINCREMENT parses as a tolerated rider; the key still drives
+    // upserts (max+1 insert assignment only diverges from SQLite's
+    // never-reuse rule after deletes at the max — documented)
+    Runner.runSql(spark, "DROP TABLE IF EXISTS ct_ai")
+    Runner.runSql(spark,
+      "CREATE TABLE ct_ai (id INTEGER PRIMARY KEY AUTOINCREMENT, x TEXT)")
+    Runner.runSql(spark, "INSERT INTO ct_ai (id, x) VALUES (1, 'a')")
+    Runner.runSql(spark, "INSERT OR REPLACE INTO ct_ai (id, x) VALUES (1, 'b')")
+    assert(spark.table("ct_ai").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "b")))
     val e = intercept[IllegalArgumentException] {
       Runner.runSql(spark, "CREATE TABLE ct_t (x INTEGER)")
     }

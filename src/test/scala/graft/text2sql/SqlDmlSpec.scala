@@ -388,6 +388,25 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, "ONE", 11L), (2L, "two", 20L), (3L, "three", 30L)))
   }
 
+  test("a view re-resolves its base after DML rebinds it (SQLite view semantics)") {
+    freshView("vw_src")
+    Runner.runSql(spark, "DROP VIEW IF EXISTS vw_live")
+    Runner.runSql(spark,
+      "CREATE VIEW vw_live AS SELECT id, v FROM vw_src WHERE v >= 20")
+    def liveCount = Runner.runSql(spark,
+      "SELECT count(*) AS c FROM vw_live").head().getLong(0)
+    assert(liveCount == 2L)
+    // SQLite views re-resolve at query time — DML on the base must be
+    // visible through the view, not a stale creation-time snapshot
+    Runner.runSql(spark, "INSERT INTO vw_src VALUES (9, 'nine', 90)")
+    assert(liveCount == 3L)
+    Runner.runSql(spark, "UPDATE vw_src SET v = 5 WHERE id = 2")
+    assert(liveCount == 2L)
+    Runner.runSql(spark, "DELETE FROM vw_src WHERE id = 9")
+    assert(liveCount == 1L)
+    Runner.runSql(spark, "DROP VIEW vw_live")
+  }
+
   test("CREATE VIEW / CREATE TABLE AS / DROP route as session DDL") {
     freshView("ddl_src")
     // view: live plan over the session relation

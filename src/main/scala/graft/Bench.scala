@@ -34,6 +34,8 @@ object Bench {
     "ext_text_quality",    // token analytics single scan
     "ext_fingerprint",     // md5 fingerprinting scan
     "ext_seq_packing",     // greedy context-window packing (one group shuffle)
+    "ext_dedup_incr_fuzzy_full", // incremental near-dup probe vs the FULL-corpus
+                           // band index — the cost ∝ batch (not corpus) claim
   )
 
   /** The round-1 headline set — reported as its own `core16` sum so

@@ -111,7 +111,20 @@ object QueriesExt {
     ivfFullIndexFor(s, d)
     ivfIndexFor(s, d)
     lshIndexFor(s, d)
+    fullMinHashIndexFor(s, d)
   }
+
+  /** The FULL-corpus MinHash band index (built once per sf dir, cached
+    * like the ANN indexes) — the fixture behind
+    * `ext_dedup_incr_fuzzy_full`'s probe-cost-follows-the-batch
+    * measurement. */
+  private def fullMinHashIndexFor(s: SparkSession, d: String): Dedup.MinHashIndex =
+    annIndex.computeIfAbsent(s"mhfull_${TableIds.idFor(d)}",
+      key => Dedup.buildMinHashIndex(
+        t("documents")(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", s"target/ann_index/$key",
+        numHashes = 32, bands = 8))
+      .asInstanceOf[Dedup.MinHashIndex]
 
   val queries: Map[String, Q] = Map(
     // exact dedup: duplicates synthesized (every 10th doc re-appended),
@@ -976,6 +989,24 @@ object QueriesExt {
         .asInstanceOf[Dedup.MinHashIndex]
       Dedup.minHashProbe(s, idx, corpus, batch, "doc_id", "text",
           threshold = 0.5)
+        .select(col("corpus_id"), col("batch_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("corpus_id", "batch_id")
+    }),
+
+    // incremental fuzzy dedup at BENCH scale: the band index covers
+    // the FULL corpus (built once in the bench warm-up, like the ANN
+    // indexes), the probe batch stays small. The 100 TB claim this
+    // measures: a probe pays for ITS OWN shingles plus the
+    // candidate sliver the band join selects — never for the corpus,
+    // whose index was built once at ingest.
+    "ext_dedup_incr_fuzzy_full" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(" qq")).as("text"))
+      Dedup.minHashProbe(s, fullMinHashIndexFor(s, d), docs, batch,
+          "doc_id", "text", threshold = 0.5)
         .select(col("corpus_id"), col("batch_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("corpus_id", "batch_id")

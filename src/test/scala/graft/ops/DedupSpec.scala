@@ -255,6 +255,20 @@ class DedupSpec extends SparkSpec {
       s"expected exactly the 100 new docs, got ${ids.size}")
   }
 
+  test("full-corpus incremental fuzzy probe recalls every planted mutant") {
+    // the bench-scale key: every batch doc is a ' qq'-suffixed mutant
+    // of doc_id % 50 == 0 — each must find its source (recall 1.0 at
+    // this mutation size), keyed (source, source + 900000)
+    val rows = graft.SparkEntry.queries("ext_dedup_incr_fuzzy_full")(spark, sfDir)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect()
+    val sources = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 50 = 0").select("doc_id").as[Long].collect().toSet
+    val selfPairs = rows.filter { case (c, b) => b == c + 900000L }.map(_._1).toSet
+    assert(sources.nonEmpty && selfPairs == sources,
+      s"missing sources: ${(sources -- selfPairs).take(5)}")
+  }
+
   test("minhash index probe finds planted mutations, rejects fresh docs, and drops hot buckets at build") {
     // distinct per-doc content (hex-expanded doc hash), so cross-doc
     // jaccard is ~0 and only the planted mutation is a true near-dup

@@ -253,13 +253,15 @@ object Pragma {
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
       """case_sensitive_like|recursive_triggers|user_version|""" +
-      """application_id)""" +
+      """application_id|query_only|secure_delete|read_uncommitted|""" +
+      """locking_mode)""" +
       """\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
   private val trackedGetRe =
     ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
       """case_sensitive_like|recursive_triggers|user_version|""" +
-      """application_id)\s*$""").r
+      """application_id|query_only|secure_delete|read_uncommitted|""" +
+      """locking_mode)\s*$""").r
 
   private def confKey(name: String) = s"spark.graft.pragma.$name"
 
@@ -272,6 +274,12 @@ object Pragma {
     * off = the default ASCII-folding LIKE → ILIKE). */
   def caseSensitiveLike(spark: SparkSession): Boolean =
     tracked(spark, "case_sensitive_like", "0") == "1"
+
+  /** `PRAGMA query_only = 1` — enforced: [[Runner]] refuses every
+    * write route (DML, DDL, triggers) with SQLite's own error text
+    * while the flag is on. */
+  def queryOnly(spark: SparkSession): Boolean =
+    tracked(spark, "query_only", "0") == "1"
 
   /** SQLite's boolean-pragma parse (sqlite3GetBoolean): any nonzero
     * integer → 1 (`foreign_keys = 2` is ON, measured), yes/true/on →
@@ -398,6 +406,27 @@ object Pragma {
           // wrap to signed 32-bit (measured: = 4294967296 reads 0)
           spark.conf.set(confKey(name), num(0L).toInt.toString)
           spark.emptyDataFrame
+        case "query_only" | "read_uncommitted" =>
+          // silent boolean assignment (measured); query_only is
+          // ENFORCED — Runner refuses every write route while it is on
+          spark.conf.set(confKey(name), boolValue(value))
+          spark.emptyDataFrame
+        case "secure_delete" =>
+          // assignment ECHOES the resulting value (measured); FAST = 2
+          val sd = if (unquote(value).equalsIgnoreCase("fast")) "2"
+                   else boolValue(value)
+          spark.conf.set(confKey(name), sd)
+          oneValue(spark, name, sd.toLong, LongType)
+        case "locking_mode" =>
+          // normal/exclusive accepted; anything else keeps the current
+          // mode; assignment echoes the RESULTING mode (measured)
+          val cur = tracked(spark, name, "normal")
+          val mode = unquote(value).toLowerCase match {
+            case m @ ("normal" | "exclusive") => m
+            case _ => cur
+          }
+          spark.conf.set(confKey(name), mode)
+          oneValue(spark, name, mode, StringType)
         case "foreign_keys" | "case_sensitive_like" =>
           spark.conf.set(confKey(name), boolValue(value))
           spark.emptyDataFrame
@@ -438,6 +467,14 @@ object Pragma {
           oneValue(spark, name, 0L, LongType) // always OFF here
         case "user_version" | "application_id" =>
           oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
+        case "query_only" | "read_uncommitted" =>
+          oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
+        case "secure_delete" =>
+          // the python-bundled sqlite the reference runs on builds with
+          // SQLITE_SECURE_DELETE → default ON (measured 3.40.1)
+          oneValue(spark, name, tracked(spark, name, "1").toLong, LongType)
+        case "locking_mode" =>
+          oneValue(spark, name, tracked(spark, name, "normal"), StringType)
       }
     case pragmaOtherRe(name) if name.equalsIgnoreCase("integrity_check") ||
         name.equalsIgnoreCase("quick_check") =>
@@ -445,6 +482,20 @@ object Pragma {
       oneValue(spark, name.toLowerCase, "ok", StringType)
     case pragmaOtherRe(name) if name.equalsIgnoreCase("encoding") =>
       oneValue(spark, "encoding", "UTF-8", StringType)
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("optimize") =>
+      // ANALYZE-style maintenance on close (tools emit it habitually);
+      // answers nothing in SQLite, and there is no B-tree to optimize
+      spark.emptyDataFrame
+    case pragmaOtherRe(name) if name.equalsIgnoreCase("wal_checkpoint") =>
+      // non-WAL journal answers (busy, log, checkpointed) = (0,-1,-1)
+      // from both the bare and the (PASSIVE|FULL|…) call form (measured)
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(
+          Row(0, -1, -1))),
+        StructType(Seq(
+          StructField("busy", IntegerType, nullable = false),
+          StructField("log", IntegerType, nullable = false),
+          StructField("checkpointed", IntegerType, nullable = false))))
     case pragmaOtherRe(name) if name.equalsIgnoreCase("collation_list") =>
       // exactly the collations this engine implements, in SQLite
       // 3.40.1's measured listing order

@@ -95,6 +95,15 @@ object Runner {
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try SqlDml.detect(prepared) match {
+      // `PRAGMA query_only = 1` (enforced, SQLite's own error text):
+      // every detected statement class except the parse-decline is a
+      // write — DML, session DDL, triggers. Unsupported keeps its own
+      // targeted error (SQLite reports the parse failure first too).
+      case Some(stmt) if Pragma.queryOnly(spark) &&
+          !stmt.isInstanceOf[SqlDml.Unsupported] =>
+        throw new UnsupportedOperationException(
+          "attempt to write a readonly database (PRAGMA query_only is " +
+            "on; PRAGMA query_only = 0 to re-enable writes)")
       case Some(u: SqlDml.Upsert) => Upsert.run(spark, u)
       case Some(m: SqlDml.Update) => Mutate.runUpdate(spark, m)
       case Some(m: SqlDml.Delete) => Mutate.runDelete(spark, m)

@@ -260,6 +260,54 @@ class PragmaSpec extends SparkSpec {
     assert(cl == Seq((0, "RTRIM"), (1, "NOCASE"), (2, "BINARY")))
   }
 
+  test("PRAGMA query_only enforces; optimize/wal_checkpoint/locking_mode long tail") {
+    def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
+    // optimize: answers nothing (both forms; tools emit it on close)
+    assert(Runner.runSql(spark, "PRAGMA optimize").count() == 0)
+    assert(Runner.runSql(spark, "PRAGMA optimize(0xfffe)").count() == 0)
+    // wal_checkpoint: non-WAL echo (0, -1, -1), both forms (measured)
+    assert(rows("PRAGMA wal_checkpoint")
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))) == Seq((0, -1, -1)))
+    assert(rows("PRAGMA wal_checkpoint(FULL)").map(_.getInt(2)) == Seq(-1))
+    // locking_mode: assignment echoes the RESULTING mode; bogus keeps it
+    assert(rows("PRAGMA locking_mode").map(_.getString(0)) == Seq("normal"))
+    assert(rows("PRAGMA locking_mode = EXCLUSIVE").map(_.getString(0))
+      == Seq("exclusive"))
+    assert(rows("PRAGMA locking_mode = bogus").map(_.getString(0))
+      == Seq("exclusive"))
+    Runner.runSql(spark, "PRAGMA locking_mode = NORMAL")
+    // secure_delete: echoing assignment, FAST = 2, python-build default 1
+    assert(rows("PRAGMA secure_delete").map(_.getLong(0)) == Seq(1L))
+    assert(rows("PRAGMA secure_delete = 0").map(_.getLong(0)) == Seq(0L))
+    assert(rows("PRAGMA secure_delete = FAST").map(_.getLong(0)) == Seq(2L))
+    Runner.runSql(spark, "PRAGMA secure_delete = 1")
+    // read_uncommitted: silent set, int echo
+    assert(Runner.runSql(spark, "PRAGMA read_uncommitted = 1").count() == 0)
+    assert(rows("PRAGMA read_uncommitted").map(_.getLong(0)) == Seq(1L))
+    Runner.runSql(spark, "PRAGMA read_uncommitted = 0")
+    // query_only: silent set, int echo, and ENFORCED on every write
+    // route with SQLite's own error text
+    import spark.implicits._
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("qo_t")
+    assert(Runner.runSql(spark, "PRAGMA query_only = 1").count() == 0)
+    assert(rows("PRAGMA query_only").map(_.getLong(0)) == Seq(1L))
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, "INSERT INTO qo_t VALUES (2, 'y')") }
+      assert(e.getMessage.contains("readonly database"), e.getMessage)
+      intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, "CREATE TABLE qo_new (x INTEGER)") }
+      intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, "DROP TABLE qo_t") }
+      // reads stay fine
+      assert(Runner.runSql(spark, "SELECT count(*) AS c FROM qo_t")
+        .head().getLong(0) == 1L)
+    } finally Runner.runSql(spark, "PRAGMA query_only = 0")
+    Runner.runSql(spark, "INSERT INTO qo_t VALUES (2, 'y')")
+    assert(Runner.runSql(spark, "SELECT count(*) AS c FROM qo_t")
+      .head().getLong(0) == 2L)
+  }
+
   test("PRAGMA user_version / application_id: silent set, int echo, 32-bit wrap") {
     def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
     assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(0L))

@@ -135,9 +135,8 @@ object Triggers {
         case Some(u: SqlDml.Update) =>
           if (u.returning.isDefined)
             decline("cannot use RETURNING in a trigger")
-          if (u.from.isDefined || u.limit.isDefined)
-            decline("trigger UPDATE bodies with FROM or LIMIT are not " +
-              "supported")
+          if (u.limit.isDefined)
+            decline("trigger UPDATE bodies with LIMIT are not supported")
           if (!refersTo(b, "new") && !refersTo(b, "old"))
             decline("a trigger UPDATE body with no NEW/OLD reference " +
               "repeats per affected row, which has no set-based " +
@@ -481,7 +480,13 @@ object Triggers {
         }
         Upsert.run(spark, u.copy(sourceSql = src))
       case Some(u: SqlDml.Update) =>
-        Mutate.runUpdate(spark, u.copy(from = Some(s"$rel graft_trig_row")))
+        // the slice joins the body's own FROM list (if any) — the
+        // trigger scope just adds NEW/OLD to the body's namespace
+        val from = u.from match {
+          case Some(f) => s"$f, $rel graft_trig_row"
+          case None    => s"$rel graft_trig_row"
+        }
+        Mutate.runUpdate(spark, u.copy(from = Some(from)))
       case Some(d: SqlDml.Delete) =>
         val wrapped = d.where.map(w =>
           s"EXISTS (SELECT 1 FROM $rel graft_trig_row WHERE $w)")

@@ -273,6 +273,22 @@ class TriggerSpec extends SparkSpec {
     assert(rowsOf(s"SELECT b FROM $t WHERE a = 2") == Seq(Seq("P")))
   }
 
+  test("UPDATE … FROM bodies join their own sources with the slice") {
+    val (t, log) = fixture()
+    import spark.implicits._
+    Seq(("x", 5L), ("y", 7L)).toDF("k", "w")
+      .createOrReplaceTempView(s"wsrc$n")
+    sql(s"INSERT INTO $log VALUES ('x', 2), ('y', 2), ('x', 9)")
+    sql(s"CREATE TRIGGER tr_uf2$n AFTER INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = va + s.w + NEW.a FROM wsrc$n s " +
+      s"WHERE $log.ev = s.k AND $log.va = NEW.a; END")
+    sql(s"INSERT INTO $t VALUES (2, 'p')")
+    // va=2 rows joined their wsrc row: ('x',2)→9, ('y',2)→11; ('x',9)
+    // had no va=NEW.a match and stays
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY ev, va") ==
+      Seq(Seq("x", 9L), Seq("x", 9L), Seq("y", 11L)))
+  }
+
   test("body INSERT … DEFAULT VALUES fans out one all-default row per slice row") {
     val (t, _) = fixture()
     sql(s"CREATE TABLE dvlog$n (ev TEXT DEFAULT 'dv', va INTEGER DEFAULT 7)")

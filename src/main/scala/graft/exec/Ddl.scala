@@ -167,7 +167,7 @@ object Ddl {
           s"$verb ${stmt.name}: no such column(s) ${unknown.mkString(", ")}")
     }
     val fresh = SessionKeys.registerIndex(spark, stmt.name, stmt.table,
-      stmt.cols, stmt.unique)
+      stmt.cols, stmt.unique, riders = stmt.riders)
     if (!fresh && !stmt.ifNotExists)
       throw new IllegalArgumentException(
         s"$verb: index ${stmt.name} already exists (SQLite semantics); " +

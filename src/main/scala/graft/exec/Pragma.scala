@@ -98,19 +98,33 @@ object Pragma {
     StructField("coll", StringType, nullable = false),
     StructField("key", IntegerType, nullable = false)))
 
-  /** `PRAGMA index_xinfo(I)`: index_info plus sort/collation/key
-    * columns and SQLite's trailing rowid auxiliary row (cid -1, name
-    * NULL, key 0) — shape measured on sqlite 3.40.1. */
-  private def indexXinfo(spark: SparkSession, index: String): DataFrame = {
-    val rows = SessionKeys.indexByName(spark, index) match {
-      case None => Array.empty[Row]
+  /** (seqno, cid, name) triples of a declared index's key columns —
+    * the row core `index_info` and `index_xinfo` share. */
+  private def indexKeyRows(spark: SparkSession, index: String)
+      : Seq[(Int, Int, String)] =
+    SessionKeys.indexByName(spark, index) match {
+      case None => Nil // SQLite: unknown index = empty result
       case Some((table, cols, _)) =>
         val colIdx = spark.table(Ddl.quote(table))
           .schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
-        (cols.zipWithIndex.map { case (c, i) =>
-          Row(i, colIdx.getOrElse(c.toLowerCase, -1), c, 0, "BINARY", 1)
-        } :+ Row(cols.length, -1, null, 0, "BINARY", 0)).toArray
+        cols.zipWithIndex.map { case (c, i) =>
+          (i, colIdx.getOrElse(c.toLowerCase, -1), c)
+        }
     }
+
+  /** `PRAGMA index_xinfo(I)`: index_info plus the per-column
+    * ASC/DESC + collation riders (kept at CREATE INDEX) and SQLite's
+    * trailing rowid auxiliary row (cid -1, name NULL, key 0) — shape
+    * measured on sqlite 3.40.1. */
+  private def indexXinfo(spark: SparkSession, index: String): DataFrame = {
+    val core = indexKeyRows(spark, index)
+    val riders = SessionKeys.indexRiders(spark, index)
+    val rows =
+      if (core.isEmpty) Array.empty[Row]
+      else (core.zipWithIndex.map { case ((i, cid, c), k) =>
+        val (desc, coll) = riders.lift(k).getOrElse((false, "BINARY"))
+        Row(i, cid, c, if (desc) 1 else 0, coll, 1)
+      } :+ Row(core.length, -1, null, 0, "BINARY", 0)).toArray
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       indexXinfoSchema)
@@ -135,15 +149,8 @@ object Pragma {
   /** `PRAGMA index_info(I)`: the index's key columns — (seqno in the
     * index, cid in the table, column name). */
   private def indexInfo(spark: SparkSession, index: String): DataFrame = {
-    val rows = SessionKeys.indexByName(spark, index) match {
-      case None => Array.empty[Row] // SQLite: empty result, not an error
-      case Some((table, cols, _)) =>
-        val colIdx = spark.table(Ddl.quote(table))
-          .schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
-        cols.zipWithIndex.map { case (c, i) =>
-          Row(i, colIdx.getOrElse(c.toLowerCase, -1), c)
-        }.toArray
-    }
+    val rows = indexKeyRows(spark, index)
+      .map { case (i, cid, c) => Row(i, cid, c) }.toArray
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       indexInfoSchema)
@@ -163,7 +170,8 @@ object Pragma {
   private def sessionTables(spark: SparkSession): Seq[(String, StructType)] =
     spark.catalog.listTables().collect().toIndexedSeq
       .map(_.name)
-      .filterNot(n => n == "sqlite_master" || n.startsWith("graft_pragma_ti_"))
+      .filterNot(n => n == "sqlite_master" ||
+        n.startsWith("graft_pragma_ti_") || n.startsWith("graft_pragma_tx_"))
       .sorted
       .map { n =>
         // hide the emulated rowid from synthesized DDL / column counts
@@ -403,7 +411,13 @@ object Pragma {
         case "user_version" | "application_id" =>
           // 32-bit schema cookies (SQLite stores them in the db
           // header): assignment is silent, junk parses to 0, values
-          // wrap to signed 32-bit (measured: = 4294967296 reads 0)
+          // wrap to signed 32-bit (measured: = 4294967296 reads 0).
+          // Being HEADER WRITES, they refuse under query_only
+          // (measured: sqlite raises the readonly error and keeps 0)
+          if (queryOnly(spark))
+            throw new UnsupportedOperationException(
+              "attempt to write a readonly database (PRAGMA query_only " +
+                "is on; PRAGMA query_only = 0 to re-enable writes)")
           spark.conf.set(confKey(name), num(0L).toInt.toString)
           spark.emptyDataFrame
         case "query_only" | "read_uncommitted" =>
@@ -530,17 +544,21 @@ object Pragma {
   }
 
   private val tvfRe =
-    """(?is)pragma_table_info\s*\(\s*'([^']+)'\s*\)""".r
+    """(?is)pragma_table_(x?)info\s*\(\s*'([^']+)'\s*\)""".r
 
-  /** Rewrite table-valued `pragma_table_info('T')` calls to on-demand
-    * temp views; returns the rewritten SQL. Non-literal arguments are
-    * left in place → visible analysis error (policy: never guess). */
+  /** Rewrite table-valued `pragma_table_info('T')` /
+    * `pragma_table_xinfo('T')` calls to on-demand temp views; returns
+    * the rewritten SQL. Non-literal arguments are left in place →
+    * visible analysis error (policy: never guess). */
   def rewriteTvf(spark: SparkSession, sql: String): String =
     tvfRe.replaceAllIn(sql, m => {
-      val table = m.group(1)
-      val view = "graft_pragma_ti_" +
+      val x = m.group(1).nonEmpty
+      val table = m.group(2)
+      val view = (if (x) "graft_pragma_tx_" else "graft_pragma_ti_") +
         table.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-      tableInfo(spark, table).createOrReplaceTempView(view)
+      val base = tableInfo(spark, table)
+      (if (x) base.withColumn("hidden", org.apache.spark.sql.functions.lit(0))
+       else base).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
 

@@ -61,8 +61,18 @@ object Runner {
     // as are VACUUM / ANALYZE / REINDEX (storage maintenance with no
     // lake counterpart — results are unaffected). ATTACH/DETACH would
     // CHANGE the visible data surface, so they fail targeted.
-    if (noopRe.pattern.matcher(head).matches())
+    if (noopRe.pattern.matcher(head).matches()) {
+      // VACUUM/ANALYZE/REINDEX are file writes in SQLite — under
+      // PRAGMA query_only they raise the readonly error (measured)
+      // even though they are no-ops here; BEGIN/COMMIT/… stay fine
+      if (Pragma.queryOnly(spark) &&
+          (head.startsWith("vacuum") || head.startsWith("analyze") ||
+           head.startsWith("reindex")))
+        throw new UnsupportedOperationException(
+          "attempt to write a readonly database (PRAGMA query_only is " +
+            "on; PRAGMA query_only = 0 to re-enable writes)")
       return spark.emptyDataFrame
+    }
     if (head.startsWith("attach") || head.startsWith("detach"))
       throw new UnsupportedOperationException(
         "ATTACH/DETACH are not supported: graft's data surface comes " +

@@ -26,7 +26,9 @@ object SessionKeys {
   // origin: 'c' = CREATE INDEX, 'u' = a UNIQUE table constraint's
   // automatic index, SQLite's own PRAGMA index_list codes
   private final case class IndexInfo(table: String, cols: Seq[String],
-                                     unique: Boolean, origin: String)
+                                     unique: Boolean, origin: String,
+                                     // per-column (descending?, collation)
+                                     riders: Seq[(Boolean, String)] = Nil)
 
   private final class State {
     // lowercased table -> declared PRIMARY KEY
@@ -63,16 +65,29 @@ object SessionKeys {
     * errors unless IF NOT EXISTS). */
   def registerIndex(spark: SparkSession, name: String, table: String,
                     cols: Seq[String], unique: Boolean,
-                    origin: String = "c"): Boolean = {
+                    origin: String = "c",
+                    riders: Seq[(Boolean, String)] = Nil): Boolean = {
     val s = state(spark)
     s.synchronized {
       val n = name.toLowerCase
       if (s.indexes.contains(n)) false
       else {
-        s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin)
+        s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin,
+          riders)
         true
       }
     }
+  }
+
+  /** Per-column (descending?, collation) riders of a declared index,
+    * padded with the (false, "BINARY") default — feeds
+    * `PRAGMA index_xinfo`. */
+  def indexRiders(spark: SparkSession, name: String): Seq[(Boolean, String)] = {
+    val s = state(spark)
+    s.synchronized(s.indexes.get(name.toLowerCase)).map { i =>
+      i.cols.indices.map(k =>
+        i.riders.lift(k).getOrElse((false, "BINARY")))
+    }.getOrElse(Nil)
   }
 
   /** Drop an index by name. Returns false when absent. */

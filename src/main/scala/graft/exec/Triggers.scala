@@ -137,6 +137,15 @@ object Triggers {
             decline("cannot use RETURNING in a trigger")
           if (u.limit.isDefined)
             decline("trigger UPDATE bodies with LIMIT are not supported")
+          // the slice joins the body's FROM list WITHOUT LATERAL
+          // scope, so NEW/OLD cannot resolve inside FROM subqueries —
+          // fail at CREATE, not mid-statement at first fire
+          u.from.foreach { f =>
+            if (refersTo(f, "new") || refersTo(f, "old"))
+              decline("NEW/OLD references inside a trigger UPDATE " +
+                "body's FROM list are not supported; reference them " +
+                "in SET or WHERE instead")
+          }
           if (!refersTo(b, "new") && !refersTo(b, "old"))
             decline("a trigger UPDATE body with no NEW/OLD reference " +
               "repeats per affected row, which has no set-based " +

@@ -159,7 +159,12 @@ object SqlDml {
     * set registers as the table's conflict key. */
   final case class CreateIndex(name: String, table: String,
                                cols: Seq[String], unique: Boolean,
-                               ifNotExists: Boolean) extends Stmt
+                               ifNotExists: Boolean,
+                               // per-column (descending?, collation) —
+                               // the ASC/DESC/COLLATE riders, kept so
+                               // PRAGMA index_xinfo can answer honestly
+                               riders: Seq[(Boolean, String)] = Nil)
+    extends Stmt
 
   /** `DROP INDEX [IF EXISTS] name` — unregisters the index (and its
     * unique-key declaration, if any). */
@@ -1029,24 +1034,29 @@ object SqlDml {
     val close = closeParen(sql, j)
     if (close < 0) return Some(Unsupported(verb))
     var exprKey = false
-    val cols = splitTopCommas(sql.substring(j + 1, close)).flatMap { raw =>
+    val parsed = splitTopCommas(sql.substring(j + 1, close)).flatMap { raw =>
       val item = raw.trim
       parseIdent(item, 0) match {
         case Some((c, after)) =>
-          // accept trailing COLLATE <name> / ASC / DESC riders; any
-          // other tail makes it an expression key
+          // accept trailing COLLATE <name> / ASC / DESC riders (kept
+          // for index_xinfo); any other tail makes it an expression key
           var k = skipWs(item, after)
+          var coll = "BINARY"
+          var desc = false
           if (keywordAt(item, k, "collate")) {
-            k = parseIdent(item, skipWs(item, k + 7))
-              .map(_._2).getOrElse(item.length)
+            val ci = parseIdent(item, skipWs(item, k + 7))
+            coll = ci.map(_._1.toUpperCase).getOrElse("BINARY")
+            k = ci.map(_._2).getOrElse(item.length)
             k = skipWs(item, k)
           }
           if (keywordAt(item, k, "asc")) k = skipWs(item, k + 3)
-          else if (keywordAt(item, k, "desc")) k = skipWs(item, k + 4)
-          if (k < item.length) { exprKey = true; None } else Some(c)
+          else if (keywordAt(item, k, "desc")) { desc = true; k = skipWs(item, k + 4) }
+          if (k < item.length) { exprKey = true; None }
+          else Some((c, desc, coll))
         case None => exprKey = true; None
       }
     }
+    val cols = parsed.map(_._1)
     val tail = skipWs(sql, close + 1)
     val partial = tail < sql.length && keywordAt(sql, tail, "where")
     if (unique && (exprKey || cols.isEmpty))
@@ -1055,7 +1065,8 @@ object SqlDml {
       return Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE"))
     if (tail < sql.length && !partial) return Some(Unsupported(verb))
     Some(CreateIndex(name, table, if (exprKey) Nil else cols, unique,
-      ifNotExists))
+      ifNotExists,
+      if (exprKey) Nil else parsed.map(p => (p._2, p._3))))
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …) [ON CONFLICT …]`

@@ -302,6 +302,15 @@ class PragmaSpec extends SparkSpec {
       // reads stay fine
       assert(Runner.runSql(spark, "SELECT count(*) AS c FROM qo_t")
         .head().getLong(0) == 1L)
+      // header-writing pragmas and storage maintenance refuse too
+      // (measured: sqlite raises the readonly error on both)
+      intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, "PRAGMA user_version = 7") }
+      assert(rows("PRAGMA user_version").map(_.getLong(0)) == Seq(0L))
+      intercept[UnsupportedOperationException] {
+        Runner.runSql(spark, "ANALYZE") }
+      // transaction wrappers stay no-ops (SQLite: BEGIN is fine)
+      assert(Runner.runSql(spark, "BEGIN").count() == 0)
     } finally Runner.runSql(spark, "PRAGMA query_only = 0")
     Runner.runSql(spark, "INSERT INTO qo_t VALUES (2, 'y')")
     assert(Runner.runSql(spark, "SELECT count(*) AS c FROM qo_t")
@@ -359,6 +368,20 @@ class PragmaSpec extends SparkSpec {
         r.getInt(3), r.getString(4), r.getInt(5))).toSeq
     assert(ixi == Seq((0, 2, "score", 0, "BINARY", 1),
       (1, -1, null, 0, "BINARY", 0)), ixi)
+    // DESC / COLLATE riders survive into index_xinfo (measured:
+    // (0,cid,'a',1,'BINARY',1), (1,cid,'b',0,'NOCASE',1), aux row)
+    Runner.runSql(spark,
+      "CREATE INDEX pragma_ix_r ON pragma_ix (id DESC, tag COLLATE NOCASE)")
+    val ixr = Runner.runSql(spark, "PRAGMA index_xinfo(pragma_ix_r)")
+      .collect().map(r => (r.getString(2), r.getInt(3), r.getString(4)))
+      .toSeq.take(2)
+    assert(ixr == Seq(("id", 1, "BINARY"), ("tag", 0, "NOCASE")), ixr)
+    Runner.runSql(spark, "DROP INDEX pragma_ix_r")
+    // the table-valued xinfo form rewrites like pragma_table_info
+    val tvx = Runner.runSql(spark,
+      "SELECT name, hidden FROM pragma_table_xinfo('pragma_ix') " +
+        "ORDER BY name LIMIT 1").collect()
+    assert(tvx.head.getString(0) == "id" && tvx.head.getInt(1) == 0)
     // unknown index: empty result (SQLite's behavior), not an error
     assert(Runner.runSql(spark, "PRAGMA index_info(no_such_ix)").count() == 0)
     // sqlite_master lists declared indexes (type 'index'), as SQLite's

@@ -644,7 +644,7 @@ class SqlDmlSpec extends SparkSpec {
       == Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE")))
     // a plain expression/partial index is still a sound no-op
     detect("CREATE INDEX e ON t (lower(a)) WHERE a > 0") match {
-      case Some(CreateIndex("e", "t", Nil, false, false)) =>
+      case Some(CreateIndex("e", "t", Nil, false, false, _)) =>
       case other => fail(s"expected no-op CreateIndex, got $other")
     }
   }

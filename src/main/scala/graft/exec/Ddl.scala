@@ -39,6 +39,7 @@ object Ddl {
     }
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW ${quote(stmt.name)} AS ${stmt.sourceSql}")
+    SessionViews.add(spark, stmt.name)
     spark.emptyDataFrame
   }
 
@@ -58,6 +59,15 @@ object Ddl {
   }
 
   def drop(spark: SparkSession, stmt: SqlDml.DropRelation): DataFrame = {
+    // SQLite matches the keyword against the relation kind (measured
+    // error texts) — a DROP TABLE must not remove a view or vice versa
+    val isView = SessionViews.isView(spark, stmt.name)
+    if (isView && stmt.kind == "table")
+      throw new IllegalArgumentException(
+        s"use DROP VIEW to delete view ${stmt.name}")
+    if (!isView && stmt.kind == "view" && exists(spark, stmt.name))
+      throw new IllegalArgumentException(
+        s"use DROP TABLE to delete table ${stmt.name}")
     val dropped = spark.catalog.dropTempView(stmt.name)
     if (!dropped && !stmt.ifExists)
       throw new IllegalArgumentException(
@@ -65,6 +75,7 @@ object Ddl {
           s"(add IF EXISTS to make this a no-op)")
     if (dropped) {
       SessionKeys.forgetTable(spark, stmt.name)
+      SessionViews.remove(spark, stmt.name)
       Triggers.dropForTable(spark, stmt.name) // SQLite: triggers die with their table
     }
     spark.emptyDataFrame
@@ -184,13 +195,17 @@ object Ddl {
     spark.emptyDataFrame
   }
 
-  private def resolveAlter(spark: SparkSession, table: String): DataFrame =
+  private def resolveAlter(spark: SparkSession, table: String): DataFrame = {
+    // SQLite refuses every ALTER form on a view (measured error text)
+    if (SessionViews.isView(spark, table))
+      throw new IllegalArgumentException(s"view $table may not be altered")
     try spark.table(quote(table))
     catch {
       case e: Exception => throw new IllegalArgumentException(
         s"ALTER TABLE: no such session table/view '$table': " +
           e.getMessage, e)
     }
+  }
 
   /** `ALTER TABLE t RENAME TO t2` — the binding moves; declared keys
     * and indexes follow (SQLite rewrites schema references on rename).

@@ -48,6 +48,9 @@ object Mutate {
     }
 
   def runUpdate(spark: SparkSession, u: SqlDml.Update): DataFrame = {
+    // a VIEW target routes to its INSTEAD OF triggers (or refuses —
+    // SQLite's rule); the copy-on-write rewrite never runs for views
+    Triggers.interceptViewUpdate(spark, u).foreach(df => return df)
     // UPDATE OR <action> differs from plain UPDATE only on a
     // constraint violation; a table with no declared constraints can't
     // raise one, so the statement IS a plain UPDATE there (exactly
@@ -242,6 +245,7 @@ object Mutate {
   }
 
   def runDelete(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
+    Triggers.interceptViewDelete(spark, d).foreach(df => return df)
     if (d.limit.isDefined) return runDeleteLimit(spark, d)
     resolve(spark, d.table, "DELETE") // existence check, targeted error
     val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")

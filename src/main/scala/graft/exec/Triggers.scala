@@ -111,13 +111,20 @@ object Triggers {
         throw new IllegalArgumentException(s"trigger ${t.name} already exists")
       }
     }
-    if (t.timing == "instead of")
-      decline("INSTEAD OF triggers are not supported (no view-trigger " +
-        "surface); use BEFORE or AFTER on the base table")
     // the target table must exist (SQLite checks at CREATE)
     try spark.table(Ddl.quote(t.table))
     catch { case e: Exception =>
       throw new IllegalArgumentException(s"no such table: ${t.table}", e) }
+    // SQLite's kind rules (measured error texts): INSTEAD OF targets
+    // views only; BEFORE/AFTER target tables only
+    val targetIsView = SessionViews.isView(spark, t.table)
+    if (t.timing == "instead of" && !targetIsView)
+      throw new IllegalArgumentException(
+        s"cannot create INSTEAD OF trigger on table: ${t.table}")
+    if (t.timing != "instead of" && targetIsView)
+      throw new IllegalArgumentException(
+        s"cannot create ${if (t.timing.isEmpty) "BEFORE"
+          else t.timing.toUpperCase} trigger on view: ${t.table}")
     (t.when.toSeq ++ t.body).foreach { frag =>
       if (containsRaise(frag))
         decline("RAISE() in a trigger is not supported; triggers here " +
@@ -416,8 +423,11 @@ object Triggers {
     all.filter { t =>
       t.table.equalsIgnoreCase(table) && t.event == event &&
         (t.ofCols.isEmpty || t.ofCols.exists(setLc)) &&
-        (if (timing == "after") t.timing == "after"
-         else t.timing == "before" || t.timing.isEmpty) &&
+        (timing match {
+          case "after"   => t.timing == "after"
+          case "instead" => t.timing == "instead of"
+          case _         => t.timing == "before" || t.timing.isEmpty
+        }) &&
         !active.get().contains(t.name.toLowerCase)
     }
   }
@@ -503,6 +513,121 @@ object Triggers {
       case _ => // validated SELECT body: execute per slice row, discard
         spark.sql(s"SELECT graft_body.* FROM $rel graft_trig_row, " +
           s"LATERAL ($stmt) graft_body").count()
+    }
+
+  // ------------------------------------------- INSTEAD OF (view DML)
+
+  private def viewDmlGate(spark: SparkSession, table: String, event: String,
+                          setCols: Seq[String],
+                          returning: Option[String]): Option[Seq[Trig]] = {
+    if (!SessionViews.isView(spark, table)) return None
+    if (returning.isDefined)
+      throw new UnsupportedOperationException(
+        s"RETURNING on a view is not supported (documented divergence: " +
+          s"SQLite evaluates it over the would-be rows)")
+    val trigs = matching(spark, table, event, setCols, "instead")
+    if (trigs.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot modify $table because it is a view")
+    Some(trigs)
+  }
+
+  /** DML against a VIEW (SQLite, measured): refused with "cannot
+    * modify X because it is a view" unless an INSTEAD OF trigger for
+    * the event exists — then the statement's ONLY effect is the
+    * trigger program over the would-be-affected slice, and changes()
+    * reports 0. Callers ([[Upsert]]/[[Mutate]]) return the produced
+    * frame instead of writing. */
+  def interceptViewInsert(spark: SparkSession,
+                          stmt: SqlDml.Upsert): Option[DataFrame] =
+    viewDmlGate(spark, stmt.table, "insert", Nil, stmt.returning).map { _ =>
+      import org.apache.spark.sql.functions.{col, lit, struct}
+      val schema = spark.table(Ddl.quote(stmt.table)).schema
+      // OR REPLACE / ON CONFLICT resolve against constraints the view
+      // does not have — every attempted row fires, SQLite's behavior
+      val aligned =
+        if (stmt.defaultValues)
+          spark.sql(stmt.sourceSql).select(schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else {
+          val src = spark.sql(stmt.sourceSql)
+          val cols =
+            if (stmt.cols.nonEmpty) stmt.cols else schema.fieldNames.toSeq
+          if (cols.length != src.columns.length)
+            throw new IllegalArgumentException(
+              s"INSERT INTO ${stmt.table}: ${cols.length} target columns " +
+                s"but the source produces ${src.columns.length}")
+          val known = schema.fieldNames.map(_.toLowerCase).toSet
+          val unknown = cols.map(_.toLowerCase).filterNot(known)
+          if (unknown.nonEmpty)
+            throw new IllegalArgumentException(
+              s"INSERT INTO ${stmt.table}: no such column(s) " +
+                unknown.mkString(", "))
+          val named = src.toDF(cols: _*)
+          val present = cols.map(_.toLowerCase).toSet
+          named.select(schema.fields.map(f =>
+            if (present(f.name.toLowerCase))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
+      val slice = aligned.select(
+        struct(aligned.columns.map(col).toIndexedSeq: _*).as("new"))
+      SessionChanges.record(spark, () => 0L) // measured: changes() = 0
+      fire(spark, stmt.table, "insert", Nil, "instead", slice)
+      spark.emptyDataFrame
+    }
+
+  def interceptViewUpdate(spark: SparkSession,
+                          u: SqlDml.Update): Option[DataFrame] = {
+    val setCols = u.assigns.map(_._1)
+    viewDmlGate(spark, u.table, "update", setCols, u.returning).map { _ =>
+      if (u.from.isDefined || u.limit.isDefined)
+        throw new UnsupportedOperationException(
+          "UPDATE … FROM/LIMIT on a view is not supported")
+      val base = spark.table(Ddl.quote(u.table))
+      val known = base.schema.fields.map(_.name.toLowerCase).toSet
+      val unknown = setCols.filterNot(c => known(c.toLowerCase))
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
+      val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+      val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+      def esc(nm: String) = nm.replace("'", "''")
+      val oldS = base.schema.fields
+        .map(f => s"'${esc(f.name)}', ${Ddl.quote(f.name)}").mkString(", ")
+      val newS = base.schema.fields.map { f =>
+        val v = assigns.get(f.name.toLowerCase) match {
+          case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
+          case None    => Ddl.quote(f.name)
+        }
+        s"'${esc(f.name)}', $v"
+      }.mkString(", ")
+      val slice = spark.sql((s"${u.withPrefix} SELECT " +
+        s"named_struct($oldS) AS old, named_struct($newS) AS new " +
+        s"FROM ${Ddl.quote(u.table)} WHERE $cond").trim)
+      SessionChanges.record(spark, () => 0L)
+      fire(spark, u.table, "update", setCols, "instead", slice)
+      spark.emptyDataFrame
+    }
+  }
+
+  def interceptViewDelete(spark: SparkSession,
+                          d: SqlDml.Delete): Option[DataFrame] =
+    viewDmlGate(spark, d.table, "delete", Nil, d.returning).map { _ =>
+      if (d.limit.isDefined)
+        throw new UnsupportedOperationException(
+          "DELETE … LIMIT on a view is not supported")
+      val base = spark.table(Ddl.quote(d.table))
+      val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+      def esc(nm: String) = nm.replace("'", "''")
+      val oldS = base.schema.fields
+        .map(f => s"'${esc(f.name)}', ${Ddl.quote(f.name)}").mkString(", ")
+      val slice = spark.sql((s"${d.withPrefix} SELECT " +
+        s"named_struct($oldS) AS old FROM ${Ddl.quote(d.table)} " +
+        s"WHERE $cond").trim)
+      SessionChanges.record(spark, () => 0L)
+      fire(spark, d.table, "delete", Nil, "instead", slice)
+      spark.emptyDataFrame
     }
 
   /** `VALUES (a,b),(c,d)` → `SELECT a, b FROM rel UNION ALL SELECT

@@ -52,6 +52,9 @@ object Upsert {
     * plain INSERT (pure append: duplicate keys SURVIVE, exactly
     * SQLite's behavior on a table with no declared PRIMARY KEY). */
   def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
+    // a VIEW target routes to its INSTEAD OF triggers (or refuses —
+    // SQLite's rule); the write machinery below never runs for views
+    Triggers.interceptViewInsert(spark, stmt).foreach(df => return df)
     val verb = if (stmt.replace) "INSERT OR REPLACE" else "INSERT"
     // backtick-quote: ingested tables are hash-named (md5 hex) and may
     // start with a digit, which spark.table() would fail to PARSE —

@@ -126,7 +126,11 @@ object SqlDml {
 
   /** `DROP TABLE/VIEW [IF EXISTS] name` — unregisters the session
     * relation (lake files are immutable; only the binding drops). */
-  final case class DropRelation(name: String, ifExists: Boolean) extends Stmt
+  final case class DropRelation(name: String, ifExists: Boolean,
+                                // which keyword was written — SQLite
+                                // refuses DROP TABLE on a view and
+                                // DROP VIEW on a table by name
+                                kind: String = "table") extends Stmt
 
   /** `CREATE [TEMP] TABLE name (col decl …, …)` — the column-def form.
     * `cols` carries (name, declared-type-text); the executor maps the
@@ -271,6 +275,7 @@ object SqlDml {
       var j = skipWs(sql, i + 4)
       val isIndex = keywordAt(sql, j, "index")
       val isTrigger = keywordAt(sql, j, "trigger")
+      val isView = keywordAt(sql, j, "view")
       if (!keywordAt(sql, j, "table") && !keywordAt(sql, j, "view") &&
           !isIndex && !isTrigger)
         return Some(Unsupported("DROP"))
@@ -287,7 +292,9 @@ object SqlDml {
       return parseIdent(sql, j) match {
         case Some((name, _)) if isTrigger => Some(DropTrigger(name, ifExists))
         case Some((name, _)) if isIndex   => Some(DropIndex(name, ifExists))
-        case Some((name, _))              => Some(DropRelation(name, ifExists))
+        case Some((name, _))              =>
+          Some(DropRelation(name, ifExists,
+            if (isView) "view" else "table"))
         case None => Some(Unsupported(
           if (isTrigger) "DROP TRIGGER"
           else if (isIndex) "DROP INDEX" else "DROP"))

@@ -330,6 +330,64 @@ class TriggerSpec extends SparkSpec {
     assert(e.getMessage.contains(s"tr_dd$n"), e.getMessage)
   }
 
+  test("views refuse DML without INSTEAD OF; kind-matched DROP/ALTER/trigger errors") {
+    val (t, log) = fixture()
+    sql(s"CREATE VIEW vw$n AS SELECT a, b FROM $t WHERE a >= 2")
+    def err(q: String, needle: String): Unit = {
+      val e = intercept[Exception] { sql(q) }
+      assert(e.getMessage.contains(needle), s"$q -> ${e.getMessage}")
+    }
+    // every error text below is sqlite 3.40.1's own (measured)
+    err(s"INSERT INTO vw$n VALUES (9, 'z')", "because it is a view")
+    err(s"UPDATE vw$n SET b = 'x'", "because it is a view")
+    err(s"DELETE FROM vw$n", "because it is a view")
+    err(s"DROP TABLE vw$n", s"use DROP VIEW to delete view vw$n")
+    err(s"DROP TABLE IF EXISTS vw$n", "use DROP VIEW") // still errors
+    err(s"DROP VIEW $t", s"use DROP TABLE to delete table $t")
+    err(s"ALTER TABLE vw$n RENAME TO vw2$n", "may not be altered")
+    err(s"ALTER TABLE vw$n ADD COLUMN c TEXT", "may not be altered")
+    err(s"CREATE TRIGGER tva$n AFTER INSERT ON vw$n BEGIN " +
+      s"INSERT INTO $log VALUES ('x', 1); END",
+      "cannot create AFTER trigger on view")
+    err(s"CREATE TRIGGER tvi$n INSTEAD OF INSERT ON $t BEGIN " +
+      s"INSERT INTO $log VALUES ('x', 1); END",
+      "cannot create INSTEAD OF trigger on table")
+    sql(s"DROP VIEW vw$n")
+  }
+
+  test("INSTEAD OF triggers make views writable; changes() reports 0") {
+    val (t, log) = fixture()
+    sql(s"CREATE VIEW vw$n AS SELECT a, b FROM $t")
+    sql(s"CREATE TRIGGER ti$n INSTEAD OF INSERT ON vw$n BEGIN " +
+      s"INSERT INTO $log VALUES ('i', NEW.a); END")
+    sql(s"INSERT INTO vw$n VALUES (8, 'h'), (9, 'i')")
+    assert(rowsOf(s"SELECT ev, va FROM $log ORDER BY va") ==
+      Seq(Seq("i", 8L), Seq("i", 9L)))
+    assert(rowsOf("SELECT changes() AS c") == Seq(Seq(0L))) // measured
+    assert(sql(s"SELECT * FROM $t").count() == 3) // base untouched
+    // UPDATE OF gating; OLD/NEW resolve through the view's rows
+    sql(s"CREATE TRIGGER tu$n INSTEAD OF UPDATE OF b ON vw$n BEGIN " +
+      s"INSERT INTO $log VALUES (NEW.b, OLD.a + 100); END")
+    sql(s"UPDATE vw$n SET b = 'w' WHERE a = 2")
+    assert(rowsOf(s"SELECT ev, va FROM $log WHERE va >= 100") ==
+      Seq(Seq("w", 102L)))
+    // a SET not covered by the OF list has no applicable trigger —
+    // the statement refuses like any untriggered view write
+    intercept[IllegalArgumentException] {
+      sql(s"UPDATE vw$n SET a = a + 1 WHERE a = 2") }
+    // DELETE through the view correlates OLD
+    sql(s"INSERT INTO $log VALUES ('x', 3)")
+    sql(s"CREATE TRIGGER td$n INSTEAD OF DELETE ON vw$n BEGIN " +
+      s"DELETE FROM $log WHERE va = OLD.a; END")
+    sql(s"DELETE FROM vw$n WHERE a = 3")
+    assert(sql(s"SELECT * FROM $log WHERE va = 3").count() == 0)
+    assert(sql(s"SELECT * FROM $t").count() == 3) // still untouched
+    // the view's triggers die with it
+    sql(s"DROP VIEW vw$n")
+    assert(sql("SELECT * FROM sqlite_master WHERE type = 'trigger' " +
+      s"AND name = 'ti$n'").count() == 0)
+  }
+
   test("OR IGNORE: BEFORE INSERT fires per ATTEMPTED row, AFTER per survivor") {
     val (t, log) = fixture()
     import spark.implicits._

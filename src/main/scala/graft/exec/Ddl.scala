@@ -39,7 +39,8 @@ object Ddl {
     }
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW ${quote(stmt.name)} AS ${stmt.sourceSql}")
-    SessionViews.add(spark, stmt.name)
+    SessionViews.add(spark, stmt.name,
+      s"CREATE VIEW ${stmt.name} AS ${stmt.sourceSql}")
     spark.emptyDataFrame
   }
 

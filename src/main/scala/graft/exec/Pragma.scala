@@ -187,24 +187,12 @@ object Pragma {
   /** (Re)build the `sqlite_master` session view from the catalog. */
   def registerSqliteMaster(spark: SparkSession): Unit = {
     val tableRows = sessionTables(spark).map { case (name, schema) =>
-      // session-declared DEFAULTs and PRIMARY KEY render into the
-      // synthesized DDL (SQLite's sqlite_master.sql carries the
-      // original constraint text; `PRAGMA table_info` agrees)
-      val dflt = SessionKeys.defaultsFor(spark, name)
-      val pk = SessionKeys.declaredPk(spark, name).getOrElse(Nil)
-      val base = graft.ingest.Ddl.createTable(name, schema).trim
-      val sql =
-        if (dflt.isEmpty && pk.isEmpty) base
-        else {
-          val cols = schema.fields.map { f =>
-            val d = dflt.get(f.name.toLowerCase)
-              .map(v => s" DEFAULT ${v._1}").getOrElse("")
-            s"\t`${f.name}` ${graft.ingest.Ddl.sqlType(f.dataType)}$d"
-          } ++ (if (pk.isEmpty) Nil
-                else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})"))
-          s"CREATE TABLE `$name` (\n${cols.mkString(", \n")}\n)"
-        }
-      Row("table", name, name, 0, sql)
+      // a CREATE VIEW lists as SQLite does: type 'view', tbl_name =
+      // its own name, sql = the CREATE text as registered
+      SessionViews.createSql(spark, name) match {
+        case Some(viewSql) => Row("view", name, name, 0, viewSql)
+        case None => tableMasterRow(spark, name, schema)
+      }
     }
     // session-declared indexes list as SQLite's would (type 'index',
     // tbl_name = the indexed table, sql = the synthesized statement —
@@ -226,6 +214,30 @@ object Pragma {
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       masterSchema).createOrReplaceTempView("sqlite_master")
+  }
+
+  private def tableMasterRow(spark: SparkSession, name: String,
+                             schema: StructType): Row = {
+    {
+      // session-declared DEFAULTs and PRIMARY KEY render into the
+      // synthesized DDL (SQLite's sqlite_master.sql carries the
+      // original constraint text; `PRAGMA table_info` agrees)
+      val dflt = SessionKeys.defaultsFor(spark, name)
+      val pk = SessionKeys.declaredPk(spark, name).getOrElse(Nil)
+      val base = graft.ingest.Ddl.createTable(name, schema).trim
+      val sql =
+        if (dflt.isEmpty && pk.isEmpty) base
+        else {
+          val cols = schema.fields.map { f =>
+            val d = dflt.get(f.name.toLowerCase)
+              .map(v => s" DEFAULT ${v._1}").getOrElse("")
+            s"\t`${f.name}` ${graft.ingest.Ddl.sqlType(f.dataType)}$d"
+          } ++ (if (pk.isEmpty) Nil
+                else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})"))
+          s"CREATE TABLE `$name` (\n${cols.mkString(", \n")}\n)"
+        }
+      Row("table", name, name, 0, sql)
+    }
   }
 
   private val pragmaTableInfoRe =

@@ -15,27 +15,34 @@ object SessionViews {
   private val states =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.mutable.Set[String]]())
+        scala.collection.mutable.LinkedHashMap[String, String]]())
 
-  private def state(spark: SparkSession): scala.collection.mutable.Set[String] =
+  private def state(spark: SparkSession)
+      : scala.collection.mutable.LinkedHashMap[String, String] =
     states.synchronized {
       var s = states.get(spark)
       if (s == null) {
-        s = scala.collection.mutable.Set.empty[String]
+        s = scala.collection.mutable.LinkedHashMap.empty[String, String]
         states.put(spark, s)
       }
       s
     }
 
-  def add(spark: SparkSession, name: String): Unit = {
-    val s = state(spark); s.synchronized { s += name.toLowerCase; () }
+  /** Register a view with its CREATE text (shown by sqlite_master). */
+  def add(spark: SparkSession, name: String, sql: String): Unit = {
+    val s = state(spark); s.synchronized { s(name.toLowerCase) = sql; () }
   }
 
   def remove(spark: SparkSession, name: String): Unit = {
-    val s = state(spark); s.synchronized { s -= name.toLowerCase; () }
+    val s = state(spark); s.synchronized { s.remove(name.toLowerCase); () }
   }
 
   def isView(spark: SparkSession, name: String): Boolean = {
     val s = state(spark); s.synchronized(s.contains(name.toLowerCase))
+  }
+
+  /** The stored CREATE VIEW text, when `name` is a view. */
+  def createSql(spark: SparkSession, name: String): Option[String] = {
+    val s = state(spark); s.synchronized(s.get(name.toLowerCase))
   }
 }

@@ -332,6 +332,40 @@ object QueriesDialect {
       run("""SELECT ev, k FROM graft_trg_audit ORDER BY ev, k""")
     }),
 
+    // INSTEAD OF triggers make a view writable: INSERT/UPDATE/DELETE
+    // against the view route through its trigger program, the base
+    // stays untouched. The audit end state is closed-form, so the key
+    // is fully oracle-verified even though DuckDB has no triggers.
+    "ddl_instead_of_trigger_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      def run(q: String) =
+        graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP VIEW IF EXISTS graft_iot_v")
+      run("DROP TABLE IF EXISTS graft_iot_base")
+      run("DROP TABLE IF EXISTS graft_iot_audit")
+      run("""CREATE TABLE graft_iot_base AS
+             SELECT n_nationkey AS k, n_name AS name FROM nation""")
+      run("CREATE TABLE graft_iot_audit (ev TEXT, k INTEGER)")
+      run("""CREATE VIEW graft_iot_v AS
+             SELECT k, name FROM graft_iot_base WHERE k < 20""")
+      run("""CREATE TRIGGER graft_iot_ins INSTEAD OF INSERT
+             ON graft_iot_v BEGIN
+               INSERT INTO graft_iot_audit VALUES ('ins', NEW.k); END""")
+      run("""CREATE TRIGGER graft_iot_upd INSTEAD OF UPDATE OF name
+             ON graft_iot_v WHEN OLD.k % 2 = 0 BEGIN
+               INSERT INTO graft_iot_audit VALUES ('upd', OLD.k); END""")
+      run("""CREATE TRIGGER graft_iot_del INSTEAD OF DELETE
+             ON graft_iot_v BEGIN
+               INSERT INTO graft_iot_audit VALUES ('del', OLD.k); END""")
+      run("INSERT INTO graft_iot_v VALUES (101, 'new'), (102, 'newer')")
+      run("UPDATE graft_iot_v SET name = name || '!' WHERE k < 6")
+      run("DELETE FROM graft_iot_v WHERE k >= 18")
+      // the 'cnt' row proves the base stayed untouched
+      run("""SELECT ev, k FROM graft_iot_audit
+             UNION ALL SELECT 'cnt', (SELECT count(*) FROM graft_iot_v)
+             ORDER BY ev, k""")
+    }),
+
     "sink_upsert_sql" -> ((s, d) => {
       Tables.t(s, d, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -843,6 +877,22 @@ object QueriesDialect {
            SELECT 'old' AS ev, k FROM nat WHERE k < 10 AND k % 2 = 0
            UNION ALL
            SELECT 'upd' AS ev, k FROM nat WHERE k < 10 AND k % 2 = 0
+         ) ORDER BY ev, k""",
+
+    // the INSTEAD OF session flow in closed form: trigger firings per
+    // view DML plus the untouched-view row count
+    "ddl_instead_of_trigger_sql" ->
+      """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+         SELECT * FROM (
+           SELECT 'ins' AS ev, CAST(v AS BIGINT) AS k
+           FROM (VALUES (101), (102)) t(v)
+           UNION ALL
+           SELECT 'upd' AS ev, k FROM nat WHERE k < 6 AND k % 2 = 0
+           UNION ALL
+           SELECT 'del' AS ev, k FROM nat WHERE k >= 18 AND k < 20
+           UNION ALL
+           SELECT 'cnt' AS ev,
+                  (SELECT CAST(count(*) AS BIGINT) FROM nat WHERE k < 20)
          ) ORDER BY ev, k""",
 
     // the upsert statement's post-state as a plain SELECT: updates win

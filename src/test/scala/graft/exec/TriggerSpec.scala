@@ -382,6 +382,12 @@ class TriggerSpec extends SparkSpec {
     sql(s"DELETE FROM vw$n WHERE a = 3")
     assert(sql(s"SELECT * FROM $log WHERE va = 3").count() == 0)
     assert(sql(s"SELECT * FROM $t").count() == 3) // still untouched
+    // sqlite_master lists the view as SQLite does: type 'view',
+    // tbl_name = itself, sql = the CREATE text
+    val m = rowsOf("SELECT type, tbl_name, sql FROM sqlite_master " +
+      s"WHERE name = 'vw$n'")
+    assert(m == Seq(Seq("view", s"vw$n",
+      s"CREATE VIEW vw$n AS SELECT a, b FROM $t")), m)
     // the view's triggers die with it
     sql(s"DROP VIEW vw$n")
     assert(sql("SELECT * FROM sqlite_master WHERE type = 'trigger' " +

@@ -47,7 +47,10 @@ object Mutate {
           e.getMessage, e)
     }
 
-  def runUpdate(spark: SparkSession, u: SqlDml.Update): DataFrame = {
+  def runUpdate(spark: SparkSession, u: SqlDml.Update): DataFrame =
+    Atomic.statement(spark)(runUpdateStmt(spark, u))
+
+  private def runUpdateStmt(spark: SparkSession, u: SqlDml.Update): DataFrame = {
     // a VIEW target routes to its INSTEAD OF triggers (or refuses —
     // SQLite's rule); the copy-on-write rewrite never runs for views
     Triggers.interceptViewUpdate(spark, u).foreach(df => return df)
@@ -244,7 +247,10 @@ object Mutate {
     }
   }
 
-  def runDelete(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
+  def runDelete(spark: SparkSession, d: SqlDml.Delete): DataFrame =
+    Atomic.statement(spark)(runDeleteStmt(spark, d))
+
+  private def runDeleteStmt(spark: SparkSession, d: SqlDml.Delete): DataFrame = {
     Triggers.interceptViewDelete(spark, d).foreach(df => return df)
     if (d.limit.isDefined) return runDeleteLimit(spark, d)
     resolve(spark, d.table, "DELETE") // existence check, targeted error

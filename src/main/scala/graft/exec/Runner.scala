@@ -102,6 +102,13 @@ object Runner {
     // see non-ANSI during this window — the engine's Q&A usage is
     // synchronous; cluster deployments wanting ANSI everywhere else
     // simply keep their own conf (it is restored here either way).
+    // RAISE() is legal only inside a trigger program (the one place
+    // the engine rewrites it to its executable form) — SQLite's own
+    // refusal text for every other statement, quote-aware scan
+    if (!head.matches("(?s)create\\s+(temp\\w*\\s+)?trigger\\b.*") &&
+        graft.text2sql.SqlDialect.keywordFollowedBy(prepared, "raise", '('))
+      throw new IllegalArgumentException(
+        "RAISE() may only be used within a trigger-program")
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try SqlDml.detect(prepared) match {

@@ -97,6 +97,34 @@ object SessionChanges {
     acc + pend.map(_.value).sum + pendT.map(_.value).sum
   }
 
+  // ---- statement-abort restore ([[Atomic]]) ---------------------------
+
+  /** Opaque pre-statement counter state. Restoring covers `changes()`
+    * and `last_insert_rowid()` but deliberately NOT the trigger-body
+    * bucket or the folded accumulator: measured sqlite3 keeps body
+    * statements that completed before an abort in `total_changes()`
+    * even though their effects roll back. */
+  final class Snapshot private[SessionChanges] (
+      private[SessionChanges] val pending: Vector[Entry],
+      private[SessionChanges] val rowidFolded: Option[Long],
+      private[SessionChanges] val rowidPending: Vector[RowidEntry])
+
+  def snapshot(spark: SparkSession): Snapshot = {
+    val s = state(spark); val rs = rowidState(spark)
+    val p = s.synchronized(s.pending)
+    val (f, rp) = rs.synchronized((rs.folded, rs.pending))
+    new Snapshot(p, f, rp)
+  }
+
+  def restore(spark: SparkSession, snap: Snapshot): Unit = {
+    val s = state(spark)
+    s.synchronized { s.pending = snap.pending }
+    val rs = rowidState(spark)
+    rs.synchronized {
+      rs.folded = snap.rowidFolded; rs.pending = snap.rowidPending
+    }
+  }
+
   // ---- last_insert_rowid() --------------------------------------------
 
   private final class RowidEntry(thunk: () => Option[Long]) {

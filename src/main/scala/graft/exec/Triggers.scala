@@ -32,8 +32,17 @@ import graft.text2sql.SqlDml
   *    slice WHERE p)` (deletion is idempotent, so set semantics match
   *    row-at-a-time exactly);
   *  - `SELECT …`                 → executed per slice row and
-  *    discarded (SQLite runs and discards; only RAISE would make the
-  *    result visible, and RAISE declines at CREATE).
+  *    discarded (SQLite runs and discards) — unless a row evaluates a
+  *    `RAISE(ABORT|ROLLBACK, 'msg')`, which aborts the whole
+  *    statement: the rewrite to [[graft.functions.GraftRaise]] throws
+  *    from the task, and [[Atomic]] restores every pre-statement
+  *    binding (copy-on-write makes the rollback a plan-pointer swap)
+  *    and surfaces exactly the raise message, SQLite's error. In this
+  *    engine's per-statement autocommit — the same mode the
+  *    reference's execute() runs in — ABORT and ROLLBACK coincide.
+  *    RAISE(FAIL) (keeps rowid-order partial effects) and
+  *    RAISE(IGNORE) (skips single rows mid-program) have no set-based
+  *    equivalent and decline at CREATE.
   *
   * Timing: AFTER bodies run after the triggering statement's
   * copy-on-write rebind; BEFORE (SQLite's default when no timing is
@@ -45,12 +54,12 @@ import graft.text2sql.SqlDml
   * subqueries (set-based evaluation reads a consistent pre-state).
   *
   * Validation is CREATE-time and strict where SQLite is lazy: OLD in
-  * an INSERT trigger or NEW in a DELETE trigger, RAISE(), RETURNING
-  * in a body, and non-DML body verbs all fail at CREATE with a named
-  * error (SQLite parses some of these and fails at first fire —
-  * fail-fast beats a landmine). Error message shapes mirror SQLite
-  * where one exists ("trigger X already exists", "no such table: X",
-  * "cannot use RETURNING in a trigger").
+  * an INSERT trigger or NEW in a DELETE trigger, RAISE(FAIL/IGNORE),
+  * malformed RAISE grammar, RETURNING in a body, and non-DML body
+  * verbs all fail at CREATE with a named error (SQLite parses some of
+  * these and fails at first fire — fail-fast beats a landmine). Error
+  * message shapes mirror SQLite where one exists ("trigger X already
+  * exists", "no such table: X", "cannot use RETURNING in a trigger").
   *
   * Cascading: body DML runs through [[Upsert]]/[[Mutate]], so
   * triggers on OTHER tables fire naturally. A trigger already on the
@@ -97,11 +106,200 @@ object Triggers {
   private def refersTo(sqlText: String, qualifier: String): Boolean =
     graft.text2sql.SqlDialect.keywordFollowedBy(sqlText, qualifier, '.')
 
-  private def containsRaise(sqlText: String): Boolean =
-    graft.text2sql.SqlDialect.keywordFollowedBy(sqlText, "raise", '(')
-
   private def decline(msg: String): Nothing =
     throw new UnsupportedOperationException(msg)
+
+  // ------------------------------------------------- RAISE() support
+
+  /** One parsed `RAISE(kind[, 'msg'])` occurrence: [start, end) span
+    * in the scanned text, the resolution kind, the message literal
+    * (still quoted, as written). */
+  private final case class RaiseCall(start: Int, end: Int,
+                                     kind: String, msgLiteral: String)
+
+  /** Scan `sqlText` (outside quotes) for RAISE( calls and parse each
+    * against SQLite's grammar: `RAISE(IGNORE)` or `RAISE(ABORT|
+    * ROLLBACK|FAIL, 'string-literal')` — a non-literal message is a
+    * syntax error in SQLite too (measured: `RAISE(ABORT, 'a'||'b')` →
+    * near "||": syntax error). */
+  private def scanRaise(sqlText: String): Seq[RaiseCall] = {
+    val out = Seq.newBuilder[RaiseCall]
+    var i = 0
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (c == '\'' || c == '"' || c == '`')
+        i = graft.text2sql.SqlDialect.endOfQuoted(sqlText, i, c)
+      else if (graft.text2sql.SqlDialect.keywordAt(sqlText, i, "raise")) {
+        var j = i + 5
+        while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
+        if (j >= sqlText.length || sqlText.charAt(j) != '(') { i += 5 }
+        else {
+          def syntax(near: String): Nothing =
+            throw new IllegalArgumentException(
+              s"""near "$near": syntax error (RAISE(IGNORE) or """ +
+                s"RAISE(ABORT|ROLLBACK|FAIL, 'message'))")
+          var k = j + 1
+          while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+          var e = k
+          while (e < sqlText.length && sqlText.charAt(e).isLetter) e += 1
+          val kind = sqlText.substring(k, e).toLowerCase
+          if (!Set("ignore", "abort", "rollback", "fail")(kind))
+            syntax(if (kind.isEmpty) "(" else kind)
+          k = e
+          while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+          if (kind == "ignore") {
+            if (k >= sqlText.length || sqlText.charAt(k) != ')')
+              syntax(if (k < sqlText.length) sqlText.charAt(k).toString
+                     else "RAISE")
+            out += RaiseCall(i, k + 1, kind, "''")
+            i = k + 1
+          } else {
+            if (k >= sqlText.length || sqlText.charAt(k) != ',')
+              syntax(")")
+            k += 1
+            while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+            if (k >= sqlText.length || sqlText.charAt(k) != '\'')
+              syntax(if (k < sqlText.length)
+                sqlText.substring(k, math.min(k + 8, sqlText.length)).trim
+                else "RAISE")
+            val litEnd = graft.text2sql.SqlDialect.endOfQuoted(sqlText, k, '\'')
+            val lit = sqlText.substring(k, litEnd)
+            k = litEnd
+            while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+            if (k >= sqlText.length || sqlText.charAt(k) != ')')
+              syntax(if (k < sqlText.length) sqlText.charAt(k).toString
+                     else "RAISE")
+            out += RaiseCall(i, k + 1, kind, lit)
+            i = k + 1
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** CREATE-time validation of every RAISE() in a WHEN/body fragment:
+    * grammar per [[scanRaise]]; ABORT and ROLLBACK are supported (in
+    * autocommit — this engine's only mode, like the reference's
+    * per-statement execution — both roll back exactly the statement);
+    * FAIL and IGNORE decline with named errors (their semantics
+    * depend on SQLite's rowid-order row-at-a-time evaluation, which a
+    * set-based batch does not have). */
+  private def validateRaise(frag: String): Unit =
+    scanRaise(frag).foreach { r =>
+      r.kind match {
+        case "fail" => decline("RAISE(FAIL) in a trigger is not " +
+          "supported: FAIL keeps the changes the statement already " +
+          "applied in rowid order, which has no set-based equivalent; " +
+          "use RAISE(ABORT, …)")
+        case "ignore" => decline("RAISE(IGNORE) in a trigger is not " +
+          "supported: skipping individual rows mid-program has no " +
+          "set-based equivalent; filter with WHEN or a WHERE instead")
+        case _ => // abort | rollback — supported
+      }
+    }
+
+  /** Fire-time rewrite: `RAISE(ABORT|ROLLBACK, 'msg')` →
+    * `graft_raise('msg')` (the native expression that throws
+    * [[graft.functions.GraftRaiseAbort]] when a row actually
+    * evaluates it — untaken CASE branches and false WHEREs never do,
+    * SQLite's row semantics). CREATE validated the grammar, so only
+    * supported kinds reach here. */
+  private def rewriteRaise(sqlText: String): String = {
+    val calls = scanRaise(sqlText)
+    if (calls.isEmpty) return sqlText
+    val out = new StringBuilder
+    var pos = 0
+    calls.foreach { r =>
+      out.append(sqlText.substring(pos, r.start))
+      out.append("graft_raise(").append(r.msgLiteral).append(")")
+      pos = r.end
+    }
+    out.append(sqlText.substring(pos))
+    out.toString
+  }
+
+  /** Any trigger registered in the session at all — [[Atomic]]'s
+    * snapshot gate (only trigger programs make a statement
+    * multi-write). */
+  def any(spark: SparkSession): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.trigs.nonEmpty)
+  }
+
+  /** First top-level occurrence of any of `kws` (outside quotes and
+    * parens), as (position, keyword). */
+  private def topLevelKeyword(stmt: String,
+                              kws: Set[String]): Option[(Int, String)] = {
+    var i = 0; var depth = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (c == '\'' || c == '"' || c == '`')
+        i = graft.text2sql.SqlDialect.endOfQuoted(stmt, i, c)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c.isLetter || c == '_')) {
+        var e = i
+        while (e < stmt.length && (stmt.charAt(e).isLetterOrDigit ||
+               stmt.charAt(e) == '_')) e += 1
+        val w = stmt.substring(i, e).toLowerCase
+        if (kws(w)) return Some((i, w))
+        i = e
+      } else i += 1
+    }
+    None
+  }
+
+  private def hasTopLevelFrom(stmt: String): Boolean =
+    topLevelKeyword(stmt, Set("from")).isDefined
+
+  /** Give a FROM-less SELECT body the slice as its relation: insert
+    * `FROM rel` before the top-level WHERE/GROUP/HAVING/ORDER/LIMIT
+    * (or append). This keeps the projection ABOVE the filter — a
+    * `SELECT RAISE(…) WHERE cond` evaluates the raise only for rows
+    * passing cond, SQLite's row-at-a-time order. (The LATERAL wrap
+    * used for bodies with their own FROM cannot carry a raise: Spark
+    * decorrelates the subquery into an uncorrelated projection that
+    * would evaluate the raise before the correlation filter.) */
+  private def injectFrom(stmt: String, rel: String): String =
+    topLevelKeyword(stmt,
+      Set("where", "group", "having", "order", "limit")) match {
+      case Some((pos, _)) =>
+        stmt.substring(0, pos) + s"FROM $rel " + stmt.substring(pos)
+      case None => s"$stmt FROM $rel"
+    }
+
+  /** Does any RAISE() occurrence sit inside a `(SELECT …)` group? A
+    * subquery's projection evaluates independently of the outer row's
+    * filters here (decorrelation), so a raise there could fire for
+    * rows SQLite would never reach — declined at CREATE. Raises under
+    * non-subquery parens (iif(…), CASE arms, function args) stay
+    * allowed: those evaluate lazily in-row. */
+  private def raiseInSubquery(stmt: String): Boolean = {
+    var i = 0
+    var stack = List.empty[Boolean] // per open paren: is a subquery?
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (c == '\'' || c == '"' || c == '`')
+        i = graft.text2sql.SqlDialect.endOfQuoted(stmt, i, c)
+      else if (c == '(') {
+        var j = i + 1
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        stack ::= graft.text2sql.SqlDialect.keywordAt(stmt, j, "select")
+        i += 1
+      } else if (c == ')') {
+        if (stack.nonEmpty) stack = stack.tail
+        i += 1
+      } else if (graft.text2sql.SqlDialect.keywordAt(stmt, i, "raise")) {
+        var j = i + 5
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        if (j < stmt.length && stmt.charAt(j) == '(' &&
+            stack.contains(true)) return true
+        i += 5
+      } else i += 1
+    }
+    false
+  }
 
   def create(spark: SparkSession, t: SqlDml.CreateTrigger): DataFrame = {
     val s = state(spark)
@@ -126,9 +324,7 @@ object Triggers {
         s"cannot create ${if (t.timing.isEmpty) "BEFORE"
           else t.timing.toUpperCase} trigger on view: ${t.table}")
     (t.when.toSeq ++ t.body).foreach { frag =>
-      if (containsRaise(frag))
-        decline("RAISE() in a trigger is not supported; triggers here " +
-          "run set-based side effects, not per-row aborts")
+      validateRaise(frag)
       if (t.event == "insert" && refersTo(frag, "old"))
         decline("OLD is not valid in an INSERT trigger")
       if (t.event == "delete" && refersTo(frag, "new"))
@@ -163,6 +359,17 @@ object Triggers {
           if (d.limit.isDefined)
             decline("trigger DELETE bodies with LIMIT are not supported")
         case None if b.trim.toLowerCase.startsWith("select") => // run+discard
+          // a raise must evaluate AFTER the body's own row filter —
+          // guaranteed only on the FROM-less trigger-row scope (the
+          // SQLite idiom); see [[injectFrom]] / [[raiseInSubquery]]
+          if (scanRaise(b).nonEmpty && hasTopLevelFrom(b))
+            decline("RAISE() in a SELECT body with its own FROM is " +
+              "not supported; use the FROM-less form " +
+              "(SELECT RAISE(…) WHERE …), whose scope is the trigger row")
+          if (raiseInSubquery(b))
+            decline("RAISE() inside a subquery of a trigger body is " +
+              "not supported; raise it from the body's own select " +
+              "list or WHERE instead")
         case other =>
           val verb = b.trim.split("\\s+").headOption.getOrElse("").toUpperCase
           decline(s"trigger bodies may contain INSERT/UPDATE/DELETE/" +
@@ -462,12 +669,15 @@ object Triggers {
       // last_insert_rowid() untouched — SQLite's trigger accounting
       try SessionChanges.inTriggerBody {
         trigs.foreach { t =>
+          // WHEN may contain RAISE too (measured: SQLite accepts it
+          // and fires it while evaluating the clause) — rewritten the
+          // same way as body occurrences
           val rel = t.when match {
-            case Some(w) => s"(SELECT * FROM $view WHERE $w)"
+            case Some(w) => s"(SELECT * FROM $view WHERE ${rewriteRaise(w)})"
             case None    => s"$view"
           }
           active.get() += t.name.toLowerCase
-          try t.body.foreach(runBody(spark, rel, _))
+          try t.body.foreach(b => runBody(spark, rel, rewriteRaise(b)))
           finally active.get() -= t.name.toLowerCase
         }
       } finally spark.catalog.dropTempView(view)
@@ -511,8 +721,19 @@ object Triggers {
           s"EXISTS (SELECT 1 FROM $rel graft_trig_row WHERE $w)")
         Mutate.runDelete(spark, d.copy(where = wrapped))
       case _ => // validated SELECT body: execute per slice row, discard
-        spark.sql(s"SELECT graft_body.* FROM $rel graft_trig_row, " +
-          s"LATERAL ($stmt) graft_body").count()
+        // toRdd (not count()): count() lets the optimizer prune the
+        // select list entirely, and a pruned `SELECT RAISE(…) WHERE
+        // cond` would never evaluate the raise — toRdd produces every
+        // output column, so the projection runs per row like SQLite.
+        // FROM-less bodies take the slice as their own FROM (raise
+        // ordering — see [[injectFrom]]); bodies with a FROM keep the
+        // LATERAL per-row correlation.
+        val q =
+          if (hasTopLevelFrom(stmt))
+            s"SELECT graft_body.* FROM $rel graft_trig_row, " +
+              s"LATERAL ($stmt) graft_body"
+          else injectFrom(stmt, s"$rel graft_trig_row")
+        spark.sql(q).queryExecution.toRdd.count()
     }
 
   // ------------------------------------------- INSTEAD OF (view DML)

@@ -50,8 +50,14 @@ object Upsert {
   /** Execute a parsed INSERT statement against the session catalog —
     * `stmt.replace` selects OR REPLACE (merge: updates win on key) vs
     * plain INSERT (pure append: duplicate keys SURVIVE, exactly
-    * SQLite's behavior on a table with no declared PRIMARY KEY). */
-  def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
+    * SQLite's behavior on a table with no declared PRIMARY KEY).
+    * Statement-atomic under trigger programs ([[Atomic]]): a
+    * RAISE(ABORT) — or any mid-program failure — restores every
+    * pre-statement binding. */
+  def run(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame =
+    Atomic.statement(spark)(runStmt(spark, stmt))
+
+  private def runStmt(spark: SparkSession, stmt: SqlDml.Upsert): DataFrame = {
     // a VIEW target routes to its INSTEAD OF triggers (or refuses —
     // SQLite's rule); the write machinery below never runs for views
     Triggers.interceptViewInsert(spark, stmt).foreach(df => return df)

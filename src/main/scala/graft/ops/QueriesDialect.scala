@@ -366,6 +366,40 @@ object QueriesDialect {
              ORDER BY ev, k""")
     }),
 
+    // RAISE(ABORT) end-to-end (exec.Triggers + exec.Atomic): a
+    // validation trigger aborts the violating batch WHOLE — the DML
+    // and the audit row its body wrote before the raise both roll
+    // back (copy-on-write binding restore), and the surfaced error is
+    // exactly the raise message. The post-session state is
+    // closed-form, so the key is fully oracle-verified even though
+    // DuckDB has no triggers.
+    "ddl_raise_trigger_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      def run(q: String) =
+        graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_rz_work") // also drops its trigger
+      run("DROP TABLE IF EXISTS graft_rz_audit")
+      run("""CREATE TABLE graft_rz_work AS
+             SELECT n_nationkey AS k, n_name AS name FROM nation""")
+      run("CREATE TABLE graft_rz_audit (ev TEXT, k INTEGER)")
+      run("""CREATE TRIGGER graft_rz_guard BEFORE INSERT ON graft_rz_work
+             BEGIN
+               INSERT INTO graft_rz_audit VALUES ('try', NEW.k);
+               SELECT RAISE(ABORT, 'negative key') WHERE NEW.k < 0;
+             END""")
+      val msg =
+        try {
+          run("INSERT INTO graft_rz_work VALUES (100, 'ok'), (-1, 'bad')")
+          "no-error"
+        } catch { case e: graft.functions.GraftRaiseAbort => e.getMessage }
+      run("INSERT INTO graft_rz_work VALUES (200, 'fine')") // no violation
+      run(s"""SELECT ev, k FROM graft_rz_audit
+             UNION ALL SELECT 'cnt', (SELECT count(*) FROM graft_rz_work)
+             UNION ALL SELECT 'err',
+               ${if (msg == "negative key") 1 else 0}
+             ORDER BY ev, k""")
+    }),
+
     "sink_upsert_sql" -> ((s, d) => {
       Tables.t(s, d, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -893,6 +927,20 @@ object QueriesDialect {
            UNION ALL
            SELECT 'cnt' AS ev,
                   (SELECT CAST(count(*) AS BIGINT) FROM nat WHERE k < 20)
+         ) ORDER BY ev, k""",
+
+    // the RAISE session in closed form: the violating batch left
+    // nothing (its 'try' audit rows rolled back with it), the passing
+    // insert left one audit row and one table row on top of nation's
+    // 25, and the caught error matched the raise message ('err' 1)
+    "ddl_raise_trigger_sql" ->
+      """SELECT * FROM (
+           SELECT 'try' AS ev, CAST(200 AS BIGINT) AS k
+           UNION ALL
+           SELECT 'cnt' AS ev,
+                  CAST((SELECT count(*) FROM nation) + 1 AS BIGINT) AS k
+           UNION ALL
+           SELECT 'err' AS ev, CAST(1 AS BIGINT) AS k
          ) ORDER BY ev, k""",
 
     // the upsert statement's post-state as a plain SELECT: updates win

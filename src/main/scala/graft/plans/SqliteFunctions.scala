@@ -79,6 +79,16 @@ object SqliteFunctions {
       arity("iif", args, 3); If(args(0), args(1), args(2))
     }),
 
+    // the fire-time rewrite of a trigger program's RAISE(ABORT|
+    // ROLLBACK, 'msg') — evaluating it aborts the statement
+    // (exec.Triggers rewrites; exec.Atomic restores bindings). Not a
+    // user-facing SQLite name: RAISE() itself is refused outside a
+    // trigger program with SQLite's own error text (exec.Runner).
+    ("graft_raise", "graft_raise(msg) - abort the statement with msg", { args =>
+      arity("graft_raise", args, 1)
+      graft.functions.GraftRaise(Cast(args.head, StringType))
+    }),
+
     // noon-based Julian Day number, same formula the dialect translator
     // and the fn_julianday oracle pin: 2440587.5 + epoch_micros/86.4e9
     ("julianday", "julianday(ts) - fractional Julian Day number", { args =>

@@ -149,8 +149,12 @@ class TriggerSpec extends SparkSpec {
     }
     declined(s"CREATE TRIGGER bad1$n INSTEAD OF INSERT ON $t BEGIN " +
       s"INSERT INTO $log VALUES ('x', 1); END", "INSTEAD OF")
+    // RAISE(ABORT/ROLLBACK) is supported (TriggerRaiseSpec); the
+    // row-order-dependent kinds still decline with named errors
     declined(s"CREATE TRIGGER bad2$n AFTER INSERT ON $t BEGIN " +
-      s"SELECT RAISE(ABORT, 'no'); END", "RAISE")
+      s"SELECT RAISE(FAIL, 'no'); END", "RAISE(FAIL)")
+    declined(s"CREATE TRIGGER bad2i$n AFTER INSERT ON $t BEGIN " +
+      s"SELECT RAISE(IGNORE); END", "RAISE(IGNORE)")
     declined(s"CREATE TRIGGER bad3$n AFTER INSERT ON $t BEGIN " +
       s"INSERT INTO $log VALUES ('x', OLD.a); END", "OLD is not valid")
     declined(s"CREATE TRIGGER bad4$n AFTER DELETE ON $t BEGIN " +

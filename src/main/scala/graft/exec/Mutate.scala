@@ -135,7 +135,7 @@ object Mutate {
       }
     try {
       slice.foreach(sl =>
-        Triggers.fire(spark, u.table, "update", setColNames, "before", sl))
+        Triggers.fireBefore(spark, u.table, "update", setColNames, sl))
       val out = rebind(spark, u.table, merged, ret)
       slice.foreach(sl =>
         Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
@@ -233,15 +233,19 @@ object Mutate {
             .persist())
         }
       try {
-        slice.foreach(sl => Triggers.fire(spark, u.table, "update",
-          setColNames, "before", sl))
+        slice.foreach(sl => Triggers.fireBefore(spark, u.table, "update",
+          setColNames, sl))
         val out = rebind(spark, u.table, merged, ret)
-        spark.catalog.dropTempView(s"graft_updf_ret_g$gen")
         slice.foreach(sl => Triggers.fire(spark, u.table, "update",
           setColNames, "after", sl))
         out
       } finally slice.foreach(_.unpersist())
     } finally {
+      // the RETURNING helper view drops here (not just on success) so
+      // a raising trigger / failing rebind can't leak it into the
+      // session catalog; dropTempView on the no-RETURNING path is a
+      // false-returning no-op
+      spark.catalog.dropTempView(s"graft_updf_ret_g$gen")
       spark.catalog.dropTempView(bview)
       baseR.unpersist()
     }
@@ -280,7 +284,7 @@ object Mutate {
       }
     try {
       slice.foreach(sl =>
-        Triggers.fire(spark, d.table, "delete", Nil, "before", sl))
+        Triggers.fireBefore(spark, d.table, "delete", Nil, sl))
       val out = rebind(spark, d.table, merged, ret)
       slice.foreach(sl =>
         Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
@@ -491,6 +495,7 @@ object Mutate {
     merged.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(table)
+    Triggers.bumpVersion(spark, table)
     retOut.getOrElse(out)
   }
 }

@@ -165,13 +165,17 @@ object Pragma {
       tableListSchema)
   }
 
-  /** Catalog tables visible to generated SQL, sorted for determinism;
-    * this module's own helper views are filtered out. */
+  /** Catalog tables visible to generated SQL, sorted for determinism.
+    * The whole `graft_` prefix is the engine's reserved namespace
+    * (pragma TVF views, trigger slices, DML scratch views — e.g.
+    * `graft_updf_*`, `graft_trig_*`); filtering it keeps transient
+    * helpers out of `sqlite_master` / `PRAGMA table_list` even if an
+    * aborted statement left one registered — the same rule SQLite
+    * applies to its own `sqlite_*` objects. */
   private def sessionTables(spark: SparkSession): Seq[(String, StructType)] =
     spark.catalog.listTables().collect().toIndexedSeq
       .map(_.name)
-      .filterNot(n => n == "sqlite_master" ||
-        n.startsWith("graft_pragma_ti_") || n.startsWith("graft_pragma_tx_"))
+      .filterNot(n => n == "sqlite_master" || n.startsWith("graft_"))
       .sorted
       .map { n =>
         // hide the emulated rowid from synthesized DDL / column counts

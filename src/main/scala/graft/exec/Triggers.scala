@@ -330,14 +330,37 @@ object Triggers {
       if (t.event == "delete" && refersTo(frag, "new"))
         decline("NEW is not valid in a DELETE trigger")
     }
+    // a WHEN clause evaluates per-row as the slice's WHERE, so a
+    // top-level raise there fires in SQLite's order — but a raise
+    // inside a WHEN subquery hits the same decorrelation hazard as the
+    // SELECT-body case ([[raiseInSubquery]])
+    t.when.foreach { w =>
+      if (raiseInSubquery(w))
+        decline("RAISE() inside a subquery of a trigger WHEN clause " +
+          "is not supported; raise it at the top level of WHEN instead")
+    }
+    // RAISE is only proven to evaluate AFTER the row filter on the
+    // FROM-less SELECT body path ([[injectFrom]]). The DML bodies run
+    // through LATERAL / EXISTS / join rewrites that Spark decorrelates,
+    // which can evaluate a raise before the correlation filter —
+    // aborting statements whose rows all pass the guard. Decline
+    // VISIBLY at CREATE rather than abort wrongly at fire.
+    def declineDmlRaise(b: String, verb: String): Unit =
+      if (scanRaise(b).nonEmpty)
+        decline(s"RAISE() in a trigger $verb body is not supported " +
+          "(the set-based rewrite cannot pin SQLite's per-row " +
+          "evaluation order there); use a separate FROM-less SELECT " +
+          "body (SELECT RAISE(…) WHERE …) before it")
     t.body.foreach { b =>
       SqlDml.detect(b) match {
         case Some(u: SqlDml.Upsert) =>
           if (u.returning.isDefined)
             decline("cannot use RETURNING in a trigger")
+          declineDmlRaise(b, "INSERT")
         case Some(u: SqlDml.Update) =>
           if (u.returning.isDefined)
             decline("cannot use RETURNING in a trigger")
+          declineDmlRaise(b, "UPDATE")
           if (u.limit.isDefined)
             decline("trigger UPDATE bodies with LIMIT are not supported")
           // the slice joins the body's FROM list WITHOUT LATERAL
@@ -358,6 +381,7 @@ object Triggers {
             decline("cannot use RETURNING in a trigger")
           if (d.limit.isDefined)
             decline("trigger DELETE bodies with LIMIT are not supported")
+          declineDmlRaise(b, "DELETE")
         case None if b.trim.toLowerCase.startsWith("select") => // run+discard
           // a raise must evaluate AFTER the body's own row filter —
           // guaranteed only on the FROM-less trigger-row scope (the
@@ -651,6 +675,61 @@ object Triggers {
     * plans stay valid because every rebind is copy-on-write. No-op
     * when nothing matches or the slice is empty (SQLite fires
     * per-row: zero rows, zero firings). */
+  // --------------------- DML-rebind versioning (BEFORE-cascade guard)
+
+  /** Per-session count of copy-on-write re-binds per table (lowercase
+    * name). [[Mutate]]/[[Upsert]] bump it at every DML re-bind;
+    * [[fireBefore]] uses it to detect a BEFORE trigger program that
+    * cascaded a write back into the subject table THROUGH another
+    * table's triggers — the CREATE-time direct-target check cannot see
+    * that chain (the closing trigger may be registered after the
+    * BEFORE one). */
+  private val versions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[String, Long]]())
+
+  private def versionMap(spark: SparkSession)
+      : scala.collection.mutable.Map[String, Long] =
+    versions.synchronized {
+      var m = versions.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, Long]
+        versions.put(spark, m)
+      }
+      m
+    }
+
+  private[exec] def bumpVersion(spark: SparkSession, table: String): Unit = {
+    val m = versionMap(spark)
+    m.synchronized {
+      m(table.toLowerCase) = m.getOrElse(table.toLowerCase, 0L) + 1L
+    }
+  }
+
+  private def versionOf(spark: SparkSession, table: String): Long = {
+    val m = versionMap(spark)
+    m.synchronized(m.getOrElse(table.toLowerCase, 0L))
+  }
+
+  /** Fire the BEFORE-timing triggers, then verify no body cascaded a
+    * write back into the subject table: the caller's merged plan was
+    * built against the PRE-statement binding, so its re-bind would
+    * silently overwrite the cascaded write (lost update). SQLite
+    * interleaves these row-at-a-time; the set-based engine refuses
+    * VISIBLY instead — [[Atomic]] rolls the statement back whole. */
+  def fireBefore(spark: SparkSession, table: String, event: String,
+                 setCols: Seq[String], slice: => DataFrame): Unit = {
+    val v0 = versionOf(spark, table)
+    fire(spark, table, event, setCols, "before", slice)
+    if (versionOf(spark, table) != v0)
+      throw new UnsupportedOperationException(
+        s"a BEFORE trigger program on $table cascaded a write back " +
+          s"into $table through another table's triggers; the " +
+          "statement's set-based rewrite would overwrite that write — " +
+          "use AFTER timing for the cascading trigger chain")
+  }
+
   def fire(spark: SparkSession, table: String, event: String,
            setCols: Seq[String], timing: String, slice: => DataFrame): Unit = {
     val trigs = matching(spark, table, event, setCols, timing)

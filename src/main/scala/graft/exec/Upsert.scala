@@ -269,13 +269,13 @@ object Upsert {
     val updSlice = if (!updTrig) None else updOldNew.map(_.persist())
     try {
       beforeSlice.foreach(sl =>
-        Triggers.fire(spark, stmt.table, "insert", Nil, "before", sl))
+        Triggers.fireBefore(spark, stmt.table, "insert", Nil, sl))
       updSlice.foreach(sl =>
-        Triggers.fire(spark, stmt.table, "update", updAssignCols,
-          "before", sl))
+        Triggers.fireBefore(spark, stmt.table, "update", updAssignCols, sl))
       merged.write.mode("overwrite").parquet(dir)
       val out = spark.read.parquet(dir)
       out.createOrReplaceTempView(stmt.table)
+      Triggers.bumpVersion(spark, stmt.table)
       afterSlice.foreach(sl =>
         Triggers.fire(spark, stmt.table, "insert", Nil, "after", sl))
       updSlice.foreach(sl =>

@@ -181,6 +181,40 @@ class TriggerRaiseSpec extends SparkSpec {
     assert(sql(s"SELECT * FROM $t WHERE a = 77").count() == 1)
   }
 
+  test("RAISE in a DML body or WHEN subquery: named CREATE-time decline") {
+    // the set-based LATERAL/EXISTS rewrites for DML bodies decorrelate,
+    // so a raise there could evaluate before the correlation filter —
+    // e.g. `INSERT INTO log SELECT RAISE(…) WHERE NEW.x < 0` over a
+    // batch whose rows ALL pass the guard would still abort. Declined
+    // visibly at CREATE instead of aborting wrongly at fire.
+    val (t, log) = fixture()
+    def createFails(body: String): UnsupportedOperationException =
+      intercept[UnsupportedOperationException] {
+        sql(s"CREATE TRIGGER rz_dr$n BEFORE INSERT ON $t BEGIN $body END")
+      }
+    assert(createFails(
+      s"INSERT INTO $log SELECT 'bad', RAISE(ABORT, 'neg') WHERE NEW.a < 0;")
+      .getMessage.contains("INSERT body"))
+    assert(createFails(
+      s"UPDATE $log SET va = NEW.a " +
+        s"WHERE ev = 'x' AND RAISE(ABORT, 'u') IS NOT NULL;")
+      .getMessage.contains("UPDATE body"))
+    assert(createFails(
+      s"DELETE FROM $log WHERE RAISE(ABORT, 'd') IS NOT NULL;")
+      .getMessage.contains("DELETE body"))
+    // WHEN subquery raise: same decorrelation hazard, same decline
+    assert(intercept[UnsupportedOperationException] {
+      sql(s"CREATE TRIGGER rz_ws$n BEFORE INSERT ON $t " +
+        s"WHEN (SELECT RAISE(ABORT, 'w')) IS NULL BEGIN SELECT 1; END")
+    }.getMessage.contains("WHEN clause"))
+    // the supported idiom still registers and fires correctly
+    sql(s"CREATE TRIGGER rz_ok$n BEFORE INSERT ON $t BEGIN " +
+      s"SELECT RAISE(ABORT, 'neg') WHERE NEW.a < 0; " +
+      s"INSERT INTO $log VALUES ('ins', NEW.a); END")
+    sql(s"INSERT INTO $t VALUES (21, 'ok')")
+    assert(rowsOf(s"SELECT ev, va FROM $log") == Seq(Seq("ins", 21L)))
+  }
+
   test("RAISE outside a trigger program: SQLite's refusal text") {
     val e = intercept[IllegalArgumentException] {
       sql("SELECT RAISE(ABORT, 'x')")

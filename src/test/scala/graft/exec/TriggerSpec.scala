@@ -220,6 +220,58 @@ class TriggerSpec extends SparkSpec {
       Seq(Seq("cascade", 4L)))
   }
 
+  test("BEFORE body cascading back into the subject table: visible " +
+       "refusal, statement rolls back whole") {
+    val (t, log) = fixture()
+    sql(s"INSERT INTO $log VALUES ('c', 5)")
+    // BEFORE INSERT on t writes log (legal: not its own table) — but
+    // log's own trigger cascades an INSERT back into t. The outer
+    // statement's merged plan was built pre-statement, so its re-bind
+    // would silently overwrite that cascaded write (lost update);
+    // sqlite3 interleaves these row-at-a-time. The engine must refuse
+    // VISIBLY and roll the statement back, never lose the write.
+    sql(s"CREATE TRIGGER tr_bc1$n BEFORE INSERT ON $t BEGIN " +
+      s"UPDATE $log SET va = va + NEW.a WHERE ev = 'c'; END")
+    sql(s"CREATE TRIGGER tr_bc2$n AFTER UPDATE ON $log BEGIN " +
+      s"INSERT INTO $t VALUES (NEW.va * 1000, 'cascade'); END")
+    val e = intercept[UnsupportedOperationException] {
+      sql(s"INSERT INTO $t VALUES (7, 'w')")
+    }
+    assert(e.getMessage.contains("cascaded"), e.getMessage)
+    // Atomic restored every binding: no partial effects anywhere
+    assert(sql(s"SELECT * FROM $t").count() == 3)
+    assert(rowsOf(s"SELECT va FROM $log") == Seq(Seq(5L)))
+    // dropping the cascading link makes the same statement legal again
+    sql(s"DROP TRIGGER tr_bc2$n")
+    sql(s"INSERT INTO $t VALUES (7, 'w')")
+    assert(sql(s"SELECT * FROM $t").count() == 4)
+    assert(rowsOf(s"SELECT va FROM $log") == Seq(Seq(12L)))
+  }
+
+  test("aborted UPDATE … FROM … RETURNING leaks no helper view; " +
+       "graft_ scratch names stay out of the catalog surface") {
+    val (t, log) = fixture()
+    sql(s"INSERT INTO $log VALUES ('m', 2)")
+    sql(s"CREATE TRIGGER tr_lk$n BEFORE UPDATE ON $t BEGIN " +
+      s"SELECT RAISE(ABORT, 'blocked') WHERE NEW.a IS NOT NULL; END")
+    intercept[graft.functions.GraftRaiseAbort] {
+      sql(s"UPDATE $t SET a = $t.a + va FROM $log " +
+        s"WHERE $t.a = va RETURNING a")
+    }
+    // the RETURNING helper view must not survive the abort
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_updf_")))
+    // and even a stray engine-internal view never reaches the
+    // introspection surface (graft_ is the reserved namespace)
+    spark.range(1).createOrReplaceTempView("graft_updf_ret_g999999")
+    try {
+      assert(sql(s"PRAGMA table_list")
+        .filter("name LIKE 'graft%'").count() == 0)
+      assert(sql(s"SELECT name FROM sqlite_master WHERE name LIKE 'graft%'")
+        .count() == 0)
+    } finally spark.catalog.dropTempView("graft_updf_ret_g999999")
+  }
+
   test("user-level UPDATE … FROM fires UPDATE triggers over the matched slice") {
     val (t, log) = fixture()
     sql(s"INSERT INTO $log VALUES ('m', 2), ('m', 9)")

@@ -120,6 +120,50 @@ object QueriesCore {
         .orderBy("fname")
     }),
 
+    // XML scan — Spark 4's built-in XML source (the format enterprise
+    // document feeds still arrive in). Round-trip shape like scan_orc:
+    // a typed slice writes as <doc> rows (the writer escapes markup;
+    // free text rides as an md5 fingerprint so escaping can never
+    // perturb verified bytes), reads back with an EXPLICIT schema —
+    // XML inference is a full extra pass at 100 TB, and a landed feed
+    // declares its schema. Multi-file, splittable by row tag.
+    "scan_xml" -> ((s, d) => {
+      val dir = tmpDir("scan_xml", d)
+      if (!Tables.writeComplete(dir))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(col("text")).as("fp"))
+          .write.mode("overwrite").option("rowTag", "doc")
+          .format("xml").save(dir)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, fp STRING")
+        .option("rowTag", "doc").format("xml").load(dir)
+        .filter(col("n_chars") >= 100)
+        .orderBy("doc_id")
+    }),
+
+    // line-oriented raw-text scan — `spark.read.text`, the lowest
+    // common denominator for web-scale text drops (one record per
+    // line, no schema, splittable). The fixture writes one
+    // tab-separated line per document (id \t lang \t text-fingerprint
+    // — the id keys the line, the fingerprint carries content), then
+    // the scan parses lines back into typed columns the way a raw-drop
+    // ingest stage would: split_part projections, row-local, pushed on
+    // top of a plain text scan with no decode cost beyond UTF-8.
+    "scan_text" -> ((s, d) => {
+      val dir = tmpDir("scan_text", d)
+      if (!Tables.writeComplete(dir))
+        Tables.t(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"),
+            md5(col("text"))).as("value"))
+          .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(
+          expr("CAST(split_part(value, '\t', 1) AS BIGINT)").as("doc_id"),
+          expr("split_part(value, '\t', 2)").as("lang"),
+          expr("split_part(value, '\t', 3)").as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // upsert sink — SQLite `INSERT OR REPLACE` semantics (last write
     // wins by primary key) expressed as updates ∪ (base ⟕anti updates),
     // materialized and read back. At 100 TB this is the copy-on-write
@@ -315,6 +359,12 @@ object QueriesCore {
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            MD5(text) AS fp
          FROM documents WHERE doc_id < 20 ORDER BY fname""",
+    "scan_xml" ->
+      """SELECT doc_id, lang, n_chars, MD5(text) AS fp
+         FROM documents WHERE n_chars >= 100 ORDER BY doc_id""",
+    "scan_text" ->
+      """SELECT doc_id, lang, MD5(text) AS fp
+         FROM documents ORDER BY doc_id""",
     "sink_upsert" ->
       """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
          upd AS (

@@ -284,6 +284,38 @@ object QueriesFunctions {
           percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
           percentile(col("l_linenumber"), lit(0.5)).as("med_line"))
         .orderBy("l_returnflag")),
+
+    // higher statistical moments in ONE partial+final hash aggregate —
+    // the distribution-shape profile (spread, asymmetry, tail weight) a
+    // data-quality pass computes per stratum before sampling decisions.
+    // Spark's skewness/kurtosis are the POPULATION g1 / excess-g2
+    // moments; the oracle states the same algebra over exact power
+    // sums, and round() absorbs the two engines' summation-order and
+    // update-formula noise (both ≤1e-9 here). All five aggregates ride
+    // the same codegen'd aggregate — one scan, one shuffle of 3 rows.
+    "agg_stats_moments" -> ((s, d) =>
+      t("lineitem")(s, d).groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        .orderBy("l_returnflag")),
+
+    // mode with DETERMINISTIC tie-break (Spark's mode(expr, true) —
+    // lowest value among the most frequent): the label-consensus
+    // aggregate (majority vote per group) that re-shard order must not
+    // flip. One hash aggregate carrying a per-group value→count map;
+    // at scale the value domain per group must be bounded (priorities,
+    // labels, categories — exactly where mode is meaningful).
+    "agg_mode" -> ((s, d) =>
+      t("orders")(s, d).groupBy("o_orderstatus")
+        .agg(
+          expr("mode(o_orderpriority, true)").as("mode_prio"),
+          expr("mode(CAST(month(o_orderdate) AS INT), true)").as("mode_month"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -443,5 +475,61 @@ object QueriesFunctions {
            QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
            QUANTILE_CONT(l_linenumber, 0.5) AS med_line
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // skew/kurt re-derived from exact power sums (DuckDB's built-ins
+    // are the SAMPLE-corrected G1/G2 — a different statistic from
+    // Spark's population g1/g2, so the oracle states Spark's algebra)
+    "agg_stats_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
+             STDDEV_SAMP(l_quantity) AS sd,
+             VAR_SAMP(l_quantity) AS vr
+           FROM lineitem GROUP BY l_returnflag),
+         m AS (
+           SELECT l_returnflag, nn, sd, vr, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1/n)*(s1/n)*(s1/n) AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n
+               + 6 * (s1/n)*(s1/n) * s2 / n
+               - 3 * (s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+           FROM s)
+         SELECT l_returnflag, nn AS n,
+           ROUND(sd, 4) AS sd_qty,
+           ROUND(vr, 4) AS var_qty,
+           ROUND(m3 / POW(m2, 1.5), 4) AS skew_qty,
+           ROUND(m4 / (m2 * m2) - 3, 4) AS kurt_qty
+         FROM m ORDER BY l_returnflag""",
+    // deterministic mode: lowest value among the most frequent —
+    // exactly Spark's mode(expr, true) tie-break, stated as a ranked
+    // count (DuckDB's mode() leaves ties unspecified)
+    "agg_mode" ->
+      """WITH c1 AS (
+           SELECT o_orderstatus, o_orderpriority AS v, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         r1 AS (
+           SELECT o_orderstatus, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, v ASC) AS rn
+           FROM c1),
+         c2 AS (
+           SELECT o_orderstatus, CAST(MONTH(o_orderdate) AS INTEGER) AS v,
+             COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         r2 AS (
+           SELECT o_orderstatus, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, v ASC) AS rn
+           FROM c2),
+         n AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1)
+         SELECT n.o_orderstatus, r1.v AS mode_prio, r2.v AS mode_month, n.n
+         FROM n JOIN r1 ON r1.o_orderstatus = n.o_orderstatus AND r1.rn = 1
+                JOIN r2 ON r2.o_orderstatus = n.o_orderstatus AND r2.rn = 1
+         ORDER BY n.o_orderstatus""",
   )
 }

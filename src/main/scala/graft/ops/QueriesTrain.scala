@@ -414,7 +414,49 @@ object QueriesTrain {
       Packing.packGreedy(t("documents")(s, d), "doc_id", "n_chars",
           capacity = 8192L, groups = 32)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score each raw
+    // document by the log importance weight of its hashed-feature
+    // counts under a TARGET model vs the RAW corpus model, keep the
+    // top of the ranking. Features are md5-prefix hash buckets (256 —
+    // engine-portable; the paper hashes n-grams the same way), models
+    // are add-one-smoothed bucket frequencies: target = the trusted
+    // domain slice (here the English documents), raw = everything.
+    // ONE tokenize pass persists per-(doc, bucket) counts; both model
+    // branches and the scoring join read that cache. The models are
+    // ≤256 rows — broadcast — so scoring is map-side; the only
+    // shuffles are the two bounded model aggregations and the per-doc
+    // rollup. logw is an exact-count-weighted sum of ≤256 log terms,
+    // rounded; ranking orders by the ROUNDED value with a doc_id
+    // tie-break so the cut is engine-stable. At 100 TB: corpus scans
+    // once, model fits in a closure, selection is a TakeOrdered.
+    "ext_dsir_select" -> ((s, d) => {
+      val tf = t("documents")(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          expr("substring(md5(tok), 1, 2)").as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val raw = tf.groupBy("b").agg(sum("cnt").as("cr"))
+      val tgt = tf.filter(col("lang") === "en")
+        .groupBy("b").agg(sum("cnt").as("ct"))
+      val model = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      val tots = model.agg(sum("ct").as("st"), sum("cr").as("sr"))
+      tf.join(broadcast(model), "b")
+        .crossJoin(broadcast(tots))
+        .withColumn("logw_t",
+          col("cnt") * (log((col("ct") + 1.0) / (col("st") + 256.0))
+            - log((col("cr") + 1.0) / (col("sr") + 256.0))))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_toks"), round(sum("logw_t"), 6).as("logw"))
+        .orderBy(desc("logw"), asc("doc_id"))
+        .limit(100)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -659,6 +701,32 @@ object QueriesTrain {
                   CASE WHEN r.fill + b.toks <= 8192
                        THEN r.bin ELSE r.bin + 1 END
            FROM r JOIN base b ON b.grp = r.grp AND b.rn = r.rn + 1)
-         SELECT doc_id, grp, bin, toks FROM r ORDER BY doc_id"""
+         SELECT doc_id, grp, bin, toks FROM r ORDER BY doc_id""",
+
+    // the same hashed-feature importance weight in closed form (LN =
+    // Spark's natural log; DuckDB LOG is base 10)
+    "ext_dsir_select" ->
+      """WITH tf AS (
+           SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b,
+                  COUNT(*) AS cnt
+           FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+                 FROM documents)
+           GROUP BY 1, 2, 3),
+         raw AS (SELECT b, SUM(cnt) AS cr FROM tf GROUP BY 1),
+         tgt AS (SELECT b, SUM(cnt) AS ct FROM tf WHERE lang = 'en'
+                 GROUP BY 1),
+         model AS (
+           SELECT raw.b, COALESCE(tgt.ct, 0) AS ct, raw.cr
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         tots AS (SELECT SUM(ct) AS st, SUM(cr) AS sr FROM model)
+         SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_toks,
+           ROUND(SUM(tf.cnt * (LN((model.ct + 1.0) / (tots.st + 256.0))
+             - LN((model.cr + 1.0) / (tots.sr + 256.0)))), 6) AS logw
+         FROM tf JOIN model ON tf.b = model.b CROSS JOIN tots
+         GROUP BY tf.doc_id
+         ORDER BY logw DESC, doc_id LIMIT 100"""
   )
 }

@@ -69,6 +69,10 @@ object Ddl {
     if (!isView && stmt.kind == "view" && exists(spark, stmt.name))
       throw new IllegalArgumentException(
         s"use DROP TABLE to delete table ${stmt.name}")
+    // a referenced parent is undeletable under PRAGMA foreign_keys=1
+    // (measured: SQLite's implicit DELETE raises the FK error)
+    if (!isView && exists(spark, stmt.name))
+      ForeignKeys.assertDroppable(spark, stmt.name)
     val dropped = spark.catalog.dropTempView(stmt.name)
     if (!dropped && !stmt.ifExists)
       throw new IllegalArgumentException(
@@ -76,6 +80,9 @@ object Ddl {
           s"(add IF EXISTS to make this a no-op)")
     if (dropped) {
       SessionKeys.forgetTable(spark, stmt.name)
+      // child-side FKs die with their table; FKs REFERENCING the
+      // dropped name dangle, exactly as SQLite leaves them
+      ForeignKeys.forgetTable(spark, stmt.name)
       SessionViews.remove(spark, stmt.name)
       Triggers.dropForTable(spark, stmt.name) // SQLite: triggers die with their table
     }
@@ -155,6 +162,12 @@ object Ddl {
         stmt.name, stmt.uniqueCols, unique = true, origin = "u")
     SessionKeys.declareDefaults(spark, stmt.name,
       stmt.defaults.map { case (c, raw) => c -> (raw, defaultExecSql(raw)) })
+    // FOREIGN KEY constraints register (introspection via PRAGMA
+    // foreign_key_list/check; enforced under PRAGMA foreign_keys=1) —
+    // SQLite accepts references to not-yet-created tables, so no
+    // parent existence check happens here (measured)
+    ForeignKeys.forgetTable(spark, stmt.name)
+    ForeignKeys.register(spark, stmt.name, stmt.fks)
     spark.emptyDataFrame
   }
 
@@ -224,6 +237,7 @@ object Ddl {
     if (!stmt.newName.equalsIgnoreCase(stmt.table))
       spark.catalog.dropTempView(stmt.table)
     SessionKeys.renameTable(spark, stmt.table, stmt.newName)
+    ForeignKeys.renameTable(spark, stmt.table, stmt.newName)
     Triggers.renameTable(spark, stmt.table, stmt.newName)
     spark.emptyDataFrame
   }
@@ -248,6 +262,7 @@ object Ddl {
       else col(quote(c))
     }.toIndexedSeq: _*).createOrReplaceTempView(stmt.table)
     SessionKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
+    ForeignKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
     Triggers.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
     spark.emptyDataFrame
   }
@@ -315,6 +330,9 @@ object Ddl {
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)
     SessionKeys.forgetColumn(spark, stmt.table, stmt.col)
+    // an FK whose child columns include the dropped column silently
+    // drops with it (measured SQLite 3.40.1 behavior)
+    ForeignKeys.dropColumn(spark, stmt.table, stmt.col)
     spark.emptyDataFrame
   }
 }

@@ -1,0 +1,393 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.text2sql.SqlDml
+
+/** Session-declared FOREIGN KEY constraints (delegated surface: the
+  * reference's SQLite parses and — under `PRAGMA foreign_keys=ON` —
+  * enforces any FK clause the model generates, pandasqlite.py:245-247).
+  *
+  * Declarations register at CREATE TABLE (previously they were skipped
+  * silently — the one divergence class this engine forbids), surface
+  * through `PRAGMA foreign_key_list` / `foreign_key_check`, follow
+  * ALTER renames on BOTH sides (measured: SQLite rewrites parent
+  * references on RENAME TO and referenced-column names on RENAME
+  * COLUMN), die with a dropped child column (measured: DROP COLUMN
+  * silently removes the FK it participates in) and with DROP TABLE of
+  * the child; dropping a PARENT leaves the dangling reference SQLite
+  * leaves (foreign_key_check then flags every non-null child row —
+  * measured).
+  *
+  * Enforcement (`PRAGMA foreign_keys = 1`) is set-based:
+  *  - child INSERT/UPDATE: the statement's would-land rows with every
+  *    FK column non-null anti-join the parent key set; a survivor ⇒
+  *    "FOREIGN KEY constraint failed", the statement's error in
+  *    sqlite3 3.40.1. One broadcast-friendly anti-join per declared
+  *    FK over the AFFECTED slice only — the corpus never rescans.
+  *  - parent DELETE / key UPDATE / OR REPLACE: keys REMOVED by the
+  *    statement (old ∖ new) semi-join each child's references; a
+  *    match ⇒ the same error. Removed-key sets are bounded by the
+  *    statement's write, not the table.
+  *  - ON DELETE/UPDATE CASCADE / SET NULL / SET DEFAULT actions would
+  *    rewrite OTHER tables mid-statement — declined NAMED when a
+  *    parent-side statement would need them; NO ACTION and RESTRICT
+  *    (identical under immediate autocommit statements) enforce.
+  * Timing parity (measured, sqlite3 3.40.1): SQLite too settles FK
+  * state at the END of the statement — a multi-row INSERT whose later
+  * rows create earlier rows' parents passes (`INSERT INTO tree VALUES
+  * (4,5),(5,NULL)` succeeds), and `INSERT OR IGNORE` discards
+  * unique-conflict rows BEFORE FK checking while erroring on
+  * non-conflicting violators — exactly what checking the statement's
+  * would-land slice produces.
+  */
+object ForeignKeys {
+
+  private final class State {
+    // lowercased child table -> FKs in declaration order
+    val fks = scala.collection.mutable.Map.empty[String, Vector[SqlDml.Fk]]
+  }
+
+  private val states =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, State]())
+
+  private def state(spark: SparkSession): State =
+    states.synchronized {
+      var s = states.get(spark)
+      if (s == null) { s = new State; states.put(spark, s) }
+      s
+    }
+
+  def register(spark: SparkSession, table: String,
+               fks: Seq[SqlDml.Fk]): Unit = {
+    if (fks.isEmpty) return
+    val s = state(spark)
+    s.synchronized { s.fks(table.toLowerCase) = fks.toVector }
+  }
+
+  /** The table's FKs in DECLARATION order (enforcement order). */
+  def childFksOf(spark: SparkSession, table: String): Seq[SqlDml.Fk] = {
+    val s = state(spark)
+    s.synchronized(s.fks.getOrElse(table.toLowerCase, Vector.empty))
+  }
+
+  /** SQLite's `foreign_key_list` id for declaration index `i` of `n`
+    * FKs: ids count from 0 at the LAST declared constraint (measured
+    * 3.40.1). */
+  private def listId(n: Int, declIdx: Int): Int = n - 1 - declIdx
+
+  /** FKs (from any child table) whose parent is `table`, with their
+    * child table names — the parent-side enforcement set. */
+  def referencing(spark: SparkSession, table: String)
+      : Seq[(String, SqlDml.Fk)] = {
+    val s = state(spark)
+    s.synchronized {
+      s.fks.toSeq.sortBy(_._1).flatMap { case (child, list) =>
+        list.filter(_.parent.equalsIgnoreCase(table)).map(child -> _)
+      }
+    }
+  }
+
+  def forgetTable(spark: SparkSession, table: String): Unit = {
+    val s = state(spark)
+    s.synchronized { s.fks.remove(table.toLowerCase); () }
+  }
+
+  /** RENAME TO: the child-side key moves AND every FK referencing the
+    * old name re-points (measured: SQLite rewrites both). */
+  def renameTable(spark: SparkSession, from: String, to: String): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      val own = s.fks.remove(from.toLowerCase)
+      own.foreach(v => s.fks(to.toLowerCase) = v)
+      for ((t, list) <- s.fks.toSeq)
+        s.fks(t) = list.map { fk =>
+          if (fk.parent.equalsIgnoreCase(from)) fk.copy(parent = to) else fk
+        }
+    }
+  }
+
+  /** RENAME COLUMN follows into the table's own child columns and into
+    * OTHER tables' parent-column references to it (measured). */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit = {
+    val s = state(spark)
+    def sub(cs: Seq[String]) =
+      cs.map(c => if (c.equalsIgnoreCase(from)) to else c)
+    s.synchronized {
+      s.fks.get(table.toLowerCase).foreach { own =>
+        s.fks(table.toLowerCase) = own.map(fk => fk.copy(cols = sub(fk.cols)))
+      }
+      for ((t, list) <- s.fks.toSeq)
+        s.fks(t) = list.map { fk =>
+          if (fk.parent.equalsIgnoreCase(table))
+            fk.copy(parentCols = sub(fk.parentCols))
+          else fk
+        }
+    }
+  }
+
+  /** DROP COLUMN: an FK whose CHILD columns include the dropped column
+    * silently drops with it (measured); parent-side references are
+    * left dangling exactly as SQLite leaves them. */
+  def dropColumn(spark: SparkSession, table: String, col: String): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.fks.get(table.toLowerCase).foreach { own =>
+        val kept = own.filterNot(_.cols.exists(_.equalsIgnoreCase(col)))
+        if (kept.isEmpty) s.fks.remove(table.toLowerCase)
+        else s.fks(table.toLowerCase) = kept
+      }
+    }
+  }
+
+  // ------------------------------------------------ introspection
+
+  private val listSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("seq", IntegerType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("from", StringType, nullable = false),
+    StructField("to", StringType, nullable = true),
+    StructField("on_update", StringType, nullable = false),
+    StructField("on_delete", StringType, nullable = false),
+    StructField("match", StringType, nullable = false)))
+
+  /** `PRAGMA foreign_key_list(T)` — SQLite 3.40.1's exact shape: one
+    * row per FK column, ids in REVERSE declaration order, `to` NULL
+    * for the short form, match always 'NONE'. */
+  def foreignKeyList(spark: SparkSession, table: String): DataFrame = {
+    val fks = childFksOf(spark, table)
+    val rows = fks.zipWithIndex.flatMap { case (fk, i) =>
+      fk.cols.zipWithIndex.map { case (c, seq) =>
+        Row(listId(fks.size, i), seq, fk.parent, c,
+          if (fk.parentCols.isEmpty) null else fk.parentCols(seq),
+          fk.onUpdate, fk.onDelete, "NONE")
+      }
+    }.sortBy(r => (r.getInt(0), r.getInt(1)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      listSchema)
+  }
+
+  // ------------------------------------------------ key resolution
+
+  private def tableOpt(spark: SparkSession, name: String): Option[DataFrame] =
+    try Some(spark.table(Ddl.quote(name)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The parent key columns an FK resolves against, SQLite's rule:
+    * explicit `(pcols)` must be the parent's PRIMARY KEY or a UNIQUE
+    * index; the short form takes the declared PRIMARY KEY. Anything
+    * else is SQLite's measured 'foreign key mismatch' error. */
+  private def resolveParentCols(spark: SparkSession, child: String,
+                                fk: SqlDml.Fk,
+                                parentDf: DataFrame): Seq[String] = {
+    def mismatch(): Nothing =
+      throw new IllegalArgumentException(
+        s"""foreign key mismatch - "$child" referencing "${fk.parent}"""")
+    val declared = SessionKeys.keyFor(spark, fk.parent)
+    if (fk.parentCols.isEmpty)
+      SessionKeys.declaredPk(spark, fk.parent).getOrElse(mismatch())
+    else {
+      val pset = fk.parentCols.map(_.toLowerCase).toSet
+      val ok = declared.exists(k =>
+        k.map(_.toLowerCase).toSet == pset && k.size == fk.parentCols.size)
+      val okIx = SessionKeys.indexesFor(spark, fk.parent).exists {
+        case (_, cols, unique, _) =>
+          unique && cols.map(_.toLowerCase).toSet == pset &&
+            cols.size == fk.parentCols.size
+      }
+      if (!ok && !okIx) mismatch()
+      // resolve case against the lake schema
+      fk.parentCols.map { c =>
+        parentDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(mismatch())
+      }
+    }
+  }
+
+  /** `rows`'s FK tuples (childCols) with NO match in `parentDf[pcols]`
+    * — the right side projects to freshly-aliased columns so self-
+    * referential FKs (shared lineage) join unambiguously. Filtering to
+    * all-non-null first is SQLite's rule: any NULL in the child tuple
+    * satisfies the constraint. */
+  private def orphansOf(rows: DataFrame, childCols: Seq[String],
+                        parentDf: DataFrame,
+                        pcols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nonNull = rows.filter(
+      childCols.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+    val keys = parentDf.select(pcols.zipWithIndex.map { case (c, i) =>
+      col(Ddl.quote(c)).as(s"__fk_p$i")
+    }.toIndexedSeq: _*).distinct()
+    nonNull.join(keys,
+      childCols.zipWithIndex.map { case (cc, i) =>
+        nonNull(Ddl.quote(cc)) === keys(s"__fk_p$i")
+      }.reduce(_ && _),
+      "left_anti")
+  }
+
+  // ------------------------------------------------ foreign_key_check
+
+  private val checkSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("rowid", LongType, nullable = true),
+    StructField("parent", StringType, nullable = false),
+    StructField("fkid", LongType, nullable = false)))
+
+  /** `PRAGMA foreign_key_check[(T)]`: every child row whose non-null
+    * FK columns have no parent match, as (table, rowid, parent, fkid)
+    * — fkid is the `foreign_key_list` id. A MISSING parent table flags
+    * every non-null row (measured); a key mismatch raises SQLite's
+    * error. Distributed: one anti-join per FK over the child; output
+    * ordered (table, rowid, fkid) for determinism (SQLite emits
+    * single-table checks in the same rowid-major order; the bare
+    * form's cross-table order here is name-sorted). */
+  def foreignKeyCheck(spark: SparkSession,
+                      table: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = state(spark)
+    val tables = table match {
+      case Some(t) => Seq(t)
+      case None    => s.synchronized(s.fks.keys.toSeq.sorted)
+    }
+    val parts = tables.flatMap { t =>
+      val fks = childFksOf(spark, t)
+      if (fks.isEmpty) Nil
+      else {
+        Rowid.enable(spark, t) // the report column SQLite answers
+        val child = tableOpt(spark, t).getOrElse(
+          throw new IllegalArgumentException(s"no such table: main.$t"))
+        val ridCol =
+          if (child.columns.exists(_.equalsIgnoreCase("rowid")))
+            col("rowid").cast(LongType)
+          else lit(null).cast(LongType) // declared-rowid-shadowed edge
+        fks.zipWithIndex.map { case (fk, i) =>
+          val id = listId(fks.size, i).toLong
+          val childCols = fk.cols.map { c =>
+            child.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"""foreign key mismatch - "$t" referencing "${fk.parent}""""))
+          }
+          val violating = tableOpt(spark, fk.parent) match {
+            case None => // missing parent: all non-null rows flag
+              child.filter(childCols.map(c =>
+                col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+            case Some(p) =>
+              orphansOf(child, childCols,
+                p, resolveParentCols(spark, t, fk, p))
+          }
+          violating.select(lit(t).as("table"), ridCol.as("rowid"),
+            lit(fk.parent).as("parent"), lit(id).as("fkid"))
+        }
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), checkSchema)
+    else
+      parts.reduce(_ unionAll _).orderBy("table", "rowid", "fkid")
+  }
+
+  // ------------------------------------------------ enforcement
+
+  private def fail(): Nothing =
+    throw new IllegalArgumentException("FOREIGN KEY constraint failed")
+
+  /** Is enforcement on? (`PRAGMA foreign_keys = 1`.) */
+  def enforcing(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.pragma.foreign_keys", "0") == "1"
+
+  /** Child-side check: `rows` (the statement's would-land images for
+    * the child table) must resolve every non-null FK tuple against the
+    * POST-STATEMENT parent. `newSelf` carries the child table's own
+    * new state so a self-referential FK resolves against it. */
+  def assertChildRows(spark: SparkSession, table: String,
+                      rows: DataFrame, newSelf: DataFrame): Unit = {
+    val fks = childFksOf(spark, table)
+    if (fks.isEmpty || !enforcing(spark)) return
+    fks.foreach { fk =>
+      val parentDf =
+        if (fk.parent.equalsIgnoreCase(table)) newSelf
+        else tableOpt(spark, fk.parent).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such table: main.${fk.parent}"))
+      val pcols = resolveParentCols(spark, table, fk, parentDf)
+      val childCols = fk.cols.map { c =>
+        rows.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"""foreign key mismatch - "$table" referencing "${fk.parent}""""))
+      }
+      if (!orphansOf(rows, childCols, parentDf, pcols).isEmpty) fail()
+    }
+  }
+
+  /** Parent-side check before `table` rebinds from `oldDf` to `newDf`:
+    * key tuples the statement REMOVES must not be referenced by any
+    * child row. CASCADE / SET NULL / SET DEFAULT actions would have to
+    * rewrite the child here — declined named; NO ACTION / RESTRICT
+    * enforce. */
+  def assertParentTransition(spark: SparkSession, table: String,
+                             oldDf: DataFrame, newDf: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!enforcing(spark)) return
+    val refs = referencing(spark, table)
+    if (refs.isEmpty) return
+    refs.foreach { case (childName, fk) =>
+      tableOpt(spark, childName).foreach { childDf =>
+        val pcolsOld = resolveParentCols(spark, childName, fk, oldDf)
+        val pcolsNew = pcolsOld.map(c =>
+          newDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        // keys the statement removes — freshly aliased so a child that
+        // shares lineage with the old binding joins unambiguously
+        val removed = oldDf.select(pcolsOld.zipWithIndex.map {
+            case (c, i) => col(Ddl.quote(c)).as(s"__fk_r$i")
+          }.toIndexedSeq: _*).distinct()
+          .except(newDf.select(pcolsNew.zipWithIndex.map {
+            case (c, i) => col(Ddl.quote(c)).as(s"__fk_r$i")
+          }.toIndexedSeq: _*).distinct())
+        val childCols = fk.cols.map { c =>
+          childDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"""foreign key mismatch - "$childName" referencing "$table""""))
+        }
+        val nonNull = childDf.filter(
+          childCols.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+        val hit = nonNull.join(removed,
+          childCols.zipWithIndex.map { case (cc, i) =>
+            nonNull(Ddl.quote(cc)) === removed(s"__fk_r$i")
+          }.reduce(_ && _),
+          "left_semi")
+        if (!hit.isEmpty) {
+          if (fk.onDelete != "NO ACTION" && fk.onDelete != "RESTRICT")
+            throw new UnsupportedOperationException(
+              s"ON DELETE ${fk.onDelete} on $childName → $table is not " +
+                s"enforced set-based; run with PRAGMA foreign_keys = 0 " +
+                s"and apply the child rewrite explicitly")
+          fail()
+        }
+      }
+    }
+  }
+
+  /** DROP TABLE `table` under enforcement: SQLite's implicit DELETE
+    * makes a referenced parent undeletable — measured
+    * "FOREIGN KEY constraint failed". */
+  def assertDroppable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!enforcing(spark)) return
+    referencing(spark, table).foreach { case (childName, fk) =>
+      if (!childName.equalsIgnoreCase(table)) {
+        val childDf = tableOpt(spark, childName).getOrElse(return)
+        val childCols = fk.cols.flatMap(c =>
+          childDf.columns.find(_.equalsIgnoreCase(c)))
+        if (childCols.size == fk.cols.size) {
+          val nonNull = childDf.filter(
+            childCols.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+          if (!nonNull.isEmpty) fail()
+        }
+      }
+    }
+  }
+}

@@ -136,6 +136,17 @@ object Mutate {
     try {
       slice.foreach(sl =>
         Triggers.fireBefore(spark, u.table, "update", setColNames, sl))
+      // PRAGMA foreign_keys=1: assigned FK columns must still resolve
+      // (new images of the WHERE-true rows), and re-keying a parent
+      // must not orphan children — SQLite's end-of-statement outcome
+      if (ForeignKeys.enforcing(spark)) {
+        if (ForeignKeys.childFksOf(spark, u.table)
+            .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
+          ForeignKeys.assertChildRows(spark, u.table,
+            spark.sql((s"${u.withPrefix} SELECT ${proj.mkString(", ")} " +
+              s"FROM ${q(u.table)} WHERE $cond").trim), merged)
+        ForeignKeys.assertParentTransition(spark, u.table, base, merged)
+      }
       val out = rebind(spark, u.table, merged, ret)
       slice.foreach(sl =>
         Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
@@ -235,6 +246,14 @@ object Mutate {
       try {
         slice.foreach(sl => Triggers.fireBefore(spark, u.table, "update",
           setColNames, sl))
+        // FK enforcement over the matched picks (see runUpdateStmt)
+        if (ForeignKeys.enforcing(spark)) {
+          if (ForeignKeys.childFksOf(spark, u.table)
+              .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
+            ForeignKeys.assertChildRows(spark, u.table,
+              matched.drop("__rid"), merged)
+          ForeignKeys.assertParentTransition(spark, u.table, base, merged)
+        }
         val out = rebind(spark, u.table, merged, ret)
         slice.foreach(sl => Triggers.fire(spark, u.table, "update",
           setColNames, "after", sl))
@@ -285,6 +304,10 @@ object Mutate {
     try {
       slice.foreach(sl =>
         Triggers.fireBefore(spark, d.table, "delete", Nil, sl))
+      // PRAGMA foreign_keys=1: deleting referenced parent rows fails
+      // with SQLite's error (NO ACTION); cascade actions decline named
+      ForeignKeys.assertParentTransition(spark, d.table,
+        spark.table(q(d.table)), merged)
       val out = rebind(spark, d.table, merged, ret)
       slice.foreach(sl =>
         Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
@@ -394,6 +417,7 @@ object Mutate {
             try spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
             finally spark.catalog.dropTempView(rv)
           }
+          ForeignKeys.assertParentTransition(spark, d.table, base, merged)
           rebind(spark, d.table, merged, ret)
       }
     } finally {
@@ -459,6 +483,12 @@ object Mutate {
             updated.createOrReplaceTempView(rv)
             try spark.sql(s"${u.withPrefix} SELECT $r FROM `$rv`".trim)
             finally spark.catalog.dropTempView(rv)
+          }
+          if (ForeignKeys.enforcing(spark)) {
+            if (ForeignKeys.childFksOf(spark, u.table)
+                .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
+              ForeignKeys.assertChildRows(spark, u.table, updated, merged)
+            ForeignKeys.assertParentTransition(spark, u.table, base, merged)
           }
           rebind(spark, u.table, merged, ret)
       }

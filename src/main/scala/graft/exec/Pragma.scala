@@ -228,16 +228,27 @@ object Pragma {
       // original constraint text; `PRAGMA table_info` agrees)
       val dflt = SessionKeys.defaultsFor(spark, name)
       val pk = SessionKeys.declaredPk(spark, name).getOrElse(Nil)
+      val fks = ForeignKeys.childFksOf(spark, name)
       val base = graft.ingest.Ddl.createTable(name, schema).trim
       val sql =
-        if (dflt.isEmpty && pk.isEmpty) base
+        if (dflt.isEmpty && pk.isEmpty && fks.isEmpty) base
         else {
           val cols = schema.fields.map { f =>
             val d = dflt.get(f.name.toLowerCase)
               .map(v => s" DEFAULT ${v._1}").getOrElse("")
             s"\t`${f.name}` ${graft.ingest.Ddl.sqlType(f.dataType)}$d"
           } ++ (if (pk.isEmpty) Nil
-                else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})"))
+                else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})")) ++
+            fks.map { fk =>
+              val tgt = if (fk.parentCols.isEmpty) fk.parent
+                        else s"${fk.parent} (${fk.parentCols.mkString(", ")})"
+              val acts =
+                (if (fk.onDelete != "NO ACTION")
+                   s" ON DELETE ${fk.onDelete}" else "") +
+                (if (fk.onUpdate != "NO ACTION")
+                   s" ON UPDATE ${fk.onUpdate}" else "")
+              s"\tFOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES $tgt$acts"
+            }
           s"CREATE TABLE `$name` (\n${cols.mkString(", \n")}\n)"
         }
       Row("table", name, name, 0, sql)
@@ -255,6 +266,10 @@ object Pragma {
     """(?is)^\s*pragma\s+table_xinfo\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
   private val pragmaIndexXinfoRe =
     """(?is)^\s*pragma\s+index_xinfo\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaFkListRe =
+    """(?is)^\s*pragma\s+foreign_key_list\s*\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\)\s*$""".r
+  private val pragmaFkCheckRe =
+    """(?is)^\s*pragma\s+foreign_key_check\s*(?:\(\s*(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][\w]*))\s*\))?\s*$""".r
   private val pragmaOtherRe = """(?is)^\s*pragma\s+(\w+).*$""".r
 
   /** Storage-layer configuration pragmas whose ASSIGNMENT form cannot
@@ -363,6 +378,12 @@ object Pragma {
         .withColumn("hidden", org.apache.spark.sql.functions.lit(0))
     case pragmaIndexXinfoRe(q1, q2, q3, bare) =>
       indexXinfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
+    case pragmaFkListRe(q1, q2, q3, bare) =>
+      ForeignKeys.foreignKeyList(spark,
+        Seq(q1, q2, q3, bare).find(_ != null).get)
+    case pragmaFkCheckRe(q1, q2, q3, bare) =>
+      ForeignKeys.foreignKeyCheck(spark,
+        Seq(q1, q2, q3, bare).find(_ != null))
     case trackedSetRe(name0, eqValue, callValue) =>
       val name = name0.toLowerCase
       val value = if (eqValue != null) eqValue else callValue
@@ -554,6 +575,7 @@ object Pragma {
           s"engine to configure. Introspection pragmas ARE supported: " +
           s"PRAGMA table_info(<table>), PRAGMA table_list, " +
           s"PRAGMA index_list(<table>), PRAGMA index_info(<index>), " +
+          s"PRAGMA foreign_key_list(<table>), PRAGMA foreign_key_check, " +
           s"and the sqlite_master catalog view.")
     case _ =>
       throw new UnsupportedOperationException(s"unparseable PRAGMA: $sql")

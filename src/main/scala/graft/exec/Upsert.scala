@@ -272,6 +272,16 @@ object Upsert {
         Triggers.fireBefore(spark, stmt.table, "insert", Nil, sl))
       updSlice.foreach(sl =>
         Triggers.fireBefore(spark, stmt.table, "update", updAssignCols, sl))
+      // PRAGMA foreign_keys=1: the would-land slice must resolve its
+      // FK references against the post-statement state (self-FKs see
+      // `merged`), and any parent-key tuple this statement removes
+      // (OR REPLACE / DO UPDATE re-keying) must be unreferenced —
+      // both exactly SQLite's end-of-statement outcome (measured,
+      // incl. OR IGNORE discarding conflict rows before FK checks)
+      ForeignKeys.assertChildRows(spark, stmt.table, affected, merged)
+      // append-only forms cannot remove parent keys — no check job
+      if (stmt.replace || stmt.conflict.exists(_.assigns.nonEmpty))
+        ForeignKeys.assertParentTransition(spark, stmt.table, base, merged)
       merged.write.mode("overwrite").parquet(dir)
       val out = spark.read.parquet(dir)
       out.createOrReplaceTempView(stmt.table)

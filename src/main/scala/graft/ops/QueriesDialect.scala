@@ -722,6 +722,55 @@ object QueriesDialect {
       graft.exec.Runner.runSql(s, "PRAGMA table_info(nation);").orderBy("cid")
     }),
 
+    // the FOREIGN KEY declaration surface: FK clauses register at
+    // CREATE TABLE and answer `PRAGMA foreign_key_list` in SQLite
+    // 3.40.1's exact shape — ids in reverse declaration order, one
+    // row per column of a composite key, NULL `to` for the short
+    // form, declared actions, match always NONE
+    "meta_foreign_keys" -> ((s, d) => {
+      val R = graft.exec.Runner
+      R.runSql(s, "DROP TABLE IF EXISTS fkl_child;")
+      R.runSql(s, "DROP TABLE IF EXISTS fkl_parent;")
+      R.runSql(s, "CREATE TABLE fkl_parent (id INTEGER PRIMARY KEY, nm TEXT)")
+      R.runSql(s,
+        """CREATE TABLE fkl_child (a INTEGER, b INTEGER REFERENCES fkl_parent,
+           c INTEGER,
+           FOREIGN KEY (a) REFERENCES fkl_parent(id)
+             ON DELETE CASCADE ON UPDATE SET NULL,
+           FOREIGN KEY (c, a) REFERENCES fkl_other(x, y))""")
+      R.runSql(s, "PRAGMA foreign_key_list(fkl_child)").orderBy("id", "seq")
+    }),
+
+    // `PRAGMA foreign_key_check` as a DISTRIBUTED referential-integrity
+    // audit over the real corpus: a curated parent key set (orders with
+    // key % 3 <> 0), a child fact copy declaring the FK, and the check
+    // reporting every orphaned row — one anti-join per FK, exactly the
+    // orphan-detection pass a 100 TB lake runs before publishing a
+    // join-dependent dataset. The child's INTEGER PRIMARY KEY aliases
+    // the rowid surface, so the reported rowids are the declared rids
+    // (deterministic under re-sharding); the oracle replays the same
+    // anti-join in plain SQL.
+    "meta_fk_check" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val R = graft.exec.Runner
+      R.runSql(s, "DROP TABLE IF EXISTS fkq_child;")
+      R.runSql(s, "DROP TABLE IF EXISTS fkq_parent;")
+      R.runSql(s, "CREATE TABLE fkq_parent (k INTEGER PRIMARY KEY)")
+      R.runSql(s,
+        """INSERT INTO fkq_parent
+           SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0""")
+      R.runSql(s,
+        """CREATE TABLE fkq_child (rid INTEGER PRIMARY KEY,
+           ok INTEGER REFERENCES fkq_parent(k))""")
+      R.runSql(s,
+        """INSERT INTO fkq_child
+           SELECT ROW_NUMBER() OVER
+                    (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rid,
+                  l_orderkey AS ok
+           FROM lineitem""")
+      R.runSql(s, "PRAGMA foreign_key_check(fkq_child)")
+    }),
+
     // the classic `SELECT … FROM sqlite_master` catalog probe; the IN
     // list pins the scope to the registered corpus so stray session
     // views from other keys can't perturb the row set
@@ -1213,6 +1262,34 @@ object QueriesDialect {
            (2, 'n_regionkey', 'INTEGER', 0, CAST(NULL AS VARCHAR), 0))
          AS t(cid, name, type, "notnull", dflt_value, pk)
          ORDER BY cid""",
+
+    // the measured sqlite3 3.40.1 foreign_key_list rows, literal
+    "meta_foreign_keys" ->
+      """SELECT * FROM (VALUES
+           (0, 0, 'fkl_other',  'c', 'x',
+            'NO ACTION', 'NO ACTION', 'NONE'),
+           (0, 1, 'fkl_other',  'a', 'y',
+            'NO ACTION', 'NO ACTION', 'NONE'),
+           (1, 0, 'fkl_parent', 'a', 'id',
+            'SET NULL', 'CASCADE', 'NONE'),
+           (2, 0, 'fkl_parent', 'b', CAST(NULL AS VARCHAR),
+            'NO ACTION', 'NO ACTION', 'NONE'))
+         AS t(id, seq, "table", "from", "to", on_update, on_delete, "match")
+         ORDER BY id, seq""",
+
+    // the identical orphan anti-join in closed form
+    "meta_fk_check" ->
+      """WITH c AS (
+           SELECT ROW_NUMBER() OVER
+                    (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rid,
+                  l_orderkey AS ok
+           FROM lineitem),
+         p AS (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderkey % 3 <> 0)
+         SELECT 'fkq_child' AS "table", CAST(rid AS BIGINT) AS rowid,
+                'fkq_parent' AS parent, CAST(0 AS BIGINT) AS fkid
+         FROM c WHERE ok NOT IN (SELECT k FROM p)
+         ORDER BY rowid""",
 
     "meta_sqlite_master" ->
       """SELECT name, 'table' AS type, name AS tbl_name, 0 AS rootpage

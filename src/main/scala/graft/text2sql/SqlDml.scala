@@ -152,8 +152,22 @@ object SqlDml {
                                cols: Seq[(String, String)],
                                pkCols: Seq[String],
                                defaults: Seq[(String, String)] = Nil,
-                               uniqueCols: Seq[String] = Nil)
+                               uniqueCols: Seq[String] = Nil,
+                               fks: Seq[Fk] = Nil)
       extends Stmt
+
+  /** One declared FOREIGN KEY constraint, in declaration order: child
+    * columns → parent table (with explicit parent columns, or empty =
+    * SQLite's short form resolving to the parent's PRIMARY KEY at use
+    * time). Actions default to SQLite's NO ACTION; MATCH and
+    * DEFERRABLE clauses parse-accept and are ignored exactly as
+    * SQLite 3.40.1 ignores them (MATCH is parsed but unimplemented;
+    * deferred timing collapses to immediate under this engine's
+    * autocommit statements — same observable point). */
+  final case class Fk(cols: Seq[String], parent: String,
+                      parentCols: Seq[String],
+                      onUpdate: String = "NO ACTION",
+                      onDelete: String = "NO ACTION")
 
   /** `CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON table (cols)` —
     * a plain index is a pure access-path directive in SQLite (results
@@ -622,15 +636,15 @@ object SqlDml {
         // grammar) — STRICT/WITHOUT ROWID are storage directives with
         // no lake counterpart but also no observable semantics here
         return parseColumnDefs(sql.substring(j + 1, close)) match {
-          case Right((cols, pk, uq, ds))
+          case Right((cols, pk, uq, ds, fk))
               if keywordAt(sql, skipWs(sql, close + 1), "without") ||
                  keywordAt(sql, skipWs(sql, close + 1), "strict") =>
-            Some(CreateTable(name, ifNotExists, cols, pk, ds, uq))
+            Some(CreateTable(name, ifNotExists, cols, pk, ds, uq, fk))
           case _ => Some(Unsupported("CREATE TABLE"))
         }
       return parseColumnDefs(sql.substring(j + 1, close)) match {
-        case Right((cols, pk, uq, ds)) =>
-          Some(CreateTable(name, ifNotExists, cols, pk, ds, uq))
+        case Right((cols, pk, uq, ds, fk)) =>
+          Some(CreateTable(name, ifNotExists, cols, pk, ds, uq, fk))
         case Left(u) => Some(u)
       }
     }
@@ -791,9 +805,10 @@ object SqlDml {
   private def parseColumnDefs(inner: String)
       : Either[Unsupported,
                (Seq[(String, String)], Seq[String], Seq[String],
-                Seq[(String, String)])] = {
+                Seq[(String, String)], Seq[Fk])] = {
     val cols = Seq.newBuilder[(String, String)]
     val defaults = Seq.newBuilder[(String, String)]
+    val fks = Seq.newBuilder[Fk]
     var pk = Seq.empty[String]
     var uniqueFallback = Seq.empty[String]
     def parseColList(s: String): Seq[String] =
@@ -828,8 +843,26 @@ object SqlDml {
           val keys = parseColList(item.substring(p + 1, close))
           if (keys.nonEmpty && uniqueFallback.isEmpty) uniqueFallback = keys
         } else return Left(Unsupported("CREATE TABLE"))
-      } else if (keywordAt(item, 0, "foreign") || keywordAt(item, 0, "check")) {
-        // FOREIGN KEY / CHECK: validation directives, no lake semantics
+      } else if (keywordAt(item, 0, "foreign")) {
+        // table-level FOREIGN KEY (cols) REFERENCES parent [(pcols)] …
+        val k = skipWs(item, 7)
+        if (!keywordAt(item, k, "key")) return Left(Unsupported("CREATE TABLE"))
+        val p = skipWs(item, k + 3)
+        if (p >= item.length || item.charAt(p) != '(')
+          return Left(Unsupported("CREATE TABLE"))
+        val close = closeParen(item, p)
+        if (close < 0) return Left(Unsupported("CREATE TABLE"))
+        val childCols = parseColList(item.substring(p + 1, close))
+        if (childCols.isEmpty) return Left(Unsupported("CREATE TABLE"))
+        val r = skipWs(item, close + 1)
+        if (!keywordAt(item, r, "references"))
+          return Left(Unsupported("CREATE TABLE"))
+        parseReferences(item, skipWs(item, r + 10), childCols) match {
+          case Right((fk, _)) => fks += fk
+          case Left(u)        => return Left(u)
+        }
+      } else if (keywordAt(item, 0, "check")) {
+        // CHECK: a validation directive with no lake semantics
       } else {
         // a column definition: name [type tokens] [constraint tail]
         val (name, afterName) = parseIdent(item, 0)
@@ -875,6 +908,13 @@ object SqlDml {
           if (tok.isEmpty) return Left(Unsupported("CREATE TABLE"))
           defaults += ((name, tok))
         }
+        // column-level REFERENCES parent [(pcol)] [ref clauses]
+        val rk = findTopKeyword(frag, 0, "references")
+        if (rk >= 0)
+          parseReferences(frag, skipWs(frag, rk + 10), Seq(name)) match {
+            case Right((fk, _)) => fks += fk
+            case Left(u)        => return Left(u)
+          }
         cols += ((name, declType))
       }
     }
@@ -883,7 +923,81 @@ object SqlDml {
     val known = allCols.map(_._1.toLowerCase).toSet
     if ((pk ++ uniqueFallback).exists(k => !known(k.toLowerCase)))
       return Left(Unsupported("CREATE TABLE"))
-    Right((allCols, pk, uniqueFallback, defaults.result()))
+    val allFks = fks.result()
+    if (allFks.exists(_.cols.exists(c => !known(c.toLowerCase))))
+      return Left(Unsupported("CREATE TABLE"))
+    Right((allCols, pk, uniqueFallback, defaults.result(), allFks))
+  }
+
+  /** Parse a REFERENCES clause from `at` (just past the keyword):
+    * `parent [(pcols)] [ON DELETE|UPDATE <action> | MATCH <name> |
+    * [NOT] DEFERRABLE [INITIALLY IMMEDIATE|DEFERRED]]*`. MATCH and
+    * DEFERRABLE parse-accept and are ignored ([[Fk]] scaladoc); an
+    * unrecognized token ends the clause (column-level tails continue
+    * with other constraints). Returns the Fk and the position after
+    * the clause. */
+  private def parseReferences(s: String, at: Int, childCols: Seq[String])
+      : Either[Unsupported, (Fk, Int)] = {
+    val (parent, afterP) = parseIdent(s, at)
+      .getOrElse(return Left(Unsupported("CREATE TABLE")))
+    var j = skipWs(s, afterP)
+    var pcols = Seq.empty[String]
+    if (j < s.length && s.charAt(j) == '(') {
+      val close = closeParen(s, j)
+      if (close < 0) return Left(Unsupported("CREATE TABLE"))
+      pcols = s.substring(j + 1, close).split(",").toSeq
+        .map(c => unquoteIdent(
+          c.trim.split("\\s+").headOption.getOrElse("").trim))
+        .filter(_.nonEmpty)
+      // SQLite reports the count mismatch at use time; here the decline
+      // is at CREATE — visible either way, never a silent half-key
+      if (pcols.size != childCols.size)
+        return Left(Unsupported("CREATE TABLE"))
+      j = skipWs(s, close + 1)
+    }
+    var onUpd = "NO ACTION"; var onDel = "NO ACTION"
+    var scanning = true
+    while (scanning && j < s.length) {
+      if (keywordAt(s, j, "on")) {
+        val k = skipWs(s, j + 2)
+        val isDel = keywordAt(s, k, "delete")
+        if (!isDel && !keywordAt(s, k, "update"))
+          return Left(Unsupported("CREATE TABLE"))
+        var m = skipWs(s, k + 6)
+        val act =
+          if (keywordAt(s, m, "cascade")) { m += 7; "CASCADE" }
+          else if (keywordAt(s, m, "restrict")) { m += 8; "RESTRICT" }
+          else if (keywordAt(s, m, "set")) {
+            val n2 = skipWs(s, m + 3)
+            if (keywordAt(s, n2, "null")) { m = n2 + 4; "SET NULL" }
+            else if (keywordAt(s, n2, "default")) { m = n2 + 7; "SET DEFAULT" }
+            else return Left(Unsupported("CREATE TABLE"))
+          } else if (keywordAt(s, m, "no")) {
+            val n2 = skipWs(s, m + 2)
+            if (!keywordAt(s, n2, "action"))
+              return Left(Unsupported("CREATE TABLE"))
+            m = n2 + 6; "NO ACTION"
+          } else return Left(Unsupported("CREATE TABLE"))
+        if (isDel) onDel = act else onUpd = act
+        j = skipWs(s, m)
+      } else if (keywordAt(s, j, "match")) {
+        val (_, e) = parseIdent(s, skipWs(s, j + 5))
+          .getOrElse(return Left(Unsupported("CREATE TABLE")))
+        j = skipWs(s, e)
+      } else if (keywordAt(s, j, "not") &&
+                 keywordAt(s, skipWs(s, j + 3), "deferrable")) {
+        j = skipWs(s, skipWs(s, j + 3) + 10)
+      } else if (keywordAt(s, j, "deferrable")) {
+        j = skipWs(s, j + 10)
+        if (keywordAt(s, j, "initially")) {
+          val k = skipWs(s, j + 9)
+          if (keywordAt(s, k, "deferred")) j = skipWs(s, k + 8)
+          else if (keywordAt(s, k, "immediate")) j = skipWs(s, k + 9)
+          else return Left(Unsupported("CREATE TABLE"))
+        }
+      } else scanning = false
+    }
+    Right((Fk(childCols, parent, pcols, onUpd, onDel), j))
   }
 
   /** Split on top-level commas (outside quotes and parens). */

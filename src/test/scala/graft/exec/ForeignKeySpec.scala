@@ -1,0 +1,241 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.text2sql.SqlDialect
+
+/** FOREIGN KEY declarations, introspection, and opt-in enforcement
+  * (exec.ForeignKeys), through the full translate-and-run path.
+  * Every row/error expectation is pinned against python sqlite3
+  * 3.40.1 running the same statements in autocommit. */
+class ForeignKeySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  private def sql(q: String) =
+    Runner.runSql(spark, SqlDialect.translate(q))
+
+  private def rowsOf(q: String): Seq[Seq[Any]] =
+    sql(q).collect().map(_.toSeq.toSeq).toSeq
+
+  private var n = 0
+  private def fresh(): Int = { n += 1; n }
+
+  override protected def afterEach(): Unit = {
+    sql("PRAGMA foreign_keys = 0")
+    super.afterEach()
+  }
+
+  test("foreign_key_list: reverse-declaration ids, composite seq, " +
+       "short-form NULL `to`, actions, NONE match (sqlite3-pinned)") {
+    val i = fresh()
+    sql(s"CREATE TABLE flp$i (id INTEGER PRIMARY KEY, nm TEXT)")
+    sql(s"""CREATE TABLE flc$i (a INTEGER, b INTEGER REFERENCES flp$i,
+      c INTEGER,
+      FOREIGN KEY (a) REFERENCES flp$i(id)
+        ON DELETE CASCADE ON UPDATE SET NULL,
+      FOREIGN KEY (c, a) REFERENCES flq$i(x, y))""")
+    // sqlite3: [(0,0,'flq',c,x,...), (0,1,'flq',a,y,...),
+    //           (1,0,'flp',a,id,SET NULL,CASCADE), (2,0,'flp',b,NULL)]
+    assert(rowsOf(s"PRAGMA foreign_key_list(flc$i)") == Seq(
+      Seq(0, 0, s"flq$i", "c", "x", "NO ACTION", "NO ACTION", "NONE"),
+      Seq(0, 1, s"flq$i", "a", "y", "NO ACTION", "NO ACTION", "NONE"),
+      Seq(1, 0, s"flp$i", "a", "id", "SET NULL", "CASCADE", "NONE"),
+      Seq(2, 0, s"flp$i", "b", null, "NO ACTION", "NO ACTION", "NONE")))
+    assert(rowsOf(s"PRAGMA foreign_key_list(flp$i)").isEmpty)
+    // MATCH and DEFERRABLE clauses parse-accept and list identically
+    // (sqlite3: MATCH is parsed-unimplemented, match column stays NONE)
+    sql(s"""CREATE TABLE flm$i (a INTEGER REFERENCES flp$i(id) MATCH FULL
+      DEFERRABLE INITIALLY DEFERRED)""")
+    assert(rowsOf(s"PRAGMA foreign_key_list(flm$i)") == Seq(
+      Seq(0, 0, s"flp$i", "a", "id", "NO ACTION", "NO ACTION", "NONE")))
+    // the synthesized sqlite_master DDL carries the constraint
+    val ddl = rowsOf(
+      s"SELECT sql FROM sqlite_master WHERE name = 'flc$i'").head.head.toString
+    assert(ddl.contains(s"FOREIGN KEY (a) REFERENCES flp$i (id) " +
+      "ON DELETE CASCADE ON UPDATE SET NULL"), ddl)
+  }
+
+  test("foreign_key_check: orphan rows as (table, rowid, parent, fkid); " +
+       "missing parent flags all non-null rows") {
+    val i = fresh()
+    sql(s"CREATE TABLE fcp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE fcc$i (a INTEGER REFERENCES fcp$i, " +
+      s"b INTEGER REFERENCES missing$i)")
+    sql(s"INSERT INTO fcp$i VALUES (1)")
+    // single-row statements with the rowid surface pre-enabled give
+    // SQLite's sequential 1..3 (a multi-row VALUES materializes in
+    // partition order — the rowid fixtures' documented convention);
+    // b references a table that never existed → every non-null b
+    // flags (sqlite3-measured)
+    sql(s"SELECT rowid FROM fcc$i").collect()
+    sql(s"INSERT INTO fcc$i VALUES (1, NULL)")
+    sql(s"INSERT INTO fcc$i VALUES (2, NULL)")
+    sql(s"INSERT INTO fcc$i VALUES (NULL, 5)")
+    assert(rowsOf(s"PRAGMA foreign_key_check(fcc$i)") == Seq(
+      Seq(s"fcc$i", 2L, s"fcp$i", 1L),
+      Seq(s"fcc$i", 3L, s"missing$i", 0L)))
+    // the bare form covers every declaring table
+    assert(rowsOf(s"PRAGMA foreign_key_check").nonEmpty)
+    // a clean table answers zero rows
+    val j = fresh()
+    sql(s"CREATE TABLE fcp$j (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE fcc$j (a INTEGER REFERENCES fcp$j)")
+    sql(s"INSERT INTO fcp$j VALUES (7)")
+    sql(s"INSERT INTO fcc$j VALUES (7), (NULL)")
+    assert(rowsOf(s"PRAGMA foreign_key_check(fcc$j)").isEmpty)
+  }
+
+  test("enforcement: child INSERT/UPDATE violations fail with SQLite's " +
+       "error; NULLs pass; valid references land") {
+    val i = fresh()
+    sql(s"CREATE TABLE ep$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE ec$i (a INTEGER REFERENCES ep$i, t TEXT)")
+    sql(s"INSERT INTO ep$i VALUES (1), (2)")
+    sql("PRAGMA foreign_keys = 1")
+    val e = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO ec$i VALUES (9, 'x')")
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    assert(sql(s"SELECT * FROM ec$i").count() == 0)
+    sql(s"INSERT INTO ec$i VALUES (1, 'ok'), (NULL, 'null-ok')")
+    assert(sql(s"SELECT * FROM ec$i").count() == 2)
+    val e2 = intercept[IllegalArgumentException] {
+      sql(s"UPDATE ec$i SET a = 77 WHERE t = 'ok'")
+    }
+    assert(e2.getMessage == "FOREIGN KEY constraint failed")
+    sql(s"UPDATE ec$i SET a = 2 WHERE t = 'ok'") // valid re-point
+    assert(rowsOf(s"SELECT a FROM ec$i WHERE t = 'ok'") == Seq(Seq(2L)))
+    // enforcement off: the same violation is admitted (and then
+    // visible to foreign_key_check)
+    sql("PRAGMA foreign_keys = 0")
+    sql(s"INSERT INTO ec$i VALUES (9, 'dangle')")
+    assert(sql(s"PRAGMA foreign_key_check(ec$i)").count() == 1)
+  }
+
+  test("enforcement: parent DELETE / key UPDATE refuse while referenced; " +
+       "unreferenced rows mutate freely") {
+    val i = fresh()
+    sql(s"CREATE TABLE pp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE pc$i (a INTEGER REFERENCES pp$i)")
+    sql(s"INSERT INTO pp$i VALUES (1), (2)")
+    sql(s"INSERT INTO pc$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    val e = intercept[IllegalArgumentException] { sql(s"DELETE FROM pp$i") }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    assert(sql(s"SELECT * FROM pp$i").count() == 2) // rolled back whole
+    sql(s"DELETE FROM pp$i WHERE id = 2") // unreferenced: fine
+    val e2 = intercept[IllegalArgumentException] {
+      sql(s"UPDATE pp$i SET id = 9 WHERE id = 1")
+    }
+    assert(e2.getMessage == "FOREIGN KEY constraint failed")
+    // DROP of a referenced parent refuses (sqlite3: the implicit
+    // DELETE raises); the child table itself drops fine
+    val e3 = intercept[IllegalArgumentException] { sql(s"DROP TABLE pp$i") }
+    assert(e3.getMessage == "FOREIGN KEY constraint failed")
+    sql(s"DROP TABLE pc$i")
+    sql(s"DROP TABLE pp$i") // no referencing children left
+  }
+
+  test("enforcement matches sqlite3's statement-end timing: forward " +
+       "self-references pass, OR IGNORE discards before FK checks") {
+    val i = fresh()
+    sql(s"CREATE TABLE tr$i (id INTEGER PRIMARY KEY, par INTEGER " +
+      s"REFERENCES tr$i)")
+    sql("PRAGMA foreign_keys = 1")
+    // sqlite3-measured: (4,5),(5,NULL) succeeds — row 4's parent is
+    // created later in the same statement
+    sql(s"INSERT INTO tr$i VALUES (4, 5), (5, NULL)")
+    assert(sql(s"SELECT * FROM tr$i").count() == 2)
+    intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO tr$i VALUES (6, 99)")
+    }
+    // OR IGNORE: a unique-conflict row that ALSO violates the FK is
+    // discarded silently; a NON-conflicting violator still errors
+    val j = fresh()
+    sql(s"CREATE TABLE oip$j (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE oic$j (k INTEGER PRIMARY KEY, " +
+      s"a INTEGER REFERENCES oip$j)")
+    sql(s"INSERT INTO oip$j VALUES (1)")
+    sql(s"INSERT INTO oic$j VALUES (10, 1)")
+    sql(s"INSERT OR IGNORE INTO oic$j VALUES (10, 99)") // discarded
+    assert(rowsOf(s"SELECT k, a FROM oic$j") == Seq(Seq(10L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      sql(s"INSERT OR IGNORE INTO oic$j VALUES (11, 99)")
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+  }
+
+  test("cascade actions decline NAMED at the parent-side statement; " +
+       "mismatch and missing-parent errors use SQLite's texts") {
+    val i = fresh()
+    sql(s"CREATE TABLE cp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE cc$i (a INTEGER REFERENCES cp$i ON DELETE CASCADE)")
+    sql(s"INSERT INTO cp$i VALUES (1)")
+    sql(s"INSERT INTO cc$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    val e = intercept[UnsupportedOperationException] {
+      sql(s"DELETE FROM cp$i")
+    }
+    assert(e.getMessage.contains("ON DELETE CASCADE"), e.getMessage)
+    // referencing a parent with no declared key: SQLite's mismatch text
+    val j = fresh()
+    sql(s"CREATE TABLE mp$j (x INTEGER)")
+    sql(s"CREATE TABLE mc$j (a INTEGER REFERENCES mp$j)")
+    val e2 = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO mc$j VALUES (1)")
+    }
+    assert(e2.getMessage ==
+      s"""foreign key mismatch - "mc$j" referencing "mp$j"""")
+    // a parent table that does not exist: SQLite's no-such-table text
+    val k = fresh()
+    sql(s"CREATE TABLE nc$k (a INTEGER REFERENCES nosuch$k)")
+    val e3 = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO nc$k VALUES (1)")
+    }
+    assert(e3.getMessage == s"no such table: main.nosuch$k")
+  }
+
+  test("ALTER follows both sides; dropping a child FK column drops " +
+       "its constraint (all sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE ap$i (k INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE ac$i (a INTEGER REFERENCES ap$i(k), b INTEGER)")
+    sql(s"ALTER TABLE ap$i RENAME TO apx$i")
+    assert(rowsOf(s"PRAGMA foreign_key_list(ac$i)") == Seq(
+      Seq(0, 0, s"apx$i", "a", "k", "NO ACTION", "NO ACTION", "NONE")))
+    sql(s"ALTER TABLE apx$i RENAME COLUMN k TO kk")
+    assert(rowsOf(s"PRAGMA foreign_key_list(ac$i)") == Seq(
+      Seq(0, 0, s"apx$i", "a", "kk", "NO ACTION", "NO ACTION", "NONE")))
+    sql(s"ALTER TABLE ac$i RENAME COLUMN a TO aa")
+    assert(rowsOf(s"PRAGMA foreign_key_list(ac$i)") == Seq(
+      Seq(0, 0, s"apx$i", "aa", "kk", "NO ACTION", "NO ACTION", "NONE")))
+    sql(s"ALTER TABLE ac$i DROP COLUMN aa")
+    assert(rowsOf(s"PRAGMA foreign_key_list(ac$i)").isEmpty)
+    // enforcement keeps working against the renamed parent
+    val j = fresh()
+    sql(s"CREATE TABLE bp$j (k INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE bc$j (a INTEGER REFERENCES bp$j(k))")
+    sql(s"ALTER TABLE bp$j RENAME TO bpx$j")
+    sql(s"INSERT INTO bpx$j VALUES (3)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"INSERT INTO bc$j VALUES (3)")
+    intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO bc$j VALUES (4)")
+    }
+  }
+
+  test("composite FK enforces on the declared multi-column key; " +
+       "any NULL component passes (SQLite's rule)") {
+    val i = fresh()
+    sql(s"CREATE TABLE kp$i (x INTEGER, y INTEGER, PRIMARY KEY (x, y))")
+    sql(s"CREATE TABLE kc$i (c1 INTEGER, c2 INTEGER, " +
+      s"FOREIGN KEY (c1, c2) REFERENCES kp$i(x, y))")
+    sql(s"INSERT INTO kp$i VALUES (1, 10), (2, 20)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"INSERT INTO kc$i VALUES (1, 10), (NULL, 999), (999, NULL)")
+    assert(sql(s"SELECT * FROM kc$i").count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO kc$i VALUES (1, 20)") // cross-pairing: no match
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+  }
+}

@@ -499,21 +499,22 @@ class SqlDmlSpec extends SparkSpec {
               c, PRIMARY KEY (b, c), FOREIGN KEY (c) REFERENCES u(x))""") match {
       case Some(CreateTable("t", false,
           Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"), Nil,
-          Nil)) =>
+          Nil, fks)) =>
         assert(dt1 == "VARCHAR(30)" && dt2 == "DOUBLE PRECISION")
+        assert(fks == Seq(Fk(Seq("c"), "u", Seq("x"))))
       case other => fail(s"expected CreateTable, got $other")
     }
     // a UNIQUE table constraint is the conflict-key fallback when no
     // PK is declared; CHECK contents never leak keywords
     detect("""CREATE TABLE t (a INT, b TEXT CHECK (b <> 'primary key'),
               UNIQUE (a)) STRICT""") match {
-      case Some(CreateTable("t", false, cols, Nil, Nil, Seq("a"))) =>
+      case Some(CreateTable("t", false, cols, Nil, Nil, Seq("a"), Nil)) =>
         assert(cols.map(_._1) == Seq("a", "b"))
       case other => fail(s"expected CreateTable with UNIQUE fallback, got $other")
     }
     // column-level PRIMARY KEY with riders
     detect("CREATE TEMP TABLE IF NOT EXISTS t (id INTEGER PRIMARY KEY AUTOINCREMENT, v REAL)") match {
-      case Some(CreateTable("t", true, cols, Seq("id"), Nil, Nil)) =>
+      case Some(CreateTable("t", true, cols, Seq("id"), Nil, Nil, Nil)) =>
         assert(cols.map(_._1) == Seq("id", "v"))
       case other => fail(s"expected CreateTable, got $other")
     }
@@ -522,7 +523,7 @@ class SqlDmlSpec extends SparkSpec {
     detect("""CREATE TABLE t (a TEXT DEFAULT 'n/a', b INT DEFAULT -1,
               c TEXT DEFAULT CURRENT_TIMESTAMP NOT NULL,
               d REAL DEFAULT (1.5 * 2))""") match {
-      case Some(CreateTable("t", false, cols, Nil, ds, Nil)) =>
+      case Some(CreateTable("t", false, cols, Nil, ds, Nil, Nil)) =>
         assert(cols.map(_._1) == Seq("a", "b", "c", "d"))
         assert(ds == Seq("a" -> "'n/a'", "b" -> "-1",
           "c" -> "CURRENT_TIMESTAMP", "d" -> "(1.5 * 2)"))

@@ -295,6 +295,9 @@ object Ddl {
       .createOrReplaceTempView(stmt.table)
     stmt.default.foreach(raw => SessionKeys.declareDefaults(spark,
       stmt.table, Seq(stmt.col -> (raw, defaultExecSql(raw)))))
+    // an added column's REFERENCES clause registers like CREATE
+    // TABLE's column-level form (SQLite lists and enforces it)
+    stmt.fk.foreach(f => ForeignKeys.append(spark, stmt.table, f))
     spark.emptyDataFrame
   }
 

@@ -66,6 +66,17 @@ object ForeignKeys {
     s.synchronized { s.fks(table.toLowerCase) = fks.toVector }
   }
 
+  /** Append one FK (`ALTER TABLE ADD COLUMN … REFERENCES …` — the
+    * newest declaration, so it takes `foreign_key_list` id 0, exactly
+    * SQLite's reverse-declaration numbering, measured). */
+  def append(spark: SparkSession, table: String, fk: SqlDml.Fk): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.fks(table.toLowerCase) =
+        s.fks.getOrElse(table.toLowerCase, Vector.empty) :+ fk
+    }
+  }
+
   /** The table's FKs in DECLARATION order (enforcement order). */
   def childFksOf(spark: SparkSession, table: String): Seq[SqlDml.Fk] = {
     val s = state(spark)
@@ -188,9 +199,14 @@ object ForeignKeys {
       throw new IllegalArgumentException(
         s"""foreign key mismatch - "$child" referencing "${fk.parent}"""")
     val declared = SessionKeys.keyFor(spark, fk.parent)
-    if (fk.parentCols.isEmpty)
-      SessionKeys.declaredPk(spark, fk.parent).getOrElse(mismatch())
-    else {
+    if (fk.parentCols.isEmpty) {
+      val pk = SessionKeys.declaredPk(spark, fk.parent).getOrElse(mismatch())
+      // short form: the child column count must equal the parent PK's
+      // arity (measured: a 1-column FK to a composite PK is SQLite's
+      // mismatch error, not an enforcement against the leading column)
+      if (pk.size != fk.cols.size) mismatch()
+      pk
+    } else {
       val pset = fk.parentCols.map(_.toLowerCase).toSet
       val ok = declared.exists(k =>
         k.map(_.toLowerCase).toSet == pset && k.size == fk.parentCols.size)
@@ -249,8 +265,13 @@ object ForeignKeys {
     import org.apache.spark.sql.functions.{col, lit}
     val s = state(spark)
     val tables = table match {
-      case Some(t) => Seq(t)
-      case None    => s.synchronized(s.fks.keys.toSeq.sorted)
+      case Some(t) =>
+        // measured: sqlite3 errors on an unknown name (no main. prefix
+        // here) and answers empty for an FK-less table
+        if (tableOpt(spark, t).isEmpty)
+          throw new IllegalArgumentException(s"no such table: $t")
+        Seq(t)
+      case None => s.synchronized(s.fks.keys.toSeq.sorted)
     }
     val parts = tables.flatMap { t =>
       val fks = childFksOf(spark, t)
@@ -302,10 +323,20 @@ object ForeignKeys {
   /** Child-side check: `rows` (the statement's would-land images for
     * the child table) must resolve every non-null FK tuple against the
     * POST-STATEMENT parent. `newSelf` carries the child table's own
-    * new state so a self-referential FK resolves against it. */
+    * new state so a self-referential FK resolves against it.
+    * `touched = Some(cols)` restricts the check to FKs whose child
+    * columns intersect the assigned set — SQLite skips constraints an
+    * UPDATE does not modify (measured: re-pointing one FK column does
+    * NOT re-validate a pre-existing dangle on another FK). */
   def assertChildRows(spark: SparkSession, table: String,
-                      rows: DataFrame, newSelf: DataFrame): Unit = {
-    val fks = childFksOf(spark, table)
+                      rows: DataFrame, newSelf: DataFrame,
+                      touched: Option[Set[String]] = None): Unit = {
+    val fks0 = childFksOf(spark, table)
+    val fks = touched match {
+      case Some(cols) =>
+        fks0.filter(_.cols.exists(c => cols.contains(c.toLowerCase)))
+      case None => fks0
+    }
     if (fks.isEmpty || !enforcing(spark)) return
     fks.foreach { fk =>
       val parentDf =
@@ -325,17 +356,24 @@ object ForeignKeys {
 
   /** Parent-side check before `table` rebinds from `oldDf` to `newDf`:
     * key tuples the statement REMOVES must not be referenced by any
-    * child row. CASCADE / SET NULL / SET DEFAULT actions would have to
-    * rewrite the child here — declined named; NO ACTION / RESTRICT
-    * enforce. */
+    * child row — evaluated against the child's POST-statement state
+    * (for a self-referential table that is `newDf`, so deleting a row
+    * together with its referrers passes, as measured). `verb` selects
+    * the declared action: "delete" → ON DELETE, "update" → ON UPDATE.
+    * CASCADE / SET NULL / SET DEFAULT actions would have to rewrite
+    * the child here — declined named; NO ACTION / RESTRICT enforce. */
   def assertParentTransition(spark: SparkSession, table: String,
-                             oldDf: DataFrame, newDf: DataFrame): Unit = {
+                             oldDf: DataFrame, newDf: DataFrame,
+                             verb: String): Unit = {
     import org.apache.spark.sql.functions.col
     if (!enforcing(spark)) return
     val refs = referencing(spark, table)
     if (refs.isEmpty) return
     refs.foreach { case (childName, fk) =>
-      tableOpt(spark, childName).foreach { childDf =>
+      val childState =
+        if (childName.equalsIgnoreCase(table)) Some(newDf)
+        else tableOpt(spark, childName)
+      childState.foreach { childDf =>
         val pcolsOld = resolveParentCols(spark, childName, fk, oldDf)
         val pcolsNew = pcolsOld.map(c =>
           newDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
@@ -360,11 +398,12 @@ object ForeignKeys {
           }.reduce(_ && _),
           "left_semi")
         if (!hit.isEmpty) {
-          if (fk.onDelete != "NO ACTION" && fk.onDelete != "RESTRICT")
+          val action = if (verb == "delete") fk.onDelete else fk.onUpdate
+          if (action != "NO ACTION" && action != "RESTRICT")
             throw new UnsupportedOperationException(
-              s"ON DELETE ${fk.onDelete} on $childName → $table is not " +
-                s"enforced set-based; run with PRAGMA foreign_keys = 0 " +
-                s"and apply the child rewrite explicitly")
+              s"ON ${verb.toUpperCase} $action on $childName → $table " +
+                s"is not enforced set-based; run with PRAGMA " +
+                s"foreign_keys = 0 and apply the child rewrite explicitly")
           fail()
         }
       }
@@ -372,20 +411,35 @@ object ForeignKeys {
   }
 
   /** DROP TABLE `table` under enforcement: SQLite's implicit DELETE
-    * makes a referenced parent undeletable — measured
-    * "FOREIGN KEY constraint failed". */
+    * makes a REFERENCED parent undeletable — measured "FOREIGN KEY
+    * constraint failed". Only child rows whose FK tuples actually hit
+    * a parent key block the drop: a dangling reference points at no
+    * removable key, so the drop succeeds (measured). */
   def assertDroppable(spark: SparkSession, table: String): Unit = {
-    import org.apache.spark.sql.functions.col
     if (!enforcing(spark)) return
     referencing(spark, table).foreach { case (childName, fk) =>
       if (!childName.equalsIgnoreCase(table)) {
-        val childDf = tableOpt(spark, childName).getOrElse(return)
-        val childCols = fk.cols.flatMap(c =>
-          childDf.columns.find(_.equalsIgnoreCase(c)))
-        if (childCols.size == fk.cols.size) {
-          val nonNull = childDf.filter(
-            childCols.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
-          if (!nonNull.isEmpty) fail()
+        for {
+          childDf <- tableOpt(spark, childName)
+          parentDf <- tableOpt(spark, table)
+        } {
+          val childCols = fk.cols.flatMap(c =>
+            childDf.columns.find(_.equalsIgnoreCase(c)))
+          if (childCols.size == fk.cols.size) {
+            import org.apache.spark.sql.functions.col
+            val pcols = resolveParentCols(spark, childName, fk, parentDf)
+            val nonNull = childDf.filter(childCols.map(c =>
+              col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+            val keys = parentDf.select(pcols.zipWithIndex.map {
+              case (c, i) => col(Ddl.quote(c)).as(s"__fk_p$i")
+            }.toIndexedSeq: _*).distinct()
+            val hit = nonNull.join(keys,
+              childCols.zipWithIndex.map { case (cc, i) =>
+                nonNull(Ddl.quote(cc)) === keys(s"__fk_p$i")
+              }.reduce(_ && _),
+              "left_semi")
+            if (!hit.isEmpty) fail()
+          }
         }
       }
     }

@@ -140,12 +140,17 @@ object Mutate {
       // (new images of the WHERE-true rows), and re-keying a parent
       // must not orphan children — SQLite's end-of-statement outcome
       if (ForeignKeys.enforcing(spark)) {
+        // the new-image plan is only built when an FK column is
+        // actually assigned (assertChildRows would skip anyway, but
+        // its argument is strict)
         if (ForeignKeys.childFksOf(spark, u.table)
             .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
           ForeignKeys.assertChildRows(spark, u.table,
             spark.sql((s"${u.withPrefix} SELECT ${proj.mkString(", ")} " +
-              s"FROM ${q(u.table)} WHERE $cond").trim), merged)
-        ForeignKeys.assertParentTransition(spark, u.table, base, merged)
+              s"FROM ${q(u.table)} WHERE $cond").trim), merged,
+            Some(assigns.keySet))
+        ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+          "update")
       }
       val out = rebind(spark, u.table, merged, ret)
       slice.foreach(sl =>
@@ -248,11 +253,10 @@ object Mutate {
           setColNames, sl))
         // FK enforcement over the matched picks (see runUpdateStmt)
         if (ForeignKeys.enforcing(spark)) {
-          if (ForeignKeys.childFksOf(spark, u.table)
-              .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
-            ForeignKeys.assertChildRows(spark, u.table,
-              matched.drop("__rid"), merged)
-          ForeignKeys.assertParentTransition(spark, u.table, base, merged)
+          ForeignKeys.assertChildRows(spark, u.table,
+            matched.drop("__rid"), merged, Some(assigns.keySet))
+          ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+            "update")
         }
         val out = rebind(spark, u.table, merged, ret)
         slice.foreach(sl => Triggers.fire(spark, u.table, "update",
@@ -307,7 +311,7 @@ object Mutate {
       // PRAGMA foreign_keys=1: deleting referenced parent rows fails
       // with SQLite's error (NO ACTION); cascade actions decline named
       ForeignKeys.assertParentTransition(spark, d.table,
-        spark.table(q(d.table)), merged)
+        spark.table(q(d.table)), merged, "delete")
       val out = rebind(spark, d.table, merged, ret)
       slice.foreach(sl =>
         Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
@@ -417,7 +421,8 @@ object Mutate {
             try spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
             finally spark.catalog.dropTempView(rv)
           }
-          ForeignKeys.assertParentTransition(spark, d.table, base, merged)
+          ForeignKeys.assertParentTransition(spark, d.table, base, merged,
+            "delete")
           rebind(spark, d.table, merged, ret)
       }
     } finally {
@@ -485,10 +490,10 @@ object Mutate {
             finally spark.catalog.dropTempView(rv)
           }
           if (ForeignKeys.enforcing(spark)) {
-            if (ForeignKeys.childFksOf(spark, u.table)
-                .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
-              ForeignKeys.assertChildRows(spark, u.table, updated, merged)
-            ForeignKeys.assertParentTransition(spark, u.table, base, merged)
+            ForeignKeys.assertChildRows(spark, u.table, updated, merged,
+              Some(assigns.keySet))
+            ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+              "update")
           }
           rebind(spark, u.table, merged, ret)
       }

@@ -27,7 +27,13 @@ object SessionChanges {
   }
 
   private final class State {
-    var acc = 0L
+    // folded counts keep SEPARATE accumulators per bucket: a fold of
+    // the main list during a statement must roll back with the
+    // snapshot (else the restored pending vector re-adds the folded
+    // entry — a double count), while trigger-body folds survive an
+    // abort exactly like the unfolded trigger bucket does
+    var accMain = 0L
+    var accTrig = 0L
     var pending = Vector.empty[Entry]
     // trigger-body DML: counts toward total_changes() only (SQLite
     // lang_corefunc — changes() excludes trigger-program changes)
@@ -67,13 +73,13 @@ object SessionChanges {
       if (triggerDepth.get > 0) {
         s.pendingTrig :+= new Entry(thunk)
         while (s.pendingTrig.size > 64) {
-          s.acc += s.pendingTrig.head.value
+          s.accTrig += s.pendingTrig.head.value
           s.pendingTrig = s.pendingTrig.tail
         }
       } else {
         s.pending :+= new Entry(thunk)
         while (s.pending.size > 64) {
-          s.acc += s.pending.head.value
+          s.accMain += s.pending.head.value
           s.pending = s.pending.tail
         }
       }
@@ -93,32 +99,35 @@ object SessionChanges {
   def totalChanges(spark: SparkSession): Long = {
     val s = state(spark)
     val (acc, pend, pendT) =
-      s.synchronized((s.acc, s.pending, s.pendingTrig))
+      s.synchronized((s.accMain + s.accTrig, s.pending, s.pendingTrig))
     acc + pend.map(_.value).sum + pendT.map(_.value).sum
   }
 
   // ---- statement-abort restore ([[Atomic]]) ---------------------------
 
   /** Opaque pre-statement counter state. Restoring covers `changes()`
-    * and `last_insert_rowid()` but deliberately NOT the trigger-body
-    * bucket or the folded accumulator: measured sqlite3 keeps body
-    * statements that completed before an abort in `total_changes()`
-    * even though their effects roll back. */
+    * and `last_insert_rowid()` (the main pending list WITH its folded
+    * accumulator — a fold during the statement must not double-count
+    * against the restored vector) but deliberately NOT the
+    * trigger-body bucket or its accumulator: measured sqlite3 keeps
+    * body statements that completed before an abort in
+    * `total_changes()` even though their effects roll back. */
   final class Snapshot private[SessionChanges] (
+      private[SessionChanges] val accMain: Long,
       private[SessionChanges] val pending: Vector[Entry],
       private[SessionChanges] val rowidFolded: Option[Long],
       private[SessionChanges] val rowidPending: Vector[RowidEntry])
 
   def snapshot(spark: SparkSession): Snapshot = {
     val s = state(spark); val rs = rowidState(spark)
-    val p = s.synchronized(s.pending)
+    val (a, p) = s.synchronized((s.accMain, s.pending))
     val (f, rp) = rs.synchronized((rs.folded, rs.pending))
-    new Snapshot(p, f, rp)
+    new Snapshot(a, p, f, rp)
   }
 
   def restore(spark: SparkSession, snap: Snapshot): Unit = {
     val s = state(spark)
-    s.synchronized { s.pending = snap.pending }
+    s.synchronized { s.accMain = snap.accMain; s.pending = snap.pending }
     val rs = rowidState(spark)
     rs.synchronized {
       rs.folded = snap.rowidFolded; rs.pending = snap.rowidPending

@@ -272,16 +272,22 @@ object Upsert {
         Triggers.fireBefore(spark, stmt.table, "insert", Nil, sl))
       updSlice.foreach(sl =>
         Triggers.fireBefore(spark, stmt.table, "update", updAssignCols, sl))
-      // PRAGMA foreign_keys=1: the would-land slice must resolve its
-      // FK references against the post-statement state (self-FKs see
-      // `merged`), and any parent-key tuple this statement removes
-      // (OR REPLACE / DO UPDATE re-keying) must be unreferenced —
-      // both exactly SQLite's end-of-statement outcome (measured,
-      // incl. OR IGNORE discarding conflict rows before FK checks)
-      ForeignKeys.assertChildRows(spark, stmt.table, affected, merged)
+      // PRAGMA foreign_keys=1: inserted rows must resolve EVERY FK
+      // against the post-statement state (self-FKs see `merged`);
+      // DO-UPDATE-updated rows re-validate only the FKs whose child
+      // columns the assignments touch (SQLite skips unmodified
+      // constraints — measured, as is OR IGNORE discarding conflict
+      // rows before FK checks). A parent-key tuple this statement
+      // removes (OR REPLACE = SQLite's delete+insert → ON DELETE;
+      // DO UPDATE re-keying → ON UPDATE) must be unreferenced.
+      ForeignKeys.assertChildRows(spark, stmt.table, inserted, merged)
+      if (updAssignCols.nonEmpty)
+        ForeignKeys.assertChildRows(spark, stmt.table, affected, merged,
+          Some(updAssignCols.map(_.toLowerCase).toSet))
       // append-only forms cannot remove parent keys — no check job
       if (stmt.replace || stmt.conflict.exists(_.assigns.nonEmpty))
-        ForeignKeys.assertParentTransition(spark, stmt.table, base, merged)
+        ForeignKeys.assertParentTransition(spark, stmt.table, base, merged,
+          if (stmt.replace) "delete" else "update")
       merged.write.mode("overwrite").parquet(dir)
       val out = spark.read.parquet(dir)
       out.createOrReplaceTempView(stmt.table)

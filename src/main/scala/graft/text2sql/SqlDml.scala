@@ -227,7 +227,8 @@ object SqlDml {
   final case class AlterAddColumn(table: String, col: String,
                                   declType: String,
                                   default: Option[String],
-                                  notNull: Boolean) extends Stmt
+                                  notNull: Boolean,
+                                  fk: Option[Fk] = None) extends Stmt
 
   /** `ALTER TABLE t DROP [COLUMN] c` — the executor enforces SQLite's
     * restrictions (no PK / indexed / last-remaining column). */
@@ -715,7 +716,8 @@ object SqlDml {
     * PRIMARY KEY / UNIQUE, no generated column, and the default may be
     * neither a parenthesized expression nor CURRENT_TIME/DATE/TIMESTAMP
     * (lang_altertable.html §3) — so the default is always one literal
-    * token. COLLATE / CHECK / REFERENCES skip as in CREATE TABLE. */
+    * token. COLLATE / CHECK skip as in CREATE TABLE; a REFERENCES
+    * clause registers the column's FK (SQLite lists and enforces it). */
   private def parseAddColumn(item: String, table: String): Option[Stmt] = {
     val verb = "ALTER TABLE ADD COLUMN"
     val bad = Some(Unsupported(verb))
@@ -763,7 +765,18 @@ object SqlDml {
             s"$verb with a ${tok.toUpperCase} default (SQLite forbids)"))
         Some(tok)
       }
-    Some(AlterAddColumn(table, name, declType, default, notNull))
+    // a REFERENCES clause on the added column registers its FK exactly
+    // as CREATE TABLE's column-level form does (measured: SQLite lists
+    // it in foreign_key_list and enforces it)
+    val fk = {
+      val rk = findTopKeyword(frag, 0, "references")
+      if (rk < 0) None
+      else parseReferences(frag, skipWs(frag, rk + 10), Seq(name)) match {
+        case Right((f, _)) => Some(f)
+        case Left(_)       => return bad
+      }
+    }
+    Some(AlterAddColumn(table, name, declType, default, notNull, fk))
   }
 
   /** Keywords that END a column's type declaration and start its

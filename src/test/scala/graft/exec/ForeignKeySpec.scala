@@ -223,6 +223,100 @@ class ForeignKeySpec extends SparkSpec
     }
   }
 
+  test("self-referential DELETE removes referrers with their parents " +
+       "(post-statement child state, sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE st$i (id INTEGER PRIMARY KEY, par INTEGER " +
+      s"REFERENCES st$i)")
+    sql(s"INSERT INTO st$i VALUES (1, NULL), (2, 1)")
+    sql("PRAGMA foreign_keys = 1")
+    // deleting the whole table removes row (2,1) together with its
+    // parent — sqlite3 succeeds; a stale-child check would refuse
+    sql(s"DELETE FROM st$i")
+    assert(sql(s"SELECT * FROM st$i").count() == 0)
+  }
+
+  test("ON UPDATE actions drive parent-key UPDATEs (not ON DELETE); " +
+       "cascade-on-update declines named") {
+    val i = fresh()
+    sql(s"CREATE TABLE up$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE uc$i (a INTEGER REFERENCES up$i " +
+      s"ON DELETE CASCADE)") // ON UPDATE stays NO ACTION
+    sql(s"INSERT INTO up$i VALUES (1)")
+    sql(s"INSERT INTO uc$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    // re-keying consults ON UPDATE (NO ACTION) → SQLite's constraint
+    // error, NOT the ON DELETE CASCADE decline
+    val e = intercept[IllegalArgumentException] {
+      sql(s"UPDATE up$i SET id = 2 WHERE id = 1")
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    val j = fresh()
+    sql(s"CREATE TABLE vp$j (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE vc$j (a INTEGER REFERENCES vp$j " +
+      s"ON UPDATE CASCADE)")
+    sql(s"INSERT INTO vp$j VALUES (1)")
+    sql(s"INSERT INTO vc$j VALUES (1)")
+    val e2 = intercept[UnsupportedOperationException] {
+      sql(s"UPDATE vp$j SET id = 2 WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("ON UPDATE CASCADE"), e2.getMessage)
+  }
+
+  test("updates skip FKs whose columns are unmodified; dangling-only " +
+       "children do not block DROP of the parent (sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE wp1$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE wp2$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE wt$i (a INTEGER REFERENCES wp1$i, " +
+      s"b INTEGER REFERENCES wp2$i, v TEXT)")
+    sql(s"INSERT INTO wp1$i VALUES (1)")
+    sql(s"INSERT INTO wt$i VALUES (1, 555, 'x')") // b dangles (fk off)
+    sql("PRAGMA foreign_keys = 1")
+    // touching only `a` leaves the dangling `b` unchecked (measured)
+    sql(s"UPDATE wt$i SET a = 1 WHERE v = 'x'")
+    sql(s"UPDATE wt$i SET v = 'y'") // no FK column touched at all
+    // wp2 has no key the dangling reference hits → drop succeeds
+    sql(s"DROP TABLE wp2$i")
+    // wp1 IS referenced → refuses
+    val e = intercept[IllegalArgumentException] { sql(s"DROP TABLE wp1$i") }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+  }
+
+  test("ALTER TABLE ADD COLUMN REFERENCES registers and enforces; " +
+       "fkcheck on an unknown table errors, FK-less table is clean") {
+    val i = fresh()
+    sql(s"CREATE TABLE gp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE gc$i (a INTEGER REFERENCES gp$i)")
+    sql(s"ALTER TABLE gc$i ADD COLUMN pid INTEGER REFERENCES gp$i(id)")
+    // measured: the added column's FK is the newest → id 0
+    assert(rowsOf(s"PRAGMA foreign_key_list(gc$i)") == Seq(
+      Seq(0, 0, s"gp$i", "pid", "id", "NO ACTION", "NO ACTION", "NONE"),
+      Seq(1, 0, s"gp$i", "a", null, "NO ACTION", "NO ACTION", "NONE")))
+    sql(s"INSERT INTO gp$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"INSERT INTO gc$i VALUES (1, 1)")
+    val e = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO gc$i VALUES (1, 99)")
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    // pragma edges (both sqlite3-measured)
+    val e2 = intercept[IllegalArgumentException] {
+      sql(s"PRAGMA foreign_key_check(fk_nosuch$i)")
+    }
+    assert(e2.getMessage == s"no such table: fk_nosuch$i")
+    assert(rowsOf(s"PRAGMA foreign_key_check(gp$i)").isEmpty)
+    // short-form arity against a composite PK: SQLite's mismatch text
+    val j = fresh()
+    sql(s"CREATE TABLE hp$j (x INTEGER, y INTEGER, PRIMARY KEY (x, y))")
+    sql(s"CREATE TABLE hc$j (a INTEGER, FOREIGN KEY (a) REFERENCES hp$j)")
+    val e3 = intercept[IllegalArgumentException] {
+      sql(s"INSERT INTO hc$j VALUES (1)")
+    }
+    assert(e3.getMessage ==
+      s"""foreign key mismatch - "hc$j" referencing "hp$j"""")
+  }
+
   test("composite FK enforces on the declared multi-column key; " +
        "any NULL component passes (SQLite's rule)") {
     val i = fresh()

@@ -47,7 +47,11 @@ object Atomic {
     if (depth.get > 0) return f
     depth.set(1)
     try {
-      if (!Triggers.any(spark)) f
+      // trigger programs and ON DELETE FK actions are the two sources
+      // of multi-write statements — only they need the snapshot
+      if (!Triggers.any(spark) &&
+          !(ForeignKeys.enforcing(spark) && ForeignKeys.anyActionFks(spark)))
+        f
       else {
         val tables = spark.catalog.listTables().collect().toIndexedSeq
           .filter(_.isTemporary)

@@ -59,7 +59,11 @@ object Ddl {
     spark.emptyDataFrame
   }
 
-  def drop(spark: SparkSession, stmt: SqlDml.DropRelation): DataFrame = {
+  def drop(spark: SparkSession, stmt: SqlDml.DropRelation): DataFrame =
+    Atomic.statement(spark)(dropStmt(spark, stmt))
+
+  private def dropStmt(spark: SparkSession,
+                       stmt: SqlDml.DropRelation): DataFrame = {
     // SQLite matches the keyword against the relation kind (measured
     // error texts) — a DROP TABLE must not remove a view or vice versa
     val isView = SessionViews.isView(spark, stmt.name)
@@ -69,10 +73,16 @@ object Ddl {
     if (!isView && stmt.kind == "view" && exists(spark, stmt.name))
       throw new IllegalArgumentException(
         s"use DROP TABLE to delete table ${stmt.name}")
-    // a referenced parent is undeletable under PRAGMA foreign_keys=1
-    // (measured: SQLite's implicit DELETE raises the FK error)
-    if (!isView && exists(spark, stmt.name))
-      ForeignKeys.assertDroppable(spark, stmt.name)
+    // PRAGMA foreign_keys=1: SQLite's implicit DELETE runs — ON DELETE
+    // actions cascade into children (measured: DROP of a cascade-
+    // referenced parent empties the child) and a NO ACTION reference
+    // to an existing key makes the parent undeletable
+    if (!isView && exists(spark, stmt.name)) {
+      val old = spark.table(quote(stmt.name))
+      ForeignKeys.withPendingRebind(stmt.name) {
+        ForeignKeys.applyParentDelete(spark, stmt.name, old, old.limit(0))
+      }
+    }
     val dropped = spark.catalog.dropTempView(stmt.name)
     if (!dropped && !stmt.ifExists)
       throw new IllegalArgumentException(

@@ -27,12 +27,17 @@ import graft.text2sql.SqlDml
   *    FK over the AFFECTED slice only — the corpus never rescans.
   *  - parent DELETE / key UPDATE / OR REPLACE: keys REMOVED by the
   *    statement (old ∖ new) semi-join each child's references; a
-  *    match ⇒ the same error. Removed-key sets are bounded by the
-  *    statement's write, not the table.
-  *  - ON DELETE/UPDATE CASCADE / SET NULL / SET DEFAULT actions would
-  *    rewrite OTHER tables mid-statement — declined NAMED when a
-  *    parent-side statement would need them; NO ACTION and RESTRICT
-  *    (identical under immediate autocommit statements) enforce.
+  *    match ⇒ the same error under NO ACTION / RESTRICT (identical
+  *    under immediate autocommit statements). Removed-key sets are
+  *    bounded by the statement's write, not the table.
+  *  - ON DELETE CASCADE / SET NULL / SET DEFAULT actions RUN
+  *    ([[applyParentDelete]]): other child tables take internally-
+  *    issued DML (triggers fire, recursion and accounting ride the
+  *    normal statement path), a self-referential CASCADE settles
+  *    in-plan to the fixpoint, and DROP TABLE cascades exactly like
+  *    SQLite's implicit DELETE (all measured). ON UPDATE actions —
+  *    which would need the old→new key MAPPING, not just the removed
+  *    set — decline NAMED at the parent-side statement.
   * Timing parity (measured, sqlite3 3.40.1): SQLite too settles FK
   * state at the END of the statement — a multi-row INSERT whose later
   * rows create earlier rows' parents passes (`INSERT INTO tree VALUES
@@ -354,6 +359,267 @@ object ForeignKeys {
     }
   }
 
+  // -------------------------------------------- ON DELETE actions
+
+  /** Tables whose copy-on-write re-bind is PENDING on this thread (the
+    * statement computed `merged` but has not rebound yet). A cascade
+    * chain that cycles back into one of these would be silently
+    * overwritten by the pending re-bind — declined visibly instead
+    * (same reasoning as the BEFORE-trigger cascade guard). */
+  private val pendingRebinds = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
+  /** Run `f` with `table` marked rebind-pending (every DML statement
+    * wraps its enforcement+write section in this). */
+  def withPendingRebind[T](table: String)(f: => T): T = {
+    pendingRebinds.set(table.toLowerCase :: pendingRebinds.get)
+    try f finally pendingRebinds.set(pendingRebinds.get.tail)
+  }
+
+  /** Does any registered FK declare a cascade-style action? — the
+    * [[Atomic]] snapshot gate: only action-bearing enforcement can
+    * make a trigger-less statement multi-write. */
+  def anyActionFks(spark: SparkSession): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.fks.values.exists(_.exists(fk =>
+      isAction(fk.onDelete) || isAction(fk.onUpdate))))
+  }
+
+  private def isAction(a: String): Boolean =
+    a == "CASCADE" || a == "SET NULL" || a == "SET DEFAULT"
+
+  /** Apply ON DELETE actions for keys `table`'s statement removes
+    * (oldDf → newDf) and enforce NO ACTION/RESTRICT afterward —
+    * SQLite's order (measured: a CASCADE that removes the referencing
+    * row satisfies a sibling NO ACTION constraint). Returns the
+    * possibly-REDUCED new state: a self-referential CASCADE removes
+    * descendant rows in-plan (iterated to the fixpoint — SQLite's
+    * row-at-a-time chain, settled set-based), and a self SET NULL
+    * nulls the dangling references in-plan. Other child tables take
+    * real internally-issued DML (their DELETE triggers fire and
+    * total_changes() counts them, both measured); a cascade that
+    * cycles back into a rebind-pending table declines visibly. */
+  def applyParentDelete(spark: SparkSession, table: String,
+                        oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!enforcing(spark)) return newDf
+    val refs = referencing(spark, table)
+    if (refs.isEmpty) return newDf
+    var current = newDf
+    // actions first (self-FKs transform `current`; others issue DML)
+    val (actions, checks) = refs.partition {
+      case (_, fk) => isAction(fk.onDelete)
+    }
+    if (actions.nonEmpty) {
+      actions.foreach { case (childName, fk) =>
+        val pcols = resolveParentCols(spark, childName, fk, oldDf)
+        if (childName.equalsIgnoreCase(table))
+          current = applySelfAction(spark, table, fk, oldDf, current, pcols)
+        else
+          applyChildAction(spark, table, childName, fk, oldDf, current, pcols)
+      }
+    }
+    // NO ACTION / RESTRICT: check against the POST-action child state.
+    // SET DEFAULT re-checks too — its substituted value must not be a
+    // key this same statement removes (the child rewrite validated
+    // against the parent's PRE-statement state)
+    val recheck = checks ++ actions.filter {
+      case (_, fk) => fk.onDelete == "SET DEFAULT"
+    }
+    recheck.foreach { case (childName, fk) =>
+      val childState =
+        if (childName.equalsIgnoreCase(table)) Some(current)
+        else tableOpt(spark, childName)
+      childState.foreach { childDf =>
+        val pcolsOld = resolveParentCols(spark, childName, fk, oldDf)
+        if (removedReferenced(spark, oldDf, current, pcolsOld,
+            childDf, childName, fk, table)) fail()
+      }
+    }
+    current
+  }
+
+  /** Child rows of `table` itself referencing removed keys: CASCADE
+    * iterates survivors to the fixpoint (each round's removals expose
+    * the next level — a tree delete); SET NULL / SET DEFAULT is one
+    * projection pass (assignments remove no keys). The subject's own
+    * DELETE triggers cannot fire over rows removed in-plan — declined
+    * when any are registered (visible, never a silent skip). */
+  private def applySelfAction(spark: SparkSession, table: String,
+                              fk: SqlDml.Fk, oldDf: DataFrame,
+                              merged: DataFrame,
+                              pcols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val childCols = fk.cols.map { c =>
+      merged.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"""foreign key mismatch - "$table" referencing "$table""""))
+    }
+    fk.onDelete match {
+      case "CASCADE" =>
+        if (Triggers.anyFor(spark, table, "delete"))
+          throw new UnsupportedOperationException(
+            s"a self-referential ON DELETE CASCADE on $table cannot " +
+              s"fire the table's own DELETE triggers over cascaded " +
+              s"rows set-based; drop the trigger or delete explicitly")
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+        var survivors = merged.persist(lvl)
+        val n0 = survivors.count()
+        var n = n0
+        var rounds = 0
+        try {
+          var done = false
+          while (!done) {
+            rounds += 1
+            if (rounds > 64)
+              throw new UnsupportedOperationException(
+                s"self-referential ON DELETE CASCADE on $table did " +
+                  s"not settle within 64 rounds; delete explicitly")
+            // dangling FK tuples of the current survivor set, freshly
+            // aliased so the join back is unambiguous
+            val orphanTuples =
+              orphansOf(survivors, childCols, survivors, pcols)
+                .select(childCols.zipWithIndex.map { case (c, i) =>
+                  col(Ddl.quote(c)).as(s"__fk_o$i")
+                }.toIndexedSeq: _*).distinct()
+            val cur = survivors
+            val next = cur.join(orphanTuples,
+              childCols.zipWithIndex.map { case (cc, i) =>
+                cur(Ddl.quote(cc)) === orphanTuples(s"__fk_o$i")
+              }.reduce(_ && _),
+              "left_anti").persist(lvl)
+            val m = next.count()
+            if (m == n) { next.unpersist(); done = true }
+            else { survivors = next; n = m; cur.unpersist() }
+          }
+        } catch {
+          case e: Throwable => survivors.unpersist(); throw e
+        }
+        // cascaded self-rows count toward total_changes() only
+        val extra = n0 - n
+        if (extra > 0) SessionChanges.inTriggerBody {
+          SessionChanges.record(spark, () => extra)
+        }
+        // hand the lineage back uncached: the caller writes it once
+        // (a bounded anti-join chain), nothing should pin executor
+        // memory past the statement
+        survivors.unpersist()
+      case _ => // SET NULL / SET DEFAULT: one projection pass
+        val removed = removedKeys(oldDf, merged, pcols)
+        val marked = merged.join(
+          removed,
+          childCols.zipWithIndex.map { case (cc, i) =>
+            merged(Ddl.quote(cc)) === removed(s"__fk_r$i")
+          }.reduce(_ && _),
+          "left_outer")
+        val dflts = SessionKeys.defaultsFor(spark, table)
+        val out = marked.select(merged.columns.map { c =>
+          if (childCols.exists(_.equalsIgnoreCase(c))) {
+            val hit = removed(s"__fk_r0").isNotNull
+            val repl =
+              if (fk.onDelete == "SET NULL") lit(null)
+              else dflts.get(c.toLowerCase).map(d => expr(d._2))
+                .getOrElse(lit(null))
+            when(hit, repl.cast(merged.schema(c).dataType))
+              .otherwise(merged(Ddl.quote(c))).as(c)
+          } else merged(Ddl.quote(c)).as(c)
+        }.toIndexedSeq: _*)
+        // SET DEFAULT must still resolve (measured: a default pointing
+        // at a removed/missing key fails the statement)
+        if (fk.onDelete == "SET DEFAULT")
+          assertChildRows(spark, table, out, out,
+            Some(childCols.map(_.toLowerCase).toSet))
+        out
+    }
+  }
+
+  /** Issue the cascading DML against another child table — a real
+    * statement through [[Mutate]], so the child's triggers fire and
+    * its own FKs cascade recursively (both measured). Accounting rides
+    * the trigger-body bucket: total_changes() counts cascades,
+    * changes() does not (measured). */
+  private def applyChildAction(spark: SparkSession, table: String,
+                               childName: String, fk: SqlDml.Fk,
+                               oldDf: DataFrame, newDf: DataFrame,
+                               pcols: Seq[String]): Unit = {
+    if (pendingRebinds.get.contains(childName.toLowerCase))
+      throw new UnsupportedOperationException(
+        s"ON DELETE ${fk.onDelete} on $childName → $table cascades " +
+          s"back into a table this statement is rewriting; the " +
+          s"set-based engine cannot interleave the writes — break the " +
+          s"FK cycle or delete explicitly")
+    val childDf = tableOpt(spark, childName).getOrElse(return)
+    val childCols = fk.cols.map { c =>
+      childDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"""foreign key mismatch - "$childName" referencing "$table""""))
+    }
+    val removed = removedKeys(oldDf, newDf, pcols)
+    val view = s"graft_fkcas_g${Upsert.nextGeneration()}"
+    removed.createOrReplaceTempView(view)
+    try SessionChanges.inTriggerBody {
+      val hitWhere = childCols.map(cc =>
+        s"${Ddl.quote(cc)} IS NOT NULL").mkString(" AND ") +
+        s" AND EXISTS (SELECT 1 FROM `$view` WHERE " +
+        childCols.zipWithIndex.map { case (cc, i) =>
+          s"`$view`.__fk_r$i = ${Ddl.quote(cc)}"
+        }.mkString(" AND ") + ")"
+      fk.onDelete match {
+        case "CASCADE" =>
+          Mutate.runDelete(spark,
+            SqlDml.Delete(childName, Some(hitWhere), None, ""))
+        case "SET NULL" =>
+          Mutate.runUpdate(spark, SqlDml.Update(childName,
+            childCols.map(c => c -> "NULL"), Some(hitWhere), None, ""))
+        case "SET DEFAULT" =>
+          val dflts = SessionKeys.defaultsFor(spark, childName)
+          Mutate.runUpdate(spark, SqlDml.Update(childName,
+            childCols.map(c =>
+              c -> dflts.get(c.toLowerCase).map(_._2).getOrElse("NULL")),
+            Some(hitWhere), None, ""))
+      }
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** The key tuples `oldDf` has and `newDf` lacks, freshly aliased
+    * (__fk_r0..n). */
+  private def removedKeys(oldDf: DataFrame, newDf: DataFrame,
+                          pcols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pcolsNew = pcols.map(c =>
+      newDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+    oldDf.select(pcols.zipWithIndex.map { case (c, i) =>
+        col(Ddl.quote(c)).as(s"__fk_r$i")
+      }.toIndexedSeq: _*).distinct()
+      .except(newDf.select(pcolsNew.zipWithIndex.map { case (c, i) =>
+        col(Ddl.quote(c)).as(s"__fk_r$i")
+      }.toIndexedSeq: _*).distinct())
+  }
+
+  /** Does any non-null FK tuple of `childDf` reference a key removed
+    * by oldDf → newDf? */
+  private def removedReferenced(spark: SparkSession, oldDf: DataFrame,
+                                newDf: DataFrame, pcols: Seq[String],
+                                childDf: DataFrame, childName: String,
+                                fk: SqlDml.Fk, table: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val childCols = fk.cols.map { c =>
+      childDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"""foreign key mismatch - "$childName" referencing "$table""""))
+    }
+    val removed = removedKeys(oldDf, newDf, pcols)
+    val nonNull = childDf.filter(
+      childCols.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
+    val hit = nonNull.join(removed,
+      childCols.zipWithIndex.map { case (cc, i) =>
+        nonNull(Ddl.quote(cc)) === removed(s"__fk_r$i")
+      }.reduce(_ && _),
+      "left_semi")
+    !hit.isEmpty
+  }
+
   /** Parent-side check before `table` rebinds from `oldDf` to `newDf`:
     * key tuples the statement REMOVES must not be referenced by any
     * child row — evaluated against the child's POST-statement state
@@ -410,38 +676,4 @@ object ForeignKeys {
     }
   }
 
-  /** DROP TABLE `table` under enforcement: SQLite's implicit DELETE
-    * makes a REFERENCED parent undeletable — measured "FOREIGN KEY
-    * constraint failed". Only child rows whose FK tuples actually hit
-    * a parent key block the drop: a dangling reference points at no
-    * removable key, so the drop succeeds (measured). */
-  def assertDroppable(spark: SparkSession, table: String): Unit = {
-    if (!enforcing(spark)) return
-    referencing(spark, table).foreach { case (childName, fk) =>
-      if (!childName.equalsIgnoreCase(table)) {
-        for {
-          childDf <- tableOpt(spark, childName)
-          parentDf <- tableOpt(spark, table)
-        } {
-          val childCols = fk.cols.flatMap(c =>
-            childDf.columns.find(_.equalsIgnoreCase(c)))
-          if (childCols.size == fk.cols.size) {
-            import org.apache.spark.sql.functions.col
-            val pcols = resolveParentCols(spark, childName, fk, parentDf)
-            val nonNull = childDf.filter(childCols.map(c =>
-              col(Ddl.quote(c)).isNotNull).reduce(_ && _))
-            val keys = parentDf.select(pcols.zipWithIndex.map {
-              case (c, i) => col(Ddl.quote(c)).as(s"__fk_p$i")
-            }.toIndexedSeq: _*).distinct()
-            val hit = nonNull.join(keys,
-              childCols.zipWithIndex.map { case (cc, i) =>
-                nonNull(Ddl.quote(cc)) === keys(s"__fk_p$i")
-              }.reduce(_ && _),
-              "left_semi")
-            if (!hit.isEmpty) fail()
-          }
-        }
-      }
-    }
-  }
 }

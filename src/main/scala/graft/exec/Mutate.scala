@@ -308,11 +308,16 @@ object Mutate {
     try {
       slice.foreach(sl =>
         Triggers.fireBefore(spark, d.table, "delete", Nil, sl))
-      // PRAGMA foreign_keys=1: deleting referenced parent rows fails
-      // with SQLite's error (NO ACTION); cascade actions decline named
-      ForeignKeys.assertParentTransition(spark, d.table,
-        spark.table(q(d.table)), merged, "delete")
-      val out = rebind(spark, d.table, merged, ret)
+      // PRAGMA foreign_keys=1: ON DELETE actions run (cascade /
+      // set-null child rewrites — self-referential ones reduce the
+      // merged plan in place), then NO ACTION refusals; the subject
+      // is rebind-pending until the write lands so a cascade cycling
+      // back declines visibly
+      val out = ForeignKeys.withPendingRebind(d.table) {
+        val merged2 = ForeignKeys.applyParentDelete(spark, d.table,
+          spark.table(q(d.table)), merged)
+        rebind(spark, d.table, merged2, ret)
+      }
       slice.foreach(sl =>
         Triggers.fire(spark, d.table, "delete", Nil, "after", sl))
       out
@@ -421,9 +426,11 @@ object Mutate {
             try spark.sql(s"${d.withPrefix} SELECT $r FROM `$rv`".trim)
             finally spark.catalog.dropTempView(rv)
           }
-          ForeignKeys.assertParentTransition(spark, d.table, base, merged,
-            "delete")
-          rebind(spark, d.table, merged, ret)
+          ForeignKeys.withPendingRebind(d.table) {
+            val merged2 =
+              ForeignKeys.applyParentDelete(spark, d.table, base, merged)
+            rebind(spark, d.table, merged2, ret)
+          }
       }
     } finally {
       spark.catalog.dropTempView(bview)

@@ -164,7 +164,7 @@ class ForeignKeySpec extends SparkSpec
     assert(e.getMessage == "FOREIGN KEY constraint failed")
   }
 
-  test("cascade actions decline NAMED at the parent-side statement; " +
+  test("ON DELETE CASCADE executes on the parent-side DELETE; " +
        "mismatch and missing-parent errors use SQLite's texts") {
     val i = fresh()
     sql(s"CREATE TABLE cp$i (id INTEGER PRIMARY KEY)")
@@ -172,10 +172,8 @@ class ForeignKeySpec extends SparkSpec
     sql(s"INSERT INTO cp$i VALUES (1)")
     sql(s"INSERT INTO cc$i VALUES (1)")
     sql("PRAGMA foreign_keys = 1")
-    val e = intercept[UnsupportedOperationException] {
-      sql(s"DELETE FROM cp$i")
-    }
-    assert(e.getMessage.contains("ON DELETE CASCADE"), e.getMessage)
+    sql(s"DELETE FROM cp$i")
+    assert(sql(s"SELECT * FROM cc$i").count() == 0)
     // referencing a parent with no declared key: SQLite's mismatch text
     val j = fresh()
     sql(s"CREATE TABLE mp$j (x INTEGER)")
@@ -315,6 +313,121 @@ class ForeignKeySpec extends SparkSpec
     }
     assert(e3.getMessage ==
       s"""foreign key mismatch - "hc$j" referencing "hp$j"""")
+  }
+
+  test("ON DELETE CASCADE removes referencing rows, fires the child's " +
+       "triggers, and counts only in total_changes (sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE kp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE kc$i (a INTEGER REFERENCES kp$i ON DELETE CASCADE," +
+      s" v TEXT)")
+    sql(s"CREATE TABLE klog$i (ev TEXT)")
+    sql(s"CREATE TRIGGER ktg$i AFTER DELETE ON kc$i BEGIN " +
+      s"INSERT INTO klog$i VALUES (OLD.v); END")
+    sql(s"INSERT INTO kp$i VALUES (1), (2)")
+    sql(s"INSERT INTO kc$i VALUES (1, 'a'), (1, 'b'), (2, 'c')")
+    sql("PRAGMA foreign_keys = 1")
+    val tot0 = rowsOf("SELECT total_changes() AS t").head.head
+      .asInstanceOf[Long]
+    sql(s"DELETE FROM kp$i WHERE id = 1")
+    // sqlite3 3.40.1: changes()=1 (direct row only); total delta = 5
+    // (1 parent + 2 cascaded children + 2 trigger-body inserts);
+    // child triggers fire even with recursive_triggers OFF
+    assert(rowsOf("SELECT changes() AS c") == Seq(Seq(1L)))
+    assert(rowsOf("SELECT total_changes() AS t") == Seq(Seq(tot0 + 5L)))
+    assert(rowsOf(s"SELECT a, v FROM kc$i") == Seq(Seq(2L, "c")))
+    assert(rowsOf(s"SELECT ev FROM klog$i ORDER BY ev") ==
+      Seq(Seq("a"), Seq("b")))
+  }
+
+  test("cascade chains span tables; DROP TABLE cascades like the " +
+       "implicit DELETE (sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE ca$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE cb$i (id INTEGER PRIMARY KEY, " +
+      s"aid INTEGER REFERENCES ca$i ON DELETE CASCADE)")
+    sql(s"CREATE TABLE cz$i (bid INTEGER REFERENCES cb$i " +
+      s"ON DELETE CASCADE, v TEXT)")
+    sql(s"INSERT INTO ca$i VALUES (1), (2)")
+    sql(s"INSERT INTO cb$i VALUES (10, 1), (20, 2)")
+    sql(s"INSERT INTO cz$i VALUES (10, 'x'), (20, 'y')")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM ca$i WHERE id = 1") // → cb 10 → cz 'x'
+    assert(rowsOf(s"SELECT id FROM cb$i") == Seq(Seq(20L)))
+    assert(rowsOf(s"SELECT v FROM cz$i") == Seq(Seq("y")))
+    sql(s"DROP TABLE ca$i") // implicit DELETE cascades the rest
+    assert(sql(s"SELECT * FROM cb$i").count() == 0)
+    assert(sql(s"SELECT * FROM cz$i").count() == 0)
+  }
+
+  test("self-referential ON DELETE CASCADE settles transitively " +
+       "(tree delete, sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE tree$i (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER REFERENCES tree$i ON DELETE CASCADE)")
+    sql(s"INSERT INTO tree$i VALUES (1, NULL), (2, 1), (3, 2), (4, 3), " +
+      s"(9, NULL), (10, 9)")
+    sql("PRAGMA foreign_keys = 1")
+    val tot0 = rowsOf("SELECT total_changes() AS t").head.head
+      .asInstanceOf[Long]
+    sql(s"DELETE FROM tree$i WHERE id = 1") // 2, 3, 4 follow
+    assert(rowsOf(s"SELECT id FROM tree$i ORDER BY id") ==
+      Seq(Seq(9L), Seq(10L)))
+    assert(rowsOf("SELECT changes() AS c") == Seq(Seq(1L)))
+    assert(rowsOf("SELECT total_changes() AS t") == Seq(Seq(tot0 + 4L)))
+  }
+
+  test("ON DELETE SET NULL / SET DEFAULT rewrite the reference; a " +
+       "default pointing at no key fails the statement (measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE sp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE sn$i (a INTEGER DEFAULT 7 REFERENCES sp$i " +
+      s"ON DELETE SET DEFAULT, b INTEGER REFERENCES sp$i " +
+      s"ON DELETE SET NULL, v TEXT)")
+    sql(s"INSERT INTO sp$i VALUES (1), (7)")
+    sql(s"INSERT INTO sn$i VALUES (1, 1, 'q')")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM sp$i WHERE id = 1")
+    assert(rowsOf(s"SELECT a, b, v FROM sn$i") == Seq(Seq(7L, null, "q")))
+    // SET DEFAULT whose default key is absent: statement fails whole
+    val j = fresh()
+    sql(s"CREATE TABLE dp$j (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE dn$j (a INTEGER DEFAULT 99 REFERENCES dp$j " +
+      s"ON DELETE SET DEFAULT)")
+    sql(s"INSERT INTO dp$j VALUES (2)")
+    sql(s"INSERT INTO dn$j VALUES (2)")
+    val e = intercept[IllegalArgumentException] {
+      sql(s"DELETE FROM dp$j WHERE id = 2")
+    }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    assert(rowsOf(s"SELECT id FROM dp$j") == Seq(Seq(2L))) // rolled back
+    assert(rowsOf(s"SELECT a FROM dn$j") == Seq(Seq(2L)))
+  }
+
+  test("a CASCADE satisfies a sibling NO ACTION constraint; one in " +
+       "another table still blocks (both sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE xp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE xd$i (b INTEGER REFERENCES xp$i, " +
+      s"a INTEGER REFERENCES xp$i ON DELETE CASCADE)")
+    sql(s"INSERT INTO xp$i VALUES (1)")
+    sql(s"INSERT INTO xd$i VALUES (1, 1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM xp$i WHERE id = 1") // cascade removes the row
+    assert(sql(s"SELECT * FROM xd$i").count() == 0)
+    val j = fresh()
+    sql(s"CREATE TABLE yp$j (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE ye1$j (a INTEGER REFERENCES yp$j " +
+      s"ON DELETE CASCADE)")
+    sql(s"CREATE TABLE ye2$j (b INTEGER REFERENCES yp$j)")
+    sql(s"INSERT INTO yp$j VALUES (1)")
+    sql(s"INSERT INTO ye1$j VALUES (1)")
+    sql(s"INSERT INTO ye2$j VALUES (1)")
+    val e = intercept[IllegalArgumentException] { sql(s"DELETE FROM yp$j") }
+    assert(e.getMessage == "FOREIGN KEY constraint failed")
+    // the whole statement rolled back, INCLUDING the ye1 cascade
+    assert(sql(s"SELECT * FROM ye1$j").count() == 1)
+    assert(sql(s"SELECT * FROM yp$j").count() == 1)
   }
 
   test("composite FK enforces on the declared multi-column key; " +

@@ -377,13 +377,14 @@ object ForeignKeys {
     try f finally pendingRebinds.set(pendingRebinds.get.tail)
   }
 
-  /** Does any registered FK declare a cascade-style action? — the
-    * [[Atomic]] snapshot gate: only action-bearing enforcement can
-    * make a trigger-less statement multi-write. */
+  /** Does any registered FK declare a cascade-style ON DELETE action?
+    * — the [[Atomic]] snapshot gate: only executing actions can make a
+    * trigger-less statement multi-write (ON UPDATE actions decline
+    * named and never write, so they don't force the snapshot). */
   def anyActionFks(spark: SparkSession): Boolean = {
     val s = state(spark)
     s.synchronized(s.fks.values.exists(_.exists(fk =>
-      isAction(fk.onDelete) || isAction(fk.onUpdate))))
+      isAction(fk.onDelete))))
   }
 
   private def isAction(a: String): Boolean =
@@ -412,12 +413,20 @@ object ForeignKeys {
       case (_, fk) => isAction(fk.onDelete)
     }
     if (actions.nonEmpty) {
-      actions.foreach { case (childName, fk) =>
+      // SELF actions settle first: a self-referential CASCADE grows
+      // the removed-key set, and child-table cascades keyed on the
+      // PRE-self set would strand rows referencing cascaded
+      // descendants (SQLite deletes them — measured ordering)
+      val (selfActs, childActs) = actions.partition {
+        case (childName, _) => childName.equalsIgnoreCase(table)
+      }
+      selfActs.foreach { case (_, fk) =>
+        val pcols = resolveParentCols(spark, table, fk, oldDf)
+        current = applySelfAction(spark, table, fk, oldDf, current, pcols)
+      }
+      childActs.foreach { case (childName, fk) =>
         val pcols = resolveParentCols(spark, childName, fk, oldDf)
-        if (childName.equalsIgnoreCase(table))
-          current = applySelfAction(spark, table, fk, oldDf, current, pcols)
-        else
-          applyChildAction(spark, table, childName, fk, oldDf, current, pcols)
+        applyChildAction(spark, table, childName, fk, oldDf, current, pcols)
       }
     }
     // NO ACTION / RESTRICT: check against the POST-action child state.
@@ -458,53 +467,74 @@ object ForeignKeys {
     }
     fk.onDelete match {
       case "CASCADE" =>
-        if (Triggers.anyFor(spark, table, "delete"))
-          throw new UnsupportedOperationException(
-            s"a self-referential ON DELETE CASCADE on $table cannot " +
-              s"fire the table's own DELETE triggers over cascaded " +
-              s"rows set-based; drop the trigger or delete explicitly")
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-        var survivors = merged.persist(lvl)
-        val n0 = survivors.count()
-        var n = n0
-        var rounds = 0
-        try {
+        // follow ONLY the chain rooted at keys this statement removes:
+        // frontier_0 = the statement's removed keys; each round deletes
+        // rows referencing the frontier and the victims' OWN keys form
+        // the next frontier. A pre-existing dangling row (its parent
+        // never existed) references no frontier key and SURVIVES —
+        // measured: sqlite3 leaves it, flagged only by
+        // foreign_key_check. Seeding from all dangling tuples instead
+        // would silently delete it.
+        val frontier0 = removedKeys(oldDf, merged, pcols)
+        if (frontier0.isEmpty) merged // zero-removal: complete no-op
+        else {
+          // each round's survivor/frontier plans reference BOTH prior
+          // trees — localCheckpoint per round keeps the plan constant-
+          // depth instead of exponential (the connected-components
+          // discipline from ops/Dedup); checkpointed blocks die with
+          // the session
+          var survivors = merged.localCheckpoint()
+          var frontier = frontier0.localCheckpoint()
+          var extra = 0L
+          var rounds = 0
+          var guarded = false
           var done = false
           while (!done) {
             rounds += 1
-            if (rounds > 64)
+            if (rounds > 1000)
               throw new UnsupportedOperationException(
                 s"self-referential ON DELETE CASCADE on $table did " +
-                  s"not settle within 64 rounds; delete explicitly")
-            // dangling FK tuples of the current survivor set, freshly
-            // aliased so the join back is unambiguous
-            val orphanTuples =
-              orphansOf(survivors, childCols, survivors, pcols)
-                .select(childCols.zipWithIndex.map { case (c, i) =>
-                  col(Ddl.quote(c)).as(s"__fk_o$i")
-                }.toIndexedSeq: _*).distinct()
+                  s"not settle within 1000 rounds; delete explicitly")
             val cur = survivors
-            val next = cur.join(orphanTuples,
-              childCols.zipWithIndex.map { case (cc, i) =>
-                cur(Ddl.quote(cc)) === orphanTuples(s"__fk_o$i")
-              }.reduce(_ && _),
-              "left_anti").persist(lvl)
-            val m = next.count()
-            if (m == n) { next.unpersist(); done = true }
-            else { survivors = next; n = m; cur.unpersist() }
+            val hitCond = childCols.zipWithIndex.map { case (cc, i) =>
+              cur(Ddl.quote(cc)) === frontier(s"__fk_r$i")
+            }.reduce(_ && _)
+            val victims = cur.join(frontier, hitCond, "left_semi")
+              .localCheckpoint()
+            val vcount = victims.count()
+            if (vcount == 0) done = true
+            else {
+              // the subject's own DELETE triggers cannot fire over
+              // rows removed in-plan — declined only when rows
+              // actually cascade (a no-op cascade stays silent, and
+              // DROP TABLE's implicit DELETE never fires triggers)
+              if (!guarded) {
+                guarded = true
+                if (Triggers.anyFor(spark, table, "delete"))
+                  throw new UnsupportedOperationException(
+                    s"a self-referential ON DELETE CASCADE on $table " +
+                      s"cannot fire the table's own DELETE triggers " +
+                      s"over cascaded rows set-based; drop the " +
+                      s"trigger or delete explicitly")
+              }
+              extra += vcount
+              survivors = cur.join(frontier, hitCond, "left_anti")
+                .localCheckpoint()
+              // shallow over the checkpointed victims — no re-chain
+              frontier = victims.select(pcols.zipWithIndex.map {
+                case (c, i) => col(Ddl.quote(c)).as(s"__fk_r$i")
+              }.toIndexedSeq: _*).distinct()
+            }
           }
-        } catch {
-          case e: Throwable => survivors.unpersist(); throw e
+          // cascaded self-rows count toward total_changes() only
+          if (extra > 0) {
+            val cnt = extra
+            SessionChanges.inTriggerBody {
+              SessionChanges.record(spark, () => cnt)
+            }
+          }
+          survivors
         }
-        // cascaded self-rows count toward total_changes() only
-        val extra = n0 - n
-        if (extra > 0) SessionChanges.inTriggerBody {
-          SessionChanges.record(spark, () => extra)
-        }
-        // hand the lineage back uncached: the caller writes it once
-        // (a bounded anti-join chain), nothing should pin executor
-        // memory past the statement
-        survivors.unpersist()
       case _ => // SET NULL / SET DEFAULT: one projection pass
         val removed = removedKeys(oldDf, merged, pcols)
         val marked = merged.join(
@@ -542,7 +572,18 @@ object ForeignKeys {
   private def applyChildAction(spark: SparkSession, table: String,
                                childName: String, fk: SqlDml.Fk,
                                oldDf: DataFrame, newDf: DataFrame,
-                               pcols: Seq[String]): Unit = {
+                               pcols: Seq[String]): Unit =
+    applyChildActionKeys(spark, table, childName, fk,
+      removedKeys(oldDf, newDf, pcols))
+
+  /** The action keyed on an explicit removed-key set (__fk_r*-aliased).
+    * A statement that removes nothing cascades nothing — no child
+    * rewrite, no spurious cycle decline (measured: a zero-row DELETE
+    * on a cascade parent is a complete no-op in sqlite3). */
+  private def applyChildActionKeys(spark: SparkSession, table: String,
+                                   childName: String, fk: SqlDml.Fk,
+                                   removed: DataFrame): Unit = {
+    if (removed.isEmpty) return
     if (pendingRebinds.get.contains(childName.toLowerCase))
       throw new UnsupportedOperationException(
         s"ON DELETE ${fk.onDelete} on $childName → $table cascades " +
@@ -555,7 +596,6 @@ object ForeignKeys {
         throw new IllegalArgumentException(
           s"""foreign key mismatch - "$childName" referencing "$table""""))
     }
-    val removed = removedKeys(oldDf, newDf, pcols)
     val view = s"graft_fkcas_g${Upsert.nextGeneration()}"
     removed.createOrReplaceTempView(view)
     try SessionChanges.inTriggerBody {
@@ -580,6 +620,36 @@ object ForeignKeys {
             Some(hitWhere), None, ""))
       }
     } finally spark.catalog.dropTempView(view)
+  }
+
+  /** `INSERT OR REPLACE`'s internal delete: SQLite runs ON DELETE
+    * actions for DISPLACED rows even though the conflicting key is
+    * re-inserted by the same statement (measured: REPLACE of a
+    * cascade-referenced key EMPTIES the child), while NO ACTION
+    * children are satisfied by the re-inserted key (also measured —
+    * end-of-statement settling again). `displaced` is the set of base
+    * rows the replace removes. Self-referential replace-cascades
+    * decline named (the in-plan transform would race the statement's
+    * own merge). */
+  def applyParentReplace(spark: SparkSession, table: String,
+                         displaced: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!enforcing(spark)) return
+    val refs = referencing(spark, table).filter {
+      case (_, fk) => isAction(fk.onDelete)
+    }
+    refs.foreach { case (childName, fk) =>
+      if (childName.equalsIgnoreCase(table))
+        throw new UnsupportedOperationException(
+          s"INSERT OR REPLACE into $table with a self-referential " +
+            s"ON DELETE ${fk.onDelete} is not supported set-based; " +
+            s"DELETE the conflicting rows first")
+      val pcols = resolveParentCols(spark, childName, fk, displaced)
+      applyChildActionKeys(spark, table, childName, fk,
+        displaced.select(pcols.zipWithIndex.map { case (c, i) =>
+          col(Ddl.quote(c)).as(s"__fk_r$i")
+        }.toIndexedSeq: _*).distinct())
+    }
   }
 
   /** The key tuples `oldDf` has and `newDf` lacks, freshly aliased

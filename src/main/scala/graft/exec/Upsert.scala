@@ -280,18 +280,30 @@ object Upsert {
       // rows before FK checks). A parent-key tuple this statement
       // removes (OR REPLACE = SQLite's delete+insert → ON DELETE;
       // DO UPDATE re-keying → ON UPDATE) must be unreferenced.
-      ForeignKeys.assertChildRows(spark, stmt.table, inserted, merged)
-      if (updAssignCols.nonEmpty)
-        ForeignKeys.assertChildRows(spark, stmt.table, affected, merged,
-          Some(updAssignCols.map(_.toLowerCase).toSet))
-      // append-only forms cannot remove parent keys — no check job
-      if (stmt.replace || stmt.conflict.exists(_.assigns.nonEmpty))
-        ForeignKeys.assertParentTransition(spark, stmt.table, base, merged,
-          if (stmt.replace) "delete" else "update")
-      merged.write.mode("overwrite").parquet(dir)
-      val out = spark.read.parquet(dir)
-      out.createOrReplaceTempView(stmt.table)
-      Triggers.bumpVersion(spark, stmt.table)
+      val out = ForeignKeys.withPendingRebind(stmt.table) {
+        ForeignKeys.assertChildRows(spark, stmt.table, inserted, merged)
+        if (updAssignCols.nonEmpty)
+          ForeignKeys.assertChildRows(spark, stmt.table, affected, merged,
+            Some(updAssignCols.map(_.toLowerCase).toSet))
+        // append-only forms cannot remove parent keys — no check job
+        if (stmt.replace || stmt.conflict.exists(_.assigns.nonEmpty))
+          ForeignKeys.assertParentTransition(spark, stmt.table, base,
+            merged, if (stmt.replace) "delete" else "update")
+        // OR REPLACE's internal delete runs ON DELETE actions for the
+        // DISPLACED rows (SQLite cascades even though the key is
+        // re-inserted — measured; NO ACTION children are satisfied by
+        // the re-inserted key, so assertParentTransition's net
+        // old∖new view is exactly right for them)
+        if (stmt.replace && ForeignKeys.enforcing(spark))
+          ForeignKeys.applyParentReplace(spark, stmt.table,
+            base.join(aligned.select(defaultKey.map(col): _*).distinct(),
+              defaultKey, "left_semi"))
+        merged.write.mode("overwrite").parquet(dir)
+        val o = spark.read.parquet(dir)
+        o.createOrReplaceTempView(stmt.table)
+        Triggers.bumpVersion(spark, stmt.table)
+        o
+      }
       afterSlice.foreach(sl =>
         Triggers.fire(spark, stmt.table, "insert", Nil, "after", sl))
       updSlice.foreach(sl =>

@@ -430,6 +430,87 @@ class ForeignKeySpec extends SparkSpec
     assert(sql(s"SELECT * FROM yp$j").count() == 1)
   }
 
+  test("self-cascade follows only the removed-key chain: pre-existing " +
+       "dangles survive, cross-table cascades see descendants") {
+    val i = fresh()
+    sql(s"CREATE TABLE rt$i (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER REFERENCES rt$i ON DELETE CASCADE)")
+    sql(s"INSERT INTO rt$i VALUES (1, NULL), (2, 1), (5, 999)") // 5 dangles
+    sql(s"CREATE TABLE ra$i (x INTEGER REFERENCES rt$i " +
+      s"ON DELETE CASCADE)")
+    sql(s"INSERT INTO ra$i VALUES (2)") // references the DESCENDANT
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM rt$i WHERE id = 1")
+    // sqlite3: rows 1 and 2 go; the pre-existing dangle (5,999) stays
+    // (only foreign_key_check flags it); ra's row referencing the
+    // self-cascaded descendant 2 goes too
+    assert(rowsOf(s"SELECT id FROM rt$i") == Seq(Seq(5L)))
+    assert(sql(s"SELECT * FROM ra$i").count() == 0)
+    // a DELETE matching nothing is a complete no-op — no cascade, no
+    // trigger-guard, the dangle untouched
+    sql(s"DELETE FROM rt$i WHERE id = -1")
+    assert(rowsOf(s"SELECT id FROM rt$i") == Seq(Seq(5L)))
+  }
+
+  test("zero-removal statements skip actions; DROP of an empty " +
+       "self-cascade table with a DELETE trigger succeeds") {
+    val i = fresh()
+    sql(s"CREATE TABLE zp$i (id INTEGER PRIMARY KEY)")
+    sql(s"CREATE TABLE zc$i (a INTEGER REFERENCES zp$i " +
+      s"ON DELETE CASCADE)")
+    sql(s"INSERT INTO zp$i VALUES (1)")
+    sql(s"INSERT INTO zc$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM zp$i WHERE id = 77") // matches nothing
+    assert(sql(s"SELECT * FROM zc$i").count() == 1)
+    // self-cascade + own DELETE trigger: fine while nothing cascades
+    val j = fresh()
+    sql(s"CREATE TABLE zt$j (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER REFERENCES zt$j ON DELETE CASCADE)")
+    sql(s"CREATE TABLE zl$j (ev TEXT)")
+    sql(s"CREATE TRIGGER ztg$j AFTER DELETE ON zt$j BEGIN " +
+      s"INSERT INTO zl$j VALUES ('d'); END")
+    sql(s"INSERT INTO zt$j VALUES (1, NULL)") // no referrers
+    sql(s"DELETE FROM zt$j WHERE id = 1") // removes a key, cascades 0 rows
+    assert(sql(s"SELECT * FROM zt$j").count() == 0)
+    sql(s"DROP TABLE zt$j") // empty now — implicit DELETE is a no-op
+  }
+
+  test("deep self-cascade chains settle (80-level linked list)") {
+    val i = fresh()
+    sql(s"CREATE TABLE dt$i (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER REFERENCES dt$i ON DELETE CASCADE)")
+    val rows = (0 to 80).map(k =>
+      if (k == 0) "(0, NULL)" else s"($k, ${k - 1})").mkString(", ")
+    sql(s"INSERT INTO dt$i VALUES $rows")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM dt$i WHERE id = 0")
+    assert(sql(s"SELECT * FROM dt$i").count() == 0)
+  }
+
+  test("INSERT OR REPLACE cascades the displaced row's children even " +
+       "though the key is re-inserted (sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE op$i (id INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"CREATE TABLE oc$i (a INTEGER REFERENCES op$i " +
+      s"ON DELETE CASCADE)")
+    sql(s"CREATE TABLE on$i (b INTEGER REFERENCES op$i)")
+    sql(s"INSERT INTO op$i VALUES (1, 'x')")
+    sql(s"INSERT INTO oc$i VALUES (1)")
+    sql(s"INSERT INTO on$i VALUES (1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"INSERT OR REPLACE INTO op$i VALUES (1, 'y')")
+    // the cascade child empties; the NO ACTION child is satisfied by
+    // the re-inserted key (end-of-statement settling, both measured)
+    assert(sql(s"SELECT * FROM oc$i").count() == 0)
+    assert(sql(s"SELECT * FROM on$i").count() == 1)
+    assert(rowsOf(s"SELECT v FROM op$i") == Seq(Seq("y")))
+    // a replace hitting NO conflicting key cascades nothing
+    sql(s"INSERT INTO oc$i VALUES (1)")
+    sql(s"INSERT OR REPLACE INTO op$i VALUES (2, 'z')")
+    assert(sql(s"SELECT * FROM oc$i").count() == 1)
+  }
+
   test("composite FK enforces on the declared multi-column key; " +
        "any NULL component passes (SQLite's rule)") {
     val i = fresh()

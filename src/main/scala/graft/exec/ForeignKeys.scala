@@ -480,11 +480,16 @@ object ForeignKeys {
         else {
           // each round's survivor/frontier plans reference BOTH prior
           // trees — localCheckpoint per round keeps the plan constant-
-          // depth instead of exponential (the connected-components
-          // discipline from ops/Dedup); checkpointed blocks die with
-          // the session
+          // depth instead of exponential, and superseded rounds'
+          // checkpoint RDDs are released EXPLICITLY (unpersisting the
+          // derived Dataset cannot free them — the same discipline as
+          // ops/Dedup's connected components). Only the FINAL survivor
+          // checkpoint stays for the caller's write (one bounded copy
+          // per statement, GC'd with the session).
           var survivors = merged.localCheckpoint()
+          var survRdd = ckptRddOf(survivors)
           var frontier = frontier0.localCheckpoint()
+          var frontRdd = ckptRddOf(frontier) // backs the live frontier
           var extra = 0L
           var rounds = 0
           var guarded = false
@@ -501,9 +506,12 @@ object ForeignKeys {
             }.reduce(_ && _)
             val victims = cur.join(frontier, hitCond, "left_semi")
               .localCheckpoint()
+            val vickRdd = ckptRddOf(victims)
             val vcount = victims.count()
-            if (vcount == 0) done = true
-            else {
+            if (vcount == 0) {
+              vickRdd.foreach(_.unpersist(false))
+              done = true
+            } else {
               // the subject's own DELETE triggers cannot fire over
               // rows removed in-plan — declined only when rows
               // actually cascade (a no-op cascade stays silent, and
@@ -518,14 +526,20 @@ object ForeignKeys {
                       s"trigger or delete explicitly")
               }
               extra += vcount
-              survivors = cur.join(frontier, hitCond, "left_anti")
+              val next = cur.join(frontier, hitCond, "left_anti")
                 .localCheckpoint()
-              // shallow over the checkpointed victims — no re-chain
+              val nextRdd = ckptRddOf(next)
+              // next round's frontier is shallow over the victims'
+              // checkpoint — keep that RDD, free the superseded ones
               frontier = victims.select(pcols.zipWithIndex.map {
                 case (c, i) => col(Ddl.quote(c)).as(s"__fk_r$i")
               }.toIndexedSeq: _*).distinct()
+              survRdd.foreach(_.unpersist(false)); survRdd = nextRdd
+              frontRdd.foreach(_.unpersist(false)); frontRdd = vickRdd
+              survivors = next
             }
           }
+          frontRdd.foreach(_.unpersist(false))
           // cascaded self-rows count toward total_changes() only
           if (extra > 0) {
             val cnt = extra
@@ -537,6 +551,10 @@ object ForeignKeys {
         }
       case _ => // SET NULL / SET DEFAULT: one projection pass
         val removed = removedKeys(oldDf, merged, pcols)
+        // zero-removal: complete no-op — in particular the SET
+        // DEFAULT re-validation below must not flag a PRE-EXISTING
+        // dangle this statement never touched
+        if (removed.isEmpty) return merged
         val marked = merged.join(
           removed,
           childCols.zipWithIndex.map { case (cc, i) =>
@@ -632,12 +650,20 @@ object ForeignKeys {
     * decline named (the in-plan transform would race the statement's
     * own merge). */
   def applyParentReplace(spark: SparkSession, table: String,
-                         displaced: DataFrame): Unit = {
+                         displaced0: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     if (!enforcing(spark)) return
     val refs = referencing(spark, table).filter {
       case (_, fk) => isAction(fk.onDelete)
     }
+    if (refs.isEmpty) return
+    // materialize ONCE: the probe and every cascade read the same
+    // displaced set (a non-deterministic insert source must not yield
+    // different sets per consumer), and the lazy changes() thunks the
+    // cascades record keep a recomputable leaf — so the checkpoint is
+    // deliberately left for session GC, one bounded copy per REPLACE
+    val displaced = displaced0.localCheckpoint()
+    if (displaced.isEmpty) return // conflict-free replace: plain insert
     refs.foreach { case (childName, fk) =>
       if (childName.equalsIgnoreCase(table))
         throw new UnsupportedOperationException(
@@ -651,6 +677,17 @@ object ForeignKeys {
         }.toIndexedSeq: _*).distinct())
     }
   }
+
+  /** This checkpointed Dataset's backing RDD (localCheckpoint leaves a
+    * LogicalRDD leaf) — identified from the plan itself, never by
+    * diffing the global RDD registry (ops/Dedup's rule: that would
+    * capture RDDs cached concurrently by other queries). */
+  private def ckptRddOf(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 
   /** The key tuples `oldDf` has and `newDf` lacks, freshly aliased
     * (__fk_r0..n). */

@@ -285,16 +285,21 @@ object Upsert {
         if (updAssignCols.nonEmpty)
           ForeignKeys.assertChildRows(spark, stmt.table, affected, merged,
             Some(updAssignCols.map(_.toLowerCase).toSet))
+        // an ON CONFLICT clause OVERRIDES the OR REPLACE resolution
+        // (the merge above took the conflict branch — base rows are
+        // updated in place or kept, never displaced), so replace
+        // semantics apply only to the bare form
+        val effReplace = stmt.replace && stmt.conflict.isEmpty
         // append-only forms cannot remove parent keys — no check job
-        if (stmt.replace || stmt.conflict.exists(_.assigns.nonEmpty))
+        if (effReplace || stmt.conflict.exists(_.assigns.nonEmpty))
           ForeignKeys.assertParentTransition(spark, stmt.table, base,
-            merged, if (stmt.replace) "delete" else "update")
+            merged, if (effReplace) "delete" else "update")
         // OR REPLACE's internal delete runs ON DELETE actions for the
         // DISPLACED rows (SQLite cascades even though the key is
         // re-inserted — measured; NO ACTION children are satisfied by
         // the re-inserted key, so assertParentTransition's net
         // old∖new view is exactly right for them)
-        if (stmt.replace && ForeignKeys.enforcing(spark))
+        if (effReplace && ForeignKeys.enforcing(spark))
           ForeignKeys.applyParentReplace(spark, stmt.table,
             base.join(aligned.select(defaultKey.map(col): _*).distinct(),
               defaultKey, "left_semi"))

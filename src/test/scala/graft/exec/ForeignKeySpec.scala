@@ -509,6 +509,39 @@ class ForeignKeySpec extends SparkSpec
     sql(s"INSERT INTO oc$i VALUES (1)")
     sql(s"INSERT OR REPLACE INTO op$i VALUES (2, 'z')")
     assert(sql(s"SELECT * FROM oc$i").count() == 1)
+    // an ON CONFLICT clause OVERRIDES the replace resolution — the
+    // parent row is kept/updated in place, never displaced, so the
+    // cascade child SURVIVES (both sqlite3-measured)
+    sql(s"INSERT OR REPLACE INTO op$i VALUES (1, 'q') " +
+      s"ON CONFLICT(id) DO NOTHING")
+    assert(sql(s"SELECT * FROM oc$i").count() == 1)
+    assert(rowsOf(s"SELECT v FROM op$i WHERE id = 1") == Seq(Seq("y")))
+    sql(s"INSERT OR REPLACE INTO op$i VALUES (1, 'w') " +
+      s"ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    assert(sql(s"SELECT * FROM oc$i").count() == 1)
+    assert(rowsOf(s"SELECT v FROM op$i WHERE id = 1") == Seq(Seq("w")))
+    // a conflict-free replace into a SELF-cascade table is a plain
+    // insert (measured) — the named decline fires only on real
+    // displacement
+    val k = fresh()
+    sql(s"CREATE TABLE sr$k (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER REFERENCES sr$k ON DELETE CASCADE)")
+    sql(s"INSERT INTO sr$k VALUES (1, NULL)")
+    sql(s"INSERT OR REPLACE INTO sr$k VALUES (10, NULL)")
+    assert(sql(s"SELECT * FROM sr$k").count() == 2)
+    intercept[UnsupportedOperationException] {
+      sql(s"INSERT OR REPLACE INTO sr$k VALUES (1, NULL)") // displaces
+    }
+    // a zero-row DELETE on a SET DEFAULT self-FK with a pre-existing
+    // dangle is a complete no-op (the re-validation must not flag it)
+    val m = fresh()
+    sql(s"CREATE TABLE sd$m (id INTEGER PRIMARY KEY, " +
+      s"par INTEGER DEFAULT 1 REFERENCES sd$m ON DELETE SET DEFAULT)")
+    sql("PRAGMA foreign_keys = 0")
+    sql(s"INSERT INTO sd$m VALUES (5, 999)") // dangling
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"DELETE FROM sd$m WHERE id = -1")
+    assert(rowsOf(s"SELECT id, par FROM sd$m") == Seq(Seq(5L, 999L)))
   }
 
   test("composite FK enforces on the declared multi-column key; " +

@@ -41,6 +41,7 @@ object Ddl {
       s"CREATE OR REPLACE TEMPORARY VIEW ${quote(stmt.name)} AS ${stmt.sourceSql}")
     SessionViews.add(spark, stmt.name,
       s"CREATE VIEW ${stmt.name} AS ${stmt.sourceSql}")
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -56,6 +57,7 @@ object Ddl {
       "_g" + Upsert.nextGeneration()
     spark.sql(stmt.sourceSql).write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView(stmt.name)
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -95,6 +97,7 @@ object Ddl {
       ForeignKeys.forgetTable(spark, stmt.name)
       SessionViews.remove(spark, stmt.name)
       Triggers.dropForTable(spark, stmt.name) // SQLite: triggers die with their table
+      Pragma.bumpSchemaVersion(spark)
     }
     spark.emptyDataFrame
   }
@@ -178,6 +181,7 @@ object Ddl {
     // parent existence check happens here (measured)
     ForeignKeys.forgetTable(spark, stmt.name)
     ForeignKeys.register(spark, stmt.name, stmt.fks)
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -207,6 +211,7 @@ object Ddl {
       throw new IllegalArgumentException(
         s"$verb: index ${stmt.name} already exists (SQLite semantics); " +
           s"add IF NOT EXISTS or DROP INDEX it first")
+    if (fresh) Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -216,6 +221,7 @@ object Ddl {
       throw new IllegalArgumentException(
         s"DROP INDEX: no such index '${stmt.name}' " +
           s"(add IF EXISTS to make this a no-op)")
+    if (removed) Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -249,6 +255,7 @@ object Ddl {
     SessionKeys.renameTable(spark, stmt.table, stmt.newName)
     ForeignKeys.renameTable(spark, stmt.table, stmt.newName)
     Triggers.renameTable(spark, stmt.table, stmt.newName)
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -274,6 +281,7 @@ object Ddl {
     SessionKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
     ForeignKeys.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
     Triggers.renameColumn(spark, stmt.table, stmt.oldCol, stmt.newCol)
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -308,6 +316,7 @@ object Ddl {
     // an added column's REFERENCES clause registers like CREATE
     // TABLE's column-level form (SQLite lists and enforces it)
     stmt.fk.foreach(f => ForeignKeys.append(spark, stmt.table, f))
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -346,6 +355,7 @@ object Ddl {
     // an FK whose child columns include the dropped column silently
     // drops with it (measured SQLite 3.40.1 behavior)
     ForeignKeys.dropColumn(spark, stmt.table, stmt.col)
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 }

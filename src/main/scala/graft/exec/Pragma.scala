@@ -292,17 +292,30 @@ object Pragma {
     ("""(?is)^\s*pragma\s+(foreign_keys|journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
       """case_sensitive_like|recursive_triggers|user_version|""" +
-      """application_id|query_only|secure_delete|read_uncommitted|""" +
-      """locking_mode)""" +
+      """application_id|schema_version|query_only|secure_delete|""" +
+      """read_uncommitted|locking_mode)""" +
       """\s*(?:=\s*(\S.*?)|\(\s*([^)]*?)\s*\))\s*$""").r
   private val trackedGetRe =
     ("""(?is)^\s*pragma\s+(journal_mode|synchronous|""" +
       """cache_size|temp_store|busy_timeout|mmap_size|page_size|""" +
       """case_sensitive_like|recursive_triggers|user_version|""" +
-      """application_id|query_only|secure_delete|read_uncommitted|""" +
-      """locking_mode)\s*$""").r
+      """application_id|schema_version|query_only|secure_delete|""" +
+      """read_uncommitted|locking_mode)\s*$""").r
 
   private def confKey(name: String) = s"spark.graft.pragma.$name"
+
+  /** One successful schema-changing statement → `PRAGMA
+    * schema_version` + 1 (measured: each CREATE/DROP/ALTER of a
+    * table/view/index/trigger bumps the cookie by exactly one; no-op
+    * IF [NOT] EXISTS forms do not). The DDL executors call this at
+    * their success points. 32-bit wrap like the other header cookies.
+    * Documented divergence: SQLite keeps a separate cookie for the
+    * temp schema, so TEMP objects don't move main's version — this
+    * engine's single session namespace bumps for them too. */
+  def bumpSchemaVersion(spark: SparkSession): Unit = {
+    val v = tracked(spark, "schema_version", "0").toLong
+    spark.conf.set(confKey("schema_version"), ((v + 1).toInt).toString)
+  }
 
   private def tracked(spark: SparkSession, name: String, dflt: String): String =
     spark.conf.get(confKey(name), dflt)
@@ -445,7 +458,7 @@ object Pragma {
         case "cache_size" =>
           spark.conf.set(confKey(name), num(0L).toString)
           spark.emptyDataFrame
-        case "user_version" | "application_id" =>
+        case "user_version" | "application_id" | "schema_version" =>
           // 32-bit schema cookies (SQLite stores them in the db
           // header): assignment is silent, junk parses to 0, values
           // wrap to signed 32-bit (measured: = 4294967296 reads 0).
@@ -516,7 +529,7 @@ object Pragma {
           spark.emptyDataFrame // write-only in SQLite: query answers nothing
         case "recursive_triggers" =>
           oneValue(spark, name, 0L, LongType) // always OFF here
-        case "user_version" | "application_id" =>
+        case "user_version" | "application_id" | "schema_version" =>
           oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
         case "query_only" | "read_uncommitted" =>
           oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)

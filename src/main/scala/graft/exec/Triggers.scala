@@ -409,6 +409,7 @@ object Triggers {
       s.trigs(t.name.toLowerCase) = Trig(t.name, t.timing, t.event,
         t.ofCols, t.table, t.when, t.body, t.sql, seq)
     }
+    Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 
@@ -422,10 +423,13 @@ object Triggers {
 
   def dropTrigger(spark: SparkSession, d: SqlDml.DropTrigger): DataFrame = {
     val s = state(spark)
-    s.synchronized {
-      if (s.trigs.remove(d.name.toLowerCase).isEmpty && !d.ifExists)
+    val removed = s.synchronized {
+      val r = s.trigs.remove(d.name.toLowerCase).isDefined
+      if (!r && !d.ifExists)
         throw new IllegalArgumentException(s"no such trigger: ${d.name}")
+      r
     }
+    if (removed) Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
 

@@ -331,6 +331,34 @@ class PragmaSpec extends SparkSpec {
     Runner.runSql(spark, "PRAGMA application_id = 0")
   }
 
+  test("PRAGMA schema_version tracks one increment per schema change " +
+       "(sqlite3-measured); no-op IF [NOT] EXISTS forms don't move it") {
+    def v(): Long = Runner.runSql(spark, "PRAGMA schema_version")
+      .collect().head.getLong(0)
+    val v0 = v()
+    Runner.runSql(spark, "CREATE TABLE sv_t (a INTEGER)")
+    assert(v() == v0 + 1)
+    Runner.runSql(spark, "CREATE INDEX sv_ix ON sv_t (a)")
+    assert(v() == v0 + 2)
+    Runner.runSql(spark, "ALTER TABLE sv_t ADD COLUMN b INTEGER")
+    assert(v() == v0 + 3)
+    Runner.runSql(spark,
+      "CREATE TRIGGER sv_tg AFTER INSERT ON sv_t BEGIN SELECT 1; END")
+    assert(v() == v0 + 4)
+    // no-op forms leave the cookie alone (measured)
+    Runner.runSql(spark, "CREATE TABLE IF NOT EXISTS sv_t (a INTEGER)")
+    Runner.runSql(spark, "DROP TABLE IF EXISTS sv_nosuch")
+    Runner.runSql(spark, "DROP INDEX IF EXISTS sv_noix")
+    assert(v() == v0 + 4)
+    // DROP TABLE (taking its index and trigger) is ONE schema change
+    Runner.runSql(spark, "DROP TABLE sv_t")
+    assert(v() == v0 + 5)
+    // assignment sets the cookie like user_version (silent, echo after)
+    Runner.runSql(spark, s"PRAGMA schema_version = ${v0 + 90}")
+    assert(v() == v0 + 90)
+    Runner.runSql(spark, s"PRAGMA schema_version = ${v0 + 5}") // restore
+  }
+
   test("PRAGMA recursive_triggers: OFF tracks, ON declines, query echoes 0") {
     // sqlite 3.40.1: assignment is silent, query echoes the flag.
     // The engine's re-entrant-skip firing IS OFF; ON has no set-based

@@ -39,6 +39,37 @@ object QueriesExt {
     (corpus, evalSet)
   }
 
+  /** Seed rows for the topic-clustering keys: fixed corpus vec_ids so
+    * the assignment is a pure function of the dataset (no RNG, no
+    * Lloyd iterations) and the DuckDB oracle can replay it exactly. */
+  private val ClusterSeeds = Seq(7L, 113L, 211L, 331L)
+
+  /** Seeded spherical cluster assignment: (vec_id, cluster, sim) with
+    * cluster = the seed vec_id of the most-cosine-similar seed.
+    * Driver-side collect is k=4 rows by construction (bounded); the
+    * centroids become broadcast literals and the scan is map-only —
+    * the same shape `Similarity.ivfAssign` uses, reused here with the
+    * seed id (not the cell index) as the visible label. Similarity is
+    * rounded to 6 dp BEFORE the argmax so the Spark and oracle tie
+    * rules see identical numbers. */
+  private def clusterAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")(s, d)
+    val seeds = emb.filter(col("vec_id").isin(ClusterSeeds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cands = seeds.map { case (sid, v) =>
+      val se = array(v.map(x => lit(x)): _*).cast("array<float>")
+      struct(
+        round(graft.functions.GraftFunctions.cosine_sim(col("embedding"), se), 6)
+          .as("sim"),
+        lit(-sid).as("negid"))
+    }
+    emb.withColumn("best", array_max(array(cands.toSeq: _*)))
+      .select(col("vec_id"),
+        (col("best")("negid") * -1).as("cluster"),
+        col("best")("sim").as("sim"))
+  }
+
   /** Per-(dataset, params) ANN index memo — one build per JVM, stable
     * on-disk path, concurrent same-key invocations serialized. */
   private val annIndex =
@@ -140,6 +171,58 @@ object QueriesExt {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")
+    }),
+
+    // URL-CANONICALIZATION DEDUP: the CommonCrawl-style first pass —
+    // exact dedup AFTER normalizing scheme/host case, the scheme's
+    // default port, utm_* tracking params, fragments and trailing
+    // slashes. The corpus has no URL column, so one is synthesized
+    // deterministically from (source, doc_id) WITH planted
+    // non-canonical variants (upper-case scheme+host every 3rd doc,
+    // an explicit :443 every 4th, a trailing slash every 2nd, utm
+    // params every 5th, a fragment every 7th); doc_id % 100 forces
+    // genuine collisions post-canonicalization. Every normalization is
+    // a row-local codegen regex/HOF — the only shuffle is the final
+    // group-by, and it moves the short canonical key, never the
+    // document.
+    "ext_dedup_url" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("?utm_source=feed&utm_campaign=c1&ref=r"))
+          .otherwise(lit("?ref=r")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val scheme = lower(regexp_extract(noFrag,
+        "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val host = lower(regexp_extract(noFrag,
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+      val port = regexp_extract(noFrag,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+      val path = regexp_replace(
+        regexp_extract(noFrag,
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "/+$", "")
+      val keptQ = array_join(
+        filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+          p => !p.startsWith("utm_") && p =!= lit("")), "&")
+      val keepPort = port =!= "" &&
+        !(scheme === "https" && port === "443") &&
+        !(scheme === "http" && port === "80")
+      val canonical = concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(keptQ =!= "", concat(lit("?"), keptQ)).otherwise(lit("")))
+      t("documents")(s, d)
+        .withColumn("canonical_url", canonical)
+        .groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("canonical_url")
     }),
 
     // n-gram Jaccard near-dup: candidates via frequency-capped shingle
@@ -284,6 +367,31 @@ object QueriesExt {
           col("m.sim").as("sim"))
         .orderBy("vec_id")
     }),
+
+    // TOPIC CLUSTERING (seeded spherical assignment): label every
+    // vector with its most-cosine-similar seed centroid — the curation
+    // primitive behind cluster-balanced mixing and SemDeDup-style
+    // pruning. Seeds are fixed corpus rows (k=4 ids), so the answer is
+    // exactly reproducible in SQL; the scale story is IVF assignment
+    // (Similarity.ivfAssign): k broadcast literal centroids, ONE
+    // map-only corpus scan, argmax row-local via a single array_max
+    // over (sim, -seed) structs — no shuffle before the output sort.
+    // Ties (none in the fixture, but the contract anyway) go to the
+    // smallest seed id, mirrored by the oracle's ORDER BY sim DESC,
+    // seed ASC.
+    "ext_cluster_assign" -> ((s, d) => clusterAssign(s, d).orderBy("vec_id")),
+
+    // Per-cluster census over the same assignment: cardinality and
+    // cosine dispersion per topic — the balance report a mixing /
+    // pruning step consumes. One extra k-row aggregation on top of the
+    // map-only assignment.
+    "ext_cluster_stats" -> ((s, d) =>
+      clusterAssign(s, d).groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(avg("sim"), 6).as("avg_sim"),
+          min("sim").as("min_sim"),
+          max("sim").as("max_sim"))
+        .orderBy("cluster")),
 
     "ext_dedup_embed" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
@@ -1021,6 +1129,39 @@ object QueriesExt {
                  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
            GROUP BY text)
          ORDER BY doc_id""",
+    "ext_dedup_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+              || source || '.Example.COM'
+              || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+              || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+              || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=c1&ref=r' ELSE '?ref=r' END
+              || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nfu FROM u),
+         parts AS (
+           SELECT doc_id,
+             lower(regexp_extract(nfu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nfu, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+             regexp_extract(nfu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_replace(regexp_extract(nfu,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+             array_to_string(list_filter(
+               string_split(regexp_extract(nfu, '\?(.*)$', 1), '&'),
+               p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS q
+           FROM nf),
+         canon AS (
+           SELECT doc_id, scheme || '://' || host ||
+             CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                    AND NOT (scheme = 'http' AND port = '80')
+                  THEN ':' || port ELSE '' END || path ||
+             CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+           FROM parts)
+         SELECT canonical_url, MIN(doc_id) AS keeper,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
     "ext_dedup_ngram" ->
       """WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id < 100),
          sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
@@ -1150,6 +1291,46 @@ object QueriesExt {
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
          FROM embeddings, q WHERE vec_id != 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ext_cluster_assign" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed, embedding AS se FROM embeddings
+           WHERE vec_id IN (7, 113, 211, 331)),
+         scored AS (
+           SELECT e.vec_id, s.seed, ROUND(
+             list_aggregate(list_apply(list_zip(e.embedding, s.se),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(s.se,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM embeddings e, seeds s),
+         best AS (
+           SELECT vec_id, seed, sim, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY sim DESC, seed ASC) AS rn
+           FROM scored)
+         SELECT vec_id, seed AS cluster, sim FROM best WHERE rn = 1
+         ORDER BY vec_id""",
+    "ext_cluster_stats" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed, embedding AS se FROM embeddings
+           WHERE vec_id IN (7, 113, 211, 331)),
+         scored AS (
+           SELECT e.vec_id, s.seed, ROUND(
+             list_aggregate(list_apply(list_zip(e.embedding, s.se),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(s.se,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM embeddings e, seeds s),
+         best AS (
+           SELECT vec_id, seed, sim, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY sim DESC, seed ASC) AS rn
+           FROM scored)
+         SELECT seed AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(sim), 6) AS avg_sim,
+                MIN(sim) AS min_sim, MAX(sim) AS max_sim
+         FROM best WHERE rn = 1 GROUP BY seed ORDER BY seed""",
     "ext_sim_search_native" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, ROUND(

@@ -395,4 +395,26 @@ class DedupSpec extends SparkSpec {
     assert(out.select("max_span").distinct().as[Int].collect().toSeq
       == Seq(15)) // every doc = one full-width 15-token span
   }
+
+  test("URL-canonicalization dedup conserves rows and strips every variant") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val out = graft.SparkEntry.queries("ext_dedup_url")(spark, sfDir).cache()
+    // partition property: every source row lands in exactly one group
+    assert(out.agg(sum($"n")).as[Long].head() == docs.count())
+    // canonical form: lowercase scheme+host, no default port, no utm_*
+    // params, no fragment, no trailing slash
+    val urls = out.select("canonical_url").as[String].collect()
+    assert(urls.nonEmpty)
+    urls.foreach { u =>
+      assert(u.startsWith("https://www."), u)
+      assert(!u.contains(":443") && !u.contains("utm_") &&
+        !u.contains("#") && !u.endsWith("/"), u)
+      assert(u.toLowerCase(java.util.Locale.ROOT)
+        .substring(0, u.indexOf("/docs/")) ==
+        u.substring(0, u.indexOf("/docs/")), s"host not lowercased: $u")
+    }
+    // the planted variants genuinely collide: fewer groups than rows
+    assert(out.count() < docs.count())
+    out.unpersist()
+  }
 }

@@ -282,4 +282,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 300)
     assert(out.filter(!$"kept").count() == 0)
   }
+
+  test("seeded cluster assignment is total, seeds self-assign at sim 1") {
+    val assign = graft.SparkEntry.queries("ext_cluster_assign")(spark, sfDir)
+      .cache()
+    val seeds = Seq(7L, 113L, 211L, 331L)
+    // total: every corpus vector gets exactly one label, from the seed set
+    assert(assign.count() == emb.count())
+    assert(assign.filter(!$"cluster".isin(seeds: _*)).count() == 0)
+    // each seed is its own nearest centroid, at (rounded) cosine 1
+    seeds.foreach { sid =>
+      val row = assign.filter($"vec_id" === sid)
+        .select($"cluster", $"sim").as[(Long, Double)].head()
+      assert(row._1 == sid, s"seed $sid assigned to ${row._1}")
+      assert(math.abs(row._2 - 1.0) < 1e-6)
+    }
+    // the stats key reconciles with the assignment it claims to summarize
+    val stats = graft.SparkEntry.queries("ext_cluster_stats")(spark, sfDir)
+    assert(stats.count() == seeds.length)
+    assert(stats.agg(sum($"n")).as[Long].head() == emb.count())
+    assign.unpersist()
+  }
 }

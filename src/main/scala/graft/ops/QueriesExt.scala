@@ -428,6 +428,33 @@ object QueriesExt {
         .orderBy("id")
     }),
 
+    // TEXT NORMALIZATION: the stage-zero of every curation pipeline —
+    // Unicode NFC (composed/decomposed accents must hash identically
+    // before any exact or shingle dedup), C0/DEL control-char strip,
+    // space/tab-run collapse, trim. NFC runs through the native
+    // codegen UnicodeNormalize expression (Spark has no built-in;
+    // quick-check fast path returns already-normalized — i.e. nearly
+    // all — rows without copying), the rest are codegen'd regexes:
+    // fully row-local, zero shuffle before the output sort. The corpus
+    // is ASCII, so non-NFC input (combining accent), control bytes and
+    // whitespace runs are PLANTED deterministically — the key
+    // exercises real normalization, not identity.
+    "ext_text_normalize" -> ((s, d) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("a\u0007\u0001b")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("  x\t\ty ")).otherwise(lit("")))
+      val nfc = graft.functions.UnicodeNormalize
+        .nfc_normalize(raw)
+      val noCtl = regexp_replace(nfc,
+        "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      val collapsed = trim(regexp_replace(noCtl, "[ \\t]+", " "))
+      t("documents")(s, d)
+        .select(col("doc_id"), collapsed.as("norm_text"),
+          (collapsed =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // text quality scoring: single scan, all metrics codegen'd
     "ext_text_quality" -> ((s, d) =>
       t("documents")(s, d)
@@ -1403,6 +1430,21 @@ object QueriesExt {
                 ELSE vec_id END AS rep,
            vec_id < 10000 AS kept
          FROM corpus ORDER BY id""",
+    "ext_text_normalize" ->
+      """WITH raw AS (
+           SELECT doc_id, text, text
+             || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN 'a' || chr(7) || chr(1) || 'b' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '  x' || chr(9) || chr(9) || 'y ' ELSE '' END
+             AS r
+           FROM documents),
+         n AS (SELECT doc_id, text, TRIM(regexp_replace(regexp_replace(
+             nfc_normalize(r),
+             '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS norm_text
+           FROM raw)
+         SELECT doc_id, norm_text, norm_text <> text AS changed
+         FROM n ORDER BY doc_id""",
     "ext_text_quality" ->
       """SELECT doc_id,
            CAST(LENGTH(text) AS INTEGER) AS n_chars_m,

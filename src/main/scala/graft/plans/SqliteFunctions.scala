@@ -483,7 +483,20 @@ object GraftNativeFunctions {
         graft.functions.ShingleHashes(es(0), litInt(es(1), "shingle_hashes")))),
     ("minhash_array", "minhash_array(arr, k) - k seeded min-hashes of a bigint array",
       arity("minhash_array", 2)(es =>
-        graft.functions.MinHashArray(es(0), litInt(es(1), "minhash_array")))))
+        graft.functions.MinHashArray(es(0), litInt(es(1), "minhash_array")))),
+    ("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization (DuckDB-compatible name)",
+      arity("nfc_normalize", 1)(es =>
+        graft.functions.UnicodeNormalize(es(0), "NFC"))),
+    ("unicode_normalize", "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
+      arity("unicode_normalize", 2)(es =>
+        graft.functions.UnicodeNormalize(es(0), litStr(es(1), "unicode_normalize")))))
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal string argument, got ${e.sql}")
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "",

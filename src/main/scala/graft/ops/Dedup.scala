@@ -337,6 +337,55 @@ object Dedup {
                      path: String, admitted: DataFrame): Unit =
     admitted.select("fp").write.mode("append").parquet(path)
 
+  /** Bloom-prefiltered variant of [[digestStoreFilter]] — the shape
+    * for large, mostly-novel batches: the store's digests fold ONCE
+    * into a compact Bloom sketch (Spark's own runtime-filter kernel,
+    * `BloomFilterAggregate`), the sketch ships to every task as a
+    * binary literal, and each batch row tests membership MAP-SIDE.
+    * Sketch-negative rows are DEFINITELY new (Bloom has no false
+    * negatives) and admit without ever touching the store; only the
+    * maybe-sliver — true duplicates plus the fpp's false positives —
+    * pays the exact anti-join. The result is EXACT and identical to
+    * [[digestStoreFilter]]: the sketch routes work, it never decides.
+    *
+    * The one-row sketch collect is bounded by construction
+    * (BloomFilterAggregate caps numBits; default sizing ≈ 1.2 MB per
+    * million store digests at the ~3% default fpp). At a 1e9-digest
+    * store you would size fpp up or shard the store — the knob is
+    * `expectedItems`.
+    */
+  def digestStoreFilterBloom(spark: org.apache.spark.sql.SparkSession,
+                             path: String, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             expectedItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val store = spark.read.parquet(path)
+    val hashed = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), unhex(md5(col(textCol))).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(store.count(), 1L)
+    val bloomAgg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(col("fp"))), items)
+        .toAggregateExpression())
+    val bf = store.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bf == null) return hashed.select(col(idCol), col("fp")) // empty store
+    def mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      GraftColumnBridge.expression(lit(bf)),
+      GraftColumnBridge.expression(xxhash64(col("fp")))))
+    // both branches of the union read `hashed` — persist the narrow
+    // (fp, id, maybe) projection so the batch source scans once
+    val flagged = hashed.withColumn("maybe", mightContain).persist()
+    flagged.count() // materialize before both consumers plan against it
+    flagged.filter(!col("maybe")).select(col(idCol), col("fp"))
+      .unionAll(flagged.filter(col("maybe"))
+        .join(store, Seq("fp"), "left_anti")
+        .select(col(idCol), col("fp")))
+  }
+
   /** Typed index handle: the banding parameters RIDE WITH the path so
     * a probe can never run with mismatched shingle/hash/band widths
     * (which would silently produce empty candidates) — same contract

@@ -393,6 +393,23 @@ object QueriesExt {
           max("sim").as("max_sim"))
         .orderBy("cluster")),
 
+    // CLUSTER-BALANCED SAMPLING: cap every topic cluster at the same
+    // budget so no topic dominates the training mix — the
+    // cluster-aware counterpart of ext_sample_exact_k. Selection is
+    // content-hash-ranked (deterministic under re-sharding, unbiased
+    // within a cluster) on the bounded-heap GroupTopK operator: at
+    // most partitions·k rows per cluster ever shuffle, the map-only
+    // assignment scan never does.
+    "ext_cluster_balance" -> ((s, d) => {
+      graft.plans.GroupTopKOps.ensureRegistered(s)
+      val ranked = clusterAssign(s, d)
+        .select(col("vec_id"), col("cluster"),
+          md5(col("vec_id").cast("string")).as("rk"))
+      graft.plans.GroupTopKOps.topK(ranked, Seq("cluster"),
+          Seq("rk" -> false, "vec_id" -> false), 60)
+        .orderBy("cluster", "rk", "vec_id")
+    }),
+
     "ext_dedup_embed" -> ((s, d) => {
       val emb = t("embeddings")(s, d).select("vec_id", "embedding")
       val corpus = emb.unionAll(
@@ -1099,6 +1116,27 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // BLOOM-PREFILTERED incremental exact dedup: same contract as
+    // ext_dedup_incremental, different 100 TB shape — the digest
+    // store folds once into a Bloom sketch (Spark's runtime-filter
+    // BloomFilterAggregate) that every task tests MAP-SIDE, so
+    // sketch-negative batch rows (definitely new; Bloom has no false
+    // negatives) admit without the store join and only the
+    // maybe-sliver pays the exact anti-join. Output is EXACT — the
+    // oracle is the plain anti-join.
+    "ext_dedup_bloom" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val path = annIndex.computeIfAbsent(s"bloomstore_${TableIds.idFor(d)}",
+        key => Dedup.buildDigestStore(docs.filter(col("doc_id") < 400),
+          "text", s"target/ann_index/$key")).asInstanceOf[String]
+      val batch = docs.filter(col("doc_id") % 8 === 0 && col("doc_id") < 400)
+        .unionAll(docs.filter(col("doc_id") >= 400))
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.digestStoreFilterBloom(s, path, batch, "doc_id", "text")
+        .select(col("doc_id"), lower(hex(col("fp"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // incremental FUZZY dedup: near-dups of a NEW batch against a
     // corpus whose MinHash band index was built ONCE and materialized
     // (Dedup.buildMinHashIndex). The corpus is never re-shingled or
@@ -1358,6 +1396,33 @@ object QueriesExt {
                 ROUND(AVG(sim), 6) AS avg_sim,
                 MIN(sim) AS min_sim, MAX(sim) AS max_sim
          FROM best WHERE rn = 1 GROUP BY seed ORDER BY seed""",
+    "ext_cluster_balance" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed, embedding AS se FROM embeddings
+           WHERE vec_id IN (7, 113, 211, 331)),
+         scored AS (
+           SELECT e.vec_id, s.seed, ROUND(
+             list_aggregate(list_apply(list_zip(e.embedding, s.se),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(s.se,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM embeddings e, seeds s),
+         best AS (
+           SELECT vec_id, seed, sim, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY sim DESC, seed ASC) AS rn
+           FROM scored),
+         assigned AS (
+           SELECT vec_id, seed AS cluster,
+             md5(CAST(vec_id AS VARCHAR)) AS rk
+           FROM best WHERE rn = 1),
+         ranked AS (
+           SELECT vec_id, cluster, rk, ROW_NUMBER() OVER
+             (PARTITION BY cluster ORDER BY rk, vec_id) AS rn
+           FROM assigned)
+         SELECT vec_id, cluster, rk FROM ranked WHERE rn <= 60
+         ORDER BY cluster, rk, vec_id""",
     "ext_sim_search_native" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, ROUND(
@@ -1715,6 +1780,19 @@ object QueriesExt {
            CAST(MAX(n_lines) - COUNT(*) AS INTEGER) AS n_removed
          FROM lines WHERE MD5(line) NOT IN (SELECT lfp FROM hot)
          GROUP BY doc_id ORDER BY doc_id""",
+    "ext_dedup_bloom" ->
+      """WITH corpus AS (
+           SELECT DISTINCT MD5(text) AS fp FROM documents
+           WHERE doc_id < 400 AND text IS NOT NULL),
+         batch AS (
+           SELECT doc_id + 10000 AS doc_id, text FROM documents
+           WHERE (doc_id % 8 = 0 AND doc_id < 400) OR doc_id >= 400),
+         hashed AS (
+           SELECT MD5(text) AS fp, MIN(doc_id) AS doc_id FROM batch
+           WHERE text IS NOT NULL GROUP BY 1)
+         SELECT doc_id, fp FROM hashed
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = hashed.fp)
+         ORDER BY doc_id""",
     "ext_dedup_incremental" ->
       """WITH corpus AS (
            SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id < 400),

@@ -417,4 +417,36 @@ class DedupSpec extends SparkSpec {
     assert(out.count() < docs.count())
     out.unpersist()
   }
+
+  test("bloom-prefiltered incremental dedup is exactly the plain anti-join") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val bloom = graft.SparkEntry.queries("ext_dedup_bloom")(spark, sfDir)
+    // reference: the non-bloom digest-store path over the same fixture
+    val corpusFp = docs.filter($"doc_id" < 400)
+      .select(md5($"text").as("fp")).distinct()
+    val expected = docs.filter($"doc_id" % 8 === 0 && $"doc_id" < 400)
+      .unionAll(docs.filter($"doc_id" >= 400))
+      .select(($"doc_id" + 10000).as("doc_id"), md5($"text").as("fp"))
+      .groupBy("fp").agg(min($"doc_id").as("doc_id"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select($"doc_id", $"fp")
+    assert(bloom.count() == expected.count())
+    assert(bloom.join(expected, Seq("doc_id", "fp"), "left_anti").count() == 0)
+    // the planted duplicates (doc_id % 8, already in the corpus) were
+    // all rejected; every admitted id is a genuinely-new >= 400 row
+    assert(bloom.filter($"doc_id" < 10400).count() == 0)
+    assert(bloom.count() > 0)
+  }
+
+  test("empty digest store admits the whole batch through the bloom path") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomstore").toString
+    val empty = spark.range(0).selectExpr("CAST(NULL AS STRING) AS text")
+    Dedup.buildDigestStore(empty, "text", s"$tmp/store")
+    val batch = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("id", "text")
+    val out = Dedup.digestStoreFilterBloom(spark, s"$tmp/store", batch,
+      "id", "text")
+    // batch-internal dup keeps the min id; all content admitted
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }

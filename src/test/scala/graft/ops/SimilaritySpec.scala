@@ -303,4 +303,23 @@ class SimilaritySpec extends SparkSpec {
     assert(stats.agg(sum($"n")).as[Long].head() == emb.count())
     assign.unpersist()
   }
+
+  test("cluster-balanced sample caps every cluster at the budget") {
+    val assign = graft.SparkEntry.queries("ext_cluster_assign")(spark, sfDir)
+    val bal = graft.SparkEntry.queries("ext_cluster_balance")(spark, sfDir)
+      .cache()
+    val sizes = assign.groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    val kept = bal.groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet == sizes.keySet)
+    // exactly min(cluster size, 60) survive per cluster
+    kept.foreach { case (c, n) => assert(n == math.min(sizes(c), 60L),
+      s"cluster $c kept $n of ${sizes(c)}") }
+    // the sample is a subset of the assignment (same labels)
+    val joined = bal.select($"vec_id", $"cluster".as("bc"))
+      .join(assign, "vec_id")
+    assert(joined.filter($"bc" =!= $"cluster").count() == 0)
+    bal.unpersist()
+  }
 }

@@ -24,6 +24,40 @@ object QueriesTrain {
   type Q = (SparkSession, String) => DataFrame
   private def t(n: String)(s: SparkSession, d: String) = Tables.t(s, d, n)
 
+  /** BM25 relevance of the fixed 3-term query over every matching
+    * document — shared by ext_bm25 (the ranked list) and
+    * ext_rank_fusion (the lexical arm), so the two keys cannot
+    * drift. Corpus tokenizes ONCE into a persisted narrow
+    * (doc_id, dl, hits) projection; df and global stats broadcast
+    * back; per-doc score is one aggregation. k1=1.2, b=0.75.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val slim = t("documents")(s, d)
+      .select(col("doc_id"),
+        expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        expr(s"filter(toks, t -> t IN ($termList))").as("hits"))
+      // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val tf = slim
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val stats = slim.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") / col("sum_dl")))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("score_t")), 6).as("bm25"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Gopher-style within-document repetition gate: fraction of
     // duplicate words and duplicate word-bigrams, each 1 - distinct/n.
@@ -333,33 +367,46 @@ object QueriesTrain {
         .orderBy("doc_id")
     }),
 
-    "ext_bm25" -> ((s, d) => {
-      val terms = Seq("spark", "join", "window")
-      val termList = terms.map(t => s"'$t'").mkString(", ")
-      val slim = t("documents")(s, d)
-        .select(col("doc_id"),
-          expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"),
-          expr(s"filter(toks, t -> t IN ($termList))").as("hits"))
-        // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      val tf = slim
-        .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      val stats = slim.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("score_t",
-          col("idf") * (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              ((col("dl") * col("n_docs")).cast("double") / col("sum_dl")))))
-        .groupBy("doc_id")
-        .agg(round(sum(col("score_t")), 6).as("bm25"))
+    "ext_bm25" -> ((s, d) =>
+      bm25Scores(s, d)
         .orderBy(desc("bm25"), asc("doc_id"))
-        .limit(50)
+        .limit(50)),
+
+    // HYBRID RETRIEVAL (reciprocal-rank fusion): fuse the lexical
+    // (BM25) and semantic (embedding-cosine) views of the corpus —
+    // the standard retrieval front-end of RAG-style decontamination
+    // and dedup triage, where either arm alone misses paraphrases or
+    // rare terms. Each arm is an independent top-k retrieval (one
+    // corpus scan → TakeOrdered, never a global sort); the rank
+    // window then runs over the k-ROW lists only, and the fusion
+    // full-outer join touches 2k rows — driver-scale constants, so
+    // the whole fusion stage is O(k) regardless of corpus size.
+    // RRF_k = 60 (Cormack et al. 2009); a missing arm contributes 0.
+    "ext_rank_fusion" -> ((s, d) => {
+      val k = 50
+      val wLex = Window.orderBy(desc("bm25"), asc("doc_id"))
+      val lex = bm25Scores(s, d)
+        .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+        .withColumn("r_lex", row_number().over(wLex).cast("bigint"))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = t("embeddings")(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val wSem = Window.orderBy(desc("sim"), asc("doc_id"))
+      val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.GraftFunctions
+            .cosine_sim(col("embedding"), col("qe")), 6).as("sim"))
+        .orderBy(desc("sim"), asc("doc_id")).limit(k)
+        .withColumn("r_sem", row_number().over(wSem).cast("bigint"))
+        .select(col("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
     }),
 
     // document chunking: fixed 200-char windows with 50-char overlap
@@ -649,6 +696,55 @@ object QueriesTrain {
          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 50""",
+
+    "ext_rank_fusion" ->
+      """WITH d2 AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         d3 AS (SELECT doc_id, len(toks) AS dl, toks FROM d2),
+         hits AS (
+           SELECT doc_id, dl,
+             UNNEST(list_filter(toks,
+               t -> t IN ('spark', 'join', 'window'))) AS tok
+           FROM d3),
+         tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+                FROM hits GROUP BY 1, 2, 3),
+         stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d3),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT doc_id,
+             ROUND(CAST(SUM(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 *
+                   (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS DOUBLE), 6)
+               AS bm25
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+           GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lex AS (
+           SELECT doc_id, ROW_NUMBER() OVER
+             (ORDER BY bm25 DESC, doc_id) AS r_lex
+           FROM bm),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         sc AS (
+           SELECT vec_id AS doc_id, ROUND(
+             list_aggregate(list_apply(list_zip(embedding, qe),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+             (SQRT(list_aggregate(list_apply(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              SQRT(list_aggregate(list_apply(qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS sim
+           FROM embeddings, q WHERE vec_id != 0
+           ORDER BY sim DESC, doc_id LIMIT 50),
+         sem AS (
+           SELECT doc_id, ROW_NUMBER() OVER
+             (ORDER BY sim DESC, doc_id) AS r_sem
+           FROM sc)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0) +
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0.0), 6) AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
 
     "ext_chunk_split" ->
       """WITH c AS (

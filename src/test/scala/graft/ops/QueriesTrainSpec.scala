@@ -154,4 +154,30 @@ class QueriesTrainSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size == 3,
       s"expected 3 cache readers\n${p.take(1500)}")
   }
+
+  test("rank fusion: RRF reconciles with its two arms") {
+    val fused = q("ext_rank_fusion").collect()
+    assert(fused.length == 20)
+    // every fused row carries at least one arm rank, ranks in 1..50,
+    // and the rrf value recomputes from the ranks it reports
+    fused.foreach { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rs = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rl.isDefined || rs.isDefined, r.toString)
+      (rl.toSeq ++ rs.toSeq).foreach(x => assert(x >= 1 && x <= 50))
+      val want = math.rint((rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rs.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - want) < 1e-9, r.toString)
+    }
+    // ordered by fused score desc
+    val scores = fused.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortWith(_ > _)))
+    // a doc ranked #1 in BOTH arms would dominate; at minimum the top
+    // fused row must beat any single-arm-only row's ceiling when it
+    // carries both ranks — sanity that fusion actually adds
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val lexOnly = fused.filter(r => !r.isNullAt(1) && r.isNullAt(2))
+    if (both.nonEmpty && lexOnly.nonEmpty)
+      assert(both.map(_.getDouble(3)).max > lexOnly.map(_.getDouble(3)).max)
+  }
 }

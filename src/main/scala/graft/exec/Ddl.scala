@@ -141,6 +141,29 @@ object Ddl {
           .stripPrefix("SELECT ").trim
     }
 
+  /** A generated column's executable form: SQLite-dialect expression
+    * through the translator (no CURRENT_* forms — SQLite itself
+    * forbids non-deterministic functions in generated columns). */
+  private[exec] def generatedExecSql(raw: String): String =
+    graft.text2sql.SqlDialect.translate(s"SELECT ($raw)")
+      .stripPrefix("SELECT ").trim
+
+  /** True when `col` is textually referenced by any of `table`'s
+    * generated-column expressions (word-boundary scan of the raw
+    * text; a hit inside a string literal refuses conservatively —
+    * a visible error beats a silently broken generated column). */
+  private[exec] def referencedByGenerated(spark: SparkSession,
+                                          table: String,
+                                          col: String): Option[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_\"`\\[])" + java.util.regex.Pattern.quote(col) +
+        "(?![A-Za-z0-9_])")
+    SessionKeys.generatedFor(spark, table).collectFirst {
+      case (g, raw, _, _) if !g.equalsIgnoreCase(col) &&
+        p.matcher(raw).find() => g
+    }
+  }
+
   /** `CREATE TABLE name (col decls …)` — an empty typed session
     * relation (SQLite starts it empty too); the declared PRIMARY KEY
     * (or first UNIQUE constraint) registers as the conflict key later
@@ -158,6 +181,40 @@ object Ddl {
       throw new IllegalArgumentException(
         s"CREATE TABLE ${stmt.name}: duplicate column " +
           dupes.mkString(", "))
+    if (stmt.strict) {
+      // SQLite's STRICT datatype whitelist, checked at CREATE with its
+      // own error texts (measured 3.40.1); ANY would need a sum type
+      // the lake schema cannot hold — targeted decline
+      val allowed = Set("INT", "INTEGER", "REAL", "TEXT", "BLOB")
+      stmt.cols.foreach { case (c, t) =>
+        val u = t.trim.toUpperCase
+        if (u.isEmpty)
+          throw new IllegalArgumentException(
+            s"missing datatype for ${stmt.name}.$c")
+        if (u == "ANY")
+          throw new UnsupportedOperationException(
+            s"CREATE TABLE ${stmt.name}: STRICT ANY columns are not " +
+              s"supported (one typed lake column cannot hold SQLite's " +
+              s"pass-through sum type); declare a concrete type")
+        if (!allowed.contains(u))
+          throw new IllegalArgumentException(
+            s"unknown datatype for ${stmt.name}.$c: \"$t\"")
+      }
+    }
+    if (stmt.withoutRowid && stmt.pkCols.isEmpty)
+      throw new IllegalArgumentException(
+        s"PRIMARY KEY missing on table ${stmt.name}")
+    stmt.autoincrement.foreach { case (c, decl, hadPk) =>
+      // SQLite: AUTOINCREMENT rides only on a column declared exactly
+      // INTEGER PRIMARY KEY (INT fails; measured 3.40.1)
+      if (!hadPk || !decl.equalsIgnoreCase("integer") ||
+          !(stmt.pkCols.map(_.toLowerCase) == Seq(c.toLowerCase)))
+        throw new IllegalArgumentException(
+          "AUTOINCREMENT is only allowed on an INTEGER PRIMARY KEY")
+      if (stmt.withoutRowid)
+        throw new IllegalArgumentException(
+          s"AUTOINCREMENT not allowed on WITHOUT ROWID tables")
+    }
     val schema = org.apache.spark.sql.types.StructType(stmt.cols.map {
       case (n, t) => org.apache.spark.sql.types.StructField(n, affinityType(t))
     })
@@ -175,6 +232,38 @@ object Ddl {
         stmt.name, stmt.uniqueCols, unique = true, origin = "u")
     SessionKeys.declareDefaults(spark, stmt.name,
       stmt.defaults.map { case (c, raw) => c -> (raw, defaultExecSql(raw)) })
+    if (stmt.generated.nonEmpty) {
+      val gens = stmt.generated.map { case (c, raw, stored) =>
+        (c, raw, generatedExecSql(raw), stored)
+      }
+      // bind-check each expr against the declared columns NOW (SQLite
+      // validates at CREATE: an unknown identifier errors) — compute
+      // over the empty relation in declaration order so chained
+      // references (a generated column using an earlier one) resolve
+      try {
+        var probe = spark.table(quote(stmt.name))
+        gens.foreach { case (c, _, ex, _) =>
+          probe = probe.withColumn(c,
+            org.apache.spark.sql.functions.expr(ex))
+        }
+        probe.queryExecution.analyzed
+      } catch {
+        case e: Exception =>
+          spark.catalog.dropTempView(stmt.name)
+          SessionKeys.forgetTable(spark, stmt.name)
+          throw new IllegalArgumentException(
+            s"CREATE TABLE ${stmt.name}: error in generated column " +
+              s"expression: ${e.getMessage}", e)
+      }
+      SessionKeys.declareGenerated(spark, stmt.name, gens)
+    }
+    if (stmt.strict)
+      SessionKeys.declareStrict(spark, stmt.name,
+        stmt.cols.map { case (c, t) => c -> t.trim.toUpperCase }.toMap)
+    if (stmt.withoutRowid)
+      SessionKeys.declareWithoutRowid(spark, stmt.name)
+    stmt.autoincrement.foreach(_ =>
+      SessionKeys.declareAutoincrement(spark, stmt.name))
     // FOREIGN KEY constraints register (introspection via PRAGMA
     // foreign_key_list/check; enforced under PRAGMA foreign_keys=1) —
     // SQLite accepts references to not-yet-created tables, so no
@@ -274,6 +363,12 @@ object Ddl {
         cols.exists(_.equalsIgnoreCase(stmt.newCol)))
       throw new IllegalArgumentException(
         s"ALTER TABLE ${stmt.table}: duplicate column name ${stmt.newCol}")
+    // SQLite rewrites generated-column exprs on rename; this engine
+    // stores the raw text and declines the rewrite visibly
+    referencedByGenerated(spark, stmt.table, stmt.oldCol).foreach(g =>
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE ${stmt.table} RENAME COLUMN ${stmt.oldCol}: " +
+          s"referenced by generated column $g; DROP that column first"))
     base.select(cols.map { c =>
       if (c.equalsIgnoreCase(stmt.oldCol)) col(quote(c)).as(stmt.newCol)
       else col(quote(c))
@@ -298,6 +393,46 @@ object Ddl {
       throw new IllegalArgumentException(
         s"ALTER TABLE ${stmt.table}: duplicate column name ${stmt.col}")
     val dt = affinityType(stmt.declType)
+    val st = SessionKeys.strictFor(spark, stmt.table)
+    if (st.nonEmpty) {
+      val uT = stmt.declType.trim.toUpperCase
+      if (uT.isEmpty)
+        throw new IllegalArgumentException(
+          s"missing datatype for ${stmt.table}.${stmt.col}")
+      if (uT == "ANY")
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${stmt.table}: STRICT ANY columns are not " +
+            s"supported; declare a concrete type")
+      if (!Set("INT", "INTEGER", "REAL", "TEXT", "BLOB").contains(uT))
+        throw new IllegalArgumentException(
+          s"unknown datatype for ${stmt.table}.${stmt.col}: " +
+            s"\"${stmt.declType}\"")
+      SessionKeys.declareStrict(spark, stmt.table,
+        st + (stmt.col.toLowerCase -> uT))
+    }
+    stmt.generatedExpr.foreach { raw =>
+      // SQLite 3.31+: ADD COLUMN may add a VIRTUAL generated column;
+      // STORED refuses with SQLite's own message
+      if (stmt.generatedStored)
+        throw new IllegalArgumentException("cannot add a STORED column")
+      val ex = generatedExecSql(raw)
+      val rebound =
+        try {
+          val df = base.withColumn(stmt.col,
+            org.apache.spark.sql.functions.expr(ex).cast(dt))
+          df.queryExecution.analyzed
+          df
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"ALTER TABLE ${stmt.table}: error in generated column " +
+              s"expression: ${e.getMessage}", e)
+        }
+      rebound.createOrReplaceTempView(stmt.table)
+      SessionKeys.declareGenerated(spark, stmt.table,
+        Seq((stmt.col, raw, ex, false)))
+      Pragma.bumpSchemaVersion(spark)
+      return spark.emptyDataFrame
+    }
     // evaluate the literal once (SQLite stores one value in the
     // schema); a non-literal token fails here with the resolver's
     // message, matching SQLite's rejection of non-constant defaults
@@ -348,6 +483,12 @@ object Ddl {
             s"indexed by $ix (SQLite semantics); DROP INDEX it first")
       }
     Triggers.guardDropColumn(spark, stmt.table, stmt.col)
+    // SQLite refuses dropping a column a generated column references
+    // ("error in table t after drop column: no such column: c")
+    referencedByGenerated(spark, stmt.table, stmt.col).foreach(_ =>
+      throw new IllegalArgumentException(
+        s"error in table ${stmt.table} after drop column: " +
+          s"no such column: ${stmt.col}"))
     base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)

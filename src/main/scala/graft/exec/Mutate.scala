@@ -36,6 +36,54 @@ object Mutate {
 
   private def q(name: String) = Ddl.quote(name)
 
+  /** SQLite refuses assignments to generated columns with its own
+    * error text — every UPDATE route checks before rewriting. */
+  private def guardGeneratedAssigns(spark: SparkSession, table: String,
+                                    assignCols: Seq[String]): Unit = {
+    val gens = SessionKeys.generatedFor(spark, table).map(_._1).toSet
+    assignCols.find(c => gens(c.toLowerCase)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"cannot UPDATE generated column \"$c\""))
+  }
+
+  /** STRICT-table checked cast for the string-built UPDATE rewrites:
+    * resolves the assignment expression's static type against the
+    * target table (assignments read the OLD row), then emits the
+    * [[Strict.castSql]] guard; non-STRICT tables keep the plain
+    * lenient cast. */
+  private def strictCastSql(spark: SparkSession, u: SqlDml.Update,
+                            e: String,
+                            f: org.apache.spark.sql.types.StructField)
+      : String =
+    SessionKeys.strictFor(spark, u.table).get(f.name.toLowerCase) match {
+      case Some(decl) =>
+        val src = spark.sql(
+          s"${u.withPrefix} SELECT ($e) AS v FROM ${q(u.table)} LIMIT 0"
+            .trim).schema.head.dataType
+        Strict.castSql(e, src, decl, f.dataType.sql,
+          s"${u.table}.${f.name}")
+      case None => s"CAST(($e) AS ${f.dataType.sql})"
+    }
+
+  /** Recompute a table's generated columns over a post-assignment
+    * row frame (pure function of the row — identity on untouched
+    * rows, SQLite's value on assigned ones). Columns beyond the base
+    * schema (e.g. __rid) pass through untouched. */
+  private def recomputeGenerated(spark: SparkSession, table: String,
+                                 base: DataFrame, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val gens = SessionKeys.generatedFor(spark, table)
+    if (gens.isEmpty) df
+    else {
+      val types = base.schema.fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+      gens.foldLeft(df) { case (acc, (c, _, ex, _)) =>
+        val actual = base.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+        acc.withColumn(actual, expr(ex).cast(types(c)))
+      }.select(df.columns.map(c => col(q(c))).toIndexedSeq: _*)
+    }
+  }
+
   private def esc(n: String) = n.replace("'", "''")
 
   private def resolve(spark: SparkSession, table: String,
@@ -80,25 +128,42 @@ object Mutate {
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
     Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
+    guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
     // rightmost assignment wins on a repeated column (SQLite rule);
     // toMap keeps the last entry per key
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val gens = SessionKeys.generatedFor(spark, u.table)
+    val genMap = gens.map { case (c, _, ex, _) => c -> ex }.toMap
     val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val proj = base.schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
         case Some(e) =>
-          s"CASE WHEN $cond THEN CAST(($e) AS ${f.dataType.sql}) " +
+          s"CASE WHEN $cond THEN ${strictCastSql(spark, u, e, f)} " +
             s"ELSE ${q(f.name)} END AS ${q(f.name)}"
         case None => q(f.name)
       }
     }
-    val merged = spark.sql(
-      s"${u.withPrefix} SELECT ${proj.mkString(", ")} FROM ${q(u.table)}".trim)
+    // generated columns recompute from the POST-assignment row, so
+    // they evaluate in an OUTER select over the assignment projection
+    // (a pure function of the row: identity on untouched rows)
+    val outerProj = base.schema.fields.map { f =>
+      genMap.get(f.name.toLowerCase) match {
+        case Some(ex) => s"CAST(($ex) AS ${f.dataType.sql}) AS ${q(f.name)}"
+        case None     => q(f.name)
+      }
+    }
+    val innerSel = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)}"
+    val merged = spark.sql((u.withPrefix + " " + (
+      if (gens.isEmpty) innerSel
+      else s"SELECT ${outerProj.mkString(", ")} FROM ($innerSel)")).trim)
     val ret = u.returning.map { r =>
       // RETURNING sees the NEW row values, affected rows only
-      spark.sql((s"${u.withPrefix} SELECT $r FROM " +
-        s"(SELECT ${proj.mkString(", ")} FROM ${q(u.table)} " +
-        s"WHERE $cond)").trim)
+      val retInner = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)} " +
+        s"WHERE $cond"
+      val retFrom =
+        if (gens.isEmpty) s"($retInner)"
+        else s"(SELECT ${outerProj.mkString(", ")} FROM ($retInner))"
+      spark.sql(s"${u.withPrefix} SELECT $r FROM $retFrom".trim)
     }
     // changes(): WHERE-true rows (SQLite counts matched rows even when
     // values are unchanged). Analyzed NOW against the old binding,
@@ -119,19 +184,42 @@ object Mutate {
       else {
         val oldS = base.schema.fields
           .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
-        val newS = base.schema.fields.map { f =>
-          val v = assigns.get(f.name.toLowerCase) match {
-            case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
-            case None    => q(f.name)
-          }
-          s"'${esc(f.name)}', $v"
-        }.mkString(", ")
         // persisted ONCE around both timings (fire() skips its own
         // persist on a pre-persisted slice) — a table with BEFORE and
         // AFTER triggers pays the slice scan once, not twice
-        Some(spark.sql((s"${u.withPrefix} SELECT named_struct($oldS) AS old," +
-          s" named_struct($newS) AS new FROM ${q(u.table)} WHERE $cond").trim)
-          .persist())
+        val sliceSql =
+          if (gens.isEmpty) {
+            val newS = base.schema.fields.map { f =>
+              val v = assigns.get(f.name.toLowerCase) match {
+                case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
+                case None    => q(f.name)
+              }
+              s"'${esc(f.name)}', $v"
+            }.mkString(", ")
+            s"SELECT named_struct($oldS) AS old, named_struct($newS) AS new" +
+              s" FROM ${q(u.table)} WHERE $cond"
+          } else {
+            // two-level: flatten the post-assignment row first so the
+            // generated recompute in the NEW image sees assigned values
+            val flatNew = base.schema.fields.map { f =>
+              val v = assigns.get(f.name.toLowerCase) match {
+                case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
+                case None    => q(f.name)
+              }
+              s"$v AS ${q(f.name)}"
+            }.mkString(", ")
+            val newS = base.schema.fields.map { f =>
+              val v = genMap.get(f.name.toLowerCase) match {
+                case Some(ex) => s"CAST(($ex) AS ${f.dataType.sql})"
+                case None     => q(f.name)
+              }
+              s"'${esc(f.name)}', $v"
+            }.mkString(", ")
+            s"SELECT __graft_old AS old, named_struct($newS) AS new FROM " +
+              s"(SELECT named_struct($oldS) AS __graft_old, $flatNew " +
+              s"FROM ${q(u.table)} WHERE $cond)"
+          }
+        Some(spark.sql(s"${u.withPrefix} $sliceSql".trim).persist())
       }
     try {
       slice.foreach(sl =>
@@ -183,6 +271,15 @@ object Mutate {
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
     Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
+    guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
+    if (SessionKeys.strictFor(spark, u.table).nonEmpty)
+      // the assignment exprs reference the FROM sources, so their
+      // static type can't resolve against the target table alone —
+      // targeted decline instead of unchecked writes into a STRICT
+      // table
+      throw new UnsupportedOperationException(
+        "UPDATE … FROM on a STRICT table is not supported; " +
+          "use a plain UPDATE")
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val gen = Upsert.nextGeneration()
     val rid = "__graft_rid"
@@ -204,7 +301,7 @@ object Mutate {
         }
         s"'${f.name.replace("'", "''")}', $v"
       }.mkString(", ")
-      val matched = spark.sql(
+      val matched = recomputeGenerated(spark, u.table, base, spark.sql(
         s"""${u.withPrefix}
            |SELECT __rid, __pick.* FROM (
            |  SELECT $alias.`$rid` AS __rid,
@@ -212,7 +309,7 @@ object Mutate {
            |  FROM `$bview` AS $alias, ${u.from.get}
            |  WHERE $cond
            |  GROUP BY $alias.`$rid`
-           |)""".stripMargin.trim)
+           |)""".stripMargin.trim))
       val untouched = baseR
         .join(matched.select(col("__rid").as(rid)), Seq(rid), "left_anti")
         .drop(rid)
@@ -452,6 +549,7 @@ object Mutate {
       throw new IllegalArgumentException(
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
     Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
+    guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val n = evalConst(spark, u.limit.get, "UPDATE LIMIT")
@@ -477,16 +575,16 @@ object Mutate {
           val proj = base.schema.fields.map { f =>
             assigns.get(f.name.toLowerCase) match {
               case Some(e) =>
-                s"CAST(($e) AS ${f.dataType.sql}) AS ${q(f.name)}"
+                s"${strictCastSql(spark, u, e, f)} AS ${q(f.name)}"
               case None => q(f.name)
             }
           }
           // the scratch views only name plans for SQL text — analysis
           // inlines them, so they drop immediately (no catalog leak)
-          val updated =
+          val updated = recomputeGenerated(spark, u.table, base,
             try spark.sql(
               s"${u.withPrefix} SELECT ${proj.mkString(", ")} FROM `$vv`".trim)
-            finally spark.catalog.dropTempView(vv)
+            finally spark.catalog.dropTempView(vv))
           val untouched = baseR.join(vk, Seq(rid), "left_anti")
             .select(base.columns.map(col): _*)
           val merged = untouched.unionByName(updated)

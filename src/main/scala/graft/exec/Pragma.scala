@@ -58,10 +58,14 @@ object Pragma {
     * — README divergence table). */
   def tableInfo(spark: SparkSession, table: String): DataFrame = {
     // the emulated rowid column ([[Rowid]]) is not a declared column —
-    // SQLite's table_info never lists rowid
+    // SQLite's table_info never lists rowid; generated columns are
+    // hidden from table_info too (measured: cids renumber densely
+    // over the ordinary columns — table_xinfo is the full listing)
+    val gens = SessionKeys.generatedFor(spark, table).map(_._1).toSet
     val schema = org.apache.spark.sql.types.StructType(
       spark.table(table).schema.fields.filterNot(f =>
-        f.name.equalsIgnoreCase("rowid") && Rowid.isEnabled(spark, table)))
+        (f.name.equalsIgnoreCase("rowid") && Rowid.isEnabled(spark, table)) ||
+          gens(f.name.toLowerCase)))
     val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
       .map(_.toLowerCase).zipWithIndex.toMap
     // dflt_value reports the DEFAULT text as written (SQLite's shape);
@@ -76,6 +80,32 @@ object Pragma {
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       tableInfoSchema)
+  }
+
+  /** `PRAGMA table_xinfo(T)`: every declared column (generated ones
+    * included) with SQLite's hidden codes — 0 ordinary, 2 VIRTUAL
+    * generated, 3 STORED generated; cids ordinal over ALL columns
+    * (measured 3.40.1). */
+  def tableXinfo(spark: SparkSession, table: String): DataFrame = {
+    val gens = SessionKeys.generatedFor(spark, table)
+      .map { case (c, _, _, st) => c -> (if (st) 3 else 2) }.toMap
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.table(table).schema.fields.filterNot(f =>
+        f.name.equalsIgnoreCase("rowid") && Rowid.isEnabled(spark, table)))
+    val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
+      .map(_.toLowerCase).zipWithIndex.toMap
+    val dflt = SessionKeys.defaultsFor(spark, table)
+    val rows = schema.fields.zipWithIndex.map { case (f, i) =>
+      Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
+        if (f.nullable) 0 else 1,
+        dflt.get(f.name.toLowerCase).map(_._1).orNull,
+        pk.get(f.name.toLowerCase).map(_ + 1).getOrElse(0),
+        gens.getOrElse(f.name.toLowerCase, 0))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType(tableInfoSchema.fields :+
+        StructField("hidden", IntegerType, nullable = false)))
   }
 
   private val indexListSchema = StructType(Seq(
@@ -175,7 +205,8 @@ object Pragma {
   private def sessionTables(spark: SparkSession): Seq[(String, StructType)] =
     spark.catalog.listTables().collect().toIndexedSeq
       .map(_.name)
-      .filterNot(n => n == "sqlite_master" || n.startsWith("graft_"))
+      .filterNot(n => n == "sqlite_master" || n == "sqlite_sequence" ||
+        n.startsWith("graft_"))
       .sorted
       .map { n =>
         // hide the emulated rowid from synthesized DDL / column counts
@@ -214,11 +245,42 @@ object Pragma {
     val triggerRows = Triggers.masterRows(spark).map {
       case (name, table, sql) => Row("trigger", name, table, 0, sql)
     }
-    val rows = tableRows ++ indexRows ++ triggerRows
+    // once any AUTOINCREMENT table was created, SQLite's internal
+    // sqlite_sequence table exists (it survives drops of the tables
+    // that created it) — exactly its catalog row text
+    val seqRow =
+      if (!SessionKeys.sequenceTableExists(spark)) Nil
+      else Seq(Row("table", "sqlite_sequence", "sqlite_sequence", 0,
+        "CREATE TABLE sqlite_sequence(name,seq)"))
+    val rows = tableRows ++ seqRow ++ indexRows ++ triggerRows
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       masterSchema).createOrReplaceTempView("sqlite_master")
   }
+
+  /** (Re)build the queryable `sqlite_sequence` view: one (name, seq)
+    * row per AUTOINCREMENT table that has inserted at least once —
+    * SQLite adds the row on first insert, renames it with the table,
+    * drops it with the table, never lowers seq. */
+  def registerSqliteSequence(spark: SparkSession): Unit = {
+    if (!SessionKeys.sequenceTableExists(spark)) return
+    val rows = SessionKeys.sequenceRows(spark).map { case (n, v) =>
+      Row(n, v)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false))))
+      .createOrReplaceTempView("sqlite_sequence")
+  }
+
+  private val seqRefRe =
+    """(?i)(?<![\w.`'"])sqlite_sequence(?![\w`'"])""".r
+
+  /** True if the statement references the sqlite_sequence catalog. */
+  def referencesSequence(sql: String): Boolean =
+    seqRefRe.findFirstIn(sql).isDefined
 
   private def tableMasterRow(spark: SparkSession, name: String,
                              schema: StructType): Row = {
@@ -229,13 +291,18 @@ object Pragma {
       val dflt = SessionKeys.defaultsFor(spark, name)
       val pk = SessionKeys.declaredPk(spark, name).getOrElse(Nil)
       val fks = ForeignKeys.childFksOf(spark, name)
+      val gens = SessionKeys.generatedFor(spark, name)
+        .map { case (c, raw, _, st) => c -> (raw, st) }.toMap
       val base = graft.ingest.Ddl.createTable(name, schema).trim
       val sql =
-        if (dflt.isEmpty && pk.isEmpty && fks.isEmpty) base
+        if (dflt.isEmpty && pk.isEmpty && fks.isEmpty && gens.isEmpty) base
         else {
           val cols = schema.fields.map { f =>
             val d = dflt.get(f.name.toLowerCase)
-              .map(v => s" DEFAULT ${v._1}").getOrElse("")
+              .map(v => s" DEFAULT ${v._1}").getOrElse("") +
+              gens.get(f.name.toLowerCase).map { case (raw, st) =>
+                s" GENERATED ALWAYS AS ($raw)" + (if (st) " STORED" else "")
+              }.getOrElse("")
             s"\t`${f.name}` ${graft.ingest.Ddl.sqlType(f.dataType)}$d"
           } ++ (if (pk.isEmpty) Nil
                 else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})")) ++
@@ -251,7 +318,15 @@ object Pragma {
             }
           s"CREATE TABLE `$name` (\n${cols.mkString(", \n")}\n)"
         }
-      Row("table", name, name, 0, sql)
+      // STRICT / WITHOUT ROWID table options render into the
+      // synthesized text, as SQLite's original-statement sql would
+      val opts =
+        (if (SessionKeys.strictFor(spark, name).nonEmpty) Seq("STRICT")
+         else Nil) ++
+          (if (SessionKeys.isWithoutRowid(spark, name)) Seq("WITHOUT ROWID")
+           else Nil)
+      Row("table", name, name, 0,
+        if (opts.isEmpty) sql else s"$sql ${opts.mkString(", ")}")
     }
   }
 
@@ -385,10 +460,7 @@ object Pragma {
     case pragmaIndexInfoRe(q1, q2, q3, bare) =>
       indexInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaTableXinfoRe(q1, q2, q3, bare) =>
-      // table_info plus the `hidden` kind column (0 = normal; the
-      // engine has no hidden or generated columns to report)
-      tableInfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
-        .withColumn("hidden", org.apache.spark.sql.functions.lit(0))
+      tableXinfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaIndexXinfoRe(q1, q2, q3, bare) =>
       indexXinfo(spark, Seq(q1, q2, q3, bare).find(_ != null).get)
     case pragmaFkListRe(q1, q2, q3, bare) =>
@@ -607,9 +679,8 @@ object Pragma {
       val table = m.group(2)
       val view = (if (x) "graft_pragma_tx_" else "graft_pragma_ti_") +
         table.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-      val base = tableInfo(spark, table)
-      (if (x) base.withColumn("hidden", org.apache.spark.sql.functions.lit(0))
-       else base).createOrReplaceTempView(view)
+      (if (x) tableXinfo(spark, table) else tableInfo(spark, table))
+        .createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
 

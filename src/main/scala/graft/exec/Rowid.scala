@@ -85,6 +85,10 @@ object Rowid {
     * sequence; writes stay in sync via [[rowidExprForInsert]] /
     * [[guardUpdateAssigns]]. */
   def enable(spark: SparkSession, table: String): Unit = {
+    // a WITHOUT ROWID table has no rowid surface to materialize —
+    // a reference then fails analysis visibly (SQLite: "no such
+    // column: rowid"; here Spark's unresolved-column error)
+    if (SessionKeys.isWithoutRowid(spark, table)) return
     if (isEnabled(spark, table)) return
     val df =
       try spark.table(Ddl.quote(table))

@@ -84,6 +84,8 @@ object Runner {
       return spark.sql("EXPLAIN " + stmt.drop("explain query plan".length))
     val prepared0 = Pragma.rewriteTvf(spark, sql)
     if (Pragma.referencesMaster(prepared0)) Pragma.registerSqliteMaster(spark)
+    if (Pragma.referencesSequence(prepared0))
+      Pragma.registerSqliteSequence(spark)
     // SQLite rowid surface: lazily materialize `rowid` on referenced
     // session tables, normalize `_rowid_`/`oid`, and expand `*` so the
     // column stays hidden exactly where SQLite hides it ([[Rowid]])

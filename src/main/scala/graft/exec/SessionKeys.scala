@@ -39,6 +39,23 @@ object SessionKeys {
     // (raw DEFAULT text as written, executable Spark-SQL expression)
     val defaults =
       scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+    // lowercased table -> generated columns in declaration order:
+    // (lowercased name, raw expr as written, executable Spark-SQL
+    // expression, STORED?)
+    val generated = scala.collection.mutable.Map
+      .empty[String, Seq[(String, String, String, Boolean)]]
+    // lowercased STRICT table -> lowercased column -> declared type
+    // AS WRITTEN (the enforcement error names it verbatim)
+    val strict =
+      scala.collection.mutable.Map.empty[String, Map[String, String]]
+    // lowercased tables declared WITHOUT ROWID (no rowid surface)
+    val withoutRowid = scala.collection.mutable.Set.empty[String]
+    // lowercased AUTOINCREMENT tables -> high-water sequence (0 until
+    // the first insert; never decreases — SQLite sqlite_sequence)
+    val autoinc = scala.collection.mutable.Map.empty[String, Long]
+    // sticky: once any AUTOINCREMENT table was created, the
+    // sqlite_sequence catalog table exists (it survives drops)
+    var seqTableCreated = false
   }
 
   // weak keys: a dead session's declarations are collectable; all
@@ -104,6 +121,10 @@ object SessionKeys {
     s.synchronized {
       s.pks.remove(t)
       s.defaults.remove(t)
+      s.generated.remove(t)
+      s.strict.remove(t)
+      s.withoutRowid -= t
+      s.autoinc.remove(t) // sqlite_sequence drops the row with the table
       s.indexes.filterInPlace((_, i) => i.table != t)
     }
   }
@@ -130,12 +151,115 @@ object SessionKeys {
     s.synchronized(s.defaults.getOrElse(table.toLowerCase, Map.empty))
   }
 
-  /** ALTER TABLE DROP COLUMN: the column's default goes with it. */
-  def forgetColumn(spark: SparkSession, table: String, col: String): Unit = {
+  /** Declare (append) generated columns for a table, in declaration
+    * order: (lowercased name, raw expr, executable Spark-SQL expr,
+    * STORED?). Write paths compute them in this order, so a generated
+    * column may reference an earlier one (SQLite's chain rule). */
+  def declareGenerated(spark: SparkSession, table: String,
+                       gens: Seq[(String, String, String, Boolean)]): Unit =
+    if (gens.nonEmpty) {
+      val s = state(spark)
+      val t = table.toLowerCase
+      s.synchronized {
+        s.generated(t) = s.generated.getOrElse(t, Nil) ++
+          gens.map { case (c, raw, ex, st) => (c.toLowerCase, raw, ex, st) }
+      }
+    }
+
+  /** Generated columns in declaration order (empty when none). */
+  def generatedFor(spark: SparkSession, table: String)
+      : Seq[(String, String, String, Boolean)] = {
+    val s = state(spark)
+    s.synchronized(s.generated.getOrElse(table.toLowerCase, Nil))
+  }
+
+  /** Declare a STRICT table: lowercased column → declared type as
+    * written (write paths enforce SQLite 3.37 type rules and name the
+    * type verbatim in the error). */
+  def declareStrict(spark: SparkSession, table: String,
+                    colTypes: Map[String, String]): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.strict(table.toLowerCase) =
+        colTypes.map { case (c, t) => c.toLowerCase -> t }
+    }
+  }
+
+  /** STRICT column types (empty = not a STRICT table). */
+  def strictFor(spark: SparkSession, table: String): Map[String, String] = {
+    val s = state(spark)
+    s.synchronized(s.strict.getOrElse(table.toLowerCase, Map.empty))
+  }
+
+  /** Declare a WITHOUT ROWID table (rowid surface suppressed). */
+  def declareWithoutRowid(spark: SparkSession, table: String): Unit = {
+    val s = state(spark)
+    s.synchronized { s.withoutRowid += table.toLowerCase; () }
+  }
+
+  /** True when the table was declared WITHOUT ROWID. */
+  def isWithoutRowid(spark: SparkSession, table: String): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.withoutRowid.contains(table.toLowerCase))
+  }
+
+  /** Declare an AUTOINCREMENT table (seq starts at 0; the
+    * sqlite_sequence catalog table exists from now on). */
+  def declareAutoincrement(spark: SparkSession, table: String): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.autoinc(table.toLowerCase) = 0L
+      s.seqTableCreated = true
+    }
+  }
+
+  /** True when the table was declared with AUTOINCREMENT. */
+  def isAutoincrement(spark: SparkSession, table: String): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.autoinc.contains(table.toLowerCase))
+  }
+
+  /** Current sequence high-water mark (0 before the first insert). */
+  def seqOf(spark: SparkSession, table: String): Long = {
+    val s = state(spark)
+    s.synchronized(s.autoinc.getOrElse(table.toLowerCase, 0L))
+  }
+
+  /** Advance the sequence to at least `v` (monotonic — SQLite never
+    * lowers it, deletes included). */
+  def bumpSeq(spark: SparkSession, table: String, v: Long): Unit = {
     val s = state(spark)
     val t = table.toLowerCase
     s.synchronized {
-      s.defaults.get(t).foreach(m => s.defaults(t) = m - col.toLowerCase)
+      s.autoinc.get(t).foreach(cur => s.autoinc(t) = math.max(cur, v))
+    }
+  }
+
+  /** sqlite_sequence rows: (name, seq) for tables that have inserted
+    * at least once (SQLite adds the row on first insert). */
+  def sequenceRows(spark: SparkSession): Seq[(String, Long)] = {
+    val s = state(spark)
+    s.synchronized(s.autoinc.toSeq.filter(_._2 > 0L).sortBy(_._1))
+  }
+
+  /** True once any AUTOINCREMENT table was ever created this session
+    * (the sqlite_sequence table persists through drops). */
+  def sequenceTableExists(spark: SparkSession): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.seqTableCreated)
+  }
+
+  /** ALTER TABLE DROP COLUMN: the column's default (and, for a
+    * generated column, its definition) goes with it. */
+  def forgetColumn(spark: SparkSession, table: String, col: String): Unit = {
+    val s = state(spark)
+    val t = table.toLowerCase
+    val c = col.toLowerCase
+    s.synchronized {
+      s.defaults.get(t).foreach(m => s.defaults(t) = m - c)
+      s.generated.get(t).foreach(g =>
+        s.generated(t) = g.filterNot(_._1 == c))
+      s.strict.get(t).foreach(m => s.strict(t) = m - c)
     }
   }
 
@@ -149,6 +273,10 @@ object SessionKeys {
     s.synchronized {
       s.pks.remove(t).foreach(s.pks(n) = _)
       s.defaults.remove(t).foreach(s.defaults(n) = _)
+      s.generated.remove(t).foreach(s.generated(n) = _)
+      s.strict.remove(t).foreach(s.strict(n) = _)
+      if (s.withoutRowid.remove(t)) s.withoutRowid += n
+      s.autoinc.remove(t).foreach(s.autoinc(n) = _) // seq row renames
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(table = n) else i)
     }
@@ -168,6 +296,17 @@ object SessionKeys {
       s.defaults.get(t).foreach { m =>
         m.get(oldCol.toLowerCase).foreach(v =>
           s.defaults(t) = m - oldCol.toLowerCase + (newCol.toLowerCase -> v))
+      }
+      // renaming the generated column itself follows; renaming a
+      // column its expr REFERENCES is refused upstream (Ddl guards)
+      s.generated.get(t).foreach(g => s.generated(t) = g.map {
+        case (c, raw, ex, st) if c == oldCol.toLowerCase =>
+          (newCol.toLowerCase, raw, ex, st)
+        case other => other
+      })
+      s.strict.get(t).foreach { m =>
+        m.get(oldCol.toLowerCase).foreach(v =>
+          s.strict(t) = m - oldCol.toLowerCase + (newCol.toLowerCase -> v))
       }
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(cols = sub(i.cols)) else i)

@@ -1,6 +1,6 @@
 package graft.exec
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import graft.text2sql.SqlDml
 
@@ -79,9 +79,29 @@ object Upsert {
     // rowid only participates when listed explicitly) — appended rows
     // get max+position below, SQLite's monotonic assignment
     val rowidAuto = Rowid.isEnabled(spark, stmt.table)
+    // generated columns are not insertable: they leave the positional
+    // target schema (SQLite binds VALUES to non-generated columns
+    // only) and an explicit column-list mention is SQLite's own error
+    val genCols = SessionKeys.generatedFor(spark, stmt.table)
+    val genNames = genCols.map(_._1).toSet
+    stmt.cols.find(c => genNames(c.toLowerCase)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"cannot INSERT into generated column \"$c\""))
     val visible =
-      if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
-      else base.columns
+      (if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
+       else base.columns).filterNot(c => genNames(c.toLowerCase))
+    // declared single-column INTEGER PRIMARY KEY (SQLite's rowid-alias
+    // shape) — auto-assigned when the INSERT leaves it unlisted
+    val intPk: Option[String] =
+      SessionKeys.declaredPk(spark, stmt.table) match {
+        case Some(Seq(c)) => base.schema.fields
+          .find(_.name.equalsIgnoreCase(c))
+          .collect {
+            case f if f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+          }
+        case _ => None
+      }
     // DEFAULT VALUES: the source binds no target columns — every
     // column falls to its registered DEFAULT / NULL below, one row
     // per source row (trigger bodies fan it out per slice row)
@@ -120,13 +140,38 @@ object Upsert {
                 .otherwise(col(pk).cast(
                   org.apache.spark.sql.types.LongType)))
           case Some(pk) =>
-            throw new IllegalArgumentException(
-              s"$verb INTO ${stmt.table}: the INTEGER PRIMARY KEY $pk " +
-                s"(aliased by rowid) must be among the inserted columns")
+            // SQLite auto-assigns the missing INTEGER PRIMARY KEY:
+            // max(rowid)+position, or past the sqlite_sequence
+            // high-water mark for AUTOINCREMENT tables (never reuses)
+            val start = math.max(Rowid.maxRowid(spark, stmt.table),
+              if (SessionKeys.isAutoincrement(spark, stmt.table))
+                SessionKeys.seqOf(spark, stmt.table)
+              else 0L) + 1L
+            Rowid.withSequentialRowid(spark, named0, start)
+              .withColumn(pk, col("rowid"))
           case None =>
             Rowid.withSequentialRowid(spark, named0,
               Rowid.maxRowid(spark, stmt.table) + 1L)
         }
+      else if (!named0.columns.exists(c =>
+          intPk.exists(_.equalsIgnoreCase(c))) && intPk.isDefined) {
+        // no rowid surface materialized yet, but a declared
+        // single-column INTEGER PRIMARY KEY still auto-assigns when
+        // unlisted (SQLite's rule): max(existing)+position, seq-aware
+        // for AUTOINCREMENT
+        val pk = intPk.get
+        val maxExisting = {
+          val r = base.agg(org.apache.spark.sql.functions
+            .max(col(pk).cast(org.apache.spark.sql.types.LongType))).first()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val start = math.max(maxExisting,
+          if (SessionKeys.isAutoincrement(spark, stmt.table))
+            SessionKeys.seqOf(spark, stmt.table)
+          else 0L) + 1L
+        Rowid.withSequentialRowid(spark, named0, start)
+          .withColumn(pk, col("rowid")).drop("rowid")
+      }
       else named0
     val unknown = named.columns.map(_.toLowerCase).toSet --
       base.columns.map(_.toLowerCase).toSet -
@@ -142,16 +187,48 @@ object Upsert {
     // to the lake schema's type
     val present = named.columns.map(_.toLowerCase).toSet
     val dflts = SessionKeys.defaultsFor(spark, stmt.table)
-    val aligned = named.select(base.schema.fields.map { f =>
-      if (present.contains(f.name.toLowerCase))
-        col(f.name).cast(f.dataType).as(f.name)
+    // STRICT tables route every incoming value through the checked
+    // cast (SQLite 3.37 type rules — exec.Strict); the storage class
+    // is the SOURCE column's static type, default exprs resolve their
+    // type once against an empty select
+    val strictTypes = SessionKeys.strictFor(spark, stmt.table)
+    def strictOr(v: Column, src: => org.apache.spark.sql.types.DataType,
+                 f: org.apache.spark.sql.types.StructField): Column =
+      strictTypes.get(f.name.toLowerCase) match {
+        case Some(decl) =>
+          Strict.cast(v, src, decl, f.dataType, s"${stmt.table}.${f.name}")
+        case _ => v.cast(f.dataType)
+      }
+    val aligned0 = named.select(base.schema.fields.map { f =>
+      if (genNames(f.name.toLowerCase))
+        lit(null).cast(f.dataType).as(f.name) // computed below
+      else if (present.contains(f.name.toLowerCase))
+        strictOr(col(f.name),
+          named.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+            .map(_.dataType).getOrElse(f.dataType), f).as(f.name)
       else dflts.get(f.name.toLowerCase) match {
         case Some((_, execSql)) =>
-          org.apache.spark.sql.functions.expr(execSql)
-            .cast(f.dataType).as(f.name)
+          val v = org.apache.spark.sql.functions.expr(execSql)
+          strictOr(v,
+            spark.sql(s"SELECT ($execSql)").schema.head.dataType, f)
+            .as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
+    // generated columns compute in declaration order over the filled
+    // row (chained references see earlier computed values — SQLite's
+    // rule), then the row re-projects to the lake schema order
+    val aligned =
+      if (genCols.isEmpty) aligned0
+      else {
+        val types = base.schema.fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap
+        genCols.foldLeft(aligned0) { case (df, (c, _, ex, _)) =>
+          val actual = base.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+          df.withColumn(actual,
+            org.apache.spark.sql.functions.expr(ex).cast(types(c)))
+        }.select(base.columns.map(col).toIndexedSeq: _*)
+      }
     // the key a bare OR REPLACE / targetless ON CONFLICT resolves
     // against: a session-declared PRIMARY KEY / UNIQUE index when one
     // exists (SQLite's own rule), else the leading-column convention
@@ -200,6 +277,9 @@ object Upsert {
           // rowid (or its INTEGER PRIMARY KEY alias) is not a valid
           // DO UPDATE assignment target
           Rowid.guardUpdateAssigns(spark, stmt.table, c.assigns.map(_._1))
+          c.assigns.map(_._1).find(a => genNames(a.toLowerCase))
+            .foreach(a => throw new IllegalArgumentException(
+              s"cannot UPDATE generated column \"$a\""))
           val (m, a, upd, app) = doUpdate(base, aligned, keys, c, stmt.table)
           (m, a, app, Some(upd))
         }
@@ -314,6 +394,17 @@ object Upsert {
       updSlice.foreach(sl =>
         Triggers.fire(spark, stmt.table, "update", updAssignCols,
           "after", sl))
+      // AUTOINCREMENT bookkeeping: sqlite_sequence advances to the
+      // largest id this statement inserted (explicit ids included;
+      // monotonic, deletes never lower it). One narrow agg over the
+      // inserted slice, only for declared AUTOINCREMENT tables.
+      if (SessionKeys.isAutoincrement(spark, stmt.table))
+        intPk.foreach { pk =>
+          val r = inserted.agg(org.apache.spark.sql.functions
+            .max(col(pk).cast(org.apache.spark.sql.types.LongType))).first()
+          if (!r.isNullAt(0))
+            SessionKeys.bumpSeq(spark, stmt.table, r.getLong(0))
+        }
       ret.getOrElse(out)
     } finally {
       updSlice.foreach(_.unpersist())
@@ -360,13 +451,35 @@ object Upsert {
       case Some(w) => hit && expr(graft.text2sql.SqlDml.rewriteExcluded(w))
       case None    => hit
     }
-    val projected = joined.select((base.schema.fields.map { f =>
+    val strictTypes = SessionKeys.strictFor(base.sparkSession, table)
+    def assignCast(ex: String, f: org.apache.spark.sql.types.StructField)
+        : Column =
+      strictTypes.get(f.name.toLowerCase) match {
+        case Some(decl) =>
+          Strict.cast(expr(ex), joined.select(expr(ex)).schema.head.dataType,
+            decl, f.dataType, s"$table.${f.name}")
+        case None => expr(ex).cast(f.dataType)
+      }
+    val projected0 = joined.select((base.schema.fields.map { f =>
       assigns.get(f.name) match {
         case Some(ex) =>
-          when(gate, expr(ex).cast(f.dataType)).otherwise(b(f.name)).as(f.name)
+          when(gate, assignCast(ex, f)).otherwise(b(f.name)).as(f.name)
         case None => b(f.name).as(f.name)
       }
     } :+ gate.as("__graft_hit")).toIndexedSeq: _*)
+    // generated columns recompute from the post-assignment row — a
+    // pure function of the row, so the unconditional recompute is
+    // identity on non-fired rows and SQLite's value on fired ones
+    val gens = SessionKeys.generatedFor(base.sparkSession, table)
+    val types = base.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    def recompute(df: DataFrame): DataFrame =
+      if (gens.isEmpty) df
+      else gens.foldLeft(df) { case (acc, (cn, _, ex, _)) =>
+        val actual = base.columns.find(_.equalsIgnoreCase(cn)).getOrElse(cn)
+        acc.withColumn(actual, expr(ex).cast(types(cn)))
+      }.select(df.columns.map(col).toIndexedSeq: _*)
+    val projected = recompute(projected0)
     val appended = incoming.join(
       base.select(keys.map(col): _*).distinct(), keys, "left_anti")
       // USING joins front the key columns; re-project to base order
@@ -377,15 +490,21 @@ object Upsert {
     val affected = projected.filter(col("__graft_hit") === lit(true))
       .drop("__graft_hit").unionAll(appended)
     // the UPDATE-trigger slice: old/new images of the gate-fired rows
-    // (lazy — only built into a job when a trigger actually fires)
-    val updOldNew = joined.filter(gate).select(
-      struct(base.columns.map(cn => b(cn).as(cn)).toIndexedSeq: _*).as("old"),
-      struct(base.schema.fields.map { f =>
-        (assigns.get(f.name) match {
-          case Some(ex) => expr(ex).cast(f.dataType)
-          case None     => b(f.name)
-        }).as(f.name)
-      }.toIndexedSeq: _*).as("new"))
+    // (lazy — only built into a job when a trigger actually fires).
+    // With generated columns the new image builds in two steps so the
+    // recompute sees the POST-assignment values (flattened as plain
+    // columns the generated exprs resolve against).
+    val updOldNew = recompute(joined.filter(gate).select(
+      (struct(base.columns.map(cn => b(cn).as(cn)).toIndexedSeq: _*)
+        .as("__graft_old") +:
+        base.schema.fields.map { f =>
+          (assigns.get(f.name) match {
+            case Some(ex) => assignCast(ex, f)
+            case None     => b(f.name)
+          }).as(f.name)
+        }.toIndexedSeq): _*))
+      .select(col("__graft_old").as("old"),
+        struct(base.columns.map(col).toIndexedSeq: _*).as("new"))
     (merged, affected, updOldNew, appended)
   }
 

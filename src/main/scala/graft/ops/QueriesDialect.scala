@@ -686,6 +686,60 @@ object QueriesDialect {
       s.table("graft_dv_t").orderBy("k", "tag", "score")
     }),
 
+    // INTEGER PRIMARY KEY auto-assignment + AUTOINCREMENT
+    // end-to-end: missing keys assign monotonically, the deleted max
+    // is NOT reused under AUTOINCREMENT, explicit ids advance
+    // sqlite_sequence, and the catalog row answers the join —
+    // rename/drop/plain-table-reuse edges pinned in AutoincrementSpec
+    "ddl_autoincrement_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_ainc_t")
+      run("""CREATE TABLE graft_ainc_t (id INTEGER PRIMARY KEY AUTOINCREMENT,
+             v TEXT)""")
+      run("INSERT INTO graft_ainc_t (v) VALUES ('a'), ('b'), ('c')")
+      run("DELETE FROM graft_ainc_t WHERE id = 3")
+      run("INSERT INTO graft_ainc_t (v) VALUES ('d')")
+      run("INSERT INTO graft_ainc_t (id, v) VALUES (100, 'e')")
+      run("INSERT INTO graft_ainc_t (v) VALUES ('f')")
+      run("""SELECT t.id, t.v, s.seq FROM graft_ainc_t t
+             JOIN sqlite_sequence s ON s.name = 'graft_ainc_t'
+             ORDER BY t.id""")
+    }),
+
+    // SQLite 3.37 STRICT + WITHOUT ROWID end-to-end: the whitelist
+    // types enforce at every write with lossless-conversion coercion
+    // ('12' text → 12 integer, 2.0 real → 2 integer, 7 → 7.0 real,
+    // 5 → '5' text), the PK requirement and rowid suppression hold —
+    // violation paths pinned against python sqlite3 in StrictTableSpec
+    "ddl_strict_table_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_strict_t")
+      run("""CREATE TABLE graft_strict_t (k INTEGER PRIMARY KEY,
+             i INTEGER, r REAL, t TEXT) STRICT, WITHOUT ROWID""")
+      run("INSERT INTO graft_strict_t VALUES (1, '  12  ', 7, 5)")
+      run("INSERT INTO graft_strict_t VALUES (2, 2.0, '1.5', 'x')")
+      run("UPDATE graft_strict_t SET i = '30' WHERE k = 2")
+      s.table("graft_strict_t").orderBy("k")
+    }),
+
+    // SQLite generated columns end-to-end: VIRTUAL + STORED compute on
+    // INSERT, recompute on UPDATE and upsert DO UPDATE, refuse direct
+    // writes — the whole flow through translate-and-run
+    // (GeneratedColsSpec pins the introspection + ALTER edges against
+    // python sqlite3 3.40.1)
+    "ddl_generated_cols_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_gen_t")
+      run("""CREATE TABLE graft_gen_t (k INTEGER PRIMARY KEY, a INTEGER,
+             dbl INTEGER GENERATED ALWAYS AS (a * 2) VIRTUAL,
+             tag TEXT AS ('v' || a) STORED)""")
+      run("INSERT INTO graft_gen_t (k, a) VALUES (1, 3), (2, 5), (3, 8)")
+      run("UPDATE graft_gen_t SET a = 10 WHERE k = 2")
+      run("""INSERT INTO graft_gen_t (k, a) VALUES (3, 11)
+             ON CONFLICT(k) DO UPDATE SET a = excluded.a""")
+      s.table("graft_gen_t").orderBy("k")
+    }),
+
     "ddl_defaults_sql" -> ((s, d) => {
       val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
       run("DROP TABLE IF EXISTS graft_dflt_t")
@@ -1239,6 +1293,28 @@ object QueriesDialect {
            (CAST(5 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
            (CAST(9 AS BIGINT), 'x', CAST(2.5 AS DOUBLE)))
          AS t(k, tag, score) ORDER BY k, tag, score""",
+
+    "ddl_autoincrement_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'a', CAST(101 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'b', CAST(101 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'd', CAST(101 AS BIGINT)),
+           (CAST(100 AS BIGINT), 'e', CAST(101 AS BIGINT)),
+           (CAST(101 AS BIGINT), 'f', CAST(101 AS BIGINT)))
+         AS t(id, v, seq) ORDER BY id""",
+
+    "ddl_strict_table_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(12 AS BIGINT), CAST(7.0 AS DOUBLE), '5'),
+           (CAST(2 AS BIGINT), CAST(30 AS BIGINT), CAST(1.5 AS DOUBLE), 'x'))
+         AS t(k, i, r, t) ORDER BY k""",
+
+    "ddl_generated_cols_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(6 AS BIGINT), 'v3'),
+           (CAST(2 AS BIGINT), CAST(10 AS BIGINT), CAST(20 AS BIGINT), 'v10'),
+           (CAST(3 AS BIGINT), CAST(11 AS BIGINT), CAST(22 AS BIGINT), 'v11'))
+         AS t(k, a, dbl, tag) ORDER BY k""",
 
     "ddl_defaults_sql" ->
       """SELECT * FROM (VALUES

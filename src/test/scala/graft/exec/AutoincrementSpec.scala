@@ -1,0 +1,96 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.text2sql.SqlDialect
+
+/** INTEGER PRIMARY KEY auto-assignment and AUTOINCREMENT +
+  * sqlite_sequence bookkeeping, pinned against python sqlite3 3.40.1
+  * running the same statements. */
+class AutoincrementSpec extends SparkSpec {
+
+  private def sql(q: String) =
+    Runner.runSql(spark, SqlDialect.translate(q))
+
+  private def rowsOf(q: String): Seq[Seq[Any]] =
+    sql(q).collect().map(_.toSeq.toSeq).toSeq
+
+  private var n = 0
+  private def fresh(): String = { n += 1; s"ainc_t$n" }
+
+  test("AUTOINCREMENT requires an INTEGER PRIMARY KEY column") {
+    val e1 = intercept[Exception](
+      sql(s"CREATE TABLE ${fresh()}(id INT PRIMARY KEY AUTOINCREMENT)"))
+    assert(e1.getMessage.contains(
+      "AUTOINCREMENT is only allowed on an INTEGER PRIMARY KEY"),
+      e1.getMessage)
+    val e2 = intercept[Exception](
+      sql(s"CREATE TABLE ${fresh()}(id INTEGER AUTOINCREMENT, v TEXT)"))
+    assert(e2.getMessage.contains("INTEGER PRIMARY KEY"), e2.getMessage)
+  }
+
+  test("missing INTEGER PRIMARY KEY auto-assigns max+1; plain tables " +
+      "reuse a deleted max, AUTOINCREMENT never does") {
+    val p = fresh()
+    sql(s"CREATE TABLE $p(id INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $p(v) VALUES ('a'), ('b'), ('c')")
+    assert(rowsOf(s"SELECT id, v FROM $p ORDER BY id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    sql(s"DELETE FROM $p WHERE id = 3")
+    sql(s"INSERT INTO $p(v) VALUES ('d')")
+    // plain table: max is 2 again, so 3 is REUSED (SQLite's rule)
+    assert(rowsOf(s"SELECT id, v FROM $p ORDER BY id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "d")))
+    val a = fresh()
+    sql(s"CREATE TABLE $a(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    sql(s"INSERT INTO $a(v) VALUES ('a'), ('b'), ('c')")
+    sql(s"DELETE FROM $a WHERE id = 3")
+    sql(s"INSERT INTO $a(v) VALUES ('d')")
+    // AUTOINCREMENT: seq was 3, so the new row takes 4
+    assert(rowsOf(s"SELECT id, v FROM $a ORDER BY id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(4L, "d")))
+  }
+
+  test("explicit ids advance sqlite_sequence; the catalog row tracks, " +
+      "renames, and drops with the table") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    // the catalog table exists from CREATE, with no row yet
+    assert(rowsOf(
+      s"SELECT name FROM sqlite_master WHERE name = 'sqlite_sequence'")
+      == Seq(Seq("sqlite_sequence")))
+    assert(rowsOf(s"SELECT * FROM sqlite_sequence WHERE name = '$t'").isEmpty)
+    sql(s"INSERT INTO $t(v) VALUES ('a'), ('b')")
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$t'") ==
+      Seq(Seq(2L)))
+    sql(s"INSERT INTO $t(id, v) VALUES (100, 'e')")
+    sql(s"INSERT INTO $t(v) VALUES ('f')")
+    assert(rowsOf(s"SELECT id FROM $t ORDER BY id") ==
+      Seq(Seq(1L), Seq(2L), Seq(100L), Seq(101L)))
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$t'") ==
+      Seq(Seq(101L)))
+    val t2 = s"${t}_renamed"
+    sql(s"ALTER TABLE $t RENAME TO $t2")
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$t2'") ==
+      Seq(Seq(101L)))
+    sql(s"DROP TABLE $t2")
+    assert(rowsOf(
+      s"SELECT * FROM sqlite_sequence WHERE name IN ('$t', '$t2')").isEmpty)
+    // the catalog table itself survives the drop
+    assert(rowsOf(
+      s"SELECT name FROM sqlite_master WHERE name = 'sqlite_sequence'")
+      == Seq(Seq("sqlite_sequence")))
+  }
+
+  test("DEFAULT VALUES and OR REPLACE assign through the sequence too") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+      s"v TEXT DEFAULT 'dv')")
+    sql(s"INSERT INTO $t DEFAULT VALUES")
+    assert(rowsOf(s"SELECT id, v FROM $t") == Seq(Seq(1L, "dv")))
+    sql(s"INSERT OR REPLACE INTO $t(v) VALUES ('x')")
+    assert(rowsOf(s"SELECT id, v FROM $t ORDER BY id") ==
+      Seq(Seq(1L, "dv"), Seq(2L, "x")))
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$t'") ==
+      Seq(Seq(2L)))
+  }
+}

@@ -434,13 +434,14 @@ class SqlDmlSpec extends SparkSpec {
       Runner.runSql(spark, "DROP TABLE ddl_v")
     }
     assert(d.getMessage.contains("no such session table"))
-    // generated columns carry read semantics the lake schema can't
-    // hold silently — still a targeted decline
-    val u = intercept[UnsupportedOperationException] {
-      Runner.runSql(spark,
-        "CREATE TABLE gen_t (a INTEGER, b INTEGER GENERATED ALWAYS AS (a * 2))")
-    }
-    assert(u.getMessage.contains("generated column"))
+    // generated columns execute since round 9 (GeneratedColsSpec pins
+    // the full surface); the DDL routes and computes here end-to-end
+    Runner.runSql(spark,
+      "CREATE TABLE gen_t (a INTEGER, b INTEGER GENERATED ALWAYS AS (a * 2))")
+    Runner.runSql(spark, "INSERT INTO gen_t (a) VALUES (21)")
+    assert(spark.table("gen_t").collect().map(_.toSeq.toSeq).toSeq ==
+      Seq(Seq(21L, 42L)))
+    Runner.runSql(spark, "DROP TABLE gen_t")
   }
 
   test("CREATE TABLE with column defs builds an empty typed relation; PK drives upserts") {
@@ -495,27 +496,36 @@ class SqlDmlSpec extends SparkSpec {
 
   test("CREATE TABLE parses table-level constraints, quoted idents, STRICT tails") {
     import SqlDml._
+    // field-access matching: positional CreateTable patterns break on
+    // every new optional field
     detect("""CREATE TABLE t ("a col" VARCHAR(30), b DOUBLE PRECISION,
               c, PRIMARY KEY (b, c), FOREIGN KEY (c) REFERENCES u(x))""") match {
-      case Some(CreateTable("t", false,
-          Seq(("a col", dt1), ("b", dt2), ("c", "")), Seq("b", "c"), Nil,
-          Nil, fks)) =>
-        assert(dt1 == "VARCHAR(30)" && dt2 == "DOUBLE PRECISION")
-        assert(fks == Seq(Fk(Seq("c"), "u", Seq("x"))))
+      case Some(ct: CreateTable) =>
+        assert(ct.name == "t" && !ct.ifNotExists)
+        assert(ct.cols == Seq(("a col", "VARCHAR(30)"),
+          ("b", "DOUBLE PRECISION"), ("c", "")))
+        assert(ct.pkCols == Seq("b", "c") && ct.defaults.isEmpty &&
+          ct.uniqueCols.isEmpty)
+        assert(ct.fks == Seq(Fk(Seq("c"), "u", Seq("x"))))
       case other => fail(s"expected CreateTable, got $other")
     }
     // a UNIQUE table constraint is the conflict-key fallback when no
-    // PK is declared; CHECK contents never leak keywords
+    // PK is declared; CHECK contents never leak keywords; the STRICT
+    // tail parses into its flag
     detect("""CREATE TABLE t (a INT, b TEXT CHECK (b <> 'primary key'),
               UNIQUE (a)) STRICT""") match {
-      case Some(CreateTable("t", false, cols, Nil, Nil, Seq("a"), Nil)) =>
-        assert(cols.map(_._1) == Seq("a", "b"))
+      case Some(ct: CreateTable) =>
+        assert(ct.cols.map(_._1) == Seq("a", "b"))
+        assert(ct.pkCols.isEmpty && ct.uniqueCols == Seq("a"))
+        assert(ct.strict && !ct.withoutRowid)
       case other => fail(s"expected CreateTable with UNIQUE fallback, got $other")
     }
-    // column-level PRIMARY KEY with riders
+    // column-level PRIMARY KEY with riders; AUTOINCREMENT captures
     detect("CREATE TEMP TABLE IF NOT EXISTS t (id INTEGER PRIMARY KEY AUTOINCREMENT, v REAL)") match {
-      case Some(CreateTable("t", true, cols, Seq("id"), Nil, Nil, Nil)) =>
-        assert(cols.map(_._1) == Seq("id", "v"))
+      case Some(ct: CreateTable) =>
+        assert(ct.ifNotExists && ct.cols.map(_._1) == Seq("id", "v"))
+        assert(ct.pkCols == Seq("id"))
+        assert(ct.autoincrement == Some(("id", "INTEGER", true)))
       case other => fail(s"expected CreateTable, got $other")
     }
     // DEFAULT expressions capture verbatim: quoted, signed, keyword,
@@ -523,9 +533,9 @@ class SqlDmlSpec extends SparkSpec {
     detect("""CREATE TABLE t (a TEXT DEFAULT 'n/a', b INT DEFAULT -1,
               c TEXT DEFAULT CURRENT_TIMESTAMP NOT NULL,
               d REAL DEFAULT (1.5 * 2))""") match {
-      case Some(CreateTable("t", false, cols, Nil, ds, Nil, Nil)) =>
-        assert(cols.map(_._1) == Seq("a", "b", "c", "d"))
-        assert(ds == Seq("a" -> "'n/a'", "b" -> "-1",
+      case Some(ct: CreateTable) =>
+        assert(ct.cols.map(_._1) == Seq("a", "b", "c", "d"))
+        assert(ct.defaults == Seq("a" -> "'n/a'", "b" -> "-1",
           "c" -> "CURRENT_TIMESTAMP", "d" -> "(1.5 * 2)"))
       case other => fail(s"expected CreateTable with defaults, got $other")
     }

@@ -1116,6 +1116,50 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // SOFT DEDUPLICATION (reweighting): instead of dropping exact
+    // duplicates, every document carries training weight
+    // 1/|duplicate group| — duplicated content stops dominating the
+    // loss while the corpus distribution survives (the SoftDeDup
+    // alternative to hard dropping). Corpus plants dup groups of size
+    // 2 and 3. ONE shuffle of (doc_id, 16-byte digest) pairs for the
+    // count window; the text itself never moves.
+    "ext_dedup_weights" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(unhex(md5(col("text"))))
+      corpus
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          (lit(1.0) / col("n_copies")).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+    // DOMAIN-BLOCKLIST CURATION: the C4/RefinedWeb first pass — parse
+    // the registrable domain out of each document's URL row-locally
+    // and gate against a broadcast blocklist. The corpus has no URL
+    // column, so one is synthesized from (source, doc_id) as in
+    // ext_dedup_url. Zero shuffle before the output sort: the
+    // blocklist is a tiny isin literal (a broadcast join at real
+    // blocklist sizes), the domain parse is a codegen regex.
+    "ext_domain_filter" -> ((s, d) => {
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com"), lit("/docs/"), col("doc_id").cast("string"))
+      val host = regexp_extract(url, "^https?://([^/]+)", 1)
+      val domain = regexp_replace(host, "^www\\.", "")
+      val blocked = Seq("src3.example.com", "src7.example.com",
+        "src13.example.com")
+      t("documents")(s, d)
+        .withColumn("domain", domain)
+        .select(col("doc_id"), col("domain"),
+          (!col("domain").isin(blocked: _*)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // BLOOM-PREFILTERED incremental exact dedup: same contract as
     // ext_dedup_incremental, different 100 TB shape — the digest
     // store folds once into a Bloom sketch (Spark's runtime-filter
@@ -1780,6 +1824,36 @@ object QueriesExt {
            CAST(MAX(n_lines) - COUNT(*) AS INTEGER) AS n_removed
          FROM lines WHERE MD5(line) NOT IN (SELECT lfp FROM hot)
          GROUP BY doc_id ORDER BY doc_id""",
+    "ext_dedup_weights" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents
+             WHERE doc_id % 10 = 0
+           UNION ALL SELECT doc_id + 20000, text FROM documents
+             WHERE doc_id % 20 = 0),
+         w AS (
+           SELECT doc_id,
+             CAST(COUNT(*) OVER (PARTITION BY MD5(text)) AS BIGINT)
+               AS n_copies
+           FROM corpus)
+         SELECT doc_id, n_copies,
+           CAST(1.0 AS DOUBLE) / n_copies AS weight
+         FROM w ORDER BY doc_id""",
+    "ext_domain_filter" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://www.' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id, regexp_replace(
+             regexp_extract(url, '^https?://([^/]+)', 1),
+             '^www\.', '') AS domain
+           FROM u)
+         SELECT doc_id, domain,
+           domain NOT IN ('src3.example.com', 'src7.example.com',
+                          'src13.example.com') AS kept
+         FROM p ORDER BY doc_id""",
     "ext_dedup_bloom" ->
       """WITH corpus AS (
            SELECT DISTINCT MD5(text) AS fp FROM documents

@@ -108,4 +108,32 @@ class TrainingPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("soft-dedup weights: each group's weights sum to exactly 1") {
+    val out = graft.SparkEntry.queries("ext_dedup_weights")(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    // planted groups: %20 docs appear 3×, %10-but-not-%20 docs 2×,
+    // the rest once — weights are exactly 1/n
+    out.foreach { case (_, n, w) => assert(w == 1.0 / n, s"$w vs 1/$n") }
+    val byCopies = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCopies.keySet == Set(1L, 2L, 3L))
+    // total weight = number of distinct contents
+    val totalW = out.map(_._3).sum
+    val distinctGroups = out.map(r => (r._2, r._1 % 10000)).distinct
+    assert(math.abs(totalW - out.groupBy(_._2).map {
+      case (n, rows) => rows.length.toDouble / n }.sum) < 1e-9)
+    assert(distinctGroups.nonEmpty)
+  }
+
+  test("domain filter: blocked domains flagged, everything else kept") {
+    val out = graft.SparkEntry.queries("ext_domain_filter")(spark, sfDir)
+      .as[(Long, String, Boolean)].collect()
+    val blocked = Set("src3.example.com", "src7.example.com",
+      "src13.example.com")
+    out.foreach { case (_, dom, kept) =>
+      assert(kept == !blocked(dom), s"$dom kept=$kept")
+      assert(!dom.startsWith("www."), dom)
+    }
+    assert(out.exists(!_._3) && out.exists(_._3))
+  }
 }

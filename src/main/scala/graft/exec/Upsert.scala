@@ -124,55 +124,75 @@ object Upsert {
               s"${src.columns.length}")
         src.toDF(visible.toIndexedSeq: _*)
       }
+    // next auto-assigned key: past both the table's max and, for
+    // AUTOINCREMENT tables, the sqlite_sequence high-water mark
+    def seqAwareStart(maxExisting: Long): Long =
+      math.max(maxExisting,
+        if (SessionKeys.isAutoincrement(spark, stmt.table))
+          SessionKeys.seqOf(spark, stmt.table)
+        else 0L) + 1L
+    // SQLite numbers NULL INTEGER-PRIMARY-KEY rows like missing ones:
+    // sequentially in source order past `start`, supplied keys write
+    // through. The running-count window is inherently one partition —
+    // the price of SQLite's sequential numbering, paid only by
+    // batches that actually carry a NULL key.
+    def assignNullKeys(df: DataFrame, pk: String, start: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("__graft_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nullRank = org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(col(pk).isNull, 1L)
+          .otherwise(0L)).over(w)
+      df.withColumn("__graft_tag",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .withColumn(pk, org.apache.spark.sql.functions.coalesce(
+          col(pk).cast(org.apache.spark.sql.types.LongType),
+          lit(start - 1) + nullRank))
+        .drop("__graft_tag")
+    }
+    def hasNullKey(df: DataFrame, pk: String): Boolean =
+      df.filter(col(pk).isNull).limit(1).count() > 0
     val named =
       if (rowidAuto && !named0.columns.exists(_.equalsIgnoreCase("rowid")))
         Rowid.aliasOf(spark, stmt.table) match {
           case Some(pk) if named0.columns.exists(_.equalsIgnoreCase(pk)) =>
             // rowid IS the INTEGER PRIMARY KEY (SQLite's alias rule) —
-            // write-through the supplied key value; SQLite's NULL-key
-            // auto-assignment is separate machinery, declined visibly
-            named0.withColumn("rowid",
-              org.apache.spark.sql.functions.when(col(pk).isNull,
-                org.apache.spark.sql.functions.raise_error(lit(
-                  s"$verb INTO ${stmt.table}: NULL $pk (the INTEGER " +
-                    s"PRIMARY KEY aliased by rowid) cannot be " +
-                    s"auto-assigned; provide the key")))
-                .otherwise(col(pk).cast(
-                  org.apache.spark.sql.types.LongType)))
+            // supplied keys write through; NULL keys auto-assign
+            val withKeys =
+              if (!hasNullKey(named0, pk)) named0
+              else assignNullKeys(named0, pk,
+                seqAwareStart(Rowid.maxRowid(spark, stmt.table)))
+            withKeys.withColumn("rowid",
+              col(pk).cast(org.apache.spark.sql.types.LongType))
           case Some(pk) =>
             // SQLite auto-assigns the missing INTEGER PRIMARY KEY:
-            // max(rowid)+position, or past the sqlite_sequence
-            // high-water mark for AUTOINCREMENT tables (never reuses)
-            val start = math.max(Rowid.maxRowid(spark, stmt.table),
-              if (SessionKeys.isAutoincrement(spark, stmt.table))
-                SessionKeys.seqOf(spark, stmt.table)
-              else 0L) + 1L
-            Rowid.withSequentialRowid(spark, named0, start)
+            // max(rowid)+position, seq-aware for AUTOINCREMENT
+            Rowid.withSequentialRowid(spark, named0,
+                seqAwareStart(Rowid.maxRowid(spark, stmt.table)))
               .withColumn(pk, col("rowid"))
           case None =>
             Rowid.withSequentialRowid(spark, named0,
               Rowid.maxRowid(spark, stmt.table) + 1L)
         }
-      else if (!named0.columns.exists(c =>
-          intPk.exists(_.equalsIgnoreCase(c))) && intPk.isDefined) {
-        // no rowid surface materialized yet, but a declared
-        // single-column INTEGER PRIMARY KEY still auto-assigns when
-        // unlisted (SQLite's rule): max(existing)+position, seq-aware
-        // for AUTOINCREMENT
-        val pk = intPk.get
-        val maxExisting = {
-          val r = base.agg(org.apache.spark.sql.functions
-            .max(col(pk).cast(org.apache.spark.sql.types.LongType))).first()
-          if (r.isNullAt(0)) 0L else r.getLong(0)
-        }
-        val start = math.max(maxExisting,
-          if (SessionKeys.isAutoincrement(spark, stmt.table))
-            SessionKeys.seqOf(spark, stmt.table)
-          else 0L) + 1L
-        Rowid.withSequentialRowid(spark, named0, start)
-          .withColumn(pk, col("rowid")).drop("rowid")
+      else intPk match {
+        case Some(pk) =>
+          // no rowid surface materialized, but a declared
+          // single-column INTEGER PRIMARY KEY still auto-assigns —
+          // when unlisted, and for the NULL rows of a listed one
+          // (both SQLite's rule): max(existing)+position, seq-aware
+          lazy val start = seqAwareStart {
+            val r = base.agg(org.apache.spark.sql.functions
+              .max(col(pk).cast(org.apache.spark.sql.types.LongType)))
+              .first()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          if (!named0.columns.exists(_.equalsIgnoreCase(pk)))
+            Rowid.withSequentialRowid(spark, named0, start)
+              .withColumn(pk, col("rowid")).drop("rowid")
+          else if (hasNullKey(named0, pk)) assignNullKeys(named0, pk, start)
+          else named0
+        case None => named0
       }
-      else named0
     val unknown = named.columns.map(_.toLowerCase).toSet --
       base.columns.map(_.toLowerCase).toSet -
       (if (isDefaultValues) "__graft_default_values" else "")

@@ -81,6 +81,24 @@ class AutoincrementSpec extends SparkSpec {
       == Seq(Seq("sqlite_sequence")))
   }
 
+  test("explicit NULL keys auto-assign in source order, mixed with " +
+      "supplied keys") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $t(id, v) VALUES (NULL, 'a')")
+    sql(s"INSERT INTO $t(id, v) VALUES (5, 'b')")
+    sql(s"INSERT INTO $t(id, v) VALUES (NULL, 'c'), (NULL, 'd')")
+    assert(rowsOf(s"SELECT id, v FROM $t ORDER BY id") ==
+      Seq(Seq(1L, "a"), Seq(5L, "b"), Seq(6L, "c"), Seq(7L, "d")))
+    // the AUTOINCREMENT twin numbers past the sequence
+    val a = fresh()
+    sql(s"CREATE TABLE $a(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    sql(s"INSERT INTO $a(id, v) VALUES (9, 'x')")
+    sql(s"DELETE FROM $a WHERE id = 9")
+    sql(s"INSERT INTO $a(id, v) VALUES (NULL, 'y')")
+    assert(rowsOf(s"SELECT id, v FROM $a") == Seq(Seq(10L, "y")))
+  }
+
   test("DEFAULT VALUES and OR REPLACE assign through the sequence too") {
     val t = fresh()
     sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY AUTOINCREMENT, " +

@@ -18,6 +18,8 @@ class MultiScanAuditSpec extends SparkSpec {
     "ext_decontaminate_report" -> "corpus vs its own eval subset (eval is an external table in production)",
     "ext_decontaminate_semantic" -> "corpus unioned with its planted-contamination projection (eval is an external table in production)",
     "ext_dedup_exact" -> "corpus unioned with its planted-duplicate projection",
+    "ext_dedup_weights" -> "corpus unioned with its two planted-duplicate projections",
+    "ext_rank_fusion" -> "1-row query-vector projection vs the corpus scan (the probe is an external input in production); the BM25 arm's document scan is shared via the persisted slim projection",
     "ext_dedup_incremental" -> "history fingerprints vs new-batch union (two filters of the source)",
     "ext_dedup_lines" -> "digest census pass + reassembly pass read different columns",
     "join_asof" -> "probes and updates are two projections of the same events table",

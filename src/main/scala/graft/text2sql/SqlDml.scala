@@ -426,9 +426,42 @@ object SqlDml {
     var more = true
     var stopKw: Option[String] = None
     while (more) {
-      if (j < sql.length && sql.charAt(j) == '(')
-        // row-value form `SET (a, b) = (e1, e2)` — rare; decline named
-        return Some(Unsupported("UPDATE with a column-name-list SET"))
+      if (j < sql.length && sql.charAt(j) == '(') {
+        // row-value form `SET (a, b) = (e1, e2)` (SQLite 3.15) —
+        // splits into the equivalent per-column assignments (every
+        // RHS expression sees the OLD row, so the split is exact); a
+        // scalar-subquery row value `(a, b) = (SELECT …)` would need
+        // per-row correlation machinery — declined named
+        val close = closeParen(sql, j)
+        if (close < 0) return None
+        val colsList = splitTopCommas(sql.substring(j + 1, close))
+          .map(c => unquoteIdent(c.trim)).filter(_.nonEmpty)
+        if (colsList.isEmpty) return None
+        j = skipWs(sql, close + 1)
+        if (j >= sql.length || sql.charAt(j) != '=') return None
+        j = skipWs(sql, j + 1)
+        if (j >= sql.length || sql.charAt(j) != '(')
+          return Some(Unsupported("UPDATE with a non-parenthesized row-value SET"))
+        if (keywordAt(sql, skipWs(sql, j + 1), "select"))
+          return Some(Unsupported("UPDATE with a row-value subquery SET"))
+        val rClose = closeParen(sql, j)
+        if (rClose < 0) return None
+        val exprs = splitTopCommas(sql.substring(j + 1, rClose))
+          .map(_.trim).filter(_.nonEmpty)
+        if (exprs.length != colsList.length)
+          return Some(Unsupported(
+            s"${colsList.length} columns assigned ${exprs.length} values"))
+        assigns ++= colsList.zip(exprs)
+        j = skipWs(sql, rClose + 1)
+        // continue the assignment list / clause tail like a plain item
+        if (j < sql.length && sql.charAt(j) == ',') { j = skipWs(sql, j + 1) }
+        else {
+          val (_, stop, stopped) = scanExpr(sql, j, dmlStops)
+          if (sql.substring(j, stop).trim.nonEmpty) return None
+          stopKw = stopped.filter(_ != ","); more = false
+          j = stop
+        }
+      } else {
       val (c, afterC) = parseIdent(sql, j).getOrElse(return None)
       j = skipWs(sql, afterC)
       if (j >= sql.length || sql.charAt(j) != '=') return None
@@ -440,6 +473,7 @@ object SqlDml {
       stopped match {
         case Some(",") => j = skipWs(sql, j + 1)
         case other     => stopKw = other; more = false
+      }
       }
     }
     finishDml(sql, j, stopKw, withPrefix, "UPDATE") { t =>

@@ -117,8 +117,19 @@ class SqlDmlSpec extends SparkSpec {
     // ORDER BY without LIMIT is not SQLite DML grammar
     assert(detect("DELETE FROM t ORDER BY x")
       == Some(Unsupported("DELETE with ORDER BY but no LIMIT")))
+    // the row-value SET form (SQLite 3.15) splits into per-column
+    // assignments — exact, since every RHS sees the OLD row
     assert(detect("UPDATE t SET (a, b) = (1, 2)")
-      == Some(Unsupported("UPDATE with a column-name-list SET")))
+      == Some(Update("t", Seq("a" -> "1", "b" -> "2"), None, None, "",
+        None)))
+    assert(detect("UPDATE t SET (a, b) = (b + 1, a), v = 'x' WHERE a < 3")
+      == Some(Update("t",
+        Seq("a" -> "b + 1", "b" -> "a", "v" -> "'x'"),
+        Some("a < 3"), None, "", None)))
+    assert(detect("UPDATE t SET (a, b) = (1, 2, 3)")
+      == Some(Unsupported("2 columns assigned 3 values")))
+    assert(detect("UPDATE t SET (a, b) = (SELECT 1, 2)")
+      == Some(Unsupported("UPDATE with a row-value subquery SET")))
     // mangled statements fall back to the bare-verb decline
     assert(detect("UPDATE t SET = 5") == Some(Unsupported("UPDATE")))
     assert(detect("DELETE t WHERE x = 1") == Some(Unsupported("DELETE")))
@@ -658,6 +669,16 @@ class SqlDmlSpec extends SparkSpec {
       case Some(CreateIndex("e", "t", Nil, false, false, _)) =>
       case other => fail(s"expected no-op CreateIndex, got $other")
     }
+  }
+
+  test("row-value SET executes with OLD-row reads (swap is exact)") {
+    freshView("rv_t")
+    Runner.runSql(spark, "UPDATE rv_t SET (id, v) = (v, id) WHERE id = 1")
+    val rows = spark.table("rv_t").orderBy("v")
+      .collect().map(_.toSeq.toSeq).toSeq
+    // the id/v swap read the OLD row on both sides (sqlite3-pinned)
+    assert(rows.contains(Seq(10L, "one", 1L)), rows.toString)
+    assert(rows.count(_ == Seq(2L, "two", 20L)) == 1)
   }
 
   test("UPDATE … FROM joins, updates matched rows only, resolves deterministically") {

@@ -93,6 +93,53 @@ object StreamingOps {
       .toDF("user_id", "event_id")
   }
 
+  /** Streaming SOFT-dedup weighting — the ingest-time twin of the
+    * batch `ext_dedup_weights` key: every arriving document emits its
+    * duplicate ordinal (the running count of its 128-bit content
+    * digest so far) and the SoftDeDup training weight 1/ordinal, so a
+    * downstream trainer can damp duplicated content without dropping
+    * it. State is ONE long per active digest — 8 bytes, not the text —
+    * with the same event-time eviction contract as [[streamingDedup]];
+    * the emission is append-only.
+    */
+  def streamingDupWeights(docs: DataFrame,
+                          watermark: String = "10 minutes",
+                          retentionMs: Long = 30L * 60 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val isStreaming = docs.isStreaming
+    val src = if (isStreaming) docs.withWatermark("ts", watermark)
+              else docs
+    src.select(md5(col("text")).as("fp"), col("doc_id").cast("long"),
+        col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            var maxTs = Long.MinValue
+            val out = rows.map { case (_, id, t) =>
+              maxTs = math.max(maxTs, t.getTime)
+              n += 1
+              (id, n, 1.0 / n)
+            }.toVector
+            state.update(n)
+            if (isStreaming)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs,
+                  state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "n_copies", "weight")
+  }
+
   /** Streaming NEAR-dup detection with bounded state — the ingest-time
     * variant of [[graft.ops.Dedup.minHashPairs]]: each arriving doc's
     * MinHash signature computes ROW-LOCALLY (the same codegen

@@ -164,6 +164,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDupWeights numbers duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+
+    val q = StreamingOps.streamingDupWeights(docs)
+      .writeStream.format("memory").queryName("dupw_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = ts("2024-01-01 00:00:00")
+      input.addData((1L, "alpha", t0), (2L, "beta", t0), (3L, "alpha", t0))
+      q.processAllAvailable()
+      val t1 = ts("2024-01-01 00:05:00")
+      input.addData((4L, "alpha", t1), (5L, "beta", t1)) // ordinals continue
+      q.processAllAvailable()
+      val rows = spark.table("dupw_test")
+        .orderBy("doc_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      // alpha arrives as ordinals 1,2,3 (docs 1,3,4); beta as 1,2
+      assert(rows.map(r => (r._1, r._2)) ==
+        Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 2L)))
+      rows.foreach(r => assert(r._3 == 1.0 / r._2))
+    } finally q.stop()
+  }
+
+  test("streamingDupWeights batch twin reconciles with ext_dedup_weights' " +
+      "group sizes") {
+    val batch = Seq(
+      (1L, "x", ts("2024-01-01 00:00:00")),
+      (2L, "x", ts("2024-01-01 00:01:00")),
+      (3L, "y", ts("2024-01-01 00:02:00")))
+      .toDF("doc_id", "text", "ts")
+    val rows = StreamingOps.streamingDupWeights(batch)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // final ordinal per content = the batch key's n_copies
+    assert(rows.map(_._2).max == 2L)
+    assert(rows.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("streamingDedup also runs on a batch DataFrame (no watermark)") {
     val batch = Seq(
       (1L, 100L, ts("2024-01-01 00:00:00")),

@@ -407,8 +407,6 @@ object Ddl {
         throw new IllegalArgumentException(
           s"unknown datatype for ${stmt.table}.${stmt.col}: " +
             s"\"${stmt.declType}\"")
-      SessionKeys.declareStrict(spark, stmt.table,
-        st + (stmt.col.toLowerCase -> uT))
     }
     stmt.generatedExpr.foreach { raw =>
       // SQLite 3.31+: ADD COLUMN may add a VIRTUAL generated column;
@@ -446,6 +444,11 @@ object Ddl {
     base.select(base.columns.map(c => col(quote(c))).toIndexedSeq :+
         lit(value).cast(dt).as(stmt.col): _*)
       .createOrReplaceTempView(stmt.table)
+    // the STRICT column type registers only once the add succeeded
+    if (st.nonEmpty)
+      SessionKeys.declareStrict(spark, stmt.table,
+        SessionKeys.strictFor(spark, stmt.table) +
+          (stmt.col.toLowerCase -> stmt.declType.trim.toUpperCase))
     stmt.default.foreach(raw => SessionKeys.declareDefaults(spark,
       stmt.table, Seq(stmt.col -> (raw, defaultExecSql(raw)))))
     // an added column's REFERENCES clause registers like CREATE

@@ -138,17 +138,20 @@ object Upsert {
     // batches that actually carry a NULL key.
     def assignNullKeys(df: DataFrame, pk: String, start: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("__graft_tag")
+      // zipWithIndex (the withSequentialRowid primitive) freezes the
+      // source order deterministically across re-executions (slices,
+      // RETURNING, and the merged write must all see the same ids)
+      val tagged = Rowid.withSequentialRowid(spark, df, 0L)
+        .withColumnRenamed("rowid", "__graft_pos")
+      val w = Window.orderBy("__graft_pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val nullRank = org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.when(col(pk).isNull, 1L)
           .otherwise(0L)).over(w)
-      df.withColumn("__graft_tag",
-          org.apache.spark.sql.functions.monotonically_increasing_id())
-        .withColumn(pk, org.apache.spark.sql.functions.coalesce(
+      tagged.withColumn(pk, org.apache.spark.sql.functions.coalesce(
           col(pk).cast(org.apache.spark.sql.types.LongType),
           lit(start - 1) + nullRank))
-        .drop("__graft_tag")
+        .drop("__graft_pos")
     }
     def hasNullKey(df: DataFrame, pk: String): Boolean =
       df.filter(col(pk).isNull).limit(1).count() > 0

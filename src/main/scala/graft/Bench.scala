@@ -36,6 +36,9 @@ object Bench {
     "ext_seq_packing",     // greedy context-window packing (one group shuffle)
     "ext_dedup_incr_fuzzy_full", // incremental near-dup probe vs the FULL-corpus
                            // band index — the cost ∝ batch (not corpus) claim
+    "ext_rank_fusion",     // hybrid retrieval: BM25 + cosine arms fused by RRF
+    "ext_text_normalize",  // stage-zero normalization (native NFC + regex strip)
+    "ext_dedup_weights",   // soft dedup: one (id, digest) shuffle for group sizes
   )
 
   /** The round-1 headline set — reported as its own `core16` sum so

@@ -155,6 +155,15 @@ class QueriesTrainSpec extends SparkSpec {
       s"expected 3 cache readers\n${p.take(1500)}")
   }
 
+  test("rank fusion plan: both arms are bounded TakeOrdered retrievals, " +
+      "no cartesian product") {
+    val p = q("ext_rank_fusion").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // each arm collapses its corpus scan into a TakeOrdered top-k (the
+    // rank windows then see k rows only)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("rank fusion: RRF reconciles with its two arms") {
     val fused = q("ext_rank_fusion").collect()
     assert(fused.length == 20)

@@ -304,6 +304,14 @@ class SimilaritySpec extends SparkSpec {
     assign.unpersist()
   }
 
+  test("cluster assignment plan is map-only: no join, no aggregate " +
+      "before the output sort") {
+    val p = graft.SparkEntry.queries("ext_cluster_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("cluster-balanced sample caps every cluster at the budget") {
     val assign = graft.SparkEntry.queries("ext_cluster_assign")(spark, sfDir)
     val bal = graft.SparkEntry.queries("ext_cluster_balance")(spark, sfDir)

@@ -148,21 +148,73 @@ object Ddl {
     graft.text2sql.SqlDialect.translate(s"SELECT ($raw)")
       .stripPrefix("SELECT ").trim
 
+  /** Generated columns in EVALUATION order — SQLite resolves
+    * references between generated columns by dependency, not
+    * declaration (`b AS (c+1), c AS (a+1)` computes c first), and
+    * raises `generated column loop on "x"` at write time on a cycle.
+    * Dependencies are the same word-boundary textual scan as
+    * [[referencedByGenerated]]; Kahn's algorithm over the handful of
+    * generated columns. Left = a column on a cycle (SQLite's error
+    * names the one it was computing). */
+  private[exec] def generatedEvalOrder(
+      gens: Seq[(String, String, String, Boolean)])
+      : Either[String, Seq[(String, String, String, Boolean)]] = {
+    if (gens.size <= 1) {
+      // a single generated column can still self-reference
+      gens.headOption.filter { case (c, raw, _, _) =>
+        refHits(raw, c)
+      }.foreach { case (c, _, _, _) => return Left(c) }
+      return Right(gens)
+    }
+    val names = gens.map(_._1)
+    def deps(g: (String, String, String, Boolean)): Set[String] =
+      names.filter(n => n != g._1 && refHits(g._2, n)).toSet +
+        (if (refHits(g._2, g._1)) g._1 else "") - ""
+    var remaining = gens
+    val ordered = Seq.newBuilder[(String, String, String, Boolean)]
+    var done = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(g =>
+        (deps(g) -- done).isEmpty)
+      if (ready.isEmpty) return Left(blocked.head._1) // cycle
+      ordered ++= ready
+      done ++= ready.map(_._1)
+      remaining = blocked
+    }
+    Right(ordered.result())
+  }
+
+  private def refHits(raw: String, col: String): Boolean =
+    java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_\"`\\[])" + java.util.regex.Pattern.quote(col) +
+        "(?![A-Za-z0-9_])").matcher(raw).find()
+
   /** True when `col` is textually referenced by any of `table`'s
     * generated-column expressions (word-boundary scan of the raw
     * text; a hit inside a string literal refuses conservatively —
     * a visible error beats a silently broken generated column). */
   private[exec] def referencedByGenerated(spark: SparkSession,
                                           table: String,
-                                          col: String): Option[String] = {
-    val p = java.util.regex.Pattern.compile(
-      "(?i)(?<![A-Za-z0-9_\"`\\[])" + java.util.regex.Pattern.quote(col) +
-        "(?![A-Za-z0-9_])")
+                                          col: String): Option[String] =
     SessionKeys.generatedFor(spark, table).collectFirst {
       case (g, raw, _, _) if !g.equalsIgnoreCase(col) &&
-        p.matcher(raw).find() => g
+        refHits(raw, col) => g
     }
-  }
+
+  /** The table's generated columns in evaluation order, for the write
+    * paths — raises SQLite's own loop error on a reference cycle
+    * (SQLite accepts the cycle at CREATE and errors at write time,
+    * measured 3.40.1). */
+  private[exec] def generatedForWrite(spark: SparkSession, table: String)
+      : Seq[(String, String, String, Boolean)] =
+    SessionKeys.generatedFor(spark, table) match {
+      case Nil => Nil
+      case gens => generatedEvalOrder(gens) match {
+        case Right(o) => o
+        case Left(c) => throw new IllegalArgumentException(
+          s"generated column loop on \"$c\"")
+      }
+    }
 
   /** `CREATE TABLE name (col decls …)` — an empty typed session
     * relation (SQLite starts it empty too); the declared PRIMARY KEY

@@ -72,7 +72,7 @@ object Mutate {
   private def recomputeGenerated(spark: SparkSession, table: String,
                                  base: DataFrame, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    val gens = SessionKeys.generatedFor(spark, table)
+    val gens = Ddl.generatedForWrite(spark, table)
     if (gens.isEmpty) df
     else {
       val types = base.schema.fields
@@ -132,8 +132,7 @@ object Mutate {
     // rightmost assignment wins on a repeated column (SQLite rule);
     // toMap keeps the last entry per key
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
-    val gens = SessionKeys.generatedFor(spark, u.table)
-    val genMap = gens.map { case (c, _, ex, _) => c -> ex }.toMap
+    val gens = Ddl.generatedForWrite(spark, u.table)
     val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
     val proj = base.schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
@@ -143,26 +142,31 @@ object Mutate {
         case None => q(f.name)
       }
     }
-    // generated columns recompute from the POST-assignment row, so
-    // they evaluate in an OUTER select over the assignment projection
-    // (a pure function of the row: identity on untouched rows)
-    val outerProj = base.schema.fields.map { f =>
-      genMap.get(f.name.toLowerCase) match {
-        case Some(ex) => s"CAST(($ex) AS ${f.dataType.sql}) AS ${q(f.name)}"
-        case None     => q(f.name)
+    // generated columns recompute from the POST-assignment row in
+    // EVALUATION order: ONE nested select level per generated column,
+    // so a generated expr referencing another generated column sees
+    // that column's recomputed value (SQLite's dependency rule) —
+    // identity on untouched rows. `carry` columns ride through every
+    // level untouched (the trigger slice's old-image struct).
+    def chainGen(sel: String, carry: Seq[String]): String =
+      gens.foldLeft(sel) { case (inner, (c, _, ex, _)) =>
+        val cols = carry ++ base.schema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(c))
+            s"CAST(($ex) AS ${f.dataType.sql}) AS ${q(f.name)}"
+          else q(f.name)
+        }
+        s"SELECT ${cols.mkString(", ")} FROM ($inner)"
       }
-    }
     val innerSel = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)}"
     val merged = spark.sql((u.withPrefix + " " + (
-      if (gens.isEmpty) innerSel
-      else s"SELECT ${outerProj.mkString(", ")} FROM ($innerSel)")).trim)
+      if (gens.isEmpty) innerSel else chainGen(innerSel, Nil))).trim)
     val ret = u.returning.map { r =>
       // RETURNING sees the NEW row values, affected rows only
       val retInner = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)} " +
         s"WHERE $cond"
       val retFrom =
         if (gens.isEmpty) s"($retInner)"
-        else s"(SELECT ${outerProj.mkString(", ")} FROM ($retInner))"
+        else s"(${chainGen(retInner, Nil)})"
       spark.sql(s"${u.withPrefix} SELECT $r FROM $retFrom".trim)
     }
     // changes(): WHERE-true rows (SQLite counts matched rows even when
@@ -199,8 +203,10 @@ object Mutate {
             s"SELECT named_struct($oldS) AS old, named_struct($newS) AS new" +
               s" FROM ${q(u.table)} WHERE $cond"
           } else {
-            // two-level: flatten the post-assignment row first so the
-            // generated recompute in the NEW image sees assigned values
+            // flatten the post-assignment row, chain the generated
+            // recomputes (one level per column, evaluation order), and
+            // re-struct the NEW image from the fully recomputed row;
+            // the old-image struct rides through every level untouched
             val flatNew = base.schema.fields.map { f =>
               val v = assigns.get(f.name.toLowerCase) match {
                 case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
@@ -208,16 +214,12 @@ object Mutate {
               }
               s"$v AS ${q(f.name)}"
             }.mkString(", ")
-            val newS = base.schema.fields.map { f =>
-              val v = genMap.get(f.name.toLowerCase) match {
-                case Some(ex) => s"CAST(($ex) AS ${f.dataType.sql})"
-                case None     => q(f.name)
-              }
-              s"'${esc(f.name)}', $v"
-            }.mkString(", ")
+            val newS = base.schema.fields
+              .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
+            val inner = s"SELECT named_struct($oldS) AS __graft_old, " +
+              s"$flatNew FROM ${q(u.table)} WHERE $cond"
             s"SELECT __graft_old AS old, named_struct($newS) AS new FROM " +
-              s"(SELECT named_struct($oldS) AS __graft_old, $flatNew " +
-              s"FROM ${q(u.table)} WHERE $cond)"
+              s"(${chainGen(inner, Seq("__graft_old"))})"
           }
         Some(spark.sql(s"${u.withPrefix} $sliceSql".trim).persist())
       }

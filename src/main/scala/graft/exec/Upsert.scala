@@ -82,7 +82,9 @@ object Upsert {
     // generated columns are not insertable: they leave the positional
     // target schema (SQLite binds VALUES to non-generated columns
     // only) and an explicit column-list mention is SQLite's own error
-    val genCols = SessionKeys.generatedFor(spark, stmt.table)
+    // evaluation (dependency) order — raises SQLite's loop error on a
+    // reference cycle, exactly at write time as SQLite does
+    val genCols = Ddl.generatedForWrite(spark, stmt.table)
     val genNames = genCols.map(_._1).toSet
     stmt.cols.find(c => genNames(c.toLowerCase)).foreach(c =>
       throw new IllegalArgumentException(
@@ -493,7 +495,7 @@ object Upsert {
     // generated columns recompute from the post-assignment row — a
     // pure function of the row, so the unconditional recompute is
     // identity on non-fired rows and SQLite's value on fired ones
-    val gens = SessionKeys.generatedFor(base.sparkSession, table)
+    val gens = Ddl.generatedForWrite(base.sparkSession, table)
     val types = base.schema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     def recompute(df: DataFrame): DataFrame =

@@ -66,6 +66,30 @@ class GeneratedColsSpec extends SparkSpec {
     assert(rowsOf(s"SELECT * FROM $t") == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("FORWARD references evaluate in dependency order (sqlite rule)") {
+    val t = fresh()
+    // b references the LATER-declared c: SQLite computes c first
+    sql(s"CREATE TABLE $t(a INT, b INT AS (c+1), c INT AS (a+1))")
+    sql(s"INSERT INTO $t(a) VALUES (1)")
+    assert(rowsOf(s"SELECT * FROM $t") == Seq(Seq(1L, 3L, 2L)))
+    // UPDATE recomputes through the same dependency chain
+    sql(s"UPDATE $t SET a = 10")
+    assert(rowsOf(s"SELECT * FROM $t") == Seq(Seq(10L, 12L, 11L)))
+  }
+
+  test("reference cycles are accepted at CREATE and raise SQLite's " +
+      "loop error at write time") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT, b INT AS (c+1), c INT AS (b+1))")
+    val e = intercept[Exception](sql(s"INSERT INTO $t(a) VALUES (1)"))
+    assert(e.getMessage.contains("generated column loop on"), e.getMessage)
+    val t2 = fresh()
+    sql(s"CREATE TABLE $t2(a INT, b INT AS (b+1))")
+    val e2 = intercept[Exception](sql(s"INSERT INTO $t2(a) VALUES (1)"))
+    assert(e2.getMessage.contains("generated column loop on \"b\""),
+      e2.getMessage)
+  }
+
   test("function expressions work; unknown identifiers refuse at CREATE") {
     val t = fresh()
     sql(s"CREATE TABLE $t(s TEXT, n INT AS (length(s)))")

@@ -187,9 +187,16 @@ object Pragma {
   }
 
   private def tableList(spark: SparkSession): DataFrame = {
+    // wr / strict flags report the declared table options (SQLite's
+    // columns); the internal sqlite_sequence table lists once any
+    // AUTOINCREMENT table was created, as SQLite's does
     val rows = sessionTables(spark).map { case (name, schema) =>
-      Row("main", name, "table", schema.length, 0, 0)
-    }
+      Row("main", name, "table", schema.length,
+        if (SessionKeys.isWithoutRowid(spark, name)) 1 else 0,
+        if (SessionKeys.strictFor(spark, name).nonEmpty) 1 else 0)
+    } ++ (if (SessionKeys.sequenceTableExists(spark))
+            Seq(Row("main", "sqlite_sequence", "table", 2, 0, 0))
+          else Nil)
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       tableListSchema)

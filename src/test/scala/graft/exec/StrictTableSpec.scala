@@ -124,6 +124,17 @@ class StrictTableSpec extends SparkSpec {
     assert(rowsOf(s"SELECT rowid, v FROM $t2") == Seq(Seq(1L, 9L)))
   }
 
+  test("PRAGMA table_list reports the wr/strict flags per table") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(k TEXT PRIMARY KEY, v INT) WITHOUT ROWID")
+    val t2 = fresh()
+    sql(s"CREATE TABLE $t2(i INTEGER) STRICT")
+    val rows = rowsOf("PRAGMA table_list")
+      .map(r => r(1).toString -> (r(4), r(5))).toMap
+    assert(rows(t) == ((1, 0)), rows(t).toString)
+    assert(rows(t2) == ((0, 1)), rows(t2).toString)
+  }
+
   test("STRICT, WITHOUT ROWID combine; sqlite_master renders the options") {
     val t = fresh()
     sql(s"CREATE TABLE $t(k INTEGER PRIMARY KEY, v TEXT) STRICT, WITHOUT ROWID")

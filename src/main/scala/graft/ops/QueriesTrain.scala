@@ -108,6 +108,30 @@ object QueriesTrain {
         .orderBy("lang", "rk", "doc_id")
     }),
 
+    // TOKEN-LENGTH BUCKETING: the pre-packing efficiency step —
+    // group documents into fixed token-length bands so the packer
+    // fills context windows from same-scale docs (mixing a 10-token
+    // doc into a bin of 900-token docs wastes the window's tail).
+    // Buckets are FIXED boundaries (powers of two), so the assignment
+    // is row-local — no quantile pass, no shuffle before the census.
+    "ext_length_bucket" -> ((s, d) =>
+      t("documents")(s, d)
+        .withColumn("n_tokens",
+          size(expr("split(trim(text), '\\\\s+')")))
+        .withColumn("bucket",
+          when(col("n_tokens") <= 16, 16)
+            .when(col("n_tokens") <= 32, 32)
+            .when(col("n_tokens") <= 64, 64)
+            .when(col("n_tokens") <= 128, 128)
+            .when(col("n_tokens") <= 256, 256)
+            .otherwise(512).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("bigint")).as("sum_tokens"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("bucket")),
+
     "ext_stratified_sample" -> ((s, d) =>
       t("documents")(s, d)
         .withColumn("bucket",
@@ -534,6 +558,25 @@ object QueriesTrain {
                ORDER BY md5(text), doc_id) AS rn
            FROM documents) WHERE rn <= 5
          ORDER BY lang, rk, doc_id""",
+
+    "ext_length_bucket" ->
+      """WITH t AS (
+           SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS INTEGER) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT n_tokens, CAST(CASE
+               WHEN n_tokens <= 16 THEN 16
+               WHEN n_tokens <= 32 THEN 32
+               WHEN n_tokens <= 64 THEN 64
+               WHEN n_tokens <= 128 THEN 128
+               WHEN n_tokens <= 256 THEN 256
+               ELSE 512 END AS BIGINT) AS bucket
+           FROM t)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     "ext_stratified_sample" ->
       """WITH w AS (SELECT doc_id, lang,

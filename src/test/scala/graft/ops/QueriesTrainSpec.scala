@@ -155,6 +155,23 @@ class QueriesTrainSpec extends SparkSpec {
       s"expected 3 cache readers\n${p.take(1500)}")
   }
 
+  test("length buckets partition the corpus and bound their members") {
+    val out = q("ext_length_bucket")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    val docs = graft.ops.Tables.t(spark, sfDir, "documents")
+    assert(out.map(_._2).sum == docs.count())
+    out.foreach { case (bucket, _, _, mn, mx) =>
+      // 512 is the open-ended catch-all band
+      assert(mx <= bucket || bucket == 512,
+        s"bucket $bucket holds a $mx-token doc")
+      // members exceed the previous boundary
+      val prev = bucket match {
+        case 16 => 0L; case 512 => 256L; case b => b / 2
+      }
+      assert(mn > prev || bucket == 512, s"bucket $bucket min $mn")
+    }
+  }
+
   test("rank fusion plan: both arms are bounded TakeOrdered retrievals, " +
       "no cartesian product") {
     val p = q("ext_rank_fusion").queryExecution.executedPlan.toString

@@ -61,11 +61,15 @@ object Atomic {
             catch { case scala.util.control.NonFatal(_) => None }
           }
         val counters = SessionChanges.snapshot(spark)
+        val seqs = SessionKeys.snapshotAutoinc(spark)
         try f
         catch {
           case scala.util.control.NonFatal(e) =>
             tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
             SessionChanges.restore(spark, counters)
+            // sqlite_sequence is transactional in SQLite — a body
+            // statement's seq advance rolls back with the statement
+            SessionKeys.restoreAutoinc(spark, seqs)
             var c: Throwable = e
             while (c != null && !c.isInstanceOf[GraftRaiseAbort])
               c = c.getCause

@@ -249,6 +249,23 @@ object SessionKeys {
     s.synchronized(s.seqTableCreated)
   }
 
+  /** Snapshot / restore of the AUTOINCREMENT sequences — SQLite's
+    * sqlite_sequence is an ordinary table inside the transaction, so
+    * a rolled-back statement rolls its seq advances back too
+    * ([[Atomic]] pairs these around multi-write statements). */
+  def snapshotAutoinc(spark: SparkSession): Map[String, Long] = {
+    val s = state(spark)
+    s.synchronized(s.autoinc.toMap)
+  }
+
+  def restoreAutoinc(spark: SparkSession, snap: Map[String, Long]): Unit = {
+    val s = state(spark)
+    s.synchronized {
+      s.autoinc.clear()
+      s.autoinc ++= snap
+    }
+  }
+
   /** ALTER TABLE DROP COLUMN: the column's default (and, for a
     * generated column, its definition) goes with it. */
   def forgetColumn(spark: SparkSession, table: String, col: String): Unit = {

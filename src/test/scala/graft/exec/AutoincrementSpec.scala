@@ -99,6 +99,26 @@ class AutoincrementSpec extends SparkSpec {
     assert(rowsOf(s"SELECT id, v FROM $a") == Seq(Seq(10L, "y")))
   }
 
+  test("a rolled-back trigger body rolls its sequence advance back too") {
+    val a = fresh(); val t = fresh()
+    sql(s"CREATE TABLE $a(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    sql(s"CREATE TABLE $t(x INT)")
+    sql(s"CREATE TRIGGER ${t}_tr AFTER INSERT ON $t BEGIN " +
+      s"INSERT INTO $a(v) VALUES ('from-trigger'); " +
+      s"SELECT RAISE(ABORT, 'boom') WHERE NEW.x < 0; END")
+    sql(s"INSERT INTO $t VALUES (1)")
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$a'") ==
+      Seq(Seq(1L)))
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES (-1)"))
+    assert(e.getMessage.contains("boom"), e.getMessage)
+    // the aborted statement's body insert AND its seq advance rolled back
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$a'") ==
+      Seq(Seq(1L)))
+    sql(s"INSERT INTO $t VALUES (2)")
+    assert(rowsOf(s"SELECT id FROM $a ORDER BY id") ==
+      Seq(Seq(1L), Seq(2L)))
+  }
+
   test("DEFAULT VALUES and OR REPLACE assign through the sequence too") {
     val t = fresh()
     sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY AUTOINCREMENT, " +

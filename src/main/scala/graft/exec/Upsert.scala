@@ -420,12 +420,14 @@ object Upsert {
         Triggers.fire(spark, stmt.table, "update", updAssignCols,
           "after", sl))
       // AUTOINCREMENT bookkeeping: sqlite_sequence advances to the
-      // largest id this statement inserted (explicit ids included;
-      // monotonic, deletes never lower it). One narrow agg over the
-      // inserted slice, only for declared AUTOINCREMENT tables.
+      // largest id this statement ASSIGNED — SQLite assigns rowids
+      // before conflict checking, so an OR IGNORE / DO NOTHING
+      // discard still advances the sequence (measured: discarded row
+      // leaves seq 2, the next insert takes 3). One narrow agg over
+      // the attempted slice, only for declared AUTOINCREMENT tables.
       if (SessionKeys.isAutoincrement(spark, stmt.table))
         intPk.foreach { pk =>
-          val r = inserted.agg(org.apache.spark.sql.functions
+          val r = aligned.agg(org.apache.spark.sql.functions
             .max(col(pk).cast(org.apache.spark.sql.types.LongType))).first()
           if (!r.isNullAt(0))
             SessionKeys.bumpSeq(spark, stmt.table, r.getLong(0))

@@ -99,6 +99,20 @@ class AutoincrementSpec extends SparkSpec {
     assert(rowsOf(s"SELECT id, v FROM $a") == Seq(Seq(10L, "y")))
   }
 
+  test("a discarded DO NOTHING row still advances the sequence " +
+      "(assignment precedes conflict checking)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+      s"v TEXT UNIQUE)")
+    sql(s"INSERT INTO $t(v) VALUES ('x')")
+    sql(s"INSERT INTO $t(v) VALUES ('x') ON CONFLICT(v) DO NOTHING")
+    assert(rowsOf(s"SELECT seq FROM sqlite_sequence WHERE name = '$t'") ==
+      Seq(Seq(2L)))
+    sql(s"INSERT INTO $t(v) VALUES ('y')")
+    assert(rowsOf(s"SELECT id FROM $t ORDER BY id") ==
+      Seq(Seq(1L), Seq(3L)))
+  }
+
   test("a rolled-back trigger body rolls its sequence advance back too") {
     val a = fresh(); val t = fresh()
     sql(s"CREATE TABLE $a(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")

@@ -679,6 +679,31 @@ object QueriesExt {
         .orderBy("doc_id", "comp")
     }),
 
+    // NEAR-DUP SOFT WEIGHTS: the fuzzy twin of ext_dedup_weights —
+    // weight every document by 1/|near-dup cluster| instead of
+    // dropping all but one representative (SoftDeDup over MinHash
+    // components). Reuses the exact ext_dedup_clusters pipeline
+    // (banded candidates → exact-Jaccard verify → connected
+    // components); the weights are one count window over the
+    // (id, comp) pairs — the text never shuffles again.
+    "ext_dedup_soft" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+          numHashes = 32, bands = 8, maxShingleDf = 300, maxBucket = 64)
+        .select("id1", "id2")
+      val comp = Dedup.components(pairs,
+        corpus.select(col("doc_id").as("id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      comp.withColumn("n_members", count(lit(1)).over(w))
+        .select(col("id").as("doc_id"), col("n_members"),
+          (lit(1.0) / col("n_members")).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash signatures + near-dup pairs (rows-only: xxhash64 has no
     // DuckDB equivalent; determinism covered by DedupSpec)
     "ext_dedup_simhash" -> ((s, d) => {
@@ -1369,6 +1394,37 @@ object QueriesExt {
            SELECT e.a, r.l FROM edges e JOIN r ON r.id = e.b)
          SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS comp
          FROM r GROUP BY id ORDER BY doc_id, comp""",
+
+    "ext_dedup_soft" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' zzz' FROM documents WHERE doc_id % 4 = 0),
+         docs AS (SELECT doc_id, LOWER(text) AS t FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN cnt ca ON ca.doc_id = id1
+                   JOIN cnt cb ON cb.doc_id = id2
+                   WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         r(id, l) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.a, r.l FROM edges e JOIN r ON r.id = e.b),
+         comp AS (
+           SELECT id AS doc_id, MIN(l) AS comp FROM r GROUP BY id)
+         SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members,
+           CAST(1.0 AS DOUBLE) /
+             COUNT(*) OVER (PARTITION BY comp) AS weight
+         FROM comp ORDER BY doc_id""",
 
     "ext_knn_join" ->
       """WITH probes AS (

@@ -438,6 +438,22 @@ class DedupSpec extends SparkSpec {
     assert(bloom.count() > 0)
   }
 
+  test("near-dup soft weights reconcile with the cluster sizes") {
+    val soft = graft.SparkEntry.queries("ext_dedup_soft")(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val comps = graft.SparkEntry.queries("ext_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val sizes = comps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val compOf = comps.toMap
+    assert(soft.length == comps.length)
+    soft.foreach { case (id, n, w) =>
+      assert(n == sizes(compOf(id)), s"doc $id members $n")
+      assert(w == 1.0 / n)
+    }
+    // the planted %4 mutants pair with their originals: some clusters > 1
+    assert(soft.exists(_._2 > 1) && soft.exists(_._2 == 1))
+  }
+
   test("empty digest store admits the whole batch through the bloom path") {
     val tmp = java.nio.file.Files.createTempDirectory("bloomstore").toString
     val empty = spark.range(0).selectExpr("CAST(NULL AS STRING) AS text")

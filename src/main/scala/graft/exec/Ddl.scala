@@ -274,6 +274,20 @@ object Ddl {
       schema).createOrReplaceTempView(stmt.name)
     SessionKeys.forgetTable(spark, stmt.name)
     if (stmt.pkCols.nonEmpty) SessionKeys.declarePk(spark, stmt.name, stmt.pkCols)
+    // SQLite's rowid-alias rule (lang_createtable.html §5): a
+    // single-column PRIMARY KEY declared exactly INTEGER on a rowid
+    // table IS the rowid — only those auto-assign missing/NULL keys;
+    // `INT PRIMARY KEY` is NOT an alias (the NULL stores), and a
+    // WITHOUT ROWID key has no rowid to alias
+    if (!stmt.withoutRowid) stmt.pkCols match {
+      case Seq(k) =>
+        stmt.cols.find { case (n, t) =>
+          n.equalsIgnoreCase(k) && t.trim.equalsIgnoreCase("integer")
+        }.foreach { case (n, _) =>
+          SessionKeys.declareRowidAlias(spark, stmt.name, n)
+        }
+      case _ => ()
+    }
     // a UNIQUE table constraint becomes SQLite's automatic unique
     // index (sqlite_autoindex_<t>_1, origin 'u') — NOT a PK, so
     // PRAGMA table_info keeps pk=0 for it while OR REPLACE / bare ON

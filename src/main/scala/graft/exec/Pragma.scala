@@ -394,10 +394,26 @@ object Pragma {
     * Documented divergence: SQLite keeps a separate cookie for the
     * temp schema, so TEMP objects don't move main's version — this
     * engine's single session namespace bumps for them too. */
-  def bumpSchemaVersion(spark: SparkSession): Unit = {
-    val v = tracked(spark, "schema_version", "0").toLong
-    spark.conf.set(confKey("schema_version"), ((v + 1).toInt).toString)
-  }
+  def bumpSchemaVersion(spark: SparkSession): Unit =
+    // read-modify-write on the conf cookie: guarded by a session-scoped
+    // lock (WeakHashMap like SessionKeys.State) so concurrent DDL on a
+    // shared session can't lose increments — the FK/trigger registries
+    // synchronize; the cookie must too
+    versionLock(spark).synchronized {
+      val v = tracked(spark, "schema_version", "0").toLong
+      spark.conf.set(confKey("schema_version"), ((v + 1).toInt).toString)
+    }
+
+  private val versionLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+
+  private def versionLock(spark: SparkSession): Object =
+    versionLocks.synchronized {
+      var l = versionLocks.get(spark)
+      if (l == null) { l = new Object; versionLocks.put(spark, l) }
+      l
+    }
 
   private def tracked(spark: SparkSession, name: String, dflt: String): String =
     spark.conf.get(confKey(name), dflt)

@@ -108,19 +108,13 @@ object Rowid {
     s.synchronized(s.tables.put(table.toLowerCase, alias))
   }
 
-  /** The declared single-column integer PRIMARY KEY, when one exists —
-    * SQLite's rowid-alias rule applies only to exactly that shape. */
+  /** The declared rowid-alias column, when one was registered at
+    * CREATE — a single-column PRIMARY KEY declared exactly INTEGER on
+    * a rowid table (SQLite's alias rule; `INT` does not alias). */
   private def integerPkAlias(spark: SparkSession, table: String,
                              df: DataFrame): Option[String] =
-    SessionKeys.declaredPk(spark, table) match {
-      case Some(Seq(c)) =>
-        df.schema.fields.find(_.name.equalsIgnoreCase(c)).collect {
-          case f if f.dataType == org.apache.spark.sql.types.LongType ||
-                    f.dataType == org.apache.spark.sql.types.IntegerType =>
-            f.name
-        }
-      case _ => None
-    }
+    SessionKeys.rowidAliasOf(spark, table)
+      .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
 
   /** The aliased INTEGER PRIMARY KEY column for an enabled table, if
     * that is how it was enabled. */

@@ -50,6 +50,11 @@ object SessionKeys {
       scala.collection.mutable.Map.empty[String, Map[String, String]]
     // lowercased tables declared WITHOUT ROWID (no rowid surface)
     val withoutRowid = scala.collection.mutable.Set.empty[String]
+    // lowercased rowid table -> its rowid-ALIAS column as written:
+    // a single-column PRIMARY KEY declared exactly INTEGER on a rowid
+    // table (SQLite lang_createtable.html §5 — INT does NOT alias, and
+    // WITHOUT ROWID tables have no rowid to alias)
+    val rowidAlias = scala.collection.mutable.Map.empty[String, String]
     // lowercased AUTOINCREMENT tables -> high-water sequence (0 until
     // the first insert; never decreases — SQLite sqlite_sequence)
     val autoinc = scala.collection.mutable.Map.empty[String, Long]
@@ -124,6 +129,7 @@ object SessionKeys {
       s.generated.remove(t)
       s.strict.remove(t)
       s.withoutRowid -= t
+      s.rowidAlias.remove(t)
       s.autoinc.remove(t) // sqlite_sequence drops the row with the table
       s.indexes.filterInPlace((_, i) => i.table != t)
     }
@@ -189,6 +195,23 @@ object SessionKeys {
   def strictFor(spark: SparkSession, table: String): Map[String, String] = {
     val s = state(spark)
     s.synchronized(s.strict.getOrElse(table.toLowerCase, Map.empty))
+  }
+
+  /** Declare a table's rowid-alias column (single-column PK declared
+    * exactly INTEGER on a rowid table — SQLite's alias rule). Only
+    * such columns auto-assign missing/NULL keys; a non-alias
+    * `INT PRIMARY KEY` stores the NULL, and a WITHOUT ROWID key
+    * raises NOT NULL (both measured 3.40+). */
+  def declareRowidAlias(spark: SparkSession, table: String,
+                        col: String): Unit = {
+    val s = state(spark)
+    s.synchronized { s.rowidAlias(table.toLowerCase) = col }
+  }
+
+  /** The rowid-alias column, when the table declared one. */
+  def rowidAliasOf(spark: SparkSession, table: String): Option[String] = {
+    val s = state(spark)
+    s.synchronized(s.rowidAlias.get(table.toLowerCase))
   }
 
   /** Declare a WITHOUT ROWID table (rowid surface suppressed). */
@@ -293,6 +316,7 @@ object SessionKeys {
       s.generated.remove(t).foreach(s.generated(n) = _)
       s.strict.remove(t).foreach(s.strict(n) = _)
       if (s.withoutRowid.remove(t)) s.withoutRowid += n
+      s.rowidAlias.remove(t).foreach(s.rowidAlias(n) = _)
       s.autoinc.remove(t).foreach(s.autoinc(n) = _) // seq row renames
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(table = n) else i)
@@ -325,6 +349,8 @@ object SessionKeys {
         m.get(oldCol.toLowerCase).foreach(v =>
           s.strict(t) = m - oldCol.toLowerCase + (newCol.toLowerCase -> v))
       }
+      s.rowidAlias.get(t).filter(_.equalsIgnoreCase(oldCol))
+        .foreach(_ => s.rowidAlias(t) = newCol)
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(cols = sub(i.cols)) else i)
     }

@@ -92,18 +92,14 @@ object Upsert {
     val visible =
       (if (rowidAuto) base.columns.filterNot(_.equalsIgnoreCase("rowid"))
        else base.columns).filterNot(c => genNames(c.toLowerCase))
-    // declared single-column INTEGER PRIMARY KEY (SQLite's rowid-alias
-    // shape) — auto-assigned when the INSERT leaves it unlisted
-    val intPk: Option[String] =
-      SessionKeys.declaredPk(spark, stmt.table) match {
-        case Some(Seq(c)) => base.schema.fields
-          .find(_.name.equalsIgnoreCase(c))
-          .collect {
-            case f if f.dataType == org.apache.spark.sql.types.LongType ||
-              f.dataType == org.apache.spark.sql.types.IntegerType => f.name
-          }
-        case _ => None
-      }
+    // the declared rowid-ALIAS column (single-column PRIMARY KEY
+    // declared exactly INTEGER on a rowid table — SessionKeys registry)
+    // — auto-assigned when the INSERT leaves it unlisted or NULL.
+    // Deliberately NOT a schema-type heuristic: `INT PRIMARY KEY`
+    // stores a NULL key, and a WITHOUT ROWID key never auto-assigns
+    // (raises NOT NULL) — both measured SQLite behaviors.
+    val intPk: Option[String] = SessionKeys.rowidAliasOf(spark, stmt.table)
+      .flatMap(c => base.columns.find(_.equalsIgnoreCase(c)))
     // DEFAULT VALUES: the source binds no target columns — every
     // column falls to its registered DEFAULT / NULL below, one row
     // per source row (trigger bodies fan it out per slice row)
@@ -133,13 +129,21 @@ object Upsert {
         if (SessionKeys.isAutoincrement(spark, stmt.table))
           SessionKeys.seqOf(spark, stmt.table)
         else 0L) + 1L
-    // SQLite numbers NULL INTEGER-PRIMARY-KEY rows like missing ones:
-    // sequentially in source order past `start`, supplied keys write
-    // through. The running-count window is inherently one partition —
-    // the price of SQLite's sequential numbering, paid only by
-    // batches that actually carry a NULL key.
+    // SQLite numbers each NULL INTEGER-PRIMARY-KEY row one past the
+    // max key seen SO FAR — the table max / sqlite_sequence mark
+    // (start-1) AND every key this statement already wrote, explicit
+    // or assigned (measured: empty table, VALUES (5,'b'),(NULL,'c')
+    // yields 5,6; (10,'a'),(NULL,'b'),(3,'c'),(NULL,'d') yields
+    // 10,11,3,12). Closed form over source order: with c = running
+    // NULL count and v = key - c at each explicit row, the assigned
+    // value is c + max(start-1, running max of v) — assigned keys are
+    // themselves monotone in that form, so they never push the running
+    // max beyond it. The window is inherently one partition — the
+    // price of SQLite's sequential numbering, paid only by batches
+    // that actually carry a NULL key.
     def assignNullKeys(df: DataFrame, pk: String, start: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{coalesce, greatest, max, sum, when}
       // zipWithIndex (the withSequentialRowid primitive) freezes the
       // source order deterministically across re-executions (slices,
       // RETURNING, and the merged write must all see the same ids)
@@ -147,12 +151,12 @@ object Upsert {
         .withColumnRenamed("rowid", "__graft_pos")
       val w = Window.orderBy("__graft_pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nullRank = org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.when(col(pk).isNull, 1L)
-          .otherwise(0L)).over(w)
-      tagged.withColumn(pk, org.apache.spark.sql.functions.coalesce(
-          col(pk).cast(org.apache.spark.sql.types.LongType),
-          lit(start - 1) + nullRank))
+      val keyL = col(pk).cast(org.apache.spark.sql.types.LongType)
+      val nullRank = sum(when(keyL.isNull, 1L).otherwise(0L)).over(w)
+      val vMax = max(when(keyL.isNotNull, keyL - nullRank)).over(w)
+      tagged.withColumn(pk, coalesce(keyL,
+          nullRank + greatest(lit(start - 1),
+            coalesce(vMax, lit(start - 1)))))
         .drop("__graft_pos")
     }
     def hasNullKey(df: DataFrame, pk: String): Boolean =

@@ -377,13 +377,20 @@ object Dedup {
       GraftColumnBridge.expression(lit(bf)),
       GraftColumnBridge.expression(xxhash64(col("fp")))))
     // both branches of the union read `hashed` — persist the narrow
-    // (fp, id, maybe) projection so the batch source scans once
+    // (fp, id, maybe) projection so the batch source scans once, then
+    // eagerly checkpoint the admitted result and RELEASE the cache
+    // entry (a bare persist would outlive the call: cache-manager
+    // entries never GC, so each batch invocation would leak one; the
+    // checkpoint block is GC'd with the returned DataFrame — the
+    // ckptRdd discipline of the cascade code)
     val flagged = hashed.withColumn("maybe", mightContain).persist()
-    flagged.count() // materialize before both consumers plan against it
-    flagged.filter(!col("maybe")).select(col(idCol), col("fp"))
-      .unionAll(flagged.filter(col("maybe"))
-        .join(store, Seq("fp"), "left_anti")
-        .select(col(idCol), col("fp")))
+    try
+      flagged.filter(!col("maybe")).select(col(idCol), col("fp"))
+        .unionAll(flagged.filter(col("maybe"))
+          .join(store, Seq("fp"), "left_anti")
+          .select(col(idCol), col("fp")))
+        .localCheckpoint(true)
+    finally flagged.unpersist(false)
   }
 
   /** Typed index handle: the banding parameters RIDE WITH the path so

@@ -99,6 +99,42 @@ class AutoincrementSpec extends SparkSpec {
     assert(rowsOf(s"SELECT id, v FROM $a") == Seq(Seq(10L, "y")))
   }
 
+  test("NULL keys number past explicit keys supplied EARLIER IN THE " +
+      "SAME statement (SQLite's row-at-a-time max-so-far)") {
+    // measured sqlite3: empty table, (5,NULL) -> 5,6
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $t(id, v) VALUES (5, 'b'), (NULL, 'c')")
+    assert(rowsOf(s"SELECT id, v FROM $t ORDER BY id") ==
+      Seq(Seq(5L, "b"), Seq(6L, "c")))
+    // measured: (10,NULL,3,NULL) -> 10,11,3,12 (max-so-far includes
+    // the assigned 11, and the later smaller key 3 doesn't lower it)
+    val u = fresh()
+    sql(s"CREATE TABLE $u(id INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $u(id, v) VALUES (10,'a'), (NULL,'b'), (3,'c'), " +
+      s"(NULL,'d')")
+    assert(rowsOf(s"SELECT id, v FROM $u ORDER BY id") ==
+      Seq(Seq(3L, "c"), Seq(10L, "a"), Seq(11L, "b"), Seq(12L, "d")))
+    // measured: seq 7 survives a delete; (2,NULL,NULL) -> 2,8,9
+    val a = fresh()
+    sql(s"CREATE TABLE $a(id INTEGER PRIMARY KEY AUTOINCREMENT, v TEXT)")
+    sql(s"INSERT INTO $a(id, v) VALUES (7, 'x')")
+    sql(s"DELETE FROM $a")
+    sql(s"INSERT INTO $a(id, v) VALUES (2,'a'), (NULL,'b'), (NULL,'c')")
+    assert(rowsOf(s"SELECT id, v FROM $a ORDER BY id") ==
+      Seq(Seq(2L, "a"), Seq(8L, "b"), Seq(9L, "c")))
+  }
+
+  test("INT PRIMARY KEY is NOT the rowid alias: NULL and missing keys " +
+      "store as NULL instead of auto-assigning (measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(k INT PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $t(v) VALUES ('x')")
+    sql(s"INSERT INTO $t VALUES (NULL, 'y')")
+    assert(rowsOf(s"SELECT k IS NULL, v FROM $t ORDER BY v") ==
+      Seq(Seq(true, "x"), Seq(true, "y")))
+  }
+
   test("a discarded DO NOTHING row still advances the sequence " +
       "(assignment precedes conflict checking)") {
     val t = fresh()

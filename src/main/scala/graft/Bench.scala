@@ -173,26 +173,37 @@ object Bench {
     // run 1 still pays plan compilation cold (comparable to the old
     // number); medians absorb one outlier without hiding a real
     // regression, which shifts all three runs.
-    def measure(): Seq[(String, Seq[Double])] = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        // a failed run reports -1 so it can never masquerade as fast
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def measure(order: Seq[String]): Seq[(String, Seq[Double])] =
+      order.map { name =>
+        val fn = SparkEntry.queries(name)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+          // a failed run reports -1 so it can never masquerade as fast
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> runs.sorted
       }
-      name -> runs.sorted
-    }
-    val results = measure()
+    val results = measure(headline)
     // a SECOND full measurement pass, reported as its own block:
     // median-of-3 absorbs one outlier per key, but co-located machine
     // load spanning the whole bench (the r6 failure mode) shifts every
     // median uniformly — two independent passes disagreeing beyond
     // ~20% on total make that contamination self-evident in the
-    // artifact instead of silently poisoning the round's number
-    val results2 = measure()
+    // artifact instead of silently poisoning the round's number.
+    // Pass 2 runs in REVERSE key order (r9 finding: transient load
+    // landing late in a pass kept eating the same tail-of-headline
+    // keys in both passes, so their recorded medians disagreed >1.5×
+    // round after round; reversing puts each key at the opposite end
+    // of the second pass, making per-key disagreement diagnose LOAD,
+    // not position). Output order stays the headline order.
+    val order2 = headline.reverse
+    val results2 = {
+      val byName = measure(order2).toMap
+      headline.map(n => n -> byName(n))
+    }
     def f3(v: Double) = f"$v%.3f"
     // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
     // the MINIMUM, so taking runs(1) as median would report the faster

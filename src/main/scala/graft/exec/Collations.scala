@@ -1,0 +1,169 @@
+package graft.exec
+
+import org.apache.spark.sql.SparkSession
+import graft.text2sql.SqlDialect
+import graft.text2sql.SqlDialect.{endOfQuoted, isWordChar, keywordAt}
+
+/** Column-DECLARED collations for the generated-SQL path. SQLite's
+  * rule (datatype3.html §7.1): a bare comparison over a column
+  * declared `COLLATE NOCASE` / `RTRIM` uses that collation, as do
+  * ORDER BY and GROUP BY terms naming the column. The declarations
+  * register at CREATE TABLE / ADD COLUMN ([[SessionKeys]]); this pass
+  * makes them ACT by injecting the declared `COLLATE <name>` rider
+  * after qualifying references and re-running the dialect translator,
+  * whose existing expression-level COLLATE machinery
+  * ([[SqlDialect]] rewriteCollate) then folds the comparison — the
+  * same path an explicit `x = 'a' COLLATE NOCASE` takes, so declared
+  * and expression-level collations can never disagree.
+  *
+  * Folded positions (the ones SQLite reaches through the column's
+  * collation AND the translator models): a comparison operand
+  * (`=`, `==`, `!=`, `<>`, `<`, `>`, `<=`, `>=`, either side) and a
+  * bare ORDER BY / GROUP BY term (ASC/DESC riders fine). Documented
+  * divergences, README table: IN / BETWEEN operands and function-
+  * wrapped terms stay BINARY (SQLite propagates the collation there;
+  * the translator's fold deliberately declines those shapes), and an
+  * unqualified reference is folded when ANY referenced table declares
+  * the name — same-named columns with CONFLICTING declared collations
+  * across referenced tables skip the fold entirely (never guess).
+  * An explicit `COLLATE` already decorating the reference wins
+  * (SQLite's override rule) — no injection happens there.
+  *
+  * Cost: one cheap registry check per statement; the token scan and
+  * re-translate run only when a referenced table actually declares a
+  * collation. Ingested lake tables never do.
+  */
+object Collations {
+
+  def fold(spark: SparkSession, sql: String, csLike: Boolean): String = {
+    if (!SessionKeys.anyCollates(spark)) return sql
+    val head = sql.trim.toLowerCase
+    // declaration/DDL text never folds; PRAGMAs answer from registries
+    if (head.startsWith("create") || head.startsWith("alter") ||
+        head.startsWith("drop") || head.startsWith("pragma")) return sql
+    // an explicit COLLATE anywhere in the statement takes precedence
+    // (SQLite's override rule); rather than model the per-comparison
+    // precedence textually, a statement that spells any COLLATE keeps
+    // exactly its spelled collations — documented in the README table.
+    // A spelled BINARY survives translation as the /*graft_binary*/
+    // marker ([[SqlDialect]] rewriteCollate); NOCASE/RTRIM survive as
+    // their lower()/rtrim() folds plus, in undecorated contexts, the
+    // verbatim keyword.
+    if (referencesWord(sql, "collate") ||
+        sql.contains("/*graft_binary*/")) return sql
+    val all = SessionKeys.allCollates(spark)
+    val referenced = all.filter { case (t, _) => referencesWord(sql, t) }
+    if (referenced.isEmpty) return sql
+    // column -> collation over the referenced tables; conflicting
+    // declarations for one name drop the name (never guess)
+    val byCol = referenced.values.flatten
+      .groupBy(_._1).flatMap { case (c, vs) =>
+        val distinct = vs.map(_._2).toSet
+        if (distinct.size == 1) Some(c -> distinct.head) else None
+      }
+    if (byCol.isEmpty) return sql
+    val injected = inject(sql, byCol)
+    if (injected == sql) sql
+    else SqlDialect.translate(injected, csLike)
+  }
+
+  /** Word-boundary reference scan (outside quotes). */
+  private def referencesWord(sql: String, word: String): Boolean = {
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
+      else if (isWordChar(c)) {
+        var e = i
+        while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+        if (sql.substring(i, e).equalsIgnoreCase(word)) return true
+        i = e
+      } else i += 1
+    }
+    false
+  }
+
+  private def isCmpAt(sql: String, i: Int): Boolean = {
+    if (i >= sql.length) return false
+    val two = if (i + 2 <= sql.length) sql.substring(i, i + 2) else ""
+    if (Seq("==", "!=", "<>", "<=", ">=").contains(two)) return true
+    val one = sql.charAt(i)
+    // a lone < or > (not part of <<, >>, <>, <=, >=, handled above)
+    (one == '=' || one == '<' || one == '>') &&
+      !(one == '<' && i + 1 < sql.length && sql.charAt(i + 1) == '<') &&
+      !(one == '>' && i + 1 < sql.length && sql.charAt(i + 1) == '>')
+  }
+
+  private def isCmpEndingAt(sql: String, endExcl: Int): Boolean = {
+    if (endExcl >= 2 &&
+        Seq("==", "!=", "<>", "<=", ">=")
+          .contains(sql.substring(endExcl - 2, endExcl))) return true
+    if (endExcl >= 1) {
+      val c = sql.charAt(endExcl - 1)
+      (c == '=' || c == '<' || c == '>') &&
+        !(endExcl >= 2 && (sql.charAt(endExcl - 2) == '<' ||
+          sql.charAt(endExcl - 2) == '>'))
+    } else false
+  }
+
+  /** Inject `COLLATE <name>` after foldable references to collated
+    * columns. The scan tracks paren depth and an ORDER BY / GROUP BY
+    * scope at its depth, skips quoted regions, and never decorates a
+    * reference that already carries a COLLATE, is a function call, or
+    * is itself a qualifier (`x` in `x.y`). */
+  private def inject(sql: String, byCol: Map[String, String]): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var depth = 0
+    var byDepth = -1 // ORDER/GROUP BY list scope, -1 = none
+    def ws(j0: Int): Int = {
+      var j = j0
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      j
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(sql, i, c)
+        out.append(sql, i, e); i = e
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (byDepth > depth) byDepth = -1
+        out.append(c); i += 1
+      } else if (isWordChar(c)) {
+        var e = i
+        while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+        val w = sql.substring(i, e).toLowerCase
+        // clause-scope bookkeeping
+        if ((w == "order" || w == "group") &&
+            keywordAt(sql, ws(e), "by")) byDepth = depth
+        else if (byDepth == depth &&
+                 Set("limit", "having", "union", "intersect", "except",
+                   "window", "from", "where")(w)) byDepth = -1
+        byCol.get(w) match {
+          case Some(collation) =>
+            val next = ws(e)
+            val prevEnd = {
+              var p = i
+              while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
+              p
+            }
+            val isQualifier = next < sql.length && sql.charAt(next) == '.'
+            val isCall = next < sql.length && sql.charAt(next) == '('
+            val alreadyCollated = keywordAt(sql, next, "collate")
+            val cmpAfter = isCmpAt(sql, next)
+            val cmpBefore = isCmpEndingAt(sql, prevEnd)
+            val inByList = byDepth == depth
+            if (!isQualifier && !isCall && !alreadyCollated &&
+                (cmpAfter || cmpBefore || inByList)) {
+              out.append(sql, i, e).append(" COLLATE ").append(collation)
+            } else out.append(sql, i, e)
+          case None => out.append(sql, i, e)
+        }
+        i = e
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}

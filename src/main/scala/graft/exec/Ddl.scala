@@ -184,6 +184,26 @@ object Ddl {
     Right(ordered.result())
   }
 
+  /** True when the expression text contains a SELECT keyword outside
+    * quotes (paren-transparent) — SQLite prohibits subqueries in CHECK
+    * constraints at parse time. */
+  private[exec] def containsSelect(raw: String): Boolean = {
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\'' || c == '"' || c == '`')
+        i = graft.text2sql.SqlDialect.endOfQuoted(raw, i, c)
+      else if (graft.text2sql.SqlDialect.isWordChar(c)) {
+        var e = i
+        while (e < raw.length &&
+               graft.text2sql.SqlDialect.isWordChar(raw.charAt(e))) e += 1
+        if (raw.substring(i, e).equalsIgnoreCase("select")) return true
+        i = e
+      } else i += 1
+    }
+    false
+  }
+
   private def refHits(raw: String, col: String): Boolean =
     java.util.regex.Pattern.compile(
       "(?i)(?<![A-Za-z0-9_\"`\\[])" + java.util.regex.Pattern.quote(col) +
@@ -288,14 +308,17 @@ object Ddl {
         }
       case _ => ()
     }
-    // a UNIQUE table constraint becomes SQLite's automatic unique
-    // index (sqlite_autoindex_<t>_1, origin 'u') — NOT a PK, so
-    // PRAGMA table_info keeps pk=0 for it while OR REPLACE / bare ON
-    // CONFLICT still resolve against it through keyFor's unique-index
-    // fallback, both exactly SQLite's behavior
-    if (stmt.uniqueCols.nonEmpty)
-      SessionKeys.registerIndex(spark, s"sqlite_autoindex_${stmt.name}_1",
-        stmt.name, stmt.uniqueCols, unique = true, origin = "u")
+    // each UNIQUE constraint becomes one of SQLite's automatic unique
+    // indexes (sqlite_autoindex_<t>_<n>, origin 'u', declaration
+    // order) — NOT a PK, so PRAGMA table_info keeps pk=0 for them
+    // while OR REPLACE / bare ON CONFLICT still resolve against them
+    // through keyFor's unique-index fallback, and uniqueness enforces
+    // on every write (exec.Constraints) — all SQLite's behavior
+    stmt.uniques.zipWithIndex.foreach { case (ks, i) =>
+      SessionKeys.registerIndex(spark,
+        s"sqlite_autoindex_${stmt.name}_${i + 1}",
+        stmt.name, ks, unique = true, origin = "u")
+    }
     SessionKeys.declareDefaults(spark, stmt.name,
       stmt.defaults.map { case (c, raw) => c -> (raw, defaultExecSql(raw)) })
     if (stmt.generated.nonEmpty) {
@@ -323,6 +346,46 @@ object Ddl {
       }
       SessionKeys.declareGenerated(spark, stmt.name, gens)
     }
+    // NOT NULL / CHECK constraints register for write-time enforcement
+    // (exec.Constraints — SQLite's error texts); a WITHOUT ROWID
+    // PRIMARY KEY is implicitly NOT NULL (measured: the insert raises
+    // `NOT NULL constraint failed: t.k` and table_info reports 1)
+    val implicitNn =
+      if (!stmt.withoutRowid) Nil
+      else stmt.pkCols.map(k =>
+        stmt.cols.find(_._1.equalsIgnoreCase(k)).map(_._1).getOrElse(k))
+    SessionKeys.declareNotNulls(spark, stmt.name,
+      stmt.notNulls ++ implicitNn)
+    if (stmt.checks.nonEmpty) {
+      val cks = stmt.checks.map { case (nm, raw) =>
+        // SQLite's own parse-time rule, its exact error text
+        if (containsSelect(raw))
+          throw new IllegalArgumentException(
+            "subqueries prohibited in CHECK constraints")
+        (nm, raw, generatedExecSql(raw))
+      }
+      // bind-check each expression against the declared columns NOW
+      // (SQLite validates at CREATE: an unknown identifier errors)
+      try {
+        val probe = spark.table(quote(stmt.name))
+        cks.foreach { case (_, _, ex) =>
+          probe.filter(org.apache.spark.sql.functions.expr(ex))
+            .queryExecution.analyzed
+        }
+      } catch {
+        case e: Exception =>
+          spark.catalog.dropTempView(stmt.name)
+          SessionKeys.forgetTable(spark, stmt.name)
+          throw new IllegalArgumentException(
+            s"CREATE TABLE ${stmt.name}: error in CHECK constraint: " +
+              s"${e.getMessage}", e)
+      }
+      SessionKeys.declareChecks(spark, stmt.name, cks)
+    }
+    // column-declared collations register so bare comparisons /
+    // ORDER BY / GROUP BY over the column fold the collation
+    // (Runner's session-aware collation pass)
+    SessionKeys.declareCollates(spark, stmt.name, stmt.collates)
     if (stmt.strict)
       SessionKeys.declareStrict(spark, stmt.name,
         stmt.cols.map { case (c, t) => c -> t.trim.toUpperCase }.toMap)
@@ -435,6 +498,16 @@ object Ddl {
       throw new UnsupportedOperationException(
         s"ALTER TABLE ${stmt.table} RENAME COLUMN ${stmt.oldCol}: " +
           s"referenced by generated column $g; DROP that column first"))
+    // same rule for CHECK constraints (SQLite rewrites the stored
+    // text; this engine declines visibly rather than regex-rewrite)
+    SessionKeys.checksFor(spark, stmt.table)
+      .find(c => refHits(c._2, stmt.oldCol)).foreach { case (nm, raw, _) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${stmt.table} RENAME COLUMN ${stmt.oldCol}: " +
+            s"referenced by CHECK constraint " +
+            s"${if (nm.nonEmpty) nm else s"($raw)"}; re-create the " +
+            s"table to rename it")
+      }
     base.select(cols.map { c =>
       if (c.equalsIgnoreCase(stmt.oldCol)) col(quote(c)).as(stmt.newCol)
       else col(quote(c))
@@ -520,6 +593,40 @@ object Ddl {
     // an added column's REFERENCES clause registers like CREATE
     // TABLE's column-level form (SQLite lists and enforces it)
     stmt.fk.foreach(f => ForeignKeys.append(spark, stmt.table, f))
+    // NOT NULL / CHECK / COLLATE riders register like CREATE TABLE's
+    if (stmt.notNull)
+      SessionKeys.declareNotNulls(spark, stmt.table, Seq(stmt.col))
+    stmt.check.foreach { raw =>
+      if (containsSelect(raw))
+        throw new IllegalArgumentException(
+          "subqueries prohibited in CHECK constraints")
+      val ex = generatedExecSql(raw)
+      // a backfilled DEFAULT violating its own single-column CHECK
+      // would poison every later write (this engine validates whole
+      // frames at write time where SQLite validates per-row) — decline
+      // loudly when the self-check is decidable; checks referencing
+      // other columns skip the pre-validation
+      stmt.default.foreach { d =>
+        try {
+          val ok = spark.sql(
+            s"SELECT coalesce(CAST(($ex) AS BOOLEAN), true) FROM " +
+              s"(SELECT CAST(($d) AS ${dt.sql}) AS ${quote(stmt.col)})")
+            .first().getBoolean(0)
+          if (!ok)
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ${stmt.table} ADD COLUMN ${stmt.col}: the " +
+                s"DEFAULT $d violates the column's own CHECK ($raw); " +
+                s"this engine re-validates whole frames at write time, " +
+                s"so the backfill would fail every later statement")
+        } catch {
+          case e: UnsupportedOperationException => throw e
+          case _: Exception => () // references other columns: skip
+        }
+      }
+      SessionKeys.declareChecks(spark, stmt.table, Seq(("", raw, ex)))
+    }
+    stmt.collate.foreach(c =>
+      SessionKeys.declareCollates(spark, stmt.table, Seq(stmt.col -> c)))
     Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
@@ -558,6 +665,12 @@ object Ddl {
       throw new IllegalArgumentException(
         s"error in table ${stmt.table} after drop column: " +
           s"no such column: ${stmt.col}"))
+    // …and one a CHECK constraint references (SQLite's same error)
+    SessionKeys.checksFor(spark, stmt.table)
+      .find(c => refHits(c._2, stmt.col)).foreach(_ =>
+        throw new IllegalArgumentException(
+          s"error in table ${stmt.table} after drop column: " +
+            s"no such column: ${stmt.col}"))
     base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)

@@ -35,9 +35,15 @@ import graft.text2sql.SqlDml
   *    issued DML (triggers fire, recursion and accounting ride the
   *    normal statement path), a self-referential CASCADE settles
   *    in-plan to the fixpoint, and DROP TABLE cascades exactly like
-  *    SQLite's implicit DELETE (all measured). ON UPDATE actions —
-  *    which would need the old→new key MAPPING, not just the removed
-  *    set — decline NAMED at the parent-side statement.
+  *    SQLite's implicit DELETE (all measured).
+  *  - ON UPDATE CASCADE / SET NULL / SET DEFAULT actions RUN too
+  *    ([[applyParentUpdate]]): the statement's old/new row mapping
+  *    (the UPDATE-trigger slice shape) keys the child re-point —
+  *    CASCADE through one UPDATE…FROM enrichment pass, SET NULL /
+  *    SET DEFAULT through the shared ON DELETE machinery — executed
+  *    AFTER the parent re-binds (SQLite's sequencing, so the child's
+  *    own FK validation sees the new keys); self-referential ON
+  *    UPDATE actions decline named.
   * Timing parity (measured, sqlite3 3.40.1): SQLite too settles FK
   * state at the END of the statement — a multi-row INSERT whose later
   * rows create earlier rows' parents passes (`INSERT INTO tree VALUES
@@ -377,15 +383,23 @@ object ForeignKeys {
     try f finally pendingRebinds.set(pendingRebinds.get.tail)
   }
 
-  /** Does any registered FK declare a cascade-style ON DELETE action?
-    * — the [[Atomic]] snapshot gate: only executing actions can make a
-    * trigger-less statement multi-write (ON UPDATE actions decline
-    * named and never write, so they don't force the snapshot). */
+  /** Does any registered FK declare a cascade-style ON DELETE or ON
+    * UPDATE action? — the [[Atomic]] snapshot gate: only executing
+    * actions can make a trigger-less statement multi-write. */
   def anyActionFks(spark: SparkSession): Boolean = {
     val s = state(spark)
     s.synchronized(s.fks.values.exists(_.exists(fk =>
-      isAction(fk.onDelete))))
+      isAction(fk.onDelete) || isAction(fk.onUpdate))))
   }
+
+  /** True when enforcement is on and any FK referencing `table`
+    * declares an executing ON UPDATE action — gates building the
+    * old/new row mapping at the parent-update call sites. */
+  def anyUpdateActionsReferencing(spark: SparkSession,
+                                  table: String): Boolean =
+    enforcing(spark) && referencing(spark, table).exists {
+      case (_, fk) => isAction(fk.onUpdate)
+    }
 
   private def isAction(a: String): Boolean =
     a == "CASCADE" || a == "SET NULL" || a == "SET DEFAULT"
@@ -592,7 +606,7 @@ object ForeignKeys {
                                oldDf: DataFrame, newDf: DataFrame,
                                pcols: Seq[String]): Unit =
     applyChildActionKeys(spark, table, childName, fk,
-      removedKeys(oldDf, newDf, pcols))
+      removedKeys(oldDf, newDf, pcols), fk.onDelete, "DELETE")
 
   /** The action keyed on an explicit removed-key set (__fk_r*-aliased).
     * A statement that removes nothing cascades nothing — no child
@@ -600,11 +614,13 @@ object ForeignKeys {
     * on a cascade parent is a complete no-op in sqlite3). */
   private def applyChildActionKeys(spark: SparkSession, table: String,
                                    childName: String, fk: SqlDml.Fk,
-                                   removed: DataFrame): Unit = {
+                                   removed: DataFrame,
+                                   action: String,
+                                   averb: String): Unit = {
     if (removed.isEmpty) return
     if (pendingRebinds.get.contains(childName.toLowerCase))
       throw new UnsupportedOperationException(
-        s"ON DELETE ${fk.onDelete} on $childName → $table cascades " +
+        s"ON $averb $action on $childName → $table cascades " +
           s"back into a table this statement is rewriting; the " +
           s"set-based engine cannot interleave the writes — break the " +
           s"FK cycle or delete explicitly")
@@ -623,8 +639,10 @@ object ForeignKeys {
         childCols.zipWithIndex.map { case (cc, i) =>
           s"`$view`.__fk_r$i = ${Ddl.quote(cc)}"
         }.mkString(" AND ") + ")"
-      fk.onDelete match {
+      action match {
         case "CASCADE" =>
+          // reachable for DELETE only — UPDATE-cascade re-points
+          // through the mapping join in [[applyParentUpdate]]
           Mutate.runDelete(spark,
             SqlDml.Delete(childName, Some(hitWhere), None, ""))
         case "SET NULL" =>
@@ -638,6 +656,81 @@ object ForeignKeys {
             Some(hitWhere), None, ""))
       }
     } finally spark.catalog.dropTempView(view)
+  }
+
+  /** Apply ON UPDATE actions for re-keyed parent rows — called AFTER
+    * the parent re-bound (SQLite's sequencing: the cascaded child
+    * re-point then validates against the NEW parent state). `mapping`
+    * pairs each updated row's old/new images as `old`/`new` structs
+    * (the UPDATE-trigger slice shape). CASCADE re-points child
+    * references through an UPDATE…FROM against the (old key → new
+    * key) map; SET NULL / SET DEFAULT reuse the ON DELETE machinery
+    * keyed on the CHANGED old keys. Leftover danglers surface through
+    * the caller's `assertParentTransition(actionsApplied = true)`
+    * pass. Self-referential ON UPDATE actions decline named (the
+    * in-plan transform would race the statement's own merge). */
+  def applyParentUpdate(spark: SparkSession, table: String,
+                        mapping: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!enforcing(spark)) return
+    val refs = referencing(spark, table).filter {
+      case (_, fk) => isAction(fk.onUpdate)
+    }
+    if (refs.isEmpty) return
+    val parentDf = tableOpt(spark, table).getOrElse(return)
+    refs.foreach { case (childName, fk) =>
+      if (childName.equalsIgnoreCase(table))
+        throw new UnsupportedOperationException(
+          s"a self-referential ON UPDATE ${fk.onUpdate} on $table is " +
+            s"not supported set-based; update the child rows explicitly")
+      val pcols = resolveParentCols(spark, childName, fk, parentDf)
+      // only rows whose KEY actually changed re-point anything
+      val remap = mapping.filter(pcols.map(p =>
+          !(col("old").getField(p) <=> col("new").getField(p)))
+          .reduce(_ || _))
+        .select(pcols.zipWithIndex.flatMap { case (p, i) =>
+          Seq(col("old").getField(p).as(s"__fk_o$i"),
+            col("new").getField(p).as(s"__fk_n$i"))
+        }.toIndexedSeq: _*)
+        .distinct()
+      if (!remap.isEmpty) fk.onUpdate match {
+        case "CASCADE" =>
+          if (pendingRebinds.get.contains(childName.toLowerCase))
+            throw new UnsupportedOperationException(
+              s"ON UPDATE CASCADE on $childName → $table cascades " +
+                s"back into a table this statement is rewriting; break " +
+                s"the FK cycle or update explicitly")
+          val childDf = tableOpt(spark, childName).getOrElse(return)
+          val childCols = fk.cols.map { c =>
+            childDf.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"""foreign key mismatch - "$childName" referencing "$table""""))
+          }
+          val view = s"graft_fkcas_g${Upsert.nextGeneration()}"
+          remap.createOrReplaceTempView(view)
+          try SessionChanges.inTriggerBody {
+            val joinWhere = childCols.map(cc =>
+              s"${Ddl.quote(cc)} IS NOT NULL").mkString(" AND ") + " AND " +
+              childCols.zipWithIndex.map { case (cc, i) =>
+                s"`$view`.__fk_o$i = ${Ddl.quote(cc)}"
+              }.mkString(" AND ")
+            // one enrichment-merge pass through the UPDATE…FROM route:
+            // matched child rows take the NEW key, unmatched rows stay;
+            // the child's own triggers fire and its FKs validate
+            // against the already-rebound parent
+            Mutate.runUpdate(spark, SqlDml.Update(childName,
+              childCols.zipWithIndex.map { case (cc, i) =>
+                cc -> s"`$view`.__fk_n$i"
+              },
+              Some(joinWhere), None, "", from = Some(s"`$view`")))
+          } finally spark.catalog.dropTempView(view)
+        case act => // SET NULL / SET DEFAULT
+          applyChildActionKeys(spark, table, childName, fk,
+            remap.select(pcols.indices.map(i =>
+              col(s"__fk_o$i").as(s"__fk_r$i")).toIndexedSeq: _*),
+            act, "UPDATE")
+      }
+    }
   }
 
   /** `INSERT OR REPLACE`'s internal delete: SQLite runs ON DELETE
@@ -674,7 +767,7 @@ object ForeignKeys {
       applyChildActionKeys(spark, table, childName, fk,
         displaced.select(pcols.zipWithIndex.map { case (c, i) =>
           col(Ddl.quote(c)).as(s"__fk_r$i")
-        }.toIndexedSeq: _*).distinct())
+        }.toIndexedSeq: _*).distinct(), fk.onDelete, "DELETE")
     }
   }
 
@@ -737,7 +830,8 @@ object ForeignKeys {
     * the child here — declined named; NO ACTION / RESTRICT enforce. */
   def assertParentTransition(spark: SparkSession, table: String,
                              oldDf: DataFrame, newDf: DataFrame,
-                             verb: String): Unit = {
+                             verb: String,
+                             actionsApplied: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     if (!enforcing(spark)) return
     val refs = referencing(spark, table)
@@ -772,7 +866,11 @@ object ForeignKeys {
           "left_semi")
         if (!hit.isEmpty) {
           val action = if (verb == "delete") fk.onDelete else fk.onUpdate
-          if (action != "NO ACTION" && action != "RESTRICT")
+          // after [[applyParentUpdate]] ran the actions, any leftover
+          // dangle is a genuine violation (SQLite's error), not an
+          // unexecuted action
+          if (!actionsApplied && action != "NO ACTION" &&
+              action != "RESTRICT")
             throw new UnsupportedOperationException(
               s"ON ${verb.toUpperCase} $action on $childName → $table " +
                 s"is not enforced set-based; run with PRAGMA " +

@@ -114,6 +114,16 @@ object Mutate {
           s"UPDATE OR $a on a table with a declared unique key is not " +
             s"supported (the copy-on-write rewrite does not simulate " +
             s"constraint checking); use a plain UPDATE")
+      // OR ABORT/ROLLBACK match this engine's statement-atomic abort
+      // exactly; IGNORE (skip violating rows), FAIL (keep rowid-order
+      // partial effects), and REPLACE (displace conflictors) diverge
+      // on a NOT NULL/CHECK violation — decline those named
+      if (Set("IGNORE", "FAIL", "REPLACE")(a) &&
+          Constraints.has(spark, u.table))
+        throw new UnsupportedOperationException(
+          s"UPDATE OR $a on a table with NOT NULL/CHECK constraints is " +
+            s"not supported (its per-row conflict resolution has no " +
+            s"set-based equivalent); use a plain UPDATE")
     }
     if (u.limit.isDefined && u.from.isDefined)
       throw new UnsupportedOperationException(
@@ -183,8 +193,12 @@ object Mutate {
     // is still there). WHERE-true rows fire regardless of value
     // change, exactly SQLite.
     val setColNames = u.assigns.map(_._1)
+    val trigNeeded = Triggers.anyFor(spark, u.table, "update", setColNames)
+    // a child with an executing ON UPDATE action needs the same
+    // old/new row mapping the trigger slice carries
+    val fkMapNeeded = ForeignKeys.anyUpdateActionsReferencing(spark, u.table)
     val slice =
-      if (!Triggers.anyFor(spark, u.table, "update", setColNames)) None
+      if (!trigNeeded && !fkMapNeeded) None
       else {
         val oldS = base.schema.fields
           .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
@@ -224,7 +238,7 @@ object Mutate {
         Some(spark.sql(s"${u.withPrefix} $sliceSql".trim).persist())
       }
     try {
-      slice.foreach(sl =>
+      if (trigNeeded) slice.foreach(sl =>
         Triggers.fireBefore(spark, u.table, "update", setColNames, sl))
       // PRAGMA foreign_keys=1: assigned FK columns must still resolve
       // (new images of the WHERE-true rows), and re-keying a parent
@@ -239,11 +253,24 @@ object Mutate {
             spark.sql((s"${u.withPrefix} SELECT ${proj.mkString(", ")} " +
               s"FROM ${q(u.table)} WHERE $cond").trim), merged,
             Some(assigns.keySet))
-        ForeignKeys.assertParentTransition(spark, u.table, base, merged,
-          "update")
+        // with executing ON UPDATE actions the parent check moves
+        // AFTER the cascades (SQLite's sequencing); the Atomic
+        // snapshot (gated on anyActionFks) rolls back a post-rebind
+        // failure
+        if (!fkMapNeeded)
+          ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+            "update")
       }
+      // re-keying into a collision aborts with SQLite's UNIQUE error
+      Constraints.assertUnique(spark, u.table, merged)
       val out = rebind(spark, u.table, merged, ret)
-      slice.foreach(sl =>
+      if (fkMapNeeded) {
+        slice.foreach(sl =>
+          ForeignKeys.applyParentUpdate(spark, u.table, sl))
+        ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+          "update", actionsApplied = true)
+      }
+      if (trigNeeded) slice.foreach(sl =>
         Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
       out
     } finally slice.foreach(_.unpersist())
@@ -357,6 +384,7 @@ object Mutate {
           ForeignKeys.assertParentTransition(spark, u.table, base, merged,
             "update")
         }
+        Constraints.assertUnique(spark, u.table, merged)
         val out = rebind(spark, u.table, merged, ret)
         slice.foreach(sl => Triggers.fire(spark, u.table, "update",
           setColNames, "after", sl))
@@ -602,6 +630,7 @@ object Mutate {
             ForeignKeys.assertParentTransition(spark, u.table, base, merged,
               "update")
           }
+          Constraints.assertUnique(spark, u.table, merged)
           rebind(spark, u.table, merged, ret)
       }
     } finally {
@@ -634,7 +663,13 @@ object Mutate {
       r.write.mode("overwrite").parquet(dir + "_ret")
       spark.read.parquet(dir + "_ret")
     }
-    merged.write.mode("overwrite").parquet(dir)
+    // NOT NULL/CHECK enforcement rides the materializing write (a
+    // row-local conditional — exec.Constraints): an UPDATE assigning
+    // a violating value raises SQLite's error here and Atomic rolls
+    // the statement back; DELETEs only remove rows, so the guard is
+    // identity-valued for them
+    Constraints.guard(spark, table, merged)
+      .write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     out.createOrReplaceTempView(table)
     Triggers.bumpVersion(spark, table)

@@ -69,11 +69,14 @@ object Pragma {
     val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
       .map(_.toLowerCase).zipWithIndex.toMap
     // dflt_value reports the DEFAULT text as written (SQLite's shape);
-    // ingested tables declare none
+    // ingested tables declare none. notnull reports declared NOT NULL
+    // columns (a WITHOUT ROWID PK registers as implicitly NOT NULL —
+    // SQLite reports 1 for those too, measured)
     val dflt = SessionKeys.defaultsFor(spark, table)
+    val nn = SessionKeys.notNullsFor(spark, table).map(_.toLowerCase).toSet
     val rows = schema.fields.zipWithIndex.map { case (f, i) =>
       Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
-        if (f.nullable) 0 else 1,
+        if (!f.nullable || nn(f.name.toLowerCase)) 1 else 0,
         dflt.get(f.name.toLowerCase).map(_._1).orNull,
         pk.get(f.name.toLowerCase).map(_ + 1).getOrElse(0))
     }
@@ -95,9 +98,10 @@ object Pragma {
     val pk = SessionKeys.declaredPk(spark, table).getOrElse(Nil)
       .map(_.toLowerCase).zipWithIndex.toMap
     val dflt = SessionKeys.defaultsFor(spark, table)
+    val nn = SessionKeys.notNullsFor(spark, table).map(_.toLowerCase).toSet
     val rows = schema.fields.zipWithIndex.map { case (f, i) =>
       Row(i, f.name, graft.ingest.Ddl.sqlType(f.dataType),
-        if (f.nullable) 0 else 1,
+        if (!f.nullable || nn(f.name.toLowerCase)) 1 else 0,
         dflt.get(f.name.toLowerCase).map(_._1).orNull,
         pk.get(f.name.toLowerCase).map(_ + 1).getOrElse(0),
         gens.getOrElse(f.name.toLowerCase, 0))
@@ -300,19 +304,31 @@ object Pragma {
       val fks = ForeignKeys.childFksOf(spark, name)
       val gens = SessionKeys.generatedFor(spark, name)
         .map { case (c, raw, _, st) => c -> (raw, st) }.toMap
+      val nn = SessionKeys.notNullsFor(spark, name)
+        .map(_.toLowerCase).toSet
+      val checks = SessionKeys.checksFor(spark, name)
+      val colls = SessionKeys.collatesFor(spark, name)
       val base = graft.ingest.Ddl.createTable(name, schema).trim
       val sql =
-        if (dflt.isEmpty && pk.isEmpty && fks.isEmpty && gens.isEmpty) base
+        if (dflt.isEmpty && pk.isEmpty && fks.isEmpty && gens.isEmpty &&
+            nn.isEmpty && checks.isEmpty && colls.isEmpty) base
         else {
           val cols = schema.fields.map { f =>
-            val d = dflt.get(f.name.toLowerCase)
-              .map(v => s" DEFAULT ${v._1}").getOrElse("") +
+            val d = (if (nn(f.name.toLowerCase)) " NOT NULL" else "") +
+              dflt.get(f.name.toLowerCase)
+                .map(v => s" DEFAULT ${v._1}").getOrElse("") +
+              colls.get(f.name.toLowerCase)
+                .map(c => s" COLLATE $c").getOrElse("") +
               gens.get(f.name.toLowerCase).map { case (raw, st) =>
                 s" GENERATED ALWAYS AS ($raw)" + (if (st) " STORED" else "")
               }.getOrElse("")
             s"\t`${f.name}` ${graft.ingest.Ddl.sqlType(f.dataType)}$d"
           } ++ (if (pk.isEmpty) Nil
                 else Seq(s"\tPRIMARY KEY (${pk.mkString(", ")})")) ++
+            checks.map { case (nm, raw, _) =>
+              if (nm.isEmpty) s"\tCHECK ($raw)"
+              else s"\tCONSTRAINT $nm CHECK ($raw)"
+            } ++
             fks.map { fk =>
               val tgt = if (fk.parentCols.isEmpty) fk.parent
                         else s"${fk.parent} (${fk.parentCols.mkString(", ")})"

@@ -159,7 +159,15 @@ object Runner {
             s"DROP COLUMN. Express other " +
             s"mutations as a SELECT materializing a new table, or " +
             s"re-ingest.")
-      case None => spark.sql(prepared)
+      case None =>
+        // column-DECLARED collations fold on the plain-query route
+        // (exec.Collations — bare `=`, ORDER BY, GROUP BY over a
+        // NOCASE/RTRIM column compare as declared); DML statements
+        // keep expression-level COLLATE only: their `SET a = b`
+        // assignments are textually comparison-shaped, so the
+        // injection pass must not see them (README divergence table)
+        spark.sql(Collations.fold(spark, prepared,
+          Pragma.caseSensitiveLike(spark)))
     } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
   }
 

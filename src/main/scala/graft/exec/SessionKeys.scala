@@ -55,6 +55,20 @@ object SessionKeys {
     // table (SQLite lang_createtable.html §5 — INT does NOT alias, and
     // WITHOUT ROWID tables have no rowid to alias)
     val rowidAlias = scala.collection.mutable.Map.empty[String, String]
+    // lowercased table -> columns declared NOT NULL, as written in
+    // declaration order (the enforcement error names t.c verbatim);
+    // a WITHOUT ROWID PK registers its columns here too — SQLite makes
+    // that implicit NOT NULL visible in table_info and its error
+    val notNulls = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // lowercased table -> CHECK constraints in declaration order:
+    // (CONSTRAINT name or "" = unnamed, raw expr as written,
+    // executable Spark-SQL expression)
+    val checks =
+      scala.collection.mutable.Map.empty[String, Seq[(String, String, String)]]
+    // lowercased table -> lowercased column -> declared collation
+    // (uppercased; only non-BINARY entries register)
+    val collates =
+      scala.collection.mutable.Map.empty[String, Map[String, String]]
     // lowercased AUTOINCREMENT tables -> high-water sequence (0 until
     // the first insert; never decreases — SQLite sqlite_sequence)
     val autoinc = scala.collection.mutable.Map.empty[String, Long]
@@ -130,6 +144,9 @@ object SessionKeys {
       s.strict.remove(t)
       s.withoutRowid -= t
       s.rowidAlias.remove(t)
+      s.notNulls.remove(t)
+      s.checks.remove(t)
+      s.collates.remove(t)
       s.autoinc.remove(t) // sqlite_sequence drops the row with the table
       s.indexes.filterInPlace((_, i) => i.table != t)
     }
@@ -212,6 +229,80 @@ object SessionKeys {
   def rowidAliasOf(spark: SparkSession, table: String): Option[String] = {
     val s = state(spark)
     s.synchronized(s.rowidAlias.get(table.toLowerCase))
+  }
+
+  /** Declare (append) NOT NULL columns for a table, as written. */
+  def declareNotNulls(spark: SparkSession, table: String,
+                      cols: Seq[String]): Unit =
+    if (cols.nonEmpty) {
+      val s = state(spark)
+      val t = table.toLowerCase
+      s.synchronized {
+        val cur = s.notNulls.getOrElse(t, Nil)
+        s.notNulls(t) = cur ++ cols.filterNot(c =>
+          cur.exists(_.equalsIgnoreCase(c)))
+      }
+    }
+
+  /** NOT NULL columns in declaration order (empty when none). */
+  def notNullsFor(spark: SparkSession, table: String): Seq[String] = {
+    val s = state(spark)
+    s.synchronized(s.notNulls.getOrElse(table.toLowerCase, Nil))
+  }
+
+  /** Declare (append) CHECK constraints for a table, in declaration
+    * order: (CONSTRAINT name or "", raw expr as written, executable
+    * Spark-SQL expression). */
+  def declareChecks(spark: SparkSession, table: String,
+                    cs: Seq[(String, String, String)]): Unit =
+    if (cs.nonEmpty) {
+      val s = state(spark)
+      val t = table.toLowerCase
+      s.synchronized { s.checks(t) = s.checks.getOrElse(t, Nil) ++ cs }
+    }
+
+  /** CHECK constraints in declaration order (empty when none). */
+  def checksFor(spark: SparkSession, table: String)
+      : Seq[(String, String, String)] = {
+    val s = state(spark)
+    s.synchronized(s.checks.getOrElse(table.toLowerCase, Nil))
+  }
+
+  /** Declare (merge) column collations: column → collation (upper).
+    * BINARY entries are dropped (the default — nothing to fold). */
+  def declareCollates(spark: SparkSession, table: String,
+                      cs: Seq[(String, String)]): Unit = {
+    val eff = cs.filterNot(_._2.equalsIgnoreCase("BINARY"))
+    if (eff.nonEmpty) {
+      val s = state(spark)
+      val t = table.toLowerCase
+      s.synchronized {
+        s.collates(t) = s.collates.getOrElse(t, Map.empty) ++
+          eff.map { case (c, v) => c.toLowerCase -> v.toUpperCase }
+      }
+    }
+  }
+
+  /** Declared column collations by lowercased column (empty = all
+    * BINARY). */
+  def collatesFor(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    val s = state(spark)
+    s.synchronized(s.collates.getOrElse(table.toLowerCase, Map.empty))
+  }
+
+  /** True when any session table declares a non-BINARY collation —
+    * the cheap gate the per-statement collation fold checks first. */
+  def anyCollates(spark: SparkSession): Boolean = {
+    val s = state(spark)
+    s.synchronized(s.collates.nonEmpty)
+  }
+
+  /** Every table with declared collations: lowercased table →
+    * (lowercased column → collation). */
+  def allCollates(spark: SparkSession): Map[String, Map[String, String]] = {
+    val s = state(spark)
+    s.synchronized(s.collates.toMap)
   }
 
   /** Declare a WITHOUT ROWID table (rowid surface suppressed). */
@@ -300,6 +391,11 @@ object SessionKeys {
       s.generated.get(t).foreach(g =>
         s.generated(t) = g.filterNot(_._1 == c))
       s.strict.get(t).foreach(m => s.strict(t) = m - c)
+      s.notNulls.get(t).foreach(nn =>
+        s.notNulls(t) = nn.filterNot(_.equalsIgnoreCase(col)))
+      s.collates.get(t).foreach(m => s.collates(t) = m - c)
+      // CHECKs referencing the column decline the DROP upstream
+      // (Ddl guards), so nothing to rewrite here
     }
   }
 
@@ -317,6 +413,9 @@ object SessionKeys {
       s.strict.remove(t).foreach(s.strict(n) = _)
       if (s.withoutRowid.remove(t)) s.withoutRowid += n
       s.rowidAlias.remove(t).foreach(s.rowidAlias(n) = _)
+      s.notNulls.remove(t).foreach(s.notNulls(n) = _)
+      s.checks.remove(t).foreach(s.checks(n) = _)
+      s.collates.remove(t).foreach(s.collates(n) = _)
       s.autoinc.remove(t).foreach(s.autoinc(n) = _) // seq row renames
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(table = n) else i)
@@ -351,6 +450,12 @@ object SessionKeys {
       }
       s.rowidAlias.get(t).filter(_.equalsIgnoreCase(oldCol))
         .foreach(_ => s.rowidAlias(t) = newCol)
+      s.notNulls.get(t).foreach(nn => s.notNulls(t) = sub(nn))
+      s.collates.get(t).foreach { m =>
+        m.get(oldCol.toLowerCase).foreach(v =>
+          s.collates(t) = m - oldCol.toLowerCase + (newCol.toLowerCase -> v))
+      }
+      // CHECKs referencing the column decline the RENAME upstream
       s.indexes.mapValuesInPlace((_, i) =>
         if (i.table == t) i.copy(cols = sub(i.cols)) else i)
     }

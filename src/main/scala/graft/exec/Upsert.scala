@@ -258,6 +258,20 @@ object Upsert {
             org.apache.spark.sql.functions.expr(ex).cast(types(c)))
         }.select(base.columns.map(col).toIndexedSeq: _*)
       }
+    // constraint semantics ahead of the merge (exec.Constraints, all
+    // measured): the bare-REPLACE algorithm substitutes a NOT NULL
+    // column's declared DEFAULT for an incoming NULL; OR IGNORE SKIPS
+    // rows violating NOT NULL/CHECK where an explicit ON CONFLICT DO
+    // NOTHING does not (those still abort through the write-time
+    // guard below)
+    val resolved =
+      if (stmt.replace && stmt.conflict.isEmpty)
+        Constraints.fillReplaceDefaults(spark, stmt.table, aligned)
+      else aligned
+    val admitted =
+      if (stmt.orIgnore)
+        Constraints.filterViolating(spark, stmt.table, resolved)
+      else resolved
     // the key a bare OR REPLACE / targetless ON CONFLICT resolves
     // against: a session-declared PRIMARY KEY / UNIQUE index when one
     // exists (SQLite's own rule), else the leading-column convention
@@ -281,6 +295,14 @@ object Upsert {
     val updAssignCols = stmt.conflict.toSeq.flatMap(_.assigns.map(_._1))
     val updTrig = stmt.conflict.exists(_.assigns.nonEmpty) &&
       Triggers.anyFor(spark, stmt.table, "update", updAssignCols)
+    // every session-DECLARED unique key (PK + unique indexes) — empty
+    // for ingested tables, where none of the uniqueness machinery
+    // below runs (the 100 TB path pays nothing)
+    val declaredKeys =
+      Constraints.uniqueKeySets(spark, stmt.table, base.columns.toSeq)
+    // the rows an OR REPLACE actually displaces (set by that branch;
+    // feeds the ON DELETE cascade for displaced parents below)
+    var replacedDisplaced: Option[DataFrame] = None
     val (merged, affected, inserted, updOldNew) = stmt.conflict match {
       case Some(c) =>
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
@@ -296,10 +318,25 @@ object Upsert {
         if (c.assigns.isEmpty) {
           // DO NOTHING: conflicting incoming rows are discarded, the
           // rest append — base rows always survive untouched. The
-          // USING anti-join fronts the key columns; re-project.
-          val appended = aligned.join(
-            base.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .select(base.columns.map(col): _*)
+          // targetless form (and OR IGNORE) covers EVERY declared
+          // unique key (measured: bare DO NOTHING skips a second-key
+          // conflict too); a TARGETED form covers only its key — a
+          // conflict on another declared key still aborts, through
+          // assertUnique below. Batch-internal duplicates on covered
+          // keys keep the FIRST row (SQLite inserts it, later
+          // conflictors skip); the constraint-less convention path
+          // keeps its documented single-key anti-join.
+          val keySets =
+            if (c.keyCols.isEmpty && declaredKeys.nonEmpty) declaredKeys
+            else Seq(keys)
+          val batch =
+            if (declaredKeys.isEmpty) admitted
+            else Constraints.dedupPerKey(spark, admitted, keySets,
+              keepLast = false)
+          val appended = keySets.foldLeft(batch) { (df, ks) =>
+            df.join(base.select(ks.map(col): _*).distinct(), ks, "left_anti")
+              .select(base.columns.map(col): _*)
+          }
           (base.unionAll(appended), appended, appended, None)
         } else {
           // same rowid-desync guard as plain UPDATE: the emulated
@@ -309,13 +346,34 @@ object Upsert {
           c.assigns.map(_._1).find(a => genNames(a.toLowerCase))
             .foreach(a => throw new IllegalArgumentException(
               s"cannot UPDATE generated column \"$a\""))
-          val (m, a, upd, app) = doUpdate(base, aligned, keys, c, stmt.table)
+          val (m, a, upd, app) = doUpdate(base, admitted, keys, c, stmt.table)
           (m, a, app, Some(upd))
         }
       case None =>
-        if (stmt.replace) (merge(base, aligned, defaultKey), aligned,
-          aligned, None)
-        else (base.unionAll(aligned), aligned, aligned, None)
+        if (stmt.replace) {
+          if (declaredKeys.isEmpty)
+            // the constraint-less convention path: single-key merge
+            // on the leading column (documented divergence)
+            (merge(base, admitted, defaultKey), admitted, admitted, None)
+          else {
+            // REPLACE displaces base rows conflicting on ANY declared
+            // unique key (measured: a two-key table loses BOTH old
+            // rows), and batch-internal duplicates resolve LAST-wins
+            // per key (SQLite's row-at-a-time outcome)
+            val batch =
+              Constraints.dedupPerKey(spark, admitted, declaredKeys,
+                keepLast = true)
+            val survivors = declaredKeys.foldLeft(base) { (b, ks) =>
+              b.join(batch.select(ks.map(col): _*)
+                  .filter(ks.map(col(_).isNotNull).reduce(_ && _))
+                  .distinct(),
+                ks, "left_anti").select(base.columns.map(col): _*)
+            }
+            replacedDisplaced = Some(base.exceptAll(survivors))
+            (survivors.unionAll(batch), batch, batch, None)
+          }
+        }
+        else (base.unionAll(admitted), admitted, admitted, None)
     }
     // copy-on-write: materialize BEFORE re-binding the view (the merge
     // plan reads the old binding; a lazy re-registration would
@@ -369,10 +427,10 @@ object Upsert {
     // INSERT's before and after slices are the same frame, so the
     // source query is scanned once, not per timing
     val beforeSlice =
-      if (!insTrig) None else Some(newImage(aligned).persist())
+      if (!insTrig) None else Some(newImage(resolved).persist())
     val afterSlice =
       if (!insTrig) None
-      else if (inserted eq aligned) beforeSlice
+      else if (inserted eq resolved) beforeSlice
       else Some(newImage(inserted))
     // the DO-UPDATE half's old/new slice, persisted the same way
     val updSlice = if (!updTrig) None else updOldNew.map(_.persist())
@@ -399,8 +457,15 @@ object Upsert {
         // updated in place or kept, never displaced), so replace
         // semantics apply only to the bare form
         val effReplace = stmt.replace && stmt.conflict.isEmpty
+        // a DO UPDATE re-keying a parent with executing ON UPDATE
+        // actions defers the parent check until after the cascades
+        // (run post-rebind, SQLite's sequencing; Atomic rolls back a
+        // late failure)
+        val fkMapNeeded = stmt.conflict.exists(_.assigns.nonEmpty) &&
+          ForeignKeys.anyUpdateActionsReferencing(spark, stmt.table)
         // append-only forms cannot remove parent keys — no check job
-        if (effReplace || stmt.conflict.exists(_.assigns.nonEmpty))
+        if (effReplace ||
+            (stmt.conflict.exists(_.assigns.nonEmpty) && !fkMapNeeded))
           ForeignKeys.assertParentTransition(spark, stmt.table, base,
             merged, if (effReplace) "delete" else "update")
         // OR REPLACE's internal delete runs ON DELETE actions for the
@@ -410,12 +475,27 @@ object Upsert {
         // old∖new view is exactly right for them)
         if (effReplace && ForeignKeys.enforcing(spark))
           ForeignKeys.applyParentReplace(spark, stmt.table,
-            base.join(aligned.select(defaultKey.map(col): _*).distinct(),
-              defaultKey, "left_semi"))
-        merged.write.mode("overwrite").parquet(dir)
+            replacedDisplaced.getOrElse(
+              base.join(admitted.select(defaultKey.map(col): _*).distinct(),
+                defaultKey, "left_semi")))
+        // post-state uniqueness over every declared key — SQLite's
+        // `UNIQUE constraint failed: t.c` (plain INSERT duplicates, a
+        // DO UPDATE re-keying into a collision, a targeted DO NOTHING
+        // conflicting on another key — all abort here)
+        Constraints.assertUnique(spark, stmt.table, merged)
+        // the NOT NULL/CHECK guard rides the materializing write — a
+        // violating row raises SQLite's error and Atomic rolls back
+        Constraints.guard(spark, stmt.table, merged)
+          .write.mode("overwrite").parquet(dir)
         val o = spark.read.parquet(dir)
         o.createOrReplaceTempView(stmt.table)
         Triggers.bumpVersion(spark, stmt.table)
+        if (fkMapNeeded) {
+          updOldNew.foreach(m =>
+            ForeignKeys.applyParentUpdate(spark, stmt.table, m))
+          ForeignKeys.assertParentTransition(spark, stmt.table, base,
+            merged, "update", actionsApplied = true)
+        }
         o
       }
       afterSlice.foreach(sl =>
@@ -431,7 +511,7 @@ object Upsert {
       // the attempted slice, only for declared AUTOINCREMENT tables.
       if (SessionKeys.isAutoincrement(spark, stmt.table))
         intPk.foreach { pk =>
-          val r = aligned.agg(org.apache.spark.sql.functions
+          val r = resolved.agg(org.apache.spark.sql.functions
             .max(col(pk).cast(org.apache.spark.sql.types.LongType))).first()
           if (!r.isNullAt(0))
             SessionKeys.bumpSeq(spark, stmt.table, r.getLong(0))

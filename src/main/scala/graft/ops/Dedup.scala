@@ -427,7 +427,48 @@ object Dedup {
         keys.join(hot, Seq("band", "h"), "left_anti")
       }
     bounded.write.mode("overwrite").parquet(path)
+    // a rebuild must not serve stale cached blocks to later probes
+    invalidateIndexCache(corpus.sparkSession, path)
     MinHashIndex(path, shingleLen, numHashes, bands)
+  }
+
+  // Per-session cache of loaded band indexes: the index is built once
+  // and probed many times (the incremental-ingest premise), but each
+  // probe re-reading the flat parquet paid a cold scan per invocation
+  // — visible as ~2.3 s of constant overhead on every
+  // ext_dedup_incr_fuzzy_full bench iteration (r9 finding). The
+  // narrow (id, band, h) projection persists once per (session, path)
+  // and every later probe reads cached blocks. WeakHashMap: dies with
+  // the session.
+  private val idxCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def idxCacheFor(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    idxCache.synchronized {
+      var m = idxCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        idxCache.put(spark, m)
+      }
+      m
+    }
+
+  private def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    idxCacheFor(spark).computeIfAbsent(path, p => {
+      val df = spark.read.parquet(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once; probes hit cached blocks
+      df
+    })
+
+  private def invalidateIndexCache(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val old = idxCacheFor(spark).remove(path)
+    if (old != null) old.unpersist(false)
   }
 
   /** Probe a built MinHash index with a new batch: every batch doc's
@@ -446,7 +487,7 @@ object Dedup {
     val shingleLen = index.shingleLen
     val numHashes = index.numHashes
     val bands = index.bands
-    val idx = spark.read.parquet(index.path)
+    val idx = loadIndex(spark, index.path)
     val bsets = hashedShingleSets(batch, idCol, textCol, shingleLen)
       // MEMORY_ONLY: evictable (see exactJaccard), row-local recompute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

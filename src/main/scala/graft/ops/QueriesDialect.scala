@@ -686,6 +686,67 @@ object QueriesDialect {
       s.table("graft_dv_t").orderBy("k", "tag", "score")
     }),
 
+    // column-DECLARED collations end-to-end: NOCASE folds bare `=`,
+    // CASE-WHEN comparisons, and GROUP BY; RTRIM ignores trailing
+    // spaces — the declared rider registers at CREATE and
+    // exec.Collations injects it on the query route so the dialect
+    // translator's COLLATE machinery folds it (explicit-COLLATE
+    // precedence and ALTER edges pinned in CollationSpec)
+    "ddl_collate_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_coll_t")
+      run("""CREATE TABLE graft_coll_t (k INTEGER,
+             x TEXT COLLATE NOCASE, y TEXT COLLATE RTRIM)""")
+      run("""INSERT INTO graft_coll_t VALUES
+             (1,'Apple','pad '), (2,'apple','pad'), (3,'BANANA','q  '),
+             (4,'banana','q'), (5,'cherry','r')""")
+      run("""SELECT min(upper(x)) AS grp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN x = 'APPLE' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS eq_hits,
+                    CAST(sum(CASE WHEN y = 'q' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS rt_hits
+             FROM graft_coll_t GROUP BY x ORDER BY grp""")
+    }),
+
+    // NOT NULL / CHECK constraint enforcement end-to-end: the fixture
+    // ATTEMPTS violating writes — each must raise SQLite's exact error
+    // (asserted in the catch; a non-raising write would land the row
+    // and fail the post-state hash) — while OR IGNORE skips violating
+    // rows and OR REPLACE substitutes the NOT NULL default. Error-text
+    // and ordering edges pinned against sqlite3 in ConstraintSpec.
+    "ddl_constraints_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      def mustFail(q: String, msg: String): Unit = {
+        val e = try { run(q); null } catch { case ex: Exception => ex }
+        if (e == null)
+          throw new AssertionError(s"expected failure: $q")
+        if (!e.getMessage.contains(msg))
+          throw new AssertionError(
+            s"wrong error for $q: wanted '$msg', got ${e.getMessage}")
+      }
+      run("DROP TABLE IF EXISTS graft_con_t")
+      run("""CREATE TABLE graft_con_t (k INTEGER PRIMARY KEY,
+             a INT NOT NULL DEFAULT 7, b INT CHECK (b > 0),
+             c TEXT DEFAULT 'dc', CONSTRAINT amax CHECK (a < 100))""")
+      run("INSERT INTO graft_con_t (k, a, b) VALUES (1, 10, 5)")
+      mustFail("INSERT INTO graft_con_t (k, a, b) VALUES (2, NULL, 5)",
+        "NOT NULL constraint failed: graft_con_t.a")
+      mustFail("INSERT INTO graft_con_t (k, a, b) VALUES (2, 10, -1)",
+        "CHECK constraint failed: b > 0")
+      mustFail("INSERT INTO graft_con_t (k, a, b) VALUES (2, 200, 5)",
+        "CHECK constraint failed: amax")
+      mustFail("UPDATE graft_con_t SET b = -3 WHERE k = 1",
+        "CHECK constraint failed: b > 0")
+      // a NULL CHECK operand passes; the unlisted NOT NULL fills its
+      // default; OR IGNORE skips the violating row, keeps the rest;
+      // OR REPLACE substitutes the default for the NULL
+      run("INSERT INTO graft_con_t (k, b) VALUES (2, NULL)")
+      run("""INSERT OR IGNORE INTO graft_con_t (k, a, b)
+             VALUES (3, NULL, 1), (4, 40, 4)""")
+      run("INSERT OR REPLACE INTO graft_con_t (k, a, b) VALUES (1, NULL, 9)")
+      s.table("graft_con_t").orderBy("k")
+    }),
+
     // INTEGER PRIMARY KEY auto-assignment + AUTOINCREMENT
     // end-to-end: missing keys assign monotonically, the deleted max
     // is NOT reused under AUTOINCREMENT, explicit ids advance
@@ -1293,6 +1354,25 @@ object QueriesDialect {
            (CAST(5 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
            (CAST(9 AS BIGINT), 'x', CAST(2.5 AS DOUBLE)))
          AS t(k, tag, score) ORDER BY k, tag, score""",
+
+    // declared-collation folds pinned against sqlite3 running the
+    // identical statements (the oracle spells the folds explicitly)
+    "ddl_collate_sql" ->
+      """SELECT * FROM (VALUES
+           ('APPLE', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+           ('BANANA', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+           ('CHERRY', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+         AS t(grp, n, eq_hits, rt_hits) ORDER BY grp""",
+
+    // constraint-enforcement post-state pinned against sqlite3 running
+    // the identical statement sequence (violating writes raise and
+    // land nothing; OR IGNORE skips; OR REPLACE fills the default)
+    "ddl_constraints_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(9 AS BIGINT), 'dc'),
+           (CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(NULL AS BIGINT), 'dc'),
+           (CAST(4 AS BIGINT), CAST(40 AS BIGINT), CAST(4 AS BIGINT), 'dc'))
+         AS t(k, a, b, c) ORDER BY k""",
 
     "ddl_autoincrement_sql" ->
       """SELECT * FROM (VALUES

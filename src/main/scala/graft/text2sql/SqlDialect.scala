@@ -68,6 +68,14 @@ object SqlDialect {
     * NOCASE` is 0 under the flag, measured on 3.40.1), then a final
     * pass lowers ILIKE back to the case-sensitive operator. */
   def translate(sql: String, caseSensitiveLike: Boolean): String = {
+    // a column-def CREATE TABLE or an ALTER TABLE statement is
+    // DECLARATION text, not expression text: its DEFAULT / CHECK /
+    // GENERATED fragments are stored raw and translated individually
+    // at registration (exec.Ddl), and the expression passes below
+    // would mangle the declaration riders (`b TEXT COLLATE NOCASE` →
+    // `b lower(TEXT)`). CTAS (`CREATE TABLE … AS SELECT`) is
+    // expression text and translates normally.
+    if (isColumnDefCreateTable(sql) || isAlterTable(sql)) return sql
     var out = rewriteWindowFilter(sql)
     out = rewriteJsonb(out)
     out = rewriteJsonTvf(out)
@@ -81,6 +89,53 @@ object SqlDialect {
     out = rewriteNegativeLimit(out)
     if (caseSensitiveLike) out = unrewriteIlike(out)
     out
+  }
+
+  /** True for `CREATE [TEMP] TABLE [IF NOT EXISTS] name (…defs…)` —
+    * the column-DEFINITION form (a '(' right after the table name;
+    * CTAS has AS there instead). Trivially idempotent under
+    * [[translate]]'s skip. */
+  private def isColumnDefCreateTable(sql: String): Boolean = {
+    def ws(i0: Int): Int = {
+      var i = i0
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      i
+    }
+    var i = ws(0)
+    if (!keywordAt(sql, i, "create")) return false
+    i = ws(i + 6)
+    if (keywordAt(sql, i, "temporary")) i = ws(i + 9)
+    else if (keywordAt(sql, i, "temp")) i = ws(i + 4)
+    if (!keywordAt(sql, i, "table")) return false
+    i = ws(i + 5)
+    if (keywordAt(sql, i, "if")) {
+      i = ws(i + 2)
+      if (!keywordAt(sql, i, "not")) return false
+      i = ws(i + 3)
+      if (!keywordAt(sql, i, "exists")) return false
+      i = ws(i + 6)
+    }
+    if (i >= sql.length) return false
+    val c = sql.charAt(i)
+    if (c == '\'' || c == '"' || c == '`') i = endOfQuoted(sql, i, c)
+    else if (isWordChar(c)) {
+      while (i < sql.length &&
+             (isWordChar(sql.charAt(i)) || sql.charAt(i) == '.')) i += 1
+    } else return false
+    i = ws(i)
+    i < sql.length && sql.charAt(i) == '('
+  }
+
+  /** True for `ALTER TABLE …` — SQLite's whole ALTER surface is
+    * declaration text (RENAME forms are pure metadata; ADD COLUMN's
+    * DEFAULT is a single literal token, translated at registration). */
+  private def isAlterTable(sql: String): Boolean = {
+    var i = 0
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (!keywordAt(sql, i, "alter")) return false
+    i += 5
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    keywordAt(sql, i, "table")
   }
 
   /** ILIKE → LIKE (outside quotes), the final pass under
@@ -662,9 +717,16 @@ object SqlDialect {
         while (k < sql.length && isWordChar(sql.charAt(k))) k += 1
         sql.substring(j, k).toLowerCase match {
           case "binary" =>
+            // BINARY is Spark's default comparison — the clause drops,
+            // but a comment marker records that the statement CHOSE a
+            // collation explicitly, so the column-DECLARED collation
+            // fold (exec.Collations) steps aside for the whole
+            // statement (SQLite's explicit-override rule, applied
+            // coarsely — documented in the README table)
             var e = i
             while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
-            return rewriteCollate(sql.substring(0, e) + sql.substring(k))
+            return rewriteCollate(sql.substring(0, e) +
+              " /*graft_binary*/" + sql.substring(k))
           case "nocase" =>
             applyCollationFold(sql, i, k, "lower") match {
               case Some(rewritten) => return rewriteCollate(rewritten)

@@ -47,7 +47,12 @@ object SqlDml {
                           replace: Boolean = true,
                           conflict: Option[OnConflict] = None,
                           returning: Option[String] = None,
-                          defaultValues: Boolean = false) extends Stmt
+                          defaultValues: Boolean = false,
+                          // INSERT OR IGNORE (as opposed to an explicit
+                          // ON CONFLICT DO NOTHING): rows violating
+                          // NOT NULL/CHECK SKIP instead of aborting —
+                          // measured SQLite divergence between the two
+                          orIgnore: Boolean = false) extends Stmt
 
   /** `sourceSql` for `INSERT INTO t DEFAULT VALUES` (flagged by
     * [[Upsert.defaultValues]] — a STRUCTURAL flag, so a user SELECT
@@ -138,22 +143,34 @@ object SqlDml {
     * §3.1) to a lake type. `pkCols` is the declared PRIMARY KEY (column
     * suffix or table-level constraint) — the key later `INSERT OR
     * REPLACE`/`ON CONFLICT` statements resolve against, exactly as
-    * SQLite would. `uniqueCols` is the first declared UNIQUE
-    * constraint — registered as SQLite's automatic
-    * `sqlite_autoindex_<t>_1` unique index, NOT as a PK (so `PRAGMA
-    * table_info` keeps pk=0 for it, exactly SQLite's report).
+    * SQLite would. `uniques` carries every declared UNIQUE
+    * constraint in declaration order — each registered as one of
+    * SQLite's automatic `sqlite_autoindex_<t>_<n>` unique indexes,
+    * NOT as a PK (so `PRAGMA table_info` keeps pk=0 for them,
+    * exactly SQLite's report).
     * `defaults` carries each column's DEFAULT expression verbatim —
     * registered so later partial-column INSERTs fill it (and `PRAGMA
-    * table_info` reports it), exactly as SQLite does. Other
-    * constraints (NOT NULL, CHECK, REFERENCES, COLLATE) are
-    * storage/validation directives with no lake counterpart and are
-    * skipped; generated columns decline. */
+    * table_info` reports it), exactly as SQLite does. `notNulls`
+    * carries the columns declared NOT NULL (declaration order, as
+    * written — enforced at every write with SQLite's `NOT NULL
+    * constraint failed: t.c` error); `checks` carries the CHECK
+    * constraints in declaration order as (CONSTRAINT name or "" =
+    * unnamed, raw expr as written) — enforced at every write with
+    * SQLite's `CHECK constraint failed: <name or expr>` error;
+    * `collates` carries column-declared COLLATE riders (column,
+    * collation uppercased) so bare comparisons / ORDER BY / GROUP BY
+    * over the column fold the declared collation, SQLite's rule.
+    * REFERENCES registers as an FK; generated columns register as
+    * computed columns. */
   final case class CreateTable(name: String, ifNotExists: Boolean,
                                cols: Seq[(String, String)],
                                pkCols: Seq[String],
                                defaults: Seq[(String, String)] = Nil,
-                               uniqueCols: Seq[String] = Nil,
+                               uniques: Seq[Seq[String]] = Nil,
                                fks: Seq[Fk] = Nil,
+                               notNulls: Seq[String] = Nil,
+                               checks: Seq[(String, String)] = Nil,
+                               collates: Seq[(String, String)] = Nil,
                                // generated columns in declaration
                                // order: (name, raw expr, STORED?) —
                                // VIRTUAL and STORED are observationally
@@ -250,6 +267,12 @@ object SqlDml {
                                   default: Option[String],
                                   notNull: Boolean,
                                   fk: Option[Fk] = None,
+                                  // column CHECK (unnamed) and COLLATE
+                                  // riders — registered like CREATE
+                                  // TABLE's (existing rows are not
+                                  // re-validated, SQLite's rule)
+                                  check: Option[String] = None,
+                                  collate: Option[String] = None,
                                   // AS (expr): a VIRTUAL generated
                                   // column (SQLite 3.31 allows adding
                                   // those; STORED refuses at exec with
@@ -371,7 +394,8 @@ object SqlDml {
           // convention OR REPLACE resolves against
           case "ignore" =>
             parseUpsert(sql, at, withPrefix, replace = false,
-                implied = Some(OnConflict(Nil, Nil, None)))
+                implied = Some(OnConflict(Nil, Nil, None)),
+                orIgnore = true)
               .orElse(Some(Unsupported("INSERT OR IGNORE")))
           // OR ABORT / FAIL / ROLLBACK differ only in how a constraint
           // VIOLATION unwinds — ingested tables declare none (pandas
@@ -714,9 +738,10 @@ object SqlDml {
         case None => Some(Unsupported("CREATE TABLE"))
         case Some((strict, worowid)) =>
           parseColumnDefs(sql.substring(j + 1, close)) match {
-            case Right((cols, pk, uq, ds, fk, gen, ai)) =>
-              Some(CreateTable(name, ifNotExists, cols, pk, ds, uq, fk, gen,
-                strict, worowid, ai))
+            case Right(d) =>
+              Some(CreateTable(name, ifNotExists, d.cols, d.pk, d.defaults,
+                d.unique, d.fks, d.notNulls, d.checks, d.collates, d.gens,
+                strict, worowid, d.autoinc))
             case Left(u) => Some(u)
           }
       }
@@ -788,8 +813,9 @@ object SqlDml {
     * PRIMARY KEY / UNIQUE, no generated column, and the default may be
     * neither a parenthesized expression nor CURRENT_TIME/DATE/TIMESTAMP
     * (lang_altertable.html §3) — so the default is always one literal
-    * token. COLLATE / CHECK skip as in CREATE TABLE; a REFERENCES
-    * clause registers the column's FK (SQLite lists and enforces it). */
+    * token. COLLATE / CHECK riders register like CREATE TABLE's; a
+    * REFERENCES clause registers the column's FK (SQLite lists and
+    * enforces it). */
   private def parseAddColumn(item: String, table: String): Option[Stmt] = {
     val verb = "ALTER TABLE ADD COLUMN"
     val bad = Some(Unsupported(verb))
@@ -812,7 +838,7 @@ object SqlDml {
       return parseGeneratedClause(frag, genK, asK) match {
         case Right((exprSql, stored)) =>
           Some(AlterAddColumn(table, name, declType, None, notNull = false,
-            None, Some(exprSql), stored))
+            None, generatedExpr = Some(exprSql), generatedStored = stored))
         case Left(u) => Some(u)
       }
     }
@@ -859,7 +885,28 @@ object SqlDml {
         case Left(_)       => return bad
       }
     }
-    Some(AlterAddColumn(table, name, declType, default, notNull, fk))
+    // CHECK / COLLATE riders register like CREATE TABLE's (SQLite
+    // accepts both on ADD COLUMN; existing rows are not re-validated)
+    val check = {
+      val ck = findTopKeyword(frag, 0, "check")
+      if (ck < 0) None
+      else {
+        val p = skipWs(frag, ck + 5)
+        if (p >= frag.length || frag.charAt(p) != '(') return bad
+        val close = closeParen(frag, p)
+        if (close < 0) return bad
+        val ex = frag.substring(p + 1, close).trim
+        if (ex.isEmpty) return bad
+        Some(ex)
+      }
+    }
+    val collate = {
+      val lk = findTopKeyword(frag, 0, "collate")
+      if (lk < 0) None
+      else parseIdent(frag, skipWs(frag, lk + 7)).map(_._1.toUpperCase)
+    }
+    Some(AlterAddColumn(table, name, declType, default, notNull, fk,
+      check, collate))
   }
 
   /** Keywords that END a column's type declaration and start its
@@ -892,26 +939,38 @@ object SqlDml {
     Some((typeEnd, j))
   }
 
+  /** Parsed column-def list: columns as (name, declared type text);
+    * the PRIMARY KEY; the first UNIQUE constraint SEPARATELY (SQLite
+    * registers it as an automatic unique index, not a PK); per-column
+    * DEFAULT expressions verbatim; FKs; generated columns; the
+    * AUTOINCREMENT rider; NOT NULL columns (declaration order); CHECK
+    * constraints as (name or "", raw expr) in declaration order; and
+    * column-declared COLLATE riders. */
+  private[graft] final case class ParsedDefs(
+      cols: Seq[(String, String)], pk: Seq[String],
+      unique: Seq[Seq[String]],
+      defaults: Seq[(String, String)], fks: Seq[Fk],
+      gens: Seq[(String, String, Boolean)],
+      autoinc: Option[(String, String, Boolean)],
+      notNulls: Seq[String], checks: Seq[(String, String)],
+      collates: Seq[(String, String)])
+
   /** Parse the inside of a column-def list: `col [type] [constraints],
-    * …, [table constraints]`. Right = (columns as (name, declared type
-    * text), PRIMARY KEY columns — falling back to the first UNIQUE
-    * constraint returned SEPARATELY — SQLite registers it as an
-    * automatic unique index, not a PK, per-column DEFAULT expressions
-    * verbatim). Left = a targeted decline (generated columns have
-    * real read semantics the lake schema can't carry silently). */
+    * …, [table constraints]`. Left = a targeted decline (generated
+    * columns have real read semantics the lake schema can't carry
+    * silently). */
   private def parseColumnDefs(inner: String)
-      : Either[Unsupported,
-               (Seq[(String, String)], Seq[String], Seq[String],
-                Seq[(String, String)], Seq[Fk],
-                Seq[(String, String, Boolean)],
-                Option[(String, String, Boolean)])] = {
+      : Either[Unsupported, ParsedDefs] = {
     val cols = Seq.newBuilder[(String, String)]
     val defaults = Seq.newBuilder[(String, String)]
     val fks = Seq.newBuilder[Fk]
     val gens = Seq.newBuilder[(String, String, Boolean)]
+    val notNulls = Seq.newBuilder[String]
+    val checks = Seq.newBuilder[(String, String)]
+    val collates = Seq.newBuilder[(String, String)]
     var autoinc: Option[(String, String, Boolean)] = None
     var pk = Seq.empty[String]
-    var uniqueFallback = Seq.empty[String]
+    val uniques = Seq.newBuilder[Seq[String]]
     def parseColList(s: String): Seq[String] =
       s.split(",").toSeq.map(c => unquoteIdent(
         // strip per-column COLLATE / ASC / DESC riders
@@ -919,10 +978,13 @@ object SqlDml {
     for (rawItem <- splitTopCommas(inner)) {
       var item = rawItem.trim
       if (item.isEmpty) return Left(Unsupported("CREATE TABLE"))
+      // CONSTRAINT <name> <constraint> — kept: SQLite's CHECK error
+      // names the constraint when one was declared
+      var cname = ""
       if (keywordAt(item, 0, "constraint")) {
-        // CONSTRAINT <name> <constraint> — the name is decorative here
-        val after = parseIdent(item, skipWs(item, 10))
-          .getOrElse(return Left(Unsupported("CREATE TABLE")))._2
+        val (nm, after) = parseIdent(item, skipWs(item, 10))
+          .getOrElse(return Left(Unsupported("CREATE TABLE")))
+        cname = nm
         item = item.substring(skipWs(item, after)).trim
       }
       if (keywordAt(item, 0, "primary")) {
@@ -942,7 +1004,7 @@ object SqlDml {
           val close = closeParen(item, p)
           if (close < 0) return Left(Unsupported("CREATE TABLE"))
           val keys = parseColList(item.substring(p + 1, close))
-          if (keys.nonEmpty && uniqueFallback.isEmpty) uniqueFallback = keys
+          if (keys.nonEmpty) uniques += keys
         } else return Left(Unsupported("CREATE TABLE"))
       } else if (keywordAt(item, 0, "foreign")) {
         // table-level FOREIGN KEY (cols) REFERENCES parent [(pcols)] …
@@ -963,7 +1025,17 @@ object SqlDml {
           case Left(u)        => return Left(u)
         }
       } else if (keywordAt(item, 0, "check")) {
-        // CHECK: a validation directive with no lake semantics
+        // table-level CHECK (expr): enforced at every write —
+        // SQLite's error names the CONSTRAINT when one was declared,
+        // else the expr text as written
+        val p = skipWs(item, 5)
+        if (p >= item.length || item.charAt(p) != '(')
+          return Left(Unsupported("CREATE TABLE"))
+        val close = closeParen(item, p)
+        if (close < 0) return Left(Unsupported("CREATE TABLE"))
+        val ex = item.substring(p + 1, close).trim
+        if (ex.isEmpty) return Left(Unsupported("CREATE TABLE"))
+        checks += ((cname, ex))
       } else {
         // a column definition: name [type tokens] [constraint tail]
         val (name, afterName) = parseIdent(item, 0)
@@ -998,8 +1070,37 @@ object SqlDml {
             findTopKeyword(frag, 0, "primary") >= 0))
         if (findTopKeyword(frag, 0, "primary") >= 0 && pk.isEmpty)
           pk = Seq(name)
-        else if (findTopKeyword(frag, 0, "unique") >= 0 && uniqueFallback.isEmpty)
-          uniqueFallback = Seq(name)
+        else if (findTopKeyword(frag, 0, "unique") >= 0)
+          uniques += Seq(name)
+        // NOT NULL — findTopKeyword is paren-transparent, so a
+        // `NOT NULL` inside a CHECK expression never false-positives
+        val nnK = findTopKeyword(frag, 0, "not")
+        if (nnK >= 0 && keywordAt(frag, skipWs(frag, nnK + 3), "null"))
+          notNulls += name
+        // column-level [CONSTRAINT nm] CHECK (expr)
+        val ckK = findTopKeyword(frag, 0, "check")
+        if (ckK >= 0) {
+          val p = skipWs(frag, ckK + 5)
+          if (p >= frag.length || frag.charAt(p) != '(')
+            return Left(Unsupported("CREATE TABLE"))
+          val close = closeParen(frag, p)
+          if (close < 0) return Left(Unsupported("CREATE TABLE"))
+          val ex = frag.substring(p + 1, close).trim
+          if (ex.isEmpty) return Left(Unsupported("CREATE TABLE"))
+          val cnK = findTopKeyword(frag, 0, "constraint")
+          val nm =
+            if (cnK < 0) ""
+            else parseIdent(frag, skipWs(frag, cnK + 10))
+              .map(_._1).getOrElse("")
+          checks += ((nm, ex))
+        }
+        // COLLATE <name> rider (registered so bare comparisons /
+        // ORDER BY / GROUP BY over the column fold the collation)
+        val clK = findTopKeyword(frag, 0, "collate")
+        if (clK >= 0)
+          parseIdent(frag, skipWs(frag, clK + 7)).foreach { case (cl, _) =>
+            collates += ((name, cl.toUpperCase))
+          }
         // DEFAULT expression, verbatim: a parenthesized group, a
         // quoted literal, or a signed literal/keyword token (SQLite's
         // column-constraint grammar — CREATE TABLE, unlike ADD
@@ -1043,7 +1144,8 @@ object SqlDml {
     val allCols = cols.result()
     if (allCols.isEmpty) return Left(Unsupported("CREATE TABLE"))
     val known = allCols.map(_._1.toLowerCase).toSet
-    if ((pk ++ uniqueFallback).exists(k => !known(k.toLowerCase)))
+    val allUniques = uniques.result()
+    if ((pk ++ allUniques.flatten).exists(k => !known(k.toLowerCase)))
       return Left(Unsupported("CREATE TABLE"))
     val allFks = fks.result()
     if (allFks.exists(_.cols.exists(c => !known(c.toLowerCase))))
@@ -1053,8 +1155,9 @@ object SqlDml {
     // unknown identifiers surface at CREATE through the expr binder in
     // exec.Ddl, and a generated PK/UNIQUE/DEFAULT combination already
     // declined above
-    Right((allCols, pk, uniqueFallback, defaults.result(), allFks, allGens,
-      autoinc))
+    Right(ParsedDefs(allCols, pk, allUniques, defaults.result(),
+      allFks, allGens, autoinc, notNulls.result(), checks.result(),
+      collates.result()))
   }
 
   /** `[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]` — the generated
@@ -1361,7 +1464,8 @@ object SqlDml {
     * bare-verb decline). */
   private def parseUpsert(sql: String, i: Int, withPrefix: String,
                           replace: Boolean = true,
-                          implied: Option[OnConflict] = None): Option[Stmt] = {
+                          implied: Option[OnConflict] = None,
+                          orIgnore: Boolean = false): Option[Stmt] = {
     val (table, afterTable) = parseIdent(sql, i).getOrElse(return None)
     var j = skipWs(sql, afterTable)
     var cols = Seq.empty[String]
@@ -1433,7 +1537,7 @@ object SqlDml {
       }
       else return None
     Some(Upsert(table, cols, source, replace, conflict, returning,
-      defaultValues = source eq DefaultValuesSource))
+      defaultValues = source eq DefaultValuesSource, orIgnore = orIgnore))
   }
 
   /** Index of the first top-level occurrence of keyword `kw` at or

@@ -1,0 +1,104 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.text2sql.SqlDialect
+
+/** Column-DECLARED collations (CREATE TABLE … COLLATE NOCASE/RTRIM)
+  * driving bare comparisons, ORDER BY, and GROUP BY — pinned against
+  * sqlite3 3.51 running the same statements. */
+class CollationSpec extends SparkSpec {
+
+  private def sql(q: String) =
+    Runner.runSql(spark, SqlDialect.translate(q))
+
+  private def rowsOf(q: String): Seq[Seq[Any]] =
+    sql(q).collect().map(_.toSeq.toSeq).toSeq
+
+  private var n = 0
+  private def fresh(): String = { n += 1; s"coll_t$n" }
+
+  private def fixture(): String = {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(k INTEGER, x TEXT COLLATE NOCASE, " +
+      s"y TEXT COLLATE RTRIM)")
+    sql(s"INSERT INTO $t VALUES (1,'Apple','pad '), (2,'apple','pad'), " +
+      s"(3,'BANANA','q  '), (4,'banana','q'), (5,'cherry','r')")
+    t
+  }
+
+  test("bare = over a NOCASE column folds case; RTRIM ignores " +
+      "trailing spaces (measured)") {
+    val t = fixture()
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE x = 'APPLE'") ==
+      Seq(Seq(2L)))
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE 'BaNaNa' = x") ==
+      Seq(Seq(2L)))
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE y = 'pad   '") ==
+      Seq(Seq(2L)))
+    // range comparison folds too (measured: 2 — the two apples)
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE x < 'b'") ==
+      Seq(Seq(2L)))
+  }
+
+  test("ORDER BY a NOCASE column sorts case-insensitively (binary " +
+      "order would interleave the cases — measured 1..5)") {
+    val t = fixture()
+    assert(rowsOf(s"SELECT k FROM $t ORDER BY x, k").flatten ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("GROUP BY a NOCASE column groups case-variants together " +
+      "(measured group counts)") {
+    val t = fixture()
+    assert(rowsOf(
+      s"""SELECT min(upper(x)) AS grp, count(*) AS n FROM $t
+          GROUP BY x ORDER BY grp""") ==
+      Seq(Seq("APPLE", 2L), Seq("BANANA", 2L), Seq("CHERRY", 1L)))
+  }
+
+  test("an explicit COLLATE in the statement takes precedence — the " +
+      "declared fold steps aside entirely (measured: BINARY finds 0)") {
+    val t = fixture()
+    assert(rowsOf(
+      s"SELECT count(*) FROM $t WHERE x = 'APPLE' COLLATE BINARY") ==
+      Seq(Seq(0L)))
+  }
+
+  test("declared collations follow ALTER renames and die with the " +
+      "table; ADD COLUMN COLLATE registers") {
+    val t = fixture()
+    val t2 = s"${t}_r"
+    sql(s"ALTER TABLE $t RENAME TO $t2")
+    assert(rowsOf(s"SELECT count(*) FROM $t2 WHERE x = 'APPLE'") ==
+      Seq(Seq(2L)))
+    sql(s"ALTER TABLE $t2 RENAME COLUMN x TO xx")
+    assert(rowsOf(s"SELECT count(*) FROM $t2 WHERE xx = 'APPLE'") ==
+      Seq(Seq(2L)))
+    sql(s"ALTER TABLE $t2 ADD COLUMN z TEXT COLLATE NOCASE")
+    sql(s"INSERT INTO $t2 (k, xx, z) VALUES (9, 'q', 'MiXeD')")
+    assert(rowsOf(s"SELECT count(*) FROM $t2 WHERE z = 'mixed'") ==
+      Seq(Seq(1L)))
+    sql(s"DROP TABLE $t2")
+    val t3 = fresh()
+    sql(s"CREATE TABLE $t3(x TEXT)") // same column name, no collation
+    sql(s"INSERT INTO $t3 VALUES ('Apple')")
+    assert(rowsOf(s"SELECT count(*) FROM $t3 WHERE x = 'APPLE'") ==
+      Seq(Seq(0L)))
+  }
+
+  test("sqlite_master renders the declared COLLATE; table_info shape " +
+      "unchanged; DML WHERE stays expression-collation only " +
+      "(documented divergence — loud values, not silent drops)") {
+    val t = fixture()
+    val master = rowsOf(
+      s"SELECT sql FROM sqlite_master WHERE name = '$t'").head.head.toString
+    assert(master.contains("COLLATE NOCASE"), master)
+    assert(master.contains("COLLATE RTRIM"), master)
+    // the declared fold is scoped to the plain-query route: an UPDATE
+    // WHERE over the NOCASE column stays binary here (SQLite folds) —
+    // pinned so the divergence is visible, not accidental
+    sql(s"UPDATE $t SET k = 100 WHERE x = 'APPLE'")
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE k = 100") ==
+      Seq(Seq(0L)))
+  }
+}

@@ -235,7 +235,7 @@ class ForeignKeySpec extends SparkSpec
   }
 
   test("ON UPDATE actions drive parent-key UPDATEs (not ON DELETE); " +
-       "cascade-on-update declines named") {
+       "CASCADE re-points the child references") {
     val i = fresh()
     sql(s"CREATE TABLE up$i (id INTEGER PRIMARY KEY)")
     sql(s"CREATE TABLE uc$i (a INTEGER REFERENCES up$i " +
@@ -255,10 +255,64 @@ class ForeignKeySpec extends SparkSpec
       s"ON UPDATE CASCADE)")
     sql(s"INSERT INTO vp$j VALUES (1)")
     sql(s"INSERT INTO vc$j VALUES (1)")
-    val e2 = intercept[UnsupportedOperationException] {
-      sql(s"UPDATE vp$j SET id = 2 WHERE id = 1")
+    sql(s"UPDATE vp$j SET id = 2 WHERE id = 1")
+    assert(rowsOf(s"SELECT a FROM vc$j") == Seq(Seq(2L)))
+  }
+
+  test("ON UPDATE CASCADE / SET NULL / SET DEFAULT execute on a " +
+       "parent re-key (measured matrix); NULL references stay put") {
+    val i = fresh()
+    sql(s"CREATE TABLE mp$i (id INT PRIMARY KEY, v TEXT)")
+    sql(s"CREATE TABLE mc$i (cid INT, pid INT REFERENCES mp$i(id) " +
+      s"ON UPDATE CASCADE)")
+    sql(s"CREATE TABLE mn$i (nid INT, pid INT REFERENCES mp$i(id) " +
+      s"ON UPDATE SET NULL)")
+    sql(s"CREATE TABLE md$i (did INT, pid INT DEFAULT 2 " +
+      s"REFERENCES mp$i(id) ON UPDATE SET DEFAULT)")
+    sql(s"INSERT INTO mp$i VALUES (1,'a'),(2,'b')")
+    sql(s"INSERT INTO mc$i VALUES (10,1),(20,2),(30,NULL)")
+    sql(s"INSERT INTO mn$i VALUES (40,1)")
+    sql(s"INSERT INTO md$i VALUES (50,1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"UPDATE mp$i SET id = 5 WHERE id = 1")
+    assert(rowsOf(s"SELECT cid, pid FROM mc$i ORDER BY cid") ==
+      Seq(Seq(10L, 5L), Seq(20L, 2L), Seq(30L, null)))
+    assert(rowsOf(s"SELECT nid, pid FROM mn$i") == Seq(Seq(40L, null)))
+    assert(rowsOf(s"SELECT did, pid FROM md$i") == Seq(Seq(50L, 2L)))
+    // non-key parent updates cascade nothing
+    sql(s"UPDATE mp$i SET v = 'z' WHERE id = 5")
+    assert(rowsOf(s"SELECT cid, pid FROM mc$i ORDER BY cid") ==
+      Seq(Seq(10L, 5L), Seq(20L, 2L), Seq(30L, null)))
+  }
+
+  test("an upsert DO UPDATE re-keying the parent cascades ON UPDATE " +
+       "too (measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE qp$i (id INT PRIMARY KEY, v TEXT UNIQUE)")
+    sql(s"CREATE TABLE qc$i (cid INT, pid INT REFERENCES qp$i(id) " +
+      s"ON UPDATE CASCADE)")
+    sql(s"INSERT INTO qp$i VALUES (1,'a')")
+    sql(s"INSERT INTO qc$i VALUES (10,1)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"INSERT INTO qp$i VALUES (2,'a') " +
+      s"ON CONFLICT(v) DO UPDATE SET id = 9")
+    assert(rowsOf(s"SELECT cid, pid FROM qc$i") == Seq(Seq(10L, 9L)))
+  }
+
+  test("a self-referential ON UPDATE action declines named; " +
+       "rollback on a mid-cascade failure restores everything") {
+    val i = fresh()
+    sql(s"CREATE TABLE sp$i (id INT PRIMARY KEY, " +
+      s"par INT REFERENCES sp$i(id) ON UPDATE CASCADE)")
+    sql(s"INSERT INTO sp$i VALUES (1, NULL), (2, 1)")
+    sql("PRAGMA foreign_keys = 1")
+    val e = intercept[UnsupportedOperationException] {
+      sql(s"UPDATE sp$i SET id = 9 WHERE id = 1")
     }
-    assert(e2.getMessage.contains("ON UPDATE CASCADE"), e2.getMessage)
+    assert(e.getMessage.contains("self-referential ON UPDATE"),
+      e.getMessage)
+    assert(rowsOf(s"SELECT id, par FROM sp$i ORDER BY id") ==
+      Seq(Seq(1L, null), Seq(2L, 1L)))
   }
 
   test("updates skip FKs whose columns are unmodified; dangling-only " +

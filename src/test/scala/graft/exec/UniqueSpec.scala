@@ -1,0 +1,127 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.text2sql.SqlDialect
+
+/** UNIQUE / PRIMARY KEY enforcement on session-declared tables,
+  * pinned against sqlite3 3.51 running the same statements. Ingested
+  * tables declare no constraints, so none of this machinery runs for
+  * them (the documented leading-column conventions are unchanged). */
+class UniqueSpec extends SparkSpec {
+
+  private def sql(q: String) =
+    Runner.runSql(spark, SqlDialect.translate(q))
+
+  private def rowsOf(q: String): Seq[Seq[Any]] =
+    sql(q).collect().map(_.toSeq.toSeq).toSeq
+
+  private var n = 0
+  private def fresh(): String = { n += 1; s"uniq_t$n" }
+
+  test("plain INSERT rejects duplicate declared keys with SQLite's " +
+      "error — PK, column UNIQUE, table UNIQUE, and unique index") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE, c INT, d INT, " +
+      s"UNIQUE (c, d))")
+    sql(s"INSERT INTO $t VALUES (1, 'x', 1, 1)")
+    val e1 = intercept[Exception](sql(s"INSERT INTO $t VALUES (1, 'y', 2, 2)"))
+    assert(e1.getMessage.contains(s"UNIQUE constraint failed: $t.a"),
+      e1.getMessage)
+    val e2 = intercept[Exception](sql(s"INSERT INTO $t VALUES (2, 'x', 3, 3)"))
+    assert(e2.getMessage.contains(s"UNIQUE constraint failed: $t.b"),
+      e2.getMessage)
+    val e3 = intercept[Exception](sql(s"INSERT INTO $t VALUES (3, 'z', 1, 1)"))
+    assert(e3.getMessage.contains(s"UNIQUE constraint failed: $t.c, $t.d"),
+      e3.getMessage)
+    // nothing landed
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(1L)))
+    val u = fresh()
+    sql(s"CREATE TABLE $u(a INT)")
+    sql(s"CREATE UNIQUE INDEX ${u}_ux ON $u (a)")
+    sql(s"INSERT INTO $u VALUES (1)")
+    val e4 = intercept[Exception](sql(s"INSERT INTO $u VALUES (1)"))
+    assert(e4.getMessage.contains(s"UNIQUE constraint failed: $u.a"),
+      e4.getMessage)
+  }
+
+  test("batch-internal duplicates reject too; NULL keys never " +
+      "conflict (both measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b INT UNIQUE)")
+    val e = intercept[Exception](
+      sql(s"INSERT INTO $t VALUES (1, 1), (1, 2)"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.a"),
+      e.getMessage)
+    // a NULL alias key assigned the value a later explicit key takes:
+    // ADVICE's silent-duplicate case now rejects (needs the INTEGER
+    // alias shape — on INT PRIMARY KEY the NULL just stores, measured)
+    val m = fresh()
+    sql(s"CREATE TABLE $m(a INTEGER PRIMARY KEY, b INT UNIQUE)")
+    val e2 = intercept[Exception](
+      sql(s"INSERT INTO $m(a, b) VALUES (1, NULL), (NULL, NULL), (2, NULL)"))
+    assert(e2.getMessage.contains(s"UNIQUE constraint failed: $m.a"),
+      e2.getMessage)
+    // NULLs coexist on UNIQUE columns (measured: both store)
+    sql(s"INSERT INTO $t VALUES (1, NULL), (2, NULL)")
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(2L)))
+  }
+
+  test("UPDATE re-keying into a collision aborts and rolls back") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $t VALUES (1, 'x'), (2, 'y')")
+    val e = intercept[Exception](sql(s"UPDATE $t SET a = 1 WHERE a = 2"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.a"),
+      e.getMessage)
+    assert(rowsOf(s"SELECT a, v FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y")))
+  }
+
+  test("OR REPLACE displaces base rows conflicting on ANY unique key " +
+      "and resolves batch-internal duplicates last-wins (measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")
+    sql(s"INSERT INTO $t VALUES (1, 'x'), (2, 'y')")
+    // (2,'x') conflicts with row 1 on b AND row 2 on a: both displace
+    sql(s"INSERT OR REPLACE INTO $t VALUES (2, 'x')")
+    assert(rowsOf(s"SELECT a, b FROM $t") == Seq(Seq(2L, "x")))
+    // batch-internal: the LAST row per key wins (measured sqlite3)
+    val u = fresh()
+    sql(s"CREATE TABLE $u(a INT PRIMARY KEY, v TEXT)")
+    sql(s"INSERT OR REPLACE INTO $u VALUES (1, 'first'), (1, 'second')")
+    assert(rowsOf(s"SELECT a, v FROM $u") == Seq(Seq(1L, "second")))
+  }
+
+  test("targetless DO NOTHING / OR IGNORE skip conflicts on EVERY " +
+      "declared key; a targeted clause covers only its key (measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")
+    sql(s"INSERT INTO $t VALUES (1, 'x')")
+    // conflicts on b only — the bare form skips it
+    sql(s"INSERT INTO $t VALUES (2, 'x') ON CONFLICT DO NOTHING")
+    sql(s"INSERT OR IGNORE INTO $t VALUES (3, 'x'), (4, 'w')")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "x"), Seq(4L, "w")))
+    // targeted at a: the b-conflict is NOT covered and aborts
+    val e = intercept[Exception](
+      sql(s"INSERT INTO $t VALUES (5, 'x') ON CONFLICT(a) DO NOTHING"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.b"),
+      e.getMessage)
+    // batch-internal duplicate under the bare form keeps the FIRST row
+    sql(s"INSERT OR IGNORE INTO $t VALUES (7, 'p1'), (7, 'p2')")
+    assert(rowsOf(s"SELECT b FROM $t WHERE a = 7") == Seq(Seq("p1")))
+  }
+
+  test("DO UPDATE re-keying into another unique key's collision aborts") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")
+    sql(s"INSERT INTO $t VALUES (1, 'x'), (2, 'y')")
+    val e = intercept[Exception](
+      sql(s"INSERT INTO $t VALUES (2, 'z') " +
+        s"ON CONFLICT(a) DO UPDATE SET b = 'x'"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.b"),
+      e.getMessage)
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y")))
+  }
+}

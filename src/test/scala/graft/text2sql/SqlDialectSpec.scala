@@ -471,9 +471,12 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql(ok).head().getBoolean(0))
   }
 
-  test("COLLATE BINARY drops; unknown collations stay verbatim") {
+  test("COLLATE BINARY drops to a marker comment; unknown collations " +
+      "stay verbatim") {
+    // the marker records the statement's explicit collation choice so
+    // the column-DECLARED collation fold (exec.Collations) steps aside
     assert(SqlDialect.translate("SELECT x FROM t ORDER BY x COLLATE BINARY")
-      == "SELECT x FROM t ORDER BY x")
+      == "SELECT x FROM t ORDER BY x /*graft_binary*/")
     // user-defined collations have no Spark counterpart: verbatim
     val custom = "SELECT x FROM t WHERE x = 'a' COLLATE MYCOLL"
     assert(SqlDialect.translate(custom) == custom)

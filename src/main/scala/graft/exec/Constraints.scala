@@ -91,23 +91,40 @@ object Constraints {
     else df.filter(!vs.map(_._1).reduce(_ || _))
   }
 
-  /** The table's declared unique key sets, resolved against the
-    * current schema: the PRIMARY KEY plus every unique index
-    * ([[SessionKeys]]), column names as the table spells them. Empty
-    * for ingested tables (pandas `to_sql` declares no constraints —
-    * the 100 TB path pays nothing anywhere below). */
-  def uniqueKeySets(spark: SparkSession, table: String,
-                    tableCols: Seq[String]): Seq[Seq[String]] = {
-    val declared = SessionKeys.declaredPk(spark, table).toSeq ++
+  /** One declared unique key: `exprs` are executable Spark-SQL item
+    * texts — a plain column key carries its backtick-quoted names, an
+    * expression index its translated expressions; `label` is the text
+    * SQLite's UNIQUE error names (`t.c1, t.c2` for column keys,
+    * `index 'name'` for expression keys — both measured). */
+  final case class UniqueKey(label: String, exprs: Seq[String])
+
+  /** A column-list key in [[UniqueKey]] form. */
+  def plainKey(table: String, cols: Seq[String]): UniqueKey =
+    UniqueKey(cols.map(c => s"$table.$c").mkString(", "),
+      cols.map(Ddl.quote))
+
+  /** The table's declared unique keys, resolved against the current
+    * schema: the PRIMARY KEY, every column-list unique index, and
+    * every expression-keyed unique index ([[SessionKeys]]). Empty for
+    * ingested tables (pandas `to_sql` declares no constraints — the
+    * 100 TB path pays nothing anywhere below). */
+  def uniqueKeys(spark: SparkSession, table: String,
+                 tableCols: Seq[String]): Seq[UniqueKey] = {
+    val colKeys = (SessionKeys.declaredPk(spark, table).toSeq ++
       SessionKeys.indexesFor(spark, table)
-        .filter(_._3).map(_._2)
-    declared.flatMap { ks =>
-      val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
-      if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
-    }.distinct
+        .filter(i => i._3 && i._2.nonEmpty).map(_._2))
+      .flatMap { ks =>
+        val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
+        if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
+      }.distinct
+      .map(cols => plainKey(table, cols))
+    val exprKeys = SessionKeys.uniqueExprIndexes(spark, table).map {
+      case (name, es) => UniqueKey(s"index '$name'", es)
+    }
+    colKeys ++ exprKeys
   }
 
-  /** SQLite's `UNIQUE constraint failed: t.c1, t.c2` over the
+  /** SQLite's `UNIQUE constraint failed: <label>` over the
     * POST-STATEMENT state: any fully-non-NULL key tuple appearing
     * twice aborts (NULL members never conflict — measured; two NULL
     * keys coexist). One narrow group-count per declared key, bounded
@@ -120,17 +137,33 @@ object Constraints {
     * constraint error. */
   def assertUnique(spark: SparkSession, table: String,
                    merged: DataFrame): Unit = {
-    val keySets = uniqueKeySets(spark, table, merged.columns.toSeq)
-    keySets.foreach { ks =>
-      val nonNull = merged.filter(
-        ks.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _))
-      val dup = nonNull.groupBy(ks.map(c => col(Ddl.quote(c))): _*)
+    val keys = uniqueKeys(spark, table, merged.columns.toSeq)
+    keys.foreach { k =>
+      val es = k.exprs.map(expr)
+      val nonNull = merged.filter(es.map(_.isNotNull).reduce(_ && _))
+      val dup = nonNull.groupBy(es: _*)
         .count().filter(col("count") > 1L).limit(1)
       if (!dup.isEmpty)
         throw new IllegalArgumentException(
-          "UNIQUE constraint failed: " +
-            ks.map(c => s"$table.$c").mkString(", "))
+          s"UNIQUE constraint failed: ${k.label}")
     }
+  }
+
+  /** Drop `df` rows whose fully-non-NULL key tuple already exists in
+    * `base` — the skip/displacement primitive of DO NOTHING /
+    * OR IGNORE / OR REPLACE over one declared key. NULL-keyed rows
+    * never match (anti-join equality), SQLite's rule. */
+  def dropConflicting(df: DataFrame, base: DataFrame,
+                      key: UniqueKey): DataFrame = {
+    val bk = base.select(key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e).as(s"__uk$i")
+      }.toIndexedSeq: _*)
+      .filter(key.exprs.indices.map(i => col(s"__uk$i").isNotNull)
+        .reduce(_ && _))
+      .distinct()
+    df.join(bk, key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e) === bk(s"__uk$i")
+      }.reduce(_ && _), "left_anti")
   }
 
   /** Batch-internal one-winner-per-key dedup, settled set-based from
@@ -143,16 +176,17 @@ object Constraints {
     * equivalent to SQLite's sequential resolution for batches whose
     * displacements don't chain through already-displaced rows. */
   def dedupPerKey(spark: SparkSession, df: DataFrame,
-                  keySets: Seq[Seq[String]],
+                  keys: Seq[UniqueKey],
                   keepLast: Boolean): DataFrame = {
-    if (keySets.isEmpty) return df
+    if (keys.isEmpty) return df
     import org.apache.spark.sql.expressions.Window
     val pos = "__graft_upos"
     val tagged = Rowid.withSequentialRowid(spark, df, 0L)
       .withColumnRenamed("rowid", pos)
-    val resolved = keySets.foldLeft(tagged) { (acc, ks) =>
-      val nonNull = ks.map(c => col(Ddl.quote(c)).isNotNull).reduce(_ && _)
-      val w = Window.partitionBy(ks.map(c => col(Ddl.quote(c))): _*)
+    val resolved = keys.foldLeft(tagged) { (acc, k) =>
+      val es = k.exprs.map(expr)
+      val nonNull = es.map(_.isNotNull).reduce(_ && _)
+      val w = Window.partitionBy(es: _*)
         .orderBy(if (keepLast) col(pos).desc else col(pos).asc)
       acc.withColumn("__graft_urn",
           when(nonNull, row_number().over(w)).otherwise(lit(1)))

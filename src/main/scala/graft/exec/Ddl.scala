@@ -423,8 +423,26 @@ object Ddl {
         throw new IllegalArgumentException(
           s"$verb ${stmt.name}: no such column(s) ${unknown.mkString(", ")}")
     }
+    // an expression-keyed UNIQUE index: validate + translate each item
+    // NOW (SQLite checks at CREATE), then register the executable
+    // texts — uniqueness enforces over them and the REPLACE/IGNORE
+    // machinery displaces/skips on them (exec.Constraints)
+    val uexprs = stmt.exprs.map { raw =>
+      if (containsSelect(raw))
+        throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: subqueries prohibited in index expressions")
+      val ex = generatedExecSql(raw)
+      try base.filter(org.apache.spark.sql.functions.expr(ex).isNotNull)
+        .queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: error in index expression: " +
+            s"${e.getMessage}", e)
+      }
+      ex
+    }
     val fresh = SessionKeys.registerIndex(spark, stmt.name, stmt.table,
-      stmt.cols, stmt.unique, riders = stmt.riders)
+      stmt.cols, stmt.unique, riders = stmt.riders, uexprs = uexprs)
     if (!fresh && !stmt.ifNotExists)
       throw new IllegalArgumentException(
         s"$verb: index ${stmt.name} already exists (SQLite semantics); " +
@@ -507,6 +525,13 @@ object Ddl {
             s"referenced by CHECK constraint " +
             s"${if (nm.nonEmpty) nm else s"($raw)"}; re-create the " +
             s"table to rename it")
+      }
+    // …and expression-keyed unique indexes (same stored-text rule)
+    SessionKeys.uniqueExprIndexes(spark, stmt.table)
+      .find(_._2.exists(refHits(_, stmt.oldCol))).foreach { case (ix, _) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${stmt.table} RENAME COLUMN ${stmt.oldCol}: " +
+            s"referenced by unique index $ix; DROP INDEX it first")
       }
     base.select(cols.map { c =>
       if (c.equalsIgnoreCase(stmt.oldCol)) col(quote(c)).as(stmt.newCol)
@@ -671,6 +696,13 @@ object Ddl {
         throw new IllegalArgumentException(
           s"error in table ${stmt.table} after drop column: " +
             s"no such column: ${stmt.col}"))
+    // …and one an expression-keyed unique index references
+    SessionKeys.uniqueExprIndexes(spark, stmt.table)
+      .find(_._2.exists(refHits(_, stmt.col))).foreach { case (ix, _) =>
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${stmt.table}: cannot drop column ${stmt.col}: " +
+            s"indexed by $ix (SQLite semantics); DROP INDEX it first")
+      }
     base.select(cols.filterNot(_.equalsIgnoreCase(stmt.col))
         .map(c => col(quote(c))).toIndexedSeq: _*)
       .createOrReplaceTempView(stmt.table)

@@ -447,6 +447,12 @@ object Pragma {
   def queryOnly(spark: SparkSession): Boolean =
     tracked(spark, "query_only", "0") == "1"
 
+  /** `PRAGMA recursive_triggers` — consumed by [[Triggers]]: ON lets
+    * re-entrant firings proceed (depth-bounded), OFF (the default)
+    * skips them. */
+  def recursiveTriggers(spark: SparkSession): Boolean =
+    tracked(spark, "recursive_triggers", "0") == "1"
+
   /** SQLite's boolean-pragma parse (sqlite3GetBoolean): any nonzero
     * integer → 1 (`foreign_keys = 2` is ON, measured), yes/true/on →
     * 1, everything else (including unrecognized words) → 0. */
@@ -606,17 +612,12 @@ object Pragma {
           spark.conf.set(confKey(name), boolValue(value))
           spark.emptyDataFrame
         case "recursive_triggers" =>
-          // the engine's set-based trigger firing skips re-entrant
-          // firings — exactly OFF, SQLite's default. ON would need
-          // per-row recursive firing with a depth limit; no set-based
-          // equivalent exists, so turning it on declines VISIBLY
-          // rather than silently not recursing.
-          if (boolValue(value) == "1")
-            throw new UnsupportedOperationException(
-              "PRAGMA recursive_triggers = ON is not supported: trigger " +
-                "firing here is set-based with re-entrant firings " +
-                "skipped (= OFF, SQLite's default)")
-          spark.conf.set(confKey(name), "0")
+          // ON lets re-entrant firings proceed level-by-level over the
+          // affected slices — the set-based equivalent of SQLite's
+          // row-at-a-time recursion (measured identical outcomes: a
+          // WHEN-bounded counter trigger inserts the same multiset),
+          // bounded at SQLite's depth 1000 with its own error text
+          spark.conf.set(confKey(name), boolValue(value))
           spark.emptyDataFrame
       }
     case trackedGetRe(name0) =>
@@ -639,7 +640,8 @@ object Pragma {
         case "case_sensitive_like" =>
           spark.emptyDataFrame // write-only in SQLite: query answers nothing
         case "recursive_triggers" =>
-          oneValue(spark, name, 0L, LongType) // always OFF here
+          oneValue(spark, name,
+            tracked(spark, name, "0").toLong, LongType)
         case "user_version" | "application_id" | "schema_version" =>
           oneValue(spark, name, tracked(spark, name, "0").toLong, LongType)
         case "query_only" | "read_uncommitted" =>

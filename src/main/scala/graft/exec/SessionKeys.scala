@@ -28,7 +28,11 @@ object SessionKeys {
   private final case class IndexInfo(table: String, cols: Seq[String],
                                      unique: Boolean, origin: String,
                                      // per-column (descending?, collation)
-                                     riders: Seq[(Boolean, String)] = Nil)
+                                     riders: Seq[(Boolean, String)] = Nil,
+                                     // expression-keyed UNIQUE index:
+                                     // executable Spark-SQL item texts
+                                     // (cols empty then)
+                                     uexprs: Seq[String] = Nil)
 
   private final class State {
     // lowercased table -> declared PRIMARY KEY
@@ -102,16 +106,30 @@ object SessionKeys {
   def registerIndex(spark: SparkSession, name: String, table: String,
                     cols: Seq[String], unique: Boolean,
                     origin: String = "c",
-                    riders: Seq[(Boolean, String)] = Nil): Boolean = {
+                    riders: Seq[(Boolean, String)] = Nil,
+                    uexprs: Seq[String] = Nil): Boolean = {
     val s = state(spark)
     s.synchronized {
       val n = name.toLowerCase
       if (s.indexes.contains(n)) false
       else {
         s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin,
-          riders)
+          riders, uexprs)
         true
       }
+    }
+  }
+
+  /** Expression-keyed UNIQUE indexes on a table, name-ordered:
+    * (index name, executable item expressions). */
+  def uniqueExprIndexes(spark: SparkSession, table: String)
+      : Seq[(String, Seq[String])] = {
+    val s = state(spark)
+    val t = table.toLowerCase
+    s.synchronized {
+      s.indexes.toSeq
+        .filter(e => e._2.table == t && e._2.unique && e._2.uexprs.nonEmpty)
+        .sortBy(_._1).map { case (n, i) => (n, i.uexprs) }
     }
   }
 
@@ -510,7 +528,11 @@ object SessionKeys {
     val t = table.toLowerCase
     s.synchronized {
       s.pks.get(t).orElse {
-        s.indexes.toSeq.filter(e => e._2.table == t && e._2.unique)
+        // expression-keyed unique indexes (cols empty) can't be a
+        // column-list conflict key — skipped here; the REPLACE/IGNORE
+        // displacement machinery handles them through uniqueExprIndexes
+        s.indexes.toSeq
+          .filter(e => e._2.table == t && e._2.unique && e._2.cols.nonEmpty)
           .sortBy(_._1).headOption.map(_._2.cols)
       }
     }

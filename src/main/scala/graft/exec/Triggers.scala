@@ -663,7 +663,13 @@ object Triggers {
           case "instead" => t.timing == "instead of"
           case _         => t.timing == "before" || t.timing.isEmpty
         }) &&
-        !active.get().contains(t.name.toLowerCase)
+        // a trigger already on the firing stack is skipped under
+        // recursive_triggers OFF (SQLite's default); ON lets it
+        // re-fire level-by-level over the affected slices — measured
+        // identical to SQLite's row-at-a-time recursion (each level's
+        // slice is exactly the rows the previous level's bodies wrote)
+        (Pragma.recursiveTriggers(spark) ||
+          !active.get().contains(t.name.toLowerCase))
     }
   }
 
@@ -734,10 +740,27 @@ object Triggers {
           "use AFTER timing for the cascading trigger chain")
   }
 
+  /** Per-thread firing depth — SQLite bounds trigger recursion at
+    * SQLITE_MAX_TRIGGER_DEPTH = 1000 and raises its own error text. */
+  private val fireDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   def fire(spark: SparkSession, table: String, event: String,
            setCols: Seq[String], timing: String, slice: => DataFrame): Unit = {
     val trigs = matching(spark, table, event, setCols, timing)
     if (trigs.isEmpty) return
+    val d = fireDepth.get + 1
+    if (d > 1000)
+      throw new IllegalArgumentException(
+        "too many levels of trigger recursion")
+    fireDepth.set(d)
+    try fire0(spark, trigs, slice)
+    finally fireDepth.set(d - 1)
+  }
+
+  private def fire0(spark: SparkSession, trigs: Seq[Trig],
+                    slice: => DataFrame): Unit = {
     // a caller that fires both timings persists the slice once around
     // both calls; only persist (and unpersist) here when it didn't
     val df = slice

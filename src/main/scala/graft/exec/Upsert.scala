@@ -285,21 +285,31 @@ object Upsert {
       })
       .getOrElse(Seq(visible.head)) // never the emulated rowid
     // INSERT triggers fire over the inserted slice. OR REPLACE fires
-    // INSERT only (SQLite fires the implied deletes' triggers only
-    // under recursive_triggers=ON — OFF is the default this engine
-    // mirrors). ON CONFLICT DO UPDATE splits: the update half fires
+    // INSERT only under recursive_triggers=OFF (SQLite fires the
+    // implied deletes' triggers only under ON — that interleaving has
+    // no set-based order here, so the ON+DELETE-trigger combination
+    // declines visibly). ON CONFLICT DO UPDATE splits: the update half fires
     // UPDATE triggers (SQLite lang_upsert — the upsert's UPDATE
     // portion is trigger-visible as an UPDATE), the appended half
     // fires AFTER INSERT.
+    if (stmt.replace && stmt.conflict.isEmpty &&
+        Pragma.recursiveTriggers(spark) &&
+        Triggers.anyFor(spark, stmt.table, "delete"))
+      throw new UnsupportedOperationException(
+        s"INSERT OR REPLACE into ${stmt.table} under PRAGMA " +
+          s"recursive_triggers = ON fires the displaced rows' DELETE " +
+          s"triggers in SQLite; this engine cannot interleave them " +
+          s"set-based — DELETE the conflicting rows first, or run " +
+          s"with recursive_triggers = 0")
     val insTrig = Triggers.anyFor(spark, stmt.table, "insert")
     val updAssignCols = stmt.conflict.toSeq.flatMap(_.assigns.map(_._1))
     val updTrig = stmt.conflict.exists(_.assigns.nonEmpty) &&
       Triggers.anyFor(spark, stmt.table, "update", updAssignCols)
-    // every session-DECLARED unique key (PK + unique indexes) — empty
-    // for ingested tables, where none of the uniqueness machinery
-    // below runs (the 100 TB path pays nothing)
+    // every session-DECLARED unique key (PK + column and expression
+    // unique indexes) — empty for ingested tables, where none of the
+    // uniqueness machinery below runs (the 100 TB path pays nothing)
     val declaredKeys =
-      Constraints.uniqueKeySets(spark, stmt.table, base.columns.toSeq)
+      Constraints.uniqueKeys(spark, stmt.table, base.columns.toSeq)
     // the rows an OR REPLACE actually displaces (set by that branch;
     // feeds the ON DELETE cascade for displaced parents below)
     var replacedDisplaced: Option[DataFrame] = None
@@ -328,15 +338,14 @@ object Upsert {
           // keeps its documented single-key anti-join.
           val keySets =
             if (c.keyCols.isEmpty && declaredKeys.nonEmpty) declaredKeys
-            else Seq(keys)
+            else Seq(Constraints.plainKey(stmt.table, keys))
           val batch =
             if (declaredKeys.isEmpty) admitted
             else Constraints.dedupPerKey(spark, admitted, keySets,
               keepLast = false)
-          val appended = keySets.foldLeft(batch) { (df, ks) =>
-            df.join(base.select(ks.map(col): _*).distinct(), ks, "left_anti")
-              .select(base.columns.map(col): _*)
-          }
+          val appended = keySets.foldLeft(batch)(
+            (df, k) => Constraints.dropConflicting(df, base, k))
+            .select(base.columns.map(col): _*)
           (base.unionAll(appended), appended, appended, None)
         } else {
           // same rowid-desync guard as plain UPDATE: the emulated
@@ -363,12 +372,9 @@ object Upsert {
             val batch =
               Constraints.dedupPerKey(spark, admitted, declaredKeys,
                 keepLast = true)
-            val survivors = declaredKeys.foldLeft(base) { (b, ks) =>
-              b.join(batch.select(ks.map(col): _*)
-                  .filter(ks.map(col(_).isNotNull).reduce(_ && _))
-                  .distinct(),
-                ks, "left_anti").select(base.columns.map(col): _*)
-            }
+            val survivors = declaredKeys.foldLeft(base)(
+              (b, k) => Constraints.dropConflicting(b, batch, k))
+              .select(base.columns.map(col): _*)
             replacedDisplaced = Some(base.exceptAll(survivors))
             (survivors.unionAll(batch), batch, batch, None)
           }

@@ -686,6 +686,76 @@ object QueriesDialect {
       s.table("graft_dv_t").orderBy("k", "tag", "score")
     }),
 
+    // UNIQUE / PRIMARY KEY enforcement end-to-end: OR REPLACE
+    // displaces on BOTH declared keys at once, OR IGNORE skips a
+    // second-key conflict, bare DO NOTHING appends a clean row —
+    // error paths (plain-INSERT duplicates, re-keying UPDATEs,
+    // DO-UPDATE collisions, batch dups) pinned in UniqueSpec
+    "ddl_unique_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_un_t")
+      run("CREATE TABLE graft_un_t (a INT PRIMARY KEY, b TEXT UNIQUE, v INT)")
+      run("INSERT INTO graft_un_t VALUES (1, 'x', 10), (2, 'y', 20)")
+      run("INSERT OR REPLACE INTO graft_un_t VALUES (2, 'x', 30)")
+      run("INSERT OR IGNORE INTO graft_un_t VALUES (3, 'x', 40), (4, 'w', 50)")
+      run("INSERT INTO graft_un_t VALUES (5, 'z', 60) ON CONFLICT DO NOTHING")
+      s.table("graft_un_t").orderBy("a")
+    }),
+
+    // EXPRESSION unique index end-to-end: registers at CREATE INDEX,
+    // enforces over the expression, and drives OR REPLACE displacement
+    // and OR IGNORE skips (error text `UNIQUE constraint failed:
+    // index 'name'` pinned in UniqueSpec)
+    "ddl_expr_index_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_exi_t")
+      run("DROP INDEX IF EXISTS graft_exi_ux")
+      run("CREATE TABLE graft_exi_t (a TEXT, v INT)")
+      run("CREATE UNIQUE INDEX graft_exi_ux ON graft_exi_t (lower(a))")
+      run("INSERT INTO graft_exi_t VALUES ('Hello', 1)")
+      run("INSERT OR REPLACE INTO graft_exi_t VALUES ('HELLO', 2)")
+      run("INSERT OR IGNORE INTO graft_exi_t VALUES ('hello', 3), ('World', 4)")
+      run("DROP INDEX graft_exi_ux")
+      s.table("graft_exi_t").orderBy("v")
+    }),
+
+    // row-value SUBQUERY SET end-to-end: per-column correlated scalar
+    // subqueries, each reading the OLD row (SqlDmlSpec pins the
+    // no-match-NULL and FROM-less-swap edges against sqlite3)
+    "sink_update_rowvalue_sql" -> ((s, d) => {
+      Tables.t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_rv_t")
+      Tables.t(s, d, "region")
+        .select("r_regionkey", "r_name")
+        .createOrReplaceTempView("graft_rv_r")
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("""UPDATE graft_rv_t SET (n_name, n_regionkey) =
+               (SELECT upper(r_name), n_regionkey + 100 FROM graft_rv_r
+                WHERE graft_rv_r.r_regionkey = graft_rv_t.n_regionkey)
+             WHERE n_nationkey < 10""")
+      s.table("graft_rv_t").orderBy("n_nationkey")
+    }),
+
+    // PRAGMA recursive_triggers = ON end-to-end: a self-inserting
+    // trigger recurses level-by-level over the affected slices to
+    // SQLite's exact multiset — (1),(2) chained under WHEN x < 4
+    // yields 1,2,2,3,3,4,4 (measured; depth bounded at SQLite's 1000
+    // with its error text, edges pinned in TriggerSpec)
+    "ddl_recursive_trigger_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_rectr_t")
+      run("CREATE TABLE graft_rectr_t (x INTEGER)")
+      run("""CREATE TRIGGER IF NOT EXISTS graft_rectr_tr
+             AFTER INSERT ON graft_rectr_t WHEN NEW.x < 4
+             BEGIN INSERT INTO graft_rectr_t VALUES (NEW.x + 1); END""")
+      run("PRAGMA recursive_triggers = ON")
+      try run("INSERT INTO graft_rectr_t VALUES (1), (2)")
+      finally run("PRAGMA recursive_triggers = 0")
+      run("DROP TRIGGER graft_rectr_tr")
+      s.table("graft_rectr_t").orderBy("x")
+    }),
+
     // column-DECLARED collations end-to-end: NOCASE folds bare `=`,
     // CASE-WHEN comparisons, and GROUP BY; RTRIM ignores trailing
     // spaces — the declared rider registers at CREATE and
@@ -1354,6 +1424,39 @@ object QueriesDialect {
            (CAST(5 AS BIGINT), 'n/a', CAST(2.5 AS DOUBLE)),
            (CAST(9 AS BIGINT), 'x', CAST(2.5 AS DOUBLE)))
          AS t(k, tag, score) ORDER BY k, tag, score""",
+
+    // uniqueness post-states pinned against sqlite3 running the
+    // identical statement sequences
+    "ddl_unique_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(2 AS BIGINT), 'x', CAST(30 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'w', CAST(50 AS BIGINT)),
+           (CAST(5 AS BIGINT), 'z', CAST(60 AS BIGINT)))
+         AS t(a, b, v) ORDER BY a""",
+
+    "ddl_expr_index_sql" ->
+      """SELECT * FROM (VALUES
+           ('HELLO', CAST(2 AS BIGINT)), ('World', CAST(4 AS BIGINT)))
+         AS t(a, v) ORDER BY v""",
+
+    // the row-value subquery splits replay as the equivalent LEFT
+    // JOIN + CASE over the OLD state
+    "sink_update_rowvalue_sql" ->
+      """SELECT n_nationkey,
+                CASE WHEN n_nationkey < 10 THEN upper(r_name)
+                     ELSE n_name END AS n_name,
+                CASE WHEN n_nationkey < 10 THEN n_regionkey + 100
+                     ELSE n_regionkey END AS n_regionkey
+         FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
+         ORDER BY n_nationkey""",
+
+    // recursive-trigger multiset pinned against sqlite3 running the
+    // identical statements
+    "ddl_recursive_trigger_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(2 AS BIGINT)),
+           (CAST(3 AS BIGINT)), (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)),
+           (CAST(4 AS BIGINT))) AS t(x) ORDER BY x""",
 
     // declared-collation folds pinned against sqlite3 running the
     // identical statements (the oracle spells the folds explicitly)

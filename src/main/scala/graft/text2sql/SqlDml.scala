@@ -212,14 +212,20 @@ object SqlDml {
     * never change), so it executes as a registered no-op; a UNIQUE
     * index additionally declares the constraint SQLite resolves
     * `INSERT OR REPLACE` / bare `ON CONFLICT` against, so its column
-    * set registers as the table's conflict key. */
+    * set registers as the table's conflict key. An EXPRESSION-keyed
+    * UNIQUE index carries the raw item texts in `exprs` (cols empty):
+    * uniqueness enforces over the expressions and the REPLACE/IGNORE
+    * machinery displaces/skips on them; a targeted `ON CONFLICT
+    * (expr)` clause and DO UPDATE against an expression key still
+    * decline named. */
   final case class CreateIndex(name: String, table: String,
                                cols: Seq[String], unique: Boolean,
                                ifNotExists: Boolean,
                                // per-column (descending?, collation) —
                                // the ASC/DESC/COLLATE riders, kept so
                                // PRAGMA index_xinfo can answer honestly
-                               riders: Seq[(Boolean, String)] = Nil)
+                               riders: Seq[(Boolean, String)] = Nil,
+                               exprs: Seq[String] = Nil)
     extends Stmt
 
   /** `DROP INDEX [IF EXISTS] name` — unregisters the index (and its
@@ -453,9 +459,13 @@ object SqlDml {
       if (j < sql.length && sql.charAt(j) == '(') {
         // row-value form `SET (a, b) = (e1, e2)` (SQLite 3.15) —
         // splits into the equivalent per-column assignments (every
-        // RHS expression sees the OLD row, so the split is exact); a
-        // scalar-subquery row value `(a, b) = (SELECT …)` would need
-        // per-row correlation machinery — declined named
+        // RHS expression sees the OLD row, so the split is exact).
+        // The scalar-subquery row value `(a, b) = (SELECT …)` splits
+        // the same way: a FROM-less subquery's items ARE plain
+        // OLD-row expressions (measured: `(SELECT b, a)` swaps), and
+        // a FROM-carrying one becomes one correlated scalar subquery
+        // per column — each evaluated against the OLD row, so the
+        // split is exact too (no-match rows assign NULLs, measured).
         val close = closeParen(sql, j)
         if (close < 0) return None
         val colsList = splitTopCommas(sql.substring(j + 1, close))
@@ -466,12 +476,30 @@ object SqlDml {
         j = skipWs(sql, j + 1)
         if (j >= sql.length || sql.charAt(j) != '(')
           return Some(Unsupported("UPDATE with a non-parenthesized row-value SET"))
-        if (keywordAt(sql, skipWs(sql, j + 1), "select"))
-          return Some(Unsupported("UPDATE with a row-value subquery SET"))
         val rClose = closeParen(sql, j)
         if (rClose < 0) return None
-        val exprs = splitTopCommas(sql.substring(j + 1, rClose))
-          .map(_.trim).filter(_.nonEmpty)
+        val inner = sql.substring(j + 1, rClose).trim
+        val exprs: Seq[String] =
+          if (!keywordAt(sql, skipWs(sql, j + 1), "select")) {
+            splitTopCommas(inner).map(_.trim).filter(_.nonEmpty)
+          } else {
+            val body = inner.substring(6).trim // past SELECT
+            if (body.startsWith("*") ||
+                keywordAt(body, 0, "distinct") ||
+                keywordAt(body, 0, "all"))
+              return Some(Unsupported(
+                "UPDATE with a star/DISTINCT row-value subquery SET"))
+            val fromAt = findTopKeyword(body, 0, "from")
+            val listEnd = if (fromAt < 0) body.length else fromAt
+            val items = splitTopCommas(body.substring(0, listEnd))
+              .map(_.trim).filter(_.nonEmpty)
+            val tail = if (fromAt < 0) "" else " " + body.substring(fromAt)
+            if (items.exists(_ == "*"))
+              return Some(Unsupported(
+                "UPDATE with a star/DISTINCT row-value subquery SET"))
+            if (fromAt < 0) items // plain OLD-row expressions
+            else items.map(it => s"(SELECT $it$tail)")
+          }
         if (exprs.length != colsList.length)
           return Some(Unsupported(
             s"${colsList.length} columns assigned ${exprs.length} values"))
@@ -1445,14 +1473,20 @@ object SqlDml {
     val cols = parsed.map(_._1)
     val tail = skipWs(sql, close + 1)
     val partial = tail < sql.length && keywordAt(sql, tail, "where")
-    if (unique && (exprKey || cols.isEmpty))
-      return Some(Unsupported("CREATE UNIQUE INDEX on an expression"))
     if (unique && partial)
       return Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE"))
     if (tail < sql.length && !partial) return Some(Unsupported(verb))
+    // an expression-keyed UNIQUE index keeps its raw item texts — the
+    // executor validates/translates them and the constraint enforces
+    // over the expressions (SQLite's `UNIQUE constraint failed:
+    // index 'name'` error)
+    val rawItems = splitTopCommas(sql.substring(j + 1, close)).map(_.trim)
+    if (unique && exprKey && rawItems.exists(_.isEmpty))
+      return Some(Unsupported("CREATE UNIQUE INDEX on an expression"))
     Some(CreateIndex(name, table, if (exprKey) Nil else cols, unique,
       ifNotExists,
-      if (exprKey) Nil else parsed.map(p => (p._2, p._3))))
+      if (exprKey) Nil else parsed.map(p => (p._2, p._3)),
+      if (unique && exprKey) rawItems else Nil))
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …) [ON CONFLICT …]`

@@ -359,20 +359,16 @@ class PragmaSpec extends SparkSpec {
     Runner.runSql(spark, s"PRAGMA schema_version = ${v0 + 5}") // restore
   }
 
-  test("PRAGMA recursive_triggers: OFF tracks, ON declines, query echoes 0") {
-    // sqlite 3.40.1: assignment is silent, query echoes the flag.
-    // The engine's re-entrant-skip firing IS OFF; ON has no set-based
-    // equivalent, so it declines named instead of silently not
-    // recursing.
+  test("PRAGMA recursive_triggers: silent assignment, query echoes " +
+      "the tracked flag (sqlite shape)") {
     def rows(sql: String) = Runner.runSql(spark, sql).collect().toSeq
     assert(Runner.runSql(spark, "PRAGMA recursive_triggers = 0").count() == 0)
     assert(Runner.runSql(spark, "PRAGMA recursive_triggers = OFF").count() == 0)
     assert(rows("PRAGMA recursive_triggers").map(_.getLong(0)) == Seq(0L))
-    val e = intercept[UnsupportedOperationException] {
-      Runner.runSql(spark, "PRAGMA recursive_triggers = ON") }
-    assert(e.getMessage.contains("recursive_triggers"), e.getMessage)
-    intercept[UnsupportedOperationException] {
-      Runner.runSql(spark, "PRAGMA recursive_triggers(1)") }
+    assert(Runner.runSql(spark, "PRAGMA recursive_triggers = ON").count() == 0)
+    assert(rows("PRAGMA recursive_triggers").map(_.getLong(0)) == Seq(1L))
+    Runner.runSql(spark, "PRAGMA recursive_triggers = 0")
+    assert(rows("PRAGMA recursive_triggers").map(_.getLong(0)) == Seq(0L))
   }
 
   test("PRAGMA index_list/index_info reflect session-declared indexes; table_info reports the PK") {

@@ -467,4 +467,43 @@ class TriggerSpec extends SparkSpec {
       Seq(Seq(1L), Seq(10L)))
     assert(rowsOf(s"SELECT va FROM $log") == Seq(Seq(10L)))
   }
+
+  test("PRAGMA recursive_triggers = ON: a self-inserting trigger " +
+      "recurses level-by-level to SQLite's exact multiset (measured)") {
+    n += 1
+    val t = s"trg_rec$n"
+    sql(s"CREATE TABLE $t(x INTEGER)")
+    sql(s"CREATE TRIGGER tr_rec$n AFTER INSERT ON $t WHEN NEW.x < 5 " +
+      s"BEGIN INSERT INTO $t VALUES (NEW.x + 1); END")
+    // OFF (default): one non-recursive body fire -> 1,2 (measured)
+    sql(s"INSERT INTO $t VALUES (1)")
+    assert(rowsOf(s"SELECT x FROM $t ORDER BY x").flatten ==
+      Seq(1L, 2L))
+    sql(s"DELETE FROM $t")
+    sql("PRAGMA recursive_triggers = ON")
+    try {
+      sql(s"INSERT INTO $t VALUES (1)")
+      assert(rowsOf(s"SELECT x FROM $t ORDER BY x").flatten ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+      // multi-row chains recurse independently: (1),(2) with WHEN x<4
+      // yields 1,2,2,3,3,4,4 (measured — each level's slice is the
+      // rows the previous level's bodies wrote)
+      val u = s"trg_rec2_$n"
+      sql(s"CREATE TABLE $u(x INTEGER)")
+      sql(s"CREATE TRIGGER tr_rec2$n AFTER INSERT ON $u WHEN NEW.x < 4 " +
+        s"BEGIN INSERT INTO $u VALUES (NEW.x + 1); END")
+      sql(s"INSERT INTO $u VALUES (1), (2)")
+      assert(rowsOf(s"SELECT x FROM $u ORDER BY x").flatten ==
+        Seq(1L, 2L, 2L, 3L, 3L, 4L, 4L))
+      // OR REPLACE displacing rows on a DELETE-triggered table would
+      // fire those triggers in SQLite under ON - declines named here
+      val v = s"trg_rec3_$n"
+      sql(s"CREATE TABLE $v(k INTEGER PRIMARY KEY, w TEXT)")
+      sql(s"CREATE TRIGGER tr_rec3$n AFTER DELETE ON $v BEGIN " +
+        s"INSERT INTO $v(w) VALUES ('gone'); END")
+      val e = intercept[UnsupportedOperationException](
+        sql(s"INSERT OR REPLACE INTO $v VALUES (1, 'a')"))
+      assert(e.getMessage.contains("recursive_triggers"), e.getMessage)
+    } finally sql("PRAGMA recursive_triggers = 0")
+  }
 }

@@ -112,6 +112,33 @@ class UniqueSpec extends SparkSpec {
     assert(rowsOf(s"SELECT b FROM $t WHERE a = 7") == Seq(Seq("p1")))
   }
 
+  test("an EXPRESSION unique index enforces, displaces under OR " +
+      "REPLACE, and skips under OR IGNORE (all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a TEXT, v INT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (lower(a))")
+    sql(s"INSERT INTO $t VALUES ('Hello', 1)")
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES ('HELLO', 2)"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: index '${t}_ux'"),
+      e.getMessage)
+    // OR REPLACE displaces the case-variant conflictor (measured)
+    sql(s"INSERT OR REPLACE INTO $t VALUES ('HELLO', 2)")
+    assert(rowsOf(s"SELECT a, v FROM $t") == Seq(Seq("HELLO", 2L)))
+    // OR IGNORE skips the conflictor, keeps the novel row (measured)
+    sql(s"INSERT OR IGNORE INTO $t VALUES ('hello', 3), ('world', 4)")
+    assert(rowsOf(s"SELECT a, v FROM $t ORDER BY v") ==
+      Seq(Seq("HELLO", 2L), Seq("world", 4L)))
+    // NULL expression values never conflict (measured: both store)
+    sql(s"INSERT INTO $t VALUES (NULL, 5), (NULL, 6)")
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(4L)))
+    // ALTER guards the indexed expression's column; DROP INDEX frees it
+    val e2 = intercept[Exception](sql(s"ALTER TABLE $t DROP COLUMN a"))
+    assert(e2.getMessage.contains(s"${t}_ux"), e2.getMessage)
+    sql(s"DROP INDEX ${t}_ux")
+    sql(s"INSERT INTO $t VALUES ('hello', 7)") // constraint gone
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(5L)))
+  }
+
   test("DO UPDATE re-keying into another unique key's collision aborts") {
     val t = fresh()
     sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")

@@ -128,8 +128,16 @@ class SqlDmlSpec extends SparkSpec {
         Some("a < 3"), None, "", None)))
     assert(detect("UPDATE t SET (a, b) = (1, 2, 3)")
       == Some(Unsupported("2 columns assigned 3 values")))
+    // a FROM-less row-value subquery IS the plain row-value form
     assert(detect("UPDATE t SET (a, b) = (SELECT 1, 2)")
-      == Some(Unsupported("UPDATE with a row-value subquery SET")))
+      == Some(Update("t", Seq("a" -> "1", "b" -> "2"), None, None, "",
+        None)))
+    // a FROM-carrying one splits into per-column correlated subqueries
+    assert(detect("UPDATE t SET (a, b) = (SELECT x, y FROM s WHERE s.k = t.k)")
+      == Some(Update("t",
+        Seq("a" -> "(SELECT x FROM s WHERE s.k = t.k)",
+            "b" -> "(SELECT y FROM s WHERE s.k = t.k)"),
+        None, None, "", None)))
     // mangled statements fall back to the bare-verb decline
     assert(detect("UPDATE t SET = 5") == Some(Unsupported("UPDATE")))
     assert(detect("DELETE t WHERE x = 1") == Some(Unsupported("DELETE")))
@@ -659,15 +667,19 @@ class SqlDmlSpec extends SparkSpec {
       Runner.runSql(spark, "CREATE INDEX idx_m ON no_such_table (x)")
     }
     assert(m.getMessage.contains("not a registered"))
-    // unsound UNIQUE variants decline targeted
+    // unsound UNIQUE variants decline targeted; the expression form
+    // now parses with its raw item texts (enforced via the
+    // expression-key machinery)
     import SqlDml._
-    assert(detect("CREATE UNIQUE INDEX e ON t (lower(a))")
-      == Some(Unsupported("CREATE UNIQUE INDEX on an expression")))
+    detect("CREATE UNIQUE INDEX e ON t (lower(a))") match {
+      case Some(CreateIndex("e", "t", Nil, true, false, _, Seq("lower(a)"))) =>
+      case other => fail(s"expected expression-keyed CreateIndex, got $other")
+    }
     assert(detect("CREATE UNIQUE INDEX e ON t (a) WHERE a > 0")
       == Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE")))
     // a plain expression/partial index is still a sound no-op
     detect("CREATE INDEX e ON t (lower(a)) WHERE a > 0") match {
-      case Some(CreateIndex("e", "t", Nil, false, false, _)) =>
+      case Some(CreateIndex("e", "t", Nil, false, false, _, _)) =>
       case other => fail(s"expected no-op CreateIndex, got $other")
     }
   }
@@ -680,6 +692,40 @@ class SqlDmlSpec extends SparkSpec {
     // the id/v swap read the OLD row on both sides (sqlite3-pinned)
     assert(rows.contains(Seq(10L, "one", 1L)), rows.toString)
     assert(rows.count(_ == Seq(2L, "two", 20L)) == 1)
+  }
+
+  test("row-value SUBQUERY SET executes per-column correlated; " +
+      "no-match rows assign NULLs (sqlite3-pinned)") {
+    freshView("rvq_t")
+    Seq((1L, "ONE", 100L), (2L, "TWO", 200L))
+      .toDF("sid", "sname", "sv").createOrReplaceTempView("rvq_src")
+    Runner.runSql(spark,
+      """UPDATE rvq_t SET (name, v) =
+           (SELECT sname, sv FROM rvq_src WHERE rvq_src.sid = rvq_t.id)
+         WHERE id < 3""")
+    val rows = spark.table("rvq_t").orderBy("id")
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(rows == Seq(Seq(1L, "ONE", 100L), Seq(2L, "TWO", 200L),
+      Seq(3L, "three", 30L)), rows.toString)
+    // a matching row MISSING from the source assigns NULLs (measured)
+    Runner.runSql(spark,
+      """UPDATE rvq_t SET (name, v) =
+           (SELECT sname, sv FROM rvq_src WHERE rvq_src.sid = rvq_t.id)
+         WHERE id = 3""")
+    val r3 = spark.table("rvq_t").where("id = 3")
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(r3 == Seq(Seq(3L, null, null)), r3.toString)
+    // the FROM-less subquery form is the plain row-value swap
+    freshView("rvq_u")
+    Runner.runSql(spark,
+      "UPDATE rvq_u SET (id, v) = (SELECT v, id) WHERE id = 1")
+    val swapped = spark.table("rvq_u").where("v = 1")
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(swapped == Seq(Seq(10L, "one", 1L)), swapped.toString)
+    // star / DISTINCT forms decline named
+    import SqlDml._
+    assert(detect("UPDATE t SET (a, b) = (SELECT * FROM s)")
+      == Some(Unsupported("UPDATE with a star/DISTINCT row-value subquery SET")))
   }
 
   test("UPDATE … FROM joins, updates matched rows only, resolves deterministically") {

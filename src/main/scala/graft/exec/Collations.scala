@@ -54,12 +54,17 @@ object Collations {
     val all = SessionKeys.allCollates(spark)
     val referenced = all.filter { case (t, _) => referencesWord(sql, t) }
     if (referenced.isEmpty) return sql
-    // column -> collation over the referenced tables; conflicting
-    // declarations for one name drop the name (never guess)
-    val byCol = referenced.values.flatten
-      .groupBy(_._1).flatMap { case (c, vs) =>
+    // column -> (collation, declaring tables) over the referenced
+    // tables; conflicting declarations for one name drop the name
+    // (never guess)
+    val byCol: Map[String, (String, Set[String])] =
+      referenced.toSeq.flatMap { case (t, m) => m.toSeq.map {
+        case (c, v) => (c, v, t)
+      } }.groupBy(_._1).flatMap { case (c, vs) =>
         val distinct = vs.map(_._2).toSet
-        if (distinct.size == 1) Some(c -> distinct.head) else None
+        if (distinct.size == 1)
+          Some(c -> (distinct.head, vs.map(_._3).toSet))
+        else None
       }
     if (byCol.isEmpty) return sql
     val injected = inject(sql, byCol)
@@ -110,8 +115,13 @@ object Collations {
     * columns. The scan tracks paren depth and an ORDER BY / GROUP BY
     * scope at its depth, skips quoted regions, and never decorates a
     * reference that already carries a COLLATE, is a function call, or
-    * is itself a qualifier (`x` in `x.y`). */
-  private def inject(sql: String, byCol: Map[String, String]): String = {
+    * is itself a qualifier (`x` in `x.y`). A QUALIFIED reference folds
+    * only when the qualifier IS a declaring table's name — `u.x` with
+    * `u` some other relation must not take `t`'s collation, and an
+    * alias-qualified reference stays unfolded (conservative — README
+    * divergence table). */
+  private def inject(sql: String,
+                     byCol: Map[String, (String, Set[String])]): String = {
     val out = new java.lang.StringBuilder
     var i = 0
     var depth = 0
@@ -142,20 +152,44 @@ object Collations {
                  Set("limit", "having", "union", "intersect", "except",
                    "window", "from", "where")(w)) byDepth = -1
         byCol.get(w) match {
-          case Some(collation) =>
+          case Some((collation, declaringTables)) =>
             val next = ws(e)
             val prevEnd = {
               var p = i
               while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
               p
             }
+            // a qualified reference folds only under a DECLARING
+            // table's own name; alias/other-table qualifiers skip
+            val qualifierOk =
+              if (prevEnd == 0 || sql.charAt(prevEnd - 1) != '.') true
+              else {
+                var qe = prevEnd - 1
+                while (qe > 0 && sql.charAt(qe - 1).isWhitespace) qe -= 1
+                var qs = qe
+                while (qs > 0 && isWordChar(sql.charAt(qs - 1))) qs -= 1
+                qs < qe && declaringTables.contains(
+                  sql.substring(qs, qe).toLowerCase)
+              }
             val isQualifier = next < sql.length && sql.charAt(next) == '.'
             val isCall = next < sql.length && sql.charAt(next) == '('
             val alreadyCollated = keywordAt(sql, next, "collate")
             val cmpAfter = isCmpAt(sql, next)
-            val cmpBefore = isCmpEndingAt(sql, prevEnd)
+            // the operator-before test looks past a `qualifier.`
+            // prefix (for `u = t.x` the operator sits before `t`)
+            val opBeforeAt = {
+              var p = prevEnd
+              if (p > 0 && sql.charAt(p - 1) == '.') {
+                p -= 1
+                while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
+                while (p > 0 && isWordChar(sql.charAt(p - 1))) p -= 1
+                while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
+              }
+              p
+            }
+            val cmpBefore = isCmpEndingAt(sql, opBeforeAt)
             val inByList = byDepth == depth
-            if (!isQualifier && !isCall && !alreadyCollated &&
+            if (!isQualifier && !isCall && !alreadyCollated && qualifierOk &&
                 (cmpAfter || cmpBefore || inByList)) {
               out.append(sql, i, e).append(" COLLATE ").append(collation)
             } else out.append(sql, i, e)

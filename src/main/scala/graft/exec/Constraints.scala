@@ -95,8 +95,12 @@ object Constraints {
     * texts — a plain column key carries its backtick-quoted names, an
     * expression index its translated expressions; `label` is the text
     * SQLite's UNIQUE error names (`t.c1, t.c2` for column keys,
-    * `index 'name'` for expression keys — both measured). */
-  final case class UniqueKey(label: String, exprs: Seq[String])
+    * `index 'name'` for expression keys — both measured). A PARTIAL
+    * index carries its executable predicate in `where`: uniqueness
+    * applies only among predicate-TRUE rows (measured — exempt rows
+    * neither conflict nor displace). */
+  final case class UniqueKey(label: String, exprs: Seq[String],
+                             where: Option[String] = None)
 
   /** A column-list key in [[UniqueKey]] form. */
   def plainKey(table: String, cols: Seq[String]): UniqueKey =
@@ -110,18 +114,23 @@ object Constraints {
     * 100 TB path pays nothing anywhere below). */
   def uniqueKeys(spark: SparkSession, table: String,
                  tableCols: Seq[String]): Seq[UniqueKey] = {
-    val colKeys = (SessionKeys.declaredPk(spark, table).toSeq ++
-      SessionKeys.indexesFor(spark, table)
-        .filter(i => i._3 && i._2.nonEmpty).map(_._2))
+    val pkKeys = SessionKeys.declaredPk(spark, table).toSeq
       .flatMap { ks =>
         val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
         if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
-      }.distinct
+      }
       .map(cols => plainKey(table, cols))
+    val colKeys = SessionKeys.uniqueColIndexes(spark, table)
+      .flatMap { case (_, ks, w) =>
+        val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
+        if (resolved.forall(_.isDefined))
+          Some(plainKey(table, resolved.flatten).copy(where = w))
+        else None
+      }
     val exprKeys = SessionKeys.uniqueExprIndexes(spark, table).map {
-      case (name, es) => UniqueKey(s"index '$name'", es)
+      case (name, es, w) => UniqueKey(s"index '$name'", es, w)
     }
-    colKeys ++ exprKeys
+    (pkKeys ++ colKeys ++ exprKeys).distinct
   }
 
   /** SQLite's `UNIQUE constraint failed: <label>` over the
@@ -140,7 +149,12 @@ object Constraints {
     val keys = uniqueKeys(spark, table, merged.columns.toSeq)
     keys.foreach { k =>
       val es = k.exprs.map(expr)
-      val nonNull = merged.filter(es.map(_.isNotNull).reduce(_ && _))
+      val inScope = k.where match {
+        case Some(w) => merged.filter(coalesce(
+          expr(w).cast(BooleanType), lit(false)))
+        case None => merged
+      }
+      val nonNull = inScope.filter(es.map(_.isNotNull).reduce(_ && _))
       val dup = nonNull.groupBy(es: _*)
         .count().filter(col("count") > 1L).limit(1)
       if (!dup.isEmpty)
@@ -155,13 +169,20 @@ object Constraints {
     * never match (anti-join equality), SQLite's rule. */
   def dropConflicting(df: DataFrame, base: DataFrame,
                       key: UniqueKey): DataFrame = {
-    val bk = base.select(key.exprs.zipWithIndex.map { case (e, i) =>
+    val basePred = key.where.map(w =>
+      coalesce(expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+    val bk = base.filter(basePred)
+      .select(key.exprs.zipWithIndex.map { case (e, i) =>
         expr(e).as(s"__uk$i")
       }.toIndexedSeq: _*)
       .filter(key.exprs.indices.map(i => col(s"__uk$i").isNotNull)
         .reduce(_ && _))
       .distinct()
-    df.join(bk, key.exprs.zipWithIndex.map { case (e, i) =>
+    // a PARTIAL key's predicate rides the join condition: a left row
+    // outside the predicate matches nothing, so it always survives
+    val leftPred = key.where.map(w =>
+      coalesce(expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+    df.join(bk, leftPred && key.exprs.zipWithIndex.map { case (e, i) =>
         expr(e) === bk(s"__uk$i")
       }.reduce(_ && _), "left_anti")
   }
@@ -185,7 +206,9 @@ object Constraints {
       .withColumnRenamed("rowid", pos)
     val resolved = keys.foldLeft(tagged) { (acc, k) =>
       val es = k.exprs.map(expr)
-      val nonNull = es.map(_.isNotNull).reduce(_ && _)
+      val inScope = k.where.map(p =>
+        coalesce(expr(p).cast(BooleanType), lit(false))).getOrElse(lit(true))
+      val nonNull = es.map(_.isNotNull).reduce(_ && _) && inScope
       val w = Window.partitionBy(es: _*)
         .orderBy(if (keepLast) col(pos).desc else col(pos).asc)
       acc.withColumn("__graft_urn",

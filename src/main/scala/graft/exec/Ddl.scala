@@ -37,10 +37,19 @@ object Ddl {
         s"CREATE VIEW ${stmt.name}: relation already exists (SQLite " +
           s"semantics); add IF NOT EXISTS or DROP VIEW it first")
     }
+    // a column list renames the select's outputs positionally —
+    // SQLite's rule, and exactly Spark's CREATE TEMPORARY VIEW form
+    val colList =
+      if (stmt.cols.isEmpty) ""
+      else stmt.cols.map(quote).mkString(" (", ", ", ")")
     spark.sql(
-      s"CREATE OR REPLACE TEMPORARY VIEW ${quote(stmt.name)} AS ${stmt.sourceSql}")
+      s"CREATE OR REPLACE TEMPORARY VIEW ${quote(stmt.name)}$colList " +
+        s"AS ${stmt.sourceSql}")
+    val rawList =
+      if (stmt.cols.isEmpty) ""
+      else stmt.cols.mkString("(", ", ", ") ")
     SessionViews.add(spark, stmt.name,
-      s"CREATE VIEW ${stmt.name} AS ${stmt.sourceSql}")
+      s"CREATE VIEW ${stmt.name} $rawList".trim + s" AS ${stmt.sourceSql}")
     Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }
@@ -427,6 +436,21 @@ object Ddl {
     // NOW (SQLite checks at CREATE), then register the executable
     // texts — uniqueness enforces over them and the REPLACE/IGNORE
     // machinery displaces/skips on them (exec.Constraints)
+    val uwhere = stmt.where.map { raw =>
+      if (containsSelect(raw))
+        throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: subqueries prohibited in partial index " +
+            s"WHERE clauses")
+      val ex = generatedExecSql(raw)
+      try base.filter(org.apache.spark.sql.functions.expr(ex))
+        .queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$verb ${stmt.name}: error in partial-index WHERE: " +
+            s"${e.getMessage}", e)
+      }
+      ex
+    }
     val uexprs = stmt.exprs.map { raw =>
       if (containsSelect(raw))
         throw new IllegalArgumentException(
@@ -442,7 +466,8 @@ object Ddl {
       ex
     }
     val fresh = SessionKeys.registerIndex(spark, stmt.name, stmt.table,
-      stmt.cols, stmt.unique, riders = stmt.riders, uexprs = uexprs)
+      stmt.cols, stmt.unique, riders = stmt.riders, uexprs = uexprs,
+      uwhere = if (stmt.unique) uwhere else None)
     if (!fresh && !stmt.ifNotExists)
       throw new IllegalArgumentException(
         s"$verb: index ${stmt.name} already exists (SQLite semantics); " +
@@ -528,7 +553,7 @@ object Ddl {
       }
     // …and expression-keyed unique indexes (same stored-text rule)
     SessionKeys.uniqueExprIndexes(spark, stmt.table)
-      .find(_._2.exists(refHits(_, stmt.oldCol))).foreach { case (ix, _) =>
+      .find(_._2.exists(refHits(_, stmt.oldCol))).foreach { case (ix, _, _) =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE ${stmt.table} RENAME COLUMN ${stmt.oldCol}: " +
             s"referenced by unique index $ix; DROP INDEX it first")
@@ -698,7 +723,7 @@ object Ddl {
             s"no such column: ${stmt.col}"))
     // …and one an expression-keyed unique index references
     SessionKeys.uniqueExprIndexes(spark, stmt.table)
-      .find(_._2.exists(refHits(_, stmt.col))).foreach { case (ix, _) =>
+      .find(_._2.exists(refHits(_, stmt.col))).foreach { case (ix, _, _) =>
         throw new IllegalArgumentException(
           s"ALTER TABLE ${stmt.table}: cannot drop column ${stmt.col}: " +
             s"indexed by $ix (SQLite semantics); DROP INDEX it first")

@@ -167,13 +167,15 @@ object Pragma {
   /** `PRAGMA index_list(T)`: the session-declared indexes
     * ([[SessionKeys]] — `CREATE [UNIQUE] INDEX` plus UNIQUE-constraint
     * autoindexes), SQLite's shape: origin 'c' (created) / 'u' (unique
-    * constraint), partial 0 (partial UNIQUE declines at parse; plain
-    * partials register without their predicate). */
+    * constraint), partial = 1 for indexes declared with a WHERE
+    * predicate. */
   private def indexList(spark: SparkSession, table: String): DataFrame = {
     spark.table(Ddl.quote(table)) // targeted missing-table error
+    val partials = SessionKeys.partialIndexNames(spark, table)
     val rows = SessionKeys.indexesFor(spark, table).zipWithIndex.map {
       case ((name, _, unique, origin), i) =>
-        Row(i, name, if (unique) 1 else 0, origin, 0)
+        Row(i, name, if (unique) 1 else 0, origin,
+          if (partials(name.toLowerCase)) 1 else 0)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),

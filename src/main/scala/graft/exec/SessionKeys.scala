@@ -32,7 +32,11 @@ object SessionKeys {
                                      // expression-keyed UNIQUE index:
                                      // executable Spark-SQL item texts
                                      // (cols empty then)
-                                     uexprs: Seq[String] = Nil)
+                                     uexprs: Seq[String] = Nil,
+                                     // partial-index predicate,
+                                     // executable (uniqueness applies
+                                     // only among predicate-TRUE rows)
+                                     uwhere: Option[String] = None)
 
   private final class State {
     // lowercased table -> declared PRIMARY KEY
@@ -107,29 +111,56 @@ object SessionKeys {
                     cols: Seq[String], unique: Boolean,
                     origin: String = "c",
                     riders: Seq[(Boolean, String)] = Nil,
-                    uexprs: Seq[String] = Nil): Boolean = {
+                    uexprs: Seq[String] = Nil,
+                    uwhere: Option[String] = None): Boolean = {
     val s = state(spark)
     s.synchronized {
       val n = name.toLowerCase
       if (s.indexes.contains(n)) false
       else {
         s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin,
-          riders, uexprs)
+          riders, uexprs, uwhere)
         true
       }
     }
   }
 
   /** Expression-keyed UNIQUE indexes on a table, name-ordered:
-    * (index name, executable item expressions). */
+    * (index name, executable item expressions, partial predicate). */
   def uniqueExprIndexes(spark: SparkSession, table: String)
-      : Seq[(String, Seq[String])] = {
+      : Seq[(String, Seq[String], Option[String])] = {
     val s = state(spark)
     val t = table.toLowerCase
     s.synchronized {
       s.indexes.toSeq
         .filter(e => e._2.table == t && e._2.unique && e._2.uexprs.nonEmpty)
-        .sortBy(_._1).map { case (n, i) => (n, i.uexprs) }
+        .sortBy(_._1).map { case (n, i) => (n, i.uexprs, i.uwhere) }
+    }
+  }
+
+  /** Column-keyed UNIQUE indexes on a table, name-ordered: (index
+    * name, columns, partial predicate) — the enforcement set
+    * ([[Constraints.uniqueKeys]] pairs it with the declared PK). */
+  def uniqueColIndexes(spark: SparkSession, table: String)
+      : Seq[(String, Seq[String], Option[String])] = {
+    val s = state(spark)
+    val t = table.toLowerCase
+    s.synchronized {
+      s.indexes.toSeq
+        .filter(e => e._2.table == t && e._2.unique && e._2.cols.nonEmpty)
+        .sortBy(_._1).map { case (n, i) => (n, i.cols, i.uwhere) }
+    }
+  }
+
+  /** Names of the table's PARTIAL indexes (the `partial` flag of
+    * `PRAGMA index_list`). */
+  def partialIndexNames(spark: SparkSession, table: String): Set[String] = {
+    val s = state(spark)
+    val t = table.toLowerCase
+    s.synchronized {
+      s.indexes.toSeq
+        .filter(e => e._2.table == t && e._2.uwhere.isDefined)
+        .map(_._1).toSet
     }
   }
 
@@ -529,10 +560,13 @@ object SessionKeys {
     s.synchronized {
       s.pks.get(t).orElse {
         // expression-keyed unique indexes (cols empty) can't be a
-        // column-list conflict key — skipped here; the REPLACE/IGNORE
-        // displacement machinery handles them through uniqueExprIndexes
+        // column-list conflict key, and a PARTIAL one only keys its
+        // predicate-TRUE rows — both skipped here; the REPLACE/IGNORE
+        // displacement machinery handles them through
+        // uniqueExprIndexes/uniqueColIndexes
         s.indexes.toSeq
-          .filter(e => e._2.table == t && e._2.unique && e._2.cols.nonEmpty)
+          .filter(e => e._2.table == t && e._2.unique &&
+            e._2.cols.nonEmpty && e._2.uwhere.isEmpty)
           .sortBy(_._1).headOption.map(_._2.cols)
       }
     }

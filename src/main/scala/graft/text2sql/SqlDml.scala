@@ -118,11 +118,14 @@ object SqlDml {
                           limit: Option[String] = None,
                           offset: Option[String] = None) extends Stmt
 
-  /** `CREATE [TEMP] VIEW name AS select` — executed as a session
-    * (temporary) view; the reference's SQLite database is itself
-    * session-scoped, so the lifetime matches. */
+  /** `CREATE [TEMP] VIEW name [(cols)] AS select` — executed as a
+    * session (temporary) view; the reference's SQLite database is
+    * itself session-scoped, so the lifetime matches. A column list
+    * renames the select's output columns positionally (SQLite's rule;
+    * Spark's CREATE TEMPORARY VIEW takes the same form). */
   final case class CreateView(name: String, ifNotExists: Boolean,
-                              sourceSql: String) extends Stmt
+                              sourceSql: String,
+                              cols: Seq[String] = Nil) extends Stmt
 
   /** `CREATE [TEMP] TABLE name AS select` (CTAS) — materialized
     * (parquet) and registered as a session table. */
@@ -225,7 +228,13 @@ object SqlDml {
                                // the ASC/DESC/COLLATE riders, kept so
                                // PRAGMA index_xinfo can answer honestly
                                riders: Seq[(Boolean, String)] = Nil,
-                               exprs: Seq[String] = Nil)
+                               exprs: Seq[String] = Nil,
+                               // partial-index predicate (raw): a
+                               // partial UNIQUE index enforces only
+                               // among predicate-TRUE rows (measured —
+                               // exempt rows neither conflict nor
+                               // displace)
+                               where: Option[String] = None)
     extends Stmt
 
   /** `DROP INDEX [IF EXISTS] name` — unregisters the index (and its
@@ -740,10 +749,21 @@ object SqlDml {
     j = skipWs(sql, afterName)
     // a paren after the name: column DEFINITIONS for TABLE (an empty
     // typed relation — SQLite's affinity rules pick the lake types), a
-    // renaming column list for VIEW (declined: a visible error beats
-    // mis-binding)
+    // renaming column list for VIEW (positional output renames,
+    // SQLite's rule)
     if (j < sql.length && sql.charAt(j) == '(') {
-      if (!isTable) return Some(Unsupported(s"$verb with a column list"))
+      if (!isTable) {
+        val close = closeParen(sql, j)
+        if (close < 0) return Some(Unsupported(verb))
+        val vcols = splitTopCommas(sql.substring(j + 1, close))
+          .map(c => unquoteIdent(c.trim)).filter(_.nonEmpty)
+        if (vcols.isEmpty) return Some(Unsupported(verb))
+        val k = skipWs(sql, close + 1)
+        if (!keywordAt(sql, k, "as")) return Some(Unsupported(verb))
+        val src = sql.substring(skipWs(sql, k + 2)).trim
+        if (src.isEmpty) return Some(Unsupported(verb))
+        return Some(CreateView(name, ifNotExists, src, vcols))
+      }
       val close = closeParen(sql, j)
       if (close < 0) return Some(Unsupported("CREATE TABLE"))
       // table-options tail: `[WITHOUT ROWID | STRICT] [, …]` — both
@@ -1473,8 +1493,13 @@ object SqlDml {
     val cols = parsed.map(_._1)
     val tail = skipWs(sql, close + 1)
     val partial = tail < sql.length && keywordAt(sql, tail, "where")
-    if (unique && partial)
-      return Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE"))
+    val whereExpr =
+      if (!partial) None
+      else {
+        val w = sql.substring(skipWs(sql, tail + 5)).trim
+        if (w.isEmpty) return Some(Unsupported(verb))
+        Some(w)
+      }
     if (tail < sql.length && !partial) return Some(Unsupported(verb))
     // an expression-keyed UNIQUE index keeps its raw item texts — the
     // executor validates/translates them and the constraint enforces
@@ -1486,7 +1511,8 @@ object SqlDml {
     Some(CreateIndex(name, table, if (exprKey) Nil else cols, unique,
       ifNotExists,
       if (exprKey) Nil else parsed.map(p => (p._2, p._3)),
-      if (unique && exprKey) rawItems else Nil))
+      if (unique && exprKey) rawItems else Nil,
+      whereExpr))
   }
 
   /** Parse `table [(col, …)] (SELECT …| VALUES …) [ON CONFLICT …]`

@@ -56,6 +56,24 @@ class CollationSpec extends SparkSpec {
       Seq(Seq("APPLE", 2L), Seq("BANANA", 2L), Seq("CHERRY", 1L)))
   }
 
+  test("qualified references fold only under the DECLARING table's " +
+      "name; aliases and other tables' same-named columns stay binary") {
+    val t = fixture()
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE $t.x = 'APPLE'") ==
+      Seq(Seq(2L)))
+    // an alias qualifier stays unfolded (conservative — documented)
+    assert(rowsOf(s"SELECT count(*) FROM $t tt WHERE tt.x = 'APPLE'") ==
+      Seq(Seq(0L)))
+    // another table's same-named column never takes t's collation,
+    // even with the collated table referenced in the same statement
+    val o = fresh()
+    sql(s"CREATE TABLE $o(x TEXT)")
+    sql(s"INSERT INTO $o VALUES ('Apple')")
+    assert(rowsOf(
+      s"SELECT count(*) FROM $o, $t WHERE $o.x = 'APPLE' AND $t.k = 1")
+      == Seq(Seq(0L)))
+  }
+
   test("an explicit COLLATE in the statement takes precedence — the " +
       "declared fold steps aside entirely (measured: BINARY finds 0)") {
     val t = fixture()

@@ -139,6 +139,35 @@ class UniqueSpec extends SparkSpec {
     assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(5L)))
   }
 
+  test("a PARTIAL unique index enforces only among predicate-TRUE " +
+      "rows; exempt rows neither conflict nor displace (all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT, b INT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (a) WHERE b > 0")
+    sql(s"INSERT INTO $t VALUES (1, 1)")
+    sql(s"INSERT INTO $t VALUES (1, 0)") // exempt: b <= 0
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES (1, 2)"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.a"),
+      e.getMessage)
+    // OR REPLACE displaces only the in-predicate conflictor (measured:
+    // (1,1) goes, (1,0) survives)
+    sql(s"INSERT OR REPLACE INTO $t VALUES (1, 5)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, 0L), Seq(1L, 5L)))
+    // OR IGNORE skips the in-predicate conflictor, keeps the rest
+    sql(s"INSERT OR IGNORE INTO $t VALUES (1, 7), (2, 8)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, 0L), Seq(1L, 5L), Seq(2L, 8L)))
+    // an OUT-of-predicate incoming row conflicts with nothing
+    sql(s"INSERT OR REPLACE INTO $t VALUES (1, -1)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, -1L), Seq(1L, 0L), Seq(1L, 5L), Seq(2L, 8L)))
+    // PRAGMA index_list reports the partial flag
+    assert(rowsOf(s"PRAGMA index_list($t)")
+      .map(r => (r(1), r(2), r(4))) == Seq((s"${t}_ux", 1, 1)))
+    sql(s"DROP INDEX ${t}_ux")
+  }
+
   test("DO UPDATE re-keying into another unique key's collision aborts") {
     val t = fresh()
     sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")

@@ -434,6 +434,15 @@ class SqlDmlSpec extends SparkSpec {
       "CREATE VIEW ddl_v AS SELECT id, upper(name) AS uname FROM ddl_src WHERE id >= 2")
     assert(spark.table("ddl_v").orderBy("id")
       .collect().map(_.getString(1)).toSeq == Seq("TWO", "THREE"))
+    // a column list renames the outputs positionally (SQLite's rule),
+    // and the sqlite_master text carries it as written
+    Runner.runSql(spark,
+      "CREATE VIEW ddl_vc (vid, vname) AS SELECT id, name FROM ddl_src")
+    assert(spark.table("ddl_vc").columns.toSeq == Seq("vid", "vname"))
+    assert(Runner.runSql(spark,
+        "SELECT sql FROM sqlite_master WHERE name = 'ddl_vc'")
+      .head().getString(0).contains("(vid, vname)"))
+    Runner.runSql(spark, "DROP VIEW ddl_vc")
     // CTAS materializes: mutating nothing, rows persist as stored files
     Runner.runSql(spark,
       "CREATE TABLE ddl_t AS SELECT id, v * 2 AS v2 FROM ddl_src")
@@ -672,14 +681,19 @@ class SqlDmlSpec extends SparkSpec {
     // expression-key machinery)
     import SqlDml._
     detect("CREATE UNIQUE INDEX e ON t (lower(a))") match {
-      case Some(CreateIndex("e", "t", Nil, true, false, _, Seq("lower(a)"))) =>
+      case Some(CreateIndex("e", "t", Nil, true, false, _, Seq("lower(a)"), None)) =>
       case other => fail(s"expected expression-keyed CreateIndex, got $other")
     }
-    assert(detect("CREATE UNIQUE INDEX e ON t (a) WHERE a > 0")
-      == Some(Unsupported("CREATE UNIQUE INDEX with a partial-index WHERE")))
+    // partial UNIQUE now parses with its predicate (enforced only
+    // among predicate-TRUE rows — UniqueSpec)
+    detect("CREATE UNIQUE INDEX e ON t (a) WHERE a > 0") match {
+      case Some(CreateIndex("e", "t", Seq("a"), true, false, _, Nil,
+          Some("a > 0"))) =>
+      case other => fail(s"expected partial CreateIndex, got $other")
+    }
     // a plain expression/partial index is still a sound no-op
     detect("CREATE INDEX e ON t (lower(a)) WHERE a > 0") match {
-      case Some(CreateIndex("e", "t", Nil, false, false, _, _)) =>
+      case Some(CreateIndex("e", "t", Nil, false, false, _, _, _)) =>
       case other => fail(s"expected no-op CreateIndex, got $other")
     }
   }

@@ -145,8 +145,11 @@ object Constraints {
     * UNIQUE first; either way the statement aborts with a real
     * constraint error. */
   def assertUnique(spark: SparkSession, table: String,
-                   merged: DataFrame): Unit = {
+                   merged: DataFrame,
+                   probe0: => Option[DataFrame] = None): Unit = {
     val keys = uniqueKeys(spark, table, merged.columns.toSeq)
+    if (keys.isEmpty) return
+    val probe = probe0 // forced once, only when keys exist
     keys.foreach { k =>
       val es = k.exprs.map(expr)
       val inScope = k.where match {
@@ -155,7 +158,31 @@ object Constraints {
         case None => merged
       }
       val nonNull = inScope.filter(es.map(_.isNotNull).reduce(_ && _))
-      val dup = nonNull.groupBy(es: _*)
+      // scale guard: a new duplicate must involve a key the STATEMENT
+      // wrote — with `probe` (the incoming/updated slice) the count
+      // runs over the semi-joined sliver, O(batch) instead of
+      // O(table) per key (rows already in the table passed this check
+      // at their own write). SQLite's index probe has the same cost
+      // shape.
+      val scoped = probe match {
+        case Some(p) =>
+          val pin = k.where match {
+            case Some(w) => p.filter(coalesce(
+              expr(w).cast(BooleanType), lit(false)))
+            case None => p
+          }
+          val pk = pin.select(k.exprs.zipWithIndex.map { case (e2, i) =>
+              expr(e2).as(s"__uq$i")
+            }.toIndexedSeq: _*)
+            .filter(k.exprs.indices.map(i => col(s"__uq$i").isNotNull)
+              .reduce(_ && _))
+            .distinct()
+          nonNull.join(pk, k.exprs.zipWithIndex.map { case (e2, i) =>
+              expr(e2) === pk(s"__uq$i")
+            }.reduce(_ && _), "left_semi")
+        case None => nonNull
+      }
+      val dup = scoped.groupBy(es: _*)
         .count().filter(col("count") > 1L).limit(1)
       if (!dup.isEmpty)
         throw new IllegalArgumentException(

@@ -261,8 +261,12 @@ object Mutate {
           ForeignKeys.assertParentTransition(spark, u.table, base, merged,
             "update")
       }
-      // re-keying into a collision aborts with SQLite's UNIQUE error
-      Constraints.assertUnique(spark, u.table, merged)
+      // re-keying into a collision aborts with SQLite's UNIQUE error;
+      // probed by the updated slice (new images of WHERE-true rows),
+      // so the scan is O(touched), never O(table)
+      Constraints.assertUnique(spark, u.table, merged,
+        Some(spark.sql((s"${u.withPrefix} SELECT ${proj.mkString(", ")} " +
+          s"FROM ${q(u.table)} WHERE $cond").trim)))
       val out = rebind(spark, u.table, merged, ret)
       if (fkMapNeeded) {
         slice.foreach(sl =>
@@ -301,14 +305,6 @@ object Mutate {
         s"UPDATE ${u.table}: no such column(s) ${unknown.mkString(", ")}")
     Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
     guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
-    if (SessionKeys.strictFor(spark, u.table).nonEmpty)
-      // the assignment exprs reference the FROM sources, so their
-      // static type can't resolve against the target table alone —
-      // targeted decline instead of unchecked writes into a STRICT
-      // table
-      throw new UnsupportedOperationException(
-        "UPDATE … FROM on a STRICT table is not supported; " +
-          "use a plain UPDATE")
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val gen = Upsert.nextGeneration()
     val rid = "__graft_rid"
@@ -323,9 +319,24 @@ object Mutate {
       // FROM list reads the old state, as SQLite's does)
       val alias = q(u.table)
       val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+      // STRICT tables: each assignment routes through the checked cast
+      // (SQLite 3.37 type rules); the expression's static type resolves
+      // against the JOINED frame — target alias plus the FROM sources
+      val strictTypes = SessionKeys.strictFor(spark, u.table)
+      def castOf(e: String, f: org.apache.spark.sql.types.StructField)
+          : String =
+        strictTypes.get(f.name.toLowerCase) match {
+          case Some(decl) =>
+            val src = spark.sql(
+              (s"${u.withPrefix} SELECT ($e) AS v FROM `$bview` AS $alias, " +
+                s"${u.from.get} LIMIT 0").trim).schema.head.dataType
+            Strict.castSql(e, src, decl, f.dataType.sql,
+              s"${u.table}.${f.name}")
+          case None => s"CAST(($e) AS ${f.dataType.sql})"
+        }
       val pickFields = base.schema.fields.map { f =>
         val v = assigns.get(f.name.toLowerCase) match {
-          case Some(e) => s"CAST(($e) AS ${f.dataType.sql})"
+          case Some(e) => castOf(e, f)
           case None    => s"$alias.${q(f.name)}"
         }
         s"'${f.name.replace("'", "''")}', $v"
@@ -384,7 +395,8 @@ object Mutate {
           ForeignKeys.assertParentTransition(spark, u.table, base, merged,
             "update")
         }
-        Constraints.assertUnique(spark, u.table, merged)
+        Constraints.assertUnique(spark, u.table, merged,
+          Some(matched.drop("__rid")))
         val out = rebind(spark, u.table, merged, ret)
         slice.foreach(sl => Triggers.fire(spark, u.table, "update",
           setColNames, "after", sl))
@@ -630,7 +642,7 @@ object Mutate {
             ForeignKeys.assertParentTransition(spark, u.table, base, merged,
               "update")
           }
-          Constraints.assertUnique(spark, u.table, merged)
+          Constraints.assertUnique(spark, u.table, merged, Some(updated))
           rebind(spark, u.table, merged, ret)
       }
     } finally {

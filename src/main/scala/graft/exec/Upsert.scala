@@ -487,8 +487,10 @@ object Upsert {
         // post-state uniqueness over every declared key — SQLite's
         // `UNIQUE constraint failed: t.c` (plain INSERT duplicates, a
         // DO UPDATE re-keying into a collision, a targeted DO NOTHING
-        // conflicting on another key — all abort here)
-        Constraints.assertUnique(spark, stmt.table, merged)
+        // conflicting on another key — all abort here); probed by the
+        // statement's own written slice, so the scan is O(batch)
+        Constraints.assertUnique(spark, stmt.table, merged,
+          Some(affected))
         // the NOT NULL/CHECK guard rides the materializing write — a
         // violating row raises SQLite's error and Atomic rolls back
         Constraints.guard(spark, stmt.table, merged)

@@ -679,6 +679,35 @@ object QueriesExt {
         .orderBy("doc_id", "comp")
     }),
 
+    // QUALITY-AWARE CANONICAL SELECTION: keep the best document per
+    // near-dup cluster instead of an arbitrary/min-id representative —
+    // the production dedup shape (drop the truncated/boilerplated
+    // variants, keep the richest). Reuses the ext_dedup_clusters
+    // pipeline; the selection is ONE hash aggregation over (comp,
+    // quality, id) — max(struct(q, -id)) picks highest quality with
+    // the smallest id breaking ties, no window sort, text never
+    // shuffles past the cluster join.
+    "ext_dedup_canonical" -> ((s, d) => {
+      val docs = t("documents")(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+          numHashes = 32, bands = 8, maxShingleDf = 300, maxBucket = 64)
+        .select("id1", "id2")
+      val comps = Dedup.components(pairs,
+        corpus.select(col("doc_id").as("id")))
+      corpus.join(comps, corpus("doc_id") === comps("id"))
+        .select(col("comp"), col("doc_id"),
+          length(col("text")).cast("long").as("q"))
+        .groupBy("comp")
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("comp"), (-col("m.nid")).as("doc_id"),
+          col("m.q").as("q"))
+        .orderBy("comp")
+    }),
+
     // NEAR-DUP SOFT WEIGHTS: the fuzzy twin of ext_dedup_weights —
     // weight every document by 1/|near-dup cluster| instead of
     // dropping all but one representative (SoftDeDup over MinHash
@@ -1394,6 +1423,40 @@ object QueriesExt {
            SELECT e.a, r.l FROM edges e JOIN r ON r.id = e.b)
          SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS comp
          FROM r GROUP BY id ORDER BY doc_id, comp""",
+
+    "ext_dedup_canonical" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' zzz' FROM documents WHERE doc_id % 4 = 0),
+         docs AS (SELECT doc_id, LOWER(text) AS t FROM corpus),
+         sh AS (SELECT DISTINCT doc_id, SUBSTR(t, g.g, 8) AS s
+                FROM docs, (SELECT UNNEST(GENERATE_SERIES(1, 10000)) AS g) g
+                WHERE g.g <= LENGTH(t) - 7),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN cnt ca ON ca.doc_id = id1
+                   JOIN cnt cb ON cb.doc_id = id2
+                   WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         r(id, l) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.a, r.l FROM edges e JOIN r ON r.id = e.b),
+         comps AS (SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS comp
+                   FROM r GROUP BY id),
+         scored AS (SELECT comps.comp, corpus.doc_id,
+                           CAST(LENGTH(corpus.text) AS BIGINT) AS q
+                    FROM corpus JOIN comps ON comps.doc_id = corpus.doc_id)
+         SELECT comp, doc_id, q FROM (
+           SELECT comp, doc_id, q,
+                  ROW_NUMBER() OVER (PARTITION BY comp
+                                     ORDER BY q DESC, doc_id ASC) AS rn
+           FROM scored) WHERE rn = 1 ORDER BY comp""",
 
     "ext_dedup_soft" ->
       """WITH RECURSIVE corpus AS (

@@ -87,10 +87,15 @@ class StrictTableSpec extends SparkSpec {
     sql(s"UPDATE $t SET i = NULL WHERE t2 = 'a'")
     assert(rowsOf(s"SELECT i FROM $t ORDER BY t2") ==
       Seq(Seq(null), Seq(30L)))
-    // UPDATE … FROM on a STRICT table is a targeted decline
-    val u = intercept[UnsupportedOperationException](
-      sql(s"UPDATE $t SET i = s.x FROM (SELECT 1 AS x) s"))
-    assert(u.getMessage.contains("STRICT"), u.getMessage)
+    // UPDATE … FROM enforces too: the assignment's static type
+    // resolves against the JOINED frame — lossless values store,
+    // lossy ones raise with SQLite's class naming
+    sql(s"UPDATE $t SET i = s.x FROM (SELECT '7' AS x) s WHERE t2 = 'b'")
+    assert(rowsOf(s"SELECT i FROM $t WHERE t2 = 'b'") == Seq(Seq(7L)))
+    val u = intercept[Exception](
+      sql(s"UPDATE $t SET i = s.x FROM (SELECT 2.5 AS x) s WHERE t2 = 'b'"))
+    assert(u.getMessage.contains(
+      s"cannot store REAL value in INTEGER column $t.i"), u.getMessage)
   }
 
   test("ALTER ADD COLUMN on a STRICT table validates the datatype") {

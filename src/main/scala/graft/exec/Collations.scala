@@ -52,7 +52,13 @@ object Collations {
     if (referencesWord(sql, "collate") ||
         sql.contains("/*graft_binary*/")) return sql
     val all = SessionKeys.allCollates(spark)
-    val referenced = all.filter { case (t, _) => referencesWord(sql, t) }
+    // a CTE shadows a same-named session table for the whole statement
+    // (SQLite scoping — the Rowid pass applies the same rule): its
+    // columns carry no declared collation
+    val ctes = graft.text2sql.RowidRewrite.cteNames(sql)
+    val referenced = all.filter { case (t, _) =>
+      !ctes.contains(t) && referencesWord(sql, t)
+    }
     if (referenced.isEmpty) return sql
     // column -> (collation, declaring tables) over the referenced
     // tables; conflicting declarations for one name drop the name

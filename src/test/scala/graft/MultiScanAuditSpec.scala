@@ -17,6 +17,7 @@ class MultiScanAuditSpec extends SparkSpec {
     "ext_decontaminate" -> "corpus vs its own eval-overlap subset (anti-join of a derived set)",
     "ext_decontaminate_report" -> "corpus vs its own eval subset (eval is an external table in production)",
     "ext_decontaminate_semantic" -> "corpus unioned with its planted-contamination projection (eval is an external table in production)",
+    "ext_dedup_canonical" -> "quality census reads only (doc_id, length(text)) beside the shingle pipeline's cached sets; the pruned scan beats forcing text through a cache",
     "ext_dedup_exact" -> "corpus unioned with its planted-duplicate projection",
     "ext_dedup_weights" -> "corpus unioned with its two planted-duplicate projections",
     "ext_rank_fusion" -> "1-row query-vector projection vs the corpus scan (the probe is an external input in production); the BM25 arm's document scan is shared via the persisted slim projection",

@@ -74,6 +74,14 @@ class CollationSpec extends SparkSpec {
       == Seq(Seq(0L)))
   }
 
+  test("a CTE shadowing the collated table suppresses the fold " +
+      "(SQLite scoping — the CTE's columns carry no declared collation)") {
+    val t = fixture()
+    assert(rowsOf(
+      s"WITH $t AS (SELECT 'Apple' AS x) " +
+        s"SELECT count(*) FROM $t WHERE x = 'APPLE'") == Seq(Seq(0L)))
+  }
+
   test("an explicit COLLATE in the statement takes precedence — the " +
       "declared fold steps aside entirely (measured: BINARY finds 0)") {
     val t = fixture()

@@ -229,8 +229,16 @@ object Constraints {
     if (keys.isEmpty) return df
     import org.apache.spark.sql.expressions.Window
     val pos = "__graft_upos"
-    val tagged = Rowid.withSequentialRowid(spark, df, 0L)
+    // a rowid-enabled table's slice already carries a `rowid` column —
+    // stash it so the position tag can't collide (withSequentialRowid
+    // appends a column of that name), and restore it after
+    val stash = "__graft_upos_stash"
+    val hadRowid = df.columns.exists(_.equalsIgnoreCase("rowid"))
+    val dfIn = if (hadRowid) df.withColumnRenamed("rowid", stash) else df
+    val tagged0 = Rowid.withSequentialRowid(spark, dfIn, 0L)
       .withColumnRenamed("rowid", pos)
+    val tagged =
+      if (hadRowid) tagged0.withColumnRenamed(stash, "rowid") else tagged0
     val resolved = keys.foldLeft(tagged) { (acc, k) =>
       val es = k.exprs.map(expr)
       val inScope = k.where.map(p =>

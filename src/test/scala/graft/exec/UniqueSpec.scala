@@ -139,6 +139,20 @@ class UniqueSpec extends SparkSpec {
     assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(5L)))
   }
 
+  test("OR REPLACE batch resolution works on a rowid-ENABLED declared-" +
+      "key table (the position tag must not collide with rowid)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INTEGER PRIMARY KEY, v TEXT)")
+    sql(s"INSERT INTO $t VALUES (1, 'x')")
+    // reference the rowid surface so the emulated column materializes
+    assert(rowsOf(s"SELECT rowid FROM $t") == Seq(Seq(1L)))
+    sql(s"INSERT OR REPLACE INTO $t VALUES (1, 'first'), (1, 'second')")
+    assert(rowsOf(s"SELECT a, v FROM $t") == Seq(Seq(1L, "second")))
+    sql(s"INSERT OR IGNORE INTO $t VALUES (1, 'skip'), (2, 'new')")
+    assert(rowsOf(s"SELECT a, v FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "second"), Seq(2L, "new")))
+  }
+
   test("a PARTIAL unique index enforces only among predicate-TRUE " +
       "rows; exempt rows neither conflict nor displace (all measured)") {
     val t = fresh()

@@ -47,11 +47,26 @@ object Atomic {
     if (depth.get > 0) return f
     depth.set(1)
     try {
-      // trigger programs and ON DELETE FK actions are the two sources
-      // of multi-write statements — only they need the snapshot
+      // trigger programs and FK actions are the two sources of
+      // multi-write statements — only they need the TABLE snapshot.
+      // The counter/sequence cookies restore on EVERY failure though:
+      // a failed statement has already recorded its lazy changes()
+      // thunk, which SQLite's semantics say must keep the PREVIOUS
+      // value — and worse, a thunk capturing the failed statement's
+      // plan can itself raise (a STRICT-cast CASE in an UPDATE…FROM
+      // pick) when a later changes() call evaluates it.
       if (!Triggers.any(spark) &&
-          !(ForeignKeys.enforcing(spark) && ForeignKeys.anyActionFks(spark)))
-        f
+          !(ForeignKeys.enforcing(spark) && ForeignKeys.anyActionFks(spark))) {
+        val counters = SessionChanges.snapshot(spark)
+        val seqs = SessionKeys.snapshotAutoinc(spark)
+        try f
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            SessionChanges.restore(spark, counters)
+            SessionKeys.restoreAutoinc(spark, seqs)
+            throw e
+        }
+      }
       else {
         val tables = spark.catalog.listTables().collect().toIndexedSeq
           .filter(_.isTemporary)

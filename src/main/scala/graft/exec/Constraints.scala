@@ -91,6 +91,56 @@ object Constraints {
     else df.filter(!vs.map(_._1).reduce(_ || _))
   }
 
+  /** The SQL predicate "this row still satisfies every NOT NULL /
+    * CHECK constraint AFTER the assignments apply" — evaluated over
+    * the OLD row (assignment expressions read it, so substituting
+    * each assigned column reference with its expression is exact).
+    * Drives `UPDATE OR IGNORE`'s skip: violating rows keep their old
+    * values, exactly SQLite's measured outcome. Callers gate on
+    * [[has]], so the conjunction is never empty. */
+  def passesAfterAssignSql(spark: SparkSession, table: String,
+                           assigns: Map[String, String]): String = {
+    def newExpr(c: String): String =
+      assigns.get(c.toLowerCase).map(e => s"($e)").getOrElse(Ddl.quote(c))
+    val nn = SessionKeys.notNullsFor(spark, table)
+      .map(c => s"(${newExpr(c)} IS NOT NULL)")
+    val cks = SessionKeys.checksFor(spark, table).map { case (_, _, ex) =>
+      s"(coalesce(CAST((${substituteCols(ex, assigns)}) AS BOOLEAN), true))"
+    }
+    (nn ++ cks).mkString(" AND ")
+  }
+
+  /** Word-boundary substitution of assigned column references inside
+    * a constraint expression (quote-aware; a name inside a string
+    * literal or quoted identifier is untouched; a function call —
+    * word followed by '(' — is never a column reference). */
+  private def substituteCols(sql: String,
+                             assigns: Map[String, String]): String = {
+    import graft.text2sql.SqlDialect.{endOfQuoted, isWordChar}
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(sql, i, c)
+        out.append(sql, i, e); i = e
+      } else if (isWordChar(c)) {
+        var e = i
+        while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+        val w = sql.substring(i, e)
+        var k = e
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        val isCall = k < sql.length && sql.charAt(k) == '('
+        assigns.get(w.toLowerCase) match {
+          case Some(ex) if !isCall => out.append('(').append(ex).append(')')
+          case _ => out.append(w)
+        }
+        i = e
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** One declared unique key: `exprs` are executable Spark-SQL item
     * texts — a plain column key carries its backtick-quoted names, an
     * expression index its translated expressions; `label` is the text

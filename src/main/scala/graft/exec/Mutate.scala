@@ -115,11 +115,11 @@ object Mutate {
             s"supported (the copy-on-write rewrite does not simulate " +
             s"constraint checking); use a plain UPDATE")
       // OR ABORT/ROLLBACK match this engine's statement-atomic abort
-      // exactly; IGNORE (skip violating rows), FAIL (keep rowid-order
-      // partial effects), and REPLACE (displace conflictors) diverge
-      // on a NOT NULL/CHECK violation — decline those named
-      if (Set("IGNORE", "FAIL", "REPLACE")(a) &&
-          Constraints.has(spark, u.table))
+      // exactly; OR IGNORE executes below (violating rows keep their
+      // old values — the WHERE gains a post-assignment constraint
+      // gate); FAIL (keep rowid-order partial effects) and REPLACE
+      // (displace conflictors) diverge — decline those named
+      if (Set("FAIL", "REPLACE")(a) && Constraints.has(spark, u.table))
         throw new UnsupportedOperationException(
           s"UPDATE OR $a on a table with NOT NULL/CHECK constraints is " +
             s"not supported (its per-row conflict resolution has no " +
@@ -143,7 +143,17 @@ object Mutate {
     // toMap keeps the last entry per key
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val gens = Ddl.generatedForWrite(spark, u.table)
-    val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val cond0 = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    // UPDATE OR IGNORE skips rows whose POST-assignment image violates
+    // a NOT NULL/CHECK constraint — they keep their old values
+    // (measured). The skip rides the WHERE: assignment expressions
+    // read the OLD row, so the gate is expressible pre-projection.
+    val cond = u.orAction match {
+      case Some("IGNORE") if Constraints.has(spark, u.table) =>
+        s"($cond0) AND " +
+          s"(${Constraints.passesAfterAssignSql(spark, u.table, assigns)})"
+      case _ => cond0
+    }
     val proj = base.schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
         case Some(e) =>

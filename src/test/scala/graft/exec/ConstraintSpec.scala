@@ -102,8 +102,8 @@ class ConstraintSpec extends SparkSpec {
       e.getMessage)
   }
 
-  test("UPDATE enforces; UPDATE OR IGNORE declines named on a " +
-      "constrained table") {
+  test("UPDATE enforces; UPDATE OR IGNORE skips violating rows " +
+      "(they keep their old values — measured)") {
     val t = fresh()
     sql(s"CREATE TABLE $t(k INT, a INT NOT NULL, b INT CHECK (b >= 0))")
     sql(s"INSERT INTO $t VALUES (1, 10, 0), (2, 20, 5)")
@@ -117,8 +117,22 @@ class ConstraintSpec extends SparkSpec {
     // untouched after both failures
     assert(rowsOf(s"SELECT k, a, b FROM $t ORDER BY k") ==
       Seq(Seq(1L, 10L, 0L), Seq(2L, 20L, 5L)))
+    // OR IGNORE: the NULL-assigning row keeps its old value, the
+    // conforming row updates (measured: 1|10, 2|99)
+    sql(s"UPDATE OR IGNORE $t SET a = " +
+      s"CASE WHEN k = 1 THEN NULL ELSE 99 END")
+    assert(rowsOf(s"SELECT k, a FROM $t ORDER BY k") ==
+      Seq(Seq(1L, 10L), Seq(2L, 99L)))
+    // a CHECK referencing an ASSIGNED column gates on the NEW value
+    sql(s"UPDATE OR IGNORE $t SET b = b - 10")
+    assert(rowsOf(s"SELECT k, b FROM $t ORDER BY k") ==
+      Seq(Seq(1L, 0L), Seq(2L, 5L))) // both would go negative: skipped
+    sql(s"UPDATE OR IGNORE $t SET b = b + 1")
+    assert(rowsOf(s"SELECT k, b FROM $t ORDER BY k") ==
+      Seq(Seq(1L, 1L), Seq(2L, 6L)))
+    // OR FAIL / OR REPLACE keep their named declines
     val e3 = intercept[UnsupportedOperationException](
-      sql(s"UPDATE OR IGNORE $t SET a = NULL"))
+      sql(s"UPDATE OR FAIL $t SET a = NULL"))
     assert(e3.getMessage.contains("NOT NULL/CHECK"), e3.getMessage)
   }
 

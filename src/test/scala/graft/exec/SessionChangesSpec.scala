@@ -22,6 +22,24 @@ class SessionChangesSpec extends SparkSpec {
     assert(SessionChanges.changes(spark) == last0)
   }
 
+  test("a FAILED statement keeps the previous changes() value — and " +
+      "its captured thunk never poisons later calls (latent-bug pin)") {
+    import graft.text2sql.SqlDialect
+    def sql(q: String) = Runner.runSql(spark, SqlDialect.translate(q))
+    sql("DROP TABLE IF EXISTS chg_fail_t")
+    sql("CREATE TABLE chg_fail_t (i INTEGER, k INTEGER) STRICT")
+    sql("INSERT INTO chg_fail_t VALUES (1, 1), (2, 2)")
+    val before = sql("SELECT changes() AS n").first().getLong(0)
+    // the failing UPDATE…FROM records a lazy count whose plan RAISES
+    // (the STRICT cast) — without the counter rollback, the next
+    // changes() call would surface this statement's error instead of
+    // the previous value (the cross-suite failure this pins)
+    intercept[Exception](
+      sql("UPDATE chg_fail_t SET i = s.x FROM (SELECT 2.5 AS x) s"))
+    assert(sql("SELECT changes() AS n").first().getLong(0) == before)
+    sql("DROP TABLE chg_fail_t")
+  }
+
   test("trigger-bucket folds survive an abort (sqlite3's total_changes rule)") {
     val snap = SessionChanges.snapshot(spark)
     val tot0 = SessionChanges.totalChanges(spark)

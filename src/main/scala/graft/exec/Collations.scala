@@ -18,14 +18,19 @@ import graft.text2sql.SqlDialect.{endOfQuoted, isWordChar, keywordAt}
   *
   * Folded positions (the ones SQLite reaches through the column's
   * collation AND the translator models): a comparison operand
-  * (`=`, `==`, `!=`, `<>`, `<`, `>`, `<=`, `>=`, either side) and a
-  * bare ORDER BY / GROUP BY term (ASC/DESC riders fine). Documented
-  * divergences, README table: IN / BETWEEN operands and function-
-  * wrapped terms stay BINARY (SQLite propagates the collation there;
-  * the translator's fold deliberately declines those shapes), and an
-  * unqualified reference is folded when ANY referenced table declares
-  * the name — same-named columns with CONFLICTING declared collations
-  * across referenced tables skip the fold entirely (never guess).
+  * (`=`, `==`, `!=`, `<>`, `<`, `>`, `<=`, `>=`, either side), the
+  * left side of `[NOT] IN (scalar list)` / `[NOT] BETWEEN` (the
+  * translator then folds every list member / both bounds — SQLite's
+  * operand propagation, datatype3.html §7.1), a bare ORDER BY /
+  * GROUP BY term (ASC/DESC riders fine), and — when a GROUP BY term
+  * folds — bare same-column references in the select list / HAVING
+  * (grouping and projection must agree or Spark rejects the plan).
+  * Documented divergences, README table: `IN (SELECT …)` and
+  * function-WRAPPED terms stay BINARY (declined loudly where they
+  * would half-fold), and an unqualified reference is folded when ANY
+  * referenced table declares the name — same-named columns with
+  * CONFLICTING declared collations across referenced tables skip the
+  * fold entirely (never guess).
   * An explicit `COLLATE` already decorating the reference wins
   * (SQLite's override rule) — no injection happens there.
   *
@@ -125,13 +130,36 @@ object Collations {
     * only when the qualifier IS a declaring table's name — `u.x` with
     * `u` some other relation must not take `t`'s collation, and an
     * alias-qualified reference stays unfolded (conservative — README
-    * divergence table). */
+    * divergence table).
+    *
+    * Foldable positions: comparison operands, `[NOT] IN` / `[NOT]
+    * BETWEEN` left sides (SqlDialect then folds the list members /
+    * bounds too), ORDER BY / GROUP BY terms. When a GROUP BY term
+    * folds, bare references to the SAME column directly in the select
+    * list or HAVING clause fold with it — `SELECT x, count(*) …
+    * GROUP BY x` must group and project the same expression or Spark
+    * rejects the plan (MISSING_AGGREGATION); a standalone select item
+    * keeps its column name via an injected `AS`. SQLite's bare-column
+    * representative is arbitrary-case; the fold's lowercased
+    * representative is the documented deterministic stand-in (README
+    * table). Runs in two passes: pass 1 discovers which columns fold
+    * in a GROUP BY list, pass 2 emits. */
   private def inject(sql: String,
                      byCol: Map[String, (String, Set[String])]): String = {
+    val gf = walk(sql, byCol, Set.empty)._1
+    walk(sql, byCol, gf)._2
+  }
+
+  private def walk(sql: String, byCol: Map[String, (String, Set[String])],
+                   groupFolded: Set[String]): (Set[String], String) = {
     val out = new java.lang.StringBuilder
+    val gf = scala.collection.mutable.Set[String]()
     var i = 0
     var depth = 0
-    var byDepth = -1 // ORDER/GROUP BY list scope, -1 = none
+    var byDepth = -1    // ORDER/GROUP BY list scope, -1 = none
+    var groupDepth = -1 // GROUP BY specifically (subset of byDepth)
+    var havingDepth = -1
+    var selStack: List[Int] = Nil // depths of open select-list scopes
     def ws(j0: Int): Int = {
       var j = j0
       while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
@@ -146,17 +174,34 @@ object Collations {
       else if (c == ')') {
         depth -= 1
         if (byDepth > depth) byDepth = -1
+        if (groupDepth > depth) groupDepth = -1
+        if (havingDepth > depth) havingDepth = -1
+        if (selStack.nonEmpty && selStack.head > depth)
+          selStack = selStack.tail
         out.append(c); i += 1
       } else if (isWordChar(c)) {
         var e = i
         while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
         val w = sql.substring(i, e).toLowerCase
         // clause-scope bookkeeping
+        if (w == "select") selStack = depth :: selStack
+        else if (selStack.nonEmpty && depth == selStack.head &&
+                 Set("from", "where", "group", "order", "having", "limit",
+                   "union", "intersect", "except", "window")(w))
+          selStack = selStack.tail
         if ((w == "order" || w == "group") &&
-            keywordAt(sql, ws(e), "by")) byDepth = depth
-        else if (byDepth == depth &&
+            keywordAt(sql, ws(e), "by")) {
+          byDepth = depth
+          groupDepth = if (w == "group") depth else -1
+        } else if (byDepth == depth &&
                  Set("limit", "having", "union", "intersect", "except",
-                   "window", "from", "where")(w)) byDepth = -1
+                   "window", "from", "where")(w)) {
+          byDepth = -1; groupDepth = -1
+        }
+        if (w == "having") havingDepth = depth
+        else if (havingDepth == depth &&
+                 Set("order", "limit", "union", "intersect", "except",
+                   "window")(w)) havingDepth = -1
         byCol.get(w) match {
           case Some((collation, declaringTables)) =>
             val next = ws(e)
@@ -181,6 +226,14 @@ object Collations {
             val isCall = next < sql.length && sql.charAt(next) == '('
             val alreadyCollated = keywordAt(sql, next, "collate")
             val cmpAfter = isCmpAt(sql, next)
+            // `x IN (…)` / `x BETWEEN … AND …` / NOT variants: the
+            // rider lets SqlDialect fold the whole membership test
+            val inAfter = keywordAt(sql, next, "in") ||
+              keywordAt(sql, next, "between") ||
+              (keywordAt(sql, next, "not") && {
+                val n = ws(next + 3)
+                keywordAt(sql, n, "in") || keywordAt(sql, n, "between")
+              })
             // the operator-before test looks past a `qualifier.`
             // prefix (for `u = t.x` the operator sits before `t`)
             val opBeforeAt = {
@@ -195,15 +248,33 @@ object Collations {
             }
             val cmpBefore = isCmpEndingAt(sql, opBeforeAt)
             val inByList = byDepth == depth
+            val inSelList = selStack.nonEmpty && depth == selStack.head
+            val selHavFold = groupFolded.contains(w) &&
+              (inSelList || depth == havingDepth)
             if (!isQualifier && !isCall && !alreadyCollated && qualifierOk &&
-                (cmpAfter || cmpBefore || inByList)) {
+                (cmpAfter || cmpBefore || inByList || inAfter ||
+                  selHavFold)) {
+              if (inByList && groupDepth == depth) gf += w
               out.append(sql, i, e).append(" COLLATE ").append(collation)
+              // a standalone, unaliased select item keeps its name:
+              // `SELECT x,` → `SELECT x COLLATE C AS x,` so the fold's
+              // lower(x) projects as column `x`, SQLite's output name
+              if (selHavFold && inSelList &&
+                  !(cmpAfter || cmpBefore || inAfter || inByList)) {
+                val standalone = next >= sql.length ||
+                  sql.charAt(next) == ',' || sql.charAt(next) == ')' ||
+                  Seq("from", "where", "group", "order", "limit", "having",
+                    "union", "intersect", "except", "window")
+                    .exists(k => keywordAt(sql, next, k))
+                if (standalone)
+                  out.append(" AS ").append(sql, i, e)
+              }
             } else out.append(sql, i, e)
           case None => out.append(sql, i, e)
         }
         i = e
       } else { out.append(c); i += 1 }
     }
-    out.toString
+    (gf.toSet, out.toString)
   }
 }

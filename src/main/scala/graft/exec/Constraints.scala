@@ -2,7 +2,7 @@ package graft.exec
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** NOT NULL and CHECK constraint enforcement for session-declared
   * tables, with SQLite's measured semantics (sqlite3 3.40+):
@@ -294,7 +294,11 @@ object Constraints {
       val inScope = k.where.map(p =>
         coalesce(expr(p).cast(BooleanType), lit(false))).getOrElse(lit(true))
       val nonNull = es.map(_.isNotNull).reduce(_ && _) && inScope
-      val w = Window.partitionBy(es: _*)
+      // exempt rows (NULL key / outside a PARTIAL index's predicate) must
+      // not share a partition with in-scope rows on the same key value —
+      // they'd inflate the in-scope row's row_number past 1 and silently
+      // drop it. Partitioning on the scope flag keeps them apart.
+      val w = Window.partitionBy((es :+ nonNull.cast(IntegerType)): _*)
         .orderBy(if (keepLast) col(pos).desc else col(pos).asc)
       acc.withColumn("__graft_urn",
           when(nonNull, row_number().over(w)).otherwise(lit(1)))

@@ -778,6 +778,33 @@ object QueriesDialect {
              FROM graft_coll_t GROUP BY x ORDER BY grp""")
     }),
 
+    // Declared-collation propagation into IN / NOT IN / BETWEEN
+    // operands (SQLite datatype3.html §7.1: every list member and both
+    // bounds take the LHS column's collation) plus the canonical bare
+    // SELECT x … GROUP BY x idiom over a NOCASE column — grouping and
+    // projection fold together, the projected representative is the
+    // deterministic lowercased stand-in. Values pinned against sqlite3
+    // running the identical statements (CollationSpec).
+    "filter_collate_in" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_collin_t")
+      run("""CREATE TABLE graft_collin_t (k INTEGER,
+             x TEXT COLLATE NOCASE, y TEXT COLLATE RTRIM)""")
+      run("""INSERT INTO graft_collin_t VALUES
+             (1,'Apple','pad '), (2,'apple','pad'), (3,'BANANA','q  '),
+             (4,'banana','q'), (5,'cherry','r')""")
+      run("""SELECT x AS grp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN x IN ('APPLE','Banana')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_hits,
+                    CAST(sum(CASE WHEN x NOT IN ('APPLE','Banana')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS notin_hits,
+                    CAST(sum(CASE WHEN x BETWEEN 'B' AND 'c'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS btw_hits,
+                    CAST(sum(CASE WHEN y IN ('pad   ')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rt_in_hits
+             FROM graft_collin_t GROUP BY x ORDER BY grp""")
+    }),
+
     // NOT NULL / CHECK constraint enforcement end-to-end: the fixture
     // ATTEMPTS violating writes — each must raise SQLite's exact error
     // (asserted in the catch; a non-raising write would land the row
@@ -1466,6 +1493,20 @@ object QueriesDialect {
            ('BANANA', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
            ('CHERRY', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
          AS t(grp, n, eq_hits, rt_hits) ORDER BY grp""",
+
+    // pinned against sqlite3 running the identical fixture: IN list /
+    // BETWEEN bounds fold under the declared NOCASE (RTRIM for y);
+    // the grouped bare column projects its lowercased representative
+    "filter_collate_in" ->
+      """SELECT * FROM (VALUES
+           ('apple',  CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+           ('banana', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+           ('cherry', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+         AS t(grp, n, in_hits, notin_hits, btw_hits, rt_in_hits)
+         ORDER BY grp""",
 
     // constraint-enforcement post-state pinned against sqlite3 running
     // the identical statement sequence (violating writes raise and

@@ -700,10 +700,12 @@ object SqlDialect {
     * rtrim-then-binary-compare IS the collation. Next to ILIKE it
     * strips like NOCASE does: SQLite's LIKE does not honor collating
     * sequences at all, so the clause is a no-op there.
-    * Custom collations are left verbatim — a visible analysis error
-    * beats a silently changed answer. The same decline applies to
-    * IN / BETWEEN / NOT-IN contexts, whose operand lists the
-    * two-sided fold does not model.
+    * `[NOT] IN (scalar list)` folds every list member and `[NOT]
+    * BETWEEN lo AND hi` folds both bounds (SQLite propagates the LHS
+    * collation to each operand — datatype3.html §7.1). Custom
+    * collations are left verbatim — a visible analysis error beats a
+    * silently changed answer. The remaining decline is `IN (SELECT …)`
+    * (folding would rewrite the subquery's select list).
     */
   private def rewriteCollate(sql: String): String = {
     var i = 0
@@ -755,16 +757,54 @@ object SqlDialect {
     // X COLLATE NOCASE op Y
     var a = collEnd
     while (a < sql.length && sql.charAt(a).isWhitespace) a += 1
-    // contexts the two-sided fold does not model: IN / BETWEEN (every
-    // list/range operand would need its own fold) and NOT followed by
-    // anything but ILIKE (NOT IN, NOT BETWEEN). Declining leaves the
-    // clause verbatim → visible Spark analysis error, never silently
-    // case-sensitive (or half-folded) rows.
-    if (keywordAt(sql, a, "in") || keywordAt(sql, a, "between")) return None
+    // X COLLATE NOCASE [NOT] IN (list) / [NOT] BETWEEN lo AND hi —
+    // SQLite propagates the LHS collation to every IN list member and
+    // both BETWEEN bounds (datatype3.html §7.1), so each operand takes
+    // the same fold. An IN (SELECT …) subquery form still declines
+    // (folding would have to rewrite the subquery's select list) —
+    // verbatim clause → visible Spark analysis error, never silent.
+    var inStart = a
+    var neg = ""
     if (keywordAt(sql, a, "not")) {
       var n = a + 3
       while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
-      if (!keywordAt(sql, n, "ilike")) return None
+      if (keywordAt(sql, n, "in") || keywordAt(sql, n, "between")) {
+        neg = "NOT "; inStart = n
+      } else if (!keywordAt(sql, n, "ilike")) return None
+    }
+    if (keywordAt(sql, inStart, "in")) {
+      var p = inStart + 2
+      while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+      if (p >= sql.length || sql.charAt(p) != '(') return None
+      val cp = closeParen(sql, p)
+      if (cp < 0) return None
+      val inner = sql.substring(p + 1, cp)
+      var s0 = 0
+      while (s0 < inner.length && inner.charAt(s0).isWhitespace) s0 += 1
+      if (keywordAt(inner, s0, "select") || keywordAt(inner, s0, "with"))
+        return None
+      val items = splitArgs(inner).map(it => s"$fn(${it.trim})")
+      return Some(sql.substring(0, xStart) +
+        s"$fn($x) ${neg}IN (" + items.mkString(", ") + ")" +
+        sql.substring(cp + 1))
+    }
+    if (keywordAt(sql, inStart, "between")) {
+      var p = inStart + 7
+      while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+      val loEnd = primaryEndForwards(sql, p)
+      if (loEnd < 0) return None
+      val lo = sql.substring(p, loEnd)
+      var q = loEnd
+      while (q < sql.length && sql.charAt(q).isWhitespace) q += 1
+      if (!keywordAt(sql, q, "and")) return None
+      q += 3
+      while (q < sql.length && sql.charAt(q).isWhitespace) q += 1
+      val hiEnd = primaryEndForwards(sql, q)
+      if (hiEnd < 0) return None
+      val hi = sql.substring(q, hiEnd)
+      return Some(sql.substring(0, xStart) +
+        s"$fn($x) ${neg}BETWEEN $fn($lo) AND $fn($hi)" +
+        sql.substring(hiEnd))
     }
     operatorAtForwards(sql, a) match {
       case Some(("ilike", _)) | Some(("not", _)) =>

@@ -56,6 +56,54 @@ class CollationSpec extends SparkSpec {
       Seq(Seq("APPLE", 2L), Seq("BANANA", 2L), Seq("CHERRY", 1L)))
   }
 
+  test("IN / NOT IN list members take the LHS column's declared " +
+      "collation (SQLite datatype3.html §7.1 operand propagation — " +
+      "measured against sqlite3)") {
+    val t = fixture()
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE x IN ('APPLE','Banana')")
+      == Seq(Seq(4L)))
+    assert(rowsOf(
+      s"SELECT count(*) FROM $t WHERE x NOT IN ('APPLE','Banana')") ==
+      Seq(Seq(1L)))
+    // RTRIM propagates the same way
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE y IN ('pad   ', 'zz')")
+      == Seq(Seq(2L)))
+  }
+
+  test("BETWEEN / NOT BETWEEN bounds take the declared collation " +
+      "(measured against sqlite3)") {
+    val t = fixture()
+    assert(rowsOf(s"SELECT count(*) FROM $t WHERE x BETWEEN 'B' AND 'c'")
+      == Seq(Seq(2L)))
+    assert(rowsOf(
+      s"SELECT count(*) FROM $t WHERE x NOT BETWEEN 'B' AND 'c'") ==
+      Seq(Seq(3L)))
+  }
+
+  test("IN (SELECT …) over a collated column declines LOUDLY — the " +
+      "unfoldable clause surfaces as an analysis error, never silent " +
+      "binary rows (documented divergence)") {
+    val t = fixture()
+    intercept[Exception] {
+      rowsOf(s"SELECT count(*) FROM $t WHERE x IN (SELECT 'APPLE')")
+    }
+  }
+
+  test("SELECT x, count(*) … GROUP BY x — the canonical bare-column " +
+      "idiom groups case-insensitively; the projected representative " +
+      "is the deterministic lowercased stand-in, named x (README)") {
+    val t = fixture()
+    val df = sql(s"SELECT x, count(*) AS n FROM $t GROUP BY x ORDER BY x")
+    assert(df.columns.toSeq == Seq("x", "n"))
+    assert(df.collect().map(_.toSeq.toSeq).toSeq ==
+      Seq(Seq("apple", 2L), Seq("banana", 2L), Seq("cherry", 1L)))
+    // HAVING over the grouped column folds with it
+    assert(rowsOf(
+      s"""SELECT x, count(*) AS n FROM $t GROUP BY x
+          HAVING x <> 'CHERRY' ORDER BY x""") ==
+      Seq(Seq("apple", 2L), Seq("banana", 2L)))
+  }
+
   test("qualified references fold only under the DECLARING table's " +
       "name; aliases and other tables' same-named columns stay binary") {
     val t = fixture()

@@ -182,6 +182,34 @@ class UniqueSpec extends SparkSpec {
     sql(s"DROP INDEX ${t}_ux")
   }
 
+  test("one batch mixing exempt and in-scope rows on the SAME key " +
+      "keeps both — the exempt row must not inflate the in-scope " +
+      "row's dedup rank (measured: sqlite3 inserts both)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT, b INT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (a) WHERE b > 0")
+    // exempt (b<=0) first, in-scope second — the shape that silently
+    // dropped the in-scope row when the dedup window ignored scope
+    sql(s"INSERT OR IGNORE INTO $t VALUES (1, -1), (1, 5)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, -1L), Seq(1L, 5L)))
+    // OR REPLACE (keepLast) with the exempt row LAST: the in-scope
+    // row ahead of it survives untouched
+    sql(s"DELETE FROM $t")
+    sql(s"INSERT OR REPLACE INTO $t VALUES (2, 3), (2, 0)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(2L, 0L), Seq(2L, 3L)))
+    // NULL-keyed rows are exempt the same way: same batch as an
+    // in-scope row, both land
+    sql(s"INSERT OR IGNORE INTO $t VALUES (NULL, 9), (3, 9)")
+    assert(rowsOf(s"SELECT a, b FROM $t WHERE b = 9 ORDER BY a") ==
+      Seq(Seq(null, 9L), Seq(3L, 9L))) // SQLite: NULLs sort first ASC
+    // and two in-scope conflictors in the batch still resolve to one
+    sql(s"INSERT OR IGNORE INTO $t VALUES (4, 1), (4, 2)")
+    assert(rowsOf(s"SELECT a, b FROM $t WHERE a = 4") == Seq(Seq(4L, 1L)))
+    sql(s"DROP INDEX ${t}_ux")
+  }
+
   test("DO UPDATE re-keying into another unique key's collision aborts") {
     val t = fresh()
     sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")

@@ -163,6 +163,16 @@ object Bench {
         .count().count()
     }
 
+    // dev loop only (the driver sets no filter): restrict the run to a
+    // comma-separated key list, failing LOUDLY on a typo
+    val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- headline.toSet
+      require(unknown.isEmpty, s"unknown bench key(s): ${unknown.mkString(", ")}")
+    }
+    val keys = only.map(o => headline.filter(o)).getOrElse(headline)
+
     // median-of-3 per query: ONE cold run per key let a single loaded
     // driver execution poison a whole round's perf signal in either
     // direction (r5 reported a 3.2× "regression" on unchanged plans
@@ -173,37 +183,33 @@ object Bench {
     // run 1 still pays plan compilation cold (comparable to the old
     // number); medians absorb one outlier without hiding a real
     // regression, which shifts all three runs.
-    def measure(order: Seq[String]): Seq[(String, Seq[Double])] =
-      order.map { name =>
-        val fn = SparkEntry.queries(name)
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case e: Throwable =>
-                     System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-          // a failed run reports -1 so it can never masquerade as fast
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        name -> runs.sorted
-      }
-    val results = measure(headline)
-    // a SECOND full measurement pass, reported as its own block:
-    // median-of-3 absorbs one outlier per key, but co-located machine
-    // load spanning the whole bench (the r6 failure mode) shifts every
-    // median uniformly — two independent passes disagreeing beyond
-    // ~20% on total make that contamination self-evident in the
-    // artifact instead of silently poisoning the round's number.
-    // Pass 2 runs in REVERSE key order (r9 finding: transient load
-    // landing late in a pass kept eating the same tail-of-headline
-    // keys in both passes, so their recorded medians disagreed >1.5×
-    // round after round; reversing puts each key at the opposite end
-    // of the second pass, making per-key disagreement diagnose LOAD,
-    // not position). Output order stays the headline order.
-    val order2 = headline.reverse
-    val results2 = {
-      val byName = measure(order2).toMap
-      headline.map(n => n -> byName(n))
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      // a failed run reports -1 so it can never masquerade as fast
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // TWO measurement blocks per key, scheduled ADJACENTLY (r10
+    // finding: reverse-order second passes made per-key disagreement
+    // diagnose load rather than position, but five keys still
+    // disagreed >1.5× because the two samples of one key ran minutes
+    // apart under different load regimes; back-to-back blocks put both
+    // samples in the same regime, so pass disagreement on a key now
+    // means genuine run-to-run variance of THAT plan). Whole-bench
+    // load contamination stays visible through the per-key min/max
+    // spread and the cross-round totals.
+    val both: Seq[(String, (Seq[Double], Seq[Double]))] = keys.map { name =>
+      val fn = SparkEntry.queries(name)
+      val a = (1 to 3).map(_ => runOnce(name, fn)).sorted
+      val b = (1 to 3).map(_ => runOnce(name, fn)).sorted
+      name -> (a, b)
+    }
+    val results = both.map { case (n, (a, _)) => n -> a }
+    val results2 = both.map { case (n, (_, b)) => n -> b }
     def f3(v: Double) = f"$v%.3f"
     // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
     // the MINIMUM, so taking runs(1) as median would report the faster

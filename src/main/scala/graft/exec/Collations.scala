@@ -83,6 +83,42 @@ object Collations {
     else SqlDialect.translate(injected, csLike)
   }
 
+  /** Fold declared collations inside a DML WHERE fragment (UPDATE /
+    * DELETE route — [[Mutate]]). The statement-level [[fold]] must not
+    * see DML text (`SET a = b` is textually comparison-shaped), but
+    * the WHERE fragment alone is pure predicate context: comparison
+    * and [NOT] IN / BETWEEN positions fold exactly as on the query
+    * route. `table` is the statement's target — its declared
+    * collations apply even when the fragment never names it; other
+    * referenced session tables merge in under the same
+    * conflicting-declaration skip the query route uses. */
+  def foldWhere(spark: SparkSession, table: String, fragment: String,
+                csLike: Boolean): String = {
+    if (!SessionKeys.anyCollates(spark)) return fragment
+    if (referencesWord(fragment, "collate") ||
+        fragment.contains("/*graft_binary*/")) return fragment
+    val all = SessionKeys.allCollates(spark)
+    val t = table.toLowerCase
+    val referenced = all.filter { case (tn, _) =>
+      tn == t || referencesWord(fragment, tn)
+    }
+    if (referenced.isEmpty) return fragment
+    val byCol: Map[String, (String, Set[String])] =
+      referenced.toSeq.flatMap { case (tn, m) => m.toSeq.map {
+        case (c, v) => (c, v, tn)
+      } }.groupBy(_._1).flatMap { case (c, vs) =>
+        val distinct = vs.map(_._2).toSet
+        if (distinct.size == 1)
+          Some(c -> (distinct.head, vs.map(_._3).toSet))
+        else None
+      }
+    if (byCol.isEmpty) return fragment
+    val injected = walk(fragment, byCol, Set.empty)._2
+    if (injected == fragment) fragment
+    else SqlDialect.translate(s"SELECT ($injected)", csLike)
+      .stripPrefix("SELECT ").trim
+  }
+
   /** Word-boundary reference scan (outside quotes). */
   private def referencesWord(sql: String, word: String): Boolean = {
     var i = 0

@@ -152,14 +152,46 @@ object Constraints {
   final case class UniqueKey(label: String, exprs: Seq[String],
                              where: Option[String] = None)
 
-  /** A column-list key in [[UniqueKey]] form. */
+  /** A column-list key in [[UniqueKey]] form (BINARY comparison). */
   def plainKey(table: String, cols: Seq[String]): UniqueKey =
     UniqueKey(cols.map(c => s"$table.$c").mkString(", "),
       cols.map(Ddl.quote))
 
+  /** The comparison fold of a built-in collation (the same two folds
+    * the query-route comparison path uses); None = BINARY / unknown. */
+  private def collationFold(coll: String): Option[String] =
+    coll.toUpperCase match {
+      case "NOCASE" => Some("lower")
+      case "RTRIM"  => Some("rtrim")
+      case _        => None
+    }
+
+  /** A column-list key compared under each column's EFFECTIVE
+    * collation — SQLite enforces UNIQUE/PK under the column's
+    * collating sequence (a NOCASE unique column collides
+    * case-insensitively, measured), with an index rider (`CREATE
+    * UNIQUE INDEX … (c COLLATE NOCASE)`) overriding the column's
+    * declared one. The key expressions take the same lower()/rtrim()
+    * folds the comparison path uses; the error label keeps SQLite's
+    * column naming. */
+  def collatedKey(spark: SparkSession, table: String, cols: Seq[String],
+                  riders: Seq[String] = Nil): UniqueKey = {
+    val declared = SessionKeys.collatesFor(spark, table)
+    val exprs = cols.zipWithIndex.map { case (c, i) =>
+      val eff = riders.lift(i).filter(_.nonEmpty)
+        .orElse(declared.get(c.toLowerCase))
+      eff.flatMap(collationFold) match {
+        case Some(fn) => s"$fn(${Ddl.quote(c)})"
+        case None     => Ddl.quote(c)
+      }
+    }
+    UniqueKey(cols.map(c => s"$table.$c").mkString(", "), exprs)
+  }
+
   /** The table's declared unique keys, resolved against the current
     * schema: the PRIMARY KEY, every column-list unique index, and
-    * every expression-keyed unique index ([[SessionKeys]]). Empty for
+    * every expression-keyed unique index ([[SessionKeys]]) — each
+    * column compared under its effective collation. Empty for
     * ingested tables (pandas `to_sql` declares no constraints — the
     * 100 TB path pays nothing anywhere below). */
   def uniqueKeys(spark: SparkSession, table: String,
@@ -169,12 +201,13 @@ object Constraints {
         val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
         if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
       }
-      .map(cols => plainKey(table, cols))
+      .map(cols => collatedKey(spark, table, cols))
     val colKeys = SessionKeys.uniqueColIndexes(spark, table)
-      .flatMap { case (_, ks, w) =>
+      .flatMap { case (name, ks, w) =>
         val resolved = ks.map(k => tableCols.find(_.equalsIgnoreCase(k)))
         if (resolved.forall(_.isDefined))
-          Some(plainKey(table, resolved.flatten).copy(where = w))
+          Some(collatedKey(spark, table, resolved.flatten,
+            SessionKeys.riderCollations(spark, name)).copy(where = w))
         else None
       }
     val exprKeys = SessionKeys.uniqueExprIndexes(spark, table).map {

@@ -153,6 +153,15 @@ object Ddl {
   /** A generated column's executable form: SQLite-dialect expression
     * through the translator (no CURRENT_* forms — SQLite itself
     * forbids non-deterministic functions in generated columns). */
+  /** SQLite's built-in collating sequences — the only ones the
+    * reference's engine ever has (it registers no custom ones through
+    * sqlite3). Anything else fails at DDL time with SQLite's error. */
+  private[exec] def assertKnownCollation(name: String): Unit =
+    if (!Set("BINARY", "NOCASE", "RTRIM")(name.toUpperCase) &&
+        name.nonEmpty)
+      throw new IllegalArgumentException(
+        s"no such collation sequence: $name")
+
   private[exec] def generatedExecSql(raw: String): String =
     graft.text2sql.SqlDialect.translate(s"SELECT ($raw)")
       .stripPrefix("SELECT ").trim
@@ -393,7 +402,10 @@ object Ddl {
     }
     // column-declared collations register so bare comparisons /
     // ORDER BY / GROUP BY over the column fold the collation
-    // (Runner's session-aware collation pass)
+    // (Runner's session-aware collation pass); unknown names are
+    // SQLite's own CREATE-time error (only the built-ins exist here —
+    // the reference's sqlite3 registers no custom collations either)
+    stmt.collates.foreach { case (_, c) => assertKnownCollation(c) }
     SessionKeys.declareCollates(spark, stmt.name, stmt.collates)
     if (stmt.strict)
       SessionKeys.declareStrict(spark, stmt.name,
@@ -465,9 +477,15 @@ object Ddl {
       }
       ex
     }
+    // a COLLATE rider must name a built-in (SQLite's CREATE-time error)
+    stmt.riders.foreach { case (_, c) => assertKnownCollation(c) }
+    // uwhere registers for EVERY partial index — PRAGMA index_list
+    // reports partial=1 for plain ones too (SQLite); uniqueness
+    // ENFORCEMENT stays gated on `unique` at the consumers
+    // (uniqueColIndexes/uniqueExprIndexes filter on it)
     val fresh = SessionKeys.registerIndex(spark, stmt.name, stmt.table,
       stmt.cols, stmt.unique, riders = stmt.riders, uexprs = uexprs,
-      uwhere = if (stmt.unique) uwhere else None)
+      uwhere = uwhere)
     if (!fresh && !stmt.ifNotExists)
       throw new IllegalArgumentException(
         s"$verb: index ${stmt.name} already exists (SQLite semantics); " +
@@ -675,8 +693,10 @@ object Ddl {
       }
       SessionKeys.declareChecks(spark, stmt.table, Seq(("", raw, ex)))
     }
-    stmt.collate.foreach(c =>
-      SessionKeys.declareCollates(spark, stmt.table, Seq(stmt.col -> c)))
+    stmt.collate.foreach { c =>
+      assertKnownCollation(c)
+      SessionKeys.declareCollates(spark, stmt.table, Seq(stmt.col -> c))
+    }
     Pragma.bumpSchemaVersion(spark)
     spark.emptyDataFrame
   }

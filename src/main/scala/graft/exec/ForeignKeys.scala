@@ -667,8 +667,17 @@ object ForeignKeys {
     * key) map; SET NULL / SET DEFAULT reuse the ON DELETE machinery
     * keyed on the CHANGED old keys. Leftover danglers surface through
     * the caller's `assertParentTransition(actionsApplied = true)`
-    * pass. Self-referential ON UPDATE actions decline named (the
-    * in-plan transform would race the statement's own merge). */
+    * pass.
+    *
+    * SELF-referential actions execute too: this runs AFTER the parent
+    * re-bound, so the "child" side of a self-FK is simply the current
+    * (already-rebound) table state and the re-point is an ordinary
+    * follow-up UPDATE against it — the same internally-issued DML any
+    * other child takes, firing the table's own UPDATE triggers and
+    * recursing through its FKs naturally (a re-point that re-keys
+    * further parents maps again through this same path). Only a
+    * cascade cycling into a STILL-rebind-pending table (the upsert
+    * DO UPDATE route holds its flag through this call) declines. */
   def applyParentUpdate(spark: SparkSession, table: String,
                         mapping: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
@@ -679,10 +688,6 @@ object ForeignKeys {
     if (refs.isEmpty) return
     val parentDf = tableOpt(spark, table).getOrElse(return)
     refs.foreach { case (childName, fk) =>
-      if (childName.equalsIgnoreCase(table))
-        throw new UnsupportedOperationException(
-          s"a self-referential ON UPDATE ${fk.onUpdate} on $table is " +
-            s"not supported set-based; update the child rows explicitly")
       val pcols = resolveParentCols(spark, childName, fk, parentDf)
       // only rows whose KEY actually changed re-point anything
       val remap = mapping.filter(pcols.map(p =>
@@ -838,7 +843,13 @@ object ForeignKeys {
     if (refs.isEmpty) return
     refs.foreach { case (childName, fk) =>
       val childState =
-        if (childName.equalsIgnoreCase(table)) Some(newDf)
+        // after actions ran, a self-FK's child side is the CURRENT
+        // (re-pointed) state, not the pre-cascade merged frame —
+        // checking the stale frame would flag the very danglers the
+        // executed cascade just fixed
+        if (childName.equalsIgnoreCase(table) && actionsApplied)
+          tableOpt(spark, childName)
+        else if (childName.equalsIgnoreCase(table)) Some(newDf)
         else tableOpt(spark, childName)
       childState.foreach { childDf =>
         val pcolsOld = resolveParentCols(spark, childName, fk, oldDf)

@@ -86,6 +86,18 @@ object Mutate {
 
   private def esc(n: String) = n.replace("'", "''")
 
+  /** Declared collations fold inside the DML WHERE (the statement-
+    * level fold must skip DML text — assignments are comparison-
+    * shaped — but the WHERE fragment alone is pure predicate
+    * context). Applied on the plain UPDATE / DELETE / LIMIT routes;
+    * UPDATE … FROM keeps expression-level COLLATE only (a bare
+    * reference there may belong to a FROM source this registry does
+    * not see — documented README residue). */
+  private def foldWhere(spark: SparkSession, table: String,
+                        where: Option[String]): Option[String] =
+    where.map(w => Collations.foldWhere(spark, table, w,
+      Pragma.caseSensitiveLike(spark)))
+
   private def resolve(spark: SparkSession, table: String,
                       verb: String): DataFrame =
     try spark.table(q(table))
@@ -103,27 +115,67 @@ object Mutate {
     // SQLite's rule); the copy-on-write rewrite never runs for views
     Triggers.interceptViewUpdate(spark, u).foreach(df => return df)
     // UPDATE OR <action> differs from plain UPDATE only on a
-    // constraint violation; a table with no declared constraints can't
-    // raise one, so the statement IS a plain UPDATE there (exactly
-    // SQLite — same reasoning as INSERT OR ABORT/FAIL/ROLLBACK). With
-    // a session-declared key the rewrite would have to simulate
-    // constraint checking — targeted decline instead.
-    u.orAction.foreach { a =>
-      if (SessionKeys.keyFor(spark, u.table).isDefined)
-        throw new UnsupportedOperationException(
-          s"UPDATE OR $a on a table with a declared unique key is not " +
-            s"supported (the copy-on-write rewrite does not simulate " +
-            s"constraint checking); use a plain UPDATE")
-      // OR ABORT/ROLLBACK match this engine's statement-atomic abort
-      // exactly; OR IGNORE executes below (violating rows keep their
-      // old values — the WHERE gains a post-assignment constraint
-      // gate); FAIL (keep rowid-order partial effects) and REPLACE
-      // (displace conflictors) diverge — decline those named
-      if (Set("FAIL", "REPLACE")(a) && Constraints.has(spark, u.table))
-        throw new UnsupportedOperationException(
-          s"UPDATE OR $a on a table with NOT NULL/CHECK constraints is " +
-            s"not supported (its per-row conflict resolution has no " +
-            s"set-based equivalent); use a plain UPDATE")
+    // constraint violation; a table with no declared constraints or
+    // keys can't raise one, so the statement IS a plain UPDATE there
+    // (exactly SQLite). OR ABORT/ROLLBACK match this engine's
+    // statement-atomic abort exactly and always execute. OR IGNORE
+    // executes the NOT NULL/CHECK skip on the plain route; its
+    // per-row UNIQUE-conflict skip (any declared key, expression/
+    // partial included) has no set-based equivalent — decline named.
+    // OR FAIL keeps rowid-order partial effects — decline named
+    // wherever it could differ. OR REPLACE EXECUTES on the plain
+    // route: NOT NULL defaults substitute into the assignments below
+    // and declared-key displacement resolves set-based (the branch in
+    // the merged computation); the FROM/LIMIT routes and the
+    // trigger/FK interleavings SQLite reaches per-row decline named.
+    val declaredKeysExist =
+      SessionKeys.declaredPk(spark, u.table).isDefined ||
+        SessionKeys.uniqueColIndexes(spark, u.table).nonEmpty ||
+        SessionKeys.uniqueExprIndexes(spark, u.table).nonEmpty
+    u.orAction.foreach {
+      case "IGNORE" =>
+        if (declaredKeysExist)
+          throw new UnsupportedOperationException(
+            "UPDATE OR IGNORE on a table with a declared unique key is " +
+              "not supported (its per-row conflict skip has no " +
+              "set-based equivalent); use a plain UPDATE")
+        if ((u.from.isDefined || u.limit.isDefined) &&
+            Constraints.has(spark, u.table))
+          throw new UnsupportedOperationException(
+            "UPDATE OR IGNORE … " +
+              (if (u.from.isDefined) "FROM" else "LIMIT") +
+              " on a table with NOT NULL/CHECK constraints is not " +
+              "supported; use the plain statement form")
+      case "FAIL" =>
+        if (declaredKeysExist || Constraints.has(spark, u.table))
+          throw new UnsupportedOperationException(
+            "UPDATE OR FAIL on a table with NOT NULL/CHECK constraints " +
+              "or declared unique keys is not supported (its " +
+              "rowid-order partial effects have no set-based " +
+              "equivalent); use a plain UPDATE")
+      case "REPLACE" =>
+        if ((u.from.isDefined || u.limit.isDefined) &&
+            (declaredKeysExist || Constraints.has(spark, u.table)))
+          throw new UnsupportedOperationException(
+            "UPDATE OR REPLACE … " +
+              (if (u.from.isDefined) "FROM" else "LIMIT") +
+              " on a table with declared constraints is not supported; " +
+              "use the plain statement form")
+        if (declaredKeysExist && Pragma.recursiveTriggers(spark) &&
+            Triggers.anyFor(spark, u.table, "delete"))
+          throw new UnsupportedOperationException(
+            "UPDATE OR REPLACE with recursive_triggers = ON fires the " +
+              "displaced rows' DELETE triggers in SQLite; this engine " +
+              "cannot interleave them set-based — run with " +
+              "recursive_triggers = 0")
+        if (declaredKeysExist && ForeignKeys.enforcing(spark) &&
+            ForeignKeys.referencing(spark, u.table).nonEmpty)
+          throw new UnsupportedOperationException(
+            "UPDATE OR REPLACE on a parent table referenced by foreign " +
+              "keys is not supported (displacement would have to " +
+              "interleave the children's ON DELETE actions); use a " +
+              "plain UPDATE")
+      case _ => // ABORT / ROLLBACK: the statement-atomic abort is exact
     }
     if (u.limit.isDefined && u.from.isDefined)
       throw new UnsupportedOperationException(
@@ -141,9 +193,28 @@ object Mutate {
     guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
     // rightmost assignment wins on a repeated column (SQLite rule);
     // toMap keeps the last entry per key
-    val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val assigns0 = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+    // the REPLACE algorithm's NOT NULL step (lang_conflict.html): an
+    // assignment producing NULL in a NOT NULL column takes the
+    // column's declared DEFAULT; without one the write-time guard
+    // aborts — both exactly SQLite. Identity for non-NULL results.
+    val assigns =
+      if (!u.orAction.contains("REPLACE")) assigns0
+      else {
+        val nn = SessionKeys.notNullsFor(spark, u.table)
+          .map(_.toLowerCase).toSet
+        val dflts = SessionKeys.defaultsFor(spark, u.table)
+        assigns0.map { case (c, e) =>
+          c -> (dflts.get(c) match {
+            case Some((_, execSql)) if nn(c) =>
+              s"coalesce(($e), ($execSql))"
+            case _ => e
+          })
+        }
+      }
     val gens = Ddl.generatedForWrite(spark, u.table)
-    val cond0 = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val cond0 = foldWhere(spark, u.table, u.where)
+      .map(w => s"coalesce(($w), false)").getOrElse("true")
     // UPDATE OR IGNORE skips rows whose POST-assignment image violates
     // a NOT NULL/CHECK constraint — they keep their old values
     // (measured). The skip rides the WHERE: assignment expressions
@@ -178,8 +249,48 @@ object Mutate {
         s"SELECT ${cols.mkString(", ")} FROM ($inner)"
       }
     val innerSel = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)}"
-    val merged = spark.sql((u.withPrefix + " " + (
-      if (gens.isEmpty) innerSel else chainGen(innerSel, Nil))).trim)
+    // UPDATE OR REPLACE on a table with declared unique keys: SQLite
+    // deletes every existing row a re-keyed row collides with and
+    // completes the update (lang_conflict.html). Set-based: the
+    // updated slice resolves batch-internal collisions LAST-wins per
+    // key (SQLite's row-at-a-time outcome), then untouched rows
+    // conflicting with it on ANY declared key drop — the same
+    // displacement shape INSERT OR REPLACE uses ([[Upsert]]).
+    val replaceKeys =
+      if (u.orAction.contains("REPLACE"))
+        Constraints.uniqueKeys(spark, u.table, base.columns.toSeq)
+      else Nil
+    val merged =
+      if (replaceKeys.isEmpty)
+        spark.sql((u.withPrefix + " " + (
+          if (gens.isEmpty) innerSel else chainGen(innerSel, Nil))).trim)
+      else {
+        import org.apache.spark.sql.functions.col
+        val updInner =
+          s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)} WHERE $cond"
+        val updatedNew = spark.sql((u.withPrefix + " " + (
+          if (gens.isEmpty) updInner else chainGen(updInner, Nil))).trim)
+        // batch-internal collision winner: SQLite keeps the LAST row
+        // in rowid order. With a materialized rowid the order is
+        // exact; without one the post-shuffle scan order of the
+        // touched slice is arbitrary, so the full new-row image is
+        // the DETERMINISTIC stand-in (same policy as UPDATE … FROM's
+        // min(named_struct) pick — README divergence table)
+        val ordered = base.columns.find(_.equalsIgnoreCase("rowid")) match {
+          case Some(r) => updatedNew.orderBy(col(q(r)).asc)
+          case None => updatedNew.orderBy(
+            updatedNew.columns.map(c => col(q(c)).asc).toIndexedSeq: _*)
+        }
+        val batch = Constraints.dedupPerKey(spark, ordered,
+          replaceKeys, keepLast = true)
+        val untouched = spark.sql((u.withPrefix +
+          s" SELECT * FROM ${q(u.table)} WHERE NOT ($cond)").trim)
+        val cols = base.columns.map(c => col(q(c))).toIndexedSeq
+        replaceKeys.foldLeft(untouched)(
+            (b, k) => Constraints.dropConflicting(b, batch, k))
+          .select(cols: _*)
+          .unionAll(batch.select(cols: _*))
+      }
     val ret = u.returning.map { r =>
       // RETURNING sees the NEW row values, affected rows only
       val retInner = s"SELECT ${proj.mkString(", ")} FROM ${q(u.table)} " +
@@ -430,7 +541,8 @@ object Mutate {
     Triggers.interceptViewDelete(spark, d).foreach(df => return df)
     if (d.limit.isDefined) return runDeleteLimit(spark, d)
     resolve(spark, d.table, "DELETE") // existence check, targeted error
-    val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val cond = foldWhere(spark, d.table, d.where)
+      .map(w => s"coalesce(($w), false)").getOrElse("true")
     val merged = spark.sql(
       s"${d.withPrefix} SELECT * FROM ${q(d.table)} WHERE NOT ($cond)".trim)
     val ret = d.returning.map { r =>
@@ -547,7 +659,8 @@ object Mutate {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
     declineTriggered(spark, d.table, "delete", Nil, "DELETE … LIMIT")
     val base = resolve(spark, d.table, "DELETE")
-    val cond = d.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val cond = foldWhere(spark, d.table, d.where)
+      .map(w => s"coalesce(($w), false)").getOrElse("true")
     val n = evalConst(spark, d.limit.get, "DELETE LIMIT")
     val m = d.offset.map(evalConst(spark, _, "DELETE OFFSET")).getOrElse(0L)
     val rid = "__graft_rid"
@@ -603,7 +716,8 @@ object Mutate {
     Rowid.guardUpdateAssigns(spark, u.table, u.assigns.map(_._1))
     guardGeneratedAssigns(spark, u.table, u.assigns.map(_._1))
     val assigns = u.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
-    val cond = u.where.map(w => s"coalesce(($w), false)").getOrElse("true")
+    val cond = foldWhere(spark, u.table, u.where)
+      .map(w => s"coalesce(($w), false)").getOrElse("true")
     val n = evalConst(spark, u.limit.get, "UPDATE LIMIT")
     val m = u.offset.map(evalConst(spark, _, "UPDATE OFFSET")).getOrElse(0L)
     val rid = "__graft_rid"

@@ -36,7 +36,14 @@ object SessionKeys {
                                      // partial-index predicate,
                                      // executable (uniqueness applies
                                      // only among predicate-TRUE rows)
-                                     uwhere: Option[String] = None)
+                                     uwhere: Option[String] = None,
+                                     // registration sequence — key
+                                     // APPLICATION order is declaration
+                                     // order (SQLite), which
+                                     // lexicographic names would
+                                     // perturb past 9 constraints
+                                     // (sqlite_autoindex_t_10 < _2)
+                                     seq: Long = 0L)
 
   private final class State {
     // lowercased table -> declared PRIMARY KEY
@@ -83,6 +90,8 @@ object SessionKeys {
     // sticky: once any AUTOINCREMENT table was created, the
     // sqlite_sequence catalog table exists (it survives drops)
     var seqTableCreated = false
+    // monotonic index-registration counter (declaration order)
+    var indexSeq = 0L
   }
 
   // weak keys: a dead session's declarations are collectable; all
@@ -118,14 +127,17 @@ object SessionKeys {
       val n = name.toLowerCase
       if (s.indexes.contains(n)) false
       else {
+        s.indexSeq += 1
         s.indexes(n) = IndexInfo(table.toLowerCase, cols, unique, origin,
-          riders, uexprs, uwhere)
+          riders, uexprs, uwhere, s.indexSeq)
         true
       }
     }
   }
 
-  /** Expression-keyed UNIQUE indexes on a table, name-ordered:
+  /** Expression-keyed UNIQUE indexes on a table in DECLARATION order
+    * (SQLite applies keys as declared — lexicographic names would
+    * misorder sqlite_autoindex_t_10 before _2):
     * (index name, executable item expressions, partial predicate). */
   def uniqueExprIndexes(spark: SparkSession, table: String)
       : Seq[(String, Seq[String], Option[String])] = {
@@ -134,13 +146,13 @@ object SessionKeys {
     s.synchronized {
       s.indexes.toSeq
         .filter(e => e._2.table == t && e._2.unique && e._2.uexprs.nonEmpty)
-        .sortBy(_._1).map { case (n, i) => (n, i.uexprs, i.uwhere) }
+        .sortBy(_._2.seq).map { case (n, i) => (n, i.uexprs, i.uwhere) }
     }
   }
 
-  /** Column-keyed UNIQUE indexes on a table, name-ordered: (index
-    * name, columns, partial predicate) — the enforcement set
-    * ([[Constraints.uniqueKeys]] pairs it with the declared PK). */
+  /** Column-keyed UNIQUE indexes on a table in DECLARATION order —
+    * the enforcement set ([[Constraints.uniqueKeys]] pairs it with the
+    * declared PK): (index name, columns, partial predicate). */
   def uniqueColIndexes(spark: SparkSession, table: String)
       : Seq[(String, Seq[String], Option[String])] = {
     val s = state(spark)
@@ -148,7 +160,7 @@ object SessionKeys {
     s.synchronized {
       s.indexes.toSeq
         .filter(e => e._2.table == t && e._2.unique && e._2.cols.nonEmpty)
-        .sortBy(_._1).map { case (n, i) => (n, i.cols, i.uwhere) }
+        .sortBy(_._2.seq).map { case (n, i) => (n, i.cols, i.uwhere) }
     }
   }
 
@@ -166,12 +178,26 @@ object SessionKeys {
 
   /** Per-column (descending?, collation) riders of a declared index,
     * padded with the (false, "BINARY") default — feeds
-    * `PRAGMA index_xinfo`. */
+    * `PRAGMA index_xinfo`. A stored "" collation means "no rider
+    * written" (the enforcement path then falls back to the COLUMN's
+    * declared collation) — rendered as BINARY here, SQLite's report. */
   def indexRiders(spark: SparkSession, name: String): Seq[(Boolean, String)] = {
     val s = state(spark)
     s.synchronized(s.indexes.get(name.toLowerCase)).map { i =>
-      i.cols.indices.map(k =>
-        i.riders.lift(k).getOrElse((false, "BINARY")))
+      i.cols.indices.map { k =>
+        val (d, c) = i.riders.lift(k).getOrElse((false, ""))
+        (d, if (c.isEmpty) "BINARY" else c)
+      }
+    }.getOrElse(Nil)
+  }
+
+  /** Raw per-column rider collations of an index ("" = no rider
+    * written, so the column's own declared collation governs — SQLite
+    * index key comparison rules). */
+  def riderCollations(spark: SparkSession, name: String): Seq[String] = {
+    val s = state(spark)
+    s.synchronized(s.indexes.get(name.toLowerCase)).map { i =>
+      i.cols.indices.map(k => i.riders.lift(k).map(_._2).getOrElse(""))
     }.getOrElse(Nil)
   }
 
@@ -551,9 +577,9 @@ object SessionKeys {
   }
 
   /** The conflict key a bare `INSERT OR REPLACE` / `ON CONFLICT`
-    * resolves against: the declared PRIMARY KEY, else the first
-    * (name-ordered, for determinism) UNIQUE index on the table, else
-    * None (caller falls back to the leading-column convention). */
+    * resolves against: the declared PRIMARY KEY, else the FIRST-
+    * DECLARED UNIQUE index on the table, else None (caller falls back
+    * to the leading-column convention). */
   def keyFor(spark: SparkSession, table: String): Option[Seq[String]] = {
     val s = state(spark)
     val t = table.toLowerCase
@@ -567,7 +593,7 @@ object SessionKeys {
         s.indexes.toSeq
           .filter(e => e._2.table == t && e._2.unique &&
             e._2.cols.nonEmpty && e._2.uwhere.isEmpty)
-          .sortBy(_._1).headOption.map(_._2.cols)
+          .sortBy(_._2.seq).headOption.map(_._2.cols)
       }
     }
   }

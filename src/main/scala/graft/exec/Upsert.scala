@@ -315,11 +315,20 @@ object Upsert {
     var replacedDisplaced: Option[DataFrame] = None
     val (merged, affected, inserted, updOldNew) = stmt.conflict match {
       case Some(c) =>
+        // an EXPRESSION target (`ON CONFLICT (lower(c))`) or a target
+        // WHERE (a partial index's predicate) must MATCH a declared
+        // unique index — SQLite's rule, with its no-match error; the
+        // matched index's key then drives the resolution below
+        val targetKey: Option[Constraints.UniqueKey] =
+          if (c.keyExprs.nonEmpty || c.targetWhere.isDefined)
+            Some(matchConflictTarget(spark, stmt.table, c))
+          else None
         // the upsert clause (or OR IGNORE's implied DO NOTHING):
         // resolve the conflict key against the lake schema; no target
         // = the declared/leading default key
         val keys =
-          if (c.keyCols.isEmpty) defaultKey
+          if (targetKey.isDefined) Nil
+          else if (c.keyCols.isEmpty) defaultKey
           else c.keyCols.map { k =>
             base.columns.find(_.equalsIgnoreCase(k)).getOrElse(
               throw new IllegalArgumentException(
@@ -336,9 +345,12 @@ object Upsert {
           // keys keep the FIRST row (SQLite inserts it, later
           // conflictors skip); the constraint-less convention path
           // keeps its documented single-key anti-join.
-          val keySets =
-            if (c.keyCols.isEmpty && declaredKeys.nonEmpty) declaredKeys
-            else Seq(Constraints.plainKey(stmt.table, keys))
+          val keySets = targetKey match {
+            case Some(tk) => Seq(tk)
+            case None =>
+              if (c.keyCols.isEmpty && declaredKeys.nonEmpty) declaredKeys
+              else Seq(Constraints.collatedKey(spark, stmt.table, keys))
+          }
           val batch =
             if (declaredKeys.isEmpty) admitted
             else Constraints.dedupPerKey(spark, admitted, keySets,
@@ -355,7 +367,10 @@ object Upsert {
           c.assigns.map(_._1).find(a => genNames(a.toLowerCase))
             .foreach(a => throw new IllegalArgumentException(
               s"cannot UPDATE generated column \"$a\""))
-          val (m, a, upd, app) = doUpdate(base, admitted, keys, c, stmt.table)
+          val (m, a, upd, app) = doUpdate(base, admitted,
+            targetKey.getOrElse(
+              Constraints.collatedKey(spark, stmt.table, keys)),
+            c, stmt.table)
           (m, a, app, Some(upd))
         }
       case None =>
@@ -531,7 +546,41 @@ object Upsert {
     }
   }
 
-  /** `ON CONFLICT (keys) DO UPDATE SET … [WHERE p]`: base rows whose
+  /** A targeted ON CONFLICT form naming expressions or a partial
+    * index's WHERE must match a declared UNIQUE index — SQLite's rule
+    * and its error text (both the target expressions and the WHERE
+    * compare after the same dialect translation the DDL registration
+    * applied, whitespace- and case-insensitively). */
+  private def matchConflictTarget(spark: SparkSession, table: String,
+                                  c: graft.text2sql.SqlDml.OnConflict)
+      : Constraints.UniqueKey = {
+    def norm(raw: String): String =
+      Ddl.generatedExecSql(raw).toLowerCase.filterNot(_.isWhitespace)
+    val clauseWhere = c.targetWhere.map(norm)
+    val hit: Option[Constraints.UniqueKey] =
+      if (c.keyExprs.nonEmpty) {
+        val clauseItems = c.keyExprs.map(norm)
+        SessionKeys.uniqueExprIndexes(spark, table).find { case (_, es, w) =>
+          es.map(_.toLowerCase.filterNot(_.isWhitespace)) == clauseItems &&
+            w.map(_.toLowerCase.filterNot(_.isWhitespace)) == clauseWhere
+        }.map { case (name, es, w) =>
+          Constraints.UniqueKey(s"index '$name'", es, w)
+        }
+      } else {
+        val clauseCols = c.keyCols.map(_.toLowerCase).sorted
+        SessionKeys.uniqueColIndexes(spark, table).find { case (_, ks, w) =>
+          ks.map(_.toLowerCase).sorted == clauseCols &&
+            w.map(_.toLowerCase.filterNot(_.isWhitespace)) == clauseWhere
+        }.map { case (name, ks, w) =>
+          Constraints.collatedKey(spark, table, ks,
+            SessionKeys.riderCollations(spark, name)).copy(where = w)
+        }
+      }
+    hit.getOrElse(throw new IllegalArgumentException(
+      "ON CONFLICT clause does not match any PRIMARY KEY or unique index"))
+  }
+
+  /** `ON CONFLICT (key) DO UPDATE SET … [WHERE p]`: base rows whose
     * key matches an incoming row take the assignments (expressions see
     * the OLD row bare and the incoming row as `excluded.col`, exactly
     * SQLite's scoping); a false/NULL update-WHERE keeps the old row
@@ -539,24 +588,50 @@ object Upsert {
     * append as plain inserts. One left join + one anti-join — the
     * MERGE shape again, shuffling on the key only.
     *
+    * The key is a [[Constraints.UniqueKey]]: plain column lists,
+    * expression-index keys, and partial-index keys all resolve here —
+    * key expressions evaluate row-locally on both sides, a PARTIAL
+    * key's predicate gates both sides (out-of-scope or NULL-keyed
+    * incoming rows never conflict: they append, SQLite's rule).
+    *
     * Batch-internal key duplicates: SQLite resolves them sequentially
     * by rowid, an order a distributed batch does not have — one
     * arbitrary row per key drives the update (the same documented
     * caveat as [[merge]]).
     */
   private def doUpdate(base: DataFrame, incoming: DataFrame,
-                       keys: Seq[String], c: graft.text2sql.SqlDml.OnConflict,
+                       key: Constraints.UniqueKey,
+                       c: graft.text2sql.SqlDml.OnConflict,
                        table: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, struct, when}
-    val upd = incoming.dropDuplicates(keys)
-    val excl = upd.select((upd.columns.map(cn => col(cn).as("__excl_" + cn))
-      :+ lit(true).as("__excl_hit")).toIndexedSeq: _*)
+    import org.apache.spark.sql.types.BooleanType
+    val kNames = key.exprs.indices.map(i => s"__gk$i")
+    def scopeCol: Column = key.where.map(w =>
+      coalesce(expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+    // evaluate the key on the incoming side; rows outside a PARTIAL
+    // key's predicate or with a NULL key member never conflict
+    val tagged = key.exprs.zipWithIndex.foldLeft(incoming) {
+        case (df, (e, i)) => df.withColumn(s"__gk$i", expr(e))
+      }.withColumn("__gscope", scopeCol)
+    val eligCond = col("__gscope") &&
+      kNames.map(col(_).isNotNull).reduce(_ && _)
+    val eligible = tagged.filter(eligCond)
+    val ineligible = tagged.filter(!eligCond)
+    val upd = eligible.dropDuplicates(kNames)
+    val excl = upd.select((incoming.columns.map(cn =>
+        col(cn).as("__excl_" + cn)) ++
+      kNames.map(k => col(k).as("__excl" + k)) :+
+      lit(true).as("__excl_hit")).toIndexedSeq: _*)
     // alias the base side with the table name so qualified `t.col`
-    // references in assignments resolve (dotted names can't alias)
+    // references in assignments resolve (dotted names can't alias);
+    // bare key expressions resolve to the base side (the excl frame
+    // carries only renamed columns)
     val b = if (table.contains(".")) base else base.as(table)
     val joined = b.join(excl,
-      keys.map(k => b(k) === excl("__excl_" + k)).reduce(_ && _), "left")
+      scopeCol && key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e) === excl(s"__excl__gk$i")
+      }.reduce(_ && _), "left")
     val assigns: Map[String, String] = c.assigns.map { case (cn, ex) =>
       val res = base.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
         throw new IllegalArgumentException(
@@ -599,9 +674,21 @@ object Upsert {
         acc.withColumn(actual, expr(ex).cast(types(cn)))
       }.select(df.columns.map(col).toIndexedSeq: _*)
     val projected = recompute(projected0)
-    val appended = incoming.join(
-      base.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      // USING joins front the key columns; re-project to base order
+    // append = conflict-eligible incoming rows whose key has no
+    // IN-SCOPE base match, plus every ineligible row (out-of-scope /
+    // NULL-keyed — they conflict with nothing, SQLite's rule)
+    val bk = base.filter(scopeCol)
+      .select(key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e).as(s"__bk$i")
+      }.toIndexedSeq: _*)
+      .filter(key.exprs.indices.map(i => col(s"__bk$i").isNotNull)
+        .reduce(_ && _))
+      .distinct()
+    val appended = eligible.join(bk,
+        kNames.zipWithIndex.map { case (k, i) =>
+          col(k) === bk(s"__bk$i")
+        }.reduce(_ && _), "left_anti")
+      .unionByName(ineligible)
       .select(base.columns.map(col): _*)
     val merged = projected.drop("__graft_hit").unionAll(appended)
     // RETURNING's affected slice: gate-fired updates (new values) +

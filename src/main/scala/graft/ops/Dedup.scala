@@ -220,7 +220,13 @@ object Dedup {
     val hot: Array[Long] =
       if (maxShingleDf == Int.MaxValue) Array.emptyLongArray
       else {
-        val censusRate = 5
+        // 1-in-10 (was 1-in-5 through r10): the census shuffle is the
+        // dominant marginal cost of the full-corpus key, and at the
+        // 2× margin the misclassification bounds below hold at either
+        // rate — the trade is only that df in (cap, ~3.3·cap] may be
+        // censused cool instead of (cap, ~2.5·cap], a perf-only
+        // outcome still bounded by the band-bucket caps
+        val censusRate = 10
         val sampled = maxShingleDf >= 5 * censusRate
         val censusSrc =
           if (sampled) sets.filter(pmod(xxhash64(col("id")), lit(censusRate)) === 0)

@@ -737,6 +737,60 @@ object QueriesDialect {
       s.table("graft_rv_t").orderBy("n_nationkey")
     }),
 
+    // Targeted expression / partial-index ON CONFLICT end-to-end: the
+    // (lower(email)) target matches the declared expression index and
+    // drives DO UPDATE; the (a) WHERE b > 0 target matches the partial
+    // index — in-scope rows update, out-of-scope incoming rows append
+    // (UniqueSpec pins the no-match error form against sqlite3)
+    "sink_upsert_target_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_uct_t")
+      run("CREATE TABLE graft_uct_t (id INT, email TEXT)")
+      run("CREATE UNIQUE INDEX graft_uct_ux ON graft_uct_t (lower(email))")
+      run("INSERT INTO graft_uct_t VALUES (1,'A@x.com'), (2,'b@y.com')")
+      run("""INSERT INTO graft_uct_t VALUES (3,'a@X.COM'), (4,'c@z.org')
+             ON CONFLICT (lower(email))
+             DO UPDATE SET id = excluded.id + 100""")
+      run("""INSERT INTO graft_uct_t VALUES (5,'B@Y.COM')
+             ON CONFLICT (lower(email)) DO NOTHING""")
+      run("DROP TABLE IF EXISTS graft_uct_p")
+      run("CREATE TABLE graft_uct_p (a INT, b INT)")
+      run("CREATE UNIQUE INDEX graft_uct_pux ON graft_uct_p (a) WHERE b > 0")
+      run("INSERT INTO graft_uct_p VALUES (1, 5), (1, -1)")
+      run("""INSERT INTO graft_uct_p VALUES (1, 7), (1, 0)
+             ON CONFLICT (a) WHERE b > 0
+             DO UPDATE SET b = excluded.b""")
+      run("DROP INDEX graft_uct_ux")
+      run("DROP INDEX graft_uct_pux")
+      run("""SELECT CAST(id AS BIGINT) AS k1, email AS k2,
+                    CAST(0 AS BIGINT) AS k3
+             FROM graft_uct_t
+             UNION ALL
+             SELECT CAST(a AS BIGINT), 'p', CAST(b AS BIGINT)
+             FROM graft_uct_p
+             ORDER BY k1, k2, k3""")
+    }),
+
+    // UPDATE OR REPLACE end-to-end: a re-keyed row DELETES the row it
+    // collides with and completes (PK displacement), an assigned NULL
+    // in a NOT NULL column takes the declared DEFAULT, and two rows
+    // re-keyed onto one key resolve to a single winner (fixture chosen
+    // so the engine's deterministic stand-in equals sqlite3's
+    // rowid-order outcome — UniqueSpec pins the edges)
+    "sink_update_replace_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_updrep_t")
+      run("""CREATE TABLE graft_updrep_t (a INT PRIMARY KEY, b TEXT,
+             c INT NOT NULL DEFAULT 5)""")
+      run("""INSERT INTO graft_updrep_t VALUES
+             (1,'x',10), (2,'y',20), (3,'z',30), (4,'w',40)""")
+      run("UPDATE OR REPLACE graft_updrep_t SET a = 2 WHERE a = 1")
+      run("UPDATE OR REPLACE graft_updrep_t SET c = NULL WHERE a = 3")
+      run("UPDATE OR REPLACE graft_updrep_t SET a = 9 WHERE a IN (2, 3)")
+      run("""SELECT CAST(a AS BIGINT) AS a, b, CAST(c AS BIGINT) AS c
+             FROM graft_updrep_t ORDER BY a""")
+    }),
+
     // PRAGMA recursive_triggers = ON end-to-end: a self-inserting
     // trigger recurses level-by-level over the affected slices to
     // SQLite's exact multiset — (1),(2) chained under WHEN x < 4
@@ -1476,6 +1530,29 @@ object QueriesDialect {
                      ELSE n_regionkey END AS n_regionkey
          FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
          ORDER BY n_nationkey""",
+
+    // post-state pinned against sqlite3 running the identical
+    // statements: the expression target folds 'a@X.COM' onto row 1
+    // (id 3+100), DO NOTHING skips the B@Y.COM conflict; the partial
+    // target updates the in-scope (1,5)→(1,7) while (1,0) appends
+    "sink_upsert_target_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'p', CAST(-1 AS BIGINT)),
+           (CAST(1 AS BIGINT), 'p', CAST(0 AS BIGINT)),
+           (CAST(1 AS BIGINT), 'p', CAST(7 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'b@y.com', CAST(0 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'c@z.org', CAST(0 AS BIGINT)),
+           (CAST(103 AS BIGINT), 'A@x.com', CAST(0 AS BIGINT)))
+         AS t(k1, k2, k3) ORDER BY k1, k2, k3""",
+
+    // post-state pinned against sqlite3 running the identical
+    // statements: (1,x,10) re-keys onto 2 displacing (2,y,20); c=NULL
+    // takes DEFAULT 5; the double re-key onto 9 leaves one winner
+    "sink_update_replace_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(4 AS BIGINT), 'w', CAST(40 AS BIGINT)),
+           (CAST(9 AS BIGINT), 'z', CAST(5 AS BIGINT)))
+         AS t(a, b, c) ORDER BY a""",
 
     // recursive-trigger multiset pinned against sqlite3 running the
     // identical statements

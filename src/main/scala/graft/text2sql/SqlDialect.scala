@@ -75,7 +75,8 @@ object SqlDialect {
     // would mangle the declaration riders (`b TEXT COLLATE NOCASE` →
     // `b lower(TEXT)`). CTAS (`CREATE TABLE … AS SELECT`) is
     // expression text and translates normally.
-    if (isColumnDefCreateTable(sql) || isAlterTable(sql)) return sql
+    if (isColumnDefCreateTable(sql) || isAlterTable(sql) ||
+        isCreateIndex(sql)) return sql
     var out = rewriteWindowFilter(sql)
     out = rewriteJsonb(out)
     out = rewriteJsonTvf(out)
@@ -124,6 +125,27 @@ object SqlDialect {
     } else return false
     i = ws(i)
     i < sql.length && sql.charAt(i) == '('
+  }
+
+  /** True for `CREATE [UNIQUE] INDEX …` — declaration text too: a
+    * `(c COLLATE NOCASE)` key item is a per-column RIDER (kept for
+    * index_xinfo and the collated-key enforcement), not a comparison
+    * to fold — rewriteCollate would turn it into an expression key
+    * `(lower(c))`, changing SQLite's error label from `t.c` to
+    * `index 'name'`. Expression items and the partial WHERE are
+    * stored raw and translated at registration (exec.Ddl), exactly
+    * like CREATE TABLE's DEFAULT/CHECK fragments. */
+  private def isCreateIndex(sql: String): Boolean = {
+    def ws(i0: Int): Int = {
+      var i = i0
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      i
+    }
+    var i = ws(0)
+    if (!keywordAt(sql, i, "create")) return false
+    i = ws(i + 6)
+    if (keywordAt(sql, i, "unique")) i = ws(i + 6)
+    keywordAt(sql, i, "index")
   }
 
   /** True for `ALTER TABLE …` — SQLite's whole ALTER surface is

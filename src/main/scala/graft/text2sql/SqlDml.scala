@@ -63,16 +63,23 @@ object SqlDml {
   private[graft] val DefaultValuesSource =
     "SELECT true AS __graft_default_values"
 
-  /** SQLite's upsert clause: `ON CONFLICT [(cols)] DO NOTHING` (empty
-    * `assigns`) or `ON CONFLICT (cols) DO UPDATE SET … [WHERE p]`.
+  /** SQLite's upsert clause: `ON CONFLICT [(target) [WHERE p]] DO
+    * NOTHING` (empty `assigns`) or `… DO UPDATE SET … [WHERE p]`.
     * Expression texts are raw translated SQL; `excluded.col`
     * references (the would-be-inserted row) are resolved at execution
     * via [[rewriteExcluded]]. Empty `keyCols` = the target's leading
     * column, the same id-column convention `INSERT OR REPLACE` uses
-    * (ingested tables declare no constraints for SQLite to match). */
+    * (ingested tables declare no constraints for SQLite to match).
+    * A target of expressions (`ON CONFLICT (lower(c))`) carries its
+    * raw item texts in `keyExprs` (keyCols empty) and a target
+    * `WHERE` (a partial index's predicate) in `targetWhere` — both
+    * must MATCH a declared unique index at execution (SQLite's rule;
+    * exec.Upsert raises SQLite's no-match error otherwise). */
   final case class OnConflict(keyCols: Seq[String],
                               assigns: Seq[(String, String)],
-                              updateWhere: Option[String])
+                              updateWhere: Option[String],
+                              keyExprs: Seq[String] = Nil,
+                              targetWhere: Option[String] = None)
 
   /** A DML verb this engine declines (read-only lake storage). */
   final case class Unsupported(verb: String) extends Stmt
@@ -1475,7 +1482,7 @@ object SqlDml {
           // accept trailing COLLATE <name> / ASC / DESC riders (kept
           // for index_xinfo); any other tail makes it an expression key
           var k = skipWs(item, after)
-          var coll = "BINARY"
+          var coll = "" // "" = no COLLATE rider written (≠ explicit BINARY)
           var desc = false
           if (keywordAt(item, k, "collate")) {
             val ci = parseIdent(item, skipWs(item, k + 7))
@@ -1658,25 +1665,38 @@ object SqlDml {
       : Either[Unsupported, (OnConflict, Int)] = {
     var j = skipWs(sql, start)
     var cols = Seq.empty[String]
+    var exprs = Seq.empty[String]
+    var targetWhere: Option[String] = None
     if (j < sql.length && sql.charAt(j) == '(') {
       val close = closeParen(sql, j)
       if (close < 0) return Left(Unsupported("INSERT … ON CONFLICT"))
-      val raw = sql.substring(j + 1, close).split(",").toSeq.map(_.trim)
-      cols = raw.map(unquoteIdent).filter(_.nonEmpty)
-      // an expression target (e.g. lower(email)) names an expression
-      // index; only plain column lists key against the lake schema
-      if (cols.isEmpty ||
-          raw.exists(c => unquoteIdent(c) == c && !c.forall(isWordChar)))
-        return Left(Unsupported("ON CONFLICT with an expression target"))
+      val items = splitTopCommas(sql.substring(j + 1, close)).map(_.trim)
+      if (items.isEmpty || items.exists(_.isEmpty))
+        return Left(Unsupported("INSERT … ON CONFLICT"))
+      // a plain column list keys against the lake schema; anything
+      // else (e.g. lower(email)) is an EXPRESSION target that must
+      // match a declared expression index at execution
+      val plain =
+        items.forall(c => unquoteIdent(c) != c || c.forall(isWordChar))
+      if (plain) cols = items.map(unquoteIdent)
+      else exprs = items
       j = skipWs(sql, close + 1)
-      if (keywordAt(sql, j, "where"))
-        return Left(Unsupported("ON CONFLICT with a partial-index WHERE"))
+      if (keywordAt(sql, j, "where")) {
+        // the target's partial-index predicate — must match a declared
+        // partial unique index's WHERE at execution (SQLite's rule)
+        val (w, stop, stopped) =
+          scanExpr(sql, skipWs(sql, j + 5), Set("do"), stopComma = false)
+        if (w.trim.isEmpty || !stopped.contains("do"))
+          return Left(Unsupported("INSERT … ON CONFLICT"))
+        targetWhere = Some(w.trim)
+        j = stop
+      }
     }
     if (!keywordAt(sql, j, "do"))
       return Left(Unsupported("INSERT … ON CONFLICT"))
     j = skipWs(sql, j + 2)
     if (keywordAt(sql, j, "nothing"))
-      return Right((OnConflict(cols, Nil, None), j + 7))
+      return Right((OnConflict(cols, Nil, None, exprs, targetWhere), j + 7))
     if (!keywordAt(sql, j, "update"))
       return Left(Unsupported("INSERT … ON CONFLICT DO"))
     j = skipWs(sql, j + 6)
@@ -1708,7 +1728,7 @@ object SqlDml {
       }
     }
     stopKw match {
-      case None => Right((OnConflict(cols, assigns.result(), None), j))
+      case None => Right((OnConflict(cols, assigns.result(), None, exprs, targetWhere), j))
       case Some("where") =>
         val (expr, stop, stopped) =
           scanExpr(sql, skipWs(sql, j + 5), stops - "where")
@@ -1717,10 +1737,10 @@ object SqlDml {
         else if (stopped.isEmpty || stopped.contains("returning"))
           // a trailing RETURNING belongs to the caller: end the clause
           // AT the keyword so parseUpsert picks it up
-          Right((OnConflict(cols, assigns.result(), Some(expr.trim)), stop))
+          Right((OnConflict(cols, assigns.result(), Some(expr.trim), exprs, targetWhere), stop))
         else Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
       case Some("returning") =>
-        Right((OnConflict(cols, assigns.result(), None), j))
+        Right((OnConflict(cols, assigns.result(), None, exprs, targetWhere), j))
       case Some("on") =>
         Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
       case _ => Left(Unsupported("INSERT … ON CONFLICT"))

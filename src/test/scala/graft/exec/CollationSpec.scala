@@ -161,18 +161,31 @@ class CollationSpec extends SparkSpec {
   }
 
   test("sqlite_master renders the declared COLLATE; table_info shape " +
-      "unchanged; DML WHERE stays expression-collation only " +
-      "(documented divergence — loud values, not silent drops)") {
+      "unchanged") {
     val t = fixture()
     val master = rowsOf(
       s"SELECT sql FROM sqlite_master WHERE name = '$t'").head.head.toString
     assert(master.contains("COLLATE NOCASE"), master)
     assert(master.contains("COLLATE RTRIM"), master)
-    // the declared fold is scoped to the plain-query route: an UPDATE
-    // WHERE over the NOCASE column stays binary here (SQLite folds) —
-    // pinned so the divergence is visible, not accidental
+  }
+
+  test("DML WHERE folds the declared collation too: UPDATE/DELETE " +
+      "over a NOCASE column compare as declared (measured against " +
+      "sqlite3); assignments stay untouched") {
+    val t = fixture()
     sql(s"UPDATE $t SET k = 100 WHERE x = 'APPLE'")
     assert(rowsOf(s"SELECT count(*) FROM $t WHERE k = 100") ==
-      Seq(Seq(0L)))
+      Seq(Seq(2L)))
+    // assignment VALUES never fold (SET is not a comparison): the
+    // stored text keeps its case
+    sql(s"UPDATE $t SET x = 'MiXeD' WHERE k = 100")
+    assert(rowsOf(s"SELECT min(x) FROM $t WHERE k = 100") ==
+      Seq(Seq("MiXeD")))
+    // IN propagates inside the DML WHERE as well; RTRIM folds too
+    sql(s"DELETE FROM $t WHERE x IN ('mixed') OR y = 'r   '")
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(2L)))
+    // DELETE ... LIMIT route folds the same way
+    sql(s"DELETE FROM $t WHERE x = 'BANANA' LIMIT 1")
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(1L)))
   }
 }

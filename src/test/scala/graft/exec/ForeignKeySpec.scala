@@ -299,20 +299,31 @@ class ForeignKeySpec extends SparkSpec
     assert(rowsOf(s"SELECT cid, pid FROM qc$i") == Seq(Seq(10L, 9L)))
   }
 
-  test("a self-referential ON UPDATE action declines named; " +
-       "rollback on a mid-cascade failure restores everything") {
+  test("self-referential ON UPDATE CASCADE re-points the table's own " +
+       "children to the re-keyed parent (sqlite3-measured)") {
     val i = fresh()
     sql(s"CREATE TABLE sp$i (id INT PRIMARY KEY, " +
       s"par INT REFERENCES sp$i(id) ON UPDATE CASCADE)")
-    sql(s"INSERT INTO sp$i VALUES (1, NULL), (2, 1)")
+    sql(s"INSERT INTO sp$i VALUES (1, NULL), (2, 1), (3, 2), (4, 1)")
     sql("PRAGMA foreign_keys = 1")
-    val e = intercept[UnsupportedOperationException] {
-      sql(s"UPDATE sp$i SET id = 9 WHERE id = 1")
-    }
-    assert(e.getMessage.contains("self-referential ON UPDATE"),
-      e.getMessage)
+    sql(s"UPDATE sp$i SET id = 10 WHERE id = 1")
     assert(rowsOf(s"SELECT id, par FROM sp$i ORDER BY id") ==
-      Seq(Seq(1L, null), Seq(2L, 1L)))
+      Seq(Seq(2L, 10L), Seq(3L, 2L), Seq(4L, 10L), Seq(10L, null)))
+    // untouched keys cascade nothing; a non-key update runs plain
+    sql(s"UPDATE sp$i SET par = 2 WHERE id = 4")
+    assert(rowsOf(s"SELECT par FROM sp$i WHERE id = 4") == Seq(Seq(2L)))
+  }
+
+  test("self-referential ON UPDATE SET NULL nulls the table's own " +
+       "dangling references (sqlite3-measured)") {
+    val i = fresh()
+    sql(s"CREATE TABLE sn$i (id INT PRIMARY KEY, " +
+      s"par INT REFERENCES sn$i(id) ON UPDATE SET NULL)")
+    sql(s"INSERT INTO sn$i VALUES (1, NULL), (2, 1), (3, 2)")
+    sql("PRAGMA foreign_keys = 1")
+    sql(s"UPDATE sn$i SET id = 5 WHERE id = 1")
+    assert(rowsOf(s"SELECT id, par FROM sn$i ORDER BY id") ==
+      Seq(Seq(2L, null), Seq(3L, 2L), Seq(5L, null)))
   }
 
   test("updates skip FKs whose columns are unmodified; dangling-only " +

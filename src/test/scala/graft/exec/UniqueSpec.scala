@@ -210,6 +210,171 @@ class UniqueSpec extends SparkSpec {
     sql(s"DROP INDEX ${t}_ux")
   }
 
+  test("UPDATE OR REPLACE deletes the row a re-keyed row collides " +
+      "with and completes the update (measured against sqlite3)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT)")
+    sql(s"INSERT INTO $t VALUES (1,'x'), (2,'y'), (3,'z')")
+    sql(s"UPDATE OR REPLACE $t SET a = 2 WHERE a = 1")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(2L, "x"), Seq(3L, "z")))
+    // two rows re-keyed onto ONE key: row-at-a-time SQLite leaves the
+    // LAST processed row (the earlier update is displaced by the later)
+    sql(s"UPDATE OR REPLACE $t SET a = 9 WHERE a IN (2, 3)")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(9L, "z")))
+    // a plain UPDATE re-keying into a collision still aborts
+    sql(s"INSERT INTO $t VALUES (10, 'w')")
+    val e = intercept[Exception](sql(s"UPDATE $t SET a = 9 WHERE a = 10"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.a"),
+      e.getMessage)
+  }
+
+  test("UPDATE OR REPLACE substitutes the NOT NULL DEFAULT for an " +
+      "assigned NULL; without a default it aborts (REPLACE algorithm's " +
+      "NOT NULL step — measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(k INT PRIMARY KEY, a INT NOT NULL DEFAULT 7, " +
+      s"c INT NOT NULL)")
+    sql(s"INSERT INTO $t VALUES (1, 1, 100), (2, 2, 200)")
+    sql(s"UPDATE OR REPLACE $t SET a = NULL WHERE k = 1")
+    assert(rowsOf(s"SELECT k, a, c FROM $t ORDER BY k") ==
+      Seq(Seq(1L, 7L, 100L), Seq(2L, 2L, 200L)))
+    val e = intercept[Exception](
+      sql(s"UPDATE OR REPLACE $t SET c = NULL WHERE k = 2"))
+    assert(e.getMessage.contains(s"NOT NULL constraint failed: $t.c"),
+      e.getMessage)
+    assert(rowsOf(s"SELECT c FROM $t WHERE k = 2") == Seq(Seq(200L)))
+  }
+
+  test("UPDATE OR REPLACE displaces through an EXPRESSION unique " +
+      "index; OR ABORT executes as a plain UPDATE; OR FAIL and the " +
+      "FROM/LIMIT REPLACE forms decline named") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INT, c TEXT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (lower(c))")
+    sql(s"INSERT INTO $t VALUES (1,'AA'), (2,'bb')")
+    sql(s"UPDATE OR REPLACE $t SET c = 'Bb' WHERE id = 1")
+    assert(rowsOf(s"SELECT id, c FROM $t ORDER BY id") ==
+      Seq(Seq(1L, "Bb")))
+    sql(s"UPDATE OR ABORT $t SET c = 'qq' WHERE id = 1")
+    assert(rowsOf(s"SELECT c FROM $t") == Seq(Seq("qq")))
+    val e1 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR FAIL $t SET c = 'x'"))
+    assert(e1.getMessage.contains("UPDATE OR FAIL"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR REPLACE $t SET c = 'x' LIMIT 1"))
+    assert(e2.getMessage.contains("UPDATE OR REPLACE"), e2.getMessage)
+    sql(s"DROP INDEX ${t}_ux")
+  }
+
+  test("targeted EXPRESSION ON CONFLICT: (lower(c)) matches the " +
+      "declared expression index and drives DO UPDATE / DO NOTHING; " +
+      "a non-matching target raises SQLite's error (all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(id INT, email TEXT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (lower(email))")
+    sql(s"INSERT INTO $t VALUES (1, 'A@x.com')")
+    sql(s"INSERT INTO $t VALUES (2, 'a@X.COM') " +
+      s"ON CONFLICT (lower(email)) DO UPDATE SET id = excluded.id")
+    assert(rowsOf(s"SELECT id, email FROM $t") == Seq(Seq(2L, "A@x.com")))
+    // no conflict → plain append
+    sql(s"INSERT INTO $t VALUES (3, 'b@y.com') " +
+      s"ON CONFLICT (lower(email)) DO UPDATE SET id = 99")
+    assert(rowsOf(s"SELECT id, email FROM $t ORDER BY id") ==
+      Seq(Seq(2L, "A@x.com"), Seq(3L, "b@y.com")))
+    // DO NOTHING skips the expression-key conflict
+    sql(s"INSERT INTO $t VALUES (4, 'B@Y.COM') " +
+      s"ON CONFLICT (lower(email)) DO NOTHING")
+    assert(rowsOf(s"SELECT count(*) FROM $t") == Seq(Seq(2L)))
+    // a target matching NO declared index raises SQLite's error
+    val e = intercept[Exception](
+      sql(s"INSERT INTO $t VALUES (5, 'c') " +
+        s"ON CONFLICT (upper(email)) DO NOTHING"))
+    assert(e.getMessage.contains(
+      "ON CONFLICT clause does not match any PRIMARY KEY or unique index"),
+      e.getMessage)
+    sql(s"DROP INDEX ${t}_ux")
+  }
+
+  test("targeted PARTIAL-index ON CONFLICT: (a) WHERE b > 0 matches " +
+      "the declared partial index; out-of-scope rows never conflict " +
+      "(all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT, b INT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (a) WHERE b > 0")
+    sql(s"INSERT INTO $t VALUES (1, 5), (1, -1)")
+    // in-scope conflict → DO UPDATE fires on the in-scope row only
+    sql(s"INSERT INTO $t VALUES (1, 7) " +
+      s"ON CONFLICT (a) WHERE b > 0 DO UPDATE SET b = excluded.b")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, -1L), Seq(1L, 7L)))
+    // an OUT-of-scope incoming row conflicts with nothing → appends
+    sql(s"INSERT INTO $t VALUES (1, 0) " +
+      s"ON CONFLICT (a) WHERE b > 0 DO UPDATE SET b = 999")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY b") ==
+      Seq(Seq(1L, -1L), Seq(1L, 0L), Seq(1L, 7L)))
+    // a bare (a) target without the WHERE matches no index → error
+    val e = intercept[Exception](
+      sql(s"INSERT INTO $t VALUES (1, 9) ON CONFLICT (a) WHERE b < 0 " +
+        s"DO NOTHING"))
+    assert(e.getMessage.contains("does not match any PRIMARY KEY"),
+      e.getMessage)
+    sql(s"DROP INDEX ${t}_ux")
+  }
+
+  test("a UNIQUE column with a declared collation enforces UNDER that " +
+      "collation: NOCASE keys collide case-insensitively, RTRIM keys " +
+      "ignore trailing spaces (measured against sqlite3)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(x TEXT COLLATE NOCASE UNIQUE, v INT)")
+    sql(s"INSERT INTO $t VALUES ('Apple', 1)")
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES ('APPLE', 2)"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.x"),
+      e.getMessage)
+    // OR REPLACE displaces the case-variant; OR IGNORE skips it
+    sql(s"INSERT OR REPLACE INTO $t VALUES ('aPPle', 3)")
+    assert(rowsOf(s"SELECT x, v FROM $t") == Seq(Seq("aPPle", 3L)))
+    sql(s"INSERT OR IGNORE INTO $t VALUES ('ApPlE', 4), ('pear', 5)")
+    assert(rowsOf(s"SELECT x, v FROM $t ORDER BY v") ==
+      Seq(Seq("aPPle", 3L), Seq("pear", 5L)))
+    // DO UPDATE matches the conflict key case-insensitively too
+    sql(s"INSERT INTO $t VALUES ('PEAR', 6) " +
+      s"ON CONFLICT (x) DO UPDATE SET v = excluded.v")
+    assert(rowsOf(s"SELECT x, v FROM $t ORDER BY v") ==
+      Seq(Seq("aPPle", 3L), Seq("pear", 6L)))
+    // RTRIM: trailing spaces don't make a new key
+    val r = fresh()
+    sql(s"CREATE TABLE $r(y TEXT COLLATE RTRIM UNIQUE)")
+    sql(s"INSERT INTO $r VALUES ('a ')")
+    val e2 = intercept[Exception](sql(s"INSERT INTO $r VALUES ('a   ')"))
+    assert(e2.getMessage.contains(s"UNIQUE constraint failed: $r.y"),
+      e2.getMessage)
+  }
+
+  test("a COLLATE NOCASE rider on a CREATE UNIQUE INDEX column " +
+      "enforces case-insensitively; a PK takes its column's declared " +
+      "collation; unknown collations fail at DDL with SQLite's error") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(c TEXT)")
+    sql(s"CREATE UNIQUE INDEX ${t}_ux ON $t (c COLLATE NOCASE)")
+    sql(s"INSERT INTO $t VALUES ('Hi')")
+    val e = intercept[Exception](sql(s"INSERT INTO $t VALUES ('HI')"))
+    assert(e.getMessage.contains(s"UNIQUE constraint failed: $t.c"),
+      e.getMessage)
+    sql(s"DROP INDEX ${t}_ux")
+    val p = fresh()
+    sql(s"CREATE TABLE $p(k TEXT COLLATE NOCASE PRIMARY KEY)")
+    sql(s"INSERT INTO $p VALUES ('One')")
+    val e2 = intercept[Exception](sql(s"INSERT INTO $p VALUES ('ONE')"))
+    assert(e2.getMessage.contains(s"UNIQUE constraint failed: $p.k"),
+      e2.getMessage)
+    val e3 = intercept[Exception](
+      sql(s"CREATE TABLE ${fresh()}(z TEXT COLLATE MYCOLL)"))
+    assert(e3.getMessage.contains("no such collation sequence: MYCOLL"),
+      e3.getMessage)
+  }
+
   test("DO UPDATE re-keying into another unique key's collision aborts") {
     val t = fresh()
     sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT UNIQUE)")

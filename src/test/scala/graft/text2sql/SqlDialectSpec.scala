@@ -457,14 +457,28 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getBoolean(0) && row.getBoolean(1))
   }
 
-  test("COLLATE NOCASE next to IN / BETWEEN / NOT IN declines (stays verbatim)") {
-    // folding only the left side (lower(x) IN ('Apple')) would return
-    // silently wrong rows; declining leaves a visible analysis error
-    for (q <- Seq(
-      "SELECT * FROM t WHERE x COLLATE NOCASE IN ('Apple', 'Pear')",
-      "SELECT * FROM t WHERE x COLLATE NOCASE NOT IN ('Apple')",
-      "SELECT * FROM t WHERE x COLLATE NOCASE BETWEEN 'a' AND 'b'"))
-      assert(SqlDialect.translate(q) == q, q)
+  test("COLLATE NOCASE next to IN / BETWEEN / NOT IN folds every " +
+      "operand (SQLite's propagation); IN (SELECT …) declines") {
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE NOCASE IN ('Apple', 'Pear')") ==
+      "SELECT * FROM t WHERE lower(x) IN (lower('Apple'), lower('Pear'))")
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE NOCASE NOT IN ('Apple')") ==
+      "SELECT * FROM t WHERE lower(x) NOT IN (lower('Apple'))")
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE NOCASE BETWEEN 'a' AND 'B'") ==
+      "SELECT * FROM t WHERE lower(x) BETWEEN lower('a') AND lower('B')")
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE NOCASE NOT BETWEEN 'a' AND 'b'") ==
+      "SELECT * FROM t WHERE lower(x) NOT BETWEEN lower('a') AND lower('b')")
+    // a subquery list can't fold member-wise — stays verbatim (visible
+    // analysis error, never silently half-folded)
+    val sub = "SELECT * FROM t WHERE x COLLATE NOCASE IN (SELECT y FROM u)"
+    assert(SqlDialect.translate(sub) == sub)
+    // the folded membership test really runs case-insensitively
+    val live = SqlDialect.translate(
+      "SELECT 'APPLE' COLLATE NOCASE IN ('apple', 'pear') AS v")
+    assert(spark.sql(live).head().getBoolean(0), live)
     // NOT LIKE still composes: the clause strips next to NOT ILIKE
     val ok = SqlDialect.translate("SELECT 'Ab' NOT LIKE 'c%' COLLATE NOCASE AS v")
     assert(!ok.toLowerCase.contains("collate"), ok)
@@ -512,16 +526,21 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql(sql).collect().map(_.getString(0)).toSeq == Seq("a   ", "a", "b"))
   }
 
-  test("COLLATE RTRIM next to LIKE strips; IN/BETWEEN decline") {
+  test("COLLATE RTRIM next to LIKE strips; IN/BETWEEN fold through rtrim()") {
     // SQLite's LIKE does not honor collating sequences — the clause is
     // a no-op there, so stripping preserves semantics
     val like = SqlDialect.translate("SELECT 'Apple' LIKE 'a%' COLLATE RTRIM AS v")
     assert(!like.toLowerCase.contains("collate"), like)
     assert(spark.sql(like).head().getBoolean(0))
-    for (q <- Seq(
-      "SELECT * FROM t WHERE x COLLATE RTRIM IN ('a', 'b')",
-      "SELECT * FROM t WHERE x COLLATE RTRIM BETWEEN 'a' AND 'b'"))
-      assert(SqlDialect.translate(q) == q, q)
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE RTRIM IN ('a', 'b')") ==
+      "SELECT * FROM t WHERE rtrim(x) IN (rtrim('a'), rtrim('b'))")
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE RTRIM BETWEEN 'a' AND 'b'") ==
+      "SELECT * FROM t WHERE rtrim(x) BETWEEN rtrim('a') AND rtrim('b')")
+    val live = SqlDialect.translate(
+      "SELECT 'a   ' COLLATE RTRIM IN ('a', 'b') AS v")
+    assert(spark.sql(live).head().getBoolean(0), live)
   }
 
   test("GLOB/random-shaped text inside literals is opaque") {

@@ -33,7 +33,7 @@ class SqlDmlSpec extends SparkSpec {
     // OR IGNORE = the implied DO NOTHING on the default key
     assert(detect("INSERT OR IGNORE INTO t VALUES (1)")
       == Some(Upsert("t", Nil, "SELECT * FROM (VALUES (1))", false,
-        Some(OnConflict(Nil, Nil, None)), None, orIgnore = true)))
+        Some(OnConflict(Nil, Nil, None, Nil, None)), None, orIgnore = true)))
     // OR ABORT/FAIL/ROLLBACK differ only on constraint violation —
     // none exist on ingested tables, so they run as plain appends
     detect("INSERT OR ABORT INTO t VALUES (1)") match {
@@ -146,14 +146,14 @@ class SqlDmlSpec extends SparkSpec {
   test("detect parses the ON CONFLICT upsert clause; unsound forms decline named") {
     import SqlDml._
     detect("INSERT INTO t VALUES (1) ON CONFLICT DO NOTHING") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)), None, _, _)) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _)) =>
         assert(!src.toLowerCase.contains("conflict"), src)
       case other => fail(s"expected DO NOTHING Upsert, got $other")
     }
     detect("""INSERT INTO t (a, b) SELECT x, y FROM s
               ON CONFLICT (a) DO UPDATE SET b = excluded.b WHERE b < excluded.b""") match {
       case Some(Upsert("t", Seq("a", "b"), _, false,
-          Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w))), None,
+          Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w), Nil, None)), None,
           _, _)) =>
         assert(w == "b < excluded.b")
       case other => fail(s"expected DO UPDATE Upsert, got $other")
@@ -162,21 +162,31 @@ class SqlDmlSpec extends SparkSpec {
     // clause scan only fires on the ON CONFLICT keyword pair
     detect("""INSERT INTO t SELECT s.x FROM s JOIN u ON s.id = u.id
               ON CONFLICT DO NOTHING""") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None)), None, _, _)) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _)) =>
         assert(src.contains("ON s.id = u.id"), src)
       case other => fail(s"expected Upsert with join source, got $other")
     }
-    // recognized-but-unsound clause forms decline with the form named
-    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (lower(a)) DO NOTHING")
-      == Some(Unsupported("ON CONFLICT with an expression target")))
-    assert(detect("INSERT INTO t VALUES (1) ON CONFLICT (a) WHERE a > 0 DO NOTHING")
-      == Some(Unsupported("ON CONFLICT with a partial-index WHERE")))
+    // expression and partial-index targets parse structurally; the
+    // executor matches them against a declared unique index (or raises
+    // SQLite's no-match error — UniqueSpec pins both)
+    detect("INSERT INTO t VALUES (1) ON CONFLICT (lower(a)) DO NOTHING") match {
+      case Some(Upsert("t", _, _, false,
+          Some(OnConflict(Nil, Nil, None, Seq("lower(a)"), None)), None,
+          _, _)) =>
+      case other => fail(s"expected expression-target Upsert, got $other")
+    }
+    detect("INSERT INTO t VALUES (1) ON CONFLICT (a) WHERE a > 0 DO NOTHING") match {
+      case Some(Upsert("t", _, _, false,
+          Some(OnConflict(Seq("a"), Nil, None, Nil, Some(w))), None,
+          _, _)) => assert(w == "a > 0")
+      case other => fail(s"expected partial-target Upsert, got $other")
+    }
     assert(detect(
       "INSERT INTO t VALUES (1) ON CONFLICT (a) DO NOTHING ON CONFLICT (b) DO NOTHING")
       == Some(Unsupported("INSERT with multiple ON CONFLICT clauses")))
     detect("INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET b = 1 RETURNING *") match {
       case Some(Upsert("t", _, _, false,
-          Some(OnConflict(Seq("a"), Seq(("b", "1")), None)), Some("*"), _,
+          Some(OnConflict(Seq("a"), Seq(("b", "1")), None, Nil, None)), Some("*"), _,
           _)) =>
       case other => fail(s"expected RETURNING Upsert, got $other")
     }

@@ -302,8 +302,11 @@ object Upsert {
           s"set-based — DELETE the conflicting rows first, or run " +
           s"with recursive_triggers = 0")
     val insTrig = Triggers.anyFor(spark, stmt.table, "insert")
-    val updAssignCols = stmt.conflict.toSeq.flatMap(_.assigns.map(_._1))
-    val updTrig = stmt.conflict.exists(_.assigns.nonEmpty) &&
+    // the full upsert-clause CHAIN (SQLite 3.35): head + rest; a
+    // single-clause statement is a one-element chain
+    val chainAll = stmt.conflict.toSeq ++ stmt.conflictRest
+    val updAssignCols = chainAll.flatMap(_.assigns.map(_._1))
+    val updTrig = chainAll.exists(_.assigns.nonEmpty) &&
       Triggers.anyFor(spark, stmt.table, "update", updAssignCols)
     // every session-DECLARED unique key (PK + column and expression
     // unique indexes) — empty for ingested tables, where none of the
@@ -314,6 +317,24 @@ object Upsert {
     // feeds the ON DELETE cascade for displaced parents below)
     var replacedDisplaced: Option[DataFrame] = None
     val (merged, affected, inserted, updOldNew) = stmt.conflict match {
+      // clause CHAINS, and the targetless DO UPDATE form on a table
+      // with SEVERAL declared keys (SQLite resolves it against
+      // whichever constraint actually failed — the single-key join
+      // below would miss a conflict on the others), route through the
+      // first-matching-clause machinery
+      case Some(c)
+          if stmt.conflictRest.nonEmpty ||
+            (c.keyCols.isEmpty && c.keyExprs.isEmpty &&
+              c.assigns.nonEmpty && declaredKeys.size > 1) =>
+        chainAll.filter(_.assigns.nonEmpty).foreach { cu =>
+          Rowid.guardUpdateAssigns(spark, stmt.table,
+            cu.assigns.map(_._1))
+          cu.assigns.map(_._1).find(a => genNames(a.toLowerCase))
+            .foreach(a => throw new IllegalArgumentException(
+              s"cannot UPDATE generated column \"$a\""))
+        }
+        runChain(spark, stmt.table, base, admitted, chainAll,
+          declaredKeys, verb)
       case Some(c) =>
         // an EXPRESSION target (`ON CONFLICT (lower(c))`) or a target
         // WHERE (a partial index's predicate) must MATCH a declared
@@ -482,11 +503,11 @@ object Upsert {
         // actions defers the parent check until after the cascades
         // (run post-rebind, SQLite's sequencing; Atomic rolls back a
         // late failure)
-        val fkMapNeeded = stmt.conflict.exists(_.assigns.nonEmpty) &&
+        val fkMapNeeded = chainAll.exists(_.assigns.nonEmpty) &&
           ForeignKeys.anyUpdateActionsReferencing(spark, stmt.table)
         // append-only forms cannot remove parent keys — no check job
         if (effReplace ||
-            (stmt.conflict.exists(_.assigns.nonEmpty) && !fkMapNeeded))
+            (chainAll.exists(_.assigns.nonEmpty) && !fkMapNeeded))
           ForeignKeys.assertParentTransition(spark, stmt.table, base,
             merged, if (effReplace) "delete" else "update")
         // OR REPLACE's internal delete runs ON DELETE actions for the
@@ -576,8 +597,26 @@ object Upsert {
             SessionKeys.riderCollations(spark, name)).copy(where = w)
         }
       }
-    hit.getOrElse(throw new IllegalArgumentException(
-      "ON CONFLICT clause does not match any PRIMARY KEY or unique index"))
+    hit.getOrElse(throw new IllegalArgumentException(noMatchError(c)))
+  }
+
+  /** SQLite 3.40.1's exact no-match text; in a CHAIN the clause gets
+    * its ordinal prefix (`1st`/`2nd`/… — measured). The ordinal is
+    * stamped onto the clause by [[runChain]] before matching. */
+  private val clauseOrdinal =
+    new ThreadLocal[Option[Int]] { override def initialValue = None }
+  private def noMatchError(c: graft.text2sql.SqlDml.OnConflict): String = {
+    val ord = clauseOrdinal.get().map { i =>
+      val suffix = i % 10 match {
+        case 1 if i % 100 != 11 => "st"
+        case 2 if i % 100 != 12 => "nd"
+        case 3 if i % 100 != 13 => "rd"
+        case _                  => "th"
+      }
+      s"$i$suffix "
+    }.getOrElse("")
+    s"${ord}ON CONFLICT clause does not match any PRIMARY KEY or " +
+      "UNIQUE constraint"
   }
 
   /** `ON CONFLICT (key) DO UPDATE SET … [WHERE p]`: base rows whose
@@ -641,8 +680,10 @@ object Upsert {
     val hit = coalesce(col("__excl_hit"), lit(false))
     val gate = c.updateWhere match {
       // NULL predicate skips the update, as in SQLite — `when` only
-      // fires on TRUE, so the raw && carries that semantics
-      case Some(w) => hit && expr(graft.text2sql.SqlDml.rewriteExcluded(w))
+      // fires on TRUE, so the raw && carries that semantics; the cast
+      // admits SQLite's numeric truthiness (`WHERE 0`)
+      case Some(w) => hit &&
+        expr(graft.text2sql.SqlDml.rewriteExcluded(w)).cast(BooleanType)
       case None    => hit
     }
     val strictTypes = SessionKeys.strictFor(base.sparkSession, table)
@@ -712,6 +753,175 @@ object Upsert {
       .select(col("__graft_old").as("old"),
         struct(base.columns.map(col).toIndexedSeq: _*).as("new"))
     (merged, affected, updOldNew, appended)
+  }
+
+  /** SQLite 3.35 upsert-clause CHAINS, plus the targetless `DO
+    * UPDATE` form on a multi-key table: each conflicting incoming row
+    * routes to the FIRST clause (left to right) whose target key it
+    * conflicts on, and that clause consumes the row entirely — a
+    * gated-out DO UPDATE drops it, never passes it on (measured
+    * against sqlite3 3.40.1: clause order decides when a row
+    * conflicts on several keys, regardless of index declaration
+    * order). Rows conflicting only on keys NO clause covers flow to
+    * the append side and abort through the post-state uniqueness
+    * scan with SQLite's `UNIQUE constraint failed` text — exactly
+    * SQLite's unhandled-conflict outcome.
+    *
+    * Set-based shape: the batch pays one row-local key evaluation
+    * plus one distinct-key left join per covered key (the same
+    * O(batch)-probe shape the single-clause path uses), then each
+    * clause's slice takes the existing DO NOTHING discard or
+    * [[doUpdate]] merge. A targetless DO UPDATE sub-routes its slice
+    * by the first conflicting key in DECLARATION order (SQLite's
+    * constraint check order) and composes one [[doUpdate]] pass per
+    * declared key sequentially — each pass reads the previous pass's
+    * merged image, so two incoming rows hitting the same base row
+    * through different keys settle like SQLite's row-at-a-time
+    * updates. Batch-internal duplicates on covered keys keep their
+    * FIRST row (the same documented stand-in for SQLite's rowid
+    * order the single-clause path uses). At most ONE clause may be
+    * DO UPDATE — a second would need its own trigger/assignment
+    * slice interleaving; decline named. */
+  private def runChain(spark: SparkSession, table: String,
+                       base: DataFrame, admitted: DataFrame,
+                       chain: Seq[graft.text2sql.SqlDml.OnConflict],
+                       declaredKeys: Seq[Constraints.UniqueKey],
+                       verb: String)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    if (chain.count(_.assigns.nonEmpty) > 1)
+      throw new UnsupportedOperationException(
+        s"$verb INTO $table with multiple ON CONFLICT DO UPDATE " +
+          "clauses is not supported (at most one DO UPDATE may appear " +
+          "in the chain; use DO NOTHING for the additional targets)")
+    // resolve each clause's covered key set: a targeted clause must
+    // match a declared unique index (SQLite's rule and error); the
+    // trailing targetless clause covers every declared key
+    val clauseKeys: Seq[Seq[Constraints.UniqueKey]] =
+      chain.zipWithIndex.map { case (c, i) =>
+        if (c.keyCols.isEmpty && c.keyExprs.isEmpty) declaredKeys
+        else {
+          // SQLite prefixes chain no-match errors with the clause's
+          // ordinal (`1st ON CONFLICT clause does not match …`)
+          clauseOrdinal.set(Some(i + 1))
+          try Seq(matchChainTarget(spark, table, c))
+          finally clauseOrdinal.set(None)
+        }
+      }
+    val covered: Seq[Constraints.UniqueKey] =
+      clauseKeys.flatten.distinct
+    // batch-internal duplicates on covered keys: first row wins
+    val batch = Constraints.dedupPerKey(spark, admitted, covered,
+      keepLast = false)
+    // one hit flag per covered key (probe joins against base's
+    // distinct in-scope key tuples — O(batch) rows shuffled per key)
+    val tagged = covered.zipWithIndex.foldLeft(batch) {
+      case (df, (k, i)) => conflictFlag(df, base, k, s"__gcf$i")
+    }
+    def keyFlag(k: Constraints.UniqueKey): org.apache.spark.sql.Column =
+      col(s"__gcf${covered.indexOf(k)}")
+    // first clause (left to right) with a conflicting target
+    val clauseIdx = chain.indices.foldRight(lit(-1)) { (ci, els) =>
+      when(clauseKeys(ci).map(keyFlag).reduce(_ || _), lit(ci))
+        .otherwise(els)
+    }
+    val routed = tagged.withColumn("__gclause", clauseIdx)
+    val baseCols = base.columns.map(c => col(Ddl.quote(c))).toIndexedSeq
+    def slice(ci: Int) =
+      routed.filter(col("__gclause") === lit(ci))
+    // rows matching no clause: genuine non-conflicts append; a row
+    // conflicting only on an UNCOVERED key appends too and aborts in
+    // the post-state uniqueness scan (SQLite's unhandled conflict)
+    val appended = routed.filter(col("__gclause") === lit(-1))
+      .select(baseCols: _*)
+    var curBase = base
+    var updFired: Option[DataFrame] = None
+    var updOldNew: Option[DataFrame] = None
+    chain.indices.foreach { ci =>
+      val c = chain(ci)
+      if (c.assigns.nonEmpty) {
+        // the DO UPDATE clause: targeted = one pass on its key;
+        // targetless = one pass per declared key in declaration
+        // order over the first-hit sub-slices, composed sequentially
+        val keysHere =
+          if (clauseKeys(ci).size == 1) clauseKeys(ci)
+          else declaredKeys
+        val firstKeyIdx = keysHere.zipWithIndex.foldRight(lit(-1)) {
+          case ((k, ki), els) => when(keyFlag(k), lit(ki)).otherwise(els)
+        }
+        val subTagged = slice(ci).withColumn("__gkfirst", firstKeyIdx)
+        keysHere.zipWithIndex.foreach { case (k, ki) =>
+          val sub = subTagged.filter(col("__gkfirst") === lit(ki))
+            .select(baseCols: _*)
+          val (m, _, upd, _) = doUpdate(curBase, sub, k, c, table)
+          // sub rows all conflict on k by construction — doUpdate's
+          // append side is empty; merged IS the updated base image
+          curBase = m
+          updOldNew = Some(updOldNew.map(_.unionByName(upd)).getOrElse(upd))
+          val firedNew = upd.select(col("new.*"))
+          updFired =
+            Some(updFired.map(_.unionByName(firedNew)).getOrElse(firedNew))
+        }
+      }
+      // DO NOTHING clauses consume their slice — nothing to do
+    }
+    val merged = curBase.unionAll(appended)
+    val affected = updFired match {
+      case Some(u) => u.select(baseCols: _*).unionAll(appended)
+      case None    => appended
+    }
+    (merged, affected, appended, updOldNew)
+  }
+
+  /** A chain clause's target must name a declared unique index: the
+    * PRIMARY KEY, a column-list unique index (partial or not), or an
+    * expression index — matched with the same normalization
+    * [[matchConflictTarget]] uses; SQLite's no-match error
+    * otherwise. (The single-clause leading-column CONVENTION for
+    * constraint-less ingested tables does not extend to chains —
+    * SQLite itself rejects any target that matches no index.) */
+  private def matchChainTarget(spark: SparkSession, table: String,
+                               c: graft.text2sql.SqlDml.OnConflict)
+      : Constraints.UniqueKey = {
+    if (c.keyExprs.nonEmpty || c.targetWhere.isDefined)
+      matchConflictTarget(spark, table, c)
+    else {
+      val clauseCols = c.keyCols.map(_.toLowerCase).sorted
+      val pkHit = SessionKeys.declaredPk(spark, table)
+        .filter(_.map(_.toLowerCase).sorted == clauseCols)
+        .map(ks => Constraints.collatedKey(spark, table, ks))
+      pkHit.getOrElse(matchConflictTarget(spark, table, c))
+    }
+  }
+
+  /** Tag `df` with boolean `flag`: TRUE when the row's evaluated key
+    * conflicts with some base row under `key` (in-scope, fully
+    * non-NULL, value present among base's distinct in-scope key
+    * tuples) — one left join against an O(distinct keys) projection,
+    * no fanout. */
+  private def conflictFlag(df: DataFrame, base: DataFrame,
+                           key: Constraints.UniqueKey,
+                           flag: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    import org.apache.spark.sql.types.BooleanType
+    def scope(d: DataFrame): Column = key.where.map(w =>
+      coalesce(expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+    val bk = base.filter(scope(base))
+      .select(key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e).as(s"__${flag}b$i")
+      }.toIndexedSeq: _*)
+      .filter(key.exprs.indices.map(i => col(s"__${flag}b$i").isNotNull)
+        .reduce(_ && _))
+      .distinct()
+      .withColumn(s"__${flag}hit", lit(true))
+    val joined = df.join(bk,
+      scope(df) && key.exprs.zipWithIndex.map { case (e, i) =>
+        expr(e) === bk(s"__${flag}b$i")
+      }.reduce(_ && _), "left")
+    joined
+      .withColumn(flag, coalesce(col(s"__${flag}hit"), lit(false)))
+      .drop((key.exprs.indices.map(i => s"__${flag}b$i") :+
+        s"__${flag}hit"): _*)
   }
 
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)

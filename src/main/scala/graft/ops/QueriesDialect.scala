@@ -771,6 +771,32 @@ object QueriesDialect {
              ORDER BY k1, k2, k3""")
     }),
 
+    // SQLite 3.35 upsert-clause CHAINS end-to-end: a conflicting row
+    // routes to the first clause (left to right) whose target it hits
+    // and is consumed there; a trailing targetless clause covers every
+    // declared key; targetless DO UPDATE resolves against whichever
+    // key actually conflicted (clause-order and multi-hit edges pinned
+    // in UpsertChainSpec against sqlite3 3.40.1)
+    "sink_upsert_chain_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_chain_t")
+      run("CREATE TABLE graft_chain_t (a INT PRIMARY KEY, b TEXT UNIQUE, v INT)")
+      run("INSERT INTO graft_chain_t VALUES (1,'x',10),(2,'y',20),(3,'z',30)")
+      // a-conflict updates, b-conflict skips, no-conflict appends
+      run("""INSERT INTO graft_chain_t VALUES (1,'q',99),(4,'y',77),(5,'n',50)
+             ON CONFLICT(a) DO UPDATE SET v = excluded.v
+             ON CONFLICT(b) DO NOTHING""")
+      // the targetless tail catches the PK conflict
+      run("""INSERT INTO graft_chain_t VALUES (2,'m',60)
+             ON CONFLICT(b) DO NOTHING
+             ON CONFLICT DO UPDATE SET v = excluded.v""")
+      // single targetless DO UPDATE resolves through the b key
+      run("""INSERT INTO graft_chain_t VALUES (9,'z',111)
+             ON CONFLICT DO UPDATE SET v = excluded.v""")
+      run("""SELECT CAST(a AS BIGINT) AS a, b, CAST(v AS BIGINT) AS v
+             FROM graft_chain_t ORDER BY a""")
+    }),
+
     // UPDATE OR REPLACE end-to-end: a re-keyed row DELETES the row it
     // collides with and completes (PK displacement), an assigned NULL
     // in a NOT NULL column takes the declared DEFAULT, and two rows
@@ -1544,6 +1570,18 @@ object QueriesDialect {
            (CAST(4 AS BIGINT), 'c@z.org', CAST(0 AS BIGINT)),
            (CAST(103 AS BIGINT), 'A@x.com', CAST(0 AS BIGINT)))
          AS t(k1, k2, k3) ORDER BY k1, k2, k3""",
+
+    // post-state pinned against sqlite3 3.40.1 running the identical
+    // statements: the chain updates a-conflicts, skips b-conflicts,
+    // appends the rest; the targetless forms resolve via whichever
+    // key fired
+    "sink_upsert_chain_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'x', CAST(99 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'y', CAST(60 AS BIGINT)),
+           (CAST(3 AS BIGINT), 'z', CAST(111 AS BIGINT)),
+           (CAST(5 AS BIGINT), 'n', CAST(50 AS BIGINT)))
+         AS t(a, b, v) ORDER BY a""",
 
     // post-state pinned against sqlite3 running the identical
     // statements: (1,x,10) re-keys onto 2 displacing (2,y,20); c=NULL

@@ -52,7 +52,13 @@ object SqlDml {
                           // ON CONFLICT DO NOTHING): rows violating
                           // NOT NULL/CHECK SKIP instead of aborting —
                           // measured SQLite divergence between the two
-                          orIgnore: Boolean = false) extends Stmt
+                          orIgnore: Boolean = false,
+                          // SQLite 3.35 upsert-clause CHAINS: the
+                          // clauses after the first, in statement
+                          // order (a conflict routes to the first
+                          // clause whose target it matches)
+                          conflictRest: Seq[OnConflict] = Nil)
+      extends Stmt
 
   /** `sourceSql` for `INSERT INTO t DEFAULT VALUES` (flagged by
     * [[Upsert.defaultValues]] — a STRUCTURAL flag, so a user SELECT
@@ -1563,28 +1569,44 @@ object SqlDml {
         if (r.isEmpty) return None
         Some(r)
       } else None
-    val conflict: Option[OnConflict] =
-      if (confAt < 0) implied
+    // SQLite 3.35+: a CHAIN of upsert clauses — each conflict routes to
+    // the first clause (left to right) whose target it matches; the
+    // grammar allows a targetless clause only in LAST position (a
+    // targetless clause followed by another is SQLite's syntax error —
+    // measured against 3.40.1)
+    val conflicts: Seq[OnConflict] =
+      if (confAt < 0) implied.toSeq
       else {
-        val afterOn = skipWs(sql, confAt + 2) // at CONFLICT
-        parseConflict(sql, afterOn + 8) match {
-          case Left(u) => return Some(u)
-          case Right((c, end)) =>
-            val rest = skipWs(sql, end)
-            if (rest < sql.length) {
-              if (keywordAt(sql, rest, "returning")) {
-                val r = sql.substring(skipWs(sql, rest + 9)).trim
-                if (r.isEmpty) return None
-                returning = Some(r)
-              } else return Some(Unsupported(
-                // a second clause — named decline
-                if (findOnConflict(sql, rest) == rest)
-                  "INSERT with multiple ON CONFLICT clauses"
-                else "INSERT … ON CONFLICT"))
-            }
-            Some(c)
+        val acc = scala.collection.mutable.ArrayBuffer[OnConflict]()
+        var at = confAt
+        var done = false
+        while (!done) {
+          val afterOn = skipWs(sql, at + 2) // at CONFLICT
+          parseConflict(sql, afterOn + 8) match {
+            case Left(u) => return Some(u)
+            case Right((c, end)) =>
+              acc += c
+              val rest = skipWs(sql, end)
+              if (rest < sql.length && findOnConflict(sql, rest) == rest) {
+                if (c.keyCols.isEmpty && c.keyExprs.isEmpty)
+                  throw new IllegalArgumentException(
+                    "near \"ON\": syntax error")
+                at = rest
+              } else {
+                if (rest < sql.length) {
+                  if (keywordAt(sql, rest, "returning")) {
+                    val r = sql.substring(skipWs(sql, rest + 9)).trim
+                    if (r.isEmpty) return None
+                    returning = Some(r)
+                  } else return Some(Unsupported("INSERT … ON CONFLICT"))
+                }
+                done = true
+              }
+          }
         }
+        acc.toSeq
       }
+    val conflict: Option[OnConflict] = conflicts.headOption
     val rest = sql.substring(j, srcEnd).trim
     if (rest.isEmpty) return None
     val source =
@@ -1604,7 +1626,8 @@ object SqlDml {
       }
       else return None
     Some(Upsert(table, cols, source, replace, conflict, returning,
-      defaultValues = source eq DefaultValuesSource, orIgnore = orIgnore))
+      defaultValues = source eq DefaultValuesSource, orIgnore = orIgnore,
+      conflictRest = conflicts.drop(1)))
   }
 
   /** Index of the first top-level occurrence of keyword `kw` at or
@@ -1703,8 +1726,8 @@ object SqlDml {
     if (!keywordAt(sql, j, "set"))
       return Left(Unsupported("ON CONFLICT DO UPDATE"))
     j = skipWs(sql, j + 3)
-    // assignment list, stopping at a trailing WHERE / RETURNING / a
-    // second ON CONFLICT (SQLite 3.35 chains; one clause is supported)
+    // assignment list, stopping at a trailing WHERE / RETURNING / the
+    // chain's next ON CONFLICT clause (SQLite 3.35)
     val stops = Set("where", "on", "returning")
     val assigns = Seq.newBuilder[(String, String)]
     var stopKw: Option[String] = None
@@ -1734,15 +1757,18 @@ object SqlDml {
           scanExpr(sql, skipWs(sql, j + 5), stops - "where")
         if (expr.trim.isEmpty)
           Left(Unsupported("ON CONFLICT DO UPDATE"))
-        else if (stopped.isEmpty || stopped.contains("returning"))
-          // a trailing RETURNING belongs to the caller: end the clause
-          // AT the keyword so parseUpsert picks it up
+        else if (stopped.isEmpty || stopped.contains("returning") ||
+                 stopped.contains("on"))
+          // a trailing RETURNING — or the chain's next ON CONFLICT —
+          // belongs to the caller: end the clause AT the keyword so
+          // parseUpsert picks it up
           Right((OnConflict(cols, assigns.result(), Some(expr.trim), exprs, targetWhere), stop))
-        else Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
+        else Left(Unsupported("INSERT … ON CONFLICT"))
       case Some("returning") =>
         Right((OnConflict(cols, assigns.result(), None, exprs, targetWhere), j))
       case Some("on") =>
-        Left(Unsupported("INSERT with multiple ON CONFLICT clauses"))
+        // the chain's next clause starts here — caller's loop
+        Right((OnConflict(cols, assigns.result(), None, exprs, targetWhere), j))
       case _ => Left(Unsupported("INSERT … ON CONFLICT"))
     }
   }

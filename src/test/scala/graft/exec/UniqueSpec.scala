@@ -292,7 +292,8 @@ class UniqueSpec extends SparkSpec {
       sql(s"INSERT INTO $t VALUES (5, 'c') " +
         s"ON CONFLICT (upper(email)) DO NOTHING"))
     assert(e.getMessage.contains(
-      "ON CONFLICT clause does not match any PRIMARY KEY or unique index"),
+      "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE " +
+        "constraint"),
       e.getMessage)
     sql(s"DROP INDEX ${t}_ux")
   }

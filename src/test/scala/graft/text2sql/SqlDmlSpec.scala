@@ -24,7 +24,7 @@ class SqlDmlSpec extends SparkSpec {
       == Some(Delete("abc", Some("x < 0"), None, "")))
     // plain INSERT INTO parses as an APPEND (replace = false)
     detect("INSERT INTO t VALUES (1)") match {
-      case Some(Upsert("t", Seq(), src, false, None, None, _, _)) =>
+      case Some(Upsert("t", Seq(), src, false, None, None, _, _, _)) =>
         assert(src.contains("VALUES (1)"))
       case other => fail(s"expected append Upsert, got $other")
     }
@@ -37,21 +37,21 @@ class SqlDmlSpec extends SparkSpec {
     // OR ABORT/FAIL/ROLLBACK differ only on constraint violation —
     // none exist on ingested tables, so they run as plain appends
     detect("INSERT OR ABORT INTO t VALUES (1)") match {
-      case Some(Upsert("t", _, _, false, None, None, _, _)) =>
+      case Some(Upsert("t", _, _, false, None, None, _, _, _)) =>
       case other => fail(s"expected append Upsert, got $other")
     }
     detect("INSERT OR REPLACE INTO t (a, b) VALUES (1, 2)") match {
-      case Some(Upsert("t", Seq("a", "b"), src, true, None, None, _, _)) =>
+      case Some(Upsert("t", Seq("a", "b"), src, true, None, None, _, _, _)) =>
         assert(src.contains("VALUES (1, 2)"))
       case other => fail(s"expected Upsert, got $other")
     }
     detect("REPLACE INTO `my t` SELECT * FROM s") match {
-      case Some(Upsert("my t", Seq(), src, true, None, None, _, _)) => assert(src == "SELECT * FROM s")
+      case Some(Upsert("my t", Seq(), src, true, None, None, _, _, _)) => assert(src == "SELECT * FROM s")
       case other => fail(s"expected Upsert, got $other")
     }
     // quoted-hash table names, as the reference's generated SQL writes them
     detect("INSERT OR REPLACE INTO 'abc123' SELECT * FROM s") match {
-      case Some(Upsert("abc123", _, _, true, None, None, _, _)) =>
+      case Some(Upsert("abc123", _, _, true, None, None, _, _, _)) =>
       case other => fail(s"expected Upsert into abc123, got $other")
     }
     assert(detect("SELECT * FROM t").isEmpty)
@@ -59,13 +59,13 @@ class SqlDmlSpec extends SparkSpec {
     // trailing semicolons (the habitual model emission) never ride
     // into a re-wrapped source
     detect("INSERT OR REPLACE INTO t (a) VALUES (1);") match {
-      case Some(Upsert(_, _, src, _, _, _, _, _)) => assert(!src.contains(";"), src)
+      case Some(Upsert(_, _, src, _, _, _, _, _, _)) => assert(!src.contains(";"), src)
       case other => fail(s"expected Upsert, got $other")
     }
     assert(detect("DROP TABLE t ; ") == Some(DropRelation("t", false)))
     // WITH-prefixed DML classifies; the CTE rides into the source
     detect("WITH c AS (SELECT 1 AS x) INSERT OR REPLACE INTO t SELECT * FROM c") match {
-      case Some(Upsert("t", _, src, true, None, None, _, _)) =>
+      case Some(Upsert("t", _, src, true, None, None, _, _, _)) =>
         assert(src.startsWith("WITH c AS"), src)
       case other => fail(s"expected Upsert, got $other")
     }
@@ -146,7 +146,7 @@ class SqlDmlSpec extends SparkSpec {
   test("detect parses the ON CONFLICT upsert clause; unsound forms decline named") {
     import SqlDml._
     detect("INSERT INTO t VALUES (1) ON CONFLICT DO NOTHING") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _)) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _, _)) =>
         assert(!src.toLowerCase.contains("conflict"), src)
       case other => fail(s"expected DO NOTHING Upsert, got $other")
     }
@@ -154,7 +154,7 @@ class SqlDmlSpec extends SparkSpec {
               ON CONFLICT (a) DO UPDATE SET b = excluded.b WHERE b < excluded.b""") match {
       case Some(Upsert("t", Seq("a", "b"), _, false,
           Some(OnConflict(Seq("a"), Seq(("b", "excluded.b")), Some(w), Nil, None)), None,
-          _, _)) =>
+          _, _, _)) =>
         assert(w == "b < excluded.b")
       case other => fail(s"expected DO UPDATE Upsert, got $other")
     }
@@ -162,7 +162,7 @@ class SqlDmlSpec extends SparkSpec {
     // clause scan only fires on the ON CONFLICT keyword pair
     detect("""INSERT INTO t SELECT s.x FROM s JOIN u ON s.id = u.id
               ON CONFLICT DO NOTHING""") match {
-      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _)) =>
+      case Some(Upsert("t", _, src, false, Some(OnConflict(Nil, Nil, None, Nil, None)), None, _, _, _)) =>
         assert(src.contains("ON s.id = u.id"), src)
       case other => fail(s"expected Upsert with join source, got $other")
     }
@@ -172,22 +172,40 @@ class SqlDmlSpec extends SparkSpec {
     detect("INSERT INTO t VALUES (1) ON CONFLICT (lower(a)) DO NOTHING") match {
       case Some(Upsert("t", _, _, false,
           Some(OnConflict(Nil, Nil, None, Seq("lower(a)"), None)), None,
-          _, _)) =>
+          _, _, _)) =>
       case other => fail(s"expected expression-target Upsert, got $other")
     }
     detect("INSERT INTO t VALUES (1) ON CONFLICT (a) WHERE a > 0 DO NOTHING") match {
       case Some(Upsert("t", _, _, false,
           Some(OnConflict(Seq("a"), Nil, None, Nil, Some(w))), None,
-          _, _)) => assert(w == "a > 0")
+          _, _, _)) => assert(w == "a > 0")
       case other => fail(s"expected partial-target Upsert, got $other")
     }
-    assert(detect(
-      "INSERT INTO t VALUES (1) ON CONFLICT (a) DO NOTHING ON CONFLICT (b) DO NOTHING")
-      == Some(Unsupported("INSERT with multiple ON CONFLICT clauses")))
+    // SQLite 3.35 clause chains parse into head + rest
+    detect(
+      "INSERT INTO t VALUES (1) ON CONFLICT (a) DO NOTHING ON CONFLICT (b) DO NOTHING") match {
+      case Some(u: Upsert) =>
+        assert(u.conflict == Some(OnConflict(Seq("a"), Nil, None, Nil, None)))
+        assert(u.conflictRest ==
+          Seq(OnConflict(Seq("b"), Nil, None, Nil, None)))
+      case other => fail(s"expected chained Upsert, got $other")
+    }
+    detect(
+      "INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET v = 1 ON CONFLICT DO NOTHING") match {
+      case Some(u: Upsert) =>
+        assert(u.conflict ==
+          Some(OnConflict(Seq("a"), Seq(("v", "1")), None, Nil, None)))
+        assert(u.conflictRest == Seq(OnConflict(Nil, Nil, None, Nil, None)))
+      case other => fail(s"expected chained Upsert, got $other")
+    }
+    // a targetless clause anywhere but LAST is SQLite's syntax error
+    val chainEx = intercept[IllegalArgumentException](detect(
+      "INSERT INTO t VALUES (1) ON CONFLICT DO NOTHING ON CONFLICT (a) DO NOTHING"))
+    assert(chainEx.getMessage == "near \"ON\": syntax error")
     detect("INSERT INTO t VALUES (1) ON CONFLICT (a) DO UPDATE SET b = 1 RETURNING *") match {
       case Some(Upsert("t", _, _, false,
           Some(OnConflict(Seq("a"), Seq(("b", "1")), None, Nil, None)), Some("*"), _,
-          _)) =>
+          _, _)) =>
       case other => fail(s"expected RETURNING Upsert, got $other")
     }
   }

@@ -173,6 +173,45 @@ object SqliteFunctions {
       If(IsNull(e), Literal("null"), Literal(cls))
     }),
 
+    // SQLite soundex() — the build the reference runs on compiles it
+    // in (SQLITE_SOUNDEX; measured on sqlite3 3.40.1). Spark's own
+    // soundex() is the US-census variant with different separator and
+    // non-letter rules ('b-b': SQLite B100, census B000 — silently
+    // wrong values untranslated), so the translated name routes to
+    // the native byte-exact expression. Distinct name for the
+    // translator fixpoint, same reasoning as sqlite_typeof.
+    ("graft_soundex", "graft_soundex(x) - SQLite soundex(): 4-char phonetic code, '?000' on no-alpha/NULL", { args =>
+      arity("graft_soundex", args, 1)
+      val e = args.head
+      val s = e.dataType match {
+        case _: StringType => e
+        case NullType      => Literal.create(null, StringType)
+        // a blob soundexes its raw bytes; numerics their text
+        // rendering (both measured — soundex(3.5) = '?000')
+        case _             => Cast(e, StringType)
+      }
+      graft.functions.SqliteSoundex(s)
+    }),
+
+    // SQLite sign(): INTEGER -1/0/1 of the numeric interpretation —
+    // non-numeric text and blobs yield NULL (NOT the 0.0 a plain CAST
+    // coerces to), numeric text signs its value ('  7  ' → 1, both
+    // measured). Spark's sign() answers DOUBLE and its text path
+    // diverges, so the translated name routes here.
+    ("graft_sign", "graft_sign(x) - SQLite sign(): -1/0/1 as INTEGER, NULL on non-numeric", { args =>
+      arity("graft_sign", args, 1)
+      val e = args.head
+      e.dataType match {
+        case NullType | BinaryType => Literal.create(null, LongType)
+        case BooleanType => Cast(Signum(Cast(e, DoubleType)), LongType)
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType =>
+          Cast(Signum(Cast(e, DoubleType)), LongType)
+        case _ =>
+          Cast(Signum(Cast(e, DoubleType, None, EvalMode.TRY)), LongType)
+      }
+    }),
+
     // SQLite hex(X): uppercase hex of X rendered as a BLOB — text
     // hexes its UTF-8 bytes, numerics hex their TEXT rendering
     // (hex(25) = '3235', where Spark's hex(25) = '19' — silently

@@ -1035,7 +1035,7 @@ object SqlDialect {
     "unicode", "printf", "format", "total", "trunc", "date", "time",
     "char", "iif", "cast", "min", "max", "ltrim", "rtrim", "trim",
     "glob", "string_agg", "concat", "typeof", "hex", "quote",
-    "zeroblob", "randomblob")
+    "zeroblob", "randomblob", "soundex", "sign")
 
   private[graft] def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -1242,6 +1242,19 @@ object SqlDialect {
         Some(s"sqlite_hex(${args.head})")
       case "quote" if args.length == 1 =>
         Some(s"sqlite_quote(${args.head})")
+      // soundex() is compiled into the reference's sqlite build
+      // (SQLITE_SOUNDEX, measured on 3.40.1) with rules Spark's own
+      // census-variant soundex() diverges from ('b-b': SQLite B100,
+      // Spark's B000; non-alpha/NULL input → '?000', never NULL) —
+      // routed to the native byte-exact expression. 'soundex' inside
+      // 'graft_soundex' fails the word-boundary match (fixpoint).
+      case "soundex" if args.length == 1 =>
+        Some(s"graft_soundex(${args.head})")
+      // sign() answers INTEGER -1/0/1 with NULL on non-numeric text
+      // where Spark's answers DOUBLE and text coerces differently —
+      // routed native (same fixpoint reasoning)
+      case "sign" if args.length == 1 =>
+        Some(s"graft_sign(${args.head})")
       // zeroblob(N) → an N-byte zero blob (non-positive N → empty,
       // SQLite's rule). unhex/repeat/greatest are never rewritten and
       // INT is not a castTypes class — the emission is a fixpoint.

@@ -135,6 +135,39 @@ class SqlDialectSpec extends SparkSpec {
     assert(row.getString(7) == "0AFF")
   }
 
+  test("soundex()/sign() route native — SQLite's byte-exact soundex " +
+      "and INTEGER sign (all values measured on sqlite3 3.40.1)") {
+    assert(SqlDialect.translate("SELECT soundex(a), sign(b) FROM t")
+      == "SELECT graft_soundex(a), graft_sign(b) FROM t")
+    // fixpoint: the names inside graft_* fail the word-boundary match
+    val once = SqlDialect.translate("SELECT soundex('x') AS s, sign(1) AS g")
+    assert(SqlDialect.translate(once) == once)
+    val row = graft.exec.Runner.runSql(spark, SqlDialect.translate(
+      """SELECT soundex('Robert') AS a, soundex('Ashcraft') AS b,
+                soundex('b-b') AS c, soundex('1Robert') AS d,
+                soundex(3.5) AS e, soundex(NULL) AS f,
+                soundex('aé') AS g, soundex('') AS h,
+                soundex('Pfister') AS i, soundex('Tymczak') AS j""")).head()
+    // SQLite resets prevcode at every code-0 byte — 'b-b' is B100
+    // where the census variant (Spark's soundex) collapses to B000;
+    // leading non-alpha skips; '?000' on no-alpha and NULL; a UTF-8
+    // continuation byte CONTRIBUTES via the &0x7f mask ('aé' → A200)
+    assert(Seq(row.getString(0), row.getString(1), row.getString(2),
+      row.getString(3), row.getString(4), row.getString(5),
+      row.getString(6), row.getString(7), row.getString(8),
+      row.getString(9)) ==
+      Seq("R163", "A226", "B100", "R163", "?000", "?000", "A200",
+        "?000", "P236", "T522"))
+    val s = graft.exec.Runner.runSql(spark, SqlDialect.translate(
+      """SELECT sign(-5) AS a, sign(0) AS b, sign(3.2) AS c,
+                sign('abc') AS d, sign('  7  ') AS e, sign('3.5e2') AS f,
+                sign('-0.0') AS g, sign(NULL) AS h""")).head()
+    assert(s.getLong(0) == -1L && s.getLong(1) == 0L && s.getLong(2) == 1L)
+    assert(s.isNullAt(3)) // non-numeric text → NULL, not 0
+    assert(s.getLong(4) == 1L && s.getLong(5) == 1L && s.getLong(6) == 0L)
+    assert(s.isNullAt(7))
+  }
+
   test("FILTER (WHERE) on window aggregates rewrites to a CASE argument") {
     val t = SqlDialect.translate(
       "SELECT sum(x) FILTER (WHERE x > 0) OVER (PARTITION BY g) FROM t")

@@ -173,16 +173,15 @@ object Bench {
     }
     val keys = only.map(o => headline.filter(o)).getOrElse(headline)
 
-    // median-of-3 per query: ONE cold run per key let a single loaded
-    // driver execution poison a whole round's perf signal in either
-    // direction (r5 reported a 3.2× "regression" on unchanged plans
-    // that a clean re-run showed was machine contention). Three timed
-    // executions per key, the reported number is the median, and the
-    // min/max spread rides along so a noisy round is VISIBLY noisy
-    // instead of silently wrong. Each run re-invokes the query fn, so
-    // run 1 still pays plan compilation cold (comparable to the old
-    // number); medians absorb one outlier without hiding a real
-    // regression, which shifts all three runs.
+    // 3 timed executions per block, two blocks per key: ONE cold run
+    // per key let a single loaded driver execution poison a whole
+    // round's perf signal in either direction (r5 reported a 3.2×
+    // "regression" on unchanged plans that a clean re-run showed was
+    // machine contention). Each run re-invokes the query fn, so run 1
+    // still pays plan compilation cold; the reported per-key number is
+    // the MIN of all six runs (see below) with both block medians in
+    // the spread so a noisy round is VISIBLY noisy instead of
+    // silently wrong.
     def runOnce(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
@@ -193,47 +192,86 @@ object Bench {
       // a failed run reports -1 so it can never masquerade as fast
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // LOAD CANARY: a fixed tiny CPU-bound job timed immediately before
+    // each key's measurement blocks. Its cost is constant by
+    // construction (32 even splits of a pure-arithmetic range scan, no
+    // shuffle, no data read), so its timing series is a per-key record
+    // of the MACHINE's load regime: r11's official bench published a
+    // fake 2.3× gate failure because a multi-minute external load
+    // bubble covered all six runs of four consecutive keys and
+    // masqueraded as a consistent regression. A canary reading far
+    // above its own baseline (the series min) flags exactly those
+    // keys' numbers as load-contaminated. The plan is built once and
+    // warmed once, so each timed .head() is pure execution — no
+    // compile noise in the signal.
+    val canaryDf = {
+      import org.apache.spark.sql.functions._
+      spark.range(0, 64000000L, 1, 32)
+        .select(sum(pmod(col("id") * 1103515245L + 12345L, lit(1000003L))).as("x"))
+    }
+    canaryDf.head() // warm: compile + JIT the canary plan itself
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime(); canaryDf.head(); (System.nanoTime() - t0) / 1e9
+    }
     // TWO measurement blocks per key, scheduled ADJACENTLY (r10
     // finding: reverse-order second passes made per-key disagreement
     // diagnose load rather than position, but five keys still
     // disagreed >1.5× because the two samples of one key ran minutes
     // apart under different load regimes; back-to-back blocks put both
     // samples in the same regime, so pass disagreement on a key now
-    // means genuine run-to-run variance of THAT plan). Whole-bench
-    // load contamination stays visible through the per-key min/max
-    // spread and the cross-round totals.
-    val both: Seq[(String, (Seq[Double], Seq[Double]))] = keys.map { name =>
+    // means genuine run-to-run variance of THAT plan). r11 finding:
+    // adjacency also lets ONE load bubble cover both blocks and fake a
+    // consistent per-key regression — hence (a) the canary sample per
+    // key above and (b) the headline statistic below switching to the
+    // load-insensitive MIN-OF-6 (min across both blocks): a transient
+    // external load can only INFLATE a run, never deflate it, so the
+    // min of six independent executions is the statistic least
+    // corruptible by a busy machine. Medians of both blocks still ride
+    // along per key for run-to-run variance reading.
+    val both: Seq[(String, (Seq[Double], Seq[Double], Double))] = keys.map { name =>
       val fn = SparkEntry.queries(name)
+      val c = canaryOnce()
       val a = (1 to 3).map(_ => runOnce(name, fn)).sorted
       val b = (1 to 3).map(_ => runOnce(name, fn)).sorted
-      name -> (a, b)
+      name -> (a, b, c)
     }
-    val results = both.map { case (n, (a, _)) => n -> a }
-    val results2 = both.map { case (n, (_, b)) => n -> b }
+    val results = both.map { case (n, (a, _, _)) => n -> a }
+    val results2 = both.map { case (n, (_, b, _)) => n -> b }
     def f3(v: Double) = f"$v%.3f"
     // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
     // the MINIMUM, so taking runs(1) as median would report the faster
     // of the two successes and mask the failure as a healthy (fast!)
     // number — the exact inversion of the sentinel's purpose
     def med(r: Seq[Double]) = if (r.head < 0) -1.0 else r(1)
-    // "queries" stays name → scalar (the median) for the driver's
-    // parser; "spread" carries the full {median,min,max} per key
-    val qs = results.map { case (k, r) => "\"" + k + "\":" + f3(med(r)) }
+    // min-of-6 across both blocks, with the same failure-poisoning
+    // rule: any failed run in either block marks the key -1
+    def min6(a: Seq[Double], b: Seq[Double]) =
+      if (a.head < 0 || b.head < 0) -1.0 else math.min(a.head, b.head)
+    // "queries" stays name → scalar for the driver's parser, but the
+    // scalar is now the min-of-6 (headline = load-robust statistic);
+    // "spread" carries {min6, med1, med2, max, canary} per key so both
+    // medians AND the load regime stay visible
+    val mins = both.map { case (n, (a, b, _)) => n -> min6(a, b) }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, r) =>
-      "\"" + k + "\":{\"median\":" + f3(med(r)) +
-        ",\"min\":" + f3(r(0)) + ",\"max\":" + f3(r(2)) + "}"
+    val spread = both.map { case (k, (a, b, c)) =>
+      "\"" + k + "\":{\"min\":" + f3(min6(a, b)) +
+        ",\"median\":" + f3(med(a)) + ",\"median2\":" + f3(med(b)) +
+        ",\"max\":" + f3(math.max(a.last, b.last)) +
+        ",\"canary\":" + f3(c) + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(r => med(r._2)).filter(_ >= 0).sum
-    val core = results.filter(r => core16(r._1))
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    val core = mins.filter(r => core16(r._1)).map(_._2).filter(_ >= 0).sum
+    val totalMed = results.map(r => med(r._2)).filter(_ >= 0).sum
+    val coreMed = results.filter(r => core16(r._1))
       .map(r => med(r._2)).filter(_ >= 0).sum
     val total2 = results2.map(r => med(r._2)).filter(_ >= 0).sum
     val core2 = results2.filter(r => core16(r._1))
       .map(r => med(r._2)).filter(_ >= 0).sum
-    val qs2 = results2.map { case (k, r) => "\"" + k + "\":" + f3(med(r)) }
-      .mkString("{", ",", "}")
+    val canaryMin = both.map(_._2._3).min
+    val canaryMax = both.map(_._2._3).max
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"run2":{"total":$total2%.3f,"core16":$core2%.3f,"queries":$qs2},"sf":"$sfDir"}"""
+      f"""{"metric":"total_min6","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"medians":{"total":$totalMed%.3f,"core16":$coreMed%.3f},"run2":{"total":$total2%.3f,"core16":$core2%.3f},"canary":{"min":$canaryMin%.3f,"max":$canaryMax%.3f},"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt [info] noise; also drop the JSON in a
     // file so the driver's parse never depends on log scraping

@@ -43,7 +43,9 @@ import graft.text2sql.SqlDml
   *    SET DEFAULT through the shared ON DELETE machinery — executed
   *    AFTER the parent re-binds (SQLite's sequencing, so the child's
   *    own FK validation sees the new keys); self-referential ON
-  *    UPDATE actions decline named.
+  *    UPDATE actions execute the same way, settling against the
+  *    re-bound table ([[applyParentUpdate]], sqlite3-measured in
+  *    ForeignKeySpec).
   * Timing parity (measured, sqlite3 3.40.1): SQLite too settles FK
   * state at the END of the statement — a multi-row INSERT whose later
   * rows create earlier rows' parents passes (`INSERT INTO tree VALUES

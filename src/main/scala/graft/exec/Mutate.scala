@@ -119,9 +119,12 @@ object Mutate {
     // keys can't raise one, so the statement IS a plain UPDATE there
     // (exactly SQLite). OR ABORT/ROLLBACK match this engine's
     // statement-atomic abort exactly and always execute. OR IGNORE
-    // executes the NOT NULL/CHECK skip on the plain route; its
-    // per-row UNIQUE-conflict skip (any declared key, expression/
-    // partial included) has no set-based equivalent — decline named.
+    // executes the NOT NULL/CHECK skip on the plain route AND the
+    // UNIQUE-conflict skip against rows the statement does not touch
+    // ([[runUpdateIgnoreKeys]] — an anti-join of the assigned key
+    // images against the untouched slice); only intra-statement
+    // collision chains (two updated rows interacting on a key) keep
+    // the named decline, since their outcome depends on rowid order.
     // OR FAIL keeps rowid-order partial effects — decline named
     // wherever it could differ. OR REPLACE EXECUTES on the plain
     // route: NOT NULL defaults substitute into the assignments below
@@ -134,11 +137,34 @@ object Mutate {
         SessionKeys.uniqueExprIndexes(spark, u.table).nonEmpty
     u.orAction.foreach {
       case "IGNORE" =>
-        if (declaredKeysExist)
-          throw new UnsupportedOperationException(
-            "UPDATE OR IGNORE on a table with a declared unique key is " +
-              "not supported (its per-row conflict skip has no " +
-              "set-based equivalent); use a plain UPDATE")
+        if (declaredKeysExist) {
+          // the skip/keep split below is computed once per statement;
+          // compositions whose skip decision SQLite interleaves with
+          // other per-row machinery decline named
+          if (u.from.isDefined || u.limit.isDefined)
+            throw new UnsupportedOperationException(
+              "UPDATE OR IGNORE … " +
+                (if (u.from.isDefined) "FROM" else "LIMIT") +
+                " on a table with a declared unique key is not " +
+                "supported; use the plain statement form")
+          if (Ddl.generatedForWrite(spark, u.table).nonEmpty)
+            throw new UnsupportedOperationException(
+              "UPDATE OR IGNORE on a table with both a declared unique " +
+                "key and generated columns is not supported")
+          if (Triggers.anyFor(spark, u.table, "update", u.assigns.map(_._1)))
+            throw new UnsupportedOperationException(
+              "UPDATE OR IGNORE on a table with both a declared unique " +
+                "key and UPDATE triggers is not supported (SQLite " +
+                "interleaves the skip with per-row trigger firings)")
+          if (ForeignKeys.anyUpdateActionsReferencing(spark, u.table))
+            throw new UnsupportedOperationException(
+              "UPDATE OR IGNORE on a parent table with executing ON " +
+                "UPDATE foreign-key actions is not supported")
+          if (u.returning.isDefined && u.withPrefix.trim.nonEmpty)
+            throw new UnsupportedOperationException(
+              "UPDATE OR IGNORE with both a WITH prefix and RETURNING " +
+                "on a unique-keyed table is not supported")
+        }
         if ((u.from.isDefined || u.limit.isDefined) &&
             Constraints.has(spark, u.table))
           throw new UnsupportedOperationException(
@@ -225,6 +251,12 @@ object Mutate {
           s"(${Constraints.passesAfterAssignSql(spark, u.table, assigns)})"
       case _ => cond0
     }
+    // UPDATE OR IGNORE on a unique-keyed table: the set-expressible
+    // route (guards above declined the per-row-interleaved
+    // compositions)
+    if (u.orAction.contains("IGNORE") && declaredKeysExist)
+      return runUpdateIgnoreKeys(spark, u, base, assigns, cond,
+        Constraints.uniqueKeys(spark, u.table, base.columns.toSeq))
     val proj = base.schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
         case Some(e) =>
@@ -399,6 +431,117 @@ object Mutate {
         Triggers.fire(spark, u.table, "update", setColNames, "after", sl))
       out
     } finally slice.foreach(_.unpersist())
+  }
+
+  /** UPDATE OR IGNORE on a table with declared unique keys — the
+    * set-expressible case (measured, sqlite3 3.40.1): a matched row
+    * whose post-assignment key image collides with a row the statement
+    * does NOT touch is SKIPPED (keeps its old values); everything else
+    * updates. changes() and RETURNING cover only the applied rows, and
+    * a key tuple with any NULL member never conflicts — all three
+    * measured. The skip/keep split is ONE anti-join of the matched
+    * slice's new key images against the untouched slice per declared
+    * key (the same displacement join OR REPLACE builds, direction
+    * reversed); what stays declined — checked here, named — are the
+    * intra-statement interactions whose outcome depends on SQLite's
+    * rowid processing order: two updated rows landing on the same key
+    * value, or one landing on another's pre-update key.
+    *
+    * At 100 TB: every job here is bounded by the statement's matched
+    * slice (pairs), except the untouched-side key projection, which is
+    * the same narrow distinct-key scan the OR REPLACE route and
+    * assertUnique already pay. */
+  private def runUpdateIgnoreKeys(spark: SparkSession, u: SqlDml.Update,
+                                  base: DataFrame,
+                                  assigns: Map[String, String], cond: String,
+                                  keys: Seq[Constraints.UniqueKey])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BooleanType
+    // matched rows as (old image struct, new image columns) — the
+    // trigger-slice shape, one scan
+    val oldS = base.schema.fields
+      .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
+    val flatNew = base.schema.fields.map { f =>
+      val v = assigns.get(f.name.toLowerCase) match {
+        case Some(e) => strictCastSql(spark, u, e, f)
+        case None    => q(f.name)
+      }
+      s"$v AS ${q(f.name)}"
+    }.mkString(", ")
+    val pairs = spark.sql((u.withPrefix +
+      s" SELECT named_struct($oldS) AS __graft_old, $flatNew" +
+      s" FROM ${q(u.table)} WHERE $cond").trim).persist()
+    try {
+      keys.foreach { k =>
+        val es = k.exprs.map(expr)
+        def inScope(df: DataFrame): DataFrame = {
+          val pred = k.where.map(w => coalesce(
+            expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+          df.filter(pred).filter(es.map(_.isNotNull).reduce(_ && _))
+        }
+        val newK = inScope(pairs)
+        if (!newK.groupBy(es: _*).count()
+            .filter(col("count") > 1L).limit(1).isEmpty)
+          throw new UnsupportedOperationException(
+            "UPDATE OR IGNORE: two updated rows land on the same " +
+              s"${k.label} value; the per-row skip order has no " +
+              "set-based equivalent — split the statement")
+        val oldImg = pairs.select(col("__graft_old").as("__graft_oldj"),
+          col("__graft_old.*"))
+        val oldK = inScope(oldImg).select(
+          (k.exprs.zipWithIndex.map { case (e, i) =>
+            expr(e).as(s"__graft_ok$i")
+          } :+ col("__graft_oldj")).toIndexedSeq: _*)
+        val cross = newK.join(oldK,
+          k.exprs.zipWithIndex.map { case (e, i) =>
+            expr(e) === oldK(s"__graft_ok$i")
+          }.reduce(_ && _) &&
+            !(col("__graft_old") <=> col("__graft_oldj")))
+        if (!cross.limit(1).isEmpty)
+          throw new UnsupportedOperationException(
+            "UPDATE OR IGNORE: an updated row lands on another updated " +
+              s"row's pre-update ${k.label} value; the per-row skip " +
+              "order has no set-based equivalent — split the statement")
+      }
+      val untouched = spark.sql((u.withPrefix +
+        s" SELECT * FROM ${q(u.table)} WHERE NOT ($cond)").trim)
+      val appliedPairs = keys.foldLeft(pairs)((acc, k) =>
+        Constraints.dropConflicting(acc, untouched, k))
+      val cols = base.columns.map(c => col(q(c))).toIndexedSeq
+      val appliedNew = appliedPairs.select(cols: _*)
+      // skipped rows keep their OLD images (null-safe struct identity:
+      // the old key is unique table-wide, so the full old image is a
+      // sound row identity; exact duplicates have identical new images
+      // and land on the same side of the split)
+      val skippedOld = pairs.join(
+          appliedPairs.select(col("__graft_old").as("__graft_apl")),
+          col("__graft_old") <=> col("__graft_apl"), "left_anti")
+        .select(col("__graft_old.*")).select(cols: _*)
+      val merged = untouched.select(cols: _*)
+        .unionAll(skippedOld).unionAll(appliedNew)
+      // RETURNING sees only the APPLIED rows' new values (measured) —
+      // evaluated over the applied slice via a transient view,
+      // analyzed (and so bound to the pre-rebind plan) immediately
+      val ret = u.returning.map { r =>
+        val vn = "graft_updignore_ret_g" + Upsert.nextGeneration()
+        appliedNew.createOrReplaceTempView(vn)
+        try spark.sql(s"SELECT $r FROM $vn")
+        finally spark.catalog.dropTempView(vn)
+      }
+      // changes() counts only the applied rows (measured)
+      SessionChanges.record(spark, () => appliedPairs.count())
+      if (ForeignKeys.enforcing(spark)) {
+        if (ForeignKeys.childFksOf(spark, u.table)
+            .exists(_.cols.exists(c => assigns.contains(c.toLowerCase))))
+          ForeignKeys.assertChildRows(spark, u.table, appliedNew, merged,
+            Some(assigns.keySet))
+        ForeignKeys.assertParentTransition(spark, u.table, base, merged,
+          "update")
+      }
+      Constraints.assertUnique(spark, u.table, merged, Some(appliedNew))
+      rebind(spark, u.table, merged, ret)
+    } finally pairs.unpersist()
   }
 
   /** SQLite's UPDATE-FROM join form (lang_update.html §2): each target

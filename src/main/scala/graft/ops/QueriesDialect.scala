@@ -803,6 +803,30 @@ object QueriesDialect {
     // re-keyed onto one key resolve to a single winner (fixture chosen
     // so the engine's deterministic stand-in equals sqlite3's
     // rowid-order outcome — UniqueSpec pins the edges)
+    // UPDATE OR IGNORE on a unique-keyed table — the set-expressible
+    // skip (exec.Mutate.runUpdateIgnoreKeys): a row re-keyed onto an
+    // occupied key is skipped (keeps its old values), a row re-keyed
+    // onto a free key applies; changes()/RETURNING cover only applied
+    // rows. Values pinned against sqlite3 running the identical
+    // statements (UniqueSpec); intra-statement collision chains
+    // decline named (rowid-order dependent, measured).
+    "sink_update_ignore_sql" -> ((s, d) => {
+      val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
+      run("DROP TABLE IF EXISTS graft_updign_t")
+      run("CREATE TABLE graft_updign_t (a INT PRIMARY KEY, b TEXT)")
+      run("INSERT INTO graft_updign_t VALUES (1,'x'), (2,'y'), (3,'z'), (4,'w')")
+      run("UPDATE OR IGNORE graft_updign_t SET a = 2 WHERE a = 1")
+      val applied = run(
+        "UPDATE OR IGNORE graft_updign_t SET a = 9 WHERE a = 3 RETURNING a")
+      val changed = run("SELECT changes() AS n")
+      run("""SELECT CAST(a AS BIGINT) AS a, b,
+             CAST((SELECT count(*) FROM graft_updign_t) AS BIGINT) AS total
+             FROM graft_updign_t""")
+        .crossJoin(applied.selectExpr("CAST(a AS BIGINT) AS applied_key"))
+        .crossJoin(changed.selectExpr("CAST(n AS BIGINT) AS n_changed"))
+        .orderBy("a")
+    }),
+
     "sink_update_replace_sql" -> ((s, d) => {
       val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
       run("DROP TABLE IF EXISTS graft_updrep_t")
@@ -1586,6 +1610,21 @@ object QueriesDialect {
     // post-state pinned against sqlite3 running the identical
     // statements: (1,x,10) re-keys onto 2 displacing (2,y,20); c=NULL
     // takes DEFAULT 5; the double re-key onto 9 leaves one winner
+    // pinned against sqlite3 running the identical statements: the
+    // 1->2 re-key skips (occupied), the 3->9 re-key applies,
+    // changes() reports 1, RETURNING yields the applied key
+    "sink_update_ignore_sql" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'x', CAST(4 AS BIGINT),
+            CAST(9 AS BIGINT), CAST(1 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'y', CAST(4 AS BIGINT),
+            CAST(9 AS BIGINT), CAST(1 AS BIGINT)),
+           (CAST(4 AS BIGINT), 'w', CAST(4 AS BIGINT),
+            CAST(9 AS BIGINT), CAST(1 AS BIGINT)),
+           (CAST(9 AS BIGINT), 'z', CAST(4 AS BIGINT),
+            CAST(9 AS BIGINT), CAST(1 AS BIGINT)))
+         AS t(a, b, total, applied_key, n_changed) ORDER BY a""",
+
     "sink_update_replace_sql" ->
       """SELECT * FROM (VALUES
            (CAST(4 AS BIGINT), 'w', CAST(40 AS BIGINT)),

@@ -21,10 +21,14 @@ package graft.text2sql
   * projection (assignments applied where p holds, old row otherwise),
   * a DELETE keeps the rows where p is NOT true — each materialized and
   * re-bound, the table-state transition SQLite performs in place.
-  * Verbs with no sound lake re-expression — conflict-action
-  * `UPDATE OR …`, join-`UPDATE … FROM`, DML `ORDER BY`/`LIMIT` — raise
-  * a targeted read-only-engine error instead of Spark's generic
-  * `ParseException`/`AnalysisException`.
+  * The once-declined conflict-action forms now execute too:
+  * `UPDATE OR REPLACE` (displacement merge), join-`UPDATE … FROM`, and
+  * DML `ORDER BY`+`LIMIT` (rowid-order slice) all re-express set-based
+  * in [[graft.exec.Mutate]]; only the verbs whose semantics are
+  * genuinely rowid-sequential (e.g. `UPDATE OR FAIL` mid-statement
+  * partial effects) raise a targeted read-only-engine error instead of
+  * Spark's generic `ParseException`/`AnalysisException` — the current
+  * decline list lives in `graft.exec.Mutate`/`graft.exec.Upsert`.
   *
   * This object only CLASSIFIES and PARSES; execution lives in
   * `graft.exec` so the text2sql layer stays side-effect free.
@@ -452,9 +456,10 @@ object SqlDml {
     * action (`UPDATE OR <action>`) differs from plain UPDATE only when
     * a constraint VIOLATION occurs — on a table with no declared
     * constraints none can, so the action rides along in `orAction` and
-    * the EXECUTOR decides: plain UPDATE semantics when the table has
-    * no session-declared key, a targeted decline when it has one (the
-    * rewrite does not simulate constraint checking). */
+    * the EXECUTOR decides ([[graft.exec.Mutate]]): plain UPDATE
+    * semantics when the table has no session-declared key; with one,
+    * OR REPLACE displaces and OR IGNORE skips set-based, and only the
+    * genuinely rowid-sequential forms decline named. */
   private def parseUpdate(sql: String, start: Int,
                           withPrefix: String): Option[Stmt] = {
     var j = start

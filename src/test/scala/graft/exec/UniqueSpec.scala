@@ -388,4 +388,74 @@ class UniqueSpec extends SparkSpec {
     assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
       Seq(Seq(1L, "x"), Seq(2L, "y")))
   }
+
+  test("UPDATE OR IGNORE on a keyed table skips the row whose new key " +
+      "collides with an untouched row and applies the rest; changes() " +
+      "and RETURNING cover only the applied rows (all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT)")
+    sql(s"INSERT INTO $t VALUES (1,'x'), (2,'y'), (3,'z'), (4,'w')")
+    sql(s"UPDATE OR IGNORE $t SET a = 2 WHERE a = 1") // occupied -> skip
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(0L)))
+    val ret = rowsOf(s"UPDATE OR IGNORE $t SET a = 9 WHERE a = 3 " +
+      s"RETURNING a, b") // free -> applied
+    assert(ret == Seq(Seq(9L, "z")))
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(1L)))
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y"), Seq(4L, "w"), Seq(9L, "z")))
+  }
+
+  test("UPDATE OR IGNORE: NULL key members never conflict; partial " +
+      "unique indexes skip only in-predicate collisions; expression " +
+      "keys skip on the expression value (all measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT, b INT, c TEXT, UNIQUE(a, b))")
+    sql(s"INSERT INTO $t VALUES (1,1,'p'), (1,2,'q'), (2,NULL,'r')")
+    sql(s"UPDATE OR IGNORE $t SET a = 1, b = 2 WHERE c = 'r'") // skip
+    sql(s"UPDATE OR IGNORE $t SET b = NULL WHERE c = 'p'") // NULL: applied
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(1L)))
+    assert(rowsOf(s"SELECT a, b, c FROM $t ORDER BY c") ==
+      Seq(Seq(1L, null, "p"), Seq(1L, 2L, "q"), Seq(2L, null, "r")))
+    val p = fresh()
+    sql(s"CREATE TABLE $p(a INT, b INT)")
+    sql(s"CREATE UNIQUE INDEX ${p}_ux ON $p (a) WHERE b > 0")
+    sql(s"INSERT INTO $p VALUES (1,1), (2,1), (1,0)")
+    // new image (2,0) lands OUTSIDE the predicate -> applied
+    sql(s"UPDATE OR IGNORE $p SET a = 2 WHERE a = 1 AND b = 0")
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(1L)))
+    // new image (2,1) in predicate, collides with untouched -> skip
+    sql(s"UPDATE OR IGNORE $p SET a = 2 WHERE a = 1 AND b = 1")
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(0L)))
+    assert(rowsOf(s"SELECT a, b FROM $p ORDER BY a, b") ==
+      Seq(Seq(1L, 1L), Seq(2L, 0L), Seq(2L, 1L)))
+    val x = fresh()
+    sql(s"CREATE TABLE $x(a TEXT)")
+    sql(s"CREATE UNIQUE INDEX ${x}_ux ON $x (lower(a))")
+    sql(s"INSERT INTO $x VALUES ('Foo'), ('bar')")
+    sql(s"UPDATE OR IGNORE $x SET a = 'FOO' WHERE a = 'bar'") // skip
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(0L)))
+    assert(rowsOf(s"SELECT a FROM $x ORDER BY a") ==
+      Seq(Seq("Foo"), Seq("bar")))
+  }
+
+  test("UPDATE OR IGNORE declines the intra-statement collision " +
+      "chains whose outcome depends on rowid order (measured: the " +
+      "1->2,2->3 swap yields different changes() under different " +
+      "rowid orders in sqlite3)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b TEXT)")
+    sql(s"INSERT INTO $t VALUES (1,'x'), (2,'y')")
+    // a row landing on another updated row's pre-update key
+    val e1 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR IGNORE $t SET a = " +
+        s"CASE a WHEN 1 THEN 2 WHEN 2 THEN 3 END WHERE a IN (1, 2)"))
+    assert(e1.getMessage.contains("pre-update"), e1.getMessage)
+    // two rows landing on the same new key
+    val e2 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR IGNORE $t SET a = 7 WHERE a IN (1, 2)"))
+    assert(e2.getMessage.contains("same"), e2.getMessage)
+    // the table is untouched either way
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y")))
+  }
 }

@@ -19,18 +19,18 @@ import graft.text2sql.SqlDialect.{endOfQuoted, isWordChar, keywordAt}
   * Folded positions (the ones SQLite reaches through the column's
   * collation AND the translator models): a comparison operand
   * (`=`, `==`, `!=`, `<>`, `<`, `>`, `<=`, `>=`, either side), the
-  * left side of `[NOT] IN (scalar list)` / `[NOT] BETWEEN` (the
-  * translator then folds every list member / both bounds — SQLite's
-  * operand propagation, datatype3.html §7.1), a bare ORDER BY /
-  * GROUP BY term (ASC/DESC riders fine), and — when a GROUP BY term
-  * folds — bare same-column references in the select list / HAVING
-  * (grouping and projection must agree or Spark rejects the plan).
-  * Documented divergences, README table: `IN (SELECT …)` and
-  * function-WRAPPED terms stay BINARY (declined loudly where they
-  * would half-fold), and an unqualified reference is folded when ANY
-  * referenced table declares the name — same-named columns with
-  * CONFLICTING declared collations across referenced tables skip the
-  * fold entirely (never guess).
+  * left side of `[NOT] IN (scalar list | SELECT …)` / `[NOT] BETWEEN`
+  * (the translator then folds every list member / the wrapped
+  * subquery result / both bounds — SQLite's operand propagation,
+  * datatype3.html §7.1), a bare ORDER BY / GROUP BY term (ASC/DESC
+  * riders fine), and — when a GROUP BY term folds — bare same-column
+  * references in the select list / HAVING (grouping and projection
+  * must agree or Spark rejects the plan).
+  * Documented divergences, README table: function-WRAPPED terms stay
+  * BINARY (declined loudly where they would half-fold), and an
+  * unqualified reference is folded when ANY referenced table declares
+  * the name — same-named columns with CONFLICTING declared collations
+  * across referenced tables skip the fold entirely (never guess).
   * An explicit `COLLATE` already decorating the reference wins
   * (SQLite's override rule) — no injection happens there.
   *

@@ -884,19 +884,25 @@ object QueriesDialect {
 
     // Declared-collation propagation into IN / NOT IN / BETWEEN
     // operands (SQLite datatype3.html §7.1: every list member and both
-    // bounds take the LHS column's collation) plus the canonical bare
-    // SELECT x … GROUP BY x idiom over a NOCASE column — grouping and
-    // projection fold together, the projected representative is the
-    // deterministic lowercased stand-in. Values pinned against sqlite3
-    // running the identical statements (CollationSpec).
+    // bounds take the LHS column's collation) AND into the
+    // IN (SELECT …) membership comparison (the translator wraps the
+    // subquery as a one-column derived table and folds its result),
+    // plus the canonical bare SELECT x … GROUP BY x idiom over a
+    // NOCASE column — grouping and projection fold together, the
+    // projected representative is the deterministic lowercased
+    // stand-in. Values pinned against sqlite3 running the identical
+    // statements (CollationSpec).
     "filter_collate_in" -> ((s, d) => {
       val run = (q: String) => graft.exec.Runner.runSql(s, SqlDialect.translate(q))
       run("DROP TABLE IF EXISTS graft_collin_t")
+      run("DROP TABLE IF EXISTS graft_collin_probe")
       run("""CREATE TABLE graft_collin_t (k INTEGER,
              x TEXT COLLATE NOCASE, y TEXT COLLATE RTRIM)""")
       run("""INSERT INTO graft_collin_t VALUES
              (1,'Apple','pad '), (2,'apple','pad'), (3,'BANANA','q  '),
              (4,'banana','q'), (5,'cherry','r')""")
+      run("CREATE TABLE graft_collin_probe (v TEXT)")
+      run("INSERT INTO graft_collin_probe VALUES ('APPLE'), ('Banana')")
       run("""SELECT x AS grp, CAST(count(*) AS BIGINT) AS n,
                     CAST(sum(CASE WHEN x IN ('APPLE','Banana')
                              THEN 1 ELSE 0 END) AS BIGINT) AS in_hits,
@@ -905,7 +911,13 @@ object QueriesDialect {
                     CAST(sum(CASE WHEN x BETWEEN 'B' AND 'c'
                              THEN 1 ELSE 0 END) AS BIGINT) AS btw_hits,
                     CAST(sum(CASE WHEN y IN ('pad   ')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS rt_in_hits
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rt_in_hits,
+                    CAST(sum(CASE WHEN x IN (SELECT v FROM
+                             graft_collin_probe)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS insub_hits,
+                    CAST(sum(CASE WHEN x NOT IN (SELECT v FROM
+                             graft_collin_probe)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS notinsub_hits
              FROM graft_collin_t GROUP BY x ORDER BY grp""")
     }),
 
@@ -1649,17 +1661,22 @@ object QueriesDialect {
          AS t(grp, n, eq_hits, rt_hits) ORDER BY grp""",
 
     // pinned against sqlite3 running the identical fixture: IN list /
-    // BETWEEN bounds fold under the declared NOCASE (RTRIM for y);
-    // the grouped bare column projects its lowercased representative
+    // IN (SELECT …) membership / BETWEEN bounds fold under the
+    // declared NOCASE (RTRIM for y); the grouped bare column projects
+    // its lowercased representative
     "filter_collate_in" ->
       """SELECT * FROM (VALUES
            ('apple',  CAST(2 AS BIGINT), CAST(2 AS BIGINT),
-            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
            ('banana', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
-            CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+            CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
            ('cherry', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-            CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
-         AS t(grp, n, in_hits, notin_hits, btw_hits, rt_in_hits)
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+         AS t(grp, n, in_hits, notin_hits, btw_hits, rt_in_hits,
+              insub_hits, notinsub_hits)
          ORDER BY grp""",
 
     // constraint-enforcement post-state pinned against sqlite3 running

@@ -722,12 +722,13 @@ object SqlDialect {
     * rtrim-then-binary-compare IS the collation. Next to ILIKE it
     * strips like NOCASE does: SQLite's LIKE does not honor collating
     * sequences at all, so the clause is a no-op there.
-    * `[NOT] IN (scalar list)` folds every list member and `[NOT]
-    * BETWEEN lo AND hi` folds both bounds (SQLite propagates the LHS
-    * collation to each operand — datatype3.html §7.1). Custom
-    * collations are left verbatim — a visible analysis error beats a
-    * silently changed answer. The remaining decline is `IN (SELECT …)`
-    * (folding would rewrite the subquery's select list).
+    * `[NOT] IN (scalar list)` folds every list member, `[NOT]
+    * BETWEEN lo AND hi` folds both bounds, and `[NOT] IN (SELECT …)`
+    * folds the membership comparison by wrapping the subquery as a
+    * one-column derived table (SQLite propagates the LHS collation to
+    * each operand — datatype3.html §7.1). Custom collations are left
+    * verbatim — a visible analysis error beats a silently changed
+    * answer.
     */
   private def rewriteCollate(sql: String): String = {
     var i = 0
@@ -779,12 +780,12 @@ object SqlDialect {
     // X COLLATE NOCASE op Y
     var a = collEnd
     while (a < sql.length && sql.charAt(a).isWhitespace) a += 1
-    // X COLLATE NOCASE [NOT] IN (list) / [NOT] BETWEEN lo AND hi —
-    // SQLite propagates the LHS collation to every IN list member and
-    // both BETWEEN bounds (datatype3.html §7.1), so each operand takes
-    // the same fold. An IN (SELECT …) subquery form still declines
-    // (folding would have to rewrite the subquery's select list) —
-    // verbatim clause → visible Spark analysis error, never silent.
+    // X COLLATE NOCASE [NOT] IN (list | SELECT …) / [NOT] BETWEEN
+    // lo AND hi — SQLite propagates the LHS collation to every IN
+    // operand (list members or subquery results) and both BETWEEN
+    // bounds (datatype3.html §7.1), so each operand takes the same
+    // fold; the subquery form folds through a one-column derived-table
+    // wrap, never by editing the subquery's own text.
     var inStart = a
     var neg = ""
     if (keywordAt(sql, a, "not")) {
@@ -803,8 +804,16 @@ object SqlDialect {
       val inner = sql.substring(p + 1, cp)
       var s0 = 0
       while (s0 < inner.length && inner.charAt(s0).isWhitespace) s0 += 1
+      // IN (SELECT …): SQLite propagates the LHS collation into the
+      // membership comparison too. Folding does NOT require parsing
+      // the subquery's select list — wrapping it as a one-column
+      // derived table applies the fold to whatever it yields (a
+      // multi-column subquery fails the one-name alias loudly, same
+      // as SQLite's "sub-select returns N columns" error class)
       if (keywordAt(inner, s0, "select") || keywordAt(inner, s0, "with"))
-        return None
+        return Some(sql.substring(0, xStart) +
+          s"$fn($x) ${neg}IN (SELECT $fn(__graft_inc) FROM (" + inner +
+          ") AS __graft_insub(__graft_inc))" + sql.substring(cp + 1))
       val items = splitArgs(inner).map(it => s"$fn(${it.trim})")
       return Some(sql.substring(0, xStart) +
         s"$fn($x) ${neg}IN (" + items.mkString(", ") + ")" +

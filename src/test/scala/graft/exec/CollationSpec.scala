@@ -80,12 +80,26 @@ class CollationSpec extends SparkSpec {
       Seq(Seq(3L)))
   }
 
-  test("IN (SELECT …) over a collated column declines LOUDLY — the " +
-      "unfoldable clause surfaces as an analysis error, never silent " +
-      "binary rows (documented divergence)") {
+  test("IN (SELECT …) over a collated column FOLDS — the membership " +
+      "comparison takes the LHS collation through a one-column " +
+      "derived-table wrap (measured: sqlite3 matches 'APPLE' against " +
+      "both Apple rows)") {
     val t = fixture()
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE x IN (SELECT 'APPLE')") == Seq(Seq(2L)))
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE x NOT IN (SELECT 'APPLE')") == Seq(Seq(3L)))
+    // the explicit-COLLATE spelling folds the same subquery shape
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE x COLLATE NOCASE IN (SELECT 'BANANA')") == Seq(Seq(2L)))
+    // RTRIM declared on y: trailing spaces in the subquery result
+    // are ignored (measured)
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE y IN (SELECT 'pad   ')") == Seq(Seq(2L)))
+    // a multi-column subquery still fails loudly (the one-name alias
+    // cannot bind), never silent binary rows
     intercept[Exception] {
-      rowsOf(s"SELECT count(*) FROM $t WHERE x IN (SELECT 'APPLE')")
+      rowsOf(s"SELECT count(*) FROM $t WHERE x IN (SELECT 'A', 'B')")
     }
   }
 

@@ -474,24 +474,56 @@ object ForeignKeys {
   private def applySelfAction(spark: SparkSession, table: String,
                               fk: SqlDml.Fk, oldDf: DataFrame,
                               merged: DataFrame,
-                              pcols: Seq[String]): DataFrame = {
+                              pcols: Seq[String]): DataFrame =
+    // follow ONLY the chain rooted at keys this statement removes:
+    // frontier_0 = the statement's removed keys. A pre-existing
+    // dangling row (its parent never existed) references no frontier
+    // key and SURVIVES — measured: sqlite3 leaves it, flagged only by
+    // foreign_key_check. Seeding from all dangling tuples instead
+    // would silently delete it.
+    applySelfActionKeys(spark, table, fk, merged, pcols,
+      removedKeys(oldDf, merged, pcols), None)
+
+  /** [[applySelfAction]] seeded with an EXPLICIT frontier — shared by
+    * the DELETE route (frontier = the statement's removed keys) and
+    * INSERT OR REPLACE (frontier = the DISPLACED keys, which the same
+    * statement re-inserts, so removedKeys would see nothing — yet
+    * SQLite cascades for them, measured). `writtenKeys` (REPLACE route
+    * only) carries the statement's own written key tuples
+    * (__fk_w*-aliased): a cascade victim that IS a statement-written
+    * row declines named, because SQLite resolves that interaction in
+    * VALUES order — measured both ways: (1,NULL),(2,1) keeps the
+    * re-inserted child, (2,1),(1,NULL) cascades it away; same for the
+    * SET NULL arm's re-point. */
+  private def applySelfActionKeys(spark: SparkSession, table: String,
+                                  fk: SqlDml.Fk,
+                                  merged: DataFrame,
+                                  pcols: Seq[String],
+                                  frontier0: DataFrame,
+                                  writtenKeys: Option[DataFrame])
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val childCols = fk.cols.map { c =>
       merged.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"""foreign key mismatch - "$table" referencing "$table""""))
     }
+    def guardWritten(hit: DataFrame, what: String): Unit =
+      writtenKeys.foreach { wk =>
+        val isWritten = hit.join(wk, pcols.zipWithIndex.map {
+            case (p, i) => hit(Ddl.quote(p)) <=> wk(s"__fk_w$i")
+          }.reduce(_ && _), "left_semi")
+        if (!isWritten.isEmpty)
+          throw new UnsupportedOperationException(
+            s"INSERT OR REPLACE into $table: a self-referential ON " +
+              s"DELETE ${fk.onDelete} $what a row this same statement " +
+              s"writes — SQLite resolves that in VALUES order, which " +
+              s"has no set-based equivalent; split the statement")
+      }
     fk.onDelete match {
       case "CASCADE" =>
-        // follow ONLY the chain rooted at keys this statement removes:
-        // frontier_0 = the statement's removed keys; each round deletes
-        // rows referencing the frontier and the victims' OWN keys form
-        // the next frontier. A pre-existing dangling row (its parent
-        // never existed) references no frontier key and SURVIVES —
-        // measured: sqlite3 leaves it, flagged only by
-        // foreign_key_check. Seeding from all dangling tuples instead
-        // would silently delete it.
-        val frontier0 = removedKeys(oldDf, merged, pcols)
+        // each round deletes rows referencing the frontier and the
+        // victims' OWN keys form the next frontier (a tree delete).
         if (frontier0.isEmpty) merged // zero-removal: complete no-op
         else {
           // each round's survivor/frontier plans reference BOTH prior
@@ -541,6 +573,10 @@ object ForeignKeys {
                       s"over cascaded rows set-based; drop the " +
                       s"trigger or delete explicitly")
               }
+              // a cascade victim the statement itself wrote is the
+              // VALUES-order-dependent interaction — decline (REPLACE
+              // route only; DELETE statements write no rows)
+              guardWritten(victims, "would cascade into")
               extra += vcount
               val next = cur.join(frontier, hitCond, "left_anti")
                 .localCheckpoint()
@@ -566,11 +602,17 @@ object ForeignKeys {
           survivors
         }
       case _ => // SET NULL / SET DEFAULT: one projection pass
-        val removed = removedKeys(oldDf, merged, pcols)
+        val removed = frontier0
         // zero-removal: complete no-op — in particular the SET
         // DEFAULT re-validation below must not flag a PRE-EXISTING
         // dangle this statement never touched
         if (removed.isEmpty) return merged
+        // a re-point hitting a statement-written row declines
+        // (REPLACE route; measured order dependence — see Scaladoc)
+        guardWritten(merged.join(removed,
+          childCols.zipWithIndex.map { case (cc, i) =>
+            merged(Ddl.quote(cc)) === removed(s"__fk_r$i")
+          }.reduce(_ && _), "left_semi"), "would re-point")
         val marked = merged.join(
           removed,
           childCols.zipWithIndex.map { case (cc, i) =>
@@ -746,35 +788,51 @@ object ForeignKeys {
     * cascade-referenced key EMPTIES the child), while NO ACTION
     * children are satisfied by the re-inserted key (also measured —
     * end-of-statement settling again). `displaced` is the set of base
-    * rows the replace removes. Self-referential replace-cascades
-    * decline named (the in-plan transform would race the statement's
-    * own merge). */
+    * rows the replace removes; `merged` the post-statement table image
+    * (pre-write); `written` the statement's own written slice.
+    * SELF-referential actions execute IN-PLAN over `merged` — the same
+    * settle-to-fixpoint the DELETE route runs ([[applySelfActionKeys]],
+    * frontier = the displaced keys) — and the adjusted merged image is
+    * returned for the caller's materializing write. The one decline
+    * left is a cascade/re-point landing on a row this same statement
+    * writes: SQLite resolves that interaction in VALUES order
+    * (measured both ways), which has no set-based equivalent. */
   def applyParentReplace(spark: SparkSession, table: String,
-                         displaced0: DataFrame): Unit = {
+                         displaced0: DataFrame,
+                         merged: DataFrame,
+                         written: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (!enforcing(spark)) return
+    if (!enforcing(spark)) return merged
     val refs = referencing(spark, table).filter {
       case (_, fk) => isAction(fk.onDelete)
     }
-    if (refs.isEmpty) return
+    if (refs.isEmpty) return merged
     // materialize ONCE: the probe and every cascade read the same
     // displaced set (a non-deterministic insert source must not yield
     // different sets per consumer), and the lazy changes() thunks the
     // cascades record keep a recomputable leaf — so the checkpoint is
     // deliberately left for session GC, one bounded copy per REPLACE
     val displaced = displaced0.localCheckpoint()
-    if (displaced.isEmpty) return // conflict-free replace: plain insert
-    refs.foreach { case (childName, fk) =>
-      if (childName.equalsIgnoreCase(table))
-        throw new UnsupportedOperationException(
-          s"INSERT OR REPLACE into $table with a self-referential " +
-            s"ON DELETE ${fk.onDelete} is not supported set-based; " +
-            s"DELETE the conflicting rows first")
-      val pcols = resolveParentCols(spark, childName, fk, displaced)
-      applyChildActionKeys(spark, table, childName, fk,
-        displaced.select(pcols.zipWithIndex.map { case (c, i) =>
-          col(Ddl.quote(c)).as(s"__fk_r$i")
-        }.toIndexedSeq: _*).distinct(), fk.onDelete, "DELETE")
+    if (displaced.isEmpty) return merged // conflict-free: plain insert
+    refs.foldLeft(merged) { case (cur, (childName, fk)) =>
+      if (childName.equalsIgnoreCase(table)) {
+        val pcols = resolveParentCols(spark, childName, fk, displaced)
+        val frontier0 = displaced.select(pcols.zipWithIndex.map {
+          case (c, i) => col(Ddl.quote(c)).as(s"__fk_r$i")
+        }.toIndexedSeq: _*).distinct()
+        val writtenKeys = written.select(pcols.zipWithIndex.map {
+          case (c, i) => col(Ddl.quote(c)).as(s"__fk_w$i")
+        }.toIndexedSeq: _*).distinct()
+        applySelfActionKeys(spark, table, fk, cur, pcols, frontier0,
+          Some(writtenKeys))
+      } else {
+        val pcols = resolveParentCols(spark, childName, fk, displaced)
+        applyChildActionKeys(spark, table, childName, fk,
+          displaced.select(pcols.zipWithIndex.map { case (c, i) =>
+            col(Ddl.quote(c)).as(s"__fk_r$i")
+          }.toIndexedSeq: _*).distinct(), fk.onDelete, "DELETE")
+        cur
+      }
     }
   }
 

@@ -514,22 +514,26 @@ object Upsert {
         // DISPLACED rows (SQLite cascades even though the key is
         // re-inserted — measured; NO ACTION children are satisfied by
         // the re-inserted key, so assertParentTransition's net
-        // old∖new view is exactly right for them)
-        if (effReplace && ForeignKeys.enforcing(spark))
-          ForeignKeys.applyParentReplace(spark, stmt.table,
-            replacedDisplaced.getOrElse(
-              base.join(admitted.select(defaultKey.map(col): _*).distinct(),
-                defaultKey, "left_semi")))
+        // old∖new view is exactly right for them). SELF-referential
+        // actions settle IN-PLAN over the merged image and hand back
+        // the adjusted table for the write below.
+        val mergedFk =
+          if (effReplace && ForeignKeys.enforcing(spark))
+            ForeignKeys.applyParentReplace(spark, stmt.table,
+              replacedDisplaced.getOrElse(
+                base.join(admitted.select(defaultKey.map(col): _*).distinct(),
+                  defaultKey, "left_semi")), merged, admitted)
+          else merged
         // post-state uniqueness over every declared key — SQLite's
         // `UNIQUE constraint failed: t.c` (plain INSERT duplicates, a
         // DO UPDATE re-keying into a collision, a targeted DO NOTHING
         // conflicting on another key — all abort here); probed by the
         // statement's own written slice, so the scan is O(batch)
-        Constraints.assertUnique(spark, stmt.table, merged,
+        Constraints.assertUnique(spark, stmt.table, mergedFk,
           Some(affected))
         // the NOT NULL/CHECK guard rides the materializing write — a
         // violating row raises SQLite's error and Atomic rolls back
-        Constraints.guard(spark, stmt.table, merged)
+        Constraints.guard(spark, stmt.table, mergedFk)
           .write.mode("overwrite").parquet(dir)
         val o = spark.read.parquet(dir)
         o.createOrReplaceTempView(stmt.table)

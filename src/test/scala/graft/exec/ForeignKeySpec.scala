@@ -586,17 +586,17 @@ class ForeignKeySpec extends SparkSpec
     assert(sql(s"SELECT * FROM oc$i").count() == 1)
     assert(rowsOf(s"SELECT v FROM op$i WHERE id = 1") == Seq(Seq("w")))
     // a conflict-free replace into a SELF-cascade table is a plain
-    // insert (measured) — the named decline fires only on real
-    // displacement
+    // insert (measured); a real displacement EXECUTES the self-cascade
+    // in-plan (frontier = the displaced keys)
     val k = fresh()
     sql(s"CREATE TABLE sr$k (id INTEGER PRIMARY KEY, " +
       s"par INTEGER REFERENCES sr$k ON DELETE CASCADE)")
     sql(s"INSERT INTO sr$k VALUES (1, NULL)")
     sql(s"INSERT OR REPLACE INTO sr$k VALUES (10, NULL)")
     assert(sql(s"SELECT * FROM sr$k").count() == 2)
-    intercept[UnsupportedOperationException] {
-      sql(s"INSERT OR REPLACE INTO sr$k VALUES (1, NULL)") // displaces
-    }
+    // childless displacement: cascade is a no-op, the replace lands
+    sql(s"INSERT OR REPLACE INTO sr$k VALUES (1, NULL)")
+    assert(sql(s"SELECT * FROM sr$k").count() == 2)
     // a zero-row DELETE on a SET DEFAULT self-FK with a pre-existing
     // dangle is a complete no-op (the re-validation must not flag it)
     val m = fresh()
@@ -607,6 +607,57 @@ class ForeignKeySpec extends SparkSpec
     sql("PRAGMA foreign_keys = 1")
     sql(s"DELETE FROM sd$m WHERE id = -1")
     assert(rowsOf(s"SELECT id, par FROM sd$m") == Seq(Seq(5L, 999L)))
+  }
+
+  test("self-referential INSERT OR REPLACE cascade executes: the " +
+      "displaced key's subtree empties transitively, SET NULL " +
+      "re-points untouched children — both measured; only a cascade " +
+      "landing on a statement-written row declines (measured " +
+      "VALUES-order dependence)") {
+    def tree(act: String): String = {
+      val i = fresh()
+      sql(s"CREATE TABLE tr$i (id INTEGER PRIMARY KEY, " +
+        s"par INTEGER REFERENCES tr$i ON DELETE $act, v TEXT)")
+      sql(s"INSERT INTO tr$i VALUES (1, NULL, 'root'), (2, 1, 'a'), " +
+        s"(3, 2, 'b'), (4, NULL, 'other')")
+      sql("PRAGMA foreign_keys = 1")
+      s"tr$i"
+    }
+    // measured: replacing the root empties its subtree transitively
+    // (2 via par=1, then 3 via par=2), total_changes counts cascades
+    val t1 = tree("CASCADE")
+    sql(s"INSERT OR REPLACE INTO $t1 VALUES (1, NULL, 'root2')")
+    assert(rowsOf(s"SELECT id, v FROM $t1 ORDER BY id") ==
+      Seq(Seq(1L, "root2"), Seq(4L, "other")))
+    // measured: replacing a mid node cascades only below it
+    val t2 = tree("CASCADE")
+    sql(s"INSERT OR REPLACE INTO $t2 VALUES (2, 1, 'a2')")
+    assert(rowsOf(s"SELECT id, v FROM $t2 ORDER BY id") ==
+      Seq(Seq(1L, "root"), Seq(2L, "a2"), Seq(4L, "other")))
+    // measured: SET NULL re-points the displaced key's direct
+    // children, grandchildren stay
+    val t3 = tree("SET NULL")
+    sql(s"INSERT OR REPLACE INTO $t3 VALUES (1, NULL, 'r2')")
+    assert(rowsOf(s"SELECT id, par FROM $t3 ORDER BY id") ==
+      Seq(Seq(1L, null), Seq(2L, null), Seq(3L, 2L), Seq(4L, null)))
+    // measured order dependence: (1,NULL),(2,1) keeps the re-inserted
+    // child in sqlite3 while (2,1),(1,NULL) cascades it away — the
+    // written-row interaction declines named, table untouched
+    val t4 = tree("CASCADE")
+    val e = intercept[UnsupportedOperationException] {
+      sql(s"INSERT OR REPLACE INTO $t4 VALUES (1, NULL, 'root2'), " +
+        s"(2, 1, 'a2')")
+    }
+    assert(e.getMessage.contains("VALUES order"), e.getMessage)
+    assert(rowsOf(s"SELECT id, v FROM $t4 ORDER BY id") ==
+      Seq(Seq(1L, "root"), Seq(2L, "a"), Seq(3L, "b"), Seq(4L, "other")))
+    // same decline for a SET NULL re-point of a written row
+    val t5 = tree("SET NULL")
+    val e2 = intercept[UnsupportedOperationException] {
+      sql(s"INSERT OR REPLACE INTO $t5 VALUES (1, NULL, 'r2'), " +
+        s"(5, 1, 'x')")
+    }
+    assert(e2.getMessage.contains("VALUES order"), e2.getMessage)
   }
 
   test("composite FK enforces on the declared multi-column key; " +

@@ -173,12 +173,25 @@ object Mutate {
               " on a table with NOT NULL/CHECK constraints is not " +
               "supported; use the plain statement form")
       case "FAIL" =>
-        if (declaredKeysExist || Constraints.has(spark, u.table))
+        // OR FAIL differs from plain UPDATE ONLY when a violation
+        // occurs mid-statement (earlier rows keep their effects —
+        // rowid-order partials). The plain route below probes for a
+        // would-violation first ([[failWouldViolate]]): none → the
+        // statement IS a plain UPDATE; one → decline named. The
+        // FROM/LIMIT routes keep the upfront decline (their matched
+        // slice shape differs).
+        if ((u.from.isDefined || u.limit.isDefined) &&
+            (declaredKeysExist || Constraints.has(spark, u.table)))
           throw new UnsupportedOperationException(
-            "UPDATE OR FAIL on a table with NOT NULL/CHECK constraints " +
-              "or declared unique keys is not supported (its " +
-              "rowid-order partial effects have no set-based " +
-              "equivalent); use a plain UPDATE")
+            "UPDATE OR FAIL … " +
+              (if (u.from.isDefined) "FROM" else "LIMIT") +
+              " on a table with declared constraints is not supported; " +
+              "use the plain statement form")
+        if (declaredKeysExist &&
+            Ddl.generatedForWrite(spark, u.table).nonEmpty)
+          throw new UnsupportedOperationException(
+            "UPDATE OR FAIL on a table with both a declared unique " +
+              "key and generated columns is not supported")
       case "REPLACE" =>
         if ((u.from.isDefined || u.limit.isDefined) &&
             (declaredKeysExist || Constraints.has(spark, u.table)))
@@ -257,6 +270,13 @@ object Mutate {
     if (u.orAction.contains("IGNORE") && declaredKeysExist)
       return runUpdateIgnoreKeys(spark, u, base, assigns, cond,
         Constraints.uniqueKeys(spark, u.table, base.columns.toSeq))
+    // UPDATE OR FAIL: probe for a would-violation — none makes the
+    // statement a plain UPDATE (SQLite: OR FAIL differs only when a
+    // violation occurs); one declines named (its rowid-order partial
+    // effects have no set-based equivalent)
+    if (u.orAction.contains("FAIL") &&
+        (declaredKeysExist || Constraints.has(spark, u.table)))
+      failWouldViolate(spark, u, base, assigns, cond0)
     val proj = base.schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
         case Some(e) =>
@@ -541,6 +561,87 @@ object Mutate {
       }
       Constraints.assertUnique(spark, u.table, merged, Some(appliedNew))
       rebind(spark, u.table, merged, ret)
+    } finally pairs.unpersist()
+  }
+
+  /** UPDATE OR FAIL's would-violation probe. SQLite's OR FAIL differs
+    * from plain UPDATE (= OR ABORT) only when a constraint violation
+    * occurs mid-statement: earlier rows keep their effects — a
+    * rowid-order partial outcome with no set-based equivalent. So the
+    * statement executes as a plain UPDATE exactly when NO violation
+    * would occur, and declines named otherwise — checked here before
+    * the rewrite: (a) a matched row whose post-assignment image fails
+    * NOT NULL/CHECK, (b) any declared-key conflict the assignments
+    * would create (against the untouched slice, two matched rows on
+    * one new key, or a matched row landing on another's pre-update
+    * key). All probes are bounded by the statement's matched slice
+    * plus the same narrow untouched-key projection the OR IGNORE /
+    * OR REPLACE routes pay. */
+  private def failWouldViolate(spark: SparkSession, u: SqlDml.Update,
+                               base: DataFrame,
+                               assigns: Map[String, String],
+                               cond0: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BooleanType
+    def decline(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"UPDATE OR FAIL: the statement would hit $what mid-statement; " +
+          "its rowid-order partial effects have no set-based " +
+          "equivalent — use a plain UPDATE (atomic abort) or OR IGNORE")
+    if (Constraints.has(spark, u.table)) {
+      val bad = spark.sql((u.withPrefix +
+        s" SELECT 1 FROM ${q(u.table)} WHERE ($cond0) AND NOT " +
+        s"(${Constraints.passesAfterAssignSql(spark, u.table, assigns)})" +
+        " LIMIT 1").trim)
+      if (!bad.isEmpty) decline("a NOT NULL/CHECK violation")
+    }
+    val keys = Constraints.uniqueKeys(spark, u.table, base.columns.toSeq)
+    if (keys.isEmpty) return
+    val oldS = base.schema.fields
+      .map(f => s"'${esc(f.name)}', ${q(f.name)}").mkString(", ")
+    val flatNew = base.schema.fields.map { f =>
+      val v = assigns.get(f.name.toLowerCase) match {
+        case Some(e) => strictCastSql(spark, u, e, f)
+        case None    => q(f.name)
+      }
+      s"$v AS ${q(f.name)}"
+    }.mkString(", ")
+    val pairs = spark.sql((u.withPrefix +
+      s" SELECT named_struct($oldS) AS __graft_old, $flatNew" +
+      s" FROM ${q(u.table)} WHERE $cond0").trim).persist()
+    try {
+      val untouched = spark.sql((u.withPrefix +
+        s" SELECT * FROM ${q(u.table)} WHERE NOT ($cond0)").trim)
+      keys.foreach { k =>
+        val es = k.exprs.map(expr)
+        def inScope(df: DataFrame): DataFrame = {
+          val pred = k.where.map(w => coalesce(
+            expr(w).cast(BooleanType), lit(false))).getOrElse(lit(true))
+          df.filter(pred).filter(es.map(_.isNotNull).reduce(_ && _))
+        }
+        // conflicts the assignments would create against rows the
+        // statement does not touch: anything dropConflicting removes
+        if (Constraints.dropConflicting(pairs, untouched, k).count() <
+            pairs.count())
+          decline(s"a UNIQUE conflict on ${k.label}")
+        val newK = inScope(pairs)
+        if (!newK.groupBy(es: _*).count()
+            .filter(col("count") > 1L).limit(1).isEmpty)
+          decline(s"two rows landing on one ${k.label} value")
+        val oldImg = pairs.select(col("__graft_old").as("__graft_oldj"),
+          col("__graft_old.*"))
+        val oldK = inScope(oldImg).select(
+          (k.exprs.zipWithIndex.map { case (e, i) =>
+            expr(e).as(s"__graft_ok$i")
+          } :+ col("__graft_oldj")).toIndexedSeq: _*)
+        val cross = newK.join(oldK,
+          k.exprs.zipWithIndex.map { case (e, i) =>
+            expr(e) === oldK(s"__graft_ok$i")
+          }.reduce(_ && _) &&
+            !(col("__graft_old") <=> col("__graft_oldj")))
+        if (!cross.limit(1).isEmpty)
+          decline(s"a row landing on another's pre-update ${k.label} value")
+      }
     } finally pairs.unpersist()
   }
 

@@ -130,10 +130,36 @@ class ConstraintSpec extends SparkSpec {
     sql(s"UPDATE OR IGNORE $t SET b = b + 1")
     assert(rowsOf(s"SELECT k, b FROM $t ORDER BY k") ==
       Seq(Seq(1L, 1L), Seq(2L, 6L)))
-    // OR FAIL / OR REPLACE keep their named declines
+    // OR FAIL: a statement that WOULD violate declines named (its
+    // rowid-order partial effects have no set-based equivalent)
     val e3 = intercept[UnsupportedOperationException](
       sql(s"UPDATE OR FAIL $t SET a = NULL"))
     assert(e3.getMessage.contains("NOT NULL/CHECK"), e3.getMessage)
+  }
+
+  test("UPDATE OR FAIL with no would-violation IS a plain UPDATE " +
+      "(measured); a would-be unique conflict or constraint hit " +
+      "declines named with the table untouched") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b INT CHECK (b > 0))")
+    sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+    // measured: sqlite3 applies both rows, changes() = 2
+    sql(s"UPDATE OR FAIL $t SET b = b + 1 WHERE a >= 2")
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(2L)))
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(1L, 10L), Seq(2L, 21L), Seq(3L, 31L)))
+    // a CHECK hit mid-statement would leave rowid-order partials
+    val e1 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR FAIL $t SET b = b - 25"))
+    assert(e1.getMessage.contains("NOT NULL/CHECK"), e1.getMessage)
+    // a re-key onto an occupied key likewise
+    val e2 = intercept[UnsupportedOperationException](
+      sql(s"UPDATE OR FAIL $t SET a = 2 WHERE a = 1"))
+    assert(e2.getMessage.contains("UNIQUE conflict"), e2.getMessage)
+    // a conflict-free re-key executes
+    sql(s"UPDATE OR FAIL $t SET a = 9 WHERE a = 1")
+    assert(rowsOf(s"SELECT a, b FROM $t ORDER BY a") ==
+      Seq(Seq(2L, 21L), Seq(3L, 31L), Seq(9L, 10L)))
   }
 
   test("a WITHOUT ROWID PRIMARY KEY is implicitly NOT NULL (insert " +

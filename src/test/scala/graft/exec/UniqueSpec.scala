@@ -259,8 +259,13 @@ class UniqueSpec extends SparkSpec {
       Seq(Seq(1L, "Bb")))
     sql(s"UPDATE OR ABORT $t SET c = 'qq' WHERE id = 1")
     assert(rowsOf(s"SELECT c FROM $t") == Seq(Seq("qq")))
+    // OR FAIL with no would-violation executes as a plain UPDATE;
+    // a would-be expression-key collision declines named
+    sql(s"UPDATE OR FAIL $t SET c = 'zz' WHERE id = 1")
+    assert(rowsOf(s"SELECT c FROM $t") == Seq(Seq("zz")))
+    sql(s"INSERT INTO $t VALUES (2, 'ww')")
     val e1 = intercept[UnsupportedOperationException](
-      sql(s"UPDATE OR FAIL $t SET c = 'x'"))
+      sql(s"UPDATE OR FAIL $t SET c = 'x'")) // both rows land on 'x'
     assert(e1.getMessage.contains("UPDATE OR FAIL"), e1.getMessage)
     val e2 = intercept[UnsupportedOperationException](
       sql(s"UPDATE OR REPLACE $t SET c = 'x' LIMIT 1"))

@@ -684,10 +684,25 @@ object Upsert {
     val hit = coalesce(col("__excl_hit"), lit(false))
     val gate = c.updateWhere match {
       // NULL predicate skips the update, as in SQLite — `when` only
-      // fires on TRUE, so the raw && carries that semantics; the cast
-      // admits SQLite's numeric truthiness (`WHERE 0`)
-      case Some(w) => hit &&
-        expr(graft.text2sql.SqlDml.rewriteExcluded(w)).cast(BooleanType)
+      // fires on TRUE, so the raw && carries that semantics. SQLite
+      // coerces NON-boolean gates numerically (measured: WHERE '2'
+      // and WHERE '0.5' fire, WHERE 'abc' and WHERE 0 skip), so a
+      // text gate goes through try_cast-to-double ≠ 0 — non-numeric
+      // text maps to NULL, observably the same skip as SQLite's 0.
+      // Residue: SQLite's prefix coercion ('2abc' → 2 → fires) stays
+      // a skip here — loud-free but documented, not silent wrongness
+      // in the common shapes.
+      case Some(w0) =>
+        val w = graft.text2sql.SqlDml.rewriteExcluded(w0)
+        val truthy = joined.select(expr(w)).schema.head.dataType match {
+          case org.apache.spark.sql.types.BooleanType => expr(w)
+          case org.apache.spark.sql.types.StringType =>
+            expr(s"try_cast(($w) AS double)") =!= lit(0d)
+          case _: org.apache.spark.sql.types.NumericType =>
+            expr(w) =!= lit(0d)
+          case _ => expr(w).cast(BooleanType)
+        }
+        hit && truthy
       case None    => hit
     }
     val strictTypes = SessionKeys.strictFor(base.sparkSession, table)
@@ -841,6 +856,7 @@ object Upsert {
     var curBase = base
     var updFired: Option[DataFrame] = None
     var updOldNew: Option[DataFrame] = None
+    var lateAppended: Option[DataFrame] = None
     chain.indices.foreach { ci =>
       val c = chain(ci)
       if (c.assigns.nonEmpty) {
@@ -857,10 +873,18 @@ object Upsert {
         keysHere.zipWithIndex.foreach { case (k, ki) =>
           val sub = subTagged.filter(col("__gkfirst") === lit(ki))
             .select(baseCols: _*)
-          val (m, _, upd, _) = doUpdate(curBase, sub, k, c, table)
-          // sub rows all conflict on k by construction — doUpdate's
-          // append side is empty; merged IS the updated base image
+          val (m, _, upd, subApp) = doUpdate(curBase, sub, k, c, table)
+          // sub rows conflicted on k against the ORIGINAL base, but an
+          // EARLIER pass may have re-keyed that base row away — those
+          // rows take doUpdate's append side (they insert, exactly as
+          // they would at their turn in SQLite's row order) and must
+          // ride the inserted/affected accumulators, or RETURNING,
+          // changes(), and AFTER INSERT slices would undercount them;
+          // merged (m) already contains them either way
           curBase = m
+          lateAppended = Some(lateAppended
+            .map(_.unionAll(subApp.select(baseCols: _*)))
+            .getOrElse(subApp.select(baseCols: _*)))
           updOldNew = Some(updOldNew.map(_.unionByName(upd)).getOrElse(upd))
           val firedNew = upd.select(col("new.*"))
           updFired =
@@ -869,12 +893,19 @@ object Upsert {
       }
       // DO NOTHING clauses consume their slice — nothing to do
     }
-    val merged = curBase.unionAll(appended)
-    val affected = updFired match {
-      case Some(u) => u.select(baseCols: _*).unionAll(appended)
+    // NOTE: lateAppended rows already live inside curBase (doUpdate's
+    // merged includes its own append side) — they join the SLICE
+    // accumulators only, never merged
+    val appendedAll = lateAppended match {
+      case Some(l) => appended.unionAll(l)
       case None    => appended
     }
-    (merged, affected, appended, updOldNew)
+    val merged = curBase.unionAll(appended)
+    val affected = updFired match {
+      case Some(u) => u.select(baseCols: _*).unionAll(appendedAll)
+      case None    => appendedAll
+    }
+    (merged, affected, appendedAll, updOldNew)
   }
 
   /** A chain clause's target must name a declared unique index: the

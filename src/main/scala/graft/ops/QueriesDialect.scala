@@ -147,7 +147,8 @@ object QueriesDialect {
            printf('%s has %.2f', c_name, c_acctbal) AS msg,
            printf('%08d|%x', c_custkey, c_custkey) AS padded,
            concat(c_name, NULL, '!') AS bang,
-           iif(glob('Customer#*', c_name), 1, 0) AS is_cust
+           iif(glob('Customer#*', c_name), 1, 0) AS is_cust,
+           soundex(c_mktsegment) AS seg_sdx
          FROM customer ORDER BY c_custkey""",
 
     // SQLite trunc() is numeric where Spark's trunc() is date-only —
@@ -1233,6 +1234,9 @@ object QueriesDialect {
     // printf is C-flavored so the int directives get explicit casts;
     // DuckDB concat skips NULLs natively; typeof expectations are
     // written as literals; glob's operator form replaces the function
+    // DuckDB has no soundex(); the oracle states the sqlite3-measured
+    // code per segment value (the five-value domain is closed) — the
+    // same stated-measured-output pattern fn_json_tree_path uses
     "fn_text_sqlite" ->
       """SELECT c_custkey,
            LTRIM(c_name, 'Customer#') AS id_digits,
@@ -1242,7 +1246,11 @@ object QueriesDialect {
            PRINTF('%08d|%x', CAST(c_custkey AS BIGINT),
                   CAST(c_custkey AS BIGINT)) AS padded,
            c_name || '!' AS bang,
-           CASE WHEN c_name GLOB 'Customer#*' THEN 1 ELSE 0 END AS is_cust
+           CASE WHEN c_name GLOB 'Customer#*' THEN 1 ELSE 0 END AS is_cust,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'B435'
+                WHEN 'AUTOMOBILE' THEN 'A351' WHEN 'MACHINERY' THEN 'M256'
+                WHEN 'HOUSEHOLD' THEN 'H243' WHEN 'FURNITURE' THEN 'F653'
+                END AS seg_sdx
          FROM customer ORDER BY c_custkey""",
 
     "fn_math_sqlite" ->

@@ -1594,8 +1594,11 @@ object SqlDml {
               val rest = skipWs(sql, end)
               if (rest < sql.length && findOnConflict(sql, rest) == rest) {
                 if (c.keyCols.isEmpty && c.keyExprs.isEmpty)
+                  // sqlite3 echoes the SOURCE token's casing ('on
+                  // conflict' yields near "on" — measured 3.40.1)
                   throw new IllegalArgumentException(
-                    "near \"ON\": syntax error")
+                    "near \"" + sql.substring(rest, rest + 2) +
+                      "\": syntax error")
                 at = rest
               } else {
                 if (rest < sql.length) {

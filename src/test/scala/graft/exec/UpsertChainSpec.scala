@@ -169,4 +169,24 @@ class UpsertChainSpec extends SparkSpec {
     assert(rowsOf(s"SELECT a, b, v FROM $t ORDER BY a") ==
       Seq(Seq(1L, 9L, 91L), Seq(5L, 2L, 20L), Seq(8L, 8L, 93L)))
   }
+
+  test("an earlier pass re-keying the base row a later sub-slice " +
+      "conflicted on turns that row into an INSERT — counted in " +
+      "RETURNING and changes() (measured)") {
+    val t = fresh()
+    sql(s"CREATE TABLE $t(a INT PRIMARY KEY, b INT UNIQUE, v TEXT)")
+    sql(s"INSERT INTO $t VALUES (1, 10, 'base')")
+    // (1,99) conflicts on the PK and re-keys b 10→99; (5,10)
+    // conflicted on b against the ORIGINAL base but inserts at its
+    // turn (sqlite3-measured: both rows in RETURNING, changes() = 2)
+    val r = sql(s"INSERT INTO $t VALUES (1, 99, 'upd'), (5, 10, 'new') " +
+      s"ON CONFLICT DO UPDATE SET b = excluded.b, v = excluded.v " +
+      s"RETURNING a, b, v")
+    assert(r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getString(2))).toSet ==
+      Set((1L, 99L, "upd"), (5L, 10L, "new")))
+    assert(rowsOf(s"SELECT changes()") == Seq(Seq(2L)))
+    assert(rowsOf(s"SELECT a, b, v FROM $t ORDER BY a") ==
+      Seq(Seq(1L, 99L, "upd"), Seq(5L, 10L, "new")))
+  }
 }

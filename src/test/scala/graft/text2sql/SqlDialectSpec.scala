@@ -491,7 +491,8 @@ class SqlDialectSpec extends SparkSpec {
   }
 
   test("COLLATE NOCASE next to IN / BETWEEN / NOT IN folds every " +
-      "operand (SQLite's propagation); IN (SELECT …) declines") {
+      "operand (SQLite's propagation); IN (SELECT …) folds through a " +
+      "one-column derived-table wrap") {
     assert(SqlDialect.translate(
       "SELECT * FROM t WHERE x COLLATE NOCASE IN ('Apple', 'Pear')") ==
       "SELECT * FROM t WHERE lower(x) IN (lower('Apple'), lower('Pear'))")
@@ -504,10 +505,13 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.translate(
       "SELECT * FROM t WHERE x COLLATE NOCASE NOT BETWEEN 'a' AND 'b'") ==
       "SELECT * FROM t WHERE lower(x) NOT BETWEEN lower('a') AND lower('b')")
-    // a subquery list can't fold member-wise — stays verbatim (visible
-    // analysis error, never silently half-folded)
-    val sub = "SELECT * FROM t WHERE x COLLATE NOCASE IN (SELECT y FROM u)"
-    assert(SqlDialect.translate(sub) == sub)
+    // a subquery list folds through the derived-table wrap — the
+    // membership comparison takes the LHS collation (datatype3 §7.1)
+    // without the translator editing the subquery's own text
+    assert(SqlDialect.translate(
+      "SELECT * FROM t WHERE x COLLATE NOCASE IN (SELECT y FROM u)") ==
+      "SELECT * FROM t WHERE lower(x) IN (SELECT lower(__graft_inc) " +
+        "FROM (SELECT y FROM u) AS __graft_insub(__graft_inc))")
     // the folded membership test really runs case-insensitively
     val live = SqlDialect.translate(
       "SELECT 'APPLE' COLLATE NOCASE IN ('apple', 'pear') AS v")

@@ -26,8 +26,10 @@ import graft.text2sql.SqlDialect.{endOfQuoted, isWordChar, keywordAt}
   * riders fine), and — when a GROUP BY term folds — bare same-column
   * references in the select list / HAVING (grouping and projection
   * must agree or Spark rejects the plan).
-  * Documented divergences, README table: function-WRAPPED terms stay
-  * BINARY (declined loudly where they would half-fold), and an
+  * Function-WRAPPED terms stay BINARY — SQLite's own rule (measured:
+  * only unary + preserves a column's collation through a wrap, and
+  * that shape folds here via its comparison position), so no rider is
+  * injected there. Documented divergences, README table: an
   * unqualified reference is folded when ANY referenced table declares
   * the name — same-named columns with CONFLICTING declared collations
   * across referenced tables skip the fold entirely (never guess).

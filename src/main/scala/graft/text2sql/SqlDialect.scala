@@ -77,7 +77,8 @@ object SqlDialect {
     // expression text and translates normally.
     if (isColumnDefCreateTable(sql) || isAlterTable(sql) ||
         isCreateIndex(sql)) return sql
-    var out = rewriteWindowFilter(sql)
+    var out = rewriteUnaryPlus(sql)
+    out = rewriteWindowFilter(out)
     out = rewriteJsonb(out)
     out = rewriteJsonTvf(out)
     out = rewriteCalls(out)
@@ -90,6 +91,57 @@ object SqlDialect {
     out = rewriteNegativeLimit(out)
     if (caseSensitiveLike) out = unrewriteIlike(out)
     out
+  }
+
+  /** SQLite's unary `+` is a VALUE no-op (and per datatype3.html §7.1
+    * rule 2 a `+column` is STILL a column reference for collation
+    * purposes — measured: `+x = 'apple'` folds NOCASE exactly like
+    * `x = 'apple'`), while Spark's unary `+` is numeric: `+x` over a
+    * TEXT column nulls out and silently returns wrong rows. A
+    * provably-unary `+` — one whose previous non-space character is an
+    * operator / opening paren / comma, or whose previous token is an
+    * expression-position keyword — is stripped: value-identical in
+    * SQLite everywhere, it both fixes the text-operand value and lets
+    * the declared-collation fold see the bare reference. A `+` after
+    * an identifier, literal, or closing paren is binary addition and
+    * stays. Idempotent (a second pass finds nothing to strip). */
+  private def rewriteUnaryPlus(sql: String): String = {
+    val kw = Set("select", "where", "and", "or", "not", "when", "then",
+      "else", "by", "on", "having", "between", "case", "like", "glob",
+      "escape", "distinct", "all", "limit", "offset", "returning")
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = endOfQuoted(sql, i, c); out.append(sql, i, e); i = e
+      } else if (c == '+') {
+        var p = out.length
+        while (p > 0 && out.charAt(p - 1).isWhitespace) p -= 1
+        val unary =
+          if (p == 0) true
+          else {
+            val pc = out.charAt(p - 1)
+            if ("(,=<>!&|+-*/%~".indexOf(pc.toInt) >= 0) true
+            else if (isWordChar(pc)) {
+              var s = p
+              while (s > 0 && isWordChar(out.charAt(s - 1))) s -= 1
+              kw.contains(out.substring(s, p).toLowerCase) &&
+                !(s > 0 && out.charAt(s - 1) == '.')
+            } else false
+          }
+        var n = i + 1
+        while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
+        val operandNext = n < sql.length && {
+          val nc = sql.charAt(n)
+          isWordChar(nc) || nc == '.' || nc == '(' || nc == '+' ||
+            nc == '"' || nc == '`'
+        }
+        if (unary && operandNext) i += 1 // drop the no-op '+'
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** True for `CREATE [TEMP] TABLE [IF NOT EXISTS] name (…defs…)` —

@@ -103,6 +103,18 @@ class CollationSpec extends SparkSpec {
     }
   }
 
+  test("function-wrapped comparisons stay BINARY — SQLite's own rule " +
+      "(measured: substr/concat wraps drop the collation, unary + " +
+      "preserves it)") {
+    val t = fixture()
+    // binary wrap: only the exact-lowercase 'apple' row matches (a
+    // NOCASE fold would find 2 — sqlite3 measures 1 on this fixture)
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE substr(x, 1, 5) = 'apple'") == Seq(Seq(1L)))
+    assert(rowsOf(s"SELECT CAST(count(*) AS BIGINT) FROM $t " +
+      s"WHERE +x = 'apple'") == Seq(Seq(2L)))
+  }
+
   test("SELECT x, count(*) … GROUP BY x — the canonical bare-column " +
       "idiom groups case-insensitively; the projected representative " +
       "is the deterministic lowercased stand-in, named x (README)") {

@@ -424,7 +424,20 @@ object QueriesTrain {
         .orderBy(desc("sim"), asc("doc_id")).limit(k)
         .withColumn("r_sem", row_number().over(wSem).cast("bigint"))
         .select(col("doc_id"), col("r_sem"))
-      lex.join(sem, Seq("doc_id"), "full_outer")
+      // fuse the arms by UNION + one hash aggregation instead of a
+      // FULL OUTER join: doc_id is unique within each k-row arm (both
+      // are ranked lists), so max-of-one-value per arm reproduces the
+      // outer join's row set and nulls exactly — with ONE exchange of
+      // ≤2k rows where the join needed an exchange per side plus the
+      // join itself (guide §2.4, remove shuffles outright; measured
+      // -2 jobs / -1 exchange at sf0.1). Scale-neutral: both shapes
+      // are O(k) after the arms' TakeOrdered.
+      lex.select(col("doc_id"), col("r_lex"),
+          lit(null).cast("bigint").as("r_sem"))
+        .unionAll(sem.select(col("doc_id"),
+          lit(null).cast("bigint").as("r_lex"), col("r_sem")))
+        .groupBy("doc_id")
+        .agg(max(col("r_lex")).as("r_lex"), max(col("r_sem")).as("r_sem"))
         .select(col("doc_id"), col("r_lex"), col("r_sem"),
           round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 6)

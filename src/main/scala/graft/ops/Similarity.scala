@@ -76,20 +76,34 @@ object Similarity {
                 centroids: Seq[Seq[Float]]): DataFrame =
     // array_max on (sim, cid) structs picks the best cell per row
     emb.withColumn("cell",
-      array_max(array(centroidCellStructs(col(embCol), centroids): _*))
+      array_max(centroidCellStructs(col(embCol), centroids))
         .getField("cid"))
 
-  /** One (sim, cid) struct per centroid — THE cell-scoring expression
-    * shared by index assignment ([[ivfAssign]]) and batch probe-cell
-    * ranking ([[ivfKnnJoin]]); a private copy in either would let the
-    * two silently diverge and destroy recall. */
+  /** The per-row (sim, cid) struct ARRAY over all centroids — THE
+    * cell-scoring expression shared by index assignment ([[ivfAssign]])
+    * and batch probe-cell ranking ([[ivfKnnJoin]]); a private copy in
+    * either would let the two silently diverge and destroy recall.
+    *
+    * Shape matters here: ONE nested-array literal + transform-with-
+    * index, not nCentroids separate `cosine_sim(emb, array(dim lits))`
+    * branches. The expanded form put nCentroids·(dim+3) expression
+    * nodes into the plan (≈4,300 at 64 centroids × 64 dims, duplicated
+    * again into the explode's null-guard Filter) and every Catalyst
+    * analyzer/optimizer rule re-walks that tree — measured ≈0.3-0.5 s
+    * of pure driver time per ivfKnnJoin invocation at 64×64. The
+    * literal collapses it to O(1) nodes. Inside the HOF the lambda
+    * body evaluates through cosine_sim's interpreted nullSafeEval
+    * (ArrayTransform is CodegenFallback), which is fine: this
+    * expression only scores nCentroids cells per PROBE or BUILD row —
+    * the corpus-side candidate scan stays on the fused codegen kernel.
+    * Element order (= centroid index order) and the (sim, cid) struct
+    * comparator are unchanged, so cell assignment is bit-identical to
+    * the expanded form. */
   private def centroidCellStructs(embCol: Column,
-                                  centroids: Seq[Seq[Float]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
+                                  centroids: Seq[Seq[Float]]): Column =
+    transform(typedLit(centroids), (c, i) =>
       struct(graft.functions.GraftFunctions
-        .cosine_sim(embCol, array(c.map(lit(_)): _*).cast("array<float>"))
-        .as("sim"), lit(i).as("cid"))
-    }
+        .cosine_sim(embCol, c).as("sim"), i.as("cid")))
 
   /** Driver-side sign-bit key for a query vector (the exact mirror of
     * the corpus-side [[lshKey]]). */
@@ -300,7 +314,7 @@ object Similarity {
     // slice — row-local, no shuffle on the probe side
     val ranked = probeFrame(probes, probeIdCol, probeEmbCol)
       .withColumn("cells", slice(reverse(array_sort(
-        array(centroidCellStructs(col(ProbeEmb), index.centroids): _*))),
+        centroidCellStructs(col(ProbeEmb), index.centroids))),
         1, nProbe))
       .withColumn("cell", explode(col("cells").getField("cid")))
       .select(col(ProbeId), col(ProbeEmb), col("cell"))

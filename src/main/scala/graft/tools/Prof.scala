@@ -43,8 +43,25 @@ object Prof {
       run.set(i)
       base.set(System.nanoTime())
       val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
-      println(f"PROF $key run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+      if (args.contains("phases")) {
+        // driver-side phase split: construction / analysis+optimize /
+        // physical planning / execution — pinpoints where between-job
+        // gaps come from
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.optimizedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t3 = System.nanoTime()
+        val c = df.count()
+        val t4 = System.nanoTime()
+        println(f"PROF $key run$i phases: build ${(t1 - t0) / 1e9}%.3f " +
+          f"optimize ${(t2 - t1) / 1e9}%.3f plan ${(t3 - t2) / 1e9}%.3f " +
+          f"exec ${(t4 - t3) / 1e9}%.3f total ${(t4 - t0) / 1e9}%.3f ($c rows)")
+      } else {
+        val c = fn(spark, sfDir).count()
+        println(f"PROF $key run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+      }
     }
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     spark.stop()

@@ -278,17 +278,24 @@ object QueriesExt {
     }),
 
     // same top-k via the native codegen Expression (graft.functions.
-    // CosineSimilarity) — one fused loop per row instead of three
-    // higher-order array allocations; identical results, same oracle
+    // CosineSimilarity family) — one fused loop per row instead of
+    // three higher-order array allocations; identical results, same
+    // oracle. r12: the query norm is a driver constant (accumulated in
+    // the fused kernel's exact double sequence), so each corpus row
+    // pays dot + its own norm only — see DotProduct.
     "ext_sim_search_native" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       val q: Seq[Float] = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val qArr = array(q.map(v => lit(v)): _*).cast("array<float>")
+      var qsq = 0.0
+      q.foreach { x => val xd = x.toDouble; qsq += xd * xd }
       emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(graft.functions.GraftFunctions.cosine_sim(col("embedding"), qArr), 6)
-            .as("sim"))
+          round(graft.functions.GraftFunctions.cosine_from_norms(
+            col("embedding"), qArr,
+            graft.functions.GraftFunctions.vec_norm(col("embedding")),
+            lit(math.sqrt(qsq))), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
 
@@ -308,15 +315,20 @@ object QueriesExt {
     "ext_knn_join" -> ((s, d) => {
       graft.plans.GroupTopKOps.ensureRegistered(s)
       val emb = t("embeddings")(s, d)
+      // norm-hoist: see ext_knn_join_full (bit-identical, DotProduct)
       val probes = emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          graft.functions.GraftFunctions.vec_norm(col("embedding")).as("pnorm"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val scored = emb.filter(col("vec_id") % 97 =!= 0)
+        .withColumn("cnorm",
+          graft.functions.GraftFunctions.vec_norm(col("embedding")))
         .crossJoin(broadcast(probes))
         .select(col("probe_id"), col("vec_id"),
-          round(graft.functions.GraftFunctions.cosine_sim(
-            col("embedding"), col("probe_emb")), 6).as("sim"))
+          round(graft.functions.GraftFunctions.cosine_from_norms(
+            col("embedding"), col("probe_emb"),
+            col("cnorm"), col("pnorm")), 6).as("sim"))
       graft.plans.GroupTopKOps.topK(scored, Seq("probe_id"),
           Seq("sim" -> true, "vec_id" -> false), 5)
         .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
@@ -822,15 +834,25 @@ object QueriesExt {
     "ext_knn_join_full" -> ((s, d) => {
       graft.plans.GroupTopKOps.ensureRegistered(s)
       val emb = t("embeddings")(s, d)
+      // norm-hoist (guide §1.2 step 2): norms are per-row, so compute
+      // the probe norm once per probe (inside the broadcast) and the
+      // corpus norm once per corpus row, and give the probes×corpus
+      // pair loop just the dot — a third of the fused kernel's flops
+      // on the one genuinely compute-bound stage of this key.
+      // Bit-identical for the uniform-dim corpus (see DotProduct).
       val probes = emb.filter(col("vec_id") % 11 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          graft.functions.GraftFunctions.vec_norm(col("embedding")).as("pnorm"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val scored = s.read.parquet(expandedEmbDir(s, d))
+        .withColumn("cnorm",
+          graft.functions.GraftFunctions.vec_norm(col("embedding")))
         .crossJoin(broadcast(probes))
         .select(col("probe_id"), col("vec_id"),
-          round(graft.functions.GraftFunctions.cosine_sim(
-            col("embedding"), col("probe_emb")), 6).as("sim"))
+          round(graft.functions.GraftFunctions.cosine_from_norms(
+            col("embedding"), col("probe_emb"),
+            col("cnorm"), col("pnorm")), 6).as("sim"))
       graft.plans.GroupTopKOps.topK(scored, Seq("probe_id"),
           Seq("sim" -> true, "vec_id" -> false), 10)
         .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))

@@ -33,29 +33,48 @@ object QueriesTrain {
     */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // r12 (guide §2.3/§2.4): the query term set is FIXED and tiny, so
+    // per-doc term frequencies are ROW-LOCAL — size(filter(toks, = t))
+    // per term — and the only global state BM25 needs is one broadcast
+    // row (n_docs, sum_dl, df per term). The previous shape exploded
+    // the hits, shuffled (doc_id, dl, tok) into a tf aggregation, ran
+    // a second aggregation job for df, and joined both back; this one
+    // runs zero explodes, zero per-doc exchanges, and exactly one
+    // 1-row aggregation. Scale-neutral: at any corpus size the scoring
+    // pass is map-only + TakeOrdered in every consumer.
+    // Numerics: each per-term score is the SAME expression tree as
+    // before ((tf*2.2), the idf log, the dl normalization); the per-doc
+    // sum is now a fixed-order 3-term add instead of a shuffle-order
+    // SUM over ≤3 rows — both absorbed by the same round(..., 6),
+    // oracle-verified at every SF. Terms with tf = 0 contribute an
+    // exact 0.0 (idf is finite, tf*2.2 = 0), so adding all three terms
+    // unconditionally reproduces the hits-only row set filtered below.
     val slim = t("documents")(s, d)
       .select(col("doc_id"),
         expr("split(trim(lower(text)), '\\\\s+')").as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"),
-        expr(s"filter(toks, t -> t IN ($termList))").as("hits"))
-      // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
+      .select(Seq(col("doc_id"), size(col("toks")).as("dl")) ++
+        terms.zipWithIndex.map { case (tm, i) =>
+          expr(s"size(filter(toks, t -> t = '$tm'))").cast("long").as(s"tf$i")
+        }: _*)
+      // MEMORY_ONLY: evictable (see Dedup.exactJaccard); shared by the
+      // stats pass and the scoring pass so the corpus tokenizes once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val tf = slim
-      .select(col("doc_id"), col("dl"), explode(col("hits")).as("tok"))
-      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val stats = slim.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "tok")
+    val stats = slim.agg(count(lit(1)).as("n_docs"),
+      (Seq(sum("dl").as("sum_dl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    def scoreT(i: Int): org.apache.spark.sql.Column = {
+      val tf = col(s"tf$i")
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))
+    }
+    slim.filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("score_t",
-        col("idf") * (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            ((col("dl") * col("n_docs")).cast("double") / col("sum_dl")))))
-      .groupBy("doc_id")
-      .agg(round(sum(col("score_t")), 6).as("bm25"))
+      .select(col("doc_id"),
+        round(terms.indices.map(scoreT).reduce(_ + _), 6).as("bm25"))
   }
 
   val queries: Map[String, Q] = Map(

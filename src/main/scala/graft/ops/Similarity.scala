@@ -41,12 +41,25 @@ object Similarity {
     * lives inline in the ext_sim_search key, not here.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
-                     q: Seq[Float], k: Int): DataFrame =
-    emb.withColumn("sim", graft.functions.GraftFunctions.cosine_sim(
-        col(embCol).cast("array<float>"), array(q.map(lit(_)): _*).cast("array<float>")))
+                     q: Seq[Float], k: Int): DataFrame = {
+    // norm-hoist (guide §1.2 step 2): the query norm is a driver
+    // constant — accumulate it in the exact per-index double sequence
+    // the fused kernel uses (`ny += yi*yi`, float→double per element)
+    // so the hoisted division is bit-identical for uniform-dim corpora
+    // (see DotProduct). Per corpus row the kernel then does dot + row
+    // norm instead of dot + both norms: a third fewer flops on the
+    // scan that IS this operator's cost at corpus scale.
+    var qsq = 0.0
+    q.foreach { x => val xd = x.toDouble; qsq += xd * xd }
+    val qnorm = math.sqrt(qsq)
+    val e = col(embCol).cast("array<float>")
+    emb.withColumn("sim", graft.functions.GraftFunctions.cosine_from_norms(
+        e, array(q.map(lit(_)): _*).cast("array<float>"),
+        graft.functions.GraftFunctions.vec_norm(e), lit(qnorm)))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
+  }
 
   /** Deterministic pseudo-random hyperplanes (seeded). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
@@ -328,6 +341,7 @@ object Similarity {
     * and with the internal cell/qkey working columns. */
   private val ProbeId = "__graft_probe_id"
   private val ProbeEmb = "__graft_probe_emb"
+  private val ProbeNorm = "__graft_probe_norm"
 
   private def probeFrame(probes: DataFrame, probeIdCol: String,
                          probeEmbCol: String): DataFrame =
@@ -347,11 +361,23 @@ object Similarity {
     val (sid, semb) = (stored(0), stored(1))
     val cellTyped = ranked.withColumn("cell",
       col("cell").cast(idx.schema("cell").dataType))
-    val scored0 = idx.join(broadcast(cellTyped), Seq("cell"))
+      // norm-hoist (guide §1.2 step 2, per-task work): each side's norm
+      // is a function of its OWN row, so compute it once per probe /
+      // once per candidate instead of inside every (probe, candidate)
+      // pair — a third of the flops of the fused cosine kernel on the
+      // probes×candidates score stream, bit-identical for the
+      // uniform-dim vectors an ANN index requires (see DotProduct).
+      .withColumn(ProbeNorm,
+        graft.functions.GraftFunctions.vec_norm(col(ProbeEmb)))
+    val scored0 = idx
+      .withColumn("__graft_cand_norm",
+        graft.functions.GraftFunctions.vec_norm(col(semb)))
+      .join(broadcast(cellTyped), Seq("cell"))
     val scored = candidateFilter.fold(scored0)(scored0.filter)
       .select(col(ProbeId), col(sid),
-        round(graft.functions.GraftFunctions
-          .cosine_sim(col(semb), col(ProbeEmb)), 6).as("sim"))
+        round(graft.functions.GraftFunctions.cosine_from_norms(
+          col(semb), col(ProbeEmb),
+          col("__graft_cand_norm"), col(ProbeNorm)), 6).as("sim"))
     val sidOut = if (sid == probeIdCol) s"${sid}_nn" else sid
     graft.plans.GroupTopKOps.topK(scored, Seq(ProbeId),
         Seq("sim" -> true, sid -> false), k)

@@ -146,13 +146,18 @@ class QueriesTrainSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(1))
     assert(scores.forall(_ > 0), "BM25 of present terms must be positive")
     assert(scores.sameElements(scores.sortWith(_ > _)), "not ranked desc")
-    // all three consumers (tf, df, stats) must read the persisted slim
-    // projection — the corpus text is scanned and split exactly once
-    // (a FRESH plan, pre-execution: the post-AQE plan reprints cached
-    // subtrees once per materialized stage)
+    // both consumers (the 1-row stats aggregate and the row-local
+    // scoring pass) must read the persisted slim projection — the
+    // corpus text is scanned and split exactly once (a FRESH plan,
+    // pre-execution: the post-AQE plan reprints cached subtrees once
+    // per materialized stage). r12 row-local rewrite: tf is computed
+    // inside the row (no explode, no tf/df aggregation jobs), so the
+    // cache has exactly 2 readers and the plan has NO per-doc exchange
     val p = q("ext_bm25").queryExecution.executedPlan.toString
-    assert("InMemoryTableScan".r.findAllIn(p).size == 3,
-      s"expected 3 cache readers\n${p.take(1500)}")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"expected 2 cache readers\n${p.take(1500)}")
+    assert(!p.contains("Generate explode"),
+      s"bm25 must not explode tokens\n${p.take(1500)}")
   }
 
   test("length buckets partition the corpus and bound their members") {

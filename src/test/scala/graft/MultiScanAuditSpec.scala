@@ -19,6 +19,12 @@ class MultiScanAuditSpec extends SparkSpec {
     "ext_decontaminate_semantic" -> "corpus unioned with its planted-contamination projection (eval is an external table in production)",
     "ext_dedup_canonical" -> "quality census reads only (doc_id, length(text)) beside the shingle pipeline's cached sets; the pruned scan beats forcing text through a cache",
     "ext_dedup_exact" -> "corpus unioned with its planted-duplicate projection",
+    "ext_dedup_minhash" -> ("hot-shingle census: a 1-in-10-sample pruned re-scan " +
+      "inside the persisted signature table's scalar subquery (r12); it " +
+      "parameterizes that cache so it cannot read it — the former collect() " +
+      "census did the same extra scan in a separate invisible job"),
+    "ext_dedup_minhash_full" -> ("same census-as-subquery scan as " +
+      "ext_dedup_minhash (shared minHashPairs path)"),
     "ext_dedup_weights" -> "corpus unioned with its two planted-duplicate projections",
     "ext_rank_fusion" -> "1-row query-vector projection vs the corpus scan (the probe is an external input in production); the BM25 arm's document scan is shared via the persisted slim projection",
     "ext_dedup_incremental" -> "history fingerprints vs new-batch union (two filters of the source)",

@@ -36,6 +36,38 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(withNull.collect().head.isNullAt(0))
   }
 
+  test("norm-hoisted cosine_from_norms is BIT-identical to the fused kernel " +
+      "on uniform-dim vectors (the r12 batch-scoring hoist)") {
+    // the real corpus (uniform 64-dim) plus adversarial synthetics:
+    // zero vectors on either side, and denormal-ish magnitudes — any
+    // difference in accumulation order would surface as a last-ulp
+    // mismatch that == catches and |a-b|<eps would mask
+    val emb = Tables.t(spark, sfDir, "embeddings").limit(200)
+      .select(col("embedding").as("a"),
+        reverse(col("embedding")).cast("array<float>").as("b"))
+      .unionAll(Seq(
+        (Array(0f, 0f, 0f, 1e-30f), Array(1f, 2f, 3f, 4f)),
+        (Array(1e20f, -1e20f, 3f, 1f), Array(1e-20f, 1e20f, -2f, 0f)),
+        (Array(0f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f))).toDF("a", "b"))
+    val rows = emb.select(
+        GraftFunctions.cosine_sim(col("a"), col("b")).as("fused"),
+        GraftFunctions.cosine_from_norms(col("a"), col("b"),
+          GraftFunctions.vec_norm(col("a")),
+          GraftFunctions.vec_norm(col("b"))).as("hoisted"))
+      .as[(Double, Double)].collect()
+    assert(rows.length > 200)
+    rows.foreach { case (f, h) =>
+      assert(f == h, s"fused $f != hoisted $h (bit-identity broken)") }
+    // and the driver-side query-norm accumulation (bruteForceTopK's
+    // hoist) matches vec_norm of the same vector
+    val q = Seq(0.3f, -1.7f, 2.5f, 1e-8f, 42f)
+    var qsq = 0.0
+    q.foreach { x => val xd = x.toDouble; qsq += xd * xd }
+    val vn = Seq(Tuple1(q.toArray)).toDF("v")
+      .select(GraftFunctions.vec_norm(col("v"))).as[Double].head()
+    assert(math.sqrt(qsq) == vn, s"driver ${math.sqrt(qsq)} != plan $vn")
+  }
+
   test("SQL registration works: SELECT cosine_sim(a, b)") {
     GraftFunctions.register(spark)
     Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b").createOrReplaceTempView("cs_t")

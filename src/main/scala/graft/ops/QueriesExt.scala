@@ -123,6 +123,18 @@ object QueriesExt {
               x => x * lit((1.0 + 0.03 * k).toFloat) + lit((0.01 * k).toFloat))
               .cast("array<float>").as("embedding"))
         }.reduce(_.unionAll(_))
+          // r12 measured NON-change: one file per union branch (20)
+          // caps scan parallelism at 20 tasks on 32 cores; writing the
+          // fixture at defaultParallelism (32 smaller files → 32 scan
+          // tasks) was tried to close that gap and showed NO measurable
+          // win — matched-methodology samples overlap entirely
+          // (ext_knn_join_full min6 0.68-1.00 s for 20 files vs
+          // 0.84-0.91 s for 32; the key's run variance swamps the
+          // layout). At this corpus size per-task fixed costs
+          // (broadcast relation per task, codegen init, parquet footer
+          // per file) eat the extra wave parallelism, so the simpler
+          // layout stays; at real corpus sizes file splitting provides
+          // scan parallelism naturally, so nothing to fix for scale.
           .write.mode("overwrite").parquet(dir)
       }
     }

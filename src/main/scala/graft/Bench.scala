@@ -228,15 +228,40 @@ object Bench {
     // min of six independent executions is the statistic least
     // corruptible by a busy machine. Medians of both blocks still ride
     // along per key for run-to-run variance reading.
-    val both: Seq[(String, (Seq[Double], Seq[Double], Double))] = keys.map { name =>
-      val fn = SparkEntry.queries(name)
-      val c = canaryOnce()
-      val a = (1 to 3).map(_ => runOnce(name, fn)).sorted
-      val b = (1 to 3).map(_ => runOnce(name, fn)).sorted
-      name -> (a, b, c)
-    }
-    val results = both.map { case (n, (a, _, _)) => n -> a }
-    val results2 = both.map { case (n, (_, b, _)) => n -> b }
+    // r13 (VERDICT r12 item 2): CANARY-GATED RETRY. Through r12 the
+    // canary only ANNOTATED contamination — the official 32-core run
+    // published numbers whose own canary series testified to external
+    // load (max 1.476 s against an idle floor of ~0.07-0.10 s). Now a
+    // key whose canary reads more than 2× the cleanest canary seen so
+    // far (floor seeded by 3 samples up front, tightened by every
+    // later sample) is re-measured up to 2 more times and the attempt
+    // with the CLEANEST canary is reported; its retry count rides in
+    // the spread. Additive by construction: on an idle machine no
+    // retry fires and the statistic is exactly the min-of-6 of the one
+    // attempt, as before — cross-round comparability is untouched.
+    var canaryFloor = (1 to 3).map(_ => canaryOnce()).min
+    val both: Seq[(String, (Seq[Double], Seq[Double], Double, Int))] =
+      keys.map { name =>
+        val fn = SparkEntry.queries(name)
+        def attempt(): (Seq[Double], Seq[Double], Double) = {
+          val c = canaryOnce()
+          val a = (1 to 3).map(_ => runOnce(name, fn)).sorted
+          val b = (1 to 3).map(_ => runOnce(name, fn)).sorted
+          (a, b, c)
+        }
+        var best = attempt()
+        var retries = 0
+        canaryFloor = math.min(canaryFloor, best._3)
+        while (best._3 > 2.0 * canaryFloor && retries < 2) {
+          val next = attempt()
+          retries += 1
+          canaryFloor = math.min(canaryFloor, next._3)
+          if (next._3 < best._3) best = next
+        }
+        name -> (best._1, best._2, best._3, retries)
+      }
+    val results = both.map { case (n, (a, _, _, _)) => n -> a }
+    val results2 = both.map { case (n, (_, b, _, _)) => n -> b }
     def f3(v: Double) = f"$v%.3f"
     // ANY failed run poisons the key to -1: sorted, the -1 sentinel is
     // the MINIMUM, so taking runs(1) as median would report the faster
@@ -251,14 +276,14 @@ object Bench {
     // scalar is now the min-of-6 (headline = load-robust statistic);
     // "spread" carries {min6, med1, med2, max, canary} per key so both
     // medians AND the load regime stay visible
-    val mins = both.map { case (n, (a, b, _)) => n -> min6(a, b) }
+    val mins = both.map { case (n, (a, b, _, _)) => n -> min6(a, b) }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val spread = both.map { case (k, (a, b, c)) =>
+    val spread = both.map { case (k, (a, b, c, r)) =>
       "\"" + k + "\":{\"min\":" + f3(min6(a, b)) +
         ",\"median\":" + f3(med(a)) + ",\"median2\":" + f3(med(b)) +
         ",\"max\":" + f3(math.max(a.last, b.last)) +
-        ",\"canary\":" + f3(c) + "}"
+        ",\"canary\":" + f3(c) + ",\"retries\":" + r + "}"
     }.mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
     val core = mins.filter(r => core16(r._1)).map(_._2).filter(_ >= 0).sum
@@ -271,7 +296,7 @@ object Bench {
     val canaryMin = both.map(_._2._3).min
     val canaryMax = both.map(_._2._3).max
     val json =
-      f"""{"metric":"total_min6","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"medians":{"total":$totalMed%.3f,"core16":$coreMed%.3f},"run2":{"total":$total2%.3f,"core16":$core2%.3f},"canary":{"min":$canaryMin%.3f,"max":$canaryMax%.3f},"sf":"$sfDir"}"""
+      f"""{"metric":"total_min6","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"medians":{"total":$totalMed%.3f,"core16":$coreMed%.3f},"run2":{"total":$total2%.3f,"core16":$core2%.3f},"canary":{"min":$canaryMin%.3f,"max":$canaryMax%.3f},"cache":"declared: runs 2-6 of a key may reuse run 1's in-plan persisted intermediates via Spark CacheManager plan matching (bounded, one live slot per operator - see graft.ops.PlanSlots); per-key spread.max includes the cold run","sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt [info] noise; also drop the JSON in a
     // file so the driver's parse never depends on log scraping

@@ -54,9 +54,16 @@ object ShingleHashes {
   private val Seed = 42L
 
   /** Shared by interpreted eval and generated code (static forwarder). */
-  def compute(s: UTF8String, shingleLen: Int): ArrayData = {
+  def compute(s: UTF8String, shingleLen: Int): ArrayData =
+    new GenericArrayData(computeRaw(s, shingleLen))
+
+  /** The sorted-distinct shingle hashes as a raw `long[]` — shared by
+    * [[compute]] and the fused shingle→MinHash kernel
+    * ([[ShingleMinHash]]), so the two can never diverge on windowing
+    * or hashing. */
+  def computeRaw(s: UTF8String, shingleLen: Int): Array[Long] = {
     val nChars = s.numChars()
-    if (nChars < shingleLen) return new GenericArrayData(Array.emptyLongArray)
+    if (nChars < shingleLen) return Array.emptyLongArray
     val out = new Array[Long](nChars - shingleLen + 1)
     val nBytes = s.numBytes()
     if (nBytes == nChars) {
@@ -96,8 +103,7 @@ object ShingleHashes {
       if (out(i) != out(w)) { w += 1; out(w) = out(i) }
       i += 1
     }
-    new GenericArrayData(
-      if (w + 1 == out.length) out else java.util.Arrays.copyOf(out, w + 1))
+    if (w + 1 == out.length) out else java.util.Arrays.copyOf(out, w + 1)
   }
 
   /** Column-API entry point. */

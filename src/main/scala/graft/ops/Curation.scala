@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.PlanSlots.Slotted
 
 /** End-to-end corpus curation as ONE declarative plan — the
   * composition a training-data pipeline actually runs, built from the
@@ -92,7 +93,7 @@ object Curation {
     // never evicted, so repeated curate() calls in a long-lived shared
     // session would grow block storage without bound.
     val ok = qualityPass(docs, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("curation.curate.gated")
 
     // 2. exact dedup: shuffle 16-byte digests + ids, keep min-id per
     // digest, semi-join the keep-list back on the natural key
@@ -144,7 +145,7 @@ object Curation {
     // attribution join
     val stats = qualityStats(docs).withColumn("gate", dropReason(cfg))
       .select("doc_id", "text", "gate") // MEMORY_ONLY: see curate()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("curation.attribution.stats")
     val ok = stats.filter(col("gate") === "kept").select("doc_id", "text")
     val reps = ok.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

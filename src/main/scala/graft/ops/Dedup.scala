@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.PlanSlots.Slotted
 
 /** Near-duplicate detection for large text corpora.
   *
@@ -134,7 +135,7 @@ object Dedup {
     // NEVER evicted — repeated calls in a long-lived shared session
     // would grow block storage unboundedly until session end.
     val sets = sh.groupBy("id").agg(collect_set(col("s")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("dedup.exactJaccard.sets")
     pairs
       .join(sets.as("c1"), col("id1") === col("c1.id"))
       .withColumnRenamed("sset", "set1").drop("id")
@@ -181,23 +182,21 @@ object Dedup {
     * carry no near-dup signal) is traded for the quadratic-bucket
     * guard.
     *
-    * Plan notes: ONE table is built and PERSISTED per corpus —
-    * (id, full shingle set, hot-subtracted signature) — so the shingle
-    * projection, the hot-shingle subtraction, AND the MinHash kernel
-    * all run exactly once, at cache materialization (MLlib's LSH
-    * similarity join persists its transformed input the same way, and
-    * the block is LRU-evicted when cold). The census runs FIRST on an
-    * uncached row-local shingle pass over the document sample (its
-    * result is a literal inside the cached plan, so it cannot read the
-    * cache it parameterizes); through r11 it instead read a cached
-    * sets-only table, which forced array_except + MinHash to re-run in
-    * every downstream consumer — the measured dominant cost of the
-    * full-corpus bench key. Signatures are a row-local projection
-    * ([[graft.functions.MinHashArray]] over the in-row shingle array)
-    * — zero shuffle; the first exchange in the pipeline is the banding
+    * Plan notes: ONE narrow table is built and PERSISTED per corpus —
+    * (id, signature) via the FUSED [[graft.functions.ShingleMinHash]]
+    * kernel (shingle + hot-subtract + MinHash in one compiled loop,
+    * never materializing the distinct-shingle array) — so the whole
+    * signature pass runs exactly once, at cache materialization
+    * (MLlib's LSH similarity join persists its transformed input the
+    * same way, and the block is LRU-evicted when cold). The census
+    * runs FIRST on an uncached row-local shingle pass over the
+    * document sample (its result is a literal inside the cached plan,
+    * so it cannot read the cache it parameterizes). Zero shuffle before
+    * banding: the first exchange in the pipeline is the banding
     * groupBy, which carries compact signatures, never raw shingles.
-    * Verification joins the tiny candidate set against the cached
-    * full-set arrays (broadcast-able side).
+    * Verification is exact on full shingle sets, recomputed ONLY for
+    * the semi-join-pruned candidate sliver of the corpus (bounded by
+    * the band-bucket caps), then joined to the tiny candidate set.
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 8, numHashes: Int = 64, bands: Int = 16,
@@ -277,30 +276,60 @@ object Dedup {
           org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
             hotDf.queryExecution.analyzed)))
       }
-    // signatures are ROW-LOCAL ([[graft.functions.MinHashArray]] over
-    // the in-row shingle array): no explode, no groupBy(id) exchange —
-    // the one full-corpus shuffle the signature stage used to pay is
-    // gone, and the banding explode below is the first exchange of the
-    // whole pipeline. A doc whose shingles were all hot yields a NULL
-    // signature and drops out of banding, exactly as its zero exploded
-    // rows used to. The signature is computed NEXT TO the full set in
-    // the one persisted table, so hot-subtraction + MinHash are paid
-    // once per corpus, not once per consumer.
-    val sigExpr = graft.functions.MinHashArray.minhash_array(
-      hotCol.fold(col("sset"))(h => array_except(col("sset"), h)),
-      numHashes)
+    // signatures are ROW-LOCAL and FUSED (r13,
+    // [[graft.functions.ShingleMinHash]]): one kernel shingles,
+    // hot-subtracts and min-hashes each document — the staged
+    // minhash_array(array_except(shingle_hashes(...), hot)) form
+    // materialized every document's full distinct-shingle ARRAY into
+    // the persisted table even though only the candidate sliver ever
+    // needs its set again for verification. The persisted projection
+    // narrows from (id, sset, sig) to (id, sig) — numHashes longs per
+    // doc instead of ~8 B per shingle — so cache materialization skips
+    // the per-doc array build/copy and the cache holds ~25× less. A
+    // doc whose shingles were all hot yields a NULL signature and
+    // drops out of banding, exactly as before (kernel equivalence is
+    // pinned by ShingleMinHashSpec against the staged form).
     // MEMORY_ONLY: evictable (see exactJaccard) — a dropped block
-    // re-runs the row-local shingle/signature projection, never a
-    // shuffle
-    val sets = hashedShingleSets(docs, idCol, textCol, shingleLen)
-      .select(col("id"), col("sset"), sigExpr.as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val sigs = sets.select(col("id"), col("sig")).filter(col("sig").isNotNull)
+    // re-runs the row-local fused projection, never a shuffle.
+    val hotArr = hotCol.getOrElse(typedLit[Array[Long]](Array.emptyLongArray))
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleMinHash.shingle_minhash(
+          lower(col(textCol)), hotArr, shingleLen, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persistSlot("dedup.minHashPairs.sigs")
+    // the candidate-pair table feeds the returned pair stream AND (via
+    // the id union) both verification semi-joins — without
+    // materialization the banding explode + bucket aggregation + pair
+    // distinct would execute once per reference (measured 5 copies in
+    // the assembled plan, 3-6x the whole key). It is bounded SMALL by
+    // the band/bucket caps (one row per surviving candidate pair), so
+    // it rides the same slot-persist as the signatures: materialized
+    // once per corpus, every reference (and every repeat invocation
+    // over the same corpus) reads the blocks
     val cand = lshCandidates(sigs, numHashes, bands, maxBucket)
+      .persistSlot("dedup.minHashPairs.cand")
+    // verification stays EXACT on the full uncapped shingle sets, but
+    // those sets are now recomputed ONLY for ids that reached the
+    // candidate stage: a broadcast semi-join prunes the corpus to the
+    // candidate sliver before re-shingling (candidates are bounded by
+    // the band/bucket caps — orders of magnitude below the corpus).
+    val candIds = cand.select(col("id1").as("cand_id"))
+      .unionAll(cand.select(col("id2").as("cand_id")))
+      .distinct()
+    // slot-persisted for the same reason as cand: the sliver's sets
+    // feed BOTH sides of the verification join — one pruned scan +
+    // shingle pass instead of one per side, bounded by the candidate
+    // count
+    val candSets = hashedShingleSets(
+        docs.join(broadcast(candIds), col(idCol) === col("cand_id"),
+          "left_semi"),
+        idCol, textCol, shingleLen)
+      .persistSlot("dedup.minHashPairs.candSets")
     cand
-      .join(sets.as("c1"), col("id1") === col("c1.id"))
+      .join(broadcast(candSets.as("c1")), col("id1") === col("c1.id"))
       .withColumnRenamed("sset", "set1").select("id1", "id2", "set1")
-      .join(sets.as("c2"), col("id2") === col("c2.id"))
+      .join(broadcast(candSets.as("c2")), col("id2") === col("c2.id"))
       .withColumnRenamed("sset", "set2").select("id1", "id2", "set1", "set2")
       // shingle-hash sets are sorted distinct by construction → the
       // fused merge-pass expression (one loop, zero allocation) replaces
@@ -517,7 +546,7 @@ object Dedup {
     val idx = loadIndex(spark, index.path)
     val bsets = hashedShingleSets(batch, idCol, textCol, shingleLen)
       // MEMORY_ONLY: evictable (see exactJaccard), row-local recompute
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("dedup.minHashProbe.batchSets")
     val bsigs = bsets.select(col("id"),
         graft.functions.MinHashArray.minhash_array(col("sset"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -667,7 +696,7 @@ object Dedup {
     // the signature table feeds banding plus both verification joins:
     // persist it so the (full-corpus aggregation) upstream runs once.
     // MEMORY_ONLY: evictable (see exactJaccard)
-    val sg = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sg = sigs.persistSlot("dedup.simHashPairs.sigs")
     val banded = sg.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -722,7 +751,7 @@ object Dedup {
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
       // feeds the df aggregate AND the join back; MEMORY_ONLY so a
       // dropped block re-runs the row-local projection, never a shuffle
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("dedup.duplicateSpans.grams")
     val dup = grams.groupBy("gh").count()
       .filter(col("count") >= 2).select("gh")
     val byDoc = Window.partitionBy("id").orderBy("pos")

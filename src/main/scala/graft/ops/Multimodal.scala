@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.PlanSlots.Slotted
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
@@ -300,7 +301,7 @@ object Multimodal {
     // Dedup.exactJaccard for the policy note)
     val ph = imagePhash(media).filter(col("decoded"))
       .select(col("media_id").as("id"), col("phash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("multimodal.imageNearDup.phash")
     val buckets = ph.select(col("id"), explode(expr(
         """transform(sequence(0, 3), b ->
              CAST(b AS BIGINT) * 65536 +

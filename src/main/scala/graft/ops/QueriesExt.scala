@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.PlanSlots.Slotted
 
 /** Extension operators [X] (SURVEY.md §2C): the LLM-training-data
   * pipeline surface — dedup, similarity search, text analysis,
@@ -258,7 +259,7 @@ object QueriesExt {
       // table on both sides — one shingling pass, not two
       // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
       val cand = Dedup.dropHotShingles(hsh, maxDf = 50)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.dedupNgram.shingles")
       val pairs = cand.as("a").join(cand.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -302,12 +303,17 @@ object QueriesExt {
       val qArr = array(q.map(v => lit(v)): _*).cast("array<float>")
       var qsq = 0.0
       q.foreach { x => val xd = x.toDouble; qsq += xd * xd }
+      // r13: corpus norm projected ONCE and referenced by name — the
+      // inline vec_norm duplicated sqrt(dot_product(e, e)) into the
+      // zero-guard and the divisor (see Similarity.bruteForceTopK)
       emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.GraftFunctions.vec_norm(col("embedding"))
+            .as("cnorm"))
         .select(col("vec_id"),
           round(graft.functions.GraftFunctions.cosine_from_norms(
             col("embedding"), qArr,
-            graft.functions.GraftFunctions.vec_norm(col("embedding")),
-            lit(math.sqrt(qsq))), 6).as("sim"))
+            col("cnorm"), lit(math.sqrt(qsq))), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
 
@@ -332,7 +338,7 @@ object QueriesExt {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
           graft.functions.GraftFunctions.vec_norm(col("embedding")).as("pnorm"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.knnJoin.probes")
       val scored = emb.filter(col("vec_id") % 97 =!= 0)
         .withColumn("cnorm",
           graft.functions.GraftFunctions.vec_norm(col("embedding")))
@@ -374,7 +380,7 @@ object QueriesExt {
       val evalSet = emb.filter(col("vec_id") % 53 === 0)
         .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.decontaminateSemantic.evalSet")
       val corpus = emb.filter(col("vec_id") % 53 =!= 0).unionAll(
         emb.filter(col("vec_id") % 53 === 0 && col("vec_id") % 106 =!= 0)
           .select((col("vec_id") + 20000).as("vec_id"),
@@ -827,7 +833,7 @@ object QueriesExt {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard); also keeps
         // the DPP subquery from re-printing a second probe-side scan
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.knnJoinIvf.probes")
       Similarity.ivfKnnJoin(s, idx, probes, "probe_id", "probe_emb",
           k = 5, nProbe = 6,
           candidateFilter = Some(col("vec_id") % 97 =!= 0))
@@ -856,7 +862,7 @@ object QueriesExt {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
           graft.functions.GraftFunctions.vec_norm(col("embedding")).as("pnorm"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.knnJoinFull.probes")
       val scored = s.read.parquet(expandedEmbDir(s, d))
         .withColumn("cnorm",
           graft.functions.GraftFunctions.vec_norm(col("embedding")))
@@ -877,7 +883,7 @@ object QueriesExt {
       val probes = emb.filter(col("vec_id") % 11 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.knnJoinIvfFull.probes")
       Similarity.ivfKnnJoin(s, idx, probes, "probe_id", "probe_emb",
           k = 10, nProbe = 6)
         .orderBy(asc("probe_id"), desc("sim"), asc("vec_id"))
@@ -893,7 +899,7 @@ object QueriesExt {
       val probes = emb.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("ext.knnJoinLsh.probes")
       Similarity.lshKnnJoin(s, idx, probes, "probe_id", "probe_emb",
           k = 5, radius = 2,
           candidateFilter = Some(col("vec_id") % 97 =!= 0))

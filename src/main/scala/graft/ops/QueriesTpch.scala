@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.PlanSlots.Slotted
 
 /** Composite analytical queries in the classic TPC-H shapes — the
   * multi-join + aggregate + top-k plans an LLM actually generates for
@@ -214,7 +215,7 @@ object QueriesTpch {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_revenue"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("tpch.q15.revenue")
       val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
       t("supplier")(s, d)
         .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -379,7 +380,7 @@ object QueriesTpch {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("late"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("tpch.q21.perSupp")
       val census = perOS.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
@@ -468,7 +469,7 @@ object QueriesTpch {
         .groupBy(col("l_partkey").as("p_partkey"))
         .agg(sum(col("l_extendedprice") * col("l_quantity")).as("v"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("tpch.q11.value")
       val threshold = value.agg((sum(col("v")) * lit(0.001)).as("thr"))
       value.join(broadcast(threshold), col("v") > col("thr"))
         .select(col("p_partkey"), round(col("v"), 2).as("value"))

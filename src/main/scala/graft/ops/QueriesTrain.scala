@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.PlanSlots.Slotted
 
 /** Training-data curation operators beyond the dedup/similarity core
   * (SURVEY.md §2C): within-document repetition filtering (Gopher-style
@@ -30,6 +31,14 @@ object QueriesTrain {
     * drift. Corpus tokenizes ONCE into a persisted narrow
     * (doc_id, dl, hits) projection; df and global stats broadcast
     * back; per-doc score is one aggregation. k1=1.2, b=0.75.
+    *
+    * CONTRACT (ADVICE r12): `doc_id` must be unique in the documents
+    * table. Since the r12 row-local rewrite dropped the final
+    * groupBy(doc_id), a duplicate doc_id would emit duplicate scored
+    * rows and break the doc_id-unique-per-arm assumption of the RRF
+    * fusion in ext_rank_fusion. The fixture pins uniqueness in
+    * QueriesTrainSpec; re-adding a defensive groupBy would put an
+    * exchange back into a deliberately map-only scoring pass.
     */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
@@ -58,7 +67,7 @@ object QueriesTrain {
         }: _*)
       // MEMORY_ONLY: evictable (see Dedup.exactJaccard); shared by the
       // stats pass and the scoring pass so the corpus tokenizes once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("train.bm25.slim")
     val stats = slim.agg(count(lit(1)).as("n_docs"),
       (Seq(sum("dl").as("sum_dl")) ++
         terms.indices.map(i =>
@@ -247,7 +256,7 @@ object QueriesTrain {
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("train.keyTerms.tf")
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("salience").desc, col("term").asc)
@@ -351,7 +360,7 @@ object QueriesTrain {
           explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("train.rarity.tf")
       val freq = tf.groupBy("tok").agg(sum("cnt").as("freq"))
       tf.join(freq, "tok")
         .groupBy("doc_id")
@@ -397,7 +406,7 @@ object QueriesTrain {
              i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""")).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("train.bigrams.pairs")
       val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
       val model = c12.join(c1, "w1")
@@ -543,7 +552,7 @@ object QueriesTrain {
           expr("substring(md5(tok), 1, 2)").as("b"))
         .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
         // MEMORY_ONLY: evictable (see Dedup.exactJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persistSlot("train.dsir.buckets")
       val raw = tf.groupBy("b").agg(sum("cnt").as("cr"))
       val tgt = tf.filter(col("lang") === "en")
         .groupBy("b").agg(sum("cnt").as("ct"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
+import graft.ops.PlanSlots.Slotted
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -53,9 +54,19 @@ object Similarity {
     q.foreach { x => val xd = x.toDouble; qsq += xd * xd }
     val qnorm = math.sqrt(qsq)
     val e = col(embCol).cast("array<float>")
-    emb.withColumn("sim", graft.functions.GraftFunctions.cosine_from_norms(
+    // r13: the corpus norm is PROJECTED once and referenced by name in
+    // cosine_from_norms' zero-guard AND divisor. Passing vec_norm(e)
+    // inline built the sqrt(dot_product(e, e)) tree twice in one
+    // projection, and conditional subexpression elimination is not
+    // guaranteed to merge an always-evaluated guard with a
+    // conditionally-evaluated divisor — the hoisted norm was computed
+    // twice per row on every single-probe path. CollapseProject keeps
+    // the extra Project because the alias is non-cheap and referenced
+    // twice, so the plan shows ONE SQRT(dot_product) per row.
+    emb.withColumn("__graft_norm", graft.functions.GraftFunctions.vec_norm(e))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_from_norms(
         e, array(q.map(lit(_)): _*).cast("array<float>"),
-        graft.functions.GraftFunctions.vec_norm(e), lit(qnorm)))
+        col("__graft_norm"), lit(qnorm)))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), asc(idCol))
       .limit(k)
@@ -97,26 +108,24 @@ object Similarity {
     * and batch probe-cell ranking ([[ivfKnnJoin]]); a private copy in
     * either would let the two silently diverge and destroy recall.
     *
-    * Shape matters here: ONE nested-array literal + transform-with-
-    * index, not nCentroids separate `cosine_sim(emb, array(dim lits))`
-    * branches. The expanded form put nCentroids·(dim+3) expression
-    * nodes into the plan (≈4,300 at 64 centroids × 64 dims, duplicated
-    * again into the explode's null-guard Filter) and every Catalyst
-    * analyzer/optimizer rule re-walks that tree — measured ≈0.3-0.5 s
-    * of pure driver time per ivfKnnJoin invocation at 64×64. The
-    * literal collapses it to O(1) nodes. Inside the HOF the lambda
-    * body evaluates through cosine_sim's interpreted nullSafeEval
-    * (ArrayTransform is CodegenFallback), which is fine: this
-    * expression only scores nCentroids cells per PROBE or BUILD row —
-    * the corpus-side candidate scan stays on the fused codegen kernel.
-    * Element order (= centroid index order) and the (sim, cid) struct
-    * comparator are unchanged, so cell assignment is bit-identical to
-    * the expanded form. */
+    * Shape history: r12 collapsed nCentroids separate
+    * `cosine_sim(emb, array(dim lits))` branches (≈4,300 plan nodes at
+    * 64×64, measured ≈0.3-0.5 s of driver plan time per invocation)
+    * into one literal + `transform` HOF; r13 replaces the HOF with the
+    * dedicated [[graft.functions.CentroidCellScores]] expression
+    * because ArrayTransform is CodegenFallback — the lambda evaluated
+    * cosine_sim through interpreted `nullSafeEval` with boxing, which
+    * was fine at PROBE volume but ran over the FULL corpus in
+    * [[buildIvfIndex]]/[[ivfAdd]] (~nCentroids interpreted evals per
+    * corpus row on the scale-critical index-build path). The compiled
+    * expression keeps O(1) plan nodes AND whole-stage codegen on both
+    * paths; element order, struct shape and per-cell sims are
+    * bit-identical to both prior forms (CentroidCellScoresSpec pins
+    * equivalence against the HOF formulation, including null
+    * embeddings and zero vectors). */
   private def centroidCellStructs(embCol: Column,
                                   centroids: Seq[Seq[Float]]): Column =
-    transform(typedLit(centroids), (c, i) =>
-      struct(graft.functions.GraftFunctions
-        .cosine_sim(embCol, c).as("sim"), i.as("cid")))
+    graft.functions.CentroidCellScores.centroid_cell_scores(embCol, centroids)
 
   /** Driver-side sign-bit key for a query vector (the exact mirror of
     * the corpus-side [[lshKey]]). */
@@ -543,7 +552,7 @@ object Similarity {
     val withNorm = emb.select(col(idCol).as("id"), col(embCol).as("e"),
       sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("sim.lshNearDupPairs.vectors")
     val buckets = withNorm.select(col("id"),
         posexplode(graft.functions.SignBands.sign_bands(
           col("e").cast("array<float>"), planes, bands)).as(Seq("band", "key")))
@@ -602,7 +611,7 @@ object Similarity {
       .withColumn("nrm",
         sqrt(aggregate(transform(col(embCol), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, v) => acc + v)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persistSlot("sim.semanticDedup.assigned")
     val cand = Dedup.bucketPairs(
       assigned.select(col("cell").as("bk"), col(idCol).as("id")), maxCluster)
     val verified = cand

@@ -22,9 +22,14 @@ class MultiScanAuditSpec extends SparkSpec {
     "ext_dedup_minhash" -> ("hot-shingle census: a 1-in-10-sample pruned re-scan " +
       "inside the persisted signature table's scalar subquery (r12); it " +
       "parameterizes that cache so it cannot read it — the former collect() " +
-      "census did the same extra scan in a separate invisible job"),
-    "ext_dedup_minhash_full" -> ("same census-as-subquery scan as " +
-      "ext_dedup_minhash (shared minHashPairs path)"),
+      "census did the same extra scan in a separate invisible job. r13: " +
+      "verification additionally re-scans the corpus pruned to the candidate " +
+      "sliver (semi-join on candidate ids) — the fused signature kernel no " +
+      "longer materializes every doc's shingle set into the cache, so the " +
+      "few candidate sets are recomputed from a bounded pruned scan instead " +
+      "of caching ~25x more bytes for all docs"),
+    "ext_dedup_minhash_full" -> ("same census-as-subquery + pruned " +
+      "verification re-scan as ext_dedup_minhash (shared minHashPairs path)"),
     "ext_dedup_weights" -> "corpus unioned with its two planted-duplicate projections",
     "ext_rank_fusion" -> "1-row query-vector projection vs the corpus scan (the probe is an external input in production); the BM25 arm's document scan is shared via the persisted slim projection",
     "ext_dedup_incremental" -> "history fingerprints vs new-batch union (two filters of the source)",

@@ -262,12 +262,17 @@ class TriggerSpec extends SparkSpec {
     assert(!spark.catalog.listTables().collect()
       .exists(_.name.startsWith("graft_updf_")))
     // and even a stray engine-internal view never reaches the
-    // introspection surface (graft_ is the reserved namespace)
+    // introspection surface. Scoped to the engine's helper-view
+    // namespace (graft_updf_): the broader "anything graft_-prefixed"
+    // form only held under one lucky suite ordering — the declared
+    // opt_bucketed_join key legitimately creates graft_-prefixed
+    // CATALOG tables (its bucketed warehouse fixtures), which any
+    // suite sharing the session may have materialized first.
     spark.range(1).createOrReplaceTempView("graft_updf_ret_g999999")
     try {
       assert(sql(s"PRAGMA table_list")
-        .filter("name LIKE 'graft%'").count() == 0)
-      assert(sql(s"SELECT name FROM sqlite_master WHERE name LIKE 'graft%'")
+        .filter("name LIKE 'graft_updf%'").count() == 0)
+      assert(sql(s"SELECT name FROM sqlite_master WHERE name LIKE 'graft_updf%'")
         .count() == 0)
     } finally spark.catalog.dropTempView("graft_updf_ret_g999999")
   }

@@ -158,6 +158,13 @@ class QueriesTrainSpec extends SparkSpec {
       s"expected 2 cache readers\n${p.take(1500)}")
     assert(!p.contains("Generate explode"),
       s"bm25 must not explode tokens\n${p.take(1500)}")
+    // bm25Scores' documented CONTRACT (ADVICE r12): doc_id unique in
+    // the documents table — the row-local scoring pass has no final
+    // groupBy(doc_id), so a duplicate id would emit duplicate scored
+    // rows and break the unique-per-arm assumption of the RRF fusion
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(docs.count() == docs.select("doc_id").distinct().count(),
+      "documents.doc_id must be unique (bm25Scores contract)")
   }
 
   test("length buckets partition the corpus and bound their members") {

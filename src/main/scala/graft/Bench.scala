@@ -296,7 +296,7 @@ object Bench {
     val canaryMin = both.map(_._2._3).min
     val canaryMax = both.map(_._2._3).max
     val json =
-      f"""{"metric":"total_min6","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"medians":{"total":$totalMed%.3f,"core16":$coreMed%.3f},"run2":{"total":$total2%.3f,"core16":$core2%.3f},"canary":{"min":$canaryMin%.3f,"max":$canaryMax%.3f},"cache":"declared: runs 2-6 of a key may reuse run 1's in-plan persisted intermediates via Spark CacheManager plan matching (bounded, one live slot per operator - see graft.ops.PlanSlots); per-key spread.max includes the cold run","sf":"$sfDir"}"""
+      f"""{"metric":"total_min6","value":$total%.3f,"unit":"sec","core16":$core%.3f,"queries":$qs,"spread":$spread,"medians":{"total":$totalMed%.3f,"core16":$coreMed%.3f},"run2":{"total":$total2%.3f,"core16":$core2%.3f},"canary":{"min":$canaryMin%.3f,"max":$canaryMax%.3f},"cache":"declared: runs 2-6 of a key may reuse run 1's in-plan persisted intermediates via Spark CacheManager plan matching (bounded, one live slot per operator - see graft.ops.PlanSlots); spread.max shows the key's cold run except when retries>0 replaced the measured attempt","sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt [info] noise; also drop the JSON in a
     // file so the driver's parse never depends on log scraping
